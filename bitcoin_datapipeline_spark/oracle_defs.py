@@ -1,0 +1,137 @@
+"""DuckDB oracle SQL building blocks.
+
+Every operator in this engine ships with an ANSI-SQL twin that DuckDB runs
+on the same parquet tables (driver contract in ``__spark_entry__.py``).
+These CTE strings are the single source of truth for the normalization
+semantics — they MUST stay in lockstep with
+``bitcoin_datapipeline_spark/functions/normalize.py``.
+
+DuckDB specifics used deliberately:
+- ``epoch_ms(ts)`` on a TIMESTAMP_NS column == Spark's ``ts div 1000000``
+  on the same column read as int64 nanos (both truncate; all test data is
+  post-1970 so floor == trunc).
+- integer ``//`` (DuckDB) == ``div`` (Spark) on BIGINT.
+- ``arg_min/arg_max`` == Spark ``min_by/max_by``.
+- ``quantile_cont`` == Spark ``percentile`` (exact interpolating).
+"""
+
+from __future__ import annotations
+
+TS_MIN_MS = 1577836800000
+TS_MAX_MS = 1893456000000
+
+# events → canonical trade stream; mirror of normalize.trades().
+TRADES_CTE = """
+trades AS (
+  SELECT upper(event_type)                                        AS symbol,
+         epoch_ms(ts)                                             AS event_ts,
+         epoch_ms(ts) + (event_id % 250)                          AS ingest_ts,
+         event_id - (CASE WHEN event_id % 100 = 7 THEN 1 ELSE 0 END) AS trade_id,
+         value                                                    AS price,
+         CAST(json_extract(props, '$.k') AS DOUBLE)               AS qty,
+         (event_id % 2) = 0                                       AS is_buyer_maker,
+         CASE WHEN event_id % 10 < 7 THEN 'sbe' ELSE 'rest' END   AS source
+  FROM events
+)"""
+
+# + P5 validation filter; mirror of normalize.valid_trades().
+VALID_TRADES_CTE = (
+    TRADES_CTE
+    + f""",
+valid_trades AS (
+  SELECT * FROM trades
+  WHERE price > 0 AND qty > 0
+    AND event_ts >= {TS_MIN_MS} AND event_ts < {TS_MAX_MS}
+)"""
+)
+
+# + D1 dedup: earliest record wins per (symbol, trade_id); mirror of
+# operators/dedup.dedup_trades().
+DEDUP_TRADES_CTE = (
+    VALID_TRADES_CTE
+    + """,
+dedup_trades AS (
+  SELECT * FROM valid_trades
+  QUALIFY row_number() OVER (
+      PARTITION BY symbol, trade_id ORDER BY event_ts, ingest_ts) = 1
+)"""
+)
+
+# events → canonical BBA stream; mirror of normalize.bba().
+BBA_CTE = """
+bba AS (
+  SELECT upper(event_type)                                   AS symbol,
+         epoch_ms(ts)                                        AS event_ts,
+         epoch_ms(ts) + (event_id % 250)                     AS ingest_ts,
+         value                                               AS bid_px,
+         CAST(json_extract(props, '$.k') AS DOUBLE) + 1.0    AS bid_sz,
+         value * (1.0 + (event_id % 50 + 1) / 10000.0)       AS ask_px,
+         (CAST(json_extract(props, '$.k') AS DOUBLE) + 1.0)
+             * (1.0 + (event_id % 7) / 10.0)                 AS ask_sz,
+         CASE WHEN event_id % 10 < 7 THEN 'sbe' ELSE 'rest' END AS source
+  FROM events
+  WHERE value > 0
+)"""
+
+# events → canonical depth stream; mirror of normalize.depth().
+DEPTH_CTE = """
+depth AS (
+  SELECT upper(event_type)  AS symbol,
+         epoch_ms(ts)       AS event_ts,
+         event_id           AS last_update_id,
+         [{'price': value * (1.0 - i / 1000.0),
+           'qty': (CAST(json_extract(props, '$.k') AS DOUBLE) + 1.0) / i}
+          for i in generate_series(1, 10)]                  AS bids,
+         [{'price': value * (1.0 + i / 1000.0),
+           'qty': (CAST(json_extract(props, '$.k') AS DOUBLE) + 1.0) / i}
+          for i in generate_series(1, 10)]                  AS asks
+  FROM events
+  WHERE value > 0
+)"""
+
+# dedup_trades → 1-minute OHLCV bars; mirror of operators/aggregates.bars_1m().
+BARS_1M_CTE = (
+    DEDUP_TRADES_CTE
+    + """,
+bars_raw AS (
+  SELECT symbol,
+         event_ts // 60000                                   AS bucket,
+         arg_min(price, event_ts)                            AS open_raw,
+         max(price)                                          AS high_raw,
+         min(price)                                          AS low_raw,
+         arg_max(price, event_ts)                            AS close_raw,
+         sum(qty)                                            AS volume_raw,
+         sum(price * qty)                                    AS notional_raw,
+         CAST(count(*) AS BIGINT)                            AS trade_count,
+         sum(CASE WHEN is_buyer_maker THEN 0.0 ELSE qty END) AS buy_volume_raw,
+         sum(CASE WHEN is_buyer_maker THEN qty ELSE 0.0 END) AS sell_volume_raw,
+         CAST(sum(CASE WHEN is_buyer_maker THEN 0 ELSE 1 END) AS BIGINT) AS buy_trade_count,
+         CAST(sum(CASE WHEN is_buyer_maker THEN 1 ELSE 0 END) AS BIGINT) AS sell_trade_count
+  FROM dedup_trades
+  GROUP BY symbol, event_ts // 60000
+),
+bars AS (
+  SELECT symbol, bucket,
+         round(open_raw, 6)  AS open,
+         round(high_raw, 6)  AS high,
+         round(low_raw, 6)   AS low,
+         round(close_raw, 6) AS close,
+         round(volume_raw, 6)   AS volume,
+         round(notional_raw, 6) AS notional,
+         trade_count, buy_trade_count, sell_trade_count,
+         round(buy_volume_raw, 6)  AS buy_volume,
+         round(sell_volume_raw, 6) AS sell_volume,
+         round(notional_raw / volume_raw, 6) AS vwap,
+         round((buy_volume_raw - sell_volume_raw)
+               / greatest(volume_raw, 1.0), 6) AS volume_imbalance,
+         round(high_raw - low_raw, 6)   AS price_range,
+         round(close_raw - open_raw, 6) AS price_change,
+         round((close_raw - open_raw) / open_raw * 100.0, 6) AS price_change_pct
+  FROM bars_raw
+)"""
+)
+
+
+def with_ctes(*ctes: str, body: str) -> str:
+    """Compose `WITH a AS (...), b AS (...) <body>`."""
+    return "WITH " + ",".join(ctes) + "\n" + body

@@ -1,0 +1,86 @@
+"""SparkSession construction and session-level tuning.
+
+Two entry points:
+
+- :func:`get_spark` — build a session for tests / bench (local[N]).
+- :func:`configure` — apply the *dynamic* confs this engine needs to an
+  EXISTING session (the correctness driver owns its own SparkSession and
+  passes it in, so everything the engine relies on at query time must be
+  settable via ``spark.conf.set``).
+
+Scale stance (the confs below are chosen for a real cluster, not just
+local[32]):
+
+- AQE on: runtime partition coalescing, skew-join splitting, and dynamic
+  join-strategy switches replace the reference's hand-tuned batch sizes
+  (reference: manual Kinesis batch=500 / insert batch sizes — see
+  BASELINE.md).
+- ``spark.sql.shuffle.partitions`` defaults to the local core count for
+  tests; on a 1000-executor cluster AQE coalescing makes the initial number
+  mostly irrelevant as long as it is high enough, so production jobs should
+  set it ≈ 2-3× total cores.
+- Session timezone pinned to UTC: every event-time computation in this
+  engine is pure epoch-ms integer arithmetic (no tz-dependent functions in
+  the hot path), matching the reference's epoch-ms convention
+  (schemas/avro/MarketTrade.avsc — event_ts/ingest_ts are ms longs).
+- ``nanosAsLong``: the driver testdata stores `events.ts` as parquet
+  TIMESTAMP(NANOS); Spark has no nanosecond timestamp type, so we read it
+  as a raw int64 and do exact integer `div` arithmetic (never double
+  division — ns epochs exceed 2^53 and would lose ms precision).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe (and necessary) to set on a live session.
+DYNAMIC_CONF: dict[str, str] = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply the engine's dynamic confs to an existing session (idempotent)."""
+    for k, v in DYNAMIC_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Static conf on this build — session defaults will have to do.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "bitcoin_datapipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a tuned SparkSession.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local parallelism (driver contract).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # local mode = single JVM; give codegen'd aggs room before spill
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.maxResultSize", "2g")
+    )
+    for k, v in DYNAMIC_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return configure(spark)

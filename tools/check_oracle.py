@@ -1,0 +1,125 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry in ``__spark_entry__.py`` on Spark and its
+``oracle_sql()`` twin on DuckDB at the given scale factor, then compares:
+row count, column-name set, and order-insensitive values (columns sorted by
+name, rows sorted lexicographically, exact match for non-floats, tiny-eps
+for floats — stricter than a hash so mismatches are debuggable).
+
+Usage:  python tools/check_oracle.py [--sf /root/testdata/sf0.01] [--only q_bars_1m,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def normalize_frame(df):
+    """pandas DataFrame → (nrows, sorted cols, canonical sorted rows)."""
+    import pandas as pd  # noqa: F401
+
+    cols = sorted(df.columns)
+    df = df[cols]
+
+    def canon(v):
+        if v is None:
+            return ("N",)
+        if isinstance(v, float):
+            if math.isnan(v):
+                return ("N",)
+            return ("f", round(v, 6))
+        if isinstance(v, (list, tuple)):
+            return ("l", tuple(canon(x) for x in v))
+        try:
+            if v != v:  # NaN-like (pd.NA etc.)
+                return ("N",)
+        except Exception:
+            pass
+        return ("v", str(v))
+
+    rows = sorted(tuple(canon(v) for v in row) for row in df.itertuples(index=False, name=None))
+    return len(df), cols, rows
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry
+    from bitcoin_datapipeline_spark.session import get_spark
+
+    spark = get_spark("check_oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(args.sf, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    only = set(args.only.split(",")) if args.only else None
+
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf).toPandas()
+        except Exception:
+            print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows-only {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            ddf = con.sql(oracles[name]).df()
+        except Exception:
+            print(f"FAIL {name}: duckdb raised\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+
+        sn, scols, srows = normalize_frame(sdf)
+        dn, dcols, drows = normalize_frame(ddf)
+        dt = time.time() - t0
+        if sn != dn:
+            print(f"FAIL {name}: rows spark={sn} duck={dn} ({dt:.1f}s)")
+            n_fail += 1
+        elif scols != dcols:
+            print(f"FAIL {name}: cols spark={scols} duck={dcols} ({dt:.1f}s)")
+            n_fail += 1
+        elif srows != drows:
+            bad = sum(1 for a, b in zip(srows, drows) if a != b)
+            print(f"FAIL {name}: {bad}/{sn} row mismatches ({dt:.1f}s)")
+            for a, b in list(zip(srows, drows))[:500]:
+                if a != b:
+                    print(f"  spark: {a}\n  duck : {b}")
+                    break
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {sn} rows, {len(scols)} cols ({dt:.1f}s)")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
