@@ -16,7 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from bitcoin_datapipeline_spark import oracle_defs as OD
-from bitcoin_datapipeline_spark.functions import normalize
+from bitcoin_datapipeline_spark.functions import categorize, normalize, timeparts
 from bitcoin_datapipeline_spark.operators import aggregates, dedup
 from bitcoin_datapipeline_spark.plans import pipeline
 from bitcoin_datapipeline_spark.tables import table
@@ -127,6 +127,296 @@ def q_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# P7/P8 — time parts, cyclic encodings, session flags
+# ---------------------------------------------------------------------------
+@q(
+    "q_derived_time",
+    OD.with_ctes(OD.VALID_TRADES_CTE, body=timeparts.ORACLE_BODY),
+)
+def q_derived_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeparts.derived_time(normalize.valid_trades(table(spark, sf_dir, "events")))
+
+
+# P11 — bucketing / categorization
+@q(
+    "q_categorize",
+    OD.with_ctes(OD.VALID_TRADES_CTE, body=categorize.CATEGORIZE_ORACLE_BODY),
+)
+def q_categorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return categorize.categorize(normalize.valid_trades(table(spark, sf_dir, "events")))
+
+
+# P6 — curated-sink decimal casts
+@q(
+    "q_decimal_cast",
+    OD.with_ctes(OD.VALID_TRADES_CTE, body=categorize.DECIMAL_ORACLE_BODY),
+)
+def q_decimal_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return categorize.decimal_cast(normalize.valid_trades(table(spark, sf_dir, "events")))
+
+
+# A1 — micro-batch trade features (1 h event-time buckets)
+@q(
+    "q_trade_features_1h",
+    OD.with_ctes(
+        OD.DEDUP_TRADES_CTE,
+        body="""
+,f AS (
+  SELECT symbol,
+         event_ts // 3600000                        AS bucket,
+         CAST(count(*) AS BIGINT)                   AS trade_count,
+         arg_max(price, event_ts)                   AS latest_price_raw,
+         sum(qty)                                   AS volume_raw,
+         min(price)                                 AS min_price_raw,
+         max(price)                                 AS max_price_raw,
+         avg(price)                                 AS avg_price_raw,
+         sum(price * qty)                           AS notional_raw,
+         stddev_samp(price)                         AS price_std_raw,
+         arg_min(price, event_ts)                   AS first_price,
+         min(event_ts)                              AS min_ts,
+         max(event_ts)                              AS max_ts,
+         sum(CASE WHEN is_buyer_maker THEN 0.0 ELSE qty END) AS buy_volume_raw,
+         sum(CASE WHEN is_buyer_maker THEN qty ELSE 0.0 END) AS sell_volume_raw
+  FROM dedup_trades GROUP BY 1, 2
+)
+SELECT symbol, bucket, trade_count,
+       round(latest_price_raw, 6)                       AS latest_price,
+       round(volume_raw, 6)                             AS volume,
+       round(min_price_raw, 6)                          AS min_price,
+       round(max_price_raw, 6)                          AS max_price,
+       round(avg_price_raw, 6)                          AS avg_price,
+       round(notional_raw / volume_raw, 6)              AS vwap,
+       round(price_std_raw, 6)                          AS price_volatility,
+       round(latest_price_raw - first_price, 6)         AS price_change,
+       round((latest_price_raw - first_price) / first_price * 100.0, 6)
+                                                        AS price_change_pct,
+       round(buy_volume_raw, 6)                         AS buy_volume,
+       round(sell_volume_raw, 6)                        AS sell_volume,
+       round((buy_volume_raw - sell_volume_raw) / greatest(volume_raw, 1.0), 6)
+                                                        AS volume_imbalance,
+       round(trade_count / greatest((max_ts - min_ts) / 1000.0, 1.0), 6)
+                                                        AS trades_per_second,
+       round(volume_raw / trade_count, 6)               AS avg_trade_size
+FROM f""",
+    ),
+)
+def q_trade_features_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.trade_features(pipeline.trades_clean(spark, sf_dir))
+
+
+# A2/P9 — BBA features (1 h buckets over the synthetic BBA stream)
+@q(
+    "q_bba_features",
+    OD.with_ctes(
+        OD.BBA_CTE,
+        body="""
+,b AS (SELECT *, ask_px - bid_px AS spread, (ask_px + bid_px) / 2.0 AS mid FROM bba),
+f AS (
+  SELECT symbol, event_ts // 3600000 AS bucket,
+         CAST(count(*) AS BIGINT)           AS quote_count,
+         arg_max(bid_px, event_ts)          AS latest_bid_raw,
+         arg_max(ask_px, event_ts)          AS latest_ask_raw,
+         arg_max(bid_sz, event_ts)          AS latest_bid_size_raw,
+         arg_max(ask_sz, event_ts)          AS latest_ask_size_raw,
+         avg(bid_px)                        AS avg_bid_raw,
+         avg(ask_px)                        AS avg_ask_raw,
+         avg(spread)                        AS avg_spread_raw,
+         min(spread)                        AS min_spread_raw,
+         max(spread)                        AS max_spread_raw,
+         stddev_samp(spread)                AS spread_std_raw,
+         avg(mid)                           AS avg_mid_raw,
+         arg_min(mid, event_ts)             AS first_mid,
+         arg_max(mid, event_ts)             AS last_mid,
+         sum(bid_sz)                        AS total_bid_size_raw,
+         sum(ask_sz)                        AS total_ask_size_raw
+  FROM b GROUP BY 1, 2
+)
+SELECT symbol, bucket, quote_count,
+       round(latest_bid_raw, 6)                        AS latest_bid,
+       round(latest_ask_raw, 6)                        AS latest_ask,
+       round(latest_bid_size_raw, 6)                   AS latest_bid_size,
+       round(latest_ask_size_raw, 6)                   AS latest_ask_size,
+       round(latest_ask_raw - latest_bid_raw, 6)       AS latest_spread,
+       round((latest_ask_raw - latest_bid_raw)
+             / ((latest_ask_raw + latest_bid_raw) / 2.0) * 10000.0, 6)
+                                                       AS latest_spread_bp,
+       round(avg_bid_raw, 6)                           AS avg_bid,
+       round(avg_ask_raw, 6)                           AS avg_ask,
+       round(avg_spread_raw, 6)                        AS avg_spread,
+       round(min_spread_raw, 6)                        AS min_spread,
+       round(max_spread_raw, 6)                        AS max_spread,
+       round(spread_std_raw, 6)                        AS spread_std,
+       round(avg_mid_raw, 6)                           AS avg_mid,
+       round(last_mid - first_mid, 6)                  AS mid_change,
+       round(total_bid_size_raw, 6)                    AS total_bid_size,
+       round(total_ask_size_raw, 6)                    AS total_ask_size,
+       round((total_bid_size_raw - total_ask_size_raw)
+             / greatest(total_bid_size_raw + total_ask_size_raw, 1.0), 6)
+                                                       AS size_imbalance
+FROM f""",
+    ),
+)
+def q_bba_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.bba_features(normalize.bba(table(spark, sf_dir, "events")))
+
+
+# A3 — latest depth-snapshot features (array higher-order functions)
+@q(
+    "q_depth_features",
+    OD.with_ctes(
+        OD.DEPTH_CTE,
+        body="""
+,latest AS (
+  SELECT * FROM depth
+  QUALIFY row_number() OVER (PARTITION BY symbol ORDER BY event_ts DESC) = 1
+)
+SELECT symbol, event_ts, last_update_id,
+       round(bids[1].price, 6) AS best_bid,
+       round(asks[1].price, 6) AS best_ask,
+       round(bids[1].qty, 6)   AS best_bid_qty,
+       round(asks[1].qty, 6)   AS best_ask_qty,
+       round(list_sum(list_transform(bids[1:5], x -> x.qty)), 6) AS bid_depth_5,
+       round(list_sum(list_transform(asks[1:5], x -> x.qty)), 6) AS ask_depth_5,
+       round(list_sum(list_transform(bids, x -> x.price * x.qty))
+             / list_sum(list_transform(bids, x -> x.qty)), 6)    AS bid_weighted_price,
+       round(list_sum(list_transform(asks, x -> x.price * x.qty))
+             / list_sum(list_transform(asks, x -> x.qty)), 6)    AS ask_weighted_price,
+       round((list_sum(list_transform(bids, x -> x.qty))
+              - list_sum(list_transform(asks, x -> x.qty)))
+             / greatest(list_sum(list_transform(bids, x -> x.qty))
+                        + list_sum(list_transform(asks, x -> x.qty)), 1.0), 6)
+                                                                 AS depth_imbalance
+FROM latest""",
+    ),
+)
+def q_depth_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.depth_features(normalize.depth(table(spark, sf_dir, "events")))
+
+
+# A8 — daily trading summary
+@q(
+    "q_daily_summary",
+    OD.with_ctes(
+        OD.DEDUP_TRADES_CTE,
+        body="""
+,d AS (
+  SELECT symbol, event_ts // 86400000 AS day,
+         arg_min(price, event_ts) AS open_raw,
+         max(price)               AS high_raw,
+         min(price)               AS low_raw,
+         arg_max(price, event_ts) AS close_raw,
+         sum(qty)                 AS volume_raw,
+         sum(price * qty)         AS notional_raw,
+         CAST(count(*) AS BIGINT) AS total_trades,
+         avg(qty)                 AS avg_trade_size_raw,
+         max(qty)                 AS largest_trade_raw,
+         stddev_samp(price)       AS volatility_raw,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+  FROM dedup_trades GROUP BY 1, 2
+)
+SELECT symbol, day,
+       round(open_raw, 6) AS open, round(high_raw, 6) AS high,
+       round(low_raw, 6) AS low, round(close_raw, 6) AS close,
+       round(volume_raw, 6) AS volume, total_trades,
+       round(avg_trade_size_raw, 6) AS avg_trade_size,
+       round(largest_trade_raw, 6) AS largest_trade,
+       round(volatility_raw, 6) AS volatility,
+       round(notional_raw / volume_raw, 6) AS vwap,
+       round(close_raw - open_raw, 6) AS price_change,
+       round(high_raw - low_raw, 6) AS price_range,
+       n_sources
+FROM d""",
+    ),
+)
+def q_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.daily_summary(pipeline.trades_clean(spark, sf_dir))
+
+
+# A9 — latency percentiles / RMSE / boolean rate
+@q(
+    "q_latency_percentiles",
+    OD.with_ctes(
+        OD.VALID_TRADES_CTE,
+        body=f"""
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(CAST(ingest_ts - event_ts AS DOUBLE), 0.5), 6)  AS p50_latency_ms,
+       round(quantile_cont(CAST(ingest_ts - event_ts AS DOUBLE), 0.95), 6) AS p95_latency_ms,
+       round(quantile_cont(CAST(ingest_ts - event_ts AS DOUBLE), 0.99), 6) AS p99_latency_ms,
+       round(avg(CAST(ingest_ts - event_ts AS DOUBLE)), 6)                 AS avg_latency_ms,
+       round(sqrt(avg(CAST(ingest_ts - event_ts AS DOUBLE)
+                      * CAST(ingest_ts - event_ts AS DOUBLE))), 6)         AS rms_latency_ms,
+       round(avg(CASE WHEN ingest_ts - event_ts > {aggregates.SLOW_LATENCY_MS}
+                      THEN 1.0 ELSE 0.0 END), 6)                           AS slow_rate
+FROM valid_trades GROUP BY symbol""",
+    ),
+)
+def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.latency_percentiles(
+        normalize.valid_trades(table(spark, sf_dir, "events"))
+    )
+
+
+# A10 — correlation / covariance
+@q(
+    "q_corr",
+    OD.with_ctes(
+        OD.VALID_TRADES_CTE,
+        body="""
+SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+       round(corr(price, qty), 6)       AS price_qty_corr,
+       round(covar_samp(price, qty), 6) AS price_qty_covar
+FROM valid_trades GROUP BY symbol""",
+    ),
+)
+def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.price_qty_corr(normalize.valid_trades(table(spark, sf_dir, "events")))
+
+
+# A11 — grouped comparison over trailing-7d predicate
+@q(
+    "q_group_compare",
+    OD.with_ctes(
+        OD.VALID_TRADES_CTE,
+        body=f"""
+SELECT symbol, source,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(price), 6) AS avg_price,
+       round(min(price), 6) AS min_price,
+       round(max(price), 6) AS max_price,
+       round(sum(qty), 6)   AS volume
+FROM valid_trades
+WHERE event_ts >= (SELECT max(event_ts) FROM valid_trades) - {aggregates.TRAILING_7D_MS}
+GROUP BY symbol, source""",
+    ),
+)
+def q_group_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.group_compare(normalize.valid_trades(table(spark, sf_dir, "events")))
+
+
+# A12 — conditional-array health roll-up
+@q(
+    "q_health_rollup",
+    OD.with_ctes(
+        OD.DEDUP_TRADES_CTE,
+        body=f"""
+,daily AS (
+  SELECT symbol, event_ts // 86400000 AS day, sum(qty) AS volume
+  FROM dedup_trades GROUP BY 1, 2
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_active_days,
+       array_to_string(list_sort(list(day)), ',') AS active_days
+FROM daily
+WHERE volume > {aggregates.ACTIVE_DAY_MIN_VOLUME}
+GROUP BY symbol""",
+    ),
+)
+def q_health_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.health_rollup(pipeline.trades_clean(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # driver contract surface
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -139,4 +429,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    # Rewrite round(x, 6) to Spark-compatible string-based rounding — see
+    # oracle_defs.spark_round_compat for why raw DuckDB round() diverges.
+    return {name: OD.spark_round_compat(sql) for name, sql in ORACLES.items()}

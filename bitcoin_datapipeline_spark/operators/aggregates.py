@@ -96,3 +96,286 @@ def max_ts(trades: DataFrame) -> DataFrame:
 def counts(trades: DataFrame) -> DataFrame:
     """A7: record counts per symbol (db_writer.py:304-320)."""
     return trades.groupBy("symbol").agg(F.count("*").cast("long").alias("n"))
+
+
+def trade_features(dedup_trades: DataFrame, bucket_ms: int = 3_600_000) -> DataFrame:
+    """A1: micro-batch trade feature aggregation.
+
+    Reference computes these over each sorted micro-batch
+    (services/aggregator/src/feature_builder.py:88-185): latest price, sum
+    volume, count, min/max/avg price, VWAP (:141-143), buy/sell split
+    (:119-123), trades_per_second = n/max(span,1), price change first→last,
+    price stddev (:157-158), volume imbalance (:160-161), avg trade size.
+
+    The engine's "micro-batch" is an event-time bucket (default 1 h — the
+    testdata is ~14 trades/hour; production would use 1 s like the ref).
+    first/last are min_by/max_by — no sort, map-side partials, one shuffle.
+    """
+    g = dedup_trades.groupBy(
+        "symbol", F.expr(f"event_ts div {bucket_ms}").cast("long").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("qty").alias("volume_raw"),
+        F.sum(F.col("price") * F.col("qty")).alias("notional_raw"),
+        F.min("price").alias("min_price_raw"),
+        F.max("price").alias("max_price_raw"),
+        F.avg("price").alias("avg_price_raw"),
+        F.stddev_samp("price").alias("price_std_raw"),
+        F.min_by("price", "event_ts").alias("first_price"),
+        F.max_by("price", "event_ts").alias("latest_price_raw"),
+        F.min("event_ts").alias("min_ts"),
+        F.max("event_ts").alias("max_ts"),
+        F.sum(_buy()).alias("buy_volume_raw"),
+        F.sum(_sell()).alias("sell_volume_raw"),
+    )
+    span_s = (F.col("max_ts") - F.col("min_ts")) / F.lit(1000.0)
+    return g.select(
+        "symbol",
+        "bucket",
+        F.col("n").cast("long").alias("trade_count"),
+        r6(F.col("latest_price_raw")).alias("latest_price"),
+        r6(F.col("volume_raw")).alias("volume"),
+        r6(F.col("min_price_raw")).alias("min_price"),
+        r6(F.col("max_price_raw")).alias("max_price"),
+        r6(F.col("avg_price_raw")).alias("avg_price"),
+        r6(F.col("notional_raw") / F.col("volume_raw")).alias("vwap"),
+        r6(F.col("price_std_raw")).alias("price_volatility"),
+        r6(F.col("latest_price_raw") - F.col("first_price")).alias("price_change"),
+        r6(
+            (F.col("latest_price_raw") - F.col("first_price"))
+            / F.col("first_price")
+            * 100.0
+        ).alias("price_change_pct"),
+        r6(F.col("buy_volume_raw")).alias("buy_volume"),
+        r6(F.col("sell_volume_raw")).alias("sell_volume"),
+        r6(
+            (F.col("buy_volume_raw") - F.col("sell_volume_raw"))
+            / F.greatest(F.col("volume_raw"), F.lit(1.0))
+        ).alias("volume_imbalance"),
+        r6(F.col("n") / F.greatest(span_s, F.lit(1.0))).alias("trades_per_second"),
+        r6(F.col("volume_raw") / F.col("n")).alias("avg_trade_size"),
+    )
+
+
+def bba_features(bba: DataFrame, bucket_ms: int = 3_600_000) -> DataFrame:
+    """A2 + P9: best-bid/ask window features (feature_builder.py:187-286).
+
+    Spread/mid arithmetic per :220-225, :264-266; the `latest_bid_size`
+    NameError at :274-275 is implemented as intended (last observed sizes
+    via max_by) per SURVEY §7.4.
+    """
+    spread = F.col("ask_px") - F.col("bid_px")
+    mid = (F.col("ask_px") + F.col("bid_px")) / 2.0
+    b = bba.withColumn("spread", spread).withColumn("mid", mid)
+    g = b.groupBy(
+        "symbol", F.expr(f"event_ts div {bucket_ms}").cast("long").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.max_by("bid_px", "event_ts").alias("latest_bid_raw"),
+        F.max_by("ask_px", "event_ts").alias("latest_ask_raw"),
+        F.max_by("bid_sz", "event_ts").alias("latest_bid_size_raw"),
+        F.max_by("ask_sz", "event_ts").alias("latest_ask_size_raw"),
+        F.avg("bid_px").alias("avg_bid_raw"),
+        F.avg("ask_px").alias("avg_ask_raw"),
+        F.avg("spread").alias("avg_spread_raw"),
+        F.min("spread").alias("min_spread_raw"),
+        F.max("spread").alias("max_spread_raw"),
+        F.stddev_samp("spread").alias("spread_std_raw"),
+        F.avg("mid").alias("avg_mid_raw"),
+        F.min_by("mid", "event_ts").alias("first_mid"),
+        F.max_by("mid", "event_ts").alias("last_mid"),
+        F.sum("bid_sz").alias("total_bid_size_raw"),
+        F.sum("ask_sz").alias("total_ask_size_raw"),
+    )
+    latest_mid = (F.col("latest_ask_raw") + F.col("latest_bid_raw")) / 2.0
+    return g.select(
+        "symbol",
+        "bucket",
+        F.col("n").cast("long").alias("quote_count"),
+        r6(F.col("latest_bid_raw")).alias("latest_bid"),
+        r6(F.col("latest_ask_raw")).alias("latest_ask"),
+        r6(F.col("latest_bid_size_raw")).alias("latest_bid_size"),
+        r6(F.col("latest_ask_size_raw")).alias("latest_ask_size"),
+        r6(F.col("latest_ask_raw") - F.col("latest_bid_raw")).alias("latest_spread"),
+        r6(
+            (F.col("latest_ask_raw") - F.col("latest_bid_raw")) / latest_mid * 10000.0
+        ).alias("latest_spread_bp"),
+        r6(F.col("avg_bid_raw")).alias("avg_bid"),
+        r6(F.col("avg_ask_raw")).alias("avg_ask"),
+        r6(F.col("avg_spread_raw")).alias("avg_spread"),
+        r6(F.col("min_spread_raw")).alias("min_spread"),
+        r6(F.col("max_spread_raw")).alias("max_spread"),
+        r6(F.col("spread_std_raw")).alias("spread_std"),
+        r6(F.col("avg_mid_raw")).alias("avg_mid"),
+        r6(F.col("last_mid") - F.col("first_mid")).alias("mid_change"),
+        r6(F.col("total_bid_size_raw")).alias("total_bid_size"),
+        r6(F.col("total_ask_size_raw")).alias("total_ask_size"),
+        r6(
+            (F.col("total_bid_size_raw") - F.col("total_ask_size_raw"))
+            / F.greatest(
+                F.col("total_bid_size_raw") + F.col("total_ask_size_raw"), F.lit(1.0)
+            )
+        ).alias("size_imbalance"),
+    )
+
+
+def depth_features(depth: DataFrame) -> DataFrame:
+    """A3: latest-depth-snapshot features (feature_builder.py:288-354).
+
+    Latest record per symbol (max_by over the full struct — latest-per-key
+    without a sort), then array higher-order functions over the book:
+    top-5 qty sums (:320-331), depth-weighted average prices, imbalance.
+    All JVM-side (`slice`/`aggregate`) — no Python, arrays never explode.
+    """
+    latest = depth.groupBy("symbol").agg(
+        F.max_by(
+            F.struct("event_ts", "last_update_id", "bids", "asks"), F.col("event_ts")
+        ).alias("s")
+    ).select("symbol", "s.event_ts", "s.last_update_id", "s.bids", "s.asks")
+
+    def qty_sum(col, n):
+        return F.expr(
+            f"aggregate(slice({col}, 1, {n}), cast(0.0 as double), (acc, x) -> acc + x.qty)"
+        )
+
+    def wavg(col, n):
+        return F.expr(
+            f"aggregate(slice({col}, 1, {n}), cast(0.0 as double), (acc, x) -> acc + x.price * x.qty)"
+        ) / qty_sum(col, n)
+
+    bid5, ask5 = qty_sum("bids", 5), qty_sum("asks", 5)
+    bid10, ask10 = qty_sum("bids", 10), qty_sum("asks", 10)
+    return latest.select(
+        "symbol",
+        "event_ts",
+        "last_update_id",
+        r6(F.expr("bids[0].price")).alias("best_bid"),
+        r6(F.expr("asks[0].price")).alias("best_ask"),
+        r6(F.expr("bids[0].qty")).alias("best_bid_qty"),
+        r6(F.expr("asks[0].qty")).alias("best_ask_qty"),
+        r6(bid5).alias("bid_depth_5"),
+        r6(ask5).alias("ask_depth_5"),
+        r6(wavg("bids", 10)).alias("bid_weighted_price"),
+        r6(wavg("asks", 10)).alias("ask_weighted_price"),
+        r6((bid10 - ask10) / F.greatest(bid10 + ask10, F.lit(1.0))).alias(
+            "depth_imbalance"
+        ),
+    )
+
+
+def daily_summary(dedup_trades: DataFrame) -> DataFrame:
+    """A8: per (symbol, day) trading summary (docs/schemas/RDS_SCHEMA.md:445-502)."""
+    g = dedup_trades.groupBy(
+        "symbol", F.expr("event_ts div 86400000").cast("long").alias("day")
+    ).agg(
+        F.min_by("price", "event_ts").alias("open_raw"),
+        F.max("price").alias("high_raw"),
+        F.min("price").alias("low_raw"),
+        F.max_by("price", "event_ts").alias("close_raw"),
+        F.sum("qty").alias("volume_raw"),
+        F.sum(F.col("price") * F.col("qty")).alias("notional_raw"),
+        F.count("*").alias("total_trades"),
+        F.avg("qty").alias("avg_trade_size_raw"),
+        F.max("qty").alias("largest_trade_raw"),
+        F.stddev_samp("price").alias("volatility_raw"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return g.select(
+        "symbol",
+        "day",
+        r6(F.col("open_raw")).alias("open"),
+        r6(F.col("high_raw")).alias("high"),
+        r6(F.col("low_raw")).alias("low"),
+        r6(F.col("close_raw")).alias("close"),
+        r6(F.col("volume_raw")).alias("volume"),
+        F.col("total_trades").cast("long").alias("total_trades"),
+        r6(F.col("avg_trade_size_raw")).alias("avg_trade_size"),
+        r6(F.col("largest_trade_raw")).alias("largest_trade"),
+        r6(F.col("volatility_raw")).alias("volatility"),
+        r6(F.col("notional_raw") / F.col("volume_raw")).alias("vwap"),
+        r6(F.col("close_raw") - F.col("open_raw")).alias("price_change"),
+        r6(F.col("high_raw") - F.col("low_raw")).alias("price_range"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+    )
+
+
+SLOW_LATENCY_MS = 200
+
+
+def latency_percentiles(trades: DataFrame) -> DataFrame:
+    """A9: ingest-latency distribution per symbol (RDS_SCHEMA.md:610-629,
+    :761-788 — PERCENTILE_CONT, AVG, RMSE via sqrt(avg(x^2)), boolean rate).
+
+    Exact `percentile` (== DuckDB quantile_cont) — at 100 TB swap for
+    `percentile_approx` (t-digest, mergeable partials); exact percentile
+    requires a per-group sort and is the one agg here that doesn't partial
+    nicely.
+    """
+    lat = (F.col("ingest_ts") - F.col("event_ts")).cast("double")
+    t = trades.withColumn("lat", lat)
+    return t.groupBy("symbol").agg(
+        F.count("*").cast("long").alias("n"),
+        r6(F.expr("percentile(lat, 0.5)")).alias("p50_latency_ms"),
+        r6(F.expr("percentile(lat, 0.95)")).alias("p95_latency_ms"),
+        r6(F.expr("percentile(lat, 0.99)")).alias("p99_latency_ms"),
+        r6(F.avg("lat")).alias("avg_latency_ms"),
+        r6(F.sqrt(F.avg(F.col("lat") * F.col("lat")))).alias("rms_latency_ms"),
+        r6(
+            F.avg(F.when(F.col("lat") > SLOW_LATENCY_MS, 1.0).otherwise(0.0))
+        ).alias("slow_rate"),
+    )
+
+
+def price_qty_corr(trades: DataFrame) -> DataFrame:
+    """A10: Pearson correlation per symbol (RDS_SCHEMA.md:781 — CORR)."""
+    return trades.groupBy("symbol").agg(
+        F.count("*").cast("long").alias("n"),
+        r6(F.corr("price", "qty")).alias("price_qty_corr"),
+        r6(F.covar_samp("price", "qty")).alias("price_qty_covar"),
+    )
+
+
+TRAILING_7D_MS = 7 * 86_400_000
+
+
+def group_compare(trades: DataFrame) -> DataFrame:
+    """A11: grouped source comparison over a trailing-7-day predicate
+    (RDS_SCHEMA.md:635-662 — model_version GROUP BY over NOW()-7d; here the
+    anchor is the dataset's max event_ts so the query is deterministic).
+
+    The global max is a scalar aggregate broadcast back (tiny), NOT an
+    unbounded window — an `over ()` max would funnel every row through one
+    partition at 100 TB.
+    """
+    mx = trades.groupBy().agg(F.max("event_ts").alias("mx"))
+    recent = trades.join(F.broadcast(mx)).filter(
+        F.col("event_ts") >= F.col("mx") - F.lit(TRAILING_7D_MS)
+    )
+    return recent.groupBy("symbol", "source").agg(
+        F.count("*").cast("long").alias("n"),
+        r6(F.avg("price")).alias("avg_price"),
+        r6(F.min("price")).alias("min_price"),
+        r6(F.max("price")).alias("max_price"),
+        r6(F.sum("qty")).alias("volume"),
+    )
+
+
+ACTIVE_DAY_MIN_VOLUME = 500.0
+
+
+def health_rollup(dedup_trades: DataFrame) -> DataFrame:
+    """A12: conditional-array roll-up (RDS_SCHEMA.md:794-840 — ARRAY_AGG of
+    names matching a predicate).  Engine analog: per symbol, the sorted list
+    of days whose volume cleared a threshold, joined to a deterministic
+    string (collect_list order is nondeterministic → sort_array first)."""
+    daily = dedup_trades.groupBy(
+        "symbol", F.expr("event_ts div 86400000").cast("long").alias("day")
+    ).agg(F.sum("qty").alias("volume"))
+    active = daily.filter(F.col("volume") > ACTIVE_DAY_MIN_VOLUME)
+    return active.groupBy("symbol").agg(
+        F.count("*").cast("long").alias("n_active_days"),
+        F.array_join(
+            F.expr("transform(sort_array(collect_list(day)), x -> cast(x as string))"),
+            ",",
+        ).alias("active_days"),
+    )

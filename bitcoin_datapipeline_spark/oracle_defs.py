@@ -135,3 +135,53 @@ bars AS (
 def with_ctes(*ctes: str, body: str) -> str:
     """Compose `WITH a AS (...), b AS (...) <body>`."""
     return "WITH " + ",".join(ctes) + "\n" + body
+
+
+def spark_round_compat(sql: str) -> str:
+    """Rewrite every ``round(expr, 6)`` in a DuckDB oracle to match Spark's
+    rounding semantics.
+
+    Spark's ``round(double, 6)`` goes through ``BigDecimal.valueOf`` — it
+    rounds the double's SHORTEST DECIMAL STRING half-up.  DuckDB's ``round``
+    operates on the exact binary value, so doubles that print as
+    ``x.xxxxxx5`` round differently (e.g. 1.0122725 → Spark 1.012273,
+    DuckDB 1.012272).  DuckDB's double→VARCHAR cast is also shortest-repr,
+    so ``round(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,18)), 6)`` reproduces
+    Spark exactly (ties away from zero on the decimal string, NULL-safe).
+
+    Applied at ``oracle_sql()`` export time so authored SQL stays readable.
+    """
+    out: list[str] = []
+    i = 0
+    token = "round("
+    while True:
+        j = sql.find(token, i)
+        # skip identifiers that merely end in "round(" (none today, be safe)
+        while j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_"):
+            j = sql.find(token, j + 1)
+        if j == -1:
+            out.append(sql[i:])
+            break
+        out.append(sql[i:j])
+        k = j + len(token)
+        depth = 0
+        while True:
+            c = sql[k]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            k += 1
+        args = sql[j + len(token) : k]
+        comma = args.rfind(",")
+        expr, scale = args[:comma], args[comma + 1 :].strip()
+        assert scale == "6", f"unexpected round scale in oracle SQL: {scale}"
+        # recurse for nested round() inside expr
+        expr = spark_round_compat(expr)
+        out.append(
+            f"CAST(round(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE)"
+        )
+        i = k + 1
+    return "".join(out)
