@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from bitcoin_datapipeline_spark import oracle_defs as OD
 from bitcoin_datapipeline_spark.functions import categorize, normalize, timeparts
-from bitcoin_datapipeline_spark.operators import aggregates, dedup
+from bitcoin_datapipeline_spark.operators import aggregates, dedup, windows
 from bitcoin_datapipeline_spark.plans import pipeline
 from bitcoin_datapipeline_spark.tables import table
 
@@ -414,6 +414,190 @@ GROUP BY symbol""",
 )
 def q_health_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.health_rollup(pipeline.trades_clean(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# W1-W7 / A5 — window family (operators/windows.py)
+# ---------------------------------------------------------------------------
+@q(
+    "q_derived_lag",
+    OD.with_ctes(
+        OD.VALID_TRADES_CTE,
+        body="""
+SELECT symbol, trade_id, event_ts, price,
+       round(lag(price) OVER w, 6) AS prev_price,
+       round(price - lag(price) OVER w, 6) AS price_change,
+       round((price - lag(price) OVER w) / lag(price) OVER w * 100.0, 6)
+           AS price_change_pct
+FROM valid_trades
+WINDOW w AS (PARTITION BY symbol ORDER BY event_ts, trade_id)""",
+    ),
+)
+def q_derived_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.lag_features(normalize.valid_trades(table(spark, sf_dir, "events")))
+
+
+@q(
+    "q_returns",
+    OD.with_ctes(
+        OD.BARS_1M_CTE,
+        body="""
+SELECT symbol, bucket, close,
+       round(ln(close / lag(close, 1) OVER w), 6)  AS ret_1,
+       round(ln(close / lag(close, 5) OVER w), 6)  AS ret_5,
+       round(ln(close / lag(close, 10) OVER w), 6) AS ret_10
+FROM bars
+WINDOW w AS (PARTITION BY symbol ORDER BY bucket)""",
+    ),
+)
+def q_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.bar_returns(pipeline.bars_pipeline(spark, sf_dir))
+
+
+@q(
+    "q_labels_10m",
+    OD.with_ctes(
+        OD.BARS_1M_CTE,
+        body=f"""
+SELECT symbol, bucket, close,
+       round(lead(close, 10) OVER w, 6) AS target_price,
+       round(ln(lead(close, 10) OVER w / close), 6) AS return_10,
+       CAST(CASE WHEN ln(lead(close, 10) OVER w / close) > {windows.DIRECTION_EPS} THEN 1
+                 WHEN ln(lead(close, 10) OVER w / close) < -{windows.DIRECTION_EPS} THEN -1
+                 WHEN lead(close, 10) OVER w IS NULL THEN NULL
+                 ELSE 0 END AS INTEGER) AS direction,
+       round(max(high) OVER fwd, 6)  AS path_max,
+       round(min(low) OVER fwd, 6)   AS path_min,
+       round(stddev_samp(close) OVER fwd, 6) AS path_volatility,
+       round(sum(volume) OVER fwd, 6) AS path_volume,
+       CAST(sum(trade_count) OVER fwd AS BIGINT) AS path_trade_count,
+       count(close) OVER fwd = 10 AS is_valid
+FROM bars
+WINDOW w AS (PARTITION BY symbol ORDER BY bucket),
+       fwd AS (PARTITION BY symbol ORDER BY bucket
+               ROWS BETWEEN 1 FOLLOWING AND 10 FOLLOWING)""",
+    ),
+)
+def q_labels_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.labels(pipeline.bars_pipeline(spark, sf_dir))
+
+
+@q(
+    "q_latest_per_key",
+    OD.with_ctes(
+        OD.VALID_TRADES_CTE,
+        body="""
+SELECT * FROM valid_trades
+QUALIFY row_number() OVER (
+    PARTITION BY symbol ORDER BY event_ts DESC, trade_id DESC) = 1""",
+    ),
+)
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.latest_per_key(normalize.valid_trades(table(spark, sf_dir, "events")))
+
+
+@q(
+    "q_topk_recent",
+    OD.with_ctes(
+        OD.VALID_TRADES_CTE,
+        body="""
+SELECT *
+FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY symbol ORDER BY event_ts DESC, trade_id DESC) AS INTEGER)
+      AS recency_rank
+  FROM valid_trades
+)
+WHERE recency_rank <= 5""",
+    ),
+)
+def q_topk_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.topk_recent(normalize.valid_trades(table(spark, sf_dir, "events")))
+
+
+@q(
+    "q_momentum",
+    OD.with_ctes(
+        OD.BARS_1M_CTE,
+        body="""
+,m AS (
+  SELECT symbol, bucket, close, volume,
+         close - lag(close) OVER w AS mom_raw,
+         volume - lag(volume) OVER w AS vol_trend
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+)
+SELECT symbol, bucket, close,
+       round(mom_raw, 6) AS momentum,
+       round(mom_raw - lag(mom_raw) OVER w2, 6) AS acceleration,
+       round(vol_trend, 6) AS volume_trend
+FROM m
+WINDOW w2 AS (PARTITION BY symbol ORDER BY bucket)""",
+    ),
+)
+def q_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.momentum(pipeline.bars_pipeline(spark, sf_dir))
+
+
+@q(
+    "q_rolling_volatility",
+    OD.with_ctes(
+        OD.BARS_1M_CTE,
+        body="""
+SELECT symbol, bucket, close,
+       round(stddev_samp(close) OVER w, 6) AS volatility_10,
+       CAST(count(close) OVER w AS BIGINT) AS n_in_window
+FROM bars
+WINDOW w AS (PARTITION BY symbol ORDER BY bucket
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
+    ),
+)
+def q_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.rolling_volatility(pipeline.bars_pipeline(spark, sf_dir))
+
+
+@q(
+    "q_rolling_stats_5m",
+    OD.with_ctes(
+        OD.BARS_1M_CTE,
+        body="""
+SELECT symbol, bucket,
+       CAST(count(close) OVER w AS BIGINT)      AS bars_in_window,
+       CAST(sum(trade_count) OVER w AS BIGINT)  AS roll_trade_count,
+       round(sum(volume) OVER w, 6)             AS roll_volume,
+       round(sum(notional) OVER w, 6)           AS roll_notional,
+       round(sum(notional) OVER w / sum(volume) OVER w, 6) AS roll_vwap,
+       round(sum(trade_count) OVER w / 300.0, 6) AS trade_intensity,
+       round(sum(notional) OVER w / 300.0, 6)    AS dollar_intensity
+FROM bars
+WINDOW w AS (PARTITION BY symbol ORDER BY bucket
+             RANGE BETWEEN 4 PRECEDING AND CURRENT ROW)""",
+    ),
+)
+def q_rolling_stats_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.rolling_stats(pipeline.bars_pipeline(spark, sf_dir))
+
+
+@q(
+    "q_gap_detect",
+    OD.with_ctes(
+        OD.VALID_TRADES_CTE,
+        body=f"""
+SELECT symbol, prev_event_ts, event_ts AS resume_event_ts, gap_ms,
+       round(gap_ms / 1000.0, 6) AS gap_seconds
+FROM (
+  SELECT symbol, event_ts,
+         lag(event_ts) OVER (PARTITION BY symbol ORDER BY event_ts, trade_id)
+             AS prev_event_ts,
+         event_ts - lag(event_ts) OVER (
+             PARTITION BY symbol ORDER BY event_ts, trade_id) AS gap_ms
+  FROM valid_trades
+)
+WHERE gap_ms > {windows.GAP_THRESHOLD_MS}""",
+    ),
+)
+def q_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.gap_detect(normalize.valid_trades(table(spark, sf_dir, "events")))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,199 @@
+"""Ordered / analytic window operators (SURVEY §2.5, W1-W7 + A5 + gap detect).
+
+Shared physical policy: ONE window spec per symbol —
+``Window.partitionBy("symbol").orderBy(...)`` — so every per-symbol analytic
+in a pipeline stage runs off a single hash-exchange + sort.  Ordering keys
+always include a unique tiebreaker (trade_id / bucket) because float lag
+results are otherwise nondeterministic under event-time ties, and the DuckDB
+oracle must sort identically.
+
+At 100 TB: per-symbol windows are the skew risk (symbol is low-cardinality).
+Every operator here is either (a) already bucketed to a coarser grain before
+the window (bars → ~1.4 k rows per symbol-day), or (b) a lag-1/rank pattern
+that AQE handles with per-partition sorted spill.  Nothing materializes an
+unbounded frame over raw ticks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import r6
+
+
+def _w_sym(*order):
+    return Window.partitionBy("symbol").orderBy(*order)
+
+
+def lag_features(trades: DataFrame) -> DataFrame:
+    """W1: previous-row comparison per symbol (transformer.py:262-291 —
+    sort by timestamp, compare with previous row of the same symbol;
+    first row has NULL derived features per :274-281)."""
+    w = _w_sym("event_ts", "trade_id")
+    prev = F.lag("price").over(w)
+    return trades.select(
+        "symbol",
+        "trade_id",
+        "event_ts",
+        "price",
+        r6(prev).alias("prev_price"),
+        r6(F.col("price") - prev).alias("price_change"),
+        r6((F.col("price") - prev) / prev * 100.0).alias("price_change_pct"),
+    )
+
+
+def bar_returns(bars: DataFrame, horizons: tuple[int, ...] = (1, 5, 10)) -> DataFrame:
+    """W2: k-bar log returns on the 1-minute bar series
+    (spec: docs/schemas/S3_SCHEMA.md:533-537 returns over multiple horizons;
+    docs/architecture/DATA_PIPELINE.md:166-169).
+
+    The reference computes returns on a fixed time grid; the engine's grid is
+    the bar sequence (k bars back ≡ k minutes when the market is active —
+    gaps are surfaced separately by gap_detect, mirroring the reference's
+    gap_indicator column, S3_SCHEMA.md:600)."""
+    w = _w_sym("bucket")
+    cols = [F.col("symbol"), F.col("bucket"), F.col("close")]
+    for k in horizons:
+        prev_k = F.lag("close", k).over(w)
+        cols.append(r6(F.log(F.col("close") / prev_k)).alias(f"ret_{k}"))
+    return bars.select(*cols)
+
+
+DIRECTION_EPS = 1e-4
+
+
+def labels(bars: DataFrame, horizon: int = 10) -> DataFrame:
+    """W3: forward-looking training labels (docs/schemas/S3_SCHEMA.md:622-682;
+    DATA_PIPELINE.md:359-381): target price k bars ahead, log return,
+    direction in {-1,0,1} with a ±1e-4 dead zone, and path statistics over
+    the (t, t+k] window — max/min/volatility/volume/trade count — plus a
+    validity flag when the full horizon exists (S3_SCHEMA.md:676-681).
+
+    lead()/forward ROWS frame — label leakage is structurally impossible:
+    only rows strictly after t enter the frame."""
+    w = _w_sym("bucket")
+    fwd = w.rowsBetween(1, horizon)
+    target = F.lead("close", horizon).over(w)
+    ret = F.log(target / F.col("close"))
+    return bars.select(
+        "symbol",
+        "bucket",
+        "close",
+        r6(target).alias("target_price"),
+        r6(ret).alias(f"return_{horizon}"),
+        F.when(ret > DIRECTION_EPS, 1)
+        .when(ret < -DIRECTION_EPS, -1)
+        .otherwise(F.when(ret.isNull(), None).otherwise(0))
+        .cast("int")
+        .alias("direction"),
+        r6(F.max("high").over(fwd)).alias("path_max"),
+        r6(F.min("low").over(fwd)).alias("path_min"),
+        r6(F.stddev_samp("close").over(fwd)).alias("path_volatility"),
+        r6(F.sum("volume").over(fwd)).alias("path_volume"),
+        F.sum("trade_count").over(fwd).cast("long").alias("path_trade_count"),
+        (F.count("close").over(fwd) == horizon).alias("is_valid"),
+    )
+
+
+def latest_per_key(trades: DataFrame) -> DataFrame:
+    """W4: latest row per key (RDS_SCHEMA.md:573-605 `DISTINCT ON ... ORDER BY
+    ts DESC`; Redis `:latest` key semantics, redis_writer.py:89-95)."""
+    w = _w_sym(F.desc("event_ts"), F.desc("trade_id"))
+    return (
+        trades.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def topk_recent(trades: DataFrame, k: int = 5) -> DataFrame:
+    """W5: top-K most recent per key (redis_writer.py:158-200 — sort keys by
+    embedded timestamp desc, take N)."""
+    w = _w_sym(F.desc("event_ts"), F.desc("trade_id"))
+    return (
+        trades.withColumn("recency_rank", F.row_number().over(w))
+        .filter(F.col("recency_rank") <= k)
+        .withColumn("recency_rank", F.col("recency_rank").cast("int"))
+    )
+
+
+def momentum(bars: DataFrame) -> DataFrame:
+    """W6: momentum / acceleration / volume trend (spec S3_SCHEMA.md:569-578,
+    REDIS_SCHEMA.md:210-216) — nested lags of first differences."""
+    w = _w_sym("bucket")
+    mom = F.col("close") - F.lag("close").over(w)
+    bars2 = bars.select("symbol", "bucket", "close", "volume", mom.alias("mom_raw"))
+    accel = F.col("mom_raw") - F.lag("mom_raw").over(w)
+    vol_trend = F.col("volume") - F.lag("volume").over(w)
+    return bars2.select(
+        "symbol",
+        "bucket",
+        "close",
+        r6(F.col("mom_raw")).alias("momentum"),
+        r6(accel).alias("acceleration"),
+        r6(vol_trend).alias("volume_trend"),
+    )
+
+
+def rolling_volatility(bars: DataFrame, nbars: int = 10) -> DataFrame:
+    """W7: trailing-window price volatility (feature_builder.py:157-158 batch
+    stddev; spec S3_SCHEMA.md:568) over the last `nbars` bars."""
+    w = _w_sym("bucket").rowsBetween(-(nbars - 1), 0)
+    return bars.select(
+        "symbol",
+        "bucket",
+        "close",
+        r6(F.stddev_samp("close").over(w)).alias(f"volatility_{nbars}"),
+        F.count("close").over(w).cast("long").alias("n_in_window"),
+    )
+
+
+def rolling_stats(bars: DataFrame, minutes: int = 5) -> DataFrame:
+    """A5: rolling hot-window stats (docs/architecture/DATA_PIPELINE.md:109-157,
+    REDIS_SCHEMA.md:113-158 — per-symbol rolling count/volume/notional/vwap/
+    intensity continuously refreshed).
+
+    RANGE frame over the integer minute bucket — unlike a ROWS frame this is
+    gap-correct: a bar after a 3-minute silence only sees bars within the
+    trailing `minutes` wall-clock window, exactly the Redis TTL semantics."""
+    w = _w_sym("bucket").rangeBetween(-(minutes - 1), 0)
+    roll_volume = F.sum("volume").over(w)
+    roll_notional = F.sum("notional").over(w)
+    roll_trades = F.sum("trade_count").over(w)
+    return bars.select(
+        "symbol",
+        "bucket",
+        F.count("close").over(w).cast("long").alias("bars_in_window"),
+        roll_trades.cast("long").alias("roll_trade_count"),
+        r6(roll_volume).alias("roll_volume"),
+        r6(roll_notional).alias("roll_notional"),
+        r6(roll_notional / roll_volume).alias("roll_vwap"),
+        r6(roll_trades / F.lit(float(minutes * 60))).alias("trade_intensity"),
+        r6(roll_notional / F.lit(float(minutes * 60))).alias("dollar_intensity"),
+    )
+
+
+GAP_THRESHOLD_MS = 2 * 3_600_000
+
+
+def gap_detect(trades: DataFrame, threshold_ms: int = GAP_THRESHOLD_MS) -> DataFrame:
+    """Gap detection (services/gap_detector/README.md:1-55; validation list
+    DATA_PIPELINE.md:566-571): flag inter-arrival gaps beyond a threshold —
+    the batch analog of the gap-monitor that triggers re-anchoring."""
+    w = _w_sym("event_ts", "trade_id")
+    prev_ts = F.lag("event_ts").over(w)
+    out = trades.select(
+        "symbol",
+        "event_ts",
+        "trade_id",
+        prev_ts.alias("prev_event_ts"),
+        (F.col("event_ts") - prev_ts).alias("gap_ms"),
+    )
+    return out.filter(F.col("gap_ms") > threshold_ms).select(
+        "symbol",
+        "prev_event_ts",
+        F.col("event_ts").alias("resume_event_ts"),
+        "gap_ms",
+        r6(F.col("gap_ms") / 1000.0).alias("gap_seconds"),
+    )

@@ -1,0 +1,121 @@
+"""Exact-value tests for window operators (W1-W7, A5, gap detect)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+
+from bitcoin_datapipeline_spark.operators.windows import (
+    bar_returns,
+    gap_detect,
+    labels,
+    lag_features,
+    latest_per_key,
+    momentum,
+    rolling_stats,
+    rolling_volatility,
+    topk_recent,
+)
+
+
+def _bar(symbol, bucket, close, volume=1.0, high=None, low=None, trade_count=1, notional=None):
+    return Row(
+        symbol=symbol,
+        bucket=bucket,
+        close=float(close),
+        high=float(high if high is not None else close),
+        low=float(low if low is not None else close),
+        volume=float(volume),
+        notional=float(notional if notional is not None else close * volume),
+        trade_count=trade_count,
+    )
+
+
+def _trade(symbol, event_ts, trade_id, price):
+    return Row(
+        symbol=symbol,
+        event_ts=event_ts,
+        ingest_ts=event_ts,
+        trade_id=trade_id,
+        price=float(price),
+        qty=1.0,
+        is_buyer_maker=False,
+        source="sbe",
+    )
+
+
+def test_lag_features_first_row_null(spark):
+    rows = [_trade("BTC", 1000, 1, 100.0), _trade("BTC", 2000, 2, 110.0)]
+    out = {r.trade_id: r for r in lag_features(spark.createDataFrame(rows)).collect()}
+    assert out[1].prev_price is None and out[1].price_change is None
+    assert out[2].price_change == 10.0 and out[2].price_change_pct == 10.0
+
+
+def test_bar_returns_log(spark):
+    rows = [_bar("BTC", b, 100.0 * (1.01 ** b)) for b in range(6)]
+    out = {r.bucket: r for r in bar_returns(spark.createDataFrame(rows)).collect()}
+    assert out[0].ret_1 is None
+    assert out[1].ret_1 == round(math.log(1.01), 6)
+    assert out[5].ret_5 == round(5 * math.log(1.01), 6)
+
+
+def test_labels_forward_no_leakage(spark):
+    rows = [_bar("BTC", b, float(100 + b)) for b in range(12)]
+    out = {r.bucket: r for r in labels(spark.createDataFrame(rows)).collect()}
+    # bucket 0: target = close at bucket 10 = 110
+    assert out[0].target_price == 110.0
+    assert out[0].return_10 == round(math.log(110.0 / 100.0), 6)
+    assert out[0].direction == 1
+    assert out[0].is_valid is True
+    # path stats over buckets 1..10 only (no current row)
+    assert out[0].path_max == 110.0 and out[0].path_min == 101.0
+    # bucket 5: fewer than 10 future bars → invalid, null target
+    assert out[5].target_price is None and out[5].is_valid is False
+    assert out[5].direction is None
+
+
+def test_latest_and_topk(spark):
+    rows = [_trade("BTC", t, t, float(t)) for t in (1000, 2000, 3000)] + [
+        _trade("ETH", 500, 1, 9.0)
+    ]
+    latest = {r.symbol: r for r in latest_per_key(spark.createDataFrame(rows)).collect()}
+    assert latest["BTC"].price == 3000.0 and latest["ETH"].price == 9.0
+    top2 = topk_recent(spark.createDataFrame(rows), k=2).collect()
+    btc = sorted([r.price for r in top2 if r.symbol == "BTC"])
+    assert btc == [2000.0, 3000.0]
+
+
+def test_momentum_acceleration(spark):
+    # closes: 100, 101, 103, 106 → momentum: -, 1, 2, 3 → accel: -, -, 1, 1
+    rows = [_bar("BTC", b, c) for b, c in enumerate([100, 101, 103, 106])]
+    out = {r.bucket: r for r in momentum(spark.createDataFrame(rows)).collect()}
+    assert out[1].momentum == 1.0 and out[1].acceleration is None
+    assert out[2].momentum == 2.0 and out[2].acceleration == 1.0
+    assert out[3].momentum == 3.0 and out[3].acceleration == 1.0
+
+
+def test_rolling_volatility_window_size(spark):
+    rows = [_bar("BTC", b, float(b)) for b in range(15)]
+    out = {r.bucket: r for r in rolling_volatility(spark.createDataFrame(rows)).collect()}
+    assert out[0].n_in_window == 1 and out[0].volatility_10 is None
+    assert out[14].n_in_window == 10
+
+
+def test_rolling_stats_gap_correct(spark):
+    # bars at minutes 0,1,10 — the range frame must NOT include minute 0/1
+    # in minute 10's window (a ROWS frame would).
+    rows = [_bar("BTC", 0, 100.0, volume=5.0), _bar("BTC", 1, 100.0, volume=7.0),
+            _bar("BTC", 10, 100.0, volume=11.0)]
+    out = {r.bucket: r for r in rolling_stats(spark.createDataFrame(rows)).collect()}
+    assert out[1].roll_volume == 12.0 and out[1].bars_in_window == 2
+    assert out[10].roll_volume == 11.0 and out[10].bars_in_window == 1
+
+
+def test_gap_detect_threshold(spark):
+    h = 3_600_000
+    rows = [_trade("BTC", 0, 1, 1.0), _trade("BTC", h, 2, 1.0),
+            _trade("BTC", 4 * h, 3, 1.0)]
+    out = gap_detect(spark.createDataFrame(rows)).collect()
+    assert len(out) == 1
+    assert out[0].gap_ms == 3 * h and out[0].gap_seconds == 3 * 3600.0
