@@ -17,7 +17,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from bitcoin_datapipeline_spark import oracle_defs as OD
 from bitcoin_datapipeline_spark.functions import categorize, normalize, timeparts
-from bitcoin_datapipeline_spark.operators import aggregates, dedup, windows
+from bitcoin_datapipeline_spark.operators import (
+    aggregates,
+    dedup,
+    joins,
+    relational,
+    setops,
+    windows,
+)
 from bitcoin_datapipeline_spark.plans import pipeline
 from bitcoin_datapipeline_spark.tables import table
 
@@ -598,6 +605,189 @@ WHERE gap_ms > {windows.GAP_THRESHOLD_MS}""",
 )
 def q_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.gap_detect(normalize.valid_trades(table(spark, sf_dir, "events")))
+
+
+# ---------------------------------------------------------------------------
+# J1-J5 — joins; §2.8 — set ops (operators/joins.py, setops.py)
+# ---------------------------------------------------------------------------
+@q("q_asof_price", joins.ASOF_ORACLE)
+def q_asof_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.asof_purchase_click(table(spark, sf_dir, "events"))
+
+
+@q(
+    "q_feature_label_join",
+    OD.with_ctes(
+        OD.BARS_1M_CTE,
+        body=f"""
+,lbl AS (
+  SELECT symbol, bucket,
+         round(lead(close, 10) OVER w, 6) AS target_price,
+         round(ln(lead(close, 10) OVER w / close), 6) AS return_10,
+         CAST(CASE WHEN ln(lead(close, 10) OVER w / close) > {windows.DIRECTION_EPS} THEN 1
+                   WHEN ln(lead(close, 10) OVER w / close) < -{windows.DIRECTION_EPS} THEN -1
+                   WHEN lead(close, 10) OVER w IS NULL THEN NULL
+                   ELSE 0 END AS INTEGER) AS direction,
+         count(close) OVER fwd = 10 AS is_valid
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket),
+         fwd AS (PARTITION BY symbol ORDER BY bucket
+                 ROWS BETWEEN 1 FOLLOWING AND 10 FOLLOWING)
+)
+SELECT b.symbol, b.bucket, b.close, b.volume, b.vwap, b.volume_imbalance,
+       b.trade_count, l.target_price, l.return_10, l.direction
+FROM bars b JOIN lbl l ON b.symbol = l.symbol AND b.bucket = l.bucket
+WHERE l.is_valid""",
+    ),
+)
+def q_feature_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = pipeline.bars_pipeline(spark, sf_dir)
+    return joins.feature_label_join(bars, windows.labels(bars))
+
+
+@q(
+    "q_interval_join",
+    OD.with_ctes(
+        OD.BARS_1M_CTE,
+        body="""
+SELECT t.symbol, t.trade_id, t.event_ts, t.event_ts // 60000 AS bucket,
+       t.price, b.vwap,
+       round(t.price - b.vwap, 6) AS vwap_deviation,
+       round((t.price - b.vwap) / b.vwap * 10000.0, 6) AS vwap_deviation_bp
+FROM valid_trades t
+JOIN bars b ON t.symbol = b.symbol AND t.event_ts // 60000 = b.bucket""",
+    ),
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.interval_join(
+        normalize.valid_trades(table(spark, sf_dir, "events")),
+        pipeline.bars_pipeline(spark, sf_dir),
+    )
+
+
+@q(
+    "q_feature_assembly",
+    OD.with_ctes(
+        OD.DEDUP_TRADES_CTE,
+        OD.BBA_CTE,
+        OD.DEPTH_CTE,
+        body="""
+,tf AS (
+  SELECT symbol, event_ts // 3600000 AS bucket,
+         round(arg_max(price, event_ts), 6) AS latest_price,
+         round(sum(price * qty) / sum(qty), 6) AS vwap,
+         round((sum(CASE WHEN is_buyer_maker THEN 0.0 ELSE qty END)
+                - sum(CASE WHEN is_buyer_maker THEN qty ELSE 0.0 END))
+               / greatest(sum(qty), 1.0), 6) AS volume_imbalance,
+         round(count(*) / greatest((max(event_ts) - min(event_ts)) / 1000.0, 1.0), 6)
+             AS trades_per_second,
+         round(stddev_samp(price), 6) AS price_volatility
+  FROM dedup_trades GROUP BY 1, 2
+),
+bf AS (
+  SELECT symbol, event_ts // 3600000 AS bucket,
+         round(arg_max(bid_px, event_ts), 6) AS latest_bid,
+         round(arg_max(ask_px, event_ts), 6) AS latest_ask,
+         round((arg_max(ask_px, event_ts) - arg_max(bid_px, event_ts))
+               / ((arg_max(ask_px, event_ts) + arg_max(bid_px, event_ts)) / 2.0)
+               * 10000.0, 6) AS latest_spread_bp,
+         round((sum(bid_sz) - sum(ask_sz)) / greatest(sum(bid_sz) + sum(ask_sz), 1.0), 6)
+             AS size_imbalance
+  FROM bba GROUP BY 1, 2
+),
+dfeat AS (
+  SELECT symbol,
+         round(list_sum(list_transform(bids[1:5], x -> x.qty)), 6) AS bid_depth_5,
+         round(list_sum(list_transform(asks[1:5], x -> x.qty)), 6) AS ask_depth_5,
+         round((list_sum(list_transform(bids, x -> x.qty))
+                - list_sum(list_transform(asks, x -> x.qty)))
+               / greatest(list_sum(list_transform(bids, x -> x.qty))
+                          + list_sum(list_transform(asks, x -> x.qty)), 1.0), 6)
+             AS depth_imbalance
+  FROM depth
+  QUALIFY row_number() OVER (PARTITION BY symbol ORDER BY event_ts DESC) = 1
+)
+SELECT tf.symbol, tf.bucket, tf.latest_price, tf.vwap, tf.volume_imbalance,
+       tf.trades_per_second, tf.price_volatility,
+       bf.latest_bid, bf.latest_ask, bf.latest_spread_bp, bf.size_imbalance,
+       dfeat.bid_depth_5, dfeat.ask_depth_5, dfeat.depth_imbalance
+FROM tf
+JOIN bf ON tf.symbol = bf.symbol AND tf.bucket = bf.bucket
+LEFT JOIN dfeat ON tf.symbol = dfeat.symbol""",
+    ),
+)
+def q_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return joins.feature_assembly(
+        aggregates.trade_features(pipeline.trades_clean(spark, sf_dir)),
+        aggregates.bba_features(normalize.bba(ev)),
+        aggregates.depth_features(normalize.depth(ev)),
+    )
+
+
+@q(
+    "q_union_sources",
+    OD.with_ctes(OD.DEDUP_TRADES_CTE, body=setops.UNION_SOURCES_ORACLE_BODY),
+)
+def q_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return setops.union_sources(normalize.valid_trades(table(spark, sf_dir, "events")))
+
+
+# ---------------------------------------------------------------------------
+# Star-schema relational surface (operators/relational.py)
+# ---------------------------------------------------------------------------
+@q("q_pricing_summary", relational.PRICING_SUMMARY_ORACLE)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.pricing_summary(table(spark, sf_dir, "lineitem"))
+
+
+@q("q_revenue_by_nation", relational.REVENUE_BY_NATION_ORACLE)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.revenue_by_nation(
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "nation"),
+        table(spark, sf_dir, "region"),
+    )
+
+
+@q("q_top_customers", relational.TOP_CUSTOMERS_ORACLE)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.top_customers(
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "customer"),
+    )
+
+
+@q("q_rollup_sales", relational.ROLLUP_SALES_ORACLE)
+def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.rollup_sales(
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "nation"),
+        table(spark, sf_dir, "region"),
+    )
+
+
+@q("q_pivot_orderstatus", relational.PIVOT_ORDERSTATUS_ORACLE)
+def q_pivot_orderstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.pivot_orderstatus(table(spark, sf_dir, "orders"))
+
+
+@q("q_anti_processed", relational.CUSTOMERS_WITHOUT_ORDERS_ORACLE)
+def q_anti_processed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.customers_without_orders(
+        table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    )
+
+
+@q("q_semi_processed", relational.CUSTOMERS_WITH_ORDERS_ORACLE)
+def q_semi_processed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.customers_with_orders(
+        table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,181 @@
+"""Join operators (SURVEY §2.6, J1-J5).
+
+The reference has no general join executor — joins appear in its documented
+SQL layer (as-of outcome fill, RDS_SCHEMA.md:703-756) and implicitly in
+feature assembly (multi-hash gather, services/inference + aggregator
+READMEs).  This module expresses them Spark-first:
+
+- **As-of join** (J1): Spark has no native as-of.  The scalable pattern used
+  here is the UNION + LOCF trick: interleave query rows and reference rows
+  into one stream, sort per key, and carry the last reference value forward
+  with ``last(..., ignorenulls=True)``.  One shuffle + one sort per key —
+  O(n log n) total, no range-join blowup, works at 100 TB.  (The naive
+  range join + row_number is O(n·m) per key; `pd.merge_asof` via
+  applyInPandas would serialize every group through Python.)
+- **Feature/label alignment** (J2) and **interval containment** (J4) are
+  equi-joins after bucketing — the bucketing rewrite turns a theta range
+  join into a hash join (SURVEY §4).
+- **Dim enrichment** (J5): broadcast hash joins, see operators/relational.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import r6
+
+ASOF_TOLERANCE_MS = 6 * 3_600_000
+
+
+def asof_purchase_click(events: DataFrame, tolerance_ms: int = ASOF_TOLERANCE_MS) -> DataFrame:
+    """J1: as-of lookup — each `purchase` event gets the most recent `click`
+    value for the same user at-or-before its event time, NULLed when staler
+    than `tolerance_ms` (reference: nearest-price fill with a ±30 s validity
+    window, RDS_SCHEMA.md:719-732).
+
+    Right side is pre-aggregated to one row per (user_id, ms) so the as-of
+    tie semantics are well-defined in both engines.
+    """
+    ms = F.expr("ts div 1000000")
+    base = events.select(
+        F.col("event_id"),
+        F.col("user_id"),
+        ms.cast("long").alias("ms"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    purchases = base.filter(F.col("event_type") == "purchase")
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ms")
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+    )
+
+    u = purchases.select(
+        "user_id",
+        "ms",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+        F.lit(None).cast("double").alias("click_value"),
+        F.lit(None).cast("long").alias("click_src_ms"),
+        F.lit(1).alias("is_q"),
+    ).unionByName(
+        clicks.select(
+            "user_id",
+            "ms",
+            F.lit(None).cast("long").alias("purchase_id"),
+            F.lit(None).cast("double").alias("purchase_value"),
+            "click_value",
+            F.col("ms").alias("click_src_ms"),
+            F.lit(0).alias("is_q"),
+        )
+    )
+    # clicks (is_q=0) sort before purchases at the same ms → at-or-before.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "is_q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    locf_val = F.last("click_value", ignorenulls=True).over(w)
+    locf_ms = F.last("click_src_ms", ignorenulls=True).over(w)
+    out = (
+        u.withColumn("lv", locf_val)
+        .withColumn("lm", locf_ms)
+        .filter(F.col("is_q") == 1)
+    )
+    fresh = F.col("lm").isNotNull() & ((F.col("ms") - F.col("lm")) <= tolerance_ms)
+    return out.select(
+        "user_id",
+        "purchase_id",
+        F.col("ms").alias("purchase_ms"),
+        "purchase_value",
+        F.when(fresh, F.col("lm")).alias("click_ms"),
+        r6(F.when(fresh, F.col("lv"))).alias("click_value"),
+        F.when(fresh, F.col("ms") - F.col("lm")).cast("long").alias("age_ms"),
+    )
+
+
+ASOF_ORACLE = f"""
+WITH base AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type, value FROM events
+),
+purchases AS (SELECT * FROM base WHERE event_type = 'purchase'),
+clicks AS (
+  SELECT user_id, ms, arg_max(value, event_id) AS click_value
+  FROM base WHERE event_type = 'click' GROUP BY user_id, ms
+),
+j AS (
+  SELECT p.user_id, p.event_id AS purchase_id, p.ms AS purchase_ms,
+         p.value AS purchase_value, c.ms AS cms, c.click_value AS cval
+  FROM purchases p
+  ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ms >= c.ms
+)
+SELECT user_id, purchase_id, purchase_ms, purchase_value,
+       CASE WHEN cms IS NOT NULL AND purchase_ms - cms <= {ASOF_TOLERANCE_MS}
+            THEN cms END AS click_ms,
+       round(CASE WHEN cms IS NOT NULL AND purchase_ms - cms <= {ASOF_TOLERANCE_MS}
+            THEN cval END, 6) AS click_value,
+       CAST(CASE WHEN cms IS NOT NULL AND purchase_ms - cms <= {ASOF_TOLERANCE_MS}
+            THEN purchase_ms - cms END AS BIGINT) AS age_ms
+FROM j"""
+
+
+def feature_label_join(bars: DataFrame, labels: DataFrame) -> DataFrame:
+    """J2: feature ⋈ label alignment on (symbol, bucket) — the training-set
+    assembly (labels carry the feature key, S3_SCHEMA.md:629-631).  Inner
+    join restricted to valid labels: time-aligned, leakage-free rows."""
+    feats = bars.select(
+        "symbol", "bucket", "close", "volume", "vwap", "volume_imbalance", "trade_count"
+    )
+    lbl = labels.filter(F.col("is_valid")).select(
+        "symbol", "bucket", "target_price", "return_10", "direction"
+    )
+    return feats.join(lbl, ["symbol", "bucket"], "inner")
+
+
+def interval_join(trades: DataFrame, bars: DataFrame) -> DataFrame:
+    """J4: interval containment — each trade joined to its enclosing 1-minute
+    bar (`open_time <= t < close_time`, RDS_SCHEMA.md:721-723) rewritten as
+    an equi-join on the floor bucket: hash join instead of a theta range
+    join, broadcast/shuffle chosen by AQE."""
+    t = trades.withColumn("bucket", F.expr("event_ts div 60000").cast("long"))
+    b = bars.select("symbol", "bucket", "vwap", "volume")
+    out = t.join(b, ["symbol", "bucket"], "inner")
+    return out.select(
+        "symbol",
+        "trade_id",
+        "event_ts",
+        "bucket",
+        "price",
+        "vwap",
+        r6(F.col("price") - F.col("vwap")).alias("vwap_deviation"),
+        r6((F.col("price") - F.col("vwap")) / F.col("vwap") * 10000.0).alias(
+            "vwap_deviation_bp"
+        ),
+    )
+
+
+def feature_assembly(
+    trade_feats: DataFrame, bba_feats: DataFrame, depth_feats: DataFrame
+) -> DataFrame:
+    """J3: multi-source feature assembly — the engine analog of the
+    reference's parallel Redis hgetall gather (`ob:` + `tr:` + `feat:` per
+    symbol, aggregator/README.md, inference/README.md 4-way gather).
+
+    trade ⋈ bba on (symbol, bucket); the per-symbol depth snapshot is a tiny
+    dimension → broadcast (no shuffle for the third input)."""
+    tf = trade_feats.select(
+        "symbol", "bucket", "latest_price", "vwap", "volume_imbalance",
+        "trades_per_second", "price_volatility",
+    )
+    bf = bba_feats.select(
+        "symbol", "bucket", "latest_bid", "latest_ask", "latest_spread_bp",
+        "size_imbalance",
+    )
+    df = depth_feats.select(
+        "symbol", "bid_depth_5", "ask_depth_5", "depth_imbalance",
+    )
+    return tf.join(bf, ["symbol", "bucket"], "inner").join(
+        F.broadcast(df), ["symbol"], "left"
+    )

@@ -1,0 +1,267 @@
+"""Generic relational surface over the star schema (SURVEY §2.6 J5, §2.7,
+FIXTURES.md §6): broadcast-dim enrichment joins, semi/anti joins
+(the reference's processed-file-set pattern, s3_reader.py:94-96), grouped
+aggregates, pivot, rollup, top-K.
+
+Money arithmetic policy — decimal-exact sums
+--------------------------------------------
+Revenue-style aggregates reach ~1e9 at sf0.01; double summation-order noise
+across engines (~1e-5 absolute at that magnitude) exceeds any fixed-decimal
+rounding, so these queries CANNOT be double-summed and hash-compared.
+Instead every money sum casts its operands to DECIMAL(18,4) (exact — the
+inputs have ≤2 decimals), sums exactly, and casts the final value to double.
+Bit-identical across engines, and on a cluster decimal partial aggregation
+is still map-side combinable.
+
+Join strategy: region/nation/supplier/part are classic broadcast dims (25 /
+5 / tiny rows; at 100 TB they are still ≤ MBs).  customer and orders join
+on hashed keys; AQE handles skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+D = "decimal(18,4)"
+
+
+def _dec(c):
+    return c.cast(D)
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: 2-key groupBy, 8 aggregates, exact
+    decimal money sums, avg via exact-sum / count."""
+    li = lineitem.filter(F.col("l_shipdate") <= F.lit("1997-09-02").cast("timestamp_ntz"))
+    disc_price = _dec(F.col("l_extendedprice")) * _dec(1.0 - F.col("l_discount"))
+    charge = _dec(F.col("l_extendedprice")) * _dec(
+        (1.0 - F.col("l_discount")) * (1.0 + F.col("l_tax"))
+    )
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec(F.col("l_quantity"))).alias("sq"),
+        F.sum(_dec(F.col("l_extendedprice"))).alias("sbp"),
+        F.sum(disc_price).alias("sdp"),
+        F.sum(charge).alias("sc"),
+        F.count("*").alias("n"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sq").cast("double").alias("sum_qty"),
+        F.col("sbp").cast("double").alias("sum_base_price"),
+        F.col("sdp").cast("double").alias("sum_disc_price"),
+        F.col("sc").cast("double").alias("sum_charge"),
+        (F.col("sq").cast("double") / F.col("n")).alias("avg_qty"),
+        (F.col("sbp").cast("double") / F.col("n")).alias("avg_price"),
+        F.col("n").cast("long").alias("count_order"),
+    )
+
+
+PRICING_SUMMARY_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)      AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                * CAST((1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,4))) AS DOUBLE)
+                                                                   AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*)      AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1997-09-02'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def revenue_by_nation(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H-Q5-shaped enrichment chain: fact ⋈ fact ⋈ dim ⋈ dim ⋈ dim with
+    explicit broadcasts on the small dims (J5)."""
+    rev = _dec(F.col("l_extendedprice")) * _dec(1.0 - F.col("l_discount"))
+    o96 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    j = (
+        lineitem.join(o96, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        j.groupBy("r_name", "n_name")
+        .agg(F.sum(rev).alias("rev"), F.count("*").alias("n"))
+        .select(
+            "r_name",
+            "n_name",
+            F.col("rev").cast("double").alias("revenue"),
+            F.col("n").cast("long").alias("n_lineitems"),
+        )
+    )
+
+
+REVENUE_BY_NATION_ORACLE = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY r_name, n_name"""
+
+
+def top_customers(lineitem: DataFrame, orders: DataFrame, customer: DataFrame, k: int = 10) -> DataFrame:
+    """O4/W5 on the star schema: top-K customers by exact revenue.
+
+    Rank AFTER aggregation — the window sees one row per customer (tiny), so
+    the single-partition ORDER BY is safe at any scale."""
+    rev = _dec(F.col("l_extendedprice")) * _dec(1.0 - F.col("l_discount"))
+    per_cust = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).alias("rev"))
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
+    ranked = per_cust.withColumn("revenue_rank", F.row_number().over(w)).filter(
+        F.col("revenue_rank") <= k
+    )
+    return (
+        ranked.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("revenue_rank").cast("int").alias("revenue_rank"),
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            "c_mktsegment",
+            F.col("rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+TOP_CUSTOMERS_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey
+),
+ranked AS (
+  SELECT o_custkey, rev,
+         CAST(row_number() OVER (ORDER BY rev DESC, o_custkey) AS INTEGER)
+             AS revenue_rank
+  FROM per_cust
+)
+SELECT revenue_rank, CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_mktsegment,
+       CAST(rev AS DOUBLE) AS revenue
+FROM ranked JOIN customer ON o_custkey = c_custkey
+WHERE revenue_rank <= 10"""
+
+
+def rollup_sales(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Grouping-sets surface (SURVEY §2.4 note): revenue by (region, year)
+    with ROLLUP — subtotals + grand total in one pass via Catalyst's
+    Expand."""
+    j = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    g = j.rollup("r_name", F.year("o_orderdate").cast("int").alias("order_year")).agg(
+        F.sum(_dec(F.col("o_totalprice"))).alias("rev"),
+        F.count("*").alias("n"),
+    )
+    return g.select(
+        "r_name",
+        "order_year",
+        F.col("rev").cast("double").alias("revenue"),
+        F.col("n").cast("long").alias("n_orders"),
+    )
+
+
+ROLLUP_SALES_ORACLE = """
+SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, CAST(year(o_orderdate) AS INTEGER))"""
+
+
+def pivot_orderstatus(orders: DataFrame) -> DataFrame:
+    """Pivot via conditional aggregation (engine-portable form of
+    `.pivot()` — identical plan, and expressible in ANSI SQL for the
+    oracle): order totals by priority × status."""
+    def status_sum(s):
+        return F.sum(
+            F.when(F.col("o_orderstatus") == s, _dec(F.col("o_totalprice"))).otherwise(
+                F.lit(0).cast(D)
+            )
+        )
+
+    g = orders.groupBy("o_orderpriority").agg(
+        status_sum("O").alias("o"),
+        status_sum("F").alias("f"),
+        status_sum("P").alias("p"),
+        F.count("*").alias("n"),
+    )
+    return g.select(
+        "o_orderpriority",
+        F.col("o").cast("double").alias("open_total"),
+        F.col("f").cast("double").alias("finished_total"),
+        F.col("p").cast("double").alias("pending_total"),
+        F.col("n").cast("long").alias("n_orders"),
+    )
+
+
+PIVOT_ORDERSTATUS_ORACLE = """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS open_total,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS finished_total,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS pending_total,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_orderpriority"""
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Anti join — the processed-set skip pattern (s3_reader.py:94-96 skips
+    files already seen; D2 skips rows already inserted)."""
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+
+
+CUSTOMERS_WITHOUT_ORDERS_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+
+
+def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Semi join — EXISTS."""
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+
+
+CUSTOMERS_WITH_ORDERS_ORACLE = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
