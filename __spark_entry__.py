@@ -21,8 +21,11 @@ from bitcoin_datapipeline_spark.operators import (
     aggregates,
     dedup,
     joins,
+    multimodal,
     relational,
     setops,
+    similarity,
+    text,
     windows,
 )
 from bitcoin_datapipeline_spark.plans import pipeline
@@ -787,6 +790,82 @@ def q_anti_processed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_semi_processed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.customers_with_orders(
         table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data extensions: text analysis, document dedup, similarity,
+# multimodal plumbing (operators/text.py, similarity.py, multimodal.py)
+# ---------------------------------------------------------------------------
+@q("q_doc_stats", text.DOC_STATS_ORACLE)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_stats(table(spark, sf_dir, "documents"))
+
+
+@q("q_lang_id", text.LANG_ID_ORACLE)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(table(spark, sf_dir, "documents"))
+
+
+@q("q_token_count", text.TOKEN_COUNT_ORACLE)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_count(table(spark, sf_dir, "documents"))
+
+
+@q("q_doc_fingerprint", text.FINGERPRINT_ORACLE)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(table(spark, sf_dir, "documents"))
+
+
+@q("q_doc_exact_dedup", text.EXACT_DEDUP_ORACLE)
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.exact_dedup(table(spark, sf_dir, "documents"))
+
+
+@q("q_ngram_jaccard", text.NGRAM_JACCARD_ORACLE)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.ngram_jaccard_pairs(table(spark, sf_dir, "documents"))
+
+
+@q("q_minhash_lsh", text.MINHASH_LSH_ORACLE)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.minhash_lsh_pairs(table(spark, sf_dir, "documents"))
+
+
+@q("q_simhash", text.SIMHASH_ORACLE)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.simhash(table(spark, sf_dir, "documents"))
+
+
+@q("q_doc_quality", text.DOC_QUALITY_ORACLE)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_quality(table(spark, sf_dir, "documents"))
+
+
+@q("q_embed_cosine_pairs", similarity.COSINE_PAIRS_ORACLE)
+def q_embed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_pairs(table(spark, sf_dir, "embeddings"))
+
+
+@q("q_embed_knn", similarity.KNN_ORACLE)
+def q_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.knn(table(spark, sf_dir, "embeddings"))
+
+
+@q("q_embed_ann_lsh", similarity.ANN_LSH_ORACLE)
+def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_lsh(table(spark, sf_dir, "embeddings"))
+
+
+@q("q_multimodal_meta", multimodal.MEDIA_META_ORACLE)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.media_meta(table(spark, sf_dir, "documents"))
+
+
+@q("q_multimodal_decode")  # rows-only: per-byte decode not SQL-expressible in DuckDB
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.decode_features(
+        multimodal.media_table(table(spark, sf_dir, "documents"))
     )
 
 

@@ -1,0 +1,140 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+A 100 TB multimodal pipeline treats image/audio/video as `binary` columns
+with a metadata struct, partitions by (modality, shard), and runs decode /
+feature-extract as Arrow-batched Pandas functions over ``mapInPandas``.
+This module implements that plumbing for real — schema, batch iteration,
+deterministic partitioning — while STUBBING the actual media decode (no
+image/audio libraries in this container): `decode_stub` raises
+``NotImplementedError`` unless the deterministic fake decoder is selected,
+which computes byte-level statistics standing in for pixel/sample features.
+
+The driver's `documents` table provides the payload bytes (text encoded to
+binary) — the plumbing is identical for real media bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FORMATS = ("png", "jpeg", "wav")
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_mean", T.DoubleType()),
+        T.StructField("byte_min", T.IntegerType()),
+        T.StructField("byte_max", T.IntegerType()),
+    ]
+)
+
+
+def media_table(documents: DataFrame) -> DataFrame:
+    """documents → multimodal layout: binary payload + metadata struct.
+    Format assignment is deterministic (doc_id % 3)."""
+    fmt = F.element_at(
+        F.array(*[F.lit(f) for f in FORMATS]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    payload = F.col("text").cast("binary")
+    return documents.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            fmt.alias("format"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.col("source").alias("origin"),
+        ).alias("media_meta"),
+    )
+
+
+def media_meta(documents: DataFrame) -> DataFrame:
+    """Flat metadata projection (oracle-checkable — no Python involved)."""
+    m = media_table(documents)
+    return m.select(
+        "doc_id",
+        F.col("media_meta.format").alias("format"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.origin").alias("origin"),
+    )
+
+
+MEDIA_META_ORACLE = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       source AS origin
+FROM documents"""
+
+
+def decode_stub(payload: bytes, fmt: str, fake: bool = True) -> dict:
+    """Per-item media decode.  Real decode needs PIL/ffmpeg — not in this
+    container; the `fake` path computes deterministic byte statistics with
+    the exact shape a pixel/sample decoder would emit."""
+    if not fake:
+        raise NotImplementedError(
+            "real media decode requires PIL/soundfile/ffmpeg (not installed); "
+            "run with fake=True for the deterministic byte-stat decoder"
+        )
+    if not payload:
+        return {"byte_mean": None, "byte_min": None, "byte_max": None}
+    b = bytes(payload)
+    return {
+        "byte_mean": sum(b) / len(b),
+        "byte_min": min(b),
+        "byte_max": max(b),
+    }
+
+
+def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Arrow-batched decode pass over ``mapInPandas`` — the real plumbing a
+    cluster decode job uses: the iterator yields per-batch frames, bytes
+    never round-trip through Python row objects one at a time, and the
+    output schema is declared up front so Catalyst can prune columns."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            feats = [
+                decode_stub(p, f, fake=fake)
+                for p, f in zip(pdf["payload"], pdf["fmt"])
+            ]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "format": pdf["fmt"],
+                    "n_bytes": pdf["n_bytes"].astype("int64"),
+                    "byte_mean": [x["byte_mean"] for x in feats],
+                    "byte_min": [x["byte_min"] for x in feats],
+                    "byte_max": [x["byte_max"] for x in feats],
+                }
+            )
+            yield out
+
+    flat = media.select(
+        "doc_id",
+        "payload",
+        F.col("media_meta.format").alias("fmt"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+    )
+    # partition by format first: a real decoder keeps one codec per task
+    return flat.repartition("fmt").mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+DECODE_FEATURES_ORACLE = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       round(list_sum(list_transform(
+           generate_series(1, octet_length(encode(text))),
+           i -> CAST(get_bit_or_byte_placeholder AS DOUBLE))), 6) AS byte_mean
+FROM documents"""
+# NOTE: DuckDB has no cheap per-byte fold over BLOBs; decode_features is
+# registered rows-only (driver's weaker check) — the oracle-checked surface
+# for multimodal is media_meta above.  Kept here as documentation.

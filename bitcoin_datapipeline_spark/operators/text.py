@@ -1,0 +1,440 @@
+"""Text-analysis + document-dedup operators over the `documents` table
+(SURVEY §7.2.8 scale extensions — the training-data-pipeline surface the
+engine adds beyond the reference's market-data operators).
+
+Everything stays JVM-side: `split`/`transform`/`filter`/`aggregate` higher-
+order functions, `md5`, `regexp_extract_all`.  No Python UDFs — at 100 TB
+the tokenize+shingle explode is the dominant cost and must stay in
+whole-stage codegen.
+
+Cross-engine determinism notes:
+- tokenization = split on a single space (identical in DuckDB);
+- all hashing is md5 (identical across engines); MinHash uses min() over
+  md5 HEX STRINGS — lexicographic min of a uniform hash is a valid minhash
+  permutation and avoids engine-specific hash64 functions;
+- Jaccard thresholds chosen against the driver data (25 planted near-dup
+  pairs at jaccard ≥ 0.97; background pairs ≤ 0.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import r6
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+JACCARD_THRESHOLD = 0.5
+MINHASH_SIGS = 12
+MINHASH_BANDS = 4  # 3 signatures per band
+
+_STOP_SQL = "(" + ",".join(f"'{s}'" for s in STOPWORDS) + ")"
+
+
+def _tokens():
+    return F.split(F.col("text"), " ")
+
+
+def doc_stats(documents: DataFrame) -> DataFrame:
+    """Per-document statistics: token counts, distinct-token ratio, average
+    token length, stopword ratio — the quality-signal substrate."""
+    t = _tokens()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tok = F.size(t)
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
+    return documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct_tokens"),
+        r6((F.length("text") - n_tok + 1) / n_tok).alias("avg_token_len"),
+        r6(n_stop / n_tok).alias("stopword_ratio"),
+        r6(F.size(F.array_distinct(t)) / n_tok).alias("type_token_ratio"),
+    )
+
+
+DOC_STATS_ORACLE = f"""
+WITH t AS (SELECT *, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, lang, source,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       round((length(text) - len(toks) + 1) * 1.0 / len(toks), 6) AS avg_token_len,
+       round(len(list_filter(toks, x -> x IN {_STOP_SQL})) * 1.0 / len(toks), 6)
+           AS stopword_ratio,
+       round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS type_token_ratio
+FROM t"""
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Language-ID heuristic (n-gram/stopword frequency): classify as 'en'
+    when the English-stopword ratio clears a threshold.  The driver corpus
+    is synthetic English-ish word soup with randomized `lang` labels, so the
+    heuristic output (not agreement) is the tested contract."""
+    t = _tokens()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    ratio = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x))) / F.size(t)
+    predicted = F.when(ratio >= 0.05, "en").otherwise("unknown")
+    return documents.select(
+        "doc_id",
+        "lang",
+        r6(ratio).alias("stopword_ratio"),
+        predicted.alias("predicted_lang"),
+        (predicted == F.col("lang")).alias("agrees_with_label"),
+    )
+
+
+LANG_ID_ORACLE = f"""
+WITH t AS (SELECT *, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, lang,
+       round(len(list_filter(toks, x -> x IN {_STOP_SQL})) * 1.0 / len(toks), 6)
+           AS stopword_ratio,
+       CASE WHEN len(list_filter(toks, x -> x IN {_STOP_SQL})) * 1.0 / len(toks) >= 0.05
+            THEN 'en' ELSE 'unknown' END AS predicted_lang,
+       (CASE WHEN len(list_filter(toks, x -> x IN {_STOP_SQL})) * 1.0 / len(toks) >= 0.05
+             THEN 'en' ELSE 'unknown' END) = lang AS agrees_with_label
+FROM t"""
+
+
+def token_count(documents: DataFrame) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letters / digits / single punctuation as separate tokens) — the
+    standard pre-training size-estimation pass."""
+    t = _tokens()
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0)
+    return documents.select(
+        "doc_id",
+        F.size(t).cast("long").alias("ws_tokens"),
+        F.size(bpe).cast("long").alias("regex_tokens"),
+        r6(F.length("text") / F.size(bpe)).alias("chars_per_token"),
+    )
+
+
+TOKEN_COUNT_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS regex_tokens,
+       round(length(text) * 1.0 / len(regexp_extract_all(text, '{TOKEN_REGEX}')), 6)
+           AS chars_per_token
+FROM documents"""
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text + a 4-hex-char
+    prefix bucket (the shard key a 100 TB dedup pass would partition on)."""
+    h = F.md5(F.lower(F.col("text")))
+    return documents.select(
+        "doc_id",
+        h.alias("content_hash"),
+        F.substring(h, 1, 4).alias("hash_bucket"),
+    )
+
+
+FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       md5(lower(text)) AS content_hash,
+       substr(md5(lower(text)), 1, 4) AS hash_bucket
+FROM documents"""
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact dedup by content hash (hash-groupBy): smallest doc_id per hash
+    survives; emits survivors with their duplicate count.  One shuffle on
+    the hash — embarrassingly scalable."""
+    h = F.md5(F.lower(F.col("text")))
+    d = documents.select("doc_id", h.alias("content_hash"))
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("group_size", F.count("*").over(Window.partitionBy("content_hash")))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc_id").alias("canonical_doc_id"),
+            "content_hash",
+            F.col("group_size").cast("long").alias("n_copies"),
+        )
+    )
+
+
+EXACT_DEDUP_ORACLE = """
+SELECT min(doc_id) AS canonical_doc_id,
+       md5(lower(text)) AS content_hash,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY md5(lower(text))"""
+
+
+# --- shingle machinery shared by jaccard + minhash --------------------------
+def _shingles(documents: DataFrame) -> DataFrame:
+    """doc_id → exploded DISTINCT 3-gram word shingles (JVM transform over
+    sequence; guarded for <3-token docs where Spark's sequence() would
+    count backwards)."""
+    toks = _tokens()
+    sh = F.when(
+        F.size(toks) >= 3,
+        F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 3), i -> "
+            "concat_ws(' ', element_at(split(text, ' '), i + 1), "
+            "element_at(split(text, ' '), i + 2), "
+            "element_at(split(text, ' '), i + 3)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        documents.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+_SHINGLES_SQL = """
+shd AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(toks[i:i+2], ' ')
+                 for i in generate_series(1, len(toks) - 2)]) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+)"""
+
+
+def ngram_jaccard_pairs(documents: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Near-dup detection via 3-gram shingle Jaccard.
+
+    Plan shape: explode distinct shingles → self-equi-join on shingle
+    (candidate generation — only pairs sharing ≥1 shingle are ever
+    materialized) → count shared → jaccard.  The shingle join IS the
+    blocking step; at 100 TB you additionally cap hot shingles (drop
+    shingles with doc-frequency above a bound — stopword-shingle blowup
+    guard) and this stays a single shuffle on the shingle key.
+    """
+    shd = _shingles(documents)
+    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shd.alias("a")
+    b = shd.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(jac >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").cast("long").alias("shared_shingles"),
+            r6(jac).alias("jaccard"),
+        )
+    )
+
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(shared AS BIGINT) AS shared_shingles,
+       round(shared * 1.0 / (x.n + y.n - shared), 6) AS jaccard
+FROM pairs
+JOIN sizes x ON doc_a = x.doc_id
+JOIN sizes y ON doc_b = y.doc_id
+WHERE shared * 1.0 / (x.n + y.n - shared) >= {JACCARD_THRESHOLD}"""
+
+
+def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates.
+
+    12 minhash signatures (min over md5(seed‖shingle) hex strings), banded
+    4×3; pairs agreeing on ≥1 band become candidates; candidates are then
+    verified with true shingle Jaccard.  At 100 TB the band join replaces
+    the all-pairs shingle join: shuffle keys are (band_id, band_hash) and
+    only same-bucket docs ever meet — the canonical shuffle-light near-dup
+    pipeline (cf. MinHashLSH in spark.ml, re-expressed relationally so the
+    oracle can verify it).
+    """
+    shd = _shingles(documents)
+    sig_cols = [
+        F.min(F.md5(F.concat(F.lit(str(j)), F.lit("|"), F.col("shingle")))).alias(f"s{j}")
+        for j in range(MINHASH_SIGS)
+    ]
+    sigs = shd.groupBy("doc_id").agg(*sig_cols)
+    per_band = MINHASH_SIGS // MINHASH_BANDS
+    bands = []
+    for b in range(MINHASH_BANDS):
+        cols = [F.col(f"s{b * per_band + k}") for k in range(per_band)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.concat_ws("", *cols).alias("band_hash"),
+            )
+        )
+    allb = bands[0]
+    for x in bands[1:]:
+        allb = allb.unionByName(x)
+    a = allb.alias("a")
+    b2 = allb.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("n_bands_matched"))
+    )
+    # verify candidates with true jaccard (candidate set is tiny)
+    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = shd.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    sb = shd.select(F.col("doc_id").alias("sb_doc"), F.col("shingle").alias("sh_b"))
+    shared = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("sb_doc")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b", "n_bands_matched")
+        .agg(F.count("*").alias("shared"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", "n_bands_matched", r6(jac).alias("jaccard"))
+    )
+
+
+_SIG_SQL = ",\n         ".join(
+    f"min(md5(concat('{j}', '|', shingle))) AS s{j}" for j in range(MINHASH_SIGS)
+)
+_BAND_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, concat(s{b * 3}, s{b * 3 + 1}, s{b * 3 + 2}) AS band_hash FROM sigs"
+    for b in range(MINHASH_BANDS)
+)
+MINHASH_LSH_ORACLE = f"""
+WITH {_SHINGLES_SQL},
+sigs AS (
+  SELECT doc_id,
+         {_SIG_SQL}
+  FROM shd GROUP BY doc_id
+),
+bands AS ({_BAND_SQL}),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_bands_matched
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_a, c.doc_b, c.n_bands_matched, count(*) AS shared
+  FROM cand c
+  JOIN shd a ON a.doc_id = c.doc_a
+  JOIN shd b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+  GROUP BY 1, 2, 3
+)
+SELECT doc_a, doc_b, n_bands_matched,
+       round(shared * 1.0 / (x.n + y.n - shared), 6) AS jaccard
+FROM shared
+JOIN sizes x ON doc_a = x.doc_id
+JOIN sizes y ON doc_b = y.doc_id"""
+
+
+def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash document fingerprint (bit-majority over token hashes).
+
+    Per distinct token, md5 hex digit i votes +1/-1 on bit i (digit ≥ '8'
+    → 1); fingerprint = Σ 2^i over positive bits.  All engine-portable
+    string ops; 16 bits keeps the SQL oracle readable while exercising the
+    real plan shape (explode → conditional bit sums → one groupBy)."""
+    toks = documents.select(
+        "doc_id", F.explode(F.array_distinct(_tokens())).alias("tok")
+    ).withColumn("h", F.md5(F.col("tok")))
+    bit_votes = [
+        F.sum(
+            F.when(F.substring("h", i + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    votes = toks.groupBy("doc_id").agg(*bit_votes)
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return votes.select("doc_id", fp.cast("long").alias("simhash16"))
+
+
+_VOTE_SQL = ",\n         ".join(
+    "sum(CASE WHEN substr(h, %d, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v%d"
+    % (i + 1, i)
+    for i in range(16)
+)
+_FP_SQL = " + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+votes AS (
+  SELECT doc_id,
+         {_VOTE_SQL}
+  FROM (SELECT doc_id, md5(tok) AS h FROM toks)
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST({_FP_SQL} AS BIGINT) AS simhash16
+FROM votes"""
+
+
+def doc_quality(documents: DataFrame) -> DataFrame:
+    """Quality scoring: length / stopword / repetition signals composed into
+    a 0-1 score and a keep/review/drop bucket — the standard pre-training
+    filter pass."""
+    t = _tokens()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tok = F.size(t)
+    stop_ratio = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x))) / n_tok
+    ttr = F.size(F.array_distinct(t)) / n_tok
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    stop_score = F.least(stop_ratio / F.lit(0.05), F.lit(1.0))
+    score = (len_score + stop_score + ttr) / 3.0
+    return documents.select(
+        "doc_id",
+        r6(len_score).alias("length_score"),
+        r6(stop_score).alias("stopword_score"),
+        r6(ttr).alias("diversity_score"),
+        r6(score).alias("quality_score"),
+        F.when(score >= 0.6, "keep")
+        .when(score >= 0.4, "review")
+        .otherwise("drop")
+        .alias("quality_bucket"),
+    )
+
+
+DOC_QUALITY_ORACLE = f"""
+WITH t AS (SELECT *, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         least(len(toks) / 50.0, 1.0) AS len_score,
+         least((len(list_filter(toks, x -> x IN {_STOP_SQL})) * 1.0 / len(toks))
+               / 0.05, 1.0) AS stop_score,
+         len(list_distinct(toks)) * 1.0 / len(toks) AS ttr
+  FROM t
+)
+SELECT doc_id,
+       round(len_score, 6) AS length_score,
+       round(stop_score, 6) AS stopword_score,
+       round(ttr, 6) AS diversity_score,
+       round((len_score + stop_score + ttr) / 3.0, 6) AS quality_score,
+       CASE WHEN (len_score + stop_score + ttr) / 3.0 >= 0.6 THEN 'keep'
+            WHEN (len_score + stop_score + ttr) / 3.0 >= 0.4 THEN 'review'
+            ELSE 'drop' END AS quality_bucket
+FROM s"""

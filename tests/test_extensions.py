@@ -1,0 +1,127 @@
+"""Tests for training-data extension operators: text, dedup, similarity,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from bitcoin_datapipeline_spark.operators.multimodal import (
+    decode_features,
+    decode_stub,
+    media_table,
+)
+from bitcoin_datapipeline_spark.operators.similarity import ann_lsh, cosine_pairs, knn
+from bitcoin_datapipeline_spark.operators.text import (
+    doc_stats,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+
+def _doc(doc_id, text, lang="en", source="s"):
+    return Row(doc_id=doc_id, text=text, lang=lang, source=source, n_chars=len(text))
+
+
+def test_doc_stats_counts(spark):
+    d = spark.createDataFrame([_doc(1, "the cat sat on the mat")])
+    s = doc_stats(d).collect()[0]
+    assert s.n_tokens == 6
+    assert s.n_distinct_tokens == 5  # 'the' twice
+    assert s.stopword_ratio == round(2 / 6, 6)  # 'the','on'? on not in list → 'the' x2
+    assert s.n_chars == 22
+
+
+def test_exact_dedup_planted(spark):
+    d = spark.createDataFrame(
+        [_doc(1, "aaa bbb ccc"), _doc(5, "aaa bbb ccc"), _doc(3, "xxx yyy zzz")]
+    )
+    out = {r.canonical_doc_id: r for r in exact_dedup(d).collect()}
+    assert set(out) == {1, 3}
+    assert out[1].n_copies == 2 and out[3].n_copies == 1
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    t = "a b c d e f g h"
+    d = spark.createDataFrame([_doc(1, t), _doc(2, t), _doc(3, "p q r s t u v w")])
+    out = ngram_jaccard_pairs(d, threshold=0.5).collect()
+    assert len(out) == 1
+    assert (out[0].doc_a, out[0].doc_b) == (1, 2)
+    assert out[0].jaccard == 1.0
+
+
+def test_minhash_lsh_finds_identical(spark):
+    t = "a b c d e f g h i j"
+    d = spark.createDataFrame([_doc(1, t), _doc(2, t), _doc(3, "z y x w v u t s r q")])
+    out = minhash_lsh_pairs(d).collect()
+    pairs = {(r.doc_a, r.doc_b): r for r in out}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)].n_bands_matched == 4  # identical docs match every band
+    assert pairs[(1, 2)].jaccard == 1.0
+
+
+def test_simhash_identical_docs_same_fp(spark):
+    d = spark.createDataFrame(
+        [_doc(1, "a b c"), _doc(2, "c b a"), _doc(3, "completely different words")]
+    )
+    out = {r.doc_id: r.simhash16 for r in simhash(d).collect()}
+    assert out[1] == out[2]  # bag-of-words invariant
+    assert out[1] != out[3]
+    assert 0 <= out[1] < 2**16
+
+
+def test_cosine_pairs_orthogonal_and_identical(spark):
+    e = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0], label=0),
+            Row(vec_id=2, embedding=[2.0, 0.0], label=0),   # same direction → cos 1
+            Row(vec_id=3, embedding=[0.0, 1.0], label=0),   # orthogonal → cos 0
+            Row(vec_id=4, embedding=[1.0, 0.0], label=9),   # other block — never paired
+        ]
+    )
+    out = {(r.id_a, r.id_b): r.cosine for r in cosine_pairs(e, threshold=0.5).collect()}
+    assert out == {(1, 2): 1.0}
+
+
+def test_knn_rank_deterministic(spark):
+    e = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0], label=0),
+            Row(vec_id=5, embedding=[1.0, 0.1], label=0),
+            Row(vec_id=6, embedding=[1.0, 0.2], label=0),
+            Row(vec_id=7, embedding=[-1.0, 0.0], label=0),
+        ]
+    )
+    out = knn(e, n_queries=1, k=3).orderBy("rank").collect()
+    assert [r.neighbor_id for r in out] == [5, 6, 7]
+    assert out[0].cosine > out[1].cosine > out[2].cosine
+
+
+def test_ann_lsh_bucket_restriction(spark):
+    e = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0] * 8, label=0),     # query (0 % 25 == 0)
+            Row(vec_id=1, embedding=[1.0] * 8, label=0),     # same bucket
+            Row(vec_id=2, embedding=[-1.0] * 8, label=0),    # different bucket
+        ]
+    )
+    out = ann_lsh(e).collect()
+    assert len(out) == 1
+    assert out[0].query_id == 0 and out[0].neighbor_id == 1
+    assert out[0].bucket == "1" * 8
+
+
+def test_multimodal_decode_fake(spark):
+    d = spark.createDataFrame([_doc(0, "abc"), _doc(1, "az")])
+    out = {r.doc_id: r for r in decode_features(media_table(d)).collect()}
+    assert out[0].format == "png" and out[1].format == "jpeg"
+    assert out[0].n_bytes == 3
+    assert out[0].byte_mean == (97 + 98 + 99) / 3
+    assert out[1].byte_min == 97 and out[1].byte_max == 122
+
+
+def test_decode_stub_real_path_raises():
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"xx", "png", fake=False)
