@@ -179,8 +179,8 @@ def q_decimal_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
          sum(qty)                                   AS volume_raw,
          min(price)                                 AS min_price_raw,
          max(price)                                 AS max_price_raw,
-         avg(price)                                 AS avg_price_raw,
-         sum(price * qty)                           AS notional_raw,
+         CAST(sum(CAST(price AS DECIMAL(20,4))) AS DOUBLE) / count(*) AS avg_price_raw,
+         CAST(sum(CAST(price * qty AS DECIMAL(20,4))) AS DOUBLE)      AS notional_raw,
          stddev_samp(price)                         AS price_std_raw,
          arg_min(price, event_ts)                   AS first_price,
          min(event_ts)                              AS min_ts,
@@ -228,17 +228,17 @@ f AS (
          arg_max(ask_px, event_ts)          AS latest_ask_raw,
          arg_max(bid_sz, event_ts)          AS latest_bid_size_raw,
          arg_max(ask_sz, event_ts)          AS latest_ask_size_raw,
-         avg(bid_px)                        AS avg_bid_raw,
-         avg(ask_px)                        AS avg_ask_raw,
-         avg(spread)                        AS avg_spread_raw,
+         CAST(sum(CAST(bid_px AS DECIMAL(24,6))) AS DOUBLE) / count(*)  AS avg_bid_raw,
+         CAST(sum(CAST(ask_px AS DECIMAL(24,6))) AS DOUBLE) / count(*)  AS avg_ask_raw,
+         CAST(sum(CAST(spread AS DECIMAL(24,6))) AS DOUBLE) / count(*)  AS avg_spread_raw,
          min(spread)                        AS min_spread_raw,
          max(spread)                        AS max_spread_raw,
          stddev_samp(spread)                AS spread_std_raw,
-         avg(mid)                           AS avg_mid_raw,
+         CAST(sum(CAST(mid AS DECIMAL(24,7))) AS DOUBLE) / count(*)     AS avg_mid_raw,
          arg_min(mid, event_ts)             AS first_mid,
          arg_max(mid, event_ts)             AS last_mid,
          sum(bid_sz)                        AS total_bid_size_raw,
-         sum(ask_sz)                        AS total_ask_size_raw
+         CAST(sum(CAST(ask_sz AS DECIMAL(20,2))) AS DOUBLE) AS total_ask_size_raw
   FROM b GROUP BY 1, 2
 )
 SELECT symbol, bucket, quote_count,
@@ -316,7 +316,7 @@ def q_depth_features(spark: SparkSession, sf_dir: str) -> DataFrame:
          min(price)               AS low_raw,
          arg_max(price, event_ts) AS close_raw,
          sum(qty)                 AS volume_raw,
-         sum(price * qty)         AS notional_raw,
+         CAST(sum(CAST(price * qty AS DECIMAL(20,4))) AS DOUBLE) AS notional_raw,
          CAST(count(*) AS BIGINT) AS total_trades,
          avg(qty)                 AS avg_trade_size_raw,
          max(qty)                 AS largest_trade_raw,
@@ -391,7 +391,7 @@ def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         body=f"""
 SELECT symbol, source,
        CAST(count(*) AS BIGINT) AS n,
-       round(avg(price), 6) AS avg_price,
+       round(CAST(sum(CAST(price AS DECIMAL(20,4))) AS DOUBLE) / count(*), 6) AS avg_price,
        round(min(price), 6) AS min_price,
        round(max(price), 6) AS max_price,
        round(sum(qty), 6)   AS volume
@@ -575,10 +575,12 @@ SELECT symbol, bucket,
        CAST(count(close) OVER w AS BIGINT)      AS bars_in_window,
        CAST(sum(trade_count) OVER w AS BIGINT)  AS roll_trade_count,
        round(sum(volume) OVER w, 6)             AS roll_volume,
-       round(sum(notional) OVER w, 6)           AS roll_notional,
-       round(sum(notional) OVER w / sum(volume) OVER w, 6) AS roll_vwap,
+       round(CAST(sum(CAST(notional AS DECIMAL(24,6))) OVER w AS DOUBLE), 6) AS roll_notional,
+       round(CAST(sum(CAST(notional AS DECIMAL(24,6))) OVER w AS DOUBLE)
+             / sum(volume) OVER w, 6)            AS roll_vwap,
        round(sum(trade_count) OVER w / 300.0, 6) AS trade_intensity,
-       round(sum(notional) OVER w / 300.0, 6)    AS dollar_intensity
+       round(CAST(sum(CAST(notional AS DECIMAL(24,6))) OVER w AS DOUBLE) / 300.0, 6)
+                                                 AS dollar_intensity
 FROM bars
 WINDOW w AS (PARTITION BY symbol ORDER BY bucket
              RANGE BETWEEN 4 PRECEDING AND CURRENT ROW)""",
@@ -678,7 +680,7 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 ,tf AS (
   SELECT symbol, event_ts // 3600000 AS bucket,
          round(arg_max(price, event_ts), 6) AS latest_price,
-         round(sum(price * qty) / sum(qty), 6) AS vwap,
+         round(CAST(sum(CAST(price * qty AS DECIMAL(20,4))) AS DOUBLE) / sum(qty), 6) AS vwap,
          round((sum(CASE WHEN is_buyer_maker THEN 0.0 ELSE qty END)
                 - sum(CASE WHEN is_buyer_maker THEN qty ELSE 0.0 END))
                / greatest(sum(qty), 1.0), 6) AS volume_imbalance,

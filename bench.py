@@ -1,0 +1,76 @@
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Query set: the flagship pipeline plus one representative of every operator
+family (scan/normalize, dedup, window agg, analytic windows, as-of join,
+star-schema joins, rollup, percentiles, near-dup, similarity) so the number
+tracks the whole engine, not one hot path.  Each query is materialized with
+``count()`` — full plan execution without driver-side row transfer noise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_bars_1m",
+    "q_dedup_trades",
+    "q_trade_features_1h",
+    "q_daily_summary",
+    "q_latency_percentiles",
+    "q_rolling_stats_5m",
+    "q_labels_10m",
+    "q_asof_price",
+    "q_feature_assembly",
+    "q_pricing_summary",
+    "q_revenue_by_nation",
+    "q_top_customers",
+    "q_minhash_lsh",
+    "q_embed_knn",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import __spark_entry__ as entry
+    from bitcoin_datapipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entry.queries()
+
+    # one tiny warmup action so JVM/codegen startup isn't billed to q1
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

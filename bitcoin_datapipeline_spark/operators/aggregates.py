@@ -47,7 +47,12 @@ def bars_1m(dedup_trades: DataFrame) -> DataFrame:
         F.min("price").alias("low_raw"),
         F.max_by("price", "event_ts").alias("close_raw"),
         F.sum("qty").alias("volume_raw"),
-        F.sum(F.col("price") * F.col("qty")).alias("notional_raw"),
+        # price*qty lives on a 0.01 grid: sum in DECIMAL so the result is
+        # bit-identical across engines (double sums are order-dependent and
+        # grid values concentrate on rounding boundaries — see relational.py)
+        F.sum((F.col("price") * F.col("qty")).cast("decimal(20,4)"))
+        .cast("double")
+        .alias("notional_raw"),
         F.count("*").alias("trade_count"),
         F.sum(_buy()).alias("buy_volume_raw"),
         F.sum(_sell()).alias("sell_volume_raw"),
@@ -116,10 +121,13 @@ def trade_features(dedup_trades: DataFrame, bucket_ms: int = 3_600_000) -> DataF
     ).agg(
         F.count("*").alias("n"),
         F.sum("qty").alias("volume_raw"),
-        F.sum(F.col("price") * F.col("qty")).alias("notional_raw"),
+        F.sum((F.col("price") * F.col("qty")).cast("decimal(20,4)"))
+        .cast("double")
+        .alias("notional_raw"),
         F.min("price").alias("min_price_raw"),
         F.max("price").alias("max_price_raw"),
-        F.avg("price").alias("avg_price_raw"),
+        (F.sum(F.col("price").cast("decimal(20,4)")).cast("double") / F.count("*"))
+        .alias("avg_price_raw"),
         F.stddev_samp("price").alias("price_std_raw"),
         F.min_by("price", "event_ts").alias("first_price"),
         F.max_by("price", "event_ts").alias("latest_price_raw"),
@@ -175,17 +183,23 @@ def bba_features(bba: DataFrame, bucket_ms: int = 3_600_000) -> DataFrame:
         F.max_by("ask_px", "event_ts").alias("latest_ask_raw"),
         F.max_by("bid_sz", "event_ts").alias("latest_bid_size_raw"),
         F.max_by("ask_sz", "event_ts").alias("latest_ask_size_raw"),
-        F.avg("bid_px").alias("avg_bid_raw"),
-        F.avg("ask_px").alias("avg_ask_raw"),
-        F.avg("spread").alias("avg_spread_raw"),
+        # px/spread/mid sit on 1e-6 / 5e-7 grids (value × (1 + j/1e4)):
+        # decimal sums keep cross-engine bit-identity
+        (F.sum(F.col("bid_px").cast("decimal(24,6)")).cast("double") / F.count("*"))
+        .alias("avg_bid_raw"),
+        (F.sum(F.col("ask_px").cast("decimal(24,6)")).cast("double") / F.count("*"))
+        .alias("avg_ask_raw"),
+        (F.sum(F.col("spread").cast("decimal(24,6)")).cast("double") / F.count("*"))
+        .alias("avg_spread_raw"),
         F.min("spread").alias("min_spread_raw"),
         F.max("spread").alias("max_spread_raw"),
         F.stddev_samp("spread").alias("spread_std_raw"),
-        F.avg("mid").alias("avg_mid_raw"),
+        (F.sum(F.col("mid").cast("decimal(24,7)")).cast("double") / F.count("*"))
+        .alias("avg_mid_raw"),
         F.min_by("mid", "event_ts").alias("first_mid"),
         F.max_by("mid", "event_ts").alias("last_mid"),
         F.sum("bid_sz").alias("total_bid_size_raw"),
-        F.sum("ask_sz").alias("total_ask_size_raw"),
+        F.sum(F.col("ask_sz").cast("decimal(20,2)")).cast("double").alias("total_ask_size_raw"),
     )
     latest_mid = (F.col("latest_ask_raw") + F.col("latest_bid_raw")) / 2.0
     return g.select(
@@ -273,7 +287,9 @@ def daily_summary(dedup_trades: DataFrame) -> DataFrame:
         F.min("price").alias("low_raw"),
         F.max_by("price", "event_ts").alias("close_raw"),
         F.sum("qty").alias("volume_raw"),
-        F.sum(F.col("price") * F.col("qty")).alias("notional_raw"),
+        F.sum((F.col("price") * F.col("qty")).cast("decimal(20,4)"))
+        .cast("double")
+        .alias("notional_raw"),
         F.count("*").alias("total_trades"),
         F.avg("qty").alias("avg_trade_size_raw"),
         F.max("qty").alias("largest_trade_raw"),
@@ -353,7 +369,8 @@ def group_compare(trades: DataFrame) -> DataFrame:
     )
     return recent.groupBy("symbol", "source").agg(
         F.count("*").cast("long").alias("n"),
-        r6(F.avg("price")).alias("avg_price"),
+        r6(F.sum(F.col("price").cast("decimal(20,4)")).cast("double") / F.count("*"))
+        .alias("avg_price"),
         r6(F.min("price")).alias("min_price"),
         r6(F.max("price")).alias("max_price"),
         r6(F.sum("qty")).alias("volume"),

@@ -259,11 +259,17 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
     pipeline (cf. MinHashLSH in spark.ml, re-expressed relationally so the
     oracle can verify it).
     """
-    shd = _shingles(documents)
+    # the shingle explosion feeds four consumers (signatures, sizes, and both
+    # sides of the verification join) — persist it once instead of re-running
+    # split+explode+md5 per consumer.  (On a cluster this is the natural
+    # materialization point: cache or a temp table keyed by doc_id.)
+    shd = _shingles(documents).persist()
+    # one pass computes all 12 signatures AND the set size (used later for
+    # jaccard) — avoids a second full shingle scan
     sig_cols = [
         F.min(F.md5(F.concat(F.lit(str(j)), F.lit("|"), F.col("shingle")))).alias(f"s{j}")
         for j in range(MINHASH_SIGS)
-    ]
+    ] + [F.count("*").alias("n")]
     sigs = shd.groupBy("doc_id").agg(*sig_cols)
     per_band = MINHASH_SIGS // MINHASH_BANDS
     bands = []
@@ -291,8 +297,9 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").cast("long").alias("n_bands_matched"))
     )
-    # verify candidates with true jaccard (candidate set is tiny)
-    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # verify candidates with true jaccard against the persisted shingle set;
+    # AQE turns these into broadcast joins at runtime (cand is tiny)
+    sizes = sigs.select("doc_id", "n")
     sa = shd.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
     sb = shd.select(F.col("doc_id").alias("sb_doc"), F.col("shingle").alias("sh_b"))
     shared = (

@@ -159,7 +159,9 @@ def rolling_stats(bars: DataFrame, minutes: int = 5) -> DataFrame:
     trailing `minutes` wall-clock window, exactly the Redis TTL semantics."""
     w = _w_sym("bucket").rangeBetween(-(minutes - 1), 0)
     roll_volume = F.sum("volume").over(w)
-    roll_notional = F.sum("notional").over(w)
+    # bar notionals are 4-dec grid values: decimal window sum for
+    # cross-engine bit-identity (same policy as the groupBy aggregates)
+    roll_notional = F.sum(F.col("notional").cast("decimal(24,6)")).over(w).cast("double")
     roll_trades = F.sum("trade_count").over(w)
     return bars.select(
         "symbol",

@@ -101,7 +101,7 @@ bars_raw AS (
          min(price)                                          AS low_raw,
          arg_max(price, event_ts)                            AS close_raw,
          sum(qty)                                            AS volume_raw,
-         sum(price * qty)                                    AS notional_raw,
+         CAST(sum(CAST(price * qty AS DECIMAL(20,4))) AS DOUBLE) AS notional_raw,
          CAST(count(*) AS BIGINT)                            AS trade_count,
          sum(CASE WHEN is_buyer_maker THEN 0.0 ELSE qty END) AS buy_volume_raw,
          sum(CASE WHEN is_buyer_maker THEN qty ELSE 0.0 END) AS sell_volume_raw,
