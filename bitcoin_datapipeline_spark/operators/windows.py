@@ -199,3 +199,72 @@ def gap_detect(trades: DataFrame, threshold_ms: int = GAP_THRESHOLD_MS) -> DataF
         "gap_ms",
         r6(F.col("gap_ms") / 1000.0).alias("gap_seconds"),
     )
+
+
+SESSION_GAP_MS = 30 * 60_000
+
+
+def sessionize(trades: DataFrame, gap_ms: int = SESSION_GAP_MS) -> DataFrame:
+    """Sessionization (batch form of `session_window`): a new session starts
+    when the inter-arrival gap exceeds `gap_ms`.  Classic lag + running-sum
+    pattern — one exchange on symbol, two window passes over the same sort.
+
+    The reference's analog is connection/stream-session accounting around
+    gap-triggered re-anchors (gap_detector + re_anchor_service READMEs):
+    a gap closes one continuous data session and opens the next."""
+    w = _w_sym("event_ts", "trade_id")
+    prev_ts = F.lag("event_ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull() | ((F.col("event_ts") - prev_ts) > gap_ms), 1
+    ).otherwise(0)
+    cum = F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    marked = trades.withColumn("is_new", is_new).withColumn("session_id", cum)
+    return (
+        marked.groupBy("symbol", "session_id")
+        .agg(
+            F.min("event_ts").alias("session_start"),
+            F.max("event_ts").alias("session_end"),
+            F.count("*").cast("long").alias("n_trades"),
+            F.sum("qty").alias("volume"),
+        )
+        .select(
+            "symbol",
+            F.col("session_id").cast("long").alias("session_id"),
+            "session_start",
+            "session_end",
+            ((F.col("session_end") - F.col("session_start")) / 1000.0).alias(
+                "duration_s_raw"
+            ),
+            "n_trades",
+            r6(F.col("volume")).alias("volume"),
+        )
+        .withColumn("duration_s", r6(F.col("duration_s_raw")))
+        .drop("duration_s_raw")
+    )
+
+
+def time_series_split(
+    bars: DataFrame, train_frac: float = 0.7, val_frac: float = 0.15
+) -> DataFrame:
+    """Time-ordered train/val/test split (docs/schemas/S3_SCHEMA.md:731-736):
+    the split MUST be by time, never random — random splits leak future
+    information into training (SURVEY §7.3 hard part (b)).
+
+    Boundaries are quantiles of the global bucket range (computed as a tiny
+    scalar aggregate, broadcast back — no unbounded window)."""
+    rng = bars.groupBy().agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    j = bars.join(F.broadcast(rng))
+    span = F.col("hi") - F.col("lo")
+    train_end = F.col("lo") + F.floor(span * train_frac)
+    val_end = F.col("lo") + F.floor(span * (train_frac + val_frac))
+    return j.select(
+        "symbol",
+        "bucket",
+        "close",
+        F.when(F.col("bucket") <= train_end, "train")
+        .when(F.col("bucket") <= val_end, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -1,0 +1,122 @@
+"""Tests for coverage-completion operators: kline parsing, string formatting,
+sessionization, time split, tf-idf, atomic swap, salted-agg equivalence."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def _trade(symbol, event_ts, trade_id, price=10.0, qty=1.0):
+    return Row(symbol=symbol, event_ts=event_ts, ingest_ts=event_ts,
+               trade_id=trade_id, price=float(price), qty=float(qty),
+               is_buyer_maker=False, source="sbe")
+
+
+def test_parse_klines_positions(spark):
+    from bitcoin_datapipeline_spark.functions.klines import parse_klines
+
+    wire = spark.createDataFrame(
+        [Row(symbol="BTC", interval="1m",
+             k=["60000", "100.5", "101.5", "99.5", "100.75", "7", "119999",
+                "703.5", "42", "3.5", "351.75", "0"])]
+    )
+    r = parse_klines(wire).collect()[0]
+    assert r.open_time == 60000 and r.close_time == 119999
+    assert r.open_price == 100.5 and r.close_price == 100.75
+    assert r.volume == 7.0 and r.trade_count == 42
+    assert r.dedup_key == "BTC_1m_60000"
+    assert r.vwap == round(703.5 / 7, 6)
+
+
+def test_decimal_string_format_strips_zeros(spark):
+    from bitcoin_datapipeline_spark.functions.klines import decimal_string_format
+
+    rows = [_trade("BTC", 0, 1, price=451.95, qty=100.0),
+            _trade("BTC", 0, 2, price=0.5, qty=1234.125)]
+    out = {r.trade_id: r for r in decimal_string_format(spark.createDataFrame(rows)).collect()}
+    assert out[1].price_str == "451.95" and out[1].qty_str == "100"
+    assert out[2].price_str == "0.5" and out[2].qty_str == "1234.125"
+
+
+def test_sessionize_gap_boundary(spark):
+    from bitcoin_datapipeline_spark.operators.windows import sessionize
+
+    m = 60_000
+    rows = [_trade("BTC", 0, 1), _trade("BTC", 10 * m, 2),      # same session
+            _trade("BTC", 50 * m, 3),                            # > 30 min gap → new
+            _trade("ETH", 0, 1)]
+    out = sessionize(spark.createDataFrame(rows)).orderBy("symbol", "session_id").collect()
+    btc = [r for r in out if r.symbol == "BTC"]
+    assert len(btc) == 2
+    assert btc[0].n_trades == 2 and btc[0].duration_s == 600.0
+    assert btc[1].n_trades == 1 and btc[1].session_start == 50 * m
+
+
+def test_time_split_ordered_no_leakage(spark):
+    from bitcoin_datapipeline_spark.operators.windows import time_series_split
+
+    bars = spark.createDataFrame(
+        [Row(symbol="BTC", bucket=b, close=1.0) for b in range(100)]
+    )
+    out = time_series_split(bars).collect()
+    by_split = {}
+    for r in out:
+        by_split.setdefault(r.split, []).append(r.bucket)
+    # every train bucket strictly before every val bucket before every test
+    assert max(by_split["train"]) < min(by_split["val"])
+    assert max(by_split["val"]) < min(by_split["test"])
+    assert len(by_split["train"]) == 70  # buckets 0..69
+
+
+def test_tfidf_rare_term_wins(spark):
+    from bitcoin_datapipeline_spark.operators.text import tfidf_top_terms
+
+    docs = [Row(doc_id=1, text="common common rare", lang="en", source="s", n_chars=1),
+            Row(doc_id=2, text="common common other", lang="en", source="s", n_chars=1)]
+    out = tfidf_top_terms(spark.createDataFrame(docs), k=1).collect()
+    top = {r.doc_id: r.term for r in out}
+    # 'common' appears in both docs → idf 0; rare/other unique → win
+    assert top[1] == "rare" and top[2] == "other"
+
+
+def test_atomic_swap(spark, tmp_path):
+    from bitcoin_datapipeline_spark.sources.reanchor import atomic_swap_write, retire
+
+    live = str(tmp_path / "state")
+    v1 = spark.createDataFrame([Row(x=1)])
+    old = atomic_swap_write(v1, live)
+    assert old == "" and spark.read.parquet(live).collect()[0].x == 1
+    v2 = spark.createDataFrame([Row(x=2)])
+    old = atomic_swap_write(v2, live)
+    assert spark.read.parquet(live).collect()[0].x == 2
+    assert os.path.exists(old)  # previous snapshot retained until retired
+    retire(old)
+    assert not os.path.exists(old)
+
+
+def test_salted_aggregation_equivalence(spark, sf_dir):
+    """Skew-handling pattern: two-stage salted aggregation must equal the
+    direct groupBy.  (symbol is the natural hot key at 100 TB — salting
+    splits each symbol into 8 subkeys for the partial stage, then merges.)"""
+    from bitcoin_datapipeline_spark.functions.normalize import valid_trades
+    from bitcoin_datapipeline_spark.tables import table
+
+    t = valid_trades(table(spark, sf_dir, "events"))
+    direct = {
+        (r.symbol,): (r.n, round(r.vol, 6))
+        for r in t.groupBy("symbol")
+        .agg(F.count("*").alias("n"), F.sum("qty").alias("vol"))
+        .collect()
+    }
+    salted = (
+        t.withColumn("salt", (F.col("trade_id") % 8).cast("int"))
+        .groupBy("symbol", "salt")
+        .agg(F.count("*").alias("n"), F.sum("qty").alias("vol"))
+        .groupBy("symbol")
+        .agg(F.sum("n").alias("n"), F.sum("vol").alias("vol"))
+    )
+    merged = {(r.symbol,): (r.n, round(r.vol, 6)) for r in salted.collect()}
+    assert direct == merged
