@@ -859,6 +859,11 @@ def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh(table(spark, sf_dir, "embeddings"))
 
 
+@q("q_embed_ann_ivf", similarity.ANN_IVF_ORACLE)
+def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_ivf(table(spark, sf_dir, "embeddings"))
+
+
 @q("q_multimodal_meta", multimodal.MEDIA_META_ORACLE)
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_meta(table(spark, sf_dir, "documents"))

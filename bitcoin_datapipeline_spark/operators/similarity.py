@@ -13,10 +13,11 @@ Three tiers, mirroring what a 100 TB training-data pipeline needs:
 
 All dot products run through JVM higher-order functions
 (``zip_with``/``aggregate``) in double precision — sequential left-fold,
-bit-identical to DuckDB's list_* kernels, no Python in the loop.  (At
-cluster scale the same expressions vectorize under codegen; a Pandas-UDF
-+numpy variant only wins when batch sizes are large enough to amortize
-Arrow transfer — measured slower at this data size.)
+bit-identical to DuckDB's list_* kernels, no Python in the loop.  A
+Pandas-UDF + numpy variant would hand the reduction to BLAS, whose SIMD
+summation order is NOT bit-reproducible against the sequential oracle —
+the HOF form is chosen for exactness first; swap to numpy batches only
+behind an approximate (tolerance-compared) interface.
 """
 
 from __future__ import annotations
@@ -197,3 +198,131 @@ FROM (
   FROM j
 )
 WHERE rank <= 1"""
+
+
+IVF_NPROBE_QUERY_MOD = 25  # same deterministic query subset as ann_lsh
+
+
+def ann_ivf(embeddings: DataFrame) -> DataFrame:
+    """IVF-style ANN (inverted file index, nprobe=1).
+
+    Coarse quantizer: per-label centroids (the `label` column stands in for
+    a k-means assignment — production trains real centroids, the plan shape
+    is identical).  Each query searches ONLY its nearest centroid's posting
+    list: one small broadcast (centroids), one equi-join on the list id —
+    the all-pairs scan is gone, which is the entire point of IVF at 100 TB.
+
+    Determinism notes: centroid components are means of float columns —
+    summation order differs across engines, so centroids are ROUNDED to 6 dp
+    before the query→centroid distance; queries are assigned by rounded
+    cosine with a centroid-id tiebreak, then ranked in-list by rounded
+    cosine with a neighbor-id tiebreak.
+    """
+    dim = 64
+    # exploded (vec_id, label, pos, val) for centroid computation
+    pos = embeddings.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos", "val"),
+    )
+    centroids = (
+        pos.groupBy("label", "pos")
+        .agg(r6(F.avg(F.col("val").cast("double"))).alias("cval"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "cval"))
+            ).alias("pairs")
+        )
+        .select(
+            F.col("label").alias("c_label"),
+            F.expr("transform(pairs, p -> p.cval)").alias("centroid"),
+        )
+    )
+    q = with_norm(embeddings).filter(F.col("vec_id") % IVF_NPROBE_QUERY_MOD == 0)
+    # assign each query to its nearest centroid (rounded cosine, id tiebreak)
+    qc = q.crossJoin(F.broadcast(centroids))
+    c_norm = F.sqrt(
+        F.expr("aggregate(centroid, cast(0.0 as double), (acc, v) -> acc + v * v)")
+    )
+    qc_cos = r6(_dot("embedding", "centroid") / (F.col("norm") * c_norm))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.col("c_label"))
+    assigned = (
+        qc.withColumn("c_cos", qc_cos)
+        .withColumn("c_rank", F.row_number().over(w_assign))
+        .filter(F.col("c_rank") == 1)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("emb_q"),
+            F.col("norm").alias("norm_q"),
+            F.col("c_label").alias("probe_label"),
+        )
+    )
+    # search only the probed list
+    cands = with_norm(embeddings).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("probe_label"),
+        F.col("embedding").alias("emb_c"),
+        F.col("norm").alias("norm_c"),
+    )
+    j = assigned.join(cands, ["probe_label"]).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos6 = r6(_dot("emb_q", "emb_c") / (F.col("norm_q") * F.col("norm_c")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        j.withColumn("cosine", cos6)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            "query_id",
+            F.col("probe_label").cast("int").alias("probe_label"),
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            "cosine",
+        )
+    )
+
+
+ANN_IVF_ORACLE = f"""
+WITH pos AS (
+  SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS val,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+centroids AS (
+  SELECT label AS c_label,
+         list(round(cval, 6) ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, avg(val) AS cval FROM pos GROUP BY label, pos)
+  GROUP BY label
+),
+q AS (SELECT * FROM embeddings WHERE vec_id % {IVF_NPROBE_QUERY_MOD} = 0),
+assigned AS (
+  SELECT vec_id AS query_id, c_label AS probe_label
+  FROM (
+    SELECT q.vec_id, c.c_label,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                   c.centroid), 6) DESC,
+                      c.c_label) AS c_rank
+    FROM q CROSS JOIN centroids c
+  )
+  WHERE c_rank = 1
+),
+j AS (
+  SELECT a.query_id, a.probe_label, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+  FROM assigned a
+  JOIN embeddings qe ON qe.vec_id = a.query_id
+  JOIN embeddings e ON e.label = a.probe_label AND e.vec_id != a.query_id
+)
+SELECT query_id, CAST(probe_label AS INTEGER) AS probe_label,
+       CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM j
+)
+WHERE rank <= {KNN_K}"""

@@ -1,0 +1,124 @@
+"""Property-based invariant tests (hypothesis) — the test depth the
+reference never had (SURVEY §5: its tests assert only shape/non-emptiness).
+
+Strategy generates small random trade batches; each property must hold for
+EVERY generated batch.  Spark session startup is expensive, so examples are
+kept small and deadline disabled.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+trade_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["BTC", "ETH"]),              # symbol
+        st.integers(min_value=0, max_value=10_000_000),  # event_ts
+        st.integers(min_value=1, max_value=40),       # trade_id (collisions likely)
+        st.integers(min_value=1, max_value=99999),    # price cents
+        st.integers(min_value=1, max_value=99),       # qty
+        st.booleans(),                                # is_buyer_maker
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _df(spark, batch):
+    rows = [
+        Row(
+            symbol=s,
+            event_ts=ts,
+            ingest_ts=ts + 1,
+            trade_id=tid,
+            price=cents / 100.0,
+            qty=float(q),
+            is_buyer_maker=m,
+            source="sbe",
+        )
+        for (s, ts, tid, cents, q, m) in batch
+    ]
+    return spark.createDataFrame(rows)
+
+
+_settings = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(batch=trade_strategy)
+@_settings
+def test_dedup_idempotent_and_key_unique(spark, batch):
+    from bitcoin_datapipeline_spark.operators.dedup import dedup_trades
+
+    once = dedup_trades(_df(spark, batch))
+    once_rows = sorted(map(tuple, once.collect()))
+    twice_rows = sorted(map(tuple, dedup_trades(once).collect()))
+    assert once_rows == twice_rows  # idempotence
+    keys = [(r.symbol, r.trade_id) for r in once.collect()]
+    assert len(keys) == len(set(keys))  # key uniqueness
+
+
+@given(batch=trade_strategy)
+@_settings
+def test_bars_invariants(spark, batch):
+    from bitcoin_datapipeline_spark.operators.aggregates import bars_1m
+    from bitcoin_datapipeline_spark.operators.dedup import dedup_trades
+
+    bars = bars_1m(dedup_trades(_df(spark, batch))).collect()
+    assert len(bars) > 0
+    for b in bars:
+        assert b.low <= b.open <= b.high
+        assert b.low <= b.close <= b.high
+        assert b.low <= b.vwap <= b.high or b.trade_count == 1
+        assert abs(b.volume - (b.buy_volume + b.sell_volume)) < 1e-6
+        assert b.trade_count == b.buy_trade_count + b.sell_trade_count
+        assert -1.0 <= b.volume_imbalance <= 1.0
+        assert b.price_range >= 0
+
+
+@given(batch=trade_strategy)
+@_settings
+def test_sessionize_tiles_timeline(spark, batch):
+    from bitcoin_datapipeline_spark.operators.windows import sessionize
+
+    df = _df(spark, batch)
+    sess = sessionize(df, gap_ms=60_000).collect()
+    n_in_sessions = sum(s.n_trades for s in sess)
+    assert n_in_sessions == df.count()  # every trade in exactly one session
+    by_sym = {}
+    for s in sess:
+        by_sym.setdefault(s.symbol, []).append(s)
+    for sym, ss in by_sym.items():
+        ss.sort(key=lambda s: s.session_id)
+        for a, b in zip(ss, ss[1:]):
+            assert b.session_start - a.session_end > 60_000  # true gaps between
+
+
+@given(batch=trade_strategy)
+@_settings
+def test_validation_filter_never_widens(spark, batch):
+    from bitcoin_datapipeline_spark.functions.normalize import valid_filter
+
+    df = _df(spark, batch)
+    filtered = df.filter(valid_filter())
+    # timestamps here are < 2020 epoch-ms, so everything is dropped —
+    # the filter must never pass an out-of-range row
+    assert filtered.count() == 0
+
+
+@given(batch=trade_strategy)
+@_settings
+def test_latest_per_key_is_max_ts(spark, batch):
+    from bitcoin_datapipeline_spark.operators.windows import latest_per_key
+
+    df = _df(spark, batch)
+    latest = {r.symbol: r for r in latest_per_key(df).collect()}
+    raw = df.collect()
+    for sym, row in latest.items():
+        sym_ts = [r.event_ts for r in raw if r.symbol == sym]
+        assert row.event_ts == max(sym_ts)
