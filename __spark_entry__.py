@@ -28,7 +28,7 @@ from bitcoin_datapipeline_spark.operators import (
     text,
     windows,
 )
-from bitcoin_datapipeline_spark.plans import pipeline
+from bitcoin_datapipeline_spark.plans import gold, pipeline
 from bitcoin_datapipeline_spark.tables import table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -970,6 +970,28 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q_tfidf", text.TFIDF_ORACLE)
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(table(spark, sf_dir, "documents"))
+
+
+@q("q_forecast_revenue", relational.FORECAST_REVENUE_ORACLE)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.forecast_revenue(table(spark, sf_dir, "lineitem"))
+
+
+@q("q_shipping_priority", relational.SHIPPING_PRIORITY_ORACLE)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.shipping_priority(
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "customer"),
+    )
+
+
+@q(
+    "q_gold_training_set",
+    OD.with_ctes(OD.BARS_1M_CTE, body=gold.GOLD_ORACLE_BODY),
+)
+def q_gold_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.gold_training_set(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -265,3 +265,91 @@ CUSTOMERS_WITH_ORDERS_ORACLE = """
 SELECT c_custkey, c_name, c_nationkey, c_acctbal
 FROM customer
 WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+
+
+def forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H-Q6-shaped pure filter-aggregate: the pushdown showcase — every
+    predicate reaches the parquet scan (PushedFilters), only four columns are
+    read, and the whole query is one codegen'd scan + scalar agg with no
+    shuffle beyond the final single-row combine."""
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = _dec(F.col("l_extendedprice")) * _dec(F.col("l_discount"))
+    return li.groupBy().agg(
+        F.sum(rev).cast("double").alias("forecast_revenue"),
+        F.count("*").cast("long").alias("n_lineitems"),
+    )
+
+
+FORECAST_REVENUE_ORACLE = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS forecast_revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"""
+
+
+def shipping_priority(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, k: int = 10
+) -> DataFrame:
+    """TPC-H-Q3-shaped join + agg + top-N: unshipped BUILDING-segment orders
+    by revenue.  Rank after the per-order aggregate (small), deterministic
+    (revenue desc, orderkey) tiebreak."""
+    rev = _dec(F.col("l_extendedprice")) * _dec(1.0 - F.col("l_discount"))
+    cutoff = F.lit("1996-06-30").cast("timestamp_ntz")
+    j = (
+        lineitem.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            customer.filter(F.col("c_mktsegment") == "BUILDING"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    per_order = j.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(rev).alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("o_orderkey"))
+    return (
+        per_order.withColumn("priority_rank", F.row_number().over(w))
+        .filter(F.col("priority_rank") <= k)
+        .select(
+            F.col("priority_rank").cast("int").alias("priority_rank"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            "o_orderdate",
+            "o_orderpriority",
+            F.col("rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+SHIPPING_PRIORITY_ORACLE = """
+WITH per_order AS (
+  SELECT o_orderkey, o_orderdate, o_orderpriority,
+         sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE l_shipdate > TIMESTAMP '1996-06-30'
+    AND o_orderdate < TIMESTAMP '1996-06-30'
+    AND c_mktsegment = 'BUILDING'
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(priority_rank AS INTEGER) AS priority_rank,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       o_orderdate, o_orderpriority,
+       CAST(rev AS DOUBLE) AS revenue
+FROM (
+  SELECT *, row_number() OVER (ORDER BY rev DESC, o_orderkey) AS priority_rank
+  FROM per_order
+)
+WHERE priority_rank <= 10"""
