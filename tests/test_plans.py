@@ -1,0 +1,89 @@
+"""Plan-shape regression tests — codified `.explain` audit.
+
+These assert the PHYSICAL properties the scale design depends on
+(SCALING.md): filter pushdown into the parquet scan, column pruning,
+map-side partial aggregation, broadcast joins on dims, and WindowGroupLimit
+pushdown for rankings.  A refactor that silently loses one of these still
+returns correct rows — only the plan shows the regression.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+
+def _plan(spark, df, mode: str = "formatted") -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+@pytest.fixture(scope="module")
+def sf01():
+    return "/root/testdata/sf0.001"
+
+
+def test_validation_filter_pushed_to_scan(spark, sf01):
+    import __spark_entry__ as E
+
+    plan = _plan(spark, E.queries()["q_bars_1m"](spark, sf01))
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThan\(value,0\.0\)", plan), (
+        "price>0 must reach the parquet scan"
+    )
+    # column pruning: user_id is never needed by the pipeline
+    m = re.search(r"ReadSchema: (struct<[^\n]*)", plan)
+    assert m and "user_id" not in m.group(1), "unused columns must be pruned"
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark, sf01):
+    import __spark_entry__ as E
+
+    plan = _plan(spark, E.queries()["q_pricing_summary"](spark, sf01))
+    assert "LessThanOrEqual(l_shipdate" in plan
+    assert "partial_" in plan, "aggregation must have a map-side partial phase"
+    m = re.search(r"ReadSchema: (struct<[^\n]*)", plan)
+    assert m and "l_suppkey" not in m.group(1)
+
+
+def test_dim_joins_broadcast(spark, sf01):
+    import __spark_entry__ as E
+
+    plan = _plan(spark, E.queries()["q_revenue_by_nation"](spark, sf01))
+    assert plan.count("BroadcastHashJoin") >= 2, "nation/region must broadcast"
+
+
+def test_ranking_gets_window_group_limit(spark, sf01):
+    import __spark_entry__ as E
+
+    plan = _plan(spark, E.queries()["q_latest_per_key"](spark, sf01))
+    assert "WindowGroupLimit" in plan, (
+        "rank<=k must push a per-partition group limit below the exchange"
+    )
+    # exactly one shuffle for the whole latest-per-key query
+    assert plan.count("Exchange") <= 2  # one exchange node + its reuse ref
+
+
+def test_no_python_udf_in_relational_plans(spark, sf01):
+    """UDF policy (SURVEY §2.11): no Python evaluation in any oracle-backed
+    relational plan — only the multimodal decode may use Python."""
+    import __spark_entry__ as E
+
+    for name in [
+        "q_bars_1m",
+        "q_trade_features_1h",
+        "q_labels_10m",
+        "q_asof_price",
+        "q_minhash_lsh",
+        "q_embed_knn",
+    ]:
+        plan = _plan(spark, E.queries()[name](spark, sf01))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_multimodal_is_the_only_python_plan(spark, sf01):
+    import __spark_entry__ as E
+
+    plan = _plan(spark, E.queries()["q_multimodal_decode"](spark, sf01))
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()

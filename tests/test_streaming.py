@@ -145,3 +145,37 @@ def test_incremental_append_idempotent(spark, tmp_path):
     from bitcoin_datapipeline_spark.sources.checkpoint import high_watermarks
 
     assert high_watermarks(spark, sink)["BTC"] == 14_000
+
+
+def test_stream_sliding_stats_matches_batch(spark, tmp_path):
+    """Sliding 5m/1m streaming stats == the equivalent batch sliding-window
+    aggregation (same window function, complete mode)."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_datapipeline_spark.streaming.ops import (
+        stream_sliding_stats,
+        with_event_time,
+    )
+
+    m = 60_000
+    rows = [_trade("BTC", t * m, t, price=100.0 + t, qty=2.0) for t in range(8)]
+    df = spark.createDataFrame(rows, schema=TRADE_SCHEMA)
+    d = str(tmp_path / "slide_in")
+    df.write.parquet(d)
+    src = spark.readStream.schema(TRADE_SCHEMA).parquet(d)
+    streamed = _run(spark, stream_sliding_stats(src, watermark="0 seconds"),
+                    "slide_out", "complete").toPandas()
+    batch = (
+        with_event_time(df)
+        .groupBy("symbol", F.window("event_time", "5 minutes", "1 minute").alias("win"))
+        .agg(F.count("*").alias("trade_count"), F.sum("qty").alias("volume"),
+             F.sum(F.col("price") * F.col("qty")).alias("notional"))
+        .select("symbol", F.col("win.start").alias("win_start"), "trade_count",
+                "volume", (F.col("notional") / F.col("volume")).alias("vwap"))
+        .toPandas()
+    )
+    s = streamed.sort_values(["symbol", "win_start"]).reset_index(drop=True)
+    b = batch.sort_values(["symbol", "win_start"]).reset_index(drop=True)
+    assert len(s) == len(b)
+    assert (s.trade_count.values == b.trade_count.values).all()
+    assert abs(s.vwap.values - b.vwap.values).max() < 1e-9
