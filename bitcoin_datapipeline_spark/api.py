@@ -1,0 +1,101 @@
+"""User-facing API: SQL view registry + query runner.
+
+A user of the reference interacts with derived state (Redis feature hashes,
+Postgres analytics tables).  The engine's equivalent surface is a set of
+Spark SQL views over the same derived datasets, registered once per
+session:
+
+    from bitcoin_datapipeline_spark import api
+    api.register_views(spark, "/root/testdata/sf0.1")
+    spark.sql("SELECT * FROM bars_1m WHERE symbol = 'CLICK' LIMIT 10")
+
+Views are lazy DataFrames — Catalyst fuses a user's SQL over a view with
+the view's own plan (filter pushdown reaches the parquet scan through the
+view boundary).  One deliberate exception: filters on ``clean_trades`` stop
+at its dedup window — pushing below row_number would change which duplicate
+survives.  For scan-level pruning with a selective predicate, filter
+``valid_trades`` and dedup the result.
+
+`run(name)` executes any registered driver-contract query by name — also
+exposed as a CLI:
+
+    python -m bitcoin_datapipeline_spark.api q_bars_1m --sf /root/testdata/sf0.01
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import tables
+from .functions import normalize
+from .operators import aggregates, windows
+from .plans import gold, pipeline
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register raw tables + the derived analytical views.  Returns the
+    registered view names."""
+    tables.register_views(spark, sf_dir)
+    ev = tables.table(spark, sf_dir, "events")
+    derived: dict[str, DataFrame] = {
+        "trades": normalize.trades(ev),
+        "valid_trades": normalize.valid_trades(ev),
+        "clean_trades": pipeline.trades_clean(spark, sf_dir),
+        "bars_1m": pipeline.bars_pipeline(spark, sf_dir),
+        "bba": normalize.bba(ev),
+        "depth": normalize.depth(ev),
+        "trade_features_1h": aggregates.trade_features(
+            pipeline.trades_clean(spark, sf_dir)
+        ),
+        "daily_summary": aggregates.daily_summary(pipeline.trades_clean(spark, sf_dir)),
+        "labels_10m": windows.labels(pipeline.bars_pipeline(spark, sf_dir)),
+        "gold_training_set": gold.gold_training_set(spark, sf_dir),
+    }
+    for name, df in derived.items():
+        df.createOrReplaceTempView(name)
+    return list(tables.TABLES) + list(derived)
+
+
+def run(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
+    """Execute a driver-contract query by name."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    if name not in qs:
+        known = ", ".join(sorted(qs))
+        raise KeyError(f"unknown query {name!r}; available: {known}")
+    return qs[name](spark, sf_dir)
+
+
+def _main() -> None:
+    import argparse
+    import sys
+
+    ap = argparse.ArgumentParser(
+        prog="bitcoin_datapipeline_spark.api",
+        description="Run an engine query and print its rows.",
+    )
+    ap.add_argument("query", help="query name from __spark_entry__.queries() "
+                                  "(or 'list' to enumerate)")
+    ap.add_argument("--sf", default=tables.DEFAULT_SF_DIR, help="testdata dir")
+    ap.add_argument("--limit", type=int, default=20, help="rows to show")
+    args = ap.parse_args()
+
+    sys.path.insert(0, ".")
+    from .session import get_spark
+
+    spark = get_spark("api-cli")
+    if args.query == "list":
+        import __spark_entry__ as entry
+
+        for name in sorted(entry.queries()):
+            oracle = "oracle" if name in entry.oracle_sql() else "rows-only"
+            print(f"{name}  [{oracle}]")
+        return
+    df = run(spark, args.query, args.sf)
+    df.show(args.limit, truncate=False)
+    print(f"({df.count()} rows total)")
+
+
+if __name__ == "__main__":
+    _main()

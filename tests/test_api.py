@@ -1,0 +1,46 @@
+"""API surface tests: SQL views + runner."""
+
+from __future__ import annotations
+
+import pytest
+
+from bitcoin_datapipeline_spark import api
+
+
+def test_register_views_and_sql(spark, sf_dir):
+    names = api.register_views(spark, sf_dir)
+    assert {"bars_1m", "clean_trades", "gold_training_set", "lineitem"} <= set(names)
+    out = spark.sql(
+        "SELECT symbol, count(*) AS n FROM bars_1m GROUP BY symbol ORDER BY symbol"
+    ).collect()
+    assert len(out) == 5
+    # user SQL over a view composes with the view plan (filter through view)
+    one = spark.sql(
+        "SELECT * FROM clean_trades WHERE symbol = 'CLICK' AND price > 100"
+    )
+    assert one.count() > 0
+    assert all(r.symbol == "CLICK" and r.price > 100 for r in one.collect())
+
+
+def test_views_join_across_layers(spark, sf_dir):
+    api.register_views(spark, sf_dir)
+    j = spark.sql(
+        """
+        SELECT b.symbol, count(*) AS n
+        FROM bars_1m b JOIN labels_10m l
+          ON b.symbol = l.symbol AND b.bucket = l.bucket
+        WHERE l.is_valid
+        GROUP BY b.symbol
+        """
+    ).collect()
+    assert len(j) == 5
+
+
+def test_run_by_name(spark, sf_dir):
+    df = api.run(spark, "q_counts", sf_dir)
+    assert df.count() == 5
+
+
+def test_run_unknown_query_lists_available(spark, sf_dir):
+    with pytest.raises(KeyError, match="q_bars_1m"):
+        api.run(spark, "q_nope", sf_dir)
