@@ -994,6 +994,36 @@ def q_gold_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold.gold_training_set(spark, sf_dir)
 
 
+@q(
+    "q_resample_bars_1h",
+    OD.with_ctes(
+        OD.BARS_1M_CTE,
+        body="""
+,coarse AS (
+  SELECT symbol, bucket // 60 AS bucket,
+         arg_min(open, bucket)  AS open_raw,
+         max(high)              AS high_raw,
+         min(low)               AS low_raw,
+         arg_max(close, bucket) AS close_raw,
+         sum(volume)            AS volume_raw,
+         CAST(sum(CAST(notional AS DECIMAL(24,6))) AS DOUBLE) AS notional_raw,
+         CAST(sum(trade_count) AS BIGINT) AS trade_count,
+         CAST(count(*) AS BIGINT) AS n_source_bars
+  FROM bars GROUP BY 1, 2
+)
+SELECT symbol, bucket,
+       round(open_raw, 6) AS open, round(high_raw, 6) AS high,
+       round(low_raw, 6) AS low, round(close_raw, 6) AS close,
+       round(volume_raw, 6) AS volume, round(notional_raw, 6) AS notional,
+       round(notional_raw / volume_raw, 6) AS vwap,
+       trade_count, n_source_bars
+FROM coarse""",
+    ),
+)
+def q_resample_bars_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.resample_bars(pipeline.bars_pipeline(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # driver contract surface
 # ---------------------------------------------------------------------------

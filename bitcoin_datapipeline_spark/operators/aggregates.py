@@ -416,3 +416,43 @@ def distinct_counts(trades: DataFrame) -> DataFrame:
         F.countDistinct("price").cast("long").alias("n_distinct_prices"),
         F.countDistinct("source").cast("long").alias("n_sources"),
     )
+
+
+def resample_bars(bars: DataFrame, from_ms: int = 60_000, to_ms: int = 3_600_000) -> DataFrame:
+    """Bar resampling (1m → 1h by default): the silver-layer roll-up that
+    turns fine bars into coarse ones without revisiting ticks
+    (docs/schemas/S3_SCHEMA.md silver hierarchy; kline 1m bars are the
+    REST-path input, s3_writer.py:150-175).
+
+    OHLC composition rules: open = first bar's open, close = last bar's
+    close (arg_min/arg_max on the fine bucket), high/low = extrema, sums for
+    volume/notional/counts, VWAP recomputed from the exact notional.  One
+    shuffle on the coarse key; at 100 TB this is how every coarser grain is
+    served — ticks are aggregated exactly once.
+    """
+    factor = to_ms // from_ms
+    g = bars.groupBy(
+        "symbol", F.expr(f"bucket div {factor}").cast("long").alias("bucket")
+    ).agg(
+        F.min_by("open", "bucket").alias("open_raw"),
+        F.max("high").alias("high_raw"),
+        F.min("low").alias("low_raw"),
+        F.max_by("close", "bucket").alias("close_raw"),
+        F.sum("volume").alias("volume_raw"),
+        F.sum(F.col("notional").cast("decimal(24,6)")).cast("double").alias("notional_raw"),
+        F.sum("trade_count").cast("long").alias("trade_count"),
+        F.count("*").cast("long").alias("n_source_bars"),
+    )
+    return g.select(
+        "symbol",
+        "bucket",
+        r6(F.col("open_raw")).alias("open"),
+        r6(F.col("high_raw")).alias("high"),
+        r6(F.col("low_raw")).alias("low"),
+        r6(F.col("close_raw")).alias("close"),
+        r6(F.col("volume_raw")).alias("volume"),
+        r6(F.col("notional_raw")).alias("notional"),
+        r6(F.col("notional_raw") / F.col("volume_raw")).alias("vwap"),
+        "trade_count",
+        "n_source_bars",
+    )

@@ -128,3 +128,29 @@ def test_derived_time_integer_arithmetic(spark):
     assert f["day_of_week"] == 1  # Monday (0=Sunday)
     assert f["hour_cos"] == 1.0 and f["hour_sin"] == 0.0
     assert f["is_asia_hours"] is True and f["is_us_hours"] is False
+
+
+def test_resample_bars_composition(spark):
+    from pyspark.sql import Row
+
+    from bitcoin_datapipeline_spark.operators.aggregates import resample_bars
+
+    def bar(bucket, o, h, l, c, vol):
+        return Row(symbol="BTC", bucket=bucket, open=float(o), high=float(h),
+                   low=float(l), close=float(c), volume=float(vol),
+                   notional=float(vol) * float(c), trade_count=2)
+
+    # minutes 0,1 in hour 0; minute 61 in hour 1
+    bars = spark.createDataFrame([
+        bar(0, 100, 110, 95, 105, 2.0),
+        bar(1, 105, 120, 100, 118, 3.0),
+        bar(61, 200, 205, 195, 202, 1.0),
+    ])
+    out = {r.bucket: r for r in resample_bars(bars).collect()}
+    h0 = out[0]
+    assert h0.open == 100.0       # first fine bar's open
+    assert h0.close == 118.0      # last fine bar's close
+    assert h0.high == 120.0 and h0.low == 95.0
+    assert h0.volume == 5.0
+    assert h0.trade_count == 4 and h0.n_source_bars == 2
+    assert out[1].open == 200.0 and out[1].n_source_bars == 1
