@@ -869,7 +869,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_meta(table(spark, sf_dir, "documents"))
 
 
-@q("q_multimodal_decode")  # rows-only: per-byte decode not SQL-expressible in DuckDB
+@q("q_multimodal_decode", multimodal.DECODE_FEATURES_ORACLE)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_features(
         multimodal.media_table(table(spark, sf_dir, "documents"))

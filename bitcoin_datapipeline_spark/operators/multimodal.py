@@ -127,14 +127,22 @@ def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return flat.repartition("fmt").mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
+# The fake decoder's byte statistics ARE oracle-expressible for this corpus:
+# the payload is UTF-8 of pure-ASCII text, so byte k == ascii(char k), and
+# mean/min/max over integer codes are exact in both engines (integer sum →
+# one exact double division; no rounding needed).
 DECODE_FEATURES_ORACLE = """
-SELECT doc_id,
-       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       round(list_sum(list_transform(
-           generate_series(1, octet_length(encode(text))),
-           i -> CAST(get_bit_or_byte_placeholder AS DOUBLE))), 6) AS byte_mean
-FROM documents"""
-# NOTE: DuckDB has no cheap per-byte fold over BLOBs; decode_features is
-# registered rows-only (driver's weaker check) — the oracle-checked surface
-# for multimodal is media_meta above.  Kept here as documentation.
+WITH codes AS (
+  SELECT doc_id,
+         [ascii(substr(text, i, 1)) for i in generate_series(1, length(text))]
+             AS cs
+  FROM documents
+)
+SELECT d.doc_id,
+       CASE d.doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END
+           AS format,
+       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+       CAST(list_sum(c.cs) AS DOUBLE) / len(c.cs)   AS byte_mean,
+       CAST(list_min(c.cs) AS INTEGER)              AS byte_min,
+       CAST(list_max(c.cs) AS INTEGER)              AS byte_max
+FROM documents d JOIN codes c ON d.doc_id = c.doc_id"""
