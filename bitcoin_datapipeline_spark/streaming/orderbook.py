@@ -64,6 +64,9 @@ BOOK_OUTPUT_SCHEMA = T.StructType(
         T.StructField("bid_depth_5", T.DoubleType()),
         T.StructField("ask_depth_5", T.DoubleType()),
         T.StructField("depth_imbalance", T.DoubleType()),
+        # a crossed book (best_bid >= best_ask) signals feed corruption →
+        # the re-anchor trigger alongside sequence gaps
+        T.StructField("is_crossed", T.BooleanType()),
     ]
 )
 
@@ -90,16 +93,19 @@ def snapshot(symbol: str, last_seq: int, book: dict[str, dict[float, float]]):
     bid_all = sum(q for _, q in bids)
     ask_all = sum(q for _, q in asks)
     denom = max(bid_all + ask_all, 1.0)
+    best_bid = bids[0][0] if bids else None
+    best_ask = asks[0][0] if asks else None
     return (
         symbol,
         last_seq,
         len(bids),
         len(asks),
-        bids[0][0] if bids else None,
-        asks[0][0] if asks else None,
+        best_bid,
+        best_ask,
         bid5,
         ask5,
         (bid_all - ask_all) / denom,
+        (best_bid is not None and best_ask is not None and best_bid >= best_ask),
     )
 
 
