@@ -696,7 +696,9 @@ bf AS (
          round((arg_max(ask_px, event_ts) - arg_max(bid_px, event_ts))
                / ((arg_max(ask_px, event_ts) + arg_max(bid_px, event_ts)) / 2.0)
                * 10000.0, 6) AS latest_spread_bp,
-         round((sum(bid_sz) - sum(ask_sz)) / greatest(sum(bid_sz) + sum(ask_sz), 1.0), 6)
+         round((sum(bid_sz) - CAST(sum(CAST(ask_sz AS DECIMAL(20,2))) AS DOUBLE))
+               / greatest(sum(bid_sz)
+                          + CAST(sum(CAST(ask_sz AS DECIMAL(20,2))) AS DOUBLE), 1.0), 6)
              AS size_imbalance
   FROM bba GROUP BY 1, 2
 ),

@@ -56,9 +56,22 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
     return list(tables.TABLES) + list(derived)
 
 
+def _load_entry():
+    """Import the driver-contract module from the repo root regardless of
+    the caller's working directory."""
+    import importlib
+    import os
+    import sys
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
+    return importlib.import_module("__spark_entry__")
+
+
 def run(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
     """Execute a driver-contract query by name."""
-    import __spark_entry__ as entry
+    entry = _load_entry()
 
     qs = entry.queries()
     if name not in qs:
@@ -81,12 +94,11 @@ def _main() -> None:
     ap.add_argument("--limit", type=int, default=20, help="rows to show")
     args = ap.parse_args()
 
-    sys.path.insert(0, ".")
     from .session import get_spark
 
     spark = get_spark("api-cli")
     if args.query == "list":
-        import __spark_entry__ as entry
+        entry = _load_entry()
 
         for name in sorted(entry.queries()):
             oracle = "oracle" if name in entry.oracle_sql() else "rows-only"

@@ -77,11 +77,18 @@ def asof_purchase_click(events: DataFrame, tolerance_ms: int = ASOF_TOLERANCE_MS
         .orderBy("ms", "is_q")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    locf_val = F.last("click_value", ignorenulls=True).over(w)
-    locf_ms = F.last("click_src_ms", ignorenulls=True).over(w)
+    # LOCF a single struct so (ms, value) always travel TOGETHER — carrying
+    # them in separate last(ignorenulls) calls would pair a stale value with
+    # a fresher timestamp whenever a click's value is NULL, diverging from
+    # as-of semantics (match the row; its value may legitimately be NULL).
+    click_row = F.when(
+        F.col("is_q") == 0,
+        F.struct(F.col("click_src_ms").alias("ms"), F.col("click_value").alias("v")),
+    )
+    locf = F.last(click_row, ignorenulls=True).over(w)
     out = (
-        u.withColumn("lv", locf_val)
-        .withColumn("lm", locf_ms)
+        u.withColumn("lv", locf.getField("v"))
+        .withColumn("lm", locf.getField("ms"))
         .filter(F.col("is_q") == 1)
     )
     fresh = F.col("lm").isNotNull() & ((F.col("ms") - F.col("lm")) <= tolerance_ms)

@@ -123,8 +123,17 @@ def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
         F.col("media_meta.format").alias("fmt"),
         F.col("media_meta.n_bytes").alias("n_bytes"),
     )
-    # partition by format first: a real decoder keeps one codec per task
-    return flat.repartition("fmt").mapInPandas(batches, schema=DECODED_SCHEMA)
+    # partition by (format, shard): each task stays codec-homogeneous
+    # WITHOUT collapsing parallelism to the 3 distinct formats — hashing on
+    # fmt alone caps the whole decode at <=3 tasks on any cluster.  The
+    # shard count follows the session's shuffle parallelism (AQE may still
+    # coalesce when the data is small — that's the right behavior).
+    n_parts = int(media.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    shards = max(n_parts // len(FORMATS), 1)
+    sharded = flat.repartition(
+        n_parts, F.col("fmt"), (F.col("doc_id") % F.lit(shards)).alias("shard")
+    )
+    return sharded.mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
 # The fake decoder's byte statistics ARE oracle-expressible for this corpus:

@@ -218,7 +218,6 @@ def ann_ivf(embeddings: DataFrame) -> DataFrame:
     cosine with a centroid-id tiebreak, then ranked in-list by rounded
     cosine with a neighbor-id tiebreak.
     """
-    dim = 64
     # exploded (vec_id, label, pos, val) for centroid computation
     pos = embeddings.select(
         "vec_id",

@@ -27,7 +27,9 @@ STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 JACCARD_THRESHOLD = 0.5
 MINHASH_SIGS = 12
-MINHASH_BANDS = 4  # 3 signatures per band
+MINHASH_BANDS = 4  # MINHASH_SIGS // MINHASH_BANDS signatures per band
+
+_SHD_CACHE = None  # last persisted shingle DF (see minhash_lsh_pairs)
 
 _STOP_SQL = "(" + ",".join(f"'{s}'" for s in STOPWORDS) + ")"
 
@@ -263,7 +265,17 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
     # sides of the verification join) — persist it once instead of re-running
     # split+explode+md5 per consumer.  (On a cluster this is the natural
     # materialization point: cache or a temp table keyed by doc_id.)
+    # A lazy result can't know when its consumer finishes, so the cache
+    # lifecycle is bounded instead of leaked: each call releases the
+    # previous call's cached shingles (at most one copy resident).
+    global _SHD_CACHE
     shd = _shingles(documents).persist()
+    if _SHD_CACHE is not None:
+        try:
+            _SHD_CACHE.unpersist()
+        except Exception:
+            pass
+    _SHD_CACHE = shd
     # one pass computes all 12 signatures AND the set size (used later for
     # jaccard) — avoids a second full shingle scan
     sig_cols = [
@@ -321,8 +333,11 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
 _SIG_SQL = ",\n         ".join(
     f"min(md5(concat('{j}', '|', shingle))) AS s{j}" for j in range(MINHASH_SIGS)
 )
+_PER_BAND = MINHASH_SIGS // MINHASH_BANDS
 _BAND_SQL = " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band, concat(s{b * 3}, s{b * 3 + 1}, s{b * 3 + 2}) AS band_hash FROM sigs"
+    "SELECT doc_id, {b} AS band, concat({sigs}) AS band_hash FROM sigs".format(
+        b=b, sigs=", ".join(f"s{b * _PER_BAND + k}" for k in range(_PER_BAND))
+    )
     for b in range(MINHASH_BANDS)
 )
 MINHASH_LSH_ORACLE = f"""

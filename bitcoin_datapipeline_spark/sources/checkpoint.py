@@ -36,15 +36,23 @@ def incremental_filter(
     trades: DataFrame, watermarks: dict[str, int], overlap_ms: int = OVERLAP_MS
 ) -> DataFrame:
     """Keep rows newer than each symbol's watermark minus the overlap.
-    Symbols without a watermark pass through entirely."""
+    Symbols without a watermark (including NULL symbols) pass through
+    entirely.
+
+    Implemented as a broadcast left join against a watermark table rather
+    than an OR-chain predicate: per-symbol Column conditions would grow the
+    Catalyst expression tree linearly with key count, and `isin`-based
+    passthrough silently drops NULL-symbol rows (NULL predicate → filtered).
+    """
     if not watermarks:
         return trades
-    expr = None
-    for sym, wm in watermarks.items():
-        cond = (F.col("symbol") == sym) & (F.col("event_ts") > wm - overlap_ms)
-        expr = cond if expr is None else expr | cond
-    unseen = ~F.col("symbol").isin(*watermarks.keys())
-    return trades.filter(unseen | expr)
+    spark = trades.sparkSession
+    wm_df = spark.createDataFrame(
+        [(sym, wm) for sym, wm in watermarks.items()], "symbol string, __wm long"
+    )
+    joined = trades.join(F.broadcast(wm_df), on="symbol", how="left")
+    keep = F.col("__wm").isNull() | (F.col("event_ts") > F.col("__wm") - overlap_ms)
+    return joined.filter(keep).drop("__wm")
 
 
 def incremental_append(

@@ -126,3 +126,23 @@ def test_anti_join(spark):
     orders = spark.createDataFrame([Row(o_custkey=1, o_orderkey=10)])
     out = customers_without_orders(cust, orders).collect()
     assert [r.c_custkey for r in out] == [2]
+
+
+def test_asof_null_click_value_travels_with_its_timestamp(spark):
+    """Regression (review finding): a click with NULL value must yield
+    click_value=NULL for later purchases — not resurrect an older value
+    paired with the newer timestamp."""
+    import json as _json
+
+    h = 3_600_000
+    rows = [
+        _event(1, 0, 7, "click", 5.0),
+        Row(event_id=2, ts=1 * h * 1_000_000, user_id=7, event_type="click",
+            value=None, props=_json.dumps({"k": 1})),
+        _event(3, 2 * h, 7, "purchase", 99.0),
+    ]
+    out = asof_purchase_click(spark.createDataFrame(rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.click_ms == 1 * h        # matched the latest click row...
+    assert r.click_value is None      # ...whose value is legitimately NULL

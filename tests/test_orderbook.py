@@ -96,3 +96,19 @@ def test_stream_order_book_cross_batch(spark, tmp_path):
     assert btc.n_ask_levels == 2
     eth = latest["ETH"]
     assert eth.best_bid == 10.0          # other key untouched
+
+
+def test_is_crossed_flag(spark, tmp_path):
+    """Crossed book detected; one-sided book NOT flagged."""
+    src = str(tmp_path / "crossed")
+    deltas = [
+        _delta("OK", 1, "bid", 99.0, 1.0), _delta("OK", 2, "ask", 101.0, 1.0),
+        _delta("BAD", 1, "bid", 105.0, 1.0), _delta("BAD", 2, "ask", 100.0, 1.0),
+        _delta("ONE", 1, "bid", 1.0, 1.0),
+    ]
+    spark.createDataFrame(deltas, DELTA_SCHEMA).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(DELTA_SCHEMA).parquet(src)
+    out = {r.symbol: r for r in _run(spark, stream_order_book(stream), "crossed_t").collect()}
+    assert out["OK"].is_crossed is False
+    assert out["BAD"].is_crossed is True
+    assert out["ONE"].is_crossed is False  # empty side → not crossed

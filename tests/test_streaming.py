@@ -179,3 +179,21 @@ def test_stream_sliding_stats_matches_batch(spark, tmp_path):
     assert len(s) == len(b)
     assert (s.trade_count.values == b.trade_count.values).all()
     assert abs(s.vwap.values - b.vwap.values).max() < 1e-9
+
+
+def test_incremental_filter_null_symbol_passthrough(spark):
+    """Regression (review finding): NULL-symbol rows must pass through the
+    incremental filter, not vanish once a watermark exists."""
+    from bitcoin_datapipeline_spark.sources.checkpoint import incremental_filter
+
+    rows = [
+        Row(symbol="BTC", event_ts=10_000_000, ingest_ts=0, trade_id=1, price=1.0,
+            qty=1.0, is_buyer_maker=False, source="sbe"),
+        Row(symbol=None, event_ts=1, ingest_ts=0, trade_id=2, price=1.0,
+            qty=1.0, is_buyer_maker=False, source="sbe"),
+    ]
+    df = spark.createDataFrame(rows, TRADE_SCHEMA)
+    out = incremental_filter(df, {"BTC": 20_000_000})
+    got = {(r.symbol, r.trade_id) for r in out.collect()}
+    assert (None, 2) in got          # NULL symbol passes through
+    assert ("BTC", 1) not in got     # below watermark-minus-overlap → dropped
