@@ -979,6 +979,22 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.forecast_revenue(table(spark, sf_dir, "lineitem"))
 
 
+@q("q_promo_revenue", relational.PROMO_REVENUE_ORACLE)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.promo_revenue_share(
+        table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "part")
+    )
+
+
+@q("q_returned_customers", relational.RETURNED_CUSTOMERS_ORACLE)
+def q_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.returned_item_customers(
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "customer"),
+    )
+
+
 @q("q_shipping_priority", relational.SHIPPING_PRIORITY_ORACLE)
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.shipping_priority(

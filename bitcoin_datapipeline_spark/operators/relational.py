@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import r6
+
 D = "decimal(18,4)"
 
 
@@ -353,3 +355,103 @@ FROM (
   FROM per_order
 )
 WHERE priority_rank <= 10"""
+
+
+def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H-Q14-shaped conditional revenue share: promo-part revenue as a
+    percentage of total, per month — broadcast part dim, decimal-exact
+    numerator/denominator, one exact double division at the end."""
+    rev = _dec(F.col("l_extendedprice")) * _dec(1.0 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(D))
+    j = lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    g = j.groupBy(
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        F.month("l_shipdate").cast("int").alias("ship_month"),
+    ).agg(
+        F.sum(promo).alias("promo_rev"),
+        F.sum(rev).alias("total_rev"),
+        F.count("*").alias("n"),
+    )
+    return g.select(
+        "ship_year",
+        "ship_month",
+        F.col("promo_rev").cast("double").alias("promo_revenue"),
+        F.col("total_rev").cast("double").alias("total_revenue"),
+        r6(
+            F.col("promo_rev").cast("double") / F.col("total_rev").cast("double") * 100.0
+        ).alias("promo_share_pct"),
+        F.col("n").cast("long").alias("n_lineitems"),
+    )
+
+
+PROMO_REVENUE_ORACLE = """
+SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+       CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1.0 - l_discount AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+       round(CAST(sum(CASE WHEN p_type = 'PROMO'
+                           THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                                * CAST(1.0 - l_discount AS DECIMAL(18,4))
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE)
+             * 100.0, 6) AS promo_share_pct,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1, 2"""
+
+
+def returned_item_customers(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, k: int = 20
+) -> DataFrame:
+    """TPC-H-Q10-shaped: customers ranked by revenue lost to returned items
+    (l_returnflag = 'R') — join chain, filtered agg, deterministic top-K."""
+    rev = _dec(F.col("l_extendedprice")) * _dec(1.0 - F.col("l_discount"))
+    j = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    per_cust = j.groupBy("c_custkey", "c_name", "c_mktsegment").agg(
+        F.sum(rev).alias("lost"), F.count("*").alias("n")
+    )
+    w = Window.orderBy(F.col("lost").desc(), F.col("c_custkey"))
+    return (
+        per_cust.withColumn("return_rank", F.row_number().over(w))
+        .filter(F.col("return_rank") <= k)
+        .select(
+            F.col("return_rank").cast("int").alias("return_rank"),
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            "c_mktsegment",
+            F.col("lost").cast("double").alias("returned_revenue"),
+            F.col("n").cast("long").alias("n_returned_items"),
+        )
+    )
+
+
+RETURNED_CUSTOMERS_ORACLE = """
+WITH per_cust AS (
+  SELECT c_custkey, c_name, c_mktsegment,
+         sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS lost,
+         count(*) AS n
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE l_returnflag = 'R'
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(return_rank AS INTEGER) AS return_rank,
+       CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_mktsegment,
+       CAST(lost AS DOUBLE) AS returned_revenue,
+       CAST(n AS BIGINT) AS n_returned_items
+FROM (
+  SELECT *, row_number() OVER (ORDER BY lost DESC, c_custkey) AS return_rank
+  FROM per_cust
+)
+WHERE return_rank <= 20"""
