@@ -237,7 +237,7 @@ f AS (
          CAST(sum(CAST(mid AS DECIMAL(24,7))) AS DOUBLE) / count(*)     AS avg_mid_raw,
          arg_min(mid, event_ts)             AS first_mid,
          arg_max(mid, event_ts)             AS last_mid,
-         sum(bid_sz)                        AS total_bid_size_raw,
+         CAST(sum(CAST(bid_sz AS DECIMAL(20,2))) AS DOUBLE) AS total_bid_size_raw,
          CAST(sum(CAST(ask_sz AS DECIMAL(20,2))) AS DOUBLE) AS total_ask_size_raw
   FROM b GROUP BY 1, 2
 )
@@ -696,8 +696,9 @@ bf AS (
          round((arg_max(ask_px, event_ts) - arg_max(bid_px, event_ts))
                / ((arg_max(ask_px, event_ts) + arg_max(bid_px, event_ts)) / 2.0)
                * 10000.0, 6) AS latest_spread_bp,
-         round((sum(bid_sz) - CAST(sum(CAST(ask_sz AS DECIMAL(20,2))) AS DOUBLE))
-               / greatest(sum(bid_sz)
+         round((CAST(sum(CAST(bid_sz AS DECIMAL(20,2))) AS DOUBLE)
+                - CAST(sum(CAST(ask_sz AS DECIMAL(20,2))) AS DOUBLE))
+               / greatest(CAST(sum(CAST(bid_sz AS DECIMAL(20,2))) AS DOUBLE)
                           + CAST(sum(CAST(ask_sz AS DECIMAL(20,2))) AS DOUBLE), 1.0), 6)
              AS size_imbalance
   FROM bba GROUP BY 1, 2

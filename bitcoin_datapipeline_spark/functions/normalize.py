@@ -32,7 +32,7 @@ float division silently loses ms precision; `div` is exact 64-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame  # noqa: F401 (Column in return type)
 from pyspark.sql import functions as F
 
 # Validation bounds (reference: transformer.py:241-260 — timestamps must be
@@ -61,7 +61,7 @@ def trades(events: DataFrame) -> DataFrame:
     )
 
 
-def valid_filter(col_price: Column | None = None) -> Column:
+def valid_filter() -> Column:
     """P5 validation predicate: positive price/qty, sane event-time range
     (transformer.py:71-84, :241-260; feature_builder.py:109-117)."""
     return (

@@ -198,7 +198,7 @@ def bba_features(bba: DataFrame, bucket_ms: int = 3_600_000) -> DataFrame:
         .alias("avg_mid_raw"),
         F.min_by("mid", "event_ts").alias("first_mid"),
         F.max_by("mid", "event_ts").alias("last_mid"),
-        F.sum("bid_sz").alias("total_bid_size_raw"),
+        F.sum(F.col("bid_sz").cast("decimal(20,2)")).cast("double").alias("total_bid_size_raw"),
         F.sum(F.col("ask_sz").cast("decimal(20,2)")).cast("double").alias("total_ask_size_raw"),
     )
     latest_mid = (F.col("latest_ask_raw") + F.col("latest_bid_raw")) / 2.0

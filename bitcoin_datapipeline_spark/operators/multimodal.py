@@ -128,7 +128,10 @@ def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
     # fmt alone caps the whole decode at <=3 tasks on any cluster.  The
     # shard count follows the session's shuffle parallelism (AQE may still
     # coalesce when the data is small — that's the right behavior).
-    n_parts = int(media.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        n_parts = int(media.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    except ValueError:  # e.g. "auto" on AQE-managed platforms
+        n_parts = 32
     shards = max(n_parts // len(FORMATS), 1)
     sharded = flat.repartition(
         n_parts, F.col("fmt"), (F.col("doc_id") % F.lit(shards)).alias("shard")

@@ -232,14 +232,12 @@ def sessionize(trades: DataFrame, gap_ms: int = SESSION_GAP_MS) -> DataFrame:
             F.col("session_id").cast("long").alias("session_id"),
             "session_start",
             "session_end",
-            ((F.col("session_end") - F.col("session_start")) / 1000.0).alias(
-                "duration_s_raw"
+            r6((F.col("session_end") - F.col("session_start")) / 1000.0).alias(
+                "duration_s"
             ),
             "n_trades",
             r6(F.col("volume")).alias("volume"),
         )
-        .withColumn("duration_s", r6(F.col("duration_s_raw")))
-        .drop("duration_s_raw")
     )
 
 

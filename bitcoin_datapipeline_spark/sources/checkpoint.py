@@ -59,9 +59,25 @@ def incremental_append(
     spark: SparkSession, trades: DataFrame, sink_dir: str, keys: list[str]
 ) -> int:
     """One incremental cycle: watermark → overlap re-read → dedup against
-    the increment itself → append.  Returns rows written."""
+    the increment AND the already-written sink tail → append.  Returns rows
+    written.
+
+    The anti-join against the sink tail is what makes the overlap re-read
+    actually idempotent (the reference gets this from its unique index,
+    db_writer.py:131-135; Parquet has no constraints, so the "index probe"
+    is an explicit anti join).  Only the overlap window of the sink is
+    re-read — the probe cost is bounded by overlap size, not sink size
+    (partition/row-group pruning on event_ts serves it at scale)."""
     wms = high_watermarks(spark, sink_dir)
     inc = incremental_filter(trades, wms).dropDuplicates(keys)
+    if wms and os.path.exists(sink_dir):
+        tail_min = min(wms.values()) - OVERLAP_MS
+        sink_tail = (
+            spark.read.parquet(sink_dir)
+            .filter(F.col("event_ts") > tail_min)
+            .select(keys)
+        )
+        inc = inc.join(sink_tail, on=keys, how="left_anti")
     n = inc.count()
     if n:
         inc.write.mode("append").parquet(sink_dir)

@@ -138,12 +138,18 @@ def make_gap_detector(threshold_ms: int = 2 * 3_600_000):
     def fn(key, pdfs, state: GroupState):
         symbol = key[0]
         last_ts = state.get[0] if state.exists else None
-        rows = []
+        # accumulate ALL chunks before sorting: a group larger than the
+        # Arrow batch size arrives as multiple pdfs in arbitrary order, and
+        # per-chunk sorting would fabricate gaps across chunk boundaries
+        # (and corrupt last_ts for the next micro-batch)
+        all_ts: list[int] = []
         for pdf in pdfs:
-            for ts in sorted(pdf["event_ts"].tolist()):
-                if last_ts is not None and ts - last_ts > threshold_ms:
-                    rows.append((symbol, last_ts, ts, ts - last_ts))
-                last_ts = ts
+            all_ts.extend(pdf["event_ts"].tolist())
+        rows = []
+        for ts in sorted(all_ts):
+            if last_ts is not None and ts - last_ts > threshold_ms:
+                rows.append((symbol, last_ts, ts, ts - last_ts))
+            last_ts = ts
         state.update((last_ts,))
         yield pd.DataFrame(rows, columns=[f.name for f in GAP_OUTPUT_SCHEMA.fields])
 

@@ -134,17 +134,21 @@ def test_incremental_append_idempotent(spark, tmp_path):
                                    schema=TRADE_SCHEMA)
     n1 = incremental_append(spark, batch1, sink, ["symbol", "trade_id"])
     assert n1 == 10
-    # re-run same batch: overlap window re-reads the tail only; appended rows
-    # duplicate the sink tail, mirroring the reference's overlap + dedup —
-    # sink-level dedup is the reader's job (D2), so just assert watermark moved
+    # re-run the IDENTICAL batch: every row is either below the watermark or
+    # already in the sink tail → truly idempotent, zero rows written
+    n_replay = incremental_append(spark, batch1, sink, ["symbol", "trade_id"])
+    assert n_replay == 0
+    assert spark.read.parquet(sink).count() == 10  # no duplicates in the sink
+    # a batch overlapping the tail writes only the genuinely new rows
     batch2 = spark.createDataFrame(
         [_trade("BTC", t * 1000, t) for t in range(8, 15)], schema=TRADE_SCHEMA
     )
     n2 = incremental_append(spark, batch2, sink, ["symbol", "trade_id"])
-    assert n2 == 7  # rows 8..14 pass the watermark-minus-overlap filter
+    assert n2 == 5  # rows 8,9 are already in the sink tail; 10..14 are new
     from bitcoin_datapipeline_spark.sources.checkpoint import high_watermarks
 
     assert high_watermarks(spark, sink)["BTC"] == 14_000
+    assert spark.read.parquet(sink).count() == 15  # still duplicate-free
 
 
 def test_stream_sliding_stats_matches_batch(spark, tmp_path):
