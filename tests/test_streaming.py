@@ -201,3 +201,49 @@ def test_incremental_filter_null_symbol_passthrough(spark):
     got = {(r.symbol, r.trade_id) for r in out.collect()}
     assert (None, 2) in got          # NULL symbol passes through
     assert ("BTC", 1) not in got     # below watermark-minus-overlap → dropped
+
+
+def test_checkpoint_restart_resumes_state(spark, tmp_path):
+    """S5/S10 exactly-once-ish claim: a streaming query stopped and
+    RESTARTED from its checkpoint must (a) not reprocess consumed files and
+    (b) carry dedup state across the restart — the engine analog of the
+    reference's Kinesis sequence-number resume (kinesis_consumer.py:231-272).
+    """
+    from bitcoin_datapipeline_spark.streaming.ops import stream_dedup
+
+    src = str(tmp_path / "cp_src")
+    ckpt = str(tmp_path / "cp_state")
+    out = str(tmp_path / "cp_out")
+
+    spark.createDataFrame(
+        [_trade("BTC", 1000, 1), _trade("BTC", 2000, 2)], schema=TRADE_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def start():
+        return (
+            stream_dedup(spark.readStream.schema(TRADE_SCHEMA).parquet(src))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", out)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(out).count() == 2
+
+    # new file arrives while the query is DOWN: one replayed id, one new
+    spark.createDataFrame(
+        [_trade("BTC", 3000, 1), _trade("BTC", 4000, 3)], schema=TRADE_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    q2 = start()  # restart from checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+    rows = spark.read.parquet(out).collect()
+    ids = sorted(r.trade_id for r in rows)
+    # id 1 was deduped ACROSS the restart (state store recovered);
+    # batch 1's rows were not reprocessed (offsets recovered)
+    assert ids == [1, 2, 3]
