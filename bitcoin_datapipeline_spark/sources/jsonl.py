@@ -57,3 +57,49 @@ def read_bronze_jsonl(spark: SparkSession, in_dir: str) -> DataFrame:
         .json(in_dir)
     )
     return df.select([f.name for f in TRADE_SCHEMA.fields])
+
+
+def write_bronze(trades: DataFrame, out_dir: str, fmt: str = "parquet") -> None:
+    """Format-generic partitioned bronze write: 'parquet' (the documented
+    lake target, S3_SCHEMA.md:74-90), 'json' (the reference's actual wire
+    format), 'csv', or 'orc'.  Same partition layout for all — format choice
+    changes codecs and stats, never the pruning contract."""
+    w = with_time_partitions(trades).write.mode("overwrite").partitionBy(*PARTITION_COLS)
+    if fmt == "json":
+        w.option("compression", "gzip").json(out_dir)
+    elif fmt == "csv":
+        w.option("header", "true").option("compression", "gzip").csv(out_dir)
+    elif fmt == "orc":
+        w.orc(out_dir)
+    elif fmt == "parquet":
+        w.parquet(out_dir)
+    else:
+        raise ValueError(f"unsupported bronze format: {fmt!r}")
+
+
+def read_bronze(spark: SparkSession, in_dir: str, fmt: str = "parquet") -> DataFrame:
+    """Format-generic bronze read with the canonical trade schema enforced
+    (no inference — schema drift fails loudly, not silently).
+
+    CSV caveat (observed): DROPMALFORMED only drops a row when at least one
+    data column is actually parsed — a bare ``count()`` prunes every column,
+    parses nothing, and therefore COUNTS malformed rows.  Any query that
+    touches a field sees the dropped-row view; audit counts over csv bronze
+    should count a parsed column (e.g. ``count(event_ts)``), not ``*``."""
+    schema = TRADE_SCHEMA
+    if fmt == "json":
+        df = spark.read.schema(schema).option("mode", "DROPMALFORMED").json(in_dir)
+    elif fmt == "csv":
+        df = (
+            spark.read.schema(schema)
+            .option("header", "true")
+            .option("mode", "DROPMALFORMED")
+            .csv(in_dir)
+        )
+    elif fmt == "orc":
+        df = spark.read.schema(schema).orc(in_dir)
+    elif fmt == "parquet":
+        df = spark.read.schema(schema).parquet(in_dir)
+    else:
+        raise ValueError(f"unsupported bronze format: {fmt!r}")
+    return df.select([f.name for f in TRADE_SCHEMA.fields])

@@ -247,3 +247,21 @@ def test_checkpoint_restart_resumes_state(spark, tmp_path):
     # id 1 was deduped ACROSS the restart (state store recovered);
     # batch 1's rows were not reprocessed (offsets recovered)
     assert ids == [1, 2, 3]
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "json", "csv", "orc"])
+def test_bronze_format_roundtrip(spark, tmp_path, fmt):
+    """Every bronze format round-trips the canonical schema under the same
+    Hive partition layout (partition pruning contract is format-agnostic)."""
+    from bitcoin_datapipeline_spark.sources.jsonl import read_bronze, write_bronze
+
+    rows = [_trade("BTC", 1704067200000 + i * 1000, i, price=100.0 + i)
+            for i in range(12)]
+    df = spark.createDataFrame(rows, schema=TRADE_SCHEMA)
+    out = str(tmp_path / f"bronze_{fmt}")
+    write_bronze(df, out, fmt=fmt)
+    assert any(p.startswith("symbol=") for p in os.listdir(out))
+    back = read_bronze(spark, out, fmt=fmt)
+    assert back.count() == 12
+    got = {(r.trade_id, r.price) for r in back.collect()}
+    assert got == {(i, 100.0 + i) for i in range(12)}
