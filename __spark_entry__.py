@@ -970,6 +970,16 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_doc_chunks", text.CHUNK_ORACLE)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.chunk_documents(table(spark, sf_dir, "documents"))
+
+
+@q("q_doc_sample", text.SAMPLE_ORACLE)
+def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.deterministic_sample(table(spark, sf_dir, "documents"))
+
+
 @q("q_tfidf", text.TFIDF_ORACLE)
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(table(spark, sf_dir, "documents"))

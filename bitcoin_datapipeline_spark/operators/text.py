@@ -525,3 +525,91 @@ FROM (
   FROM scored
 )
 WHERE term_rank <= {TFIDF_TOP_K}"""
+
+
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_tokens: int = CHUNK_TOKENS, overlap: int = CHUNK_OVERLAP
+) -> DataFrame:
+    """Document chunking for training: fixed token windows with overlap —
+    stride = chunk_tokens - overlap, last partial window kept (standard
+    pre-training pack/chunk pass).
+
+    Pure JVM plan: one `transform(sequence(...))` builds every window as a
+    token-slice join, one posexplode emits (doc, chunk_id) rows — no Python,
+    and chunk boundaries are token-exact so the oracle can replicate with
+    list slicing.
+    """
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.greatest(
+        F.ceil((F.size(toks) - F.lit(overlap)) / F.lit(stride)), F.lit(1)
+    ).cast("int")
+    chunks = F.expr(
+        f"transform(sequence(0, greatest(cast(ceil((size(split(text, ' ')) - {overlap}) "
+        f"/ {stride}) as int), 1) - 1), "
+        f"i -> concat_ws(' ', slice(split(text, ' '), i * {stride} + 1, {chunk_tokens})))"
+    )
+    out = documents.select(
+        "doc_id",
+        "lang",
+        n_chunks.alias("n_chunks"),
+        F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        "chunk_text",
+        F.size(F.split(F.col("chunk_text"), " ")).cast("int").alias("chunk_tokens"),
+        "n_chunks",
+    )
+
+
+CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+),
+c AS (
+  SELECT doc_id, lang,
+         CAST(greatest(ceil((len(toks) - {CHUNK_OVERLAP}) / {CHUNK_TOKENS - CHUNK_OVERLAP}.0), 1) AS INTEGER)
+             AS n_chunks,
+         toks
+  FROM t
+)
+SELECT doc_id, lang,
+       CAST(i - 1 AS INTEGER) AS chunk_id,
+       array_to_string(toks[(i - 1) * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1 :
+                            (i - 1) * {CHUNK_TOKENS - CHUNK_OVERLAP} + {CHUNK_TOKENS}], ' ')
+           AS chunk_text,
+       CAST(len(toks[(i - 1) * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1 :
+                     (i - 1) * {CHUNK_TOKENS - CHUNK_OVERLAP} + {CHUNK_TOKENS}]) AS INTEGER)
+           AS chunk_tokens,
+       n_chunks
+FROM c, LATERAL unnest(generate_series(1, n_chunks)) AS u(i)"""
+
+
+SAMPLE_KEEP_HEX_MAX = "3"  # md5 first hex in [0,3] → ~25% kept
+
+
+def deterministic_sample(documents: DataFrame) -> DataFrame:
+    """Deterministic stratified sampling (data-mixing pass): keep a document
+    iff the first hex digit of md5(doc_id) falls below a threshold —
+    reproducible across runs/engines with no RNG state, stratification via
+    the salt ('lang' here: each language sampled independently at the same
+    rate).  At 100 TB this is the standard shuffle-free subsample: a map-only
+    filter, no coordination."""
+    h = F.md5(F.concat(F.col("lang"), F.lit("|"), F.col("doc_id").cast("string")))
+    return documents.filter(
+        F.substring(h, 1, 1) <= SAMPLE_KEEP_HEX_MAX
+    ).select("doc_id", "lang", "source", "n_chars", F.substring(h, 1, 1).alias("sample_bucket"))
+
+
+SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, source, n_chars,
+       substr(md5(concat(lang, '|', CAST(doc_id AS VARCHAR))), 1, 1) AS sample_bucket
+FROM documents
+WHERE substr(md5(concat(lang, '|', CAST(doc_id AS VARCHAR))), 1, 1) <= '{SAMPLE_KEEP_HEX_MAX}'"""

@@ -120,3 +120,35 @@ def test_salted_aggregation_equivalence(spark, sf_dir):
     )
     merged = {(r.symbol,): (r.n, round(r.vol, 6)) for r in salted.collect()}
     assert direct == merged
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from pyspark.sql import Row
+
+    from bitcoin_datapipeline_spark.operators.text import chunk_documents
+
+    # 10 tokens, chunk=4, overlap=2 → stride 2 → ceil((10-2)/2)=4 chunks
+    text = " ".join(f"w{i}" for i in range(10))
+    d = spark.createDataFrame([Row(doc_id=1, text=text, lang="en", source="s",
+                                   n_chars=len(text))])
+    out = chunk_documents(d, chunk_tokens=4, overlap=2).orderBy("chunk_id").collect()
+    assert len(out) == 4
+    assert out[0].chunk_text == "w0 w1 w2 w3"
+    assert out[1].chunk_text == "w2 w3 w4 w5"       # 2-token overlap
+    assert out[3].chunk_text == "w6 w7 w8 w9"
+    assert all(c.n_chunks == 4 for c in out)
+    # every token appears in at least one chunk
+    covered = set(t for c in out for t in c.chunk_text.split())
+    assert covered == {f"w{i}" for i in range(10)}
+
+
+def test_deterministic_sample_stable(spark, sf_dir):
+    from bitcoin_datapipeline_spark.operators.text import deterministic_sample
+    from bitcoin_datapipeline_spark.tables import table
+
+    d = table(spark, sf_dir, "documents")
+    s1 = {r.doc_id for r in deterministic_sample(d).collect()}
+    s2 = {r.doc_id for r in deterministic_sample(d).collect()}
+    assert s1 == s2                      # reproducible, no RNG state
+    frac = len(s1) / d.count()
+    assert 0.15 < frac < 0.35            # ~25% by construction
