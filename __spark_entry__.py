@@ -20,6 +20,7 @@ from bitcoin_datapipeline_spark.functions import categorize, klines, normalize, 
 from bitcoin_datapipeline_spark.operators import (
     aggregates,
     dedup,
+    grid,
     joins,
     multimodal,
     relational,
@@ -490,6 +491,67 @@ WINDOW w AS (PARTITION BY symbol ORDER BY bucket),
 )
 def q_labels_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.labels(pipeline.bars_pipeline(spark, sf_dir))
+
+
+# W2/W3 at true reference grain — fixed-second LOCF grid (S3_SCHEMA.md:520-682)
+@q(
+    "q_returns_1s",
+    OD.with_ctes(
+        OD.locf_grid_cte(step_s=1, slice_s=86_400, gap_s=60),
+        body="""
+SELECT symbol, feature_ts, round(price, 6) AS price,
+       round(ln(price / lag(price, 1)  OVER w), 6) AS ret_1s,
+       round(ln(price / lag(price, 5)  OVER w), 6) AS ret_5s,
+       round(ln(price / lag(price, 10) OVER w), 6) AS ret_10s,
+       round(ln(price / lag(price, 30) OVER w), 6) AS ret_30s,
+       round(ln(price / lag(price, 60) OVER w), 6) AS ret_60s,
+       data_age_ms, gap_indicator
+FROM locf
+WINDOW w AS (PARTITION BY symbol ORDER BY tick)""",
+    ),
+)
+def q_returns_1s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return grid.grid_returns(grid.locf_resample(pipeline.trades_clean(spark, sf_dir)))
+
+
+@q(
+    "q_labels_10s",
+    OD.with_ctes(
+        OD.locf_grid_cte(step_s=1, slice_s=86_400, gap_s=60),
+        body=f"""
+SELECT symbol, feature_ts,
+       CAST(feature_ts + 10 AS BIGINT) AS target_ts,
+       round(price, 6) AS current_price,
+       round(lead(price, 10) OVER w, 6) AS target_price,
+       round(lead(price, 10) OVER w - price, 6) AS price_change,
+       round(ln(lead(price, 10) OVER w / price), 6) AS return_10s,
+       round(abs(ln(lead(price, 10) OVER w / price)), 6) AS return_10s_abs,
+       CAST(CASE WHEN ln(lead(price, 10) OVER w / price) > {grid.DIRECTION_EPS} THEN 1
+                 WHEN ln(lead(price, 10) OVER w / price) < -{grid.DIRECTION_EPS} THEN -1
+                 WHEN lead(price, 10) OVER w IS NULL THEN NULL
+                 ELSE 0 END AS INTEGER) AS direction,
+       CAST(CASE WHEN ln(lead(price, 10) OVER w / price) > 0 THEN 1
+                 WHEN lead(price, 10) OVER w IS NULL THEN NULL
+                 ELSE 0 END AS INTEGER) AS direction_binary,
+       round(max(price) OVER fwd, 6) AS max_price_10s,
+       round(min(price) OVER fwd, 6) AS min_price_10s,
+       round(max(price) OVER fwd - min(price) OVER fwd, 6) AS price_range_10s,
+       round(stddev_samp(price) OVER fwd, 6) AS volatility_10s,
+       round(sum(volume) OVER fwd, 6) AS volume_10s,
+       CAST(sum(trades) OVER fwd AS BIGINT) AS trade_count_10s,
+       round(ln(lead(price, 5)  OVER w / price), 6) AS return_5s,
+       round(ln(lead(price, 15) OVER w / price), 6) AS return_15s,
+       round(ln(lead(price, 30) OVER w / price), 6) AS return_30s,
+       max(CASE WHEN gap_indicator THEN 1 ELSE 0 END) OVER fwd = 1 AS gap_in_window,
+       count(price) OVER fwd = 10 AS is_valid
+FROM locf
+WINDOW w AS (PARTITION BY symbol ORDER BY tick),
+       fwd AS (PARTITION BY symbol ORDER BY tick
+               ROWS BETWEEN 1 FOLLOWING AND 10 FOLLOWING)""",
+    ),
+)
+def q_labels_10s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return grid.grid_labels(grid.locf_resample(pipeline.trades_clean(spark, sf_dir)))
 
 
 @q(

@@ -132,6 +132,61 @@ bars AS (
 )
 
 
+def locf_grid_cte(step_s: int = 1, slice_s: int = 86_400, gap_s: int = 60) -> str:
+    """dedup_trades → fixed-``step_s``-second LOCF grid; mirror of
+    operators/grid.locf_resample().  Ends in a CTE named ``locf`` with
+    columns (symbol, tick, feature_ts, price, data_age_ms, gap_indicator,
+    source, volume, buy_volume, sell_volume, notional, trades, has_obs)."""
+    step_ms = step_s * 1000
+    n_ticks = slice_s // step_s
+    return (
+        DEDUP_TRADES_CTE
+        + f""",
+per_tick AS (
+  SELECT symbol, event_ts // {step_ms} AS tick,
+         arg_max(price, event_ts)  AS obs_price,
+         max(event_ts)             AS obs_last_ts,
+         arg_max(source, event_ts) AS obs_source,
+         sum(qty)                  AS obs_volume,
+         sum(CASE WHEN is_buyer_maker THEN 0.0 ELSE qty END) AS obs_buy_volume,
+         sum(CASE WHEN is_buyer_maker THEN qty ELSE 0.0 END) AS obs_sell_volume,
+         CAST(sum(CAST(price * qty AS DECIMAL(20,4))) AS DOUBLE) AS obs_notional,
+         CAST(count(*) AS BIGINT)  AS obs_trades
+  FROM dedup_trades GROUP BY 1, 2
+),
+spans AS (
+  SELECT symbol, min(tick) AS lo,
+         (SELECT min(tick) FROM per_tick) + {n_ticks - 1} AS hi
+  FROM per_tick GROUP BY symbol
+),
+grid_pts AS (
+  SELECT symbol, unnest(generate_series(lo, hi, 1)) AS tick
+  FROM spans WHERE lo <= hi
+),
+locf AS (
+  SELECT g.symbol, g.tick,
+         CAST(g.tick * {step_s} AS BIGINT) AS feature_ts,
+         last_value(p.obs_price IGNORE NULLS) OVER cum AS price,
+         CAST((g.tick + 1) * {step_ms} - 1
+              - last_value(p.obs_last_ts IGNORE NULLS) OVER cum AS BIGINT)
+             AS data_age_ms,
+         (g.tick + 1) * {step_ms} - 1
+              - last_value(p.obs_last_ts IGNORE NULLS) OVER cum > {gap_s * 1000}
+             AS gap_indicator,
+         last_value(p.obs_source IGNORE NULLS) OVER cum AS source,
+         coalesce(p.obs_volume, 0.0)      AS volume,
+         coalesce(p.obs_buy_volume, 0.0)  AS buy_volume,
+         coalesce(p.obs_sell_volume, 0.0) AS sell_volume,
+         coalesce(p.obs_notional, 0.0)    AS notional,
+         coalesce(p.obs_trades, 0)        AS trades,
+         p.obs_price IS NOT NULL          AS has_obs
+  FROM grid_pts g LEFT JOIN per_tick p ON g.symbol = p.symbol AND g.tick = p.tick
+  WINDOW cum AS (PARTITION BY g.symbol ORDER BY g.tick
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)"""
+    )
+
+
 def with_ctes(*ctes: str, body: str) -> str:
     """Compose `WITH a AS (...), b AS (...) <body>`."""
     return "WITH " + ",".join(ctes) + "\n" + body
