@@ -1085,6 +1085,21 @@ def q_gold_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold.gold_training_set(spark, sf_dir)
 
 
+# The full documented ~60-column gold feature vector at 1 s grain
+# (S3_SCHEMA.md:520-609): trade grid + BBA + depth LOCF assembly.
+@q(
+    "q_gold_vector_1s",
+    OD.with_ctes(
+        OD.locf_grid_cte(step_s=1, slice_s=gold.GOLD_SLICE_S, gap_s=60),
+        OD.BBA_CTE,
+        OD.DEPTH_CTE,
+        body=gold.GOLD_VECTOR_ORACLE_BODY,
+    ),
+)
+def q_gold_vector_1s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.gold_vector(spark, sf_dir)
+
+
 @q(
     "q_resample_bars_1h",
     OD.with_ctes(

@@ -21,8 +21,11 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import normalize
 from ..operators import r6
+from ..operators import grid as grid_ops
 from ..operators.windows import DIRECTION_EPS
+from ..tables import table
 from . import pipeline
 
 TWO_PI = 2.0 * math.pi
@@ -100,3 +103,397 @@ SELECT symbol, bucket, close, volume, vwap, volume_imbalance, trade_count,
             WHEN bucket <= lo + floor((hi - lo) * 0.85) THEN 'val'
             ELSE 'test' END AS split
 FROM valid_gold CROSS JOIN rng"""
+
+
+# ---------------------------------------------------------------------------
+# The full documented gold feature vector, at true fixed-second grain
+# (docs/schemas/S3_SCHEMA.md:520-609 — ~60 columns on the feature grid).
+# ---------------------------------------------------------------------------
+
+GOLD_SLICE_S = 21_600  # 6 h grid slice — test-size decision, not semantic
+
+# stddev of a constant window is exactly 0 in Spark but ~1e-18 in DuckDB
+# (segment-tree accumulation) — an epsilon guard keeps the two engines'
+# "no volatility" branches aligned; real volatility is orders of magnitude above
+VOLAT_EPS = 1e-9
+
+
+def gold_vector(spark: SparkSession, sf_dir: str, slice_s: int = GOLD_SLICE_S) -> DataFrame:
+    """The reference's complete gold feature vector (S3_SCHEMA.md:520-609) on
+    a 1-second LOCF grid: price/returns, multi-window volumes + imbalances,
+    order-book features joined from the BBA and depth streams, trade-flow,
+    VWAP deviations, momentum/volatility, second-order ("advanced") features,
+    cyclic temporal encodings, interaction terms, and the quality block
+    (completeness / data_age_ms / gap_indicator / source_quality).
+
+    The reference documents a 2 s grid; the engine uses 1 s so every
+    documented {1,5,10,30,60} s window is an exact whole number of grid steps
+    (1 s is the grain DATA_PIPELINE.md's Redis feature cache itself uses).
+
+    Plan shape (scale audit): three per-tick pre-aggregations (trades via
+    locf_resample, BBA, depth) each shuffle once on (symbol, tick); the grid
+    joins are co-partitioned on the same keys; every analytic window —
+    LOCF fills, trailing sums, lags — shares ONE
+    ``partitionBy(symbol) ORDER BY tick`` sort, so Catalyst stacks the
+    Window operators after a single exchange.  Nothing here is O(ticks²) and
+    the grid bound (86 400 rows/symbol/day) caps the window state no matter
+    how many raw ticks fed it.
+    """
+    step_ms = 1000
+    g = grid_ops.locf_resample(
+        pipeline.trades_clean(spark, sf_dir), step_s=1, slice_s=slice_s
+    )
+    ev = table(spark, sf_dir, "events")
+
+    bba_tick = normalize.bba(ev).groupBy(
+        "symbol", F.expr(f"event_ts div {step_ms}").cast("long").alias("tick")
+    ).agg(
+        F.max_by("bid_px", "event_ts").alias("o_bid_px"),
+        F.max_by("ask_px", "event_ts").alias("o_ask_px"),
+        F.max_by("bid_sz", "event_ts").alias("o_bid_sz"),
+        F.max_by("ask_sz", "event_ts").alias("o_ask_sz"),
+    )
+
+    book_value = "aggregate({0}, cast(0.0 as double), (acc, x) -> acc + x.price * x.qty)"
+    dep_tick = (
+        normalize.depth(ev)
+        .select(
+            "symbol",
+            "event_ts",
+            F.expr(f"event_ts div {step_ms}").cast("long").alias("tick"),
+            F.expr(book_value.format("bids")).alias("bv"),
+            F.expr(book_value.format("asks")).alias("av"),
+        )
+        .groupBy("symbol", "tick")
+        .agg(
+            F.max_by("bv", "event_ts").alias("o_bid_value"),
+            F.max_by("av", "event_ts").alias("o_ask_value"),
+        )
+    )
+
+    j = g.join(bba_tick, ["symbol", "tick"], "left").join(
+        dep_tick, ["symbol", "tick"], "left"
+    )
+
+    w = Window.partitionBy("symbol").orderBy("tick")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+
+    def locf(c):
+        return F.last(c, ignorenulls=True).over(cum)
+
+    base = j.select(
+        "symbol",
+        "tick",
+        "feature_ts",
+        "price",
+        "volume",
+        "buy_volume",
+        "sell_volume",
+        "notional",
+        "trades",
+        "has_obs",
+        "data_age_ms",
+        "gap_indicator",
+        "source",
+        locf("o_bid_px").alias("bid_px"),
+        locf("o_ask_px").alias("ask_px"),
+        locf("o_bid_sz").alias("bid_sz"),
+        locf("o_ask_sz").alias("ask_sz"),
+        locf("o_bid_value").alias("bid_value"),
+        locf("o_ask_value").alias("ask_value"),
+    )
+
+    def trail(col, k):
+        return F.sum(col).over(w.rowsBetween(-(k - 1), 0))
+
+    mid = (F.col("bid_px") + F.col("ask_px")) / 2.0
+    s1 = base.select(
+        "symbol",
+        "tick",
+        "feature_ts",
+        "price",
+        "volume",
+        "trades",
+        "data_age_ms",
+        "gap_indicator",
+        "source",
+        mid.alias("mid"),
+        ((F.col("ask_px") - F.col("bid_px")) / mid * 10000.0).alias("spread_bp_r"),
+        (
+            (F.col("bid_sz") - F.col("ask_sz")) / (F.col("bid_sz") + F.col("ask_sz"))
+        ).alias("ob_imb_r"),
+        F.col("bid_value").alias("bid_strength_r"),
+        F.col("ask_value").alias("ask_strength_r"),
+        (F.col("bid_sz") / F.col("ask_sz")).alias("bid_ask_ratio_r"),
+        (
+            (F.col("bid_px") * F.col("ask_sz") + F.col("ask_px") * F.col("bid_sz"))
+            / (F.col("bid_sz") + F.col("ask_sz"))
+        ).alias("weighted_mid_r"),
+        F.log(F.col("price") / F.lag("price", 1).over(w)).alias("ret_1s_r"),
+        F.log(F.col("price") / F.lag("price", 5).over(w)).alias("ret_5s_r"),
+        F.log(F.col("price") / F.lag("price", 10).over(w)).alias("ret_10s_r"),
+        F.log(F.col("price") / F.lag("price", 30).over(w)).alias("ret_30s_r"),
+        F.log(F.col("price") / F.lag("price", 60).over(w)).alias("ret_60s_r"),
+        trail("volume", 5).alias("vol_5"),
+        trail("volume", 10).alias("vol_10"),
+        trail("volume", 30).alias("vol_30"),
+        trail("buy_volume", 5).alias("buy_5"),
+        trail("buy_volume", 10).alias("buy_10"),
+        trail("sell_volume", 5).alias("sell_5"),
+        trail("sell_volume", 10).alias("sell_10"),
+        F.col("buy_volume").alias("buy_1"),
+        F.col("sell_volume").alias("sell_1"),
+        trail("trades", 5).alias("trades_5"),
+        F.col("notional").alias("dollar_1"),
+        trail("notional", 5).alias("dollar_5"),
+        trail("notional", 10).alias("dollar_10"),
+        F.stddev_samp("price").over(w.rowsBetween(-59, 0)).alias("volat_r"),
+        (F.col("price") - F.lag("price", 5).over(w)).alias("momentum_r"),
+        F.avg(F.col("has_obs").cast("int")).over(w.rowsBetween(-29, 0)).alias(
+            "completeness_r"
+        ),
+    )
+
+    def safe_div(num, den):
+        return F.when(den > 0, num / den)
+
+    hour = (F.expr("feature_ts div 3600") % 24).cast("int")
+    minute = (F.expr("feature_ts div 60") % 60).cast("int")
+    s2 = s1.select(
+        "*",
+        (F.col("momentum_r") - F.lag("momentum_r", 5).over(w)).alias("accel_r"),
+        (F.col("vol_5") - F.lag("vol_5", 5).over(w)).alias("vol_mom_r"),
+        (F.col("volume") - F.lag("volume", 5).over(w)).alias("vol_chg_r"),
+        safe_div(F.col("volume"), F.col("trades")).alias("avg_sz_1_r"),
+        safe_div(F.col("vol_5"), F.col("trades_5")).alias("avg_sz_5_r"),
+        (safe_div(F.col("dollar_1"), F.col("volume")) - F.col("mid")).alias("vwap_dev_1_r"),
+        (safe_div(F.col("dollar_5"), F.col("vol_5")) - F.col("mid")).alias("vwap_dev_5_r"),
+        (safe_div(F.col("dollar_10"), F.col("vol_10")) - F.col("mid")).alias("vwap_dev_10_r"),
+        hour.alias("hh"),
+        minute.alias("mm"),
+    )
+
+    return s2.select(
+        "symbol",
+        "feature_ts",
+        (F.col("feature_ts") * 1000).cast("long").alias("feature_ts_ms"),
+        r6(F.col("price")).alias("price"),
+        r6(F.col("mid")).alias("mid_price"),
+        r6(F.col("ret_1s_r")).alias("ret_1s"),
+        r6(F.col("ret_5s_r")).alias("ret_5s"),
+        r6(F.col("ret_10s_r")).alias("ret_10s"),
+        r6(F.col("ret_30s_r")).alias("ret_30s"),
+        r6(F.col("ret_60s_r")).alias("ret_60s"),
+        r6(F.col("volume")).alias("volume_1s"),
+        r6(F.col("vol_5")).alias("volume_5s"),
+        r6(F.col("vol_10")).alias("volume_10s"),
+        r6(F.col("vol_30")).alias("volume_30s"),
+        r6(
+            (F.col("buy_1") - F.col("sell_1")) / F.greatest(F.col("volume"), F.lit(1.0))
+        ).alias("vol_imbalance_1s"),
+        r6(
+            (F.col("buy_5") - F.col("sell_5")) / F.greatest(F.col("vol_5"), F.lit(1.0))
+        ).alias("vol_imbalance_5s"),
+        r6(
+            (F.col("buy_10") - F.col("sell_10")) / F.greatest(F.col("vol_10"), F.lit(1.0))
+        ).alias("vol_imbalance_10s"),
+        r6(F.col("spread_bp_r")).alias("spread_bp"),
+        r6(F.col("ob_imb_r")).alias("ob_imbalance"),
+        r6(F.col("bid_strength_r")).alias("bid_strength"),
+        r6(F.col("ask_strength_r")).alias("ask_strength"),
+        r6(F.col("bid_ask_ratio_r")).alias("bid_ask_ratio"),
+        r6(F.col("weighted_mid_r")).alias("weighted_mid"),
+        r6(F.col("trades").cast("double")).alias("trade_intensity_1s"),
+        r6(F.col("trades_5") / 5.0).alias("trade_intensity_5s"),
+        r6(F.col("avg_sz_1_r")).alias("avg_trade_size_1s"),
+        r6(F.col("avg_sz_5_r")).alias("avg_trade_size_5s"),
+        r6(F.col("dollar_1")).alias("dollar_volume_1s"),
+        r6(F.col("dollar_5")).alias("dollar_volume_5s"),
+        r6(F.col("vwap_dev_1_r")).alias("vwap_dev_1s"),
+        r6(F.col("vwap_dev_5_r")).alias("vwap_dev_5s"),
+        r6(F.col("vwap_dev_10_r")).alias("vwap_dev_10s"),
+        r6(F.col("volat_r")).alias("price_volatility"),
+        r6(F.col("momentum_r")).alias("momentum"),
+        r6(F.col("accel_r")).alias("acceleration"),
+        r6(F.col("vol_mom_r")).alias("volume_momentum"),
+        r6(F.when(F.col("volat_r") > VOLAT_EPS, F.col("ret_1s_r") / F.col("volat_r"))).alias(
+            "vol_adj_ret_1s"
+        ),
+        r6(F.when(F.col("volat_r") > VOLAT_EPS, F.col("ret_5s_r") / F.col("volat_r"))).alias(
+            "vol_adj_ret_5s"
+        ),
+        r6(F.col("vol_chg_r")).alias("volume_change_5s"),
+        r6(F.col("dollar_5") / 5.0).alias("dollar_intensity"),
+        r6(F.col("avg_sz_1_r") - F.col("avg_sz_5_r")).alias("trade_size_trend"),
+        r6(F.col("ob_imb_r") / (F.lit(1.0) + F.col("spread_bp_r"))).alias(
+            "spread_adj_imbalance"
+        ),
+        r6(F.col("mid") - F.col("price")).alias("mid_last_diff"),
+        r6(F.sin(F.lit(TWO_PI) * F.col("hh") / F.lit(24.0))).alias("hour_sin"),
+        r6(F.cos(F.lit(TWO_PI) * F.col("hh") / F.lit(24.0))).alias("hour_cos"),
+        r6(F.sin(F.lit(TWO_PI) * F.col("mm") / F.lit(60.0))).alias("minute_sin"),
+        r6(F.cos(F.lit(TWO_PI) * F.col("mm") / F.lit(60.0))).alias("minute_cos"),
+        ((F.col("hh") >= 14) & (F.col("hh") < 21)).cast("int").alias("is_us_hours"),
+        ((F.col("hh") >= 0) & (F.col("hh") < 7)).cast("int").alias("is_asia_hours"),
+        ((F.col("hh") >= 7) & (F.col("hh") < 14)).cast("int").alias("is_europe_hours"),
+        r6(F.col("ret_1s_r") * F.col("volume")).alias("price_volume_int"),
+        r6(F.col("spread_bp_r") * F.col("momentum_r")).alias("spread_momentum_int"),
+        r6(
+            (F.col("buy_5") - F.col("sell_5"))
+            / F.greatest(F.col("vol_5"), F.lit(1.0))
+            * F.col("ob_imb_r")
+        ).alias("vol_imbalance_int"),
+        r6(F.col("volat_r") * F.col("trades_5") / 5.0).alias("volatility_intensity_int"),
+        r6(F.col("completeness_r")).alias("completeness"),
+        "data_age_ms",
+        "gap_indicator",
+        F.when(F.col("gap_indicator"), F.lit("degraded"))
+        .otherwise(F.col("source"))
+        .alias("source_quality"),
+    )
+
+
+# DuckDB twin of gold_vector() — same CTE cascade: per-tick BBA/depth
+# pre-aggregation → LOCF onto the trade grid → one-pass windowed features →
+# second-order features → rounded final vector.
+GOLD_VECTOR_ORACLE_BODY = """
+,bba_tick AS (
+  SELECT symbol, event_ts // 1000 AS tick,
+         arg_max(bid_px, event_ts) AS o_bid_px,
+         arg_max(ask_px, event_ts) AS o_ask_px,
+         arg_max(bid_sz, event_ts) AS o_bid_sz,
+         arg_max(ask_sz, event_ts) AS o_ask_sz
+  FROM bba GROUP BY 1, 2
+),
+dep_tick AS (
+  SELECT symbol, event_ts // 1000 AS tick,
+         arg_max(list_sum(list_transform(bids, x -> x.price * x.qty)), event_ts)
+             AS o_bid_value,
+         arg_max(list_sum(list_transform(asks, x -> x.price * x.qty)), event_ts)
+             AS o_ask_value
+  FROM depth GROUP BY 1, 2
+),
+gbase AS (
+  SELECT l.*,
+         last_value(b.o_bid_px IGNORE NULLS) OVER cum AS bid_px,
+         last_value(b.o_ask_px IGNORE NULLS) OVER cum AS ask_px,
+         last_value(b.o_bid_sz IGNORE NULLS) OVER cum AS bid_sz,
+         last_value(b.o_ask_sz IGNORE NULLS) OVER cum AS ask_sz,
+         last_value(d.o_bid_value IGNORE NULLS) OVER cum AS bid_value,
+         last_value(d.o_ask_value IGNORE NULLS) OVER cum AS ask_value
+  FROM locf l
+  LEFT JOIN bba_tick b ON l.symbol = b.symbol AND l.tick = b.tick
+  LEFT JOIN dep_tick d ON l.symbol = d.symbol AND l.tick = d.tick
+  WINDOW cum AS (PARTITION BY l.symbol ORDER BY l.tick
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+g1 AS (
+  SELECT symbol, tick, feature_ts, price, volume, trades, data_age_ms,
+         gap_indicator, source,
+         (bid_px + ask_px) / 2.0 AS mid,
+         (ask_px - bid_px) / ((bid_px + ask_px) / 2.0) * 10000.0 AS spread_bp_r,
+         (bid_sz - ask_sz) / (bid_sz + ask_sz) AS ob_imb_r,
+         bid_value AS bid_strength_r,
+         ask_value AS ask_strength_r,
+         bid_sz / ask_sz AS bid_ask_ratio_r,
+         (bid_px * ask_sz + ask_px * bid_sz) / (bid_sz + ask_sz) AS weighted_mid_r,
+         ln(price / lag(price, 1)  OVER w) AS ret_1s_r,
+         ln(price / lag(price, 5)  OVER w) AS ret_5s_r,
+         ln(price / lag(price, 10) OVER w) AS ret_10s_r,
+         ln(price / lag(price, 30) OVER w) AS ret_30s_r,
+         ln(price / lag(price, 60) OVER w) AS ret_60s_r,
+         sum(volume) OVER t5  AS vol_5,
+         sum(volume) OVER t10 AS vol_10,
+         sum(volume) OVER t30 AS vol_30,
+         sum(buy_volume) OVER t5  AS buy_5,
+         sum(buy_volume) OVER t10 AS buy_10,
+         sum(sell_volume) OVER t5  AS sell_5,
+         sum(sell_volume) OVER t10 AS sell_10,
+         buy_volume AS buy_1,
+         sell_volume AS sell_1,
+         sum(trades) OVER t5 AS trades_5,
+         notional AS dollar_1,
+         sum(notional) OVER t5  AS dollar_5,
+         sum(notional) OVER t10 AS dollar_10,
+         stddev_samp(price) OVER t60 AS volat_r,
+         price - lag(price, 5) OVER w AS momentum_r,
+         avg(CAST(has_obs AS INTEGER)) OVER t30 AS completeness_r
+  FROM gbase
+  WINDOW w   AS (PARTITION BY symbol ORDER BY tick),
+         t5  AS (PARTITION BY symbol ORDER BY tick ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         t10 AS (PARTITION BY symbol ORDER BY tick ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+         t30 AS (PARTITION BY symbol ORDER BY tick ROWS BETWEEN 29 PRECEDING AND CURRENT ROW),
+         t60 AS (PARTITION BY symbol ORDER BY tick ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+),
+g2 AS (
+  SELECT *,
+         momentum_r - lag(momentum_r, 5) OVER w AS accel_r,
+         vol_5 - lag(vol_5, 5) OVER w AS vol_mom_r,
+         volume - lag(volume, 5) OVER w AS vol_chg_r,
+         CASE WHEN trades > 0 THEN volume / trades END AS avg_sz_1_r,
+         CASE WHEN trades_5 > 0 THEN vol_5 / trades_5 END AS avg_sz_5_r,
+         CASE WHEN volume > 0 THEN dollar_1 / volume END - mid AS vwap_dev_1_r,
+         CASE WHEN vol_5 > 0 THEN dollar_5 / vol_5 END - mid AS vwap_dev_5_r,
+         CASE WHEN vol_10 > 0 THEN dollar_10 / vol_10 END - mid AS vwap_dev_10_r,
+         CAST((feature_ts // 3600) % 24 AS INTEGER) AS hh,
+         CAST((feature_ts // 60) % 60 AS INTEGER) AS mm
+  FROM g1
+  WINDOW w AS (PARTITION BY symbol ORDER BY tick)
+)
+SELECT symbol, feature_ts,
+       CAST(feature_ts * 1000 AS BIGINT) AS feature_ts_ms,
+       round(price, 6) AS price,
+       round(mid, 6) AS mid_price,
+       round(ret_1s_r, 6)  AS ret_1s,
+       round(ret_5s_r, 6)  AS ret_5s,
+       round(ret_10s_r, 6) AS ret_10s,
+       round(ret_30s_r, 6) AS ret_30s,
+       round(ret_60s_r, 6) AS ret_60s,
+       round(volume, 6) AS volume_1s,
+       round(vol_5, 6)  AS volume_5s,
+       round(vol_10, 6) AS volume_10s,
+       round(vol_30, 6) AS volume_30s,
+       round((buy_1 - sell_1) / greatest(volume, 1.0), 6)  AS vol_imbalance_1s,
+       round((buy_5 - sell_5) / greatest(vol_5, 1.0), 6)   AS vol_imbalance_5s,
+       round((buy_10 - sell_10) / greatest(vol_10, 1.0), 6) AS vol_imbalance_10s,
+       round(spread_bp_r, 6) AS spread_bp,
+       round(ob_imb_r, 6) AS ob_imbalance,
+       round(bid_strength_r, 6) AS bid_strength,
+       round(ask_strength_r, 6) AS ask_strength,
+       round(bid_ask_ratio_r, 6) AS bid_ask_ratio,
+       round(weighted_mid_r, 6) AS weighted_mid,
+       round(CAST(trades AS DOUBLE), 6) AS trade_intensity_1s,
+       round(trades_5 / 5.0, 6) AS trade_intensity_5s,
+       round(avg_sz_1_r, 6) AS avg_trade_size_1s,
+       round(avg_sz_5_r, 6) AS avg_trade_size_5s,
+       round(dollar_1, 6) AS dollar_volume_1s,
+       round(dollar_5, 6) AS dollar_volume_5s,
+       round(vwap_dev_1_r, 6)  AS vwap_dev_1s,
+       round(vwap_dev_5_r, 6)  AS vwap_dev_5s,
+       round(vwap_dev_10_r, 6) AS vwap_dev_10s,
+       round(volat_r, 6) AS price_volatility,
+       round(momentum_r, 6) AS momentum,
+       round(accel_r, 6) AS acceleration,
+       round(vol_mom_r, 6) AS volume_momentum,
+       round(CASE WHEN volat_r > 1e-9 THEN ret_1s_r / volat_r END, 6) AS vol_adj_ret_1s,
+       round(CASE WHEN volat_r > 1e-9 THEN ret_5s_r / volat_r END, 6) AS vol_adj_ret_5s,
+       round(vol_chg_r, 6) AS volume_change_5s,
+       round(dollar_5 / 5.0, 6) AS dollar_intensity,
+       round(avg_sz_1_r - avg_sz_5_r, 6) AS trade_size_trend,
+       round(ob_imb_r / (1.0 + spread_bp_r), 6) AS spread_adj_imbalance,
+       round(mid - price, 6) AS mid_last_diff,
+       round(sin(2 * pi() * hh / 24.0), 6) AS hour_sin,
+       round(cos(2 * pi() * hh / 24.0), 6) AS hour_cos,
+       round(sin(2 * pi() * mm / 60.0), 6) AS minute_sin,
+       round(cos(2 * pi() * mm / 60.0), 6) AS minute_cos,
+       CAST(hh >= 14 AND hh < 21 AS INTEGER) AS is_us_hours,
+       CAST(hh >= 0 AND hh < 7 AS INTEGER)   AS is_asia_hours,
+       CAST(hh >= 7 AND hh < 14 AS INTEGER)  AS is_europe_hours,
+       round(ret_1s_r * volume, 6) AS price_volume_int,
+       round(spread_bp_r * momentum_r, 6) AS spread_momentum_int,
+       round((buy_5 - sell_5) / greatest(vol_5, 1.0) * ob_imb_r, 6) AS vol_imbalance_int,
+       round(volat_r * trades_5 / 5.0, 6) AS volatility_intensity_int,
+       round(completeness_r, 6) AS completeness,
+       data_age_ms, gap_indicator,
+       CASE WHEN gap_indicator THEN 'degraded' ELSE source END AS source_quality
+FROM g2"""
