@@ -24,6 +24,7 @@ from bitcoin_datapipeline_spark.operators import (
     joins,
     multimodal,
     relational,
+    replay,
     setops,
     similarity,
     text,
@@ -1098,6 +1099,86 @@ def q_gold_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_gold_vector_1s(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold.gold_vector(spark, sf_dir)
+
+
+# Batch order-book replay — book state per minute from the level-update log
+# (DATA_PIPELINE.md:73-107; batch twin of streaming/orderbook.py)
+@q(
+    "q_orderbook_replay",
+    OD.with_ctes(
+        OD.DEPTH_CTE,
+        body="""
+,lv AS (
+  SELECT symbol, event_ts, 'bid' AS side, i AS level,
+         bids[i].price AS price, bids[i].qty AS qty,
+         event_ts // 60000 AS minute
+  FROM depth, (SELECT unnest(generate_series(1, 10)) AS i)
+  UNION ALL
+  SELECT symbol, event_ts, 'ask' AS side, i AS level,
+         asks[i].price AS price, asks[i].qty AS qty,
+         event_ts // 60000 AS minute
+  FROM depth, (SELECT unnest(generate_series(1, 10)) AS i)
+),
+per_min AS (
+  SELECT symbol, side, level, minute,
+         arg_max(price, event_ts) AS p,
+         arg_max(qty, event_ts)   AS q
+  FROM lv GROUP BY 1, 2, 3, 4
+),
+spans AS (
+  SELECT symbol, min(minute) AS lo,
+         (SELECT min(minute) FROM lv) + 1439 AS hi
+  FROM lv GROUP BY 1
+),
+gridl AS (
+  SELECT g.symbol, g.minute, s.side, l.i AS level
+  FROM (SELECT symbol, unnest(generate_series(lo, hi, 1)) AS minute
+        FROM spans WHERE lo <= hi) g
+  CROSS JOIN (SELECT unnest(['bid', 'ask']) AS side) s
+  CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS i) l
+),
+book AS (
+  SELECT * FROM (
+    SELECT g.symbol, g.side, g.level, g.minute,
+           last_value(p.p IGNORE NULLS) OVER cum AS price,
+           last_value(p.q IGNORE NULLS) OVER cum AS qty
+    FROM gridl g
+    LEFT JOIN per_min p
+      ON g.symbol = p.symbol AND g.side = p.side
+     AND g.level = p.level AND g.minute = p.minute
+    WINDOW cum AS (PARTITION BY g.symbol, g.side, g.level ORDER BY g.minute
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+  ) WHERE price IS NOT NULL
+),
+agg AS (
+  SELECT symbol, minute,
+         max(CASE WHEN side = 'bid' THEN price END) AS bb,
+         min(CASE WHEN side = 'ask' THEN price END) AS ba,
+         CAST(sum(CAST(CASE WHEN side = 'bid' THEN qty END AS DECIMAL(38,12))) AS DOUBLE) AS bq,
+         CAST(sum(CAST(CASE WHEN side = 'ask' THEN qty END AS DECIMAL(38,12))) AS DOUBLE) AS aq,
+         CAST(sum(CAST(CASE WHEN side = 'bid' THEN price * qty END AS DECIMAL(38,12))) AS DOUBLE) AS bv,
+         CAST(sum(CAST(CASE WHEN side = 'ask' THEN price * qty END AS DECIMAL(38,12))) AS DOUBLE) AS av,
+         CAST(sum(CASE WHEN side = 'bid' THEN 1 ELSE 0 END) AS BIGINT) AS bid_levels,
+         CAST(sum(CASE WHEN side = 'ask' THEN 1 ELSE 0 END) AS BIGINT) AS ask_levels
+  FROM book GROUP BY 1, 2
+)
+SELECT symbol, minute,
+       round(bb, 6) AS best_bid,
+       round(ba, 6) AS best_ask,
+       round(ba - bb, 6) AS spread,
+       round((bb + ba) / 2.0, 6) AS mid_price,
+       round(bq, 6) AS bid_qty_total,
+       round(aq, 6) AS ask_qty_total,
+       round(bv, 6) AS bid_value,
+       round(av, 6) AS ask_value,
+       round((bq - aq) / (bq + aq), 6) AS book_imbalance,
+       bb >= ba AS crossed,
+       bid_levels, ask_levels
+FROM agg""",
+    ),
+)
+def q_orderbook_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return replay.orderbook_replay(normalize.depth(table(spark, sf_dir, "events")))
 
 
 @q(
