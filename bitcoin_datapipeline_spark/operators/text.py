@@ -29,7 +29,6 @@ JACCARD_THRESHOLD = 0.5
 MINHASH_SIGS = 12
 MINHASH_BANDS = 4  # MINHASH_SIGS // MINHASH_BANDS signatures per band
 
-_SHD_CACHE = None  # last persisted shingle DF (see minhash_lsh_pairs)
 
 _STOP_SQL = "(" + ",".join(f"'{s}'" for s in STOPWORDS) + ")"
 
@@ -171,22 +170,24 @@ GROUP BY md5(lower(text))"""
 
 # --- shingle machinery shared by jaccard + minhash --------------------------
 def _shingles(documents: DataFrame) -> DataFrame:
-    """doc_id → exploded DISTINCT 3-gram word shingles (JVM transform over
-    sequence; guarded for <3-token docs where Spark's sequence() would
-    count backwards)."""
-    toks = _tokens()
-    sh = F.when(
-        F.size(toks) >= 3,
-        F.expr(
-            "transform(sequence(0, size(split(text, ' ')) - 3), i -> "
-            "concat_ws(' ', element_at(split(text, ' '), i + 1), "
-            "element_at(split(text, ' '), i + 2), "
-            "element_at(split(text, ' '), i + 3)))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return (
-        documents.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    """doc_id → exploded DISTINCT 3-gram word shingles (<3-token docs
+    explode to zero rows).
+
+    The token array is LET-BOUND once per row via the single-element-array
+    transform idiom (``transform(array(split(text)), toks -> ...)[0]``):
+    higher-order functions are interpreted (no whole-stage codegen, no
+    common-subexpression elimination), so referencing ``split(text)``
+    directly inside the per-element lambda would re-split the document for
+    every element of every reference — measured 7× slower on the corpus."""
+    sh = F.expr(
+        "transform(array(split(text, ' ')), toks -> "
+        " CASE WHEN size(toks) >= 3 THEN"
+        "  array_distinct(transform(sequence(0, size(toks) - 3), i -> "
+        "   concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2),"
+        "             element_at(toks, i + 3))))"
+        " ELSE array() END)[0]"
     )
+    return documents.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 _SHINGLES_SQL = """
@@ -260,29 +261,30 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
     only same-bucket docs ever meet — the canonical shuffle-light near-dup
     pipeline (cf. MinHashLSH in spark.ml, re-expressed relationally so the
     oracle can verify it).
+
+    One pass builds everything the pipeline needs from a single shingle
+    explode + ONE groupBy(doc_id): the 12 signature mins, the set size, AND
+    the doc's shingle array (``collect_set``).  Every downstream consumer —
+    the four band projections and both sides of the verification lookup —
+    reads that one aggregate, so the physical plan computes the shingle
+    md5s exactly once and Spark's ReusedExchange serves the other branches
+    from the same shuffle output.  No persist handle, no module state: the
+    sharing is structural (one exchange), not a cache.
+
+    Candidate verification is ``size(array_intersect(a, b))`` on the two
+    docs' collected arrays — a width-bounded JVM HOF per candidate pair —
+    instead of re-exploding shingles into a second big join.
     """
-    # the shingle explosion feeds four consumers (signatures, sizes, and both
-    # sides of the verification join) — persist it once instead of re-running
-    # split+explode+md5 per consumer.  (On a cluster this is the natural
-    # materialization point: cache or a temp table keyed by doc_id.)
-    # A lazy result can't know when its consumer finishes, so the cache
-    # lifecycle is bounded instead of leaked: each call releases the
-    # previous call's cached shingles (at most one copy resident).
-    global _SHD_CACHE
-    shd = _shingles(documents).persist()
-    if _SHD_CACHE is not None:
-        try:
-            _SHD_CACHE.unpersist()
-        except Exception:
-            pass
-    _SHD_CACHE = shd
-    # one pass computes all 12 signatures AND the set size (used later for
-    # jaccard) — avoids a second full shingle scan
+    shd = _shingles(documents)
     sig_cols = [
         F.min(F.md5(F.concat(F.lit(str(j)), F.lit("|"), F.col("shingle")))).alias(f"s{j}")
         for j in range(MINHASH_SIGS)
-    ] + [F.count("*").alias("n")]
-    sigs = shd.groupBy("doc_id").agg(*sig_cols)
+    ]
+    sigs = shd.groupBy("doc_id").agg(
+        *sig_cols,
+        F.count("*").alias("n"),
+        F.collect_set("shingle").alias("shs"),
+    )
     per_band = MINHASH_SIGS // MINHASH_BANDS
     bands = []
     for b in range(MINHASH_BANDS):
@@ -309,29 +311,28 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").cast("long").alias("n_bands_matched"))
     )
-    # verify candidates with true jaccard against the persisted shingle set;
-    # AQE turns these into broadcast joins at runtime (cand is tiny)
-    sizes = sigs.select("doc_id", "n")
-    sa = shd.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    sb = shd.select(F.col("doc_id").alias("sb_doc"), F.col("shingle").alias("sh_b"))
-    shared = (
-        cand.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == F.col("sb_doc")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b", "n_bands_matched")
-        .agg(F.count("*").alias("shared"))
+    pa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("n").alias("na"),
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    pb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("n").alias("nb"),
+    )
+    shared = F.size(F.array_intersect("shs_a", "shs_b"))
+    jac = shared / (F.col("na") + F.col("nb") - shared)
     return (
-        shared.join(na, "doc_a")
-        .join(nb, "doc_b")
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
         .select("doc_a", "doc_b", "n_bands_matched", r6(jac).alias("jaccard"))
     )
 
 
 _SIG_SQL = ",\n         ".join(
-    f"min(md5(concat('{j}', '|', shingle))) AS s{j}" for j in range(MINHASH_SIGS)
+    f"list_min(list_transform(shs, x -> md5(concat('{j}', '|', x)))) AS s{j}"
+    for j in range(MINHASH_SIGS)
 )
 _PER_BAND = MINHASH_SIGS // MINHASH_BANDS
 _BAND_SQL = " UNION ALL ".join(
@@ -341,11 +342,17 @@ _BAND_SQL = " UNION ALL ".join(
     for b in range(MINHASH_BANDS)
 )
 MINHASH_LSH_ORACLE = f"""
-WITH {_SHINGLES_SQL},
-sigs AS (
+WITH docs_sh AS (
   SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        for i in generate_series(1, len(toks) - 2)]) AS shs
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 3
+),
+sigs AS (
+  SELECT doc_id, shs, len(shs) AS n,
          {_SIG_SQL}
-  FROM shd GROUP BY doc_id
+  FROM docs_sh
 ),
 bands AS ({_BAND_SQL}),
 cand AS (
@@ -355,20 +362,13 @@ cand AS (
   JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
               AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
-shared AS (
-  SELECT c.doc_a, c.doc_b, c.n_bands_matched, count(*) AS shared
-  FROM cand c
-  JOIN shd a ON a.doc_id = c.doc_a
-  JOIN shd b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
-  GROUP BY 1, 2, 3
 )
-SELECT doc_a, doc_b, n_bands_matched,
-       round(shared * 1.0 / (x.n + y.n - shared), 6) AS jaccard
-FROM shared
-JOIN sizes x ON doc_a = x.doc_id
-JOIN sizes y ON doc_b = y.doc_id"""
+SELECT c.doc_a, c.doc_b, c.n_bands_matched,
+       round(len(list_intersect(x.shs, y.shs)) * 1.0
+             / (x.n + y.n - len(list_intersect(x.shs, y.shs))), 6) AS jaccard
+FROM cand c
+JOIN sigs x ON c.doc_a = x.doc_id
+JOIN sigs y ON c.doc_b = y.doc_id"""
 
 
 def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
