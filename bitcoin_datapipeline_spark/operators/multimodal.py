@@ -98,21 +98,44 @@ def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
     output schema is declared up front so Catalyst can prune columns."""
 
     def batches(it: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in it:
-            feats = [
-                decode_stub(p, f, fake=fake)
-                for p, f in zip(pdf["payload"], pdf["fmt"])
-            ]
+            if not fake:
+                # same guard as decode_stub — a real codec slots in here
+                decode_stub(b"", "", fake=False)
+            # byte statistics are numpy reductions over each payload's
+            # uint8 view — the per-BYTE dimension (the heavy one) never
+            # touches Python.  The per-row loop only walks the ragged
+            # payload boundaries.  np.mean on uint8 promotes to float64
+            # with an exact integer sum, so values match sum(b)/len(b).
+            means = np.full(len(pdf), np.nan)
+            mins = np.zeros(len(pdf), dtype="float64")
+            maxs = np.zeros(len(pdf), dtype="float64")
+            empty = np.zeros(len(pdf), dtype=bool)
+            for i, p in enumerate(pdf["payload"]):
+                if p is None or len(p) == 0:
+                    empty[i] = True
+                    continue
+                a = np.frombuffer(p, dtype=np.uint8)
+                means[i] = a.mean()
+                mins[i] = a.min()
+                maxs[i] = a.max()
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "format": pdf["fmt"],
                     "n_bytes": pdf["n_bytes"].astype("int64"),
-                    "byte_mean": [x["byte_mean"] for x in feats],
-                    "byte_min": [x["byte_min"] for x in feats],
-                    "byte_max": [x["byte_max"] for x in feats],
+                    "byte_mean": pd.array(
+                        np.where(empty, np.nan, means), dtype="Float64"
+                    ),
+                    "byte_min": pd.array(
+                        np.where(empty, np.nan, mins), dtype="Int32"
+                    ),
+                    "byte_max": pd.array(
+                        np.where(empty, np.nan, maxs), dtype="Int32"
+                    ),
                 }
             )
             yield out

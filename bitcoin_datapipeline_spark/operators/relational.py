@@ -32,6 +32,18 @@ def _dec(c):
     return c.cast(D)
 
 
+def _ranked_top_k(df: DataFrame, order_cols, k: int, rank_name: str) -> DataFrame:
+    """Deterministic global top-K WITH a rank column, and no unpartitioned
+    window over the full relation: ``orderBy().limit(k)`` plans
+    TakeOrderedAndProject (per-partition heap + driver merge — scale-safe at
+    any row count), and only the K survivors pass through a constant-keyed
+    row_number window (K rows; the constant key keeps WindowExec off its
+    move-everything-to-one-partition path)."""
+    topk = df.orderBy(*order_cols).limit(k)
+    w = Window.partitionBy(F.lit(0)).orderBy(*order_cols)
+    return topk.withColumn(rank_name, F.row_number().over(w))
+
+
 def pricing_summary(lineitem: DataFrame) -> DataFrame:
     """TPC-H-Q1-shaped pricing summary: 2-key groupBy, 8 aggregates, exact
     decimal money sums, avg via exact-sum / count."""
@@ -126,17 +138,16 @@ GROUP BY r_name, n_name"""
 def top_customers(lineitem: DataFrame, orders: DataFrame, customer: DataFrame, k: int = 10) -> DataFrame:
     """O4/W5 on the star schema: top-K customers by exact revenue.
 
-    Rank AFTER aggregation — the window sees one row per customer (tiny), so
-    the single-partition ORDER BY is safe at any scale."""
+    Rank AFTER aggregation, via TakeOrderedAndProject (_ranked_top_k) — no
+    global window touches the full per-customer relation."""
     rev = _dec(F.col("l_extendedprice")) * _dec(1.0 - F.col("l_discount"))
     per_cust = (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
         .agg(F.sum(rev).alias("rev"))
     )
-    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
-    ranked = per_cust.withColumn("revenue_rank", F.row_number().over(w)).filter(
-        F.col("revenue_rank") <= k
+    ranked = _ranked_top_k(
+        per_cust, [F.col("rev").desc(), F.col("o_custkey")], k, "revenue_rank"
     )
     return (
         ranked.join(customer, F.col("o_custkey") == F.col("c_custkey"))
@@ -319,10 +330,10 @@ def shipping_priority(
     per_order = j.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
         F.sum(rev).alias("rev")
     )
-    w = Window.orderBy(F.col("rev").desc(), F.col("o_orderkey"))
     return (
-        per_order.withColumn("priority_rank", F.row_number().over(w))
-        .filter(F.col("priority_rank") <= k)
+        _ranked_top_k(
+            per_order, [F.col("rev").desc(), F.col("o_orderkey")], k, "priority_rank"
+        )
         .select(
             F.col("priority_rank").cast("int").alias("priority_rank"),
             F.col("o_orderkey").cast("long").alias("o_orderkey"),
@@ -419,10 +430,10 @@ def returned_item_customers(
     per_cust = j.groupBy("c_custkey", "c_name", "c_mktsegment").agg(
         F.sum(rev).alias("lost"), F.count("*").alias("n")
     )
-    w = Window.orderBy(F.col("lost").desc(), F.col("c_custkey"))
     return (
-        per_cust.withColumn("return_rank", F.row_number().over(w))
-        .filter(F.col("return_rank") <= k)
+        _ranked_top_k(
+            per_cust, [F.col("lost").desc(), F.col("c_custkey")], k, "return_rank"
+        )
         .select(
             F.col("return_rank").cast("int").alias("return_rank"),
             F.col("c_custkey").cast("long").alias("c_custkey"),
