@@ -201,72 +201,115 @@ WHERE rank <= 1"""
 
 
 IVF_NPROBE_QUERY_MOD = 25  # same deterministic query subset as ann_lsh
+IVF_K = 8  # coarse clusters
+IVF_NPROBE = 4  # posting lists searched per query
+IVF_ITERS = 2  # unrolled Lloyd iterations
+IVF_SEED_STRIDE = 37  # seed c = embedding of vec_id (c * 37) % n
+
+
+def _cnorm():
+    return F.sqrt(
+        F.expr("aggregate(centroid, cast(0.0 as double), (acc, v) -> acc + v * v)")
+    )
+
+
+def _assign(e: DataFrame, cents: DataFrame, topn: int = 1) -> DataFrame:
+    """Nearest-centroid assignment by ROUNDED cosine with a centroid-id
+    tiebreak (rounding makes the argmax identical across engines)."""
+    qc = e.crossJoin(F.broadcast(cents))
+    ccos = r6(_dot("embedding", "centroid") / (F.col("norm") * _cnorm()))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.col("c"))
+    return (
+        qc.withColumn("c_cos", ccos)
+        .withColumn("c_rank", F.row_number().over(w))
+        .filter(F.col("c_rank") <= topn)
+    )
+
+
+def _update(embeddings: DataFrame, assign: DataFrame) -> DataFrame:
+    """Lloyd update: per-dimension mean of each cluster's members, ROUNDED to
+    6 dp so both engines continue from bit-identical centroids (double
+    summation order is engine-specific; the rounding is the sync point)."""
+    pos = embeddings.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+    return (
+        pos.join(assign.select("vec_id", "c"), "vec_id")
+        .groupBy("c", "pos")
+        .agg(r6(F.avg(F.col("val").cast("double"))).alias("cval"))
+        .groupBy("c")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
+        .select("c", F.expr("transform(pairs, p -> p.cval)").alias("centroid"))
+    )
 
 
 def ann_ivf(embeddings: DataFrame) -> DataFrame:
-    """IVF-style ANN (inverted file index, nprobe=1).
+    """IVF ANN with a real (deterministic, seeded) k-means coarse quantizer
+    and nprobe > 1.
 
-    Coarse quantizer: per-label centroids (the `label` column stands in for
-    a k-means assignment — production trains real centroids, the plan shape
-    is identical).  Each query searches ONLY its nearest centroid's posting
-    list: one small broadcast (centroids), one equi-join on the list id —
-    the all-pairs scan is gone, which is the entire point of IVF at 100 TB.
+    Index build — k-means with everything pinned so the DuckDB oracle can
+    replay it exactly: seeds are the embeddings at vec_id (c·37) mod n for
+    c in 0..K-1, exactly IVF_ITERS unrolled Lloyd iterations, assignments by
+    rounded cosine with id tiebreaks, centroid updates rounded to 6 dp
+    (the cross-engine sync points).  Empty clusters drop out of the index —
+    deterministically in both engines.
 
-    Determinism notes: centroid components are means of float columns —
-    summation order differs across engines, so centroids are ROUNDED to 6 dp
-    before the query→centroid distance; queries are assigned by rounded
-    cosine with a centroid-id tiebreak, then ranked in-list by rounded
-    cosine with a neighbor-id tiebreak.
+    Search — each query probes its IVF_NPROBE nearest centroids' posting
+    lists (one broadcast of ≤K centroids + one equi-join on the cluster id)
+    and ranks candidates by exact cosine: no all-pairs scan, which is the
+    point of IVF at 100 TB.  On the isotropic synthetic corpus recall tracks
+    the probed fraction (~K_probe/K); real corpora with cluster structure
+    get far better recall at the same probe fraction.  At scale you train
+    the quantizer on a sample, not the full corpus — the plan shape here is
+    the search path, which is the part that must scale.
+
+    cf. reference similarity surface: this engine-side family extends the
+    reference (which has no ANN); recall is asserted against exact kNN in
+    tests/test_similarity_recall.py.
     """
-    # exploded (vec_id, label, pos, val) for centroid computation
-    pos = embeddings.select(
-        "vec_id",
-        "label",
-        F.posexplode(F.col("embedding")).alias("pos", "val"),
-    )
-    centroids = (
-        pos.groupBy("label", "pos")
-        .agg(r6(F.avg(F.col("val").cast("double"))).alias("cval"))
-        .groupBy("label")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("pos", "cval"))
-            ).alias("pairs")
+    e = with_norm(embeddings)
+    n_df = embeddings.groupBy().agg(F.count("*").alias("n"))
+    seeds = (
+        n_df.select(
+            F.explode(F.sequence(F.lit(0), F.lit(IVF_K - 1))).alias("c"), "n"
         )
+        .withColumn("seed_id", (F.col("c") * IVF_SEED_STRIDE) % F.col("n"))
+    )
+    cents = (
+        F.broadcast(seeds)
+        .join(embeddings, F.col("seed_id") == F.col("vec_id"))
         .select(
-            F.col("label").alias("c_label"),
-            F.expr("transform(pairs, p -> p.cval)").alias("centroid"),
+            "c",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("centroid"),
         )
     )
-    q = with_norm(embeddings).filter(F.col("vec_id") % IVF_NPROBE_QUERY_MOD == 0)
-    # assign each query to its nearest centroid (rounded cosine, id tiebreak)
-    qc = q.crossJoin(F.broadcast(centroids))
-    c_norm = F.sqrt(
-        F.expr("aggregate(centroid, cast(0.0 as double), (acc, v) -> acc + v * v)")
+    for _ in range(IVF_ITERS):
+        assign = _assign(e, cents, topn=1).select("vec_id", "c")
+        cents = _update(embeddings, assign)
+
+    # final inverted index: every vector in exactly one posting list
+    posting = (
+        _assign(e, cents, topn=1)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("c"),
+            F.col("embedding").alias("emb_c"),
+            F.col("norm").alias("norm_c"),
+        )
     )
-    qc_cos = r6(_dot("embedding", "centroid") / (F.col("norm") * c_norm))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.col("c_label"))
-    assigned = (
-        qc.withColumn("c_cos", qc_cos)
-        .withColumn("c_rank", F.row_number().over(w_assign))
-        .filter(F.col("c_rank") == 1)
+    # queries probe their nprobe nearest centroids
+    probes = (
+        _assign(
+            e.filter(F.col("vec_id") % IVF_NPROBE_QUERY_MOD == 0),
+            cents,
+            topn=IVF_NPROBE,
+        )
         .select(
             F.col("vec_id").alias("query_id"),
+            F.col("c"),
             F.col("embedding").alias("emb_q"),
             F.col("norm").alias("norm_q"),
-            F.col("c_label").alias("probe_label"),
         )
     )
-    # search only the probed list
-    cands = with_norm(embeddings).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("probe_label"),
-        F.col("embedding").alias("emb_c"),
-        F.col("norm").alias("norm_c"),
-    )
-    j = assigned.join(cands, ["probe_label"]).filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
+    j = probes.join(posting, ["c"]).filter(F.col("query_id") != F.col("neighbor_id"))
     cos6 = r6(_dot("emb_q", "emb_c") / (F.col("norm_q") * F.col("norm_c")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
@@ -275,53 +318,97 @@ def ann_ivf(embeddings: DataFrame) -> DataFrame:
         .filter(F.col("rank") <= KNN_K)
         .select(
             "query_id",
-            F.col("probe_label").cast("int").alias("probe_label"),
             F.col("rank").cast("int").alias("rank"),
             "neighbor_id",
+            F.col("c").cast("int").alias("probe_c"),
             "cosine",
         )
     )
 
 
-ANN_IVF_ORACLE = f"""
-WITH pos AS (
-  SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS val,
+def _ivf_oracle() -> str:
+    """Unrolled DuckDB twin of ann_ivf: same seeds, same IVF_ITERS Lloyd
+    rounds with the same 6-dp rounding sync points, same nprobe search."""
+    assign_tpl = """{name} AS (
+  SELECT vec_id, c FROM (
+    SELECT e.vec_id, c.c,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                   c.centroid), 6) DESC, c.c) AS rn
+    FROM embeddings e CROSS JOIN {cents} c)
+  WHERE rn = 1
+)"""
+    update_tpl = """{name} AS (
+  SELECT c, list(round(cval, 6) ORDER BY pos) AS centroid FROM (
+    SELECT a.c, p.pos, avg(p.val) AS cval
+    FROM pos p JOIN {assign} a USING (vec_id) GROUP BY a.c, p.pos)
+  GROUP BY c
+)"""
+    ctes = [
+        """pos AS (
+  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS val,
          generate_subscripts(embedding, 1) AS pos
   FROM embeddings
-),
-centroids AS (
-  SELECT label AS c_label,
-         list(round(cval, 6) ORDER BY pos) AS centroid
-  FROM (SELECT label, pos, avg(val) AS cval FROM pos GROUP BY label, pos)
-  GROUP BY label
-),
-q AS (SELECT * FROM embeddings WHERE vec_id % {IVF_NPROBE_QUERY_MOD} = 0),
-assigned AS (
-  SELECT vec_id AS query_id, c_label AS probe_label
-  FROM (
-    SELECT q.vec_id, c.c_label,
-           row_number() OVER (
-             PARTITION BY q.vec_id
-             ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                                   c.centroid), 6) DESC,
-                      c.c_label) AS c_rank
-    FROM q CROSS JOIN centroids c
-  )
-  WHERE c_rank = 1
-),
-j AS (
-  SELECT a.query_id, a.probe_label, e.vec_id AS neighbor_id,
+)""",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)",
+        f"""cents0 AS (
+  SELECT cc.c, CAST(e.embedding AS DOUBLE[]) AS centroid
+  FROM (SELECT unnest(generate_series(0, {IVF_K - 1})) AS c) cc
+  CROSS JOIN nn
+  JOIN embeddings e ON e.vec_id = (cc.c * {IVF_SEED_STRIDE}) % nn.n
+)""",
+    ]
+    for i in range(IVF_ITERS):
+        ctes.append(assign_tpl.format(name=f"assign{i}", cents=f"cents{i}"))
+        ctes.append(update_tpl.format(name=f"cents{i + 1}", assign=f"assign{i}"))
+    final = f"cents{IVF_ITERS}"
+    ctes.append(
+        f"""posting AS (
+  SELECT vec_id AS neighbor_id, c FROM (
+    SELECT e.vec_id, c.c,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                   c.centroid), 6) DESC, c.c) AS rn
+    FROM embeddings e CROSS JOIN {final} c)
+  WHERE rn = 1
+)"""
+    )
+    ctes.append(
+        f"""probes AS (
+  SELECT vec_id AS query_id, c FROM (
+    SELECT e.vec_id, c.c,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                   c.centroid), 6) DESC, c.c) AS rn
+    FROM embeddings e CROSS JOIN {final} c
+    WHERE e.vec_id % {IVF_NPROBE_QUERY_MOD} = 0)
+  WHERE rn <= {IVF_NPROBE}
+)"""
+    )
+    ctes.append(
+        """j AS (
+  SELECT pr.query_id, po.neighbor_id, po.c,
          round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
-                                      CAST(e.embedding AS DOUBLE[])), 6) AS cosine
-  FROM assigned a
-  JOIN embeddings qe ON qe.vec_id = a.query_id
-  JOIN embeddings e ON e.label = a.probe_label AND e.vec_id != a.query_id
-)
-SELECT query_id, CAST(probe_label AS INTEGER) AS probe_label,
-       CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+                                      CAST(ne.embedding AS DOUBLE[])), 6) AS cosine
+  FROM probes pr
+  JOIN posting po ON po.c = pr.c AND po.neighbor_id != pr.query_id
+  JOIN embeddings qe ON qe.vec_id = pr.query_id
+  JOIN embeddings ne ON ne.vec_id = po.neighbor_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       CAST(c AS INTEGER) AS probe_c, cosine
 FROM (
   SELECT *, row_number() OVER (
       PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM j
 )
 WHERE rank <= {KNN_K}"""
+    )
+
+
+ANN_IVF_ORACLE = _ivf_oracle()

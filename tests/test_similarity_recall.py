@@ -1,0 +1,63 @@
+"""IVF quantizer quality gate: top-1 recall of ann_ivf vs exact brute-force
+kNN on the same query set (the recall anchor the VERDICT asked to report).
+
+The corpus is nearly isotropic, so IVF recall tracks the probed fraction
+(IVF_NPROBE / IVF_K = 1/2 here); the k-means quantizer still has to beat
+that floor meaningfully for the test to pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bitcoin_datapipeline_spark.operators import similarity
+from bitcoin_datapipeline_spark.tables import table
+
+SF_DIR = "/root/testdata/sf0.01"  # 500 vectors / 20 queries — meaningful recall
+
+
+def _exact_top1(ids: np.ndarray, x: np.ndarray, query_mask: np.ndarray) -> dict:
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = xn[query_mask] @ xn.T
+    out = {}
+    for qi, gi in enumerate(np.where(query_mask)[0]):
+        sims[qi, gi] = -2.0  # exclude self
+        out[int(ids[gi])] = int(ids[np.argmax(sims[qi])])
+    return out
+
+
+def test_ivf_top1_recall_vs_exact(spark):
+    rows = (
+        table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qmask = ids % similarity.IVF_NPROBE_QUERY_MOD == 0
+    truth = _exact_top1(ids, x, qmask)
+
+    ivf = similarity.ann_ivf(table(spark, SF_DIR, "embeddings"))
+    got = {
+        int(r["query_id"]): int(r["neighbor_id"])
+        for r in ivf.filter(F.col("rank") == 1).collect()
+    }
+
+    assert set(got) == set(truth), "every query must produce a top-1 candidate"
+    recall = sum(got[q] == truth[q] for q in truth) / len(truth)
+    # floor well above both the old label-quantizer (~0.4) and random probing
+    assert recall >= 0.6, f"IVF top-1 recall {recall:.2f} below the 0.6 gate"
+
+
+def test_ivf_probes_bounded(spark):
+    """Every query searches at most IVF_NPROBE posting lists (the scale
+    contract: cost is nprobe/K of the corpus, never a full scan)."""
+    ivf = similarity.ann_ivf(table(spark, SF_DIR, "embeddings"))
+    per_q = ivf.groupBy("query_id").agg(
+        F.countDistinct("probe_c").alias("n_lists")
+    )
+    mx = per_q.agg(F.max("n_lists")).collect()[0][0]
+    assert mx <= similarity.IVF_NPROBE
