@@ -1,0 +1,58 @@
+"""Curated-sink contract tests (S9 JDBC path + Avro gating).
+
+The JDBC write itself needs a driver jar (absent here — documented
+exclusion in sources/curated.py); the correctness-bearing half is the
+key-dedup-before-write, tested directly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bitcoin_datapipeline_spark.sources import curated
+
+
+def test_prepare_curated_rows_first_wins(spark):
+    df = spark.createDataFrame(
+        [
+            ("BTC", 1, 100, "a"),
+            ("BTC", 1, 50, "b"),   # earlier ingest -> wins
+            ("BTC", 2, 10, "c"),
+            ("ETH", 1, 5, "d"),
+            ("ETH", 1, 5, "d"),    # exact duplicate collapses
+        ],
+        "symbol string, k long, ingest_ts long, payload string",
+    )
+    out = curated.prepare_curated_rows(df, ["symbol", "k"], "ingest_ts")
+    rows = {(r["symbol"], r["k"]): (r["ingest_ts"], r["payload"]) for r in out.collect()}
+    assert rows == {
+        ("BTC", 1): (50, "b"),
+        ("BTC", 2): (10, "c"),
+        ("ETH", 1): (5, "d"),
+    }
+
+
+def test_prepare_curated_rows_idempotent_on_replay(spark):
+    """Replaying an overlapping batch yields the identical curated set —
+    the property the reference's ON CONFLICT upsert provides."""
+    base = spark.createDataFrame(
+        [("BTC", i, i * 10) for i in range(20)],
+        "symbol string, k long, ingest_ts long",
+    )
+    replay = base.union(base.filter(F.col("k") >= 10))  # overlap
+    once = curated.prepare_curated_rows(base, ["symbol", "k"], "ingest_ts")
+    twice = curated.prepare_curated_rows(replay, ["symbol", "k"], "ingest_ts")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_avro_roundtrip(spark, tmp_path):
+    """Avro container round trip — values and schema survive (the
+    reference's at-rest schema format, MarketTrade.avsc et al.)."""
+    df = spark.createDataFrame(
+        [("BTCUSDT", 1700000000000, 45230.5, 0.25, True)],
+        "symbol string, event_ts long, price double, qty double, is_buyer_maker boolean",
+    )
+    path = str(tmp_path / "avro_roundtrip")
+    curated.write_avro(df, path)
+    back = curated.read_avro(spark, path)
+    assert back.schema == df.schema
+    assert back.collect() == df.collect()
