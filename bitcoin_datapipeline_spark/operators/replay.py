@@ -1,5 +1,5 @@
 """Batch order-book replay — reconstruct book state at time t from a
-level-update log (the batch twin of ``streaming/orderbook.py``).
+depth-update log (the batch twin of ``streaming/orderbook.py``).
 
 The reference maintains a live top-10 book by applying depth deltas in
 sequence order on top of a REST snapshot
@@ -9,14 +9,18 @@ up to t and read the levels.
 
 Spark-first replay, with *no* per-row Python and no iterative driver loop:
 
-1. **Explode the delta log to level grain** — ``posexplode`` each depth
-   message's bids/asks into (symbol, side, level, event_ts, price, qty)
-   rows.  A depth message IS a batch of level updates; exploding recovers
-   the per-level update stream the streaming operator consumes one-by-one.
-2. **Last update per (symbol, side, level, minute)** — ``max_by(·,
-   event_ts)``: one shuffle with map-side partial aggregation; at
-   production rates this compresses the log from per-message to per-minute
-   grain before any window runs.
+1. **Last message per (symbol, minute)** — ``max_by(struct(bids, asks),
+   event_ts)``: one shuffle with map-side partial aggregation.  Each depth
+   message carries the full level set, so the minute's closing book IS the
+   last message's levels — the aggregation legitimately collapses the log
+   BEFORE any explode (100 k messages → one row per symbol-minute).  For a
+   SPARSE per-level delta log (messages touching single levels), move the
+   explode above the aggregate and key it by (symbol, side, level, minute)
+   — same plan shape one grain finer; the DuckDB oracle is written at that
+   level grain and proves the two are equivalent on this log.
+2. **Explode the per-minute book to level grain** — one ``posexplode`` over
+   the concatenated per-side struct arrays (bounded: 20 rows per
+   symbol-minute).
 3. **LOCF across the minute grid per (symbol, side, level)** — a level not
    touched in minute m keeps its last set (price, qty): exactly the
    streaming book's state-carry semantics, expressed as the same
@@ -28,10 +32,9 @@ Spark-first replay, with *no* per-row Python and no iterative driver loop:
    sums go through DECIMAL(38,12) so the 10-way sums are order-insensitive
    and bit-identical across engines.
 
-At 100 TB: every stage is keyed by (symbol, side, level[, minute]) — the
-shuffles are fine-grained and skew-resistant, the grid is wall-clock-bounded
-(minutes × 20 level-slots per symbol), and nothing holds more than one
-level-minute in window state.
+At 100 TB: the message log collapses to symbol-minute grain in stage 1's
+single combinable shuffle; everything after is bounded by wall-clock
+(minutes × 20 level-slots per symbol), not by message volume.
 """
 
 from __future__ import annotations
@@ -44,38 +47,34 @@ from . import r6
 REPLAY_SLICE_MIN = 1_440  # replay horizon: first 24 h of the delta log
 
 
-def _level_updates(depth: DataFrame, side: str) -> DataFrame:
-    col = "bids" if side == "bid" else "asks"
-    return depth.select(
-        "symbol",
-        "event_ts",
-        F.lit(side).alias("side"),
-        F.posexplode(col).alias("pos", "e"),
-    ).select(
-        "symbol",
-        "event_ts",
-        "side",
-        (F.col("pos") + 1).cast("int").alias("level"),
-        F.col("e.price").alias("price"),
-        F.col("e.qty").alias("qty"),
-        F.expr("event_ts div 60000").cast("long").alias("minute"),
-    )
-
-
 def orderbook_replay(depth: DataFrame, slice_min: int = REPLAY_SLICE_MIN) -> DataFrame:
-    """Book state at the end of every minute, replayed from the level-update
+    """Book state at the end of every minute, replayed from the depth-update
     log (DATA_PIPELINE.md:73-107 apply-deltas-in-order semantics;
     streaming twin: streaming/orderbook.py)."""
-    lv = _level_updates(depth, "bid").unionByName(_level_updates(depth, "ask"))
-
-    per_min = lv.groupBy("symbol", "side", "level", "minute").agg(
-        F.max_by("price", "event_ts").alias("p"),
-        F.max_by("qty", "event_ts").alias("q"),
+    minute = F.expr("event_ts div 60000").cast("long")
+    last_msg = depth.groupBy("symbol", minute.alias("minute")).agg(
+        F.max_by(F.struct("bids", "asks"), "event_ts").alias("m")
+    )
+    sided = F.expr(
+        "concat(transform(m.bids, b -> struct('bid' as side, b.price as price, b.qty as qty)),"
+        "       transform(m.asks, a -> struct('ask' as side, a.price as price, a.qty as qty)))"
+    )
+    per_min = last_msg.select(
+        "symbol", "minute", F.posexplode(sided).alias("pos", "e")
+    ).select(
+        "symbol",
+        "minute",
+        F.col("e.side").alias("side"),
+        (F.col("pos") % 10 + 1).cast("int").alias("level"),
+        F.col("e.price").alias("p"),
+        F.col("e.qty").alias("q"),
     )
 
-    g0 = lv.groupBy().agg(F.min("minute").alias("g0"))
+    # grid bounds from the unexploded message stream (column-pruned scan)
+    minutes = depth.select("symbol", minute.alias("minute"))
+    g0 = minutes.groupBy().agg(F.min("minute").alias("g0"))
     spans = (
-        lv.groupBy("symbol")
+        minutes.groupBy("symbol")
         .agg(F.min("minute").alias("lo"))
         .join(F.broadcast(g0))
         .select("symbol", "lo", (F.col("g0") + F.lit(slice_min - 1)).alias("hi"))
@@ -83,9 +82,7 @@ def orderbook_replay(depth: DataFrame, slice_min: int = REPLAY_SLICE_MIN) -> Dat
     )
     gridl = (
         spans.select("symbol", F.explode(F.sequence("lo", "hi")).alias("minute"))
-        .select(
-            "*", F.explode(F.array(F.lit("bid"), F.lit("ask"))).alias("side")
-        )
+        .select("*", F.explode(F.array(F.lit("bid"), F.lit("ask"))).alias("side"))
         .select(
             "*",
             F.explode(F.sequence(F.lit(1), F.lit(10))).alias("lvl_raw"),
@@ -123,11 +120,9 @@ def orderbook_replay(depth: DataFrame, slice_min: int = REPLAY_SLICE_MIN) -> Dat
     ask_val = F.sum(
         F.when(F.col("side") == "ask", F.col("price") * F.col("qty")).cast(dec)
     ).cast("double")
-    best_bid = F.max(bid)
-    best_ask = F.min(ask)
     out = book.groupBy("symbol", "minute").agg(
-        best_bid.alias("bb"),
-        best_ask.alias("ba"),
+        F.max(bid).alias("bb"),
+        F.min(ask).alias("ba"),
         bid_qty.alias("bq"),
         ask_qty.alias("aq"),
         bid_val.alias("bv"),
