@@ -141,10 +141,14 @@ def top_customers(lineitem: DataFrame, orders: DataFrame, customer: DataFrame, k
     Rank AFTER aggregation, via TakeOrderedAndProject (_ranked_top_k) — no
     global window touches the full per-customer relation."""
     rev = _dec(F.col("l_extendedprice")) * _dec(1.0 - F.col("l_discount"))
+    # pre-aggregate to order grain BEFORE the join: the lineitem side
+    # shrinks ~4× and the join carries one row per order.  Decimal sums
+    # re-aggregate exactly, so the per-customer totals are unchanged.
+    per_order = lineitem.groupBy("l_orderkey").agg(F.sum(rev).alias("orev"))
     per_cust = (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
-        .agg(F.sum(rev).alias("rev"))
+        .agg(F.sum("orev").alias("rev"))
     )
     ranked = _ranked_top_k(
         per_cust, [F.col("rev").desc(), F.col("o_custkey")], k, "revenue_rank"

@@ -215,13 +215,36 @@ def _cnorm():
 
 def _assign(e: DataFrame, cents: DataFrame, topn: int = 1) -> DataFrame:
     """Nearest-centroid assignment by ROUNDED cosine with a centroid-id
-    tiebreak (rounding makes the argmax identical across engines)."""
-    qc = e.crossJoin(F.broadcast(cents))
-    ccos = r6(_dot("embedding", "centroid") / (F.col("norm") * _cnorm()))
+    tiebreak (rounding makes the argmax identical across engines).
+
+    topn=1 (the full-corpus case: Lloyd iterations and posting-list
+    assignment) is a ``max_by`` aggregation — map-side combinable, no
+    per-vector window partitions.  topn>1 is only ever asked for the small
+    query subset, where a per-vector window is fine.  Both orderings are
+    (rounded cosine desc, centroid id asc), so the two forms agree.
+
+    The centroid norm is precomputed on the K-row broadcast side — inlining
+    ``_cnorm()`` here would re-reduce the 64-dim centroid for every
+    (vector × centroid) pair."""
+    qc = e.crossJoin(F.broadcast(cents.withColumn("cnorm", _cnorm())))
+    ccos = r6(_dot("embedding", "centroid") / (F.col("norm") * F.col("cnorm")))
+    scored = qc.withColumn("c_cos", ccos)
+    if topn == 1:
+        # max over (c_cos, -c): highest rounded cosine, then smallest id
+        keep = list(e.columns)
+        return (
+            scored.groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.struct("c", "c_cos", *[f"`{f}`" for f in keep if f != "vec_id"]),
+                    F.struct(F.col("c_cos"), -F.col("c")),
+                ).alias("best")
+            )
+            .select("vec_id", "best.*")
+        )
     w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.col("c"))
     return (
-        qc.withColumn("c_cos", ccos)
-        .withColumn("c_rank", F.row_number().over(w))
+        scored.withColumn("c_rank", F.row_number().over(w))
         .filter(F.col("c_rank") <= topn)
     )
 
@@ -265,6 +288,18 @@ def ann_ivf(embeddings: DataFrame) -> DataFrame:
     reference (which has no ANN); recall is asserted against exact kNN in
     tests/test_similarity_recall.py.
     """
+    # the corpus usually arrives as a handful of parquet splits; the scoring
+    # math is per-row HOF work, so spread it across the executors first —
+    # otherwise the whole build runs at the input's (often single-split)
+    # parallelism.  The partition count must be EXPLICIT: a number-less
+    # repartition is AQE-advisory and gets coalesced straight back to one
+    # partition for a corpus this small.
+    spark = embeddings.sparkSession
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except ValueError:  # e.g. "auto" on AQE-managed platforms
+        n_parts = 32
+    embeddings = embeddings.repartition(n_parts, "vec_id")
     e = with_norm(embeddings)
     n_df = embeddings.groupBy().agg(F.count("*").alias("n"))
     seeds = (
