@@ -87,3 +87,38 @@ def test_multimodal_is_the_only_python_plan(spark, sf01):
 
     plan = _plan(spark, E.queries()["q_multimodal_decode"](spark, sf01))
     assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+
+
+def test_global_topk_plans_take_ordered(spark, sf01):
+    """The three star-schema top-Ks must plan TakeOrderedAndProject
+    (per-partition heap + driver merge) — never a global-window sort over
+    the full per-key aggregate."""
+    import __spark_entry__ as E
+
+    for q in ("q_top_customers", "q_shipping_priority", "q_returned_customers"):
+        plan = _plan(spark, E.queries()[q](spark, sf01))
+        assert "TakeOrderedAndProject" in plan, f"{q} lost the top-K pushdown"
+
+
+def test_locf_grid_pushdown_and_per_tick_partial_agg(spark, sf01):
+    """The fixed-second grid must (a) push the validation filter into the
+    parquet scan and (b) pre-aggregate ticks with a map-side partial phase —
+    the compression step that makes the grid O(symbols × seconds) instead of
+    O(ticks)."""
+    import __spark_entry__ as E
+    import re
+
+    plan = _plan(spark, E.queries()["q_returns_1s"](spark, sf01))
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThan\(value,0\.0\)", plan)
+    assert "partial_" in plan
+
+
+def test_orderbook_replay_collapses_before_explode(spark, sf01):
+    """The replay must collapse the message log with a combinable partial
+    max_by BEFORE exploding to level grain — the property that keeps the
+    explode bounded by wall-clock, not message volume."""
+    import __spark_entry__ as E
+
+    plan = _plan(spark, E.queries()["q_orderbook_replay"](spark, sf01))
+    assert "partial_max_by" in plan
+    assert "posexplode" in plan
