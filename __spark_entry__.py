@@ -1094,11 +1094,26 @@ def q_gold_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         OD.locf_grid_cte(step_s=1, slice_s=gold.GOLD_SLICE_S, gap_s=60),
         OD.BBA_CTE,
         OD.DEPTH_CTE,
-        body=gold.GOLD_VECTOR_ORACLE_BODY,
+        body=gold.GOLD_VECTOR_ORACLE_BODY + gold.GOLD_VECTOR_ORACLE_SELECT,
     ),
 )
 def q_gold_vector_1s(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold.gold_vector(spark, sf_dir)
+
+
+# The complete training dataset at reference grain: 1 s feature vector ⋈
+# 10 s labels ⋈ leakage-free time split (S3_SCHEMA.md §3 training sets)
+@q(
+    "q_gold_training_set_1s",
+    OD.with_ctes(
+        OD.locf_grid_cte(step_s=1, slice_s=gold.GOLD_SLICE_S, gap_s=60),
+        OD.BBA_CTE,
+        OD.DEPTH_CTE,
+        body=gold.GOLD_VECTOR_ORACLE_BODY + gold.GOLD_TRAINING_1S_ORACLE_TAIL,
+    ),
+)
+def q_gold_training_set_1s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.gold_training_set_1s(spark, sf_dir)
 
 
 # Batch order-book replay — book state per minute from the level-update log

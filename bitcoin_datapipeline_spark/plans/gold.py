@@ -439,8 +439,9 @@ g2 AS (
          CAST((feature_ts // 60) % 60 AS INTEGER) AS mm
   FROM g1
   WINDOW w AS (PARTITION BY symbol ORDER BY tick)
-)
-SELECT symbol, feature_ts,
+),
+gold_vec AS (
+SELECT symbol, tick, feature_ts,
        CAST(feature_ts * 1000 AS BIGINT) AS feature_ts_ms,
        round(price, 6) AS price,
        round(mid, 6) AS mid_price,
@@ -496,4 +497,90 @@ SELECT symbol, feature_ts,
        round(completeness_r, 6) AS completeness,
        data_age_ms, gap_indicator,
        CASE WHEN gap_indicator THEN 'degraded' ELSE source END AS source_quality
-FROM g2"""
+FROM g2
+)"""
+
+# plain gold-vector oracle: everything except the internal tick key
+GOLD_VECTOR_ORACLE_SELECT = """
+SELECT * EXCLUDE (tick) FROM gold_vec"""
+
+
+def gold_training_set_1s(spark: SparkSession, sf_dir: str, slice_s: int = GOLD_SLICE_S) -> DataFrame:
+    """The complete training dataset at the reference's true gold grain
+    (S3_SCHEMA.md §3 "Training Datasets" over the §1/§2 feature + label
+    schemas): the ~60-column 1-second feature vector joined with its
+    10-second-ahead labels, filtered to valid horizons, with the
+    leakage-free time split.
+
+    Leakage control is structural, as in gold_training_set: every feature is
+    backward-looking (trailing windows/LOCF), every label strictly forward
+    (lead/forward frames), the join is on the grid timestamp itself, and the
+    split is a time quantile — nothing depends on call-site discipline.
+
+    Plan shape: the feature and label branches share the same
+    (symbol, tick) grid keys, so the join is co-partitioned; the split
+    boundary is a broadcast scalar."""
+    feats = gold_vector(spark, sf_dir, slice_s)
+    labels = grid_ops.grid_labels(
+        grid_ops.locf_resample(
+            pipeline.trades_clean(spark, sf_dir), step_s=1, slice_s=slice_s
+        )
+    ).select(
+        "symbol",
+        "feature_ts",
+        "target_price",
+        "return_10s",
+        "direction",
+        # the feature vector already carries a TRAILING volume_10s; the
+        # label's FORWARD 10s volume gets a label_ prefix
+        F.col("volume_10s").alias("label_volume_10s"),
+        "gap_in_window",
+        "is_valid",
+    )
+    j = feats.join(labels, ["symbol", "feature_ts"]).filter(F.col("is_valid")).drop(
+        "is_valid"
+    )
+    rng = j.groupBy().agg(
+        F.min("feature_ts").alias("lo"), F.max("feature_ts").alias("hi")
+    )
+    span = F.col("hi") - F.col("lo")
+    out = j.join(F.broadcast(rng)).select(
+        j["*"],
+        F.when(F.col("feature_ts") <= F.col("lo") + F.floor(span * 0.7), "train")
+        .when(F.col("feature_ts") <= F.col("lo") + F.floor(span * 0.85), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return out
+
+
+GOLD_TRAINING_1S_ORACLE_TAIL = f"""
+,lab AS (
+  SELECT symbol, feature_ts,
+         round(lead(price, 10) OVER w, 6) AS target_price,
+         round(ln(lead(price, 10) OVER w / price), 6) AS return_10s,
+         CAST(CASE WHEN ln(lead(price, 10) OVER w / price) > {DIRECTION_EPS} THEN 1
+                   WHEN ln(lead(price, 10) OVER w / price) < -{DIRECTION_EPS} THEN -1
+                   WHEN lead(price, 10) OVER w IS NULL THEN NULL
+                   ELSE 0 END AS INTEGER) AS direction,
+         round(sum(volume) OVER fwd, 6) AS volume_10s,
+         max(CASE WHEN gap_indicator THEN 1 ELSE 0 END) OVER fwd = 1 AS gap_in_window,
+         count(price) OVER fwd = 10 AS is_valid
+  FROM locf
+  WINDOW w AS (PARTITION BY symbol ORDER BY tick),
+         fwd AS (PARTITION BY symbol ORDER BY tick
+                 ROWS BETWEEN 1 FOLLOWING AND 10 FOLLOWING)
+),
+joined AS (
+  SELECT g.* EXCLUDE (tick),
+         l.target_price, l.return_10s, l.direction,
+         l.volume_10s AS label_volume_10s, l.gap_in_window
+  FROM gold_vec g JOIN lab l ON g.symbol = l.symbol AND g.feature_ts = l.feature_ts
+  WHERE l.is_valid
+),
+rng AS (SELECT min(feature_ts) AS lo, max(feature_ts) AS hi FROM joined)
+SELECT joined.*,
+       CASE WHEN feature_ts <= lo + floor((hi - lo) * 0.7) THEN 'train'
+            WHEN feature_ts <= lo + floor((hi - lo) * 0.85) THEN 'val'
+            ELSE 'test' END AS split
+FROM joined CROSS JOIN rng"""
