@@ -142,6 +142,8 @@ def grid_returns(
         r6(F.col("price")).alias("price"),
     ]
     for h in horizons_s:
+        if h % step_s:
+            raise ValueError(f"horizon {h}s is not a whole number of {step_s}s steps")
         k = h // step_s
         cols.append(r6(F.log(F.col("price") / F.lag("price", k).over(w))).alias(f"ret_{h}s"))
     cols += [F.col("data_age_ms"), F.col("gap_indicator")]
@@ -164,6 +166,9 @@ def grid_labels(
     multi-horizon returns, and the validity/gap quality flags
     (S3_SCHEMA.md:676-681).  ``lead``/forward-ROWS frames only — label
     leakage is structurally impossible."""
+    for h in (horizon_s, *extra_horizons_s):
+        if h % step_s:
+            raise ValueError(f"horizon {h}s is not a whole number of {step_s}s steps")
     k = horizon_s // step_s
     w = Window.partitionBy("symbol").orderBy("tick")
     fwd = w.rowsBetween(1, k)

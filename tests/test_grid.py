@@ -1,0 +1,79 @@
+"""Edge-semantics unit tests for the fixed-second LOCF grid (the oracle
+sweep proves cross-engine parity on the corpus; these pin the contract on
+constructed edges: carry-forward across gaps, gap flagging, zero returns on
+carried prices, label validity at the series tail)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bitcoin_datapipeline_spark.operators import grid
+
+
+def _trades(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "symbol string, event_ts long, trade_id long, price double, qty double,"
+        " is_buyer_maker boolean, source string",
+    )
+
+
+def test_locf_carries_price_and_flags_gap(spark):
+    t = _trades(
+        spark,
+        [
+            ("A", 0, 1, 100.0, 1.0, False, "sbe"),
+            ("A", 90_000, 2, 110.0, 2.0, True, "rest"),  # 90 s later
+        ],
+    )
+    g = grid.locf_resample(t, step_s=1, slice_s=120, gap_threshold_s=60)
+    rows = {r["feature_ts"]: r for r in g.collect()}
+    assert len(rows) == 120  # seconds 0..119
+    # carried price between prints, new price at/after the second print
+    assert rows[45]["price"] == 100.0 and rows[45]["volume"] == 0.0
+    assert rows[90]["price"] == 110.0 and rows[90]["trades"] == 1
+    # gap flips on once the carried observation exceeds the threshold
+    assert not rows[30]["gap_indicator"]
+    assert rows[75]["gap_indicator"]
+    assert not rows[90]["gap_indicator"]
+    # data age grows by exactly 1000 ms per grid step inside the gap
+    assert rows[50]["data_age_ms"] - rows[49]["data_age_ms"] == 1000
+
+
+def test_returns_zero_on_carried_prices(spark):
+    t = _trades(
+        spark,
+        [
+            ("A", 0, 1, 100.0, 1.0, False, "sbe"),
+            ("A", 30_000, 2, 120.0, 1.0, False, "sbe"),
+        ],
+    )
+    r = grid.grid_returns(
+        grid.locf_resample(t, step_s=1, slice_s=60), horizons_s=(1, 5)
+    )
+    rows = {x["feature_ts"]: x for x in r.collect()}
+    assert rows[10]["ret_1s"] == 0.0  # carried → zero return, not NULL
+    assert rows[30]["ret_1s"] == pytest.approx(0.182322, abs=1e-6)
+    assert rows[0]["ret_1s"] is None  # nothing 1 s before the first print
+
+
+def test_labels_tail_invalid_and_leak_free(spark):
+    t = _trades(
+        spark,
+        [("A", i * 1000, i + 1, 100.0 + i, 1.0, False, "sbe") for i in range(30)],
+    )
+    lab = grid.grid_labels(grid.locf_resample(t, step_s=1, slice_s=30))
+    rows = {x["feature_ts"]: x for x in lab.collect()}
+    # full horizon exists → valid, exact 10 s ahead target
+    assert rows[5]["is_valid"] and rows[5]["target_price"] == 115.0
+    # the last 10 grid seconds cannot have a full forward window
+    assert not rows[25]["is_valid"]
+    assert rows[29]["target_price"] is None
+
+
+def test_non_divisible_horizon_rejected(spark):
+    t = _trades(spark, [("A", 0, 1, 100.0, 1.0, False, "sbe")])
+    g = grid.locf_resample(t, step_s=2, slice_s=10)
+    with pytest.raises(ValueError, match="whole number"):
+        grid.grid_returns(g, step_s=2, horizons_s=(5,))
