@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import r6
+from .windows import DIRECTION_EPS  # shared label dead-zone (windows.py:63)
 
 #: a grid point whose carried-forward observation is older than this is a gap
 GRID_GAP_THRESHOLD_S = 60
@@ -148,9 +149,6 @@ def grid_returns(
         cols.append(r6(F.log(F.col("price") / F.lag("price", k).over(w))).alias(f"ret_{h}s"))
     cols += [F.col("data_age_ms"), F.col("gap_indicator")]
     return grid.select(*cols)
-
-
-DIRECTION_EPS = 1e-4
 
 
 def grid_labels(

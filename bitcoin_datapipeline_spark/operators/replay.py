@@ -18,9 +18,9 @@ Spark-first replay, with *no* per-row Python and no iterative driver loop:
    explode above the aggregate and key it by (symbol, side, level, minute)
    — same plan shape one grain finer; the DuckDB oracle is written at that
    level grain and proves the two are equivalent on this log.
-2. **Explode the per-minute book to level grain** — one ``posexplode`` over
-   the concatenated per-side struct arrays (bounded: 20 rows per
-   symbol-minute).
+2. **Explode the per-minute book to level grain** — one ``explode`` over
+   the concatenated per-side struct arrays, each struct carrying its own
+   per-side level index (bounded: levels × 2 rows per symbol-minute).
 3. **LOCF across the minute grid per (symbol, side, level)** — a level not
    touched in minute m keeps its last set (price, qty): exactly the
    streaming book's state-carry semantics, expressed as the same
@@ -55,17 +55,22 @@ def orderbook_replay(depth: DataFrame, slice_min: int = REPLAY_SLICE_MIN) -> Dat
     last_msg = depth.groupBy("symbol", minute.alias("minute")).agg(
         F.max_by(F.struct("bids", "asks"), "event_ts").alias("m")
     )
+    # level index is embedded per SIDE at construction — robust to books
+    # that are not exactly 10 deep on both sides (a pos%10 trick would
+    # mislabel asks whenever the bid side is short)
     sided = F.expr(
-        "concat(transform(m.bids, b -> struct('bid' as side, b.price as price, b.qty as qty)),"
-        "       transform(m.asks, a -> struct('ask' as side, a.price as price, a.qty as qty)))"
+        "concat(transform(m.bids, (b, i) -> struct('bid' as side, i + 1 as level,"
+        "                                          b.price as price, b.qty as qty)),"
+        "       transform(m.asks, (a, i) -> struct('ask' as side, i + 1 as level,"
+        "                                          a.price as price, a.qty as qty)))"
     )
     per_min = last_msg.select(
-        "symbol", "minute", F.posexplode(sided).alias("pos", "e")
+        "symbol", "minute", F.explode(sided).alias("e")
     ).select(
         "symbol",
         "minute",
         F.col("e.side").alias("side"),
-        (F.col("pos") % 10 + 1).cast("int").alias("level"),
+        F.col("e.level").cast("int").alias("level"),
         F.col("e.price").alias("p"),
         F.col("e.qty").alias("q"),
     )

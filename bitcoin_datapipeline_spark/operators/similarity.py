@@ -207,12 +207,6 @@ IVF_ITERS = 2  # unrolled Lloyd iterations
 IVF_SEED_STRIDE = 37  # seed c = embedding of vec_id (c * 37) % n
 
 
-def _cnorm():
-    return F.sqrt(
-        F.expr("aggregate(centroid, cast(0.0 as double), (acc, v) -> acc + v * v)")
-    )
-
-
 def _assign(e: DataFrame, cents: DataFrame, topn: int = 1) -> DataFrame:
     """Nearest-centroid assignment by ROUNDED cosine with a centroid-id
     tiebreak (rounding makes the argmax identical across engines).
@@ -226,7 +220,7 @@ def _assign(e: DataFrame, cents: DataFrame, topn: int = 1) -> DataFrame:
     The centroid norm is precomputed on the K-row broadcast side — inlining
     ``_cnorm()`` here would re-reduce the 64-dim centroid for every
     (vector × centroid) pair."""
-    qc = e.crossJoin(F.broadcast(cents.withColumn("cnorm", _cnorm())))
+    qc = e.crossJoin(F.broadcast(cents.withColumn("cnorm", _norm("centroid"))))
     ccos = r6(_dot("embedding", "centroid") / (F.col("norm") * F.col("cnorm")))
     scored = qc.withColumn("c_cos", ccos)
     if topn == 1:

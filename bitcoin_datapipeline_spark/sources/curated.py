@@ -71,6 +71,22 @@ _AVRO_HINT = (
 )
 
 
+def _is_source_not_found(e: Exception) -> bool:
+    # prefer the error class (stable across Spark versions); the legacy
+    # short-name error and the generic one use different message wordings
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(e, attr, None)
+        if fn is not None:
+            try:
+                name = fn()
+            except Exception:
+                name = None
+            if name in ("DATA_SOURCE_NOT_FOUND", "_LEGACY_ERROR_TEMP_1139"):
+                return True
+    msg = str(e)
+    return "Failed to find" in msg and "data source" in msg.lower()
+
+
 def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Write an Avro container (the reference's at-rest schema format)."""
     last: Exception | None = None
@@ -80,7 +96,7 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
             return
         except Exception as e:  # unregistered short name → try the class
             last = e
-            if "Failed to find data source" not in str(e):
+            if not _is_source_not_found(e):
                 raise
     raise RuntimeError(_AVRO_HINT) from last
 
@@ -95,6 +111,6 @@ def read_avro(spark, path: str) -> DataFrame:
             return df
         except Exception as e:
             last = e
-            if "Failed to find data source" not in str(e):
+            if not _is_source_not_found(e):
                 raise
     raise RuntimeError(_AVRO_HINT) from last

@@ -121,4 +121,4 @@ def test_orderbook_replay_collapses_before_explode(spark, sf01):
 
     plan = _plan(spark, E.queries()["q_orderbook_replay"](spark, sf01))
     assert "partial_max_by" in plan
-    assert "posexplode" in plan
+    assert "explode" in plan
