@@ -925,6 +925,11 @@ def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh(table(spark, sf_dir, "embeddings"))
 
 
+@q("q_embed_ann_lsh_multi", similarity.ANN_LSH_MULTI_ORACLE)
+def q_embed_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_lsh_multi(table(spark, sf_dir, "embeddings"))
+
+
 @q("q_embed_ann_ivf", similarity.ANN_IVF_ORACLE)
 def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf(table(spark, sf_dir, "embeddings"))

@@ -200,6 +200,119 @@ FROM (
 WHERE rank <= 1"""
 
 
+LSH_TABLES = 3  # OR-amplification: candidate if ANY table's bucket matches
+
+
+def ann_lsh_multi(embeddings: DataFrame, n_tables: int = LSH_TABLES) -> DataFrame:
+    """Multi-table sign-bucket LSH — the OR-amplified production form of
+    :func:`ann_lsh` (SCALING.md's "multiple LSH tables" path).
+
+    Table t hashes dimensions [t·8, t·8+8): a pair is a candidate if it
+    shares a bucket in ANY table, which trades a ~n_tables× larger candidate
+    set for much higher recall (P[miss] decays exponentially in the table
+    count).  Plan shape: one explode to (vec_id, table, bucket) rows, one
+    equi-join on (table, bucket) — the shuffle key stays fine-grained —
+    then candidate pairs dedup through a count aggregate and are scored
+    once against the embedding arrays."""
+    e = with_norm(embeddings)
+
+    def bucket_expr(t: int):
+        return F.concat_ws(
+            "",
+            *[
+                F.when(
+                    F.expr(f"cast(embedding[{t * LSH_DIMS + i}] as double)") >= 0, "1"
+                ).otherwise("0")
+                for i in range(LSH_DIMS)
+            ],
+        )
+
+    tb = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), bucket_expr(t).alias("bucket"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", F.col("x.t").alias("t"), F.col("x.bucket").alias("bucket"))
+
+    q = tb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "t", "bucket"
+    )
+    c = tb.select(F.col("vec_id").alias("neighbor_id"), "t", "bucket")
+    cand = (
+        q.join(c, ["t", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.count("*").cast("long").alias("n_tables_matched"))
+    )
+    qe = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("emb_q"),
+        F.col("norm").alias("norm_q"),
+    )
+    ne = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_c"),
+        F.col("norm").alias("norm_c"),
+    )
+    cos6 = r6(_dot("emb_q", "emb_c") / (F.col("norm_q") * F.col("norm_c")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        cand.join(qe, "query_id")
+        .join(ne, "neighbor_id")
+        .withColumn("cosine", cos6)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 1)
+        .select("query_id", "neighbor_id", "n_tables_matched", "cosine")
+    )
+
+
+def _lsh_multi_oracle() -> str:
+    def sign_sql(t: int) -> str:
+        return " || ".join(
+            f"(CASE WHEN CAST(embedding[{t * LSH_DIMS + i + 1}] AS DOUBLE) >= 0"
+            " THEN '1' ELSE '0' END)"
+            for i in range(LSH_DIMS)
+        )
+
+    tables = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, {sign_sql(t)} AS bucket FROM embeddings"
+        for t in range(LSH_TABLES)
+    )
+    return f"""
+WITH tb AS ({tables}),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(count(*) AS BIGINT) AS n_tables_matched
+  FROM tb q JOIN tb c ON q.t = c.t AND q.bucket = c.bucket
+                     AND q.vec_id != c.vec_id
+  WHERE q.vec_id % {ANN_QUERY_MOD} = 0
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id, cand.n_tables_matched,
+         round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                      CAST(ne.embedding AS DOUBLE[])), 6) AS cosine
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, n_tables_matched, cosine
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= 1"""
+
+
+ANN_LSH_MULTI_ORACLE = _lsh_multi_oracle()
+
+
 IVF_NPROBE_QUERY_MOD = 25  # same deterministic query subset as ann_lsh
 IVF_K = 8  # coarse clusters
 IVF_NPROBE = 4  # posting lists searched per query

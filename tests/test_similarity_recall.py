@@ -61,3 +61,26 @@ def test_ivf_probes_bounded(spark):
     )
     mx = per_q.agg(F.max("n_lists")).collect()[0][0]
     assert mx <= similarity.IVF_NPROBE
+
+
+def test_multi_table_lsh_beats_single_table(spark):
+    """OR-amplification contract: 3 sign-bucket tables find at least as many
+    true top-1 neighbors as one table, and match strictly more queries."""
+    emb = table(spark, SF_DIR, "embeddings")
+    single = {
+        int(r["query_id"]): int(r["neighbor_id"])
+        for r in similarity.ann_lsh(emb).collect()
+    }
+    multi = {
+        int(r["query_id"]): int(r["neighbor_id"])
+        for r in similarity.ann_lsh_multi(emb).collect()
+    }
+    # every single-table query also surfaces under OR-amplification
+    assert set(single) <= set(multi)
+
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    truth = _exact_top1(ids, x, ids % similarity.ANN_QUERY_MOD == 0)
+    hits = lambda got: sum(got.get(q) == truth[q] for q in truth)
+    assert hits(multi) >= hits(single)
