@@ -1082,6 +1082,28 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "customer"),
     )
 
+# TPC-H-Q18-shaped: large-quantity orders (agg-before-join + exact filter)
+@q("q_large_orders", relational.LARGE_ORDERS_ORACLE)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.large_orders(
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "customer"),
+    )
+
+
+# TPC-H-Q8-shaped: one nation's regional market share per order year
+@q("q_market_share", relational.MARKET_SHARE_ORACLE)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.market_share(
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "nation"),
+        table(spark, sf_dir, "region"),
+    )
+
+
 
 @q(
     "q_gold_training_set",

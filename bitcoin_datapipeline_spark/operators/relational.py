@@ -470,3 +470,110 @@ FROM (
   FROM per_cust
 )
 WHERE return_rank <= 20"""
+
+
+LARGE_ORDER_MIN_QTY = 200.0
+
+
+def large_orders(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    min_qty: float = LARGE_ORDER_MIN_QTY,
+) -> DataFrame:
+    """TPC-H-Q18-shaped: customers who placed very large-quantity orders —
+    aggregate to order grain FIRST (combinable, shrinks the join input),
+    filter on the exact decimal quantity sum, then enrich with order and
+    customer attributes."""
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.sum(_dec(F.col("l_quantity"))).alias("tq")
+    )
+    big = per_order.filter(F.col("tq") > min_qty)
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            "o_orderdate",
+            F.col("o_totalprice").alias("o_totalprice"),
+            F.col("tq").cast("double").alias("total_qty"),
+        )
+    )
+
+
+LARGE_ORDERS_ORACLE = f"""
+WITH per_order AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS tq
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderdate,
+       o_totalprice, CAST(tq AS DOUBLE) AS total_qty
+FROM per_order
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE tq > {LARGE_ORDER_MIN_QTY}"""
+
+
+MARKET_SHARE_NATION = "NATION_2"
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_nation: str = MARKET_SHARE_NATION,
+) -> DataFrame:
+    """TPC-H-Q8-shaped: one nation's share of regional revenue per order
+    year.  Same broadcast-dim enrichment chain as revenue_by_nation; the
+    share is a conditional decimal sum over the same aggregate (one pass,
+    no second join)."""
+    rev = _dec(F.col("l_extendedprice")) * _dec(1.0 - F.col("l_discount"))
+    nat_rev = F.when(F.col("n_name") == target_nation, rev).otherwise(
+        F.lit(0.0).cast(D)
+    )
+    j = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    g = j.groupBy("r_name", F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        F.sum(rev).alias("total"), F.sum(nat_rev).alias("nat")
+    )
+    return g.select(
+        "r_name",
+        "o_year",
+        F.col("total").cast("double").alias("total_revenue"),
+        F.col("nat").cast("double").alias("nation_revenue"),
+        r6(F.col("nat").cast("double") / F.col("total").cast("double") * 100.0).alias(
+            "market_share_pct"
+        ),
+    )
+
+
+MARKET_SHARE_ORACLE = f"""
+SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+       CAST(sum(CASE WHEN n_name = '{MARKET_SHARE_NATION}'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1.0 - l_discount AS DECIMAL(18,4))
+                     ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_revenue,
+       round(CAST(sum(CASE WHEN n_name = '{MARKET_SHARE_NATION}'
+                           THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                                * CAST(1.0 - l_discount AS DECIMAL(18,4))
+                           ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE)
+             * 100.0, 6) AS market_share_pct
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, year(o_orderdate)"""
