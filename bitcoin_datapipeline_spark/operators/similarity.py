@@ -331,7 +331,7 @@ def _assign(e: DataFrame, cents: DataFrame, topn: int = 1) -> DataFrame:
     (rounded cosine desc, centroid id asc), so the two forms agree.
 
     The centroid norm is precomputed on the K-row broadcast side — inlining
-    ``_cnorm()`` here would re-reduce the 64-dim centroid for every
+    the norm expression here would re-reduce the 64-dim centroid for every
     (vector × centroid) pair."""
     qc = e.crossJoin(F.broadcast(cents.withColumn("cnorm", _norm("centroid"))))
     ccos = r6(_dot("embedding", "centroid") / (F.col("norm") * F.col("cnorm")))

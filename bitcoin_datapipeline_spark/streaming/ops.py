@@ -178,3 +178,38 @@ def idempotent_parquet_sink(out_dir: str, keys: list[str]):
         df.dropDuplicates(keys).write.mode("append").parquet(out_dir)
 
     return write
+
+
+def latest_snapshot_sink(out_dir: str, key: str = "symbol", ts_col: str = "bucket"):
+    """The reference's live per-symbol feature cache (Redis ``feat:{symbol}``
+    hash, REDIS_SCHEMA.md feature-vector keys; refreshed continuously by the
+    aggregator) as a Parquet-backed foreachBatch sink: each micro-batch
+    merges its rows with the current cache and keeps the newest row per key,
+    then cuts over atomically via sources/reanchor.atomic_swap_write — a
+    reader never observes a half-refreshed cache, mirroring the Redis
+    pipeline/RENAME discipline.
+
+    State is bounded at one row per key regardless of stream volume; the
+    merge is a max_by aggregate (no sort), and the swap cost is O(keys).
+    """
+    from ..sources.reanchor import atomic_swap_write, retire
+
+    def write(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        merged = df
+        try:
+            cur = spark.read.parquet(out_dir)
+            merged = df.unionByName(cur)
+        except Exception:
+            pass  # first epoch: no cache yet
+        others = [c for c in merged.columns if c != key]
+        latest = (
+            merged.groupBy(key)
+            .agg(
+                F.max_by(F.struct(*others), F.col(ts_col)).alias("s")
+            )
+            .select(key, "s.*")
+        )
+        retire(atomic_swap_write(latest, out_dir))
+
+    return write

