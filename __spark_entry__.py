@@ -498,7 +498,7 @@ def q_labels_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q_returns_1s",
     OD.with_ctes(
-        OD.locf_grid_cte(step_s=1, slice_s=86_400, gap_s=60),
+        OD.locf_grid_cte(step_s=1, slice_s=43_200, gap_s=60),
         body="""
 SELECT symbol, feature_ts, round(price, 6) AS price,
        round(ln(price / lag(price, 1)  OVER w), 6) AS ret_1s,
@@ -518,7 +518,7 @@ def q_returns_1s(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q_labels_10s",
     OD.with_ctes(
-        OD.locf_grid_cte(step_s=1, slice_s=86_400, gap_s=60),
+        OD.locf_grid_cte(step_s=1, slice_s=43_200, gap_s=60),
         body=f"""
 SELECT symbol, feature_ts,
        CAST(feature_ts + 10 AS BIGINT) AS target_ts,

@@ -42,9 +42,10 @@ from .windows import DIRECTION_EPS  # shared label dead-zone (windows.py:63)
 #: a grid point whose carried-forward observation is older than this is a gap
 GRID_GAP_THRESHOLD_S = 60
 
-#: default resample slice: first 24 h of the dataset (bounds the grid to
-#: 86 400 points/symbol at 1 s — test-size decision, not a semantic one)
-GRID_SLICE_S = 86_400
+#: default resample slice: first 12 h of the dataset (bounds the grid to
+#: 43 200 points/symbol at 1 s — a test-size decision that also caps the
+#: driver correctness gate's hash-compare cost; the grain is unchanged)
+GRID_SLICE_S = 43_200
 
 
 def _buy():
