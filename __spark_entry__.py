@@ -884,6 +884,12 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(table(spark, sf_dir, "documents"))
 
+# Winnowing (rolling min-hash) fingerprints — MOSS-style overlap detection
+@q("q_doc_winnow", text.WINNOW_ORACLE)
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.winnow_fingerprints(table(spark, sf_dir, "documents"))
+
+
 
 @q("q_doc_exact_dedup", text.EXACT_DEDUP_ORACLE)
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -141,6 +141,63 @@ SELECT doc_id,
 FROM documents"""
 
 
+WINNOW_WINDOW = 4  # shingle-hash window for winnowing (MOSS-style)
+
+
+def winnow_fingerprints(documents: DataFrame, w: int = WINNOW_WINDOW) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's MOSS
+    algorithm): a rolling integer hash over the ORDERED 3-gram shingle
+    sequence, then the minimum hash of every w-length window, deduplicated —
+    the guarantee is that any shared substring of length >= w+2 tokens
+    yields at least one shared fingerprint, at ~1/w the storage of full
+    shingle sets.
+
+    All-array implementation (one map-only projection + one explode): the
+    token array is let-bound once per row ([[spark-hof-performance]] — HOFs
+    are interpreted, no CSE), shingle hashes come from a 28-bit md5 prefix
+    (integer-exact in both engines), and the rolling windows are
+    ``array_min(slice(...))`` per position.  At 100 TB this is the standard
+    pre-shuffle compression for overlap detection: the downstream
+    fingerprint equi-join carries w× fewer rows than the shingle join."""
+    hs_expr = (
+        "transform(array(split(text, ' ')), toks -> "
+        " CASE WHEN size(toks) >= 3 THEN"
+        "  transform(sequence(0, size(toks) - 3), i -> "
+        "   cast(conv(substring(md5(concat_ws(' ', element_at(toks, i + 1),"
+        "        element_at(toks, i + 2), element_at(toks, i + 3))), 1, 7),"
+        "        16, 10) as bigint))"
+        " ELSE array() END)[0]"
+    )
+    # hs is referenced several times below — let-bind it too, or projection
+    # collapse would inline (and re-evaluate) the hash array per reference
+    fps = F.expr(
+        f"transform(array({hs_expr}), hs -> "
+        f" CASE WHEN size(hs) >= {w} THEN"
+        f"  array_distinct(transform(sequence(0, size(hs) - {w}), i -> "
+        f"   array_min(slice(hs, i + 1, {w}))))"
+        f" WHEN size(hs) > 0 THEN array(array_min(hs))"
+        f" ELSE array() END)[0]"
+    )
+    return documents.select("doc_id", F.explode(fps).alias("fingerprint"))
+
+
+WINNOW_ORACLE = f"""
+WITH hs AS (
+  SELECT doc_id,
+         [CAST(concat('0x', substring(md5(array_to_string(toks[i:i+2], ' ')), 1, 7))
+               AS BIGINT)
+          for i in generate_series(1, len(toks) - 2)] AS hs
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 3
+)
+SELECT DISTINCT doc_id,
+       unnest(CASE WHEN len(hs) >= {WINNOW_WINDOW}
+                   THEN [list_min(hs[i:i+{WINNOW_WINDOW} - 1])
+                         for i in generate_series(1, len(hs) - {WINNOW_WINDOW} + 1)]
+                   ELSE [list_min(hs)] END) AS fingerprint
+FROM hs"""
+
+
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """Exact dedup by content hash (hash-groupBy): smallest doc_id per hash
     survives; emits survivors with their duplicate count.  One shuffle on
