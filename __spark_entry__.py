@@ -952,6 +952,14 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         multimodal.media_table(table(spark, sf_dir, "documents"))
     )
 
+# Frame sampling over binary media (video path) — Arrow-batched fan-out
+@q("q_multimodal_frames", multimodal.SAMPLE_FRAMES_ORACLE)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.sample_frames(
+        multimodal.media_table(table(spark, sf_dir, "documents"))
+    )
+
+
 
 # ---------------------------------------------------------------------------
 # Coverage completion: P2/P4 kline + formatting, sessionization, time split,

@@ -181,3 +181,101 @@ SELECT d.doc_id,
        CAST(list_min(c.cs) AS INTEGER)              AS byte_min,
        CAST(list_max(c.cs) AS INTEGER)              AS byte_max
 FROM documents d JOIN codes c ON d.doc_id = c.doc_id"""
+
+
+N_FRAMES = 4
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_offset", T.LongType()),
+        T.StructField("frame_len", T.LongType()),
+        T.StructField("frame_mean", T.DoubleType()),
+        T.StructField("frame_min", T.IntegerType()),
+        T.StructField("frame_max", T.IntegerType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = N_FRAMES) -> DataFrame:
+    """Frame sampling over binary media (the video path of the multimodal
+    brief): emit ``n_frames`` evenly spaced frames per item with per-frame
+    statistics.  A real implementation seeks keyframes with a codec (same
+    NotImplementedError guard as decode_stub); the deterministic fake slices
+    the byte stream at stride offsets — which exercises everything the real
+    job needs from Spark: Arrow batch transfer, per-item fan-out to a
+    variable number of output rows, declared schema, and codec-homogeneous
+    partitioning upstream.
+
+    Frame k covers bytes [k·stride, k·stride + flen) with
+    stride = n_bytes div n_frames and flen = max(stride div 2, 1); the
+    per-frame reductions are numpy over the uint8 view."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "format", "frame_idx", "frame_offset",
+                "frame_len", "frame_mean", "frame_min", "frame_max",
+            )}
+            for doc_id, fmt, p in zip(pdf["doc_id"], pdf["fmt"], pdf["payload"]):
+                if p is None or len(p) == 0:
+                    continue
+                b = np.frombuffer(p, dtype=np.uint8)
+                nb = len(b)
+                stride = nb // n_frames
+                flen = max(stride // 2, 1)
+                for k in range(n_frames):
+                    off = k * stride
+                    if off + flen > nb:
+                        continue
+                    fr = b[off : off + flen]
+                    out["doc_id"].append(int(doc_id))
+                    out["format"].append(fmt)
+                    out["frame_idx"].append(k)
+                    out["frame_offset"].append(off)
+                    out["frame_len"].append(flen)
+                    out["frame_mean"].append(float(fr.mean()))
+                    out["frame_min"].append(int(fr.min()))
+                    out["frame_max"].append(int(fr.max()))
+            yield pd.DataFrame(out)
+
+    flat = media.select(
+        "doc_id", "payload", F.col("media_meta.format").alias("fmt")
+    )
+    return flat.mapInPandas(batches, schema=FRAMES_SCHEMA)
+
+
+SAMPLE_FRAMES_ORACLE = f"""
+WITH codes AS (
+  SELECT doc_id, text,
+         [ascii(substr(text, i, 1)) for i in generate_series(1, length(text))]
+             AS cs
+  FROM documents
+),
+f AS (
+  SELECT doc_id, text, cs, len(cs) AS nb,
+         len(cs) // {N_FRAMES} AS stride,
+         greatest((len(cs) // {N_FRAMES}) // 2, 1) AS flen
+  FROM codes WHERE len(cs) > 0
+),
+frames AS (
+  SELECT doc_id, text, k.k AS frame_idx, k.k * stride AS frame_offset, flen,
+         cs[k.k * stride + 1 : k.k * stride + flen] AS fr
+  FROM f, (SELECT unnest(generate_series(0, {N_FRAMES - 1})) AS k) k
+  WHERE k.k * stride + flen <= nb
+)
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END
+           AS format,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(frame_offset AS BIGINT) AS frame_offset,
+       CAST(flen AS BIGINT) AS frame_len,
+       CAST(list_sum(fr) AS DOUBLE) / len(fr) AS frame_mean,
+       CAST(list_min(fr) AS INTEGER) AS frame_min,
+       CAST(list_max(fr) AS INTEGER) AS frame_max
+FROM frames"""
