@@ -339,3 +339,88 @@ def test_latest_snapshot_cache_matches_batch(spark, sf_dir, tmp_path):
     assert {r["symbol"] for r in emitted_latest.collect()} == {
         "CLICK", "ERROR", "PURCHASE", "SIGNUP", "VIEW"
     }
+
+
+def test_stream_locf_grid_matches_batch(spark, tmp_path):
+    """Streaming LOCF grid == batch locf_resample row-for-row over the
+    streamed span, including carry-forward rows, data ages, and gap flags —
+    with state surviving across two micro-batches."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_datapipeline_spark.operators import grid as batch_grid
+    from bitcoin_datapipeline_spark.streaming import grid as sgrid
+
+    schema = (
+        "symbol string, event_ts long, trade_id long, price double, qty double,"
+        " is_buyer_maker boolean, source string"
+    )
+    batch1 = [
+        ("A", 0, 1, 100.0, 1.0, False, "sbe"),
+        ("A", 5_500, 2, 101.0, 2.0, True, "sbe"),
+        ("B", 2_000, 3, 50.0, 1.0, False, "sbe"),
+    ]
+    batch2 = [
+        ("A", 130_250, 4, 105.0, 1.0, False, "sbe"),  # 125 s gap
+        ("B", 50_900, 5, 55.0, 3.0, True, "sbe"),
+    ]
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def run_once(rows, part):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / part)
+        )
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).option("recursiveFileLookup", "true").parquet(str(src))
+        q = (
+            sgrid.stream_locf_grid(stream, gap_threshold_s=60)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once(batch1, "p1")
+    run_once(batch2, "p2")
+
+    got = spark.read.parquet(out)
+    trades = spark.createDataFrame(batch1 + batch2, schema)
+    want_full = batch_grid.locf_resample(
+        trades, step_s=1, slice_s=1_000, gap_threshold_s=60
+    )
+    last_sec = trades.groupBy("symbol").agg(
+        F.expr("max(event_ts div 1000)").alias("last_sec")
+    )
+    want = (
+        want_full.join(last_sec, "symbol")
+        .filter(F.col("feature_ts") <= F.col("last_sec"))
+        .select(
+            "symbol", "feature_ts", "price", "data_age_ms", "gap_indicator",
+            "volume", "trades", "has_obs",
+        )
+    )
+    assert got.count() == want.count() == (131 + 49)
+    mismatched = (
+        got.alias("g")
+        .join(want.alias("w"), ["symbol", "feature_ts"], "full")
+        .filter(
+            "g.price IS DISTINCT FROM w.price OR "
+            "g.data_age_ms IS DISTINCT FROM w.data_age_ms OR "
+            "g.gap_indicator IS DISTINCT FROM w.gap_indicator OR "
+            "g.volume IS DISTINCT FROM w.volume OR "
+            "g.trades IS DISTINCT FROM w.trades OR "
+            "g.has_obs IS DISTINCT FROM w.has_obs"
+        )
+        .count()
+    )
+    assert mismatched == 0
+    # the 125 s silence must be gap-flagged in the stream output
+    assert (
+        got.filter("symbol = 'A' AND gap_indicator").count() > 0
+    )
