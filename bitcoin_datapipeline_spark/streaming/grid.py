@@ -127,3 +127,104 @@ def stream_locf_grid(trades: DataFrame, gap_threshold_s: int = 60) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+RETURNS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("feature_ts", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("ret_1s", T.DoubleType()),
+        T.StructField("ret_5s", T.DoubleType()),
+        T.StructField("ret_10s", T.DoubleType()),
+        T.StructField("gap_indicator", T.BooleanType()),
+    ]
+)
+
+# grid frontier + a bounded ring of the last max(horizon) carried prices
+RETURNS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_sec", T.LongType()),
+        T.StructField("last_trade_ts", T.LongType()),
+        T.StructField("hist", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+RET_HORIZONS_S = (1, 5, 10)
+
+
+def make_returns_resampler(gap_threshold_s: int = 60):
+    """Streaming k-second returns at grid grain — the live form of the
+    reference's Redis ``ret_1s``/``ret_5s``/``ret_10s`` feature fields
+    (REDIS_SCHEMA.md feat hash; batch twin: operators/grid.grid_returns).
+
+    State per symbol = the LOCF frontier plus a bounded price ring of the
+    last max(horizon) grid prices — O(60 doubles), the Redis-hash bound.
+    Returns over carried prices are exactly 0 (log p/p), matching the batch
+    twin; a horizon reaching before the symbol's first print yields NULL."""
+    import math
+
+    gap_ms = gap_threshold_s * 1000
+    max_h = max(RET_HORIZONS_S)
+
+    def fn(key, pdfs, state: GroupState):
+        symbol = key[0]
+        chunks = [pdf[["event_ts", "price"]] for pdf in pdfs if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame(
+                [], columns=[f.name for f in RETURNS_OUTPUT_SCHEMA.fields]
+            )
+            return
+        ev = pd.concat(chunks, ignore_index=True)
+        if state.exists:
+            last_sec, last_ts, hist = state.get
+            hist = list(hist)
+            ev = ev[ev["event_ts"] // 1000 > last_sec]
+        else:
+            last_sec, last_ts, hist = None, None, []
+
+        rows = []
+        if len(ev):
+            ev = ev.sort_values("event_ts", kind="mergesort")
+            ev["sec"] = ev["event_ts"] // 1000
+            per_sec = ev.groupby("sec").agg(
+                price=("price", "last"), last_ts=("event_ts", "max")
+            )
+            start = (
+                int(per_sec.index[0]) if last_sec is None else int(last_sec) + 1
+            )
+            end = int(per_sec.index[-1])
+            price = hist[-1] if hist else None
+            for sec in range(start, end + 1):
+                if sec in per_sec.index:
+                    o = per_sec.loc[sec]
+                    price = float(o["price"])
+                    last_ts = int(o["last_ts"])
+                hist.append(price)
+                rets = []
+                for h in RET_HORIZONS_S:
+                    prev = hist[-h - 1] if len(hist) > h else None
+                    rets.append(
+                        math.log(price / prev) if prev is not None else None
+                    )
+                age = (sec + 1) * 1000 - 1 - last_ts
+                rows.append((symbol, sec, price, *rets, age > gap_ms))
+            hist = hist[-(max_h + 1):]
+            state.update((int(end), int(last_ts), hist))
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in RETURNS_OUTPUT_SCHEMA.fields]
+        )
+
+    return fn
+
+
+def stream_grid_returns(trades: DataFrame, gap_threshold_s: int = 60) -> DataFrame:
+    """Per-second streaming returns over the LOCF grid (live twin of
+    operators/grid.grid_returns for horizons {1,5,10} s)."""
+    return trades.groupBy("symbol").applyInPandasWithState(
+        make_returns_resampler(gap_threshold_s),
+        outputStructType=RETURNS_OUTPUT_SCHEMA,
+        stateStructType=RETURNS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

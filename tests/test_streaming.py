@@ -424,3 +424,85 @@ def test_stream_locf_grid_matches_batch(spark, tmp_path):
     assert (
         got.filter("symbol = 'A' AND gap_indicator").count() > 0
     )
+
+
+def test_stream_grid_returns_matches_batch(spark, tmp_path):
+    """Streaming k-second returns == batch grid_returns over the streamed
+    span — the carried-price zeros, the across-gap return, and the NULLs
+    before each horizon's history exists, with the price ring surviving a
+    micro-batch boundary."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_datapipeline_spark.operators import grid as batch_grid
+    from bitcoin_datapipeline_spark.streaming import grid as sgrid
+
+    schema = (
+        "symbol string, event_ts long, trade_id long, price double, qty double,"
+        " is_buyer_maker boolean, source string"
+    )
+    batch1 = [
+        ("A", 0, 1, 100.0, 1.0, False, "sbe"),
+        ("A", 7_400, 2, 110.0, 1.0, False, "sbe"),
+    ]
+    batch2 = [
+        ("A", 23_900, 3, 121.0, 1.0, False, "sbe"),  # crosses the boundary
+    ]
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def run_once(rows, part):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / part)
+        )
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).option("recursiveFileLookup", "true").parquet(str(src))
+        q = (
+            sgrid.stream_grid_returns(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once(batch1, "p1")
+    run_once(batch2, "p2")
+
+    got = spark.read.parquet(out)
+    trades = spark.createDataFrame(batch1 + batch2, schema)
+    want = (
+        batch_grid.grid_returns(
+            batch_grid.locf_resample(trades, step_s=1, slice_s=1_000),
+            horizons_s=(1, 5, 10),
+        )
+        .filter(F.col("feature_ts") <= 23)
+    )
+    assert got.count() == want.count() == 24  # seconds 0..23
+    # batch twin rounds to 6dp; the stream emits raw — compare rounded
+    g = got.select(
+        "symbol", "feature_ts",
+        F.round("price", 6).alias("price"),
+        F.round("ret_1s", 6).alias("ret_1s"),
+        F.round("ret_5s", 6).alias("ret_5s"),
+        F.round("ret_10s", 6).alias("ret_10s"),
+    )
+    w = want.select("symbol", "feature_ts", "price", "ret_1s", "ret_5s", "ret_10s")
+    mism = (
+        g.alias("g").join(w.alias("w"), ["symbol", "feature_ts"], "full")
+        .filter(
+            "g.price IS DISTINCT FROM w.price OR "
+            "g.ret_1s IS DISTINCT FROM w.ret_1s OR "
+            "g.ret_5s IS DISTINCT FROM w.ret_5s OR "
+            "g.ret_10s IS DISTINCT FROM w.ret_10s"
+        )
+        .count()
+    )
+    assert mism == 0
+    r = {x["feature_ts"]: x for x in got.collect()}
+    assert r[7]["ret_1s"] != 0.0 and r[8]["ret_1s"] == 0.0  # print then carry
+    assert r[2]["ret_5s"] is None  # horizon precedes history
