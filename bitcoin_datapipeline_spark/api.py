@@ -28,7 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import tables
 from .functions import normalize
-from .operators import aggregates, windows
+from .operators import aggregates, replay, windows
+from .operators import grid as grid_ops
 from .plans import gold, pipeline
 
 
@@ -50,6 +51,17 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
         "daily_summary": aggregates.daily_summary(pipeline.trades_clean(spark, sf_dir)),
         "labels_10m": windows.labels(pipeline.bars_pipeline(spark, sf_dir)),
         "gold_training_set": gold.gold_training_set(spark, sf_dir),
+        # round-2 gold-grain surface
+        "grid_1s": grid_ops.locf_resample(pipeline.trades_clean(spark, sf_dir)),
+        "returns_1s": grid_ops.grid_returns(
+            grid_ops.locf_resample(pipeline.trades_clean(spark, sf_dir))
+        ),
+        "labels_10s": grid_ops.grid_labels(
+            grid_ops.locf_resample(pipeline.trades_clean(spark, sf_dir))
+        ),
+        "gold_vector_1s": gold.gold_vector(spark, sf_dir),
+        "gold_training_set_1s": gold.gold_training_set_1s(spark, sf_dir),
+        "orderbook_minutely": replay.orderbook_replay(normalize.depth(ev)),
     }
     for name, df in derived.items():
         df.createOrReplaceTempView(name)
