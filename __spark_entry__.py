@@ -889,6 +889,12 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.winnow_fingerprints(table(spark, sf_dir, "documents"))
 
+# Winnow-fingerprint overlap candidates (blocking join at ~1/w shingle rows)
+@q("q_doc_winnow_pairs", text.WINNOW_PAIRS_ORACLE)
+def q_doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.winnow_overlap_pairs(table(spark, sf_dir, "documents"))
+
+
 
 
 @q("q_doc_exact_dedup", text.EXACT_DEDUP_ORACLE)

@@ -670,3 +670,38 @@ SELECT doc_id, lang, source, n_chars,
        substr(md5(concat(lang, '|', CAST(doc_id AS VARCHAR))), 1, 1) AS sample_bucket
 FROM documents
 WHERE substr(md5(concat(lang, '|', CAST(doc_id AS VARCHAR))), 1, 1) <= '{SAMPLE_KEEP_HEX_MAX}'"""
+
+
+WINNOW_MIN_SHARED = 2
+
+
+def winnow_overlap_pairs(documents: DataFrame, min_shared: int = WINNOW_MIN_SHARED) -> DataFrame:
+    """Overlap-detection candidates from winnowing fingerprints: pairs of
+    documents sharing at least ``min_shared`` fingerprints.  The fingerprint
+    equi-join IS the blocking step (same plan family as the shingle join,
+    at ~1/w the rows); at 100 TB you additionally cap hot fingerprints by
+    document frequency, exactly like hot shingles."""
+    fp = winnow_fingerprints(documents)
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )
+
+
+WINNOW_PAIRS_ORACLE = f"""
+WITH fp AS ({WINNOW_ORACLE.strip()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS shared_fingerprints
+FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {WINNOW_MIN_SHARED}"""
