@@ -941,6 +941,12 @@ def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embed_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_multi(table(spark, sf_dir, "embeddings"))
 
+# Int8 scalar-quantization audit (storage compression + reconstruction error)
+@q("q_embed_quantize", similarity.QUANTIZE_ORACLE)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.quantize_stats(table(spark, sf_dir, "embeddings"))
+
+
 
 @q("q_embed_ann_ivf", similarity.ANN_IVF_ORACLE)
 def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -554,3 +554,75 @@ WHERE rank <= {KNN_K}"""
 
 
 ANN_IVF_ORACLE = _ivf_oracle()
+
+
+def quantize_stats(embeddings: DataFrame) -> DataFrame:
+    """Int8 scalar quantization audit — the storage-compression pass a
+    100 TB embedding store runs before indexing (4× smaller than float32,
+    16× smaller than the float64 search working set): per-vector affine
+    quantization to 256 levels and the reconstruction error it costs.
+
+    code = floor((x - vmin) / scale + 0.5), x' = vmin + code·scale with
+    scale = (vmax - vmin)/255; constant vectors quantize losslessly.  All
+    JVM array HOFs; the min/max are computed once in a prior projection so
+    the error fold doesn't re-reduce the array per element (Catalyst keeps
+    non-cheap multi-referenced aliases in their own Project).  floor(x+0.5)
+    on purpose — identical in both engines, and it keeps round() out of the
+    oracle so the 6-dp rounding rewriter's contract holds."""
+    d = "cast(x as double)"
+    s1 = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.expr(f"array_min(transform(embedding, x -> {d}))").alias("vmin"),
+        F.expr(f"array_max(transform(embedding, x -> {d}))").alias("vmax"),
+    )
+    scale = (F.col("vmax") - F.col("vmin")) / 255.0
+    s2 = s1.select(
+        "vec_id",
+        "embedding",
+        "vmin",
+        "vmax",
+        scale.alias("scale"),
+    )
+    abs_err = (
+        "aggregate(embedding, cast(0.0 as double), (acc, x) -> acc + "
+        f"abs({d} - (vmin + floor(({d} - vmin) / scale + 0.5) * scale)))"
+    )
+    max_err = (
+        "array_max(transform(embedding, x -> "
+        f"abs({d} - (vmin + floor(({d} - vmin) / scale + 0.5) * scale))))"
+    )
+    return s2.select(
+        "vec_id",
+        r6(F.col("vmin")).alias("qmin"),
+        r6(F.col("vmax")).alias("qmax"),
+        r6(
+            F.when(F.col("scale") > 0, F.expr(abs_err) / F.size("embedding"))
+            .otherwise(0.0)
+        ).alias("mean_abs_err"),
+        r6(
+            F.when(F.col("scale") > 0, F.expr(max_err)).otherwise(0.0)
+        ).alias("max_abs_err"),
+    )
+
+
+QUANTIZE_ORACLE = """
+WITH s1 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         list_min(CAST(embedding AS DOUBLE[])) AS vmin,
+         list_max(CAST(embedding AS DOUBLE[])) AS vmax
+  FROM embeddings
+),
+s2 AS (SELECT *, (vmax - vmin) / 255.0 AS scale FROM s1)
+SELECT vec_id,
+       round(vmin, 6) AS qmin,
+       round(vmax, 6) AS qmax,
+       round(CASE WHEN scale > 0 THEN
+         list_sum(list_transform(e, x ->
+           abs(x - (vmin + floor((x - vmin) / scale + 0.5) * scale)))) / len(e)
+         ELSE 0.0 END, 6) AS mean_abs_err,
+       round(CASE WHEN scale > 0 THEN
+         list_max(list_transform(e, x ->
+           abs(x - (vmin + floor((x - vmin) / scale + 0.5) * scale))))
+         ELSE 0.0 END, 6) AS max_abs_err
+FROM s2"""
