@@ -137,6 +137,15 @@ def q_max_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.counts(normalize.valid_trades(table(spark, sf_dir, "events")))
 
+# Data-contract profiling (ingestion health pass)
+@q(
+    "q_profile_trades",
+    OD.with_ctes(OD.TRADES_CTE, body=aggregates.PROFILE_ORACLE),
+)
+def q_profile_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.profile_trades(normalize.trades(table(spark, sf_dir, "events")))
+
+
 
 # ---------------------------------------------------------------------------
 # P7/P8 — time parts, cyclic encodings, session flags
@@ -893,6 +902,12 @@ def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q_doc_winnow_pairs", text.WINNOW_PAIRS_ORACLE)
 def q_doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.winnow_overlap_pairs(table(spark, sf_dir, "documents"))
+
+# Scrubbing pass (PII-redaction slot): mask, account, fingerprint
+@q("q_doc_scrub", text.SCRUB_ORACLE)
+def q_doc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.scrub_documents(table(spark, sf_dir, "documents"))
+
 
 
 

@@ -456,3 +456,49 @@ def resample_bars(bars: DataFrame, from_ms: int = 60_000, to_ms: int = 3_600_000
         "trade_count",
         "n_source_bars",
     )
+
+
+def profile_trades(trades: DataFrame) -> DataFrame:
+    """Data-contract profiling over the normalized trade stream — the
+    health/quality pass an ingestion pipeline publishes per run (null
+    rates, cardinalities, ranges, out-of-contract counts).  One wide
+    aggregate, map-side combinable; the distinct counts are the exact
+    per-column cardinalities (production at 100 TB would flip these to
+    approx_count_distinct — same plan shape, sketch partials)."""
+    return trades.groupBy().agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("symbol").cast("long").alias("n_symbols"),
+        F.countDistinct("trade_id").cast("long").alias("n_trade_ids"),
+        F.sum(F.when(F.col("price").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_price"),
+        F.sum(F.when(F.col("qty").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_qty"),
+        F.sum(F.when(F.col("price") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nonpositive_price"),
+        F.min("event_ts").cast("long").alias("min_event_ts"),
+        F.max("event_ts").cast("long").alias("max_event_ts"),
+        r6(F.min("price")).alias("min_price"),
+        r6(F.max("price")).alias("max_price"),
+        F.sum(F.when(F.col("ingest_ts") < F.col("event_ts"), 1).otherwise(0))
+        .cast("long")
+        .alias("ingest_before_event"),
+    )
+
+
+PROFILE_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT symbol) AS BIGINT) AS n_symbols,
+       CAST(count(DISTINCT trade_id) AS BIGINT) AS n_trade_ids,
+       CAST(sum(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_price,
+       CAST(sum(CASE WHEN qty IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty,
+       CAST(sum(CASE WHEN price <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price,
+       CAST(min(event_ts) AS BIGINT) AS min_event_ts,
+       CAST(max(event_ts) AS BIGINT) AS max_event_ts,
+       round(min(price), 6) AS min_price,
+       round(max(price), 6) AS max_price,
+       CAST(sum(CASE WHEN ingest_ts < event_ts THEN 1 ELSE 0 END) AS BIGINT)
+           AS ingest_before_event
+FROM trades"""

@@ -705,3 +705,34 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= {WINNOW_MIN_SHARED}"""
+
+
+SCRUB_PATTERN = "[0-9]+"  # number-like tokens (the id/phone/amount class)
+
+
+def scrub_documents(documents: DataFrame) -> DataFrame:
+    """Scrubbing pass (the PII-redaction slot of a training-data pipeline):
+    mask number-like tokens, report how much was masked, and fingerprint
+    the scrubbed text so exact-dedup can run on the REDACTED form — the
+    order real pipelines use (scrub → dedup), since redaction makes
+    near-identical records collide.  Map-only: regexp_replace +
+    regexp_extract_all count, no shuffle."""
+    masked = F.regexp_replace(F.col("text"), SCRUB_PATTERN, "<NUM>")
+    n_masked = F.size(F.regexp_extract_all(F.col("text"), F.lit(SCRUB_PATTERN), 0))
+    return documents.select(
+        "doc_id",
+        n_masked.cast("long").alias("n_masked"),
+        F.length(masked).cast("long").alias("scrubbed_len"),
+        F.md5(masked).alias("scrubbed_hash"),
+        (n_masked > 0).alias("was_scrubbed"),
+    )
+
+
+SCRUB_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{SCRUB_PATTERN}')) AS BIGINT) AS n_masked,
+       CAST(length(regexp_replace(text, '{SCRUB_PATTERN}', '<NUM>', 'g')) AS BIGINT)
+           AS scrubbed_len,
+       md5(regexp_replace(text, '{SCRUB_PATTERN}', '<NUM>', 'g')) AS scrubbed_hash,
+       len(regexp_extract_all(text, '{SCRUB_PATTERN}')) > 0 AS was_scrubbed
+FROM documents"""
