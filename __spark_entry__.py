@@ -908,6 +908,12 @@ def q_doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.scrub_documents(table(spark, sf_dir, "documents"))
 
+# Eval-set decontamination: eval docs whose content appears in train
+@q("q_doc_decontaminate", text.DECONTAMINATE_ORACLE)
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.decontaminate(table(spark, sf_dir, "documents"))
+
+
 
 
 

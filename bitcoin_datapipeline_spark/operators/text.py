@@ -736,3 +736,54 @@ SELECT doc_id,
        md5(regexp_replace(text, '{SCRUB_PATTERN}', '<NUM>', 'g')) AS scrubbed_hash,
        len(regexp_extract_all(text, '{SCRUB_PATTERN}')) > 0 AS was_scrubbed
 FROM documents"""
+
+
+def decontaminate(documents: DataFrame) -> DataFrame:
+    """Eval-set decontamination — the train/eval contamination check every
+    LLM data pipeline runs before training: split the corpus with the same
+    deterministic salted-hash rule as deterministic_sample (eval = the
+    sampled stratum, train = the rest), then flag every eval document whose
+    normalized content hash also appears in train.  Reports the matching
+    train doc count per contaminated eval doc.
+
+    Plan shape: the split is a map-only filter on both branches of one
+    scan; the contamination probe is a hash equi-join (train side
+    pre-aggregated per hash — at 100 TB the hash dimension is the small,
+    broadcastable side after aggregation)."""
+    h = F.md5(F.concat(F.col("lang"), F.lit("|"), F.col("doc_id").cast("string")))
+    content = F.md5(F.lower(F.col("text")))
+    tagged = documents.select(
+        "doc_id",
+        content.alias("content_hash"),
+        (F.substring(h, 1, 1) <= SAMPLE_KEEP_HEX_MAX).alias("is_eval"),
+    )
+    train_hashes = (
+        tagged.filter(~F.col("is_eval"))
+        .groupBy("content_hash")
+        .agg(F.count("*").cast("long").alias("n_train_dups"))
+    )
+    return (
+        tagged.filter(F.col("is_eval"))
+        .join(train_hashes, "content_hash")
+        .select(
+            F.col("doc_id").alias("eval_doc_id"),
+            "content_hash",
+            "n_train_dups",
+        )
+    )
+
+
+DECONTAMINATE_ORACLE = f"""
+WITH tagged AS (
+  SELECT doc_id, md5(lower(text)) AS content_hash,
+         substr(md5(concat(lang, '|', CAST(doc_id AS VARCHAR))), 1, 1)
+             <= '{SAMPLE_KEEP_HEX_MAX}' AS is_eval
+  FROM documents
+),
+train_hashes AS (
+  SELECT content_hash, CAST(count(*) AS BIGINT) AS n_train_dups
+  FROM tagged WHERE NOT is_eval GROUP BY content_hash
+)
+SELECT t.doc_id AS eval_doc_id, t.content_hash, h.n_train_dups
+FROM tagged t JOIN train_hashes h ON t.content_hash = h.content_hash
+WHERE t.is_eval"""
