@@ -913,6 +913,12 @@ def q_doc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.decontaminate(table(spark, sf_dir, "documents"))
 
+# C4-style quality gate: per-rule verdicts + auditable keep flag
+@q("q_doc_quality_filter", text.QUALITY_FILTER_ORACLE)
+def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_filter(table(spark, sf_dir, "documents"))
+
+
 
 
 

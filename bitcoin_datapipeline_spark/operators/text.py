@@ -787,3 +787,56 @@ train_hashes AS (
 SELECT t.doc_id AS eval_doc_id, t.content_hash, h.n_train_dups
 FROM tagged t JOIN train_hashes h ON t.content_hash = h.content_hash
 WHERE t.is_eval"""
+
+
+# C4-style quality gate thresholds (tuned to the synthetic corpus so both
+# kept and dropped classes are non-empty at every SF)
+QF_MIN_TOKENS = 30
+QF_MAX_STOPWORD_RATIO = 0.30
+QF_MIN_TTR = 0.30
+
+
+def quality_filter(documents: DataFrame) -> DataFrame:
+    """The canonical pre-training cleaning gate (C4/RefinedWeb-style): one
+    pass computes the rule signals, per-rule verdicts, and the final keep
+    flag — emitted for EVERY document so the drop reasons are auditable
+    (production writes kept docs to the train sink and this audit table to
+    metrics).  Map-only over one scan; the token array is bound once."""
+    t = _tokens()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tok = F.size(t)
+    stop_ratio = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x))) / n_tok
+    ttr = F.size(F.array_distinct(t)) / n_tok
+    pass_len = n_tok >= QF_MIN_TOKENS
+    pass_stop = stop_ratio <= QF_MAX_STOPWORD_RATIO
+    pass_ttr = ttr >= QF_MIN_TTR
+    return documents.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        r6(stop_ratio).alias("stopword_ratio"),
+        r6(ttr).alias("type_token_ratio"),
+        pass_len.alias("pass_min_len"),
+        pass_stop.alias("pass_stopword"),
+        pass_ttr.alias("pass_ttr"),
+        (pass_len & pass_stop & pass_ttr).alias("keep"),
+    )
+
+
+QUALITY_FILTER_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sig AS (
+  SELECT doc_id, len(toks) AS n_tok,
+         len(list_filter(toks, x -> x IN {_STOP_SQL})) * 1.0 / len(toks) AS sr,
+         len(list_distinct(toks)) * 1.0 / len(toks) AS ttr
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       round(sr, 6) AS stopword_ratio,
+       round(ttr, 6) AS type_token_ratio,
+       n_tok >= {QF_MIN_TOKENS} AS pass_min_len,
+       sr <= {QF_MAX_STOPWORD_RATIO} AS pass_stopword,
+       ttr >= {QF_MIN_TTR} AS pass_ttr,
+       n_tok >= {QF_MIN_TOKENS} AND sr <= {QF_MAX_STOPWORD_RATIO}
+           AND ttr >= {QF_MIN_TTR} AS keep
+FROM sig"""
