@@ -918,6 +918,12 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_filter(table(spark, sf_dir, "documents"))
 
+# Repetition / boilerplate detection: top-shingle share per document
+@q("q_doc_repetition", text.REPETITION_ORACLE)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_stats(table(spark, sf_dir, "documents"))
+
+
 
 
 

@@ -840,3 +840,62 @@ SELECT doc_id,
        n_tok >= {QF_MIN_TOKENS} AND sr <= {QF_MAX_STOPWORD_RATIO}
            AND ttr >= {QF_MIN_TTR} AS keep
 FROM sig"""
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Repetition / boilerplate detection (the dedup-adjacent quality
+    signal): per document, the most frequent 3-gram's share of all 3-gram
+    occurrences and the distinct-shingle ratio — high top-shingle share
+    means templated/repeated content even when exact dedup misses it.
+
+    Plan: ORDERED (non-distinct) shingles explode → count per (doc,
+    shingle) → one more combinable aggregate per doc.  Both aggregations
+    are map-side partial; the explode is the same bounded token fan-out as
+    the jaccard path."""
+    sh = F.expr(
+        "transform(array(split(text, ' ')), toks -> "
+        " CASE WHEN size(toks) >= 3 THEN"
+        "  transform(sequence(0, size(toks) - 3), i -> "
+        "   concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2),"
+        "             element_at(toks, i + 3)))"
+        " ELSE array() END)[0]"
+    )
+    occ = documents.select("doc_id", F.explode(sh).alias("shingle"))
+    per = occ.groupBy("doc_id", "shingle").agg(F.count("*").alias("c"))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_shingles"),
+            F.count("*").cast("long").alias("n_distinct_shingles"),
+            F.max("c").cast("long").alias("top_shingle_count"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_distinct_shingles",
+            "top_shingle_count",
+            r6(F.col("top_shingle_count") / F.col("n_shingles")).alias(
+                "top_shingle_share"
+            ),
+            r6(F.col("n_distinct_shingles") / F.col("n_shingles")).alias(
+                "distinct_shingle_ratio"
+            ),
+        )
+    )
+
+
+REPETITION_ORACLE = """
+WITH occ AS (
+  SELECT doc_id,
+         unnest([array_to_string(toks[i:i+2], ' ')
+                 for i in generate_series(1, len(toks) - 2)]) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+per AS (SELECT doc_id, shingle, count(*) AS c FROM occ GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_shingles,
+       CAST(count(*) AS BIGINT) AS n_distinct_shingles,
+       CAST(max(c) AS BIGINT) AS top_shingle_count,
+       round(max(c) * 1.0 / sum(c), 6) AS top_shingle_share,
+       round(count(*) * 1.0 / sum(c), 6) AS distinct_shingle_ratio
+FROM per GROUP BY doc_id"""
