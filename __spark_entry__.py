@@ -352,6 +352,34 @@ FROM d""",
 def q_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.daily_summary(pipeline.trades_clean(spark, sf_dir))
 
+# Range-based daily volatility estimators (Parkinson / Garman-Klass)
+@q(
+    "q_volatility_estimators",
+    OD.with_ctes(
+        OD.BARS_1M_CTE,
+        body="""
+,g AS (
+  SELECT symbol, bucket // 1440 AS day,
+         CAST(count(*) AS BIGINT) AS n_bars,
+         sum(pow(ln(high / low), 2.0))   AS s_hl2,
+         sum(pow(ln(close / open), 2.0)) AS s_co2,
+         stddev_samp(ln(close / open))   AS sd_ret
+  FROM bars GROUP BY 1, 2
+)
+SELECT symbol, day, n_bars,
+       round(sqrt(s_hl2 / (4.0 * 0.6931471805599453 * n_bars)), 6)
+           AS parkinson_vol,
+       round(sqrt(greatest(
+         (0.5 * s_hl2 - (2.0 * 0.6931471805599453 - 1.0) * s_co2) / n_bars,
+         0.0)), 6) AS garman_klass_vol,
+       round(sd_ret, 6) AS realized_vol
+FROM g""",
+    ),
+)
+def q_volatility_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.volatility_estimators(pipeline.bars_pipeline(spark, sf_dir))
+
+
 
 # A9 — latency percentiles / RMSE / boolean rate
 @q(

@@ -502,3 +502,40 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(CASE WHEN ingest_ts < event_ts THEN 1 ELSE 0 END) AS BIGINT)
            AS ingest_before_event
 FROM trades"""
+
+
+def volatility_estimators(bars: DataFrame) -> DataFrame:
+    """Daily range-based volatility estimators over the 1-minute bars —
+    the quant extensions a user of the reference's daily summary reaches
+    for next: Parkinson (high/low range) and Garman-Klass (OHLC) per
+    (symbol, day), alongside the close-to-close realized vol.  One
+    combinable aggregate over the bar stream; every term is a per-bar
+    scalar, so the shuffle carries partial sums only."""
+    day = F.expr("bucket div 1440").cast("long")
+    hl2 = F.pow(F.log(F.col("high") / F.col("low")), 2.0)
+    co2 = F.pow(F.log(F.col("close") / F.col("open")), 2.0)
+    g = bars.groupBy("symbol", day.alias("day")).agg(
+        F.count("*").cast("long").alias("n_bars"),
+        F.sum(hl2).alias("s_hl2"),
+        F.sum(co2).alias("s_co2"),
+        F.stddev_samp(F.log(F.col("close") / F.col("open"))).alias("sd_ret"),
+    )
+    ln2 = 0.6931471805599453
+    return g.select(
+        "symbol",
+        "day",
+        "n_bars",
+        r6(F.sqrt(F.col("s_hl2") / (4.0 * ln2 * F.col("n_bars")))).alias(
+            "parkinson_vol"
+        ),
+        r6(
+            F.sqrt(
+                F.greatest(
+                    (0.5 * F.col("s_hl2") - (2.0 * ln2 - 1.0) * F.col("s_co2"))
+                    / F.col("n_bars"),
+                    F.lit(0.0),
+                )
+            )
+        ).alias("garman_klass_vol"),
+        r6(F.col("sd_ret")).alias("realized_vol"),
+    )
