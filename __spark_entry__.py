@@ -951,6 +951,18 @@ def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_stats(table(spark, sf_dir, "documents"))
 
+# Dataset-card mixing report: per (lang, source) doc/token shares
+@q("q_corpus_mix", text.CORPUS_MIX_ORACLE)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.corpus_mix(table(spark, sf_dir, "documents"))
+
+
+# Dedup funnel summary: corpus -> exact-unique -> near-dup candidates
+@q("q_dedup_funnel", text.DEDUP_FUNNEL_ORACLE)
+def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.dedup_funnel(table(spark, sf_dir, "documents"))
+
+
 
 
 

@@ -899,3 +899,82 @@ SELECT doc_id,
        round(max(c) * 1.0 / sum(c), 6) AS top_shingle_share,
        round(count(*) * 1.0 / sum(c), 6) AS distinct_shingle_ratio
 FROM per GROUP BY doc_id"""
+
+
+def corpus_mix(documents: DataFrame) -> DataFrame:
+    """The dataset-card mixing report: per (lang, source) document and
+    token counts with corpus shares — the table a training-mix decision
+    reads.  One aggregate plus a broadcast scalar total (no window)."""
+    per = documents.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(_tokens())).cast("long").alias("n_tokens"),
+    )
+    tot = per.groupBy().agg(
+        F.sum("n_docs").alias("t_docs"), F.sum("n_tokens").alias("t_tokens")
+    )
+    return per.join(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        r6(F.col("n_docs") / F.col("t_docs") * 100.0).alias("doc_share_pct"),
+        r6(F.col("n_tokens") / F.col("t_tokens") * 100.0).alias("token_share_pct"),
+    )
+
+
+CORPUS_MIX_ORACLE = """
+WITH per AS (
+  SELECT lang, source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT sum(n_docs) AS t_docs, sum(n_tokens) AS t_tokens FROM per)
+SELECT lang, source, n_docs, n_tokens,
+       round(n_docs * 100.0 / t_docs, 6) AS doc_share_pct,
+       round(n_tokens * 100.0 / t_tokens, 6) AS token_share_pct
+FROM per CROSS JOIN tot"""
+
+
+def dedup_funnel(documents: DataFrame) -> DataFrame:
+    """The dedup funnel a pipeline run reports: corpus size, exact-unique
+    count, near-dup candidate pairs (minhash) and exact-duplicate rows
+    removed — one summary row assembled from broadcast scalar aggregates
+    of the existing dedup operators."""
+    n_docs = documents.groupBy().agg(F.count("*").cast("long").alias("n_docs"))
+    uniq = exact_dedup(documents).groupBy().agg(
+        F.count("*").cast("long").alias("n_exact_unique"),
+        F.sum(F.col("n_copies") - 1).cast("long").alias("n_exact_dup_rows"),
+    )
+    near = minhash_lsh_pairs(documents).groupBy().agg(
+        F.count("*").cast("long").alias("n_near_dup_pairs")
+    )
+    return (
+        n_docs.join(F.broadcast(uniq))
+        .join(F.broadcast(near))
+        .select(
+            "n_docs",
+            "n_exact_unique",
+            "n_exact_dup_rows",
+            "n_near_dup_pairs",
+            r6(F.col("n_exact_unique") / F.col("n_docs") * 100.0).alias(
+                "unique_pct"
+            ),
+        )
+    )
+
+
+DEDUP_FUNNEL_ORACLE = f"""
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+u AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_exact_unique,
+         CAST(sum(n_copies - 1) AS BIGINT) AS n_exact_dup_rows
+  FROM ({EXACT_DEDUP_ORACLE.strip()})
+),
+p AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_near_dup_pairs
+  FROM ({MINHASH_LSH_ORACLE.strip()})
+)
+SELECT n_docs, n_exact_unique, n_exact_dup_rows, n_near_dup_pairs,
+       round(n_exact_unique * 100.0 / n_docs, 6) AS unique_pct
+FROM n CROSS JOIN u CROSS JOIN p"""
