@@ -1360,11 +1360,72 @@ def entry(spark: SparkSession) -> DataFrame:
     return pipeline.bars_pipeline(spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness gate checks the FIRST 50 entries of queries().
+# Registration order above is thematic; this list front-loads the queries
+# that still lack a green driver-side CORRECTNESS row (31 never checked as
+# of r2, plus the 7 rotated out of the r2 window, plus queries new this
+# round), so that over rounds every declared query accumulates driver
+# evidence. Names not listed keep registration order after these.
+_DRIVER_PRIORITY: list[str] = [
+    # 31 without any CORRECTNESS_r01/r02 row (verified by judge harness only)
+    "q_doc_decontaminate",
+    "q_doc_quality_filter",
+    "q_doc_repetition",
+    "q_corpus_mix",
+    "q_dedup_funnel",
+    "q_embed_ann_lsh",
+    "q_embed_ann_lsh_multi",
+    "q_embed_quantize",
+    "q_embed_ann_ivf",
+    "q_multimodal_meta",
+    "q_multimodal_decode",
+    "q_multimodal_frames",
+    "q_kline_parse",
+    "q_decimal_string_format",
+    "q_sessionize",
+    "q_time_split",
+    "q_distinct_counts",
+    "q_doc_chunks",
+    "q_doc_sample",
+    "q_tfidf",
+    "q_forecast_revenue",
+    "q_promo_revenue",
+    "q_returned_customers",
+    "q_shipping_priority",
+    "q_large_orders",
+    "q_market_share",
+    "q_gold_training_set",
+    "q_gold_vector_1s",
+    "q_gold_training_set_1s",
+    "q_orderbook_replay",
+    "q_resample_bars_1h",
+    # new in round 3 (no driver row can exist yet)
+    "q_gold_vector_2s",
+    "q_doc_minhash_dedup_capped",
+    "q_session_stats",
+    # 7 with only an r1 row (rotated out of the r2 window)
+    "q_doc_exact_dedup",
+    "q_ngram_jaccard",
+    "q_minhash_lsh",
+    "q_simhash",
+    "q_doc_quality",
+    "q_embed_cosine_pairs",
+    "q_embed_knn",
+]
+
+
+def _driver_order(names: list[str]) -> list[str]:
+    head = [n for n in _DRIVER_PRIORITY if n in names]
+    return head + [n for n in names if n not in _DRIVER_PRIORITY]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in _driver_order(list(QUERIES))}
 
 
 def oracle_sql() -> dict[str, str]:
     # Rewrite round(x, 6) to Spark-compatible string-based rounding — see
     # oracle_defs.spark_round_compat for why raw DuckDB round() diverges.
-    return {name: OD.spark_round_compat(sql) for name, sql in ORACLES.items()}
+    return {
+        n: OD.spark_round_compat(ORACLES[n]) for n in _driver_order(list(ORACLES))
+    }
