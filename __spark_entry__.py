@@ -985,6 +985,16 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.minhash_lsh_pairs(table(spark, sf_dir, "documents"))
 
 
+# MinHash dedup with the hot-shingle doc-frequency cap engaged (the 100 TB
+# boilerplate guard — operators/text.py _cap_hot_shingles)
+@q("q_doc_minhash_dedup_capped", text.MINHASH_LSH_CAPPED_ORACLE)
+def q_doc_minhash_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"),
+        max_shingle_df=text.MINHASH_HOT_SHINGLE_DF,
+    )
+
+
 @q("q_simhash", text.SIMHASH_ORACLE)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.simhash(table(spark, sf_dir, "documents"))

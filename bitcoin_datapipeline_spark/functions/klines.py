@@ -28,7 +28,7 @@ def kline_wire(events: DataFrame) -> DataFrame:
     12 slots: [open_time, open, high, low, close, volume, close_time,
     quote_volume, trade_count, taker_buy_base, taker_buy_quote, ignore] —
     numerics as strings, like the Binance REST payload."""
-    minute = F.expr("(ts div 1000000) div 60000") * 60000
+    minute = F.expr("(ts div 1000) div 60000") * 60000
     px = F.col("value")
     k = F.get_json_object(F.col("props"), "$.k").cast("double") + 1.0
     arr = F.array(

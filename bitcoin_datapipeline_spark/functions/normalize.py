@@ -15,8 +15,9 @@ straight cast so the DuckDB oracle reproduces it bit-for-bit:
 canonical col    derivation from ``events``
 ==============  =====================================================
 symbol           upper(event_type)                    (P3 uppercase)
-event_ts (ms)    ts div 1_000_000   (ns→ms, exact — ref µs→ms at
-                 sbe_decoder.cpp:134-136 is the same truncating scale)
+event_ts (ms)    ts div 1_000   (µs→ms, exact — ref µs→ms at
+                 sbe_decoder.cpp:134-136 is the same truncating scale;
+                 ts reads as raw int64 epoch-µs, see tables.py)
 ingest_ts (ms)   event_ts + (event_id % 250)          (bounded skew)
 trade_id         event_id - (1 if event_id%100==7 else 0)
                  (~1% planted duplicate ids for dedup tests — ref D1)
@@ -26,8 +27,9 @@ is_buyer_maker   event_id % 2 == 0
 source           'sbe' if event_id%10<7 else 'rest'   (union tests)
 ==============  =====================================================
 
-NOTE: never divide the ns timestamp as a double — 1.7e18 exceeds 2^53 and
-float division silently loses ms precision; `div` is exact 64-bit.
+NOTE: never divide the µs timestamp as a double — 1.7e15 µs is within 2^53
+today but the pattern is one unit-change away from silent ms loss; `div`
+is exact 64-bit regardless of scale.
 """
 
 from __future__ import annotations
@@ -43,7 +45,7 @@ TS_MAX_MS = 1893456000000  # 2030-01-01T00:00:00Z
 
 def trades(events: DataFrame) -> DataFrame:
     """events → canonical trade stream (MarketTrade.avsc field set)."""
-    event_ts = F.expr("ts div 1000000")
+    event_ts = F.expr("ts div 1000")
     return events.select(
         F.upper(F.col("event_type")).alias("symbol"),
         event_ts.cast("long").alias("event_ts"),
@@ -84,7 +86,7 @@ def bba(events: DataFrame) -> DataFrame:
     derived from the json payload — exercises the same spread/mid arithmetic
     as the reference (feature_builder.py:220-225, :264-266).
     """
-    event_ts = F.expr("ts div 1000000")
+    event_ts = F.expr("ts div 1000")
     k = F.get_json_object(F.col("props"), "$.k").cast("double")
     return events.select(
         F.upper(F.col("event_type")).alias("symbol"),
@@ -110,7 +112,7 @@ def depth(events: DataFrame) -> DataFrame:
     qty = (k+1)/i — descending-bid / ascending-ask book like the reference's
     top-10 Redis book (docs/architecture/DATA_PIPELINE.md:73-107).
     """
-    event_ts = F.expr("ts div 1000000")
+    event_ts = F.expr("ts div 1000")
     base = events.select(
         F.upper(F.col("event_type")).alias("symbol"),
         event_ts.cast("long").alias("event_ts"),

@@ -37,7 +37,7 @@ def asof_purchase_click(events: DataFrame, tolerance_ms: int = ASOF_TOLERANCE_MS
     Right side is pre-aggregated to one row per (user_id, ms) so the as-of
     tie semantics are well-defined in both engines.
     """
-    ms = F.expr("ts div 1000000")
+    ms = F.expr("ts div 1000")
     base = events.select(
         F.col("event_id"),
         F.col("user_id"),

@@ -317,7 +317,8 @@ IVF_NPROBE_QUERY_MOD = 25  # same deterministic query subset as ann_lsh
 IVF_K = 8  # coarse clusters
 IVF_NPROBE = 4  # posting lists searched per query
 IVF_ITERS = 2  # unrolled Lloyd iterations
-IVF_SEED_STRIDE = 37  # seed c = embedding of vec_id (c * 37) % n
+IVF_SEED_STRIDE = 37  # seed c = training row (c * 37) % n_train
+IVF_TRAIN_MOD = 4  # quantizer trains on vec_id % 4 == 0 (25% of the corpus)
 
 
 def _assign(e: DataFrame, cents: DataFrame, topn: int = 1) -> DataFrame:
@@ -371,29 +372,33 @@ def _update(embeddings: DataFrame, assign: DataFrame) -> DataFrame:
     )
 
 
-def ann_ivf(embeddings: DataFrame) -> DataFrame:
+def ann_ivf(embeddings: DataFrame, train_mod: int = IVF_TRAIN_MOD) -> DataFrame:
     """IVF ANN with a real (deterministic, seeded) k-means coarse quantizer
-    and nprobe > 1.
+    trained on a SAMPLE, and nprobe > 1.
 
     Index build — k-means with everything pinned so the DuckDB oracle can
-    replay it exactly: seeds are the embeddings at vec_id (c·37) mod n for
-    c in 0..K-1, exactly IVF_ITERS unrolled Lloyd iterations, assignments by
-    rounded cosine with id tiebreaks, centroid updates rounded to 6 dp
-    (the cross-engine sync points).  Empty clusters drop out of the index —
-    deterministically in both engines.
+    replay it exactly, over the deterministic training sample
+    ``vec_id % train_mod == 0`` (mod-filtering instead of Bernoulli
+    sampling keeps the sample reproducible across engines): seeds are the
+    training rows at rank (c·37) mod n_train for c in 0..K-1, exactly
+    IVF_ITERS unrolled Lloyd iterations, assignments by rounded cosine with
+    id tiebreaks, centroid updates rounded to 6 dp (the cross-engine sync
+    points).  Empty clusters drop out of the index — deterministically in
+    both engines.  This is the 100 TB contract: quantizer TRAINING cost is
+    O(sample × dims × iters) — a knob, independent of corpus size — while
+    only the single final posting-list assignment touches every vector.
+    ``train_mod=1`` recovers full-corpus training for small corpora.
 
     Search — each query probes its IVF_NPROBE nearest centroids' posting
     lists (one broadcast of ≤K centroids + one equi-join on the cluster id)
     and ranks candidates by exact cosine: no all-pairs scan, which is the
     point of IVF at 100 TB.  On the isotropic synthetic corpus recall tracks
     the probed fraction (~K_probe/K); real corpora with cluster structure
-    get far better recall at the same probe fraction.  At scale you train
-    the quantizer on a sample, not the full corpus — the plan shape here is
-    the search path, which is the part that must scale.
+    get far better recall at the same probe fraction.
 
     cf. reference similarity surface: this engine-side family extends the
     reference (which has no ANN); recall is asserted against exact kNN in
-    tests/test_similarity_recall.py.
+    tests/test_similarity_recall.py (sampled training holds the same gate).
     """
     # the corpus usually arrives as a handful of parquet splits; the scoring
     # math is per-row HOF work, so spread it across the executors first —
@@ -408,24 +413,31 @@ def ann_ivf(embeddings: DataFrame) -> DataFrame:
         n_parts = 32
     embeddings = embeddings.repartition(n_parts, "vec_id")
     e = with_norm(embeddings)
-    n_df = embeddings.groupBy().agg(F.count("*").alias("n"))
+
+    # deterministic training sample; vec_id is dense 0..N-1, so the r-th
+    # training row carries vec_id = r * train_mod — seeds stay joinable by id
+    train = embeddings.filter(F.col("vec_id") % train_mod == 0)
+    e_train = e.filter(F.col("vec_id") % train_mod == 0)
+    n_df = train.groupBy().agg(F.count("*").alias("n"))
     seeds = (
         n_df.select(
             F.explode(F.sequence(F.lit(0), F.lit(IVF_K - 1))).alias("c"), "n"
         )
-        .withColumn("seed_id", (F.col("c") * IVF_SEED_STRIDE) % F.col("n"))
+        .withColumn(
+            "seed_id", ((F.col("c") * IVF_SEED_STRIDE) % F.col("n")) * train_mod
+        )
     )
     cents = (
         F.broadcast(seeds)
-        .join(embeddings, F.col("seed_id") == F.col("vec_id"))
+        .join(train, F.col("seed_id") == F.col("vec_id"))
         .select(
             "c",
             F.expr("transform(embedding, x -> cast(x as double))").alias("centroid"),
         )
     )
     for _ in range(IVF_ITERS):
-        assign = _assign(e, cents, topn=1).select("vec_id", "c")
-        cents = _update(embeddings, assign)
+        assign = _assign(e_train, cents, topn=1).select("vec_id", "c")
+        cents = _update(train, assign)
 
     # final inverted index: every vector in exactly one posting list
     posting = (
@@ -468,16 +480,17 @@ def ann_ivf(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def _ivf_oracle() -> str:
-    """Unrolled DuckDB twin of ann_ivf: same seeds, same IVF_ITERS Lloyd
-    rounds with the same 6-dp rounding sync points, same nprobe search."""
+def _ivf_oracle(train_mod: int = IVF_TRAIN_MOD) -> str:
+    """Unrolled DuckDB twin of ann_ivf: same mod-filtered training sample,
+    same seeds, same IVF_ITERS Lloyd rounds with the same 6-dp rounding
+    sync points, same full-corpus posting assignment and nprobe search."""
     assign_tpl = """{name} AS (
   SELECT vec_id, c FROM (
     SELECT e.vec_id, c.c,
            row_number() OVER (PARTITION BY e.vec_id
              ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                                    c.centroid), 6) DESC, c.c) AS rn
-    FROM embeddings e CROSS JOIN {cents} c)
+    FROM tr e CROSS JOIN {cents} c)
   WHERE rn = 1
 )"""
     update_tpl = """{name} AS (
@@ -487,17 +500,18 @@ def _ivf_oracle() -> str:
   GROUP BY c
 )"""
     ctes = [
+        f"tr AS (SELECT * FROM embeddings WHERE vec_id % {train_mod} = 0)",
         """pos AS (
   SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS val,
          generate_subscripts(embedding, 1) AS pos
-  FROM embeddings
+  FROM tr
 )""",
-        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr)",
         f"""cents0 AS (
   SELECT cc.c, CAST(e.embedding AS DOUBLE[]) AS centroid
   FROM (SELECT unnest(generate_series(0, {IVF_K - 1})) AS c) cc
   CROSS JOIN nn
-  JOIN embeddings e ON e.vec_id = (cc.c * {IVF_SEED_STRIDE}) % nn.n
+  JOIN tr e ON e.vec_id = ((cc.c * {IVF_SEED_STRIDE}) % nn.n) * {train_mod}
 )""",
     ]
     for i in range(IVF_ITERS):

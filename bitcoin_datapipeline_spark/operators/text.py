@@ -28,6 +28,10 @@ TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 JACCARD_THRESHOLD = 0.5
 MINHASH_SIGS = 12
 MINHASH_BANDS = 4  # MINHASH_SIGS // MINHASH_BANDS signatures per band
+#: doc-frequency cap used by the declared capped-dedup query: shingles
+#: present in more than this many documents are treated as corpus
+#: boilerplate and dropped before candidate generation
+MINHASH_HOT_SHINGLE_DF = 5
 
 
 _STOP_SQL = "(" + ",".join(f"'{s}'" for s in STOPWORDS) + ")"
@@ -256,17 +260,43 @@ shd AS (
 )"""
 
 
-def ngram_jaccard_pairs(documents: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+def _cap_hot_shingles(shd: DataFrame, max_shingle_df: int) -> DataFrame:
+    """Stopword-shingle blowup guard: drop shingles whose doc frequency
+    exceeds ``max_shingle_df`` BEFORE any self-join.  A shingle shared by
+    d documents contributes d² candidate rows to the shingle equi-join, so
+    one corpus-wide boilerplate shingle ("terms of service") turns the
+    blocking join quadratic; capping bounds per-key join fan-out to
+    max_shingle_df².  ``shd`` is doc-distinct, so count(*) per shingle IS
+    the doc frequency; the guard costs one aggregate + a semi-join on the
+    shingle key the pipeline already shuffles on."""
+    keep = (
+        shd.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+        .select("shingle")
+    )
+    return shd.join(keep, "shingle", "left_semi")
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
     """Near-dup detection via 3-gram shingle Jaccard.
 
     Plan shape: explode distinct shingles → self-equi-join on shingle
     (candidate generation — only pairs sharing ≥1 shingle are ever
     materialized) → count shared → jaccard.  The shingle join IS the
-    blocking step; at 100 TB you additionally cap hot shingles (drop
-    shingles with doc-frequency above a bound — stopword-shingle blowup
-    guard) and this stays a single shuffle on the shingle key.
+    blocking step; at 100 TB you additionally set ``max_shingle_df`` (drop
+    shingles with doc-frequency above the cap — stopword-shingle blowup
+    guard, see :func:`_cap_hot_shingles`) and this stays a single shuffle
+    on the shingle key.  The cap changes semantics (jaccard is computed
+    over the surviving shingle space), so it defaults to off.
     """
     shd = _shingles(documents)
+    if max_shingle_df is not None:
+        shd = _cap_hot_shingles(shd, max_shingle_df)
     sizes = shd.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = shd.alias("a")
     b = shd.alias("b")
@@ -308,7 +338,9 @@ JOIN sizes y ON doc_b = y.doc_id
 WHERE shared * 1.0 / (x.n + y.n - shared) >= {JACCARD_THRESHOLD}"""
 
 
-def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
+def minhash_lsh_pairs(
+    documents: DataFrame, max_shingle_df: int | None = None
+) -> DataFrame:
     """MinHash + LSH banding near-dup candidates.
 
     12 minhash signatures (min over md5(seed‖shingle) hex strings), banded
@@ -331,8 +363,14 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
     Candidate verification is ``size(array_intersect(a, b))`` on the two
     docs' collected arrays — a width-bounded JVM HOF per candidate pair —
     instead of re-exploding shingles into a second big join.
+
+    ``max_shingle_df`` (default off) drops corpus-boilerplate shingles
+    before signatures are computed — see :func:`_cap_hot_shingles`; the
+    declared capped query uses MINHASH_HOT_SHINGLE_DF.
     """
     shd = _shingles(documents)
+    if max_shingle_df is not None:
+        shd = _cap_hot_shingles(shd, max_shingle_df)
     sig_cols = [
         F.min(F.md5(F.concat(F.lit(str(j)), F.lit("|"), F.col("shingle")))).alias(f"s{j}")
         for j in range(MINHASH_SIGS)
@@ -405,6 +443,50 @@ WITH docs_sh AS (
                         for i in generate_series(1, len(toks) - 2)]) AS shs
   FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
   WHERE len(toks) >= 3
+),
+sigs AS (
+  SELECT doc_id, shs, len(shs) AS n,
+         {_SIG_SQL}
+  FROM docs_sh
+),
+bands AS ({_BAND_SQL}),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_bands_matched
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, c.n_bands_matched,
+       round(len(list_intersect(x.shs, y.shs)) * 1.0
+             / (x.n + y.n - len(list_intersect(x.shs, y.shs))), 6) AS jaccard
+FROM cand c
+JOIN sigs x ON c.doc_a = x.doc_id
+JOIN sigs y ON c.doc_b = y.doc_id"""
+
+
+# Capped twin: identical pipeline, but shingles with doc-frequency above
+# MINHASH_HOT_SHINGLE_DF are dropped before signatures (the
+# _cap_hot_shingles guard, replayed relationally).
+MINHASH_LSH_CAPPED_ORACLE = f"""
+WITH docs_sh0 AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        for i in generate_series(1, len(toks) - 2)]) AS shs
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 3
+),
+shd0 AS (SELECT doc_id, unnest(shs) AS shingle FROM docs_sh0),
+hot AS (
+  SELECT shingle FROM shd0 GROUP BY shingle
+  HAVING count(*) > {MINHASH_HOT_SHINGLE_DF}
+),
+docs_sh AS (
+  SELECT doc_id, list(shingle) AS shs
+  FROM shd0
+  WHERE shingle NOT IN (SELECT shingle FROM hot)
+  GROUP BY doc_id
 ),
 sigs AS (
   SELECT doc_id, shs, len(shs) AS n,

@@ -7,8 +7,8 @@ semantics — they MUST stay in lockstep with
 ``bitcoin_datapipeline_spark/functions/normalize.py``.
 
 DuckDB specifics used deliberately:
-- ``epoch_ms(ts)`` on a TIMESTAMP_NS column == Spark's ``ts div 1000000``
-  on the same column read as int64 nanos (both truncate; all test data is
+- ``epoch_ms(ts)`` on a TIMESTAMP (µs) column == Spark's ``ts div 1000``
+  on the same column read as int64 micros (both truncate; all test data is
   post-1970 so floor == trunc).
 - integer ``//`` (DuckDB) == ``div`` (Spark) on BIGINT.
 - ``arg_min/arg_max`` == Spark ``min_by/max_by``.

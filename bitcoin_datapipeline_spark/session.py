@@ -23,10 +23,11 @@ local[32]):
   engine is pure epoch-ms integer arithmetic (no tz-dependent functions in
   the hot path), matching the reference's epoch-ms convention
   (schemas/avro/MarketTrade.avsc — event_ts/ingest_ts are ms longs).
-- ``nanosAsLong``: the driver testdata stores `events.ts` as parquet
-  TIMESTAMP(NANOS); Spark has no nanosecond timestamp type, so we read it
-  as a raw int64 and do exact integer `div` arithmetic (never double
-  division — ns epochs exceed 2^53 and would lose ms precision).
+- `events.ts` (parquet TIMESTAMP(MICROS)) is read as raw int64 epoch-µs via
+  an explicit schema in tables.table — no session conf needed, no timezone
+  dependence, exact integer `div` arithmetic everywhere.  (Spark ≤4.0's
+  ``spark.sql.legacy.parquet.nanosAsLong`` was removed in 4.1; the explicit
+  schema read replaces it.)
 """
 
 from __future__ import annotations
@@ -37,7 +38,6 @@ from pyspark.sql import SparkSession
 
 # Confs that are safe (and necessary) to set on a live session.
 DYNAMIC_CONF: dict[str, str] = {
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -5,8 +5,13 @@ The driver materializes a deterministic TPC-H-ish star schema plus an
 ``/root/testdata/sf{0.001,0.01,0.1}/`` (TESTDATA.md).  ``events`` stands in
 for the reference's trade stream (FIXTURES.md §1).
 
-All readers go through :func:`table` so the ``nanosAsLong`` conf is applied
-before the first parquet footer is parsed (events.ts is TIMESTAMP(NANOS)).
+All readers go through :func:`table`.  ``events.ts`` is stored as parquet
+TIMESTAMP(MICROS); the engine reads it as a RAW int64 via an explicit
+user-specified schema (physical INT64 + LongType request = plain column
+read, no timestamp semantics), so every event-time derivation stays exact
+64-bit integer arithmetic with no session-timezone dependence — epochs
+above 2^53 µs would silently lose ms precision under any double-typed
+conversion path.
 """
 
 from __future__ import annotations
@@ -14,6 +19,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType, StructField, StructType
 
 from .session import configure
 
@@ -34,9 +40,22 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table (column-pruned, pushdown-friendly parquet scan)."""
+    """Read one testdata table (column-pruned, pushdown-friendly parquet scan).
+
+    For ``events`` the ``ts`` column is re-typed to raw int64 epoch-µs (see
+    module docstring); all other tables read with their footer schema."""
     configure(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        base = spark.read.parquet(path).schema
+        forced = StructType(
+            [
+                StructField("ts", LongType(), f.nullable) if f.name == "ts" else f
+                for f in base.fields
+            ]
+        )
+        return spark.read.schema(forced).parquet(path)
+    return spark.read.parquet(path)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

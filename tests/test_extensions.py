@@ -62,6 +62,46 @@ def test_minhash_lsh_finds_identical(spark):
     assert pairs[(1, 2)].jaccard == 1.0
 
 
+def test_hot_shingle_cap_drops_boilerplate_pairs(spark):
+    """Synthetic stopword-shingle corpus: every doc shares one boilerplate
+    sentence, so uncapped candidate generation links all pairs; with the
+    doc-frequency cap the boilerplate shingles drop and only the genuinely
+    duplicated pair survives."""
+    boiler = "terms of service apply here"
+    docs = [
+        _doc(1, f"alpha beta gamma {boiler}"),
+        _doc(2, f"alpha beta gamma {boiler}"),  # true near-dup of 1
+        _doc(3, f"delta epsilon zeta {boiler}"),
+        _doc(4, f"eta theta iota {boiler}"),
+        _doc(5, f"kappa lam mu {boiler}"),
+    ]
+    d = spark.createDataFrame(docs)
+
+    uncapped = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(d, threshold=0.0).collect()}
+    assert len(uncapped) == 10  # boilerplate links every pair: C(5,2)
+
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(d, threshold=0.0, max_shingle_df=2).collect()
+    }
+    assert capped == {(1, 2)}  # only the true duplicate pair survives
+
+    mh = {
+        (r.doc_a, r.doc_b): r
+        for r in minhash_lsh_pairs(d, max_shingle_df=2).collect()
+    }
+    assert (1, 2) in mh and mh[(1, 2)].jaccard == 1.0
+    assert all(p == (1, 2) for p in mh)  # no boilerplate-only candidates
+
+
+def test_hot_shingle_cap_default_off_is_identity(spark):
+    t1 = "a b c d e f g h"
+    d = spark.createDataFrame([_doc(1, t1), _doc(2, t1), _doc(3, "p q r s t u v w")])
+    base = sorted(map(tuple, ngram_jaccard_pairs(d).collect()))
+    huge_cap = sorted(map(tuple, ngram_jaccard_pairs(d, max_shingle_df=10**6).collect()))
+    assert base == huge_cap
+
+
 def test_simhash_identical_docs_same_fp(spark):
     d = spark.createDataFrame(
         [_doc(1, "a b c"), _doc(2, "c b a"), _doc(3, "completely different words")]

@@ -20,10 +20,10 @@ from bitcoin_datapipeline_spark.operators.setops import union_sources
 
 
 def _event(event_id, ms, user_id, event_type, value):
-    # ts column is int64 nanos (engine reads parquet nanos as long)
+    # ts column is int64 micros (engine reads parquet TIMESTAMP(MICROS) as long)
     return Row(
         event_id=event_id,
-        ts=ms * 1_000_000,
+        ts=ms * 1_000,
         user_id=user_id,
         event_type=event_type,
         value=float(value),
@@ -137,7 +137,7 @@ def test_asof_null_click_value_travels_with_its_timestamp(spark):
     h = 3_600_000
     rows = [
         _event(1, 0, 7, "click", 5.0),
-        Row(event_id=2, ts=1 * h * 1_000_000, user_id=7, event_type="click",
+        Row(event_id=2, ts=1 * h * 1_000, user_id=7, event_type="click",
             value=None, props=_json.dumps({"k": 1})),
         _event(3, 2 * h, 7, "purchase", 99.0),
     ]
