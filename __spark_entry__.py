@@ -549,7 +549,7 @@ WINDOW w AS (PARTITION BY symbol ORDER BY tick)""",
     ),
 )
 def q_returns_1s(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return grid.grid_returns(grid.locf_resample(pipeline.trades_clean(spark, sf_dir)))
+    return grid.grid_returns(pipeline.locf_grid(spark, sf_dir))
 
 
 @q(
@@ -589,7 +589,7 @@ WINDOW w AS (PARTITION BY symbol ORDER BY tick),
     ),
 )
 def q_labels_10s(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return grid.grid_labels(grid.locf_resample(pipeline.trades_clean(spark, sf_dir)))
+    return grid.grid_labels(pipeline.locf_grid(spark, sf_dir))
 
 
 @q(
@@ -1111,6 +1111,53 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.sessionize(normalize.valid_trades(table(spark, sf_dir, "events")))
 
 
+# Per-symbol session accounting over the sessionized stream (streaming twin:
+# streaming/ops.stream_sessionize)
+@q(
+    "q_session_stats",
+    OD.with_ctes(
+        OD.VALID_TRADES_CTE,
+        body=f"""
+,marked AS (
+  SELECT *,
+         CASE WHEN lag(event_ts) OVER w IS NULL
+                   OR event_ts - lag(event_ts) OVER w > {windows.SESSION_GAP_MS}
+              THEN 1 ELSE 0 END AS is_new
+  FROM valid_trades
+  WINDOW w AS (PARTITION BY symbol ORDER BY event_ts, trade_id)
+),
+sess AS (
+  SELECT *, sum(is_new) OVER (
+      PARTITION BY symbol ORDER BY event_ts, trade_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+),
+per_sess AS (
+  SELECT symbol, session_id,
+         min(event_ts) AS session_start,
+         max(event_ts) AS session_end,
+         count(*) AS n_trades,
+         round(sum(qty), 6) AS volume
+  FROM sess GROUP BY 1, 2
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       round(sum(session_end - session_start) / 1000.0 / count(*), 6)
+           AS avg_duration_s,
+       round(max(session_end - session_start) / 1000.0, 6) AS max_duration_s,
+       round(sum(n_trades) * 1.0 / count(*), 6) AS avg_trades_per_session,
+       CAST(max(n_trades) AS BIGINT) AS max_trades_per_session,
+       round(CAST(sum(CAST(volume AS DECIMAL(24,6))) AS DOUBLE), 6)
+           AS total_volume
+FROM per_sess GROUP BY symbol""",
+    ),
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.session_stats(
+        normalize.valid_trades(table(spark, sf_dir, "events"))
+    )
+
+
 @q(
     "q_time_split",
     OD.with_ctes(
@@ -1235,6 +1282,20 @@ def q_gold_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_gold_vector_1s(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold.gold_vector(spark, sf_dir)
+
+
+# The reference's documented 2-second feature cadence
+# (ARCHITECTURE.md:236-244): compact gold vector on a 2 s LOCF grid
+@q(
+    "q_gold_vector_2s",
+    OD.with_ctes(
+        OD.locf_grid_cte(step_s=2, slice_s=gold.GOLD_SLICE_S, gap_s=60),
+        OD.BBA_CTE,
+        body=gold.GOLD_VECTOR_2S_ORACLE_BODY,
+    ),
+)
+def q_gold_vector_2s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.gold_vector_2s(spark, sf_dir)
 
 
 # The complete training dataset at reference grain: 1 s feature vector ⋈

@@ -32,6 +32,10 @@ HEADLINE = [
     "q_asof_price",
     "q_feature_assembly",
     "q_gold_training_set",
+    # reference-grain grid family (round 3: lead-based gap-fill, single
+    # dedup pass) — the gold path the judge audits, now measured per round
+    "q_returns_1s",
+    "q_gold_vector_2s",
     "q_pricing_summary",
     "q_forecast_revenue",
     "q_shipping_priority",

@@ -33,11 +33,25 @@ from .operators import grid as grid_ops
 from .plans import gold, pipeline
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+def register_views(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    grid_slice_s: int | None = grid_ops.GRID_SLICE_S,
+    gold_slice_s: int | None = gold.GOLD_SLICE_S,
+    replay_slice_min: int | None = replay.REPLAY_SLICE_MIN,
+) -> list[str]:
     """Register raw tables + the derived analytical views.  Returns the
-    registered view names."""
+    registered view names.
+
+    The grid/gold/replay views default to the test-size slices the driver
+    correctness gate uses; a production caller passes ``None`` for any of
+    the three span knobs to get the FULL data span (grid through the last
+    tick, replay through the last minute) without editing engine constants.
+    """
     tables.register_views(spark, sf_dir)
     ev = tables.table(spark, sf_dir, "events")
+    grid_1s = pipeline.locf_grid(spark, sf_dir, slice_s=grid_slice_s)
     derived: dict[str, DataFrame] = {
         "trades": normalize.trades(ev),
         "valid_trades": normalize.valid_trades(ev),
@@ -52,16 +66,17 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
         "labels_10m": windows.labels(pipeline.bars_pipeline(spark, sf_dir)),
         "gold_training_set": gold.gold_training_set(spark, sf_dir),
         # round-2 gold-grain surface
-        "grid_1s": grid_ops.locf_resample(pipeline.trades_clean(spark, sf_dir)),
-        "returns_1s": grid_ops.grid_returns(
-            grid_ops.locf_resample(pipeline.trades_clean(spark, sf_dir))
+        "grid_1s": grid_1s,
+        "returns_1s": grid_ops.grid_returns(grid_1s),
+        "labels_10s": grid_ops.grid_labels(grid_1s),
+        "gold_vector_1s": gold.gold_vector(spark, sf_dir, slice_s=gold_slice_s),
+        "gold_vector_2s": gold.gold_vector_2s(spark, sf_dir, slice_s=gold_slice_s),
+        "gold_training_set_1s": gold.gold_training_set_1s(
+            spark, sf_dir, slice_s=gold_slice_s
         ),
-        "labels_10s": grid_ops.grid_labels(
-            grid_ops.locf_resample(pipeline.trades_clean(spark, sf_dir))
+        "orderbook_minutely": replay.orderbook_replay(
+            normalize.depth(ev), slice_min=replay_slice_min
         ),
-        "gold_vector_1s": gold.gold_vector(spark, sf_dir),
-        "gold_training_set_1s": gold.gold_training_set_1s(spark, sf_dir),
-        "orderbook_minutely": replay.orderbook_replay(normalize.depth(ev)),
     }
     for name, df in derived.items():
         df.createOrReplaceTempView(name)

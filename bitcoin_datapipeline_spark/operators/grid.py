@@ -15,16 +15,18 @@ Spark-first shape (three stages, each scale-safe):
    with ``max_by``/``sum``/``count``.  This is the compression step: at
    production tick rates (~10³ trades/s) the shuffle carries one partial row
    per (symbol, tick) per input partition, never raw ticks.
-2. **Grid generation** — per-symbol ``sequence(first_tick, slice_end)`` +
-   ``explode``.  The grid is *bounded by wall-clock, not by data volume*:
-   86 400 rows/symbol/day at 1 s regardless of how many ticks fed it, so the
-   grid join and everything downstream is O(symbols × seconds).
-3. **LOCF fill** — ``last(x, ignorenulls=True)`` over an unbounded-preceding
-   ROWS frame per symbol.  On a cluster this is one exchange + sort over the
-   bounded grid.  At 100 TB / multi-year spans you would key the window by
-   (symbol, day) and seed each day with the previous day's closing state
-   (a tiny 1-row-per-symbol-day broadcast); the single-window form here is
-   exact and keeps the oracle twin simple.
+2. **Gap-fill by lead** — one per-symbol window computes each observation's
+   successor tick; ``explode(sequence(tick, next_tick - 1))`` emits the
+   grid rows each observation covers, carrying that observation — the LOCF
+   fill is positional, no dense-grid join and no second window pass.  The
+   grid stays *bounded by wall-clock, not by data volume*: 86 400
+   rows/symbol/day at 1 s regardless of how many ticks fed it.
+3. **Slice anchor** — a broadcast 1-row aggregate fixes the grid end; the
+   dedup-invariant ``bounds_hint`` (pre-dedup stream) keeps that branch a
+   shuffle-free pruned scan.  At 100 TB / multi-year spans you would key
+   the windows by (symbol, day) and seed each day with the previous day's
+   closing state (a tiny 1-row-per-symbol-day broadcast); the single-window
+   form here is exact and keeps the oracle twin simple.
 
 ``grid_returns`` / ``grid_labels`` then run lag/lead windows **on the
 grid**, where a lag of k rows ≡ exactly k·step seconds — the property the
@@ -59,17 +61,36 @@ def _sell():
 def locf_resample(
     dedup_trades: DataFrame,
     step_s: int = 1,
-    slice_s: int = GRID_SLICE_S,
+    slice_s: int | None = GRID_SLICE_S,
     gap_threshold_s: int = GRID_GAP_THRESHOLD_S,
+    bounds_hint: DataFrame | None = None,
 ) -> DataFrame:
     """Resample the deduped trade stream onto a fixed ``step_s``-second grid
     with LOCF price fill, per-tick flow sums, and gap/data-age quality
     columns (S3_SCHEMA.md:596-601).
 
     Grid coverage: per symbol from its first active tick through the end of
-    the slice (``slice_s`` seconds from the global first tick).  The price at
-    a grid point is the state *as of the end of that step* (all trades with
-    ``event_ts`` inside the step included) — no look-ahead.
+    the slice (``slice_s`` seconds from the global first tick), or through
+    the global LAST tick when ``slice_s`` is None — the full-span form a
+    production caller gets via api.register_views(grid_slice_s=None).  The
+    price at a grid point is the state *as of the end of that step* (all
+    trades with ``event_ts`` inside the step included) — no look-ahead.
+
+    Plan shape — gap-fill by ``lead``, not grid join: each per-tick row
+    learns its successor's tick in the ONE per-symbol window sort the grid
+    needs anyway, then explodes ``sequence(tick, next_tick - 1)`` carrying
+    its own observation — so the LOCF fill is positional, with no dense-grid
+    left join and no second window pass.  The input's expensive
+    dedup+per-tick pass therefore runs ONCE for the data path (the previous
+    join-based form re-ran it for both grid-bounds branches: column pruning
+    made the subtrees non-identical, defeating ReusedExchange — measured 3×
+    the dedup pass in the executed plan).  The only other consumer is the
+    1-row slice-anchor aggregate, which accepts a ``bounds_hint`` — the
+    PRE-dedup stream — because min(event_ts) is dedup-invariant (first-wins
+    dedup never drops a symbol's earliest row): with the hint the anchor
+    branch is a shuffle-free column-pruned scan.  Explode skew is bounded by
+    the longest single gap (≤ slice length), strictly narrower than the old
+    whole-span-per-symbol explode.
     """
     step_ms = step_s * 1000
     per_tick = dedup_trades.groupBy(
@@ -88,44 +109,65 @@ def locf_resample(
         F.count("*").cast("long").alias("obs_trades"),
     )
 
-    n_ticks = slice_s // step_s
-    g0 = per_tick.groupBy().agg(F.min("tick").alias("g0"))
-    spans = (
-        per_tick.groupBy("symbol")
-        .agg(F.min("tick").alias("lo"))
-        .join(F.broadcast(g0))
-        .select("symbol", "lo", (F.col("g0") + F.lit(n_ticks - 1)).alias("hi"))
-        .filter(F.col("lo") <= F.col("hi"))
-    )
-    grid = spans.select(
-        "symbol", F.explode(F.sequence("lo", "hi")).alias("tick")
-    )
+    if slice_s is None:
+        # full span needs the deduped max (a dropped late duplicate may own
+        # the raw stream's max ts) — no hint shortcut here
+        bounds = per_tick.groupBy().agg(F.max("tick").alias("hi"))
+    else:
+        n_ticks = slice_s // step_s
+        anchor = (
+            bounds_hint.select(
+                F.expr(f"event_ts div {step_ms}").cast("long").alias("tick")
+            )
+            if bounds_hint is not None
+            else per_tick.select("tick")
+        )
+        bounds = anchor.groupBy().agg(
+            (F.min("tick") + F.lit(n_ticks - 1)).alias("hi")
+        )
 
-    j = grid.join(per_tick, ["symbol", "tick"], "left")
-    cum = (
-        Window.partitionBy("symbol")
-        .orderBy("tick")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.partitionBy("symbol").orderBy("tick")
+    spanned = (
+        per_tick.join(F.broadcast(bounds))
+        .filter(F.col("tick") <= F.col("hi"))
+        .withColumn("next_tick", F.lead("tick").over(w))
+        .withColumn(
+            "span_end",
+            F.least(F.coalesce(F.col("next_tick") - 1, F.col("hi")), F.col("hi")),
+        )
+        .withColumnRenamed("tick", "obs_tick")
     )
-    price = F.last("obs_price", ignorenulls=True).over(cum)
-    last_ts = F.last("obs_last_ts", ignorenulls=True).over(cum)
-    source = F.last("obs_source", ignorenulls=True).over(cum)
-    # age of the carried-forward observation at the end of this grid step
-    age_ms = (F.col("tick") + 1) * step_ms - 1 - last_ts
-    return j.select(
+    g = spanned.select(
+        "symbol",
+        "obs_tick",
+        "obs_price",
+        "obs_last_ts",
+        "obs_source",
+        "obs_volume",
+        "obs_buy_volume",
+        "obs_sell_volume",
+        "obs_notional",
+        "obs_trades",
+        F.explode(F.sequence("obs_tick", "span_end")).alias("tick"),
+    )
+    is_obs = F.col("tick") == F.col("obs_tick")
+    age_ms = (F.col("tick") + 1) * step_ms - 1 - F.col("obs_last_ts")
+    return g.select(
         "symbol",
         "tick",
         (F.col("tick") * step_s).cast("long").alias("feature_ts"),
-        price.alias("price"),
+        F.col("obs_price").alias("price"),
         age_ms.cast("long").alias("data_age_ms"),
         (age_ms > gap_threshold_s * 1000).alias("gap_indicator"),
-        source.alias("source"),
-        F.coalesce("obs_volume", F.lit(0.0)).alias("volume"),
-        F.coalesce("obs_buy_volume", F.lit(0.0)).alias("buy_volume"),
-        F.coalesce("obs_sell_volume", F.lit(0.0)).alias("sell_volume"),
-        F.coalesce("obs_notional", F.lit(0.0)).alias("notional"),
-        F.coalesce("obs_trades", F.lit(0).cast("long")).alias("trades"),
-        F.col("obs_price").isNotNull().alias("has_obs"),
+        F.col("obs_source").alias("source"),
+        F.when(is_obs, F.col("obs_volume")).otherwise(0.0).alias("volume"),
+        F.when(is_obs, F.col("obs_buy_volume")).otherwise(0.0).alias("buy_volume"),
+        F.when(is_obs, F.col("obs_sell_volume")).otherwise(0.0).alias("sell_volume"),
+        F.when(is_obs, F.col("obs_notional")).otherwise(0.0).alias("notional"),
+        F.when(is_obs, F.col("obs_trades")).otherwise(F.lit(0).cast("long")).alias(
+            "trades"
+        ),
+        is_obs.alias("has_obs"),
     )
 
 

@@ -47,10 +47,13 @@ from . import r6
 REPLAY_SLICE_MIN = 1_440  # replay horizon: first 24 h of the delta log
 
 
-def orderbook_replay(depth: DataFrame, slice_min: int = REPLAY_SLICE_MIN) -> DataFrame:
+def orderbook_replay(
+    depth: DataFrame, slice_min: int | None = REPLAY_SLICE_MIN
+) -> DataFrame:
     """Book state at the end of every minute, replayed from the depth-update
     log (DATA_PIPELINE.md:73-107 apply-deltas-in-order semantics;
-    streaming twin: streaming/orderbook.py)."""
+    streaming twin: streaming/orderbook.py).  ``slice_min=None`` replays to
+    the last observed minute (full span)."""
     minute = F.expr("event_ts div 60000").cast("long")
     last_msg = depth.groupBy("symbol", minute.alias("minute")).agg(
         F.max_by(F.struct("bids", "asks"), "event_ts").alias("m")
@@ -77,14 +80,23 @@ def orderbook_replay(depth: DataFrame, slice_min: int = REPLAY_SLICE_MIN) -> Dat
 
     # grid bounds from the unexploded message stream (column-pruned scan)
     minutes = depth.select("symbol", minute.alias("minute"))
-    g0 = minutes.groupBy().agg(F.min("minute").alias("g0"))
-    spans = (
-        minutes.groupBy("symbol")
-        .agg(F.min("minute").alias("lo"))
-        .join(F.broadcast(g0))
-        .select("symbol", "lo", (F.col("g0") + F.lit(slice_min - 1)).alias("hi"))
-        .filter(F.col("lo") <= F.col("hi"))
-    )
+    if slice_min is None:
+        bounds = minutes.groupBy().agg(F.max("minute").alias("hi"))
+        spans = (
+            minutes.groupBy("symbol")
+            .agg(F.min("minute").alias("lo"))
+            .join(F.broadcast(bounds))
+            .select("symbol", "lo", "hi")
+        )
+    else:
+        g0 = minutes.groupBy().agg(F.min("minute").alias("g0"))
+        spans = (
+            minutes.groupBy("symbol")
+            .agg(F.min("minute").alias("lo"))
+            .join(F.broadcast(g0))
+            .select("symbol", "lo", (F.col("g0") + F.lit(slice_min - 1)).alias("hi"))
+            .filter(F.col("lo") <= F.col("hi"))
+        )
     gridl = (
         spans.select("symbol", F.explode(F.sequence("lo", "hi")).alias("minute"))
         .select("*", F.explode(F.array(F.lit("bid"), F.lit("ask"))).alias("side"))

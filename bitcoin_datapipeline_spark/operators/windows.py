@@ -241,6 +241,28 @@ def sessionize(trades: DataFrame, gap_ms: int = SESSION_GAP_MS) -> DataFrame:
     )
 
 
+def session_stats(trades: DataFrame, gap_ms: int = SESSION_GAP_MS) -> DataFrame:
+    """Per-symbol roll-up over :func:`sessionize` output: session counts,
+    duration and activity statistics — the session-accounting summary the
+    reference's re-anchor monitoring reads.
+
+    Determinism: durations aggregate from exact ms longs (one double
+    division at the end), volume goes through a DECIMAL(24,6) sum of the
+    already-6dp session volumes — both order-insensitive across engines."""
+    s = sessionize(trades, gap_ms)
+    dur_ms = F.col("session_end") - F.col("session_start")
+    return s.groupBy("symbol").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        r6(F.sum(dur_ms) / 1000.0 / F.count("*")).alias("avg_duration_s"),
+        r6(F.max(dur_ms) / 1000.0).alias("max_duration_s"),
+        r6(F.sum("n_trades") / F.count("*")).alias("avg_trades_per_session"),
+        F.max("n_trades").cast("long").alias("max_trades_per_session"),
+        r6(F.sum(F.col("volume").cast("decimal(24,6)")).cast("double")).alias(
+            "total_volume"
+        ),
+    )
+
+
 def time_series_split(
     bars: DataFrame, train_frac: float = 0.7, val_frac: float = 0.15
 ) -> DataFrame:

@@ -140,9 +140,7 @@ def gold_vector(spark: SparkSession, sf_dir: str, slice_s: int = GOLD_SLICE_S) -
     how many raw ticks fed it.
     """
     step_ms = 1000
-    g = grid_ops.locf_resample(
-        pipeline.trades_clean(spark, sf_dir), step_s=1, slice_s=slice_s
-    )
+    g = pipeline.locf_grid(spark, sf_dir, step_s=1, slice_s=slice_s)
     ev = table(spark, sf_dir, "events")
 
     bba_tick = normalize.bba(ev).groupBy(
@@ -505,6 +503,254 @@ GOLD_VECTOR_ORACLE_SELECT = """
 SELECT * EXCLUDE (tick) FROM gold_vec"""
 
 
+# ---------------------------------------------------------------------------
+# The reference's documented 2-second feature cadence
+# (ARCHITECTURE.md:236-244 — features aggregated every 2 s).
+# ---------------------------------------------------------------------------
+
+GOLD2S_STEP_S = 2
+
+
+def gold_vector_2s(
+    spark: SparkSession, sf_dir: str, slice_s: int | None = GOLD_SLICE_S
+) -> DataFrame:
+    """Compact gold feature vector at the reference's documented 2-second
+    cadence (ARCHITECTURE.md:236-244): the 1 s vector's family restricted to
+    horizons that are whole numbers of 2 s steps — returns {2,10,30,60} s,
+    volumes/imbalances {2,10,30} s, 60 s volatility, 10 s momentum, book
+    features LOCF'd from BBA, cyclic temporal encodings, and the quality
+    block.  Same three-shuffle plan shape as :func:`gold_vector`: per-tick
+    pre-aggregations on (symbol, tick), co-partitioned grid joins, one
+    per-symbol sort shared by the whole analytic block.
+    """
+    step_ms = GOLD2S_STEP_S * 1000
+    g = pipeline.locf_grid(spark, sf_dir, step_s=GOLD2S_STEP_S, slice_s=slice_s)
+    ev = table(spark, sf_dir, "events")
+    bba_tick = normalize.bba(ev).groupBy(
+        "symbol", F.expr(f"event_ts div {step_ms}").cast("long").alias("tick")
+    ).agg(
+        F.max_by("bid_px", "event_ts").alias("o_bid_px"),
+        F.max_by("ask_px", "event_ts").alias("o_ask_px"),
+        F.max_by("bid_sz", "event_ts").alias("o_bid_sz"),
+        F.max_by("ask_sz", "event_ts").alias("o_ask_sz"),
+    )
+
+    j = g.join(bba_tick, ["symbol", "tick"], "left")
+    w = Window.partitionBy("symbol").orderBy("tick")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+
+    def locf(c):
+        return F.last(c, ignorenulls=True).over(cum)
+
+    base = j.select(
+        "symbol",
+        "tick",
+        "feature_ts",
+        "price",
+        "volume",
+        "buy_volume",
+        "sell_volume",
+        "notional",
+        "trades",
+        "has_obs",
+        "data_age_ms",
+        "gap_indicator",
+        "source",
+        locf("o_bid_px").alias("bid_px"),
+        locf("o_ask_px").alias("ask_px"),
+        locf("o_bid_sz").alias("bid_sz"),
+        locf("o_ask_sz").alias("ask_sz"),
+    )
+
+    def trail(col, rows):
+        return F.sum(col).over(w.rowsBetween(-(rows - 1), 0))
+
+    mid = (F.col("bid_px") + F.col("ask_px")) / 2.0
+    # row offsets: k rows ≡ k·2 s on this grid
+    s1 = base.select(
+        "symbol",
+        "tick",
+        "feature_ts",
+        "price",
+        "volume",
+        "buy_volume",
+        "sell_volume",
+        "notional",
+        "trades",
+        "data_age_ms",
+        "gap_indicator",
+        "source",
+        mid.alias("mid"),
+        ((F.col("ask_px") - F.col("bid_px")) / mid * 10000.0).alias("spread_bp_r"),
+        (
+            (F.col("bid_sz") - F.col("ask_sz")) / (F.col("bid_sz") + F.col("ask_sz"))
+        ).alias("ob_imb_r"),
+        (F.col("bid_sz") / F.col("ask_sz")).alias("bid_ask_ratio_r"),
+        F.log(F.col("price") / F.lag("price", 1).over(w)).alias("ret_2s_r"),
+        F.log(F.col("price") / F.lag("price", 5).over(w)).alias("ret_10s_r"),
+        F.log(F.col("price") / F.lag("price", 15).over(w)).alias("ret_30s_r"),
+        F.log(F.col("price") / F.lag("price", 30).over(w)).alias("ret_60s_r"),
+        trail("volume", 5).alias("vol_10"),
+        trail("volume", 15).alias("vol_30"),
+        trail("buy_volume", 5).alias("buy_10"),
+        trail("sell_volume", 5).alias("sell_10"),
+        trail("trades", 5).alias("trades_10"),
+        trail("notional", 5).alias("dollar_10"),
+        F.stddev_samp("price").over(w.rowsBetween(-29, 0)).alias("volat_r"),
+        (F.col("price") - F.lag("price", 5).over(w)).alias("momentum_r"),
+        F.avg(F.col("has_obs").cast("int")).over(w.rowsBetween(-14, 0)).alias(
+            "completeness_r"
+        ),
+    )
+
+    hour = (F.expr("feature_ts div 3600") % 24).cast("int")
+    s2 = s1.select(
+        "*",
+        (F.col("momentum_r") - F.lag("momentum_r", 5).over(w)).alias("accel_r"),
+        hour.alias("hh"),
+    )
+
+    return s2.select(
+        "symbol",
+        "feature_ts",
+        (F.col("feature_ts") * 1000).cast("long").alias("feature_ts_ms"),
+        r6(F.col("price")).alias("price"),
+        r6(F.col("mid")).alias("mid_price"),
+        r6(F.col("ret_2s_r")).alias("ret_2s"),
+        r6(F.col("ret_10s_r")).alias("ret_10s"),
+        r6(F.col("ret_30s_r")).alias("ret_30s"),
+        r6(F.col("ret_60s_r")).alias("ret_60s"),
+        r6(F.col("volume")).alias("volume_2s"),
+        r6(F.col("vol_10")).alias("volume_10s"),
+        r6(F.col("vol_30")).alias("volume_30s"),
+        r6(
+            (F.col("buy_volume") - F.col("sell_volume"))
+            / F.greatest(F.col("volume"), F.lit(1.0))
+        ).alias("vol_imbalance_2s"),
+        r6(
+            (F.col("buy_10") - F.col("sell_10")) / F.greatest(F.col("vol_10"), F.lit(1.0))
+        ).alias("vol_imbalance_10s"),
+        r6(F.col("spread_bp_r")).alias("spread_bp"),
+        r6(F.col("ob_imb_r")).alias("ob_imbalance"),
+        r6(F.col("bid_ask_ratio_r")).alias("bid_ask_ratio"),
+        r6(F.col("trades") / F.lit(2.0)).alias("trade_intensity_2s"),
+        r6(F.col("trades_10") / F.lit(10.0)).alias("trade_intensity_10s"),
+        r6(
+            F.when(F.col("trades") > 0, F.col("volume") / F.col("trades"))
+        ).alias("avg_trade_size_2s"),
+        r6(F.col("notional")).alias("dollar_volume_2s"),
+        r6(F.col("dollar_10")).alias("dollar_volume_10s"),
+        r6(
+            F.when(F.col("vol_10") > 0, F.col("dollar_10") / F.col("vol_10")) - F.col("mid")
+        ).alias("vwap_dev_10s"),
+        r6(F.col("volat_r")).alias("price_volatility"),
+        r6(F.col("momentum_r")).alias("momentum"),
+        r6(F.col("accel_r")).alias("acceleration"),
+        r6(F.sin(F.lit(TWO_PI) * F.col("hh") / F.lit(24.0))).alias("hour_sin"),
+        r6(F.cos(F.lit(TWO_PI) * F.col("hh") / F.lit(24.0))).alias("hour_cos"),
+        ((F.col("hh") >= 14) & (F.col("hh") < 21)).cast("int").alias("is_us_hours"),
+        ((F.col("hh") >= 0) & (F.col("hh") < 7)).cast("int").alias("is_asia_hours"),
+        ((F.col("hh") >= 7) & (F.col("hh") < 14)).cast("int").alias("is_europe_hours"),
+        r6(F.col("completeness_r")).alias("completeness"),
+        "data_age_ms",
+        "gap_indicator",
+        F.when(F.col("gap_indicator"), F.lit("degraded"))
+        .otherwise(F.col("source"))
+        .alias("source_quality"),
+    )
+
+
+# DuckDB twin of gold_vector_2s — compose with
+# OD.locf_grid_cte(step_s=2, slice_s=GOLD_SLICE_S) and OD.BBA_CTE.
+GOLD_VECTOR_2S_ORACLE_BODY = """
+,bba_tick AS (
+  SELECT symbol, event_ts // 2000 AS tick,
+         arg_max(bid_px, event_ts) AS o_bid_px,
+         arg_max(ask_px, event_ts) AS o_ask_px,
+         arg_max(bid_sz, event_ts) AS o_bid_sz,
+         arg_max(ask_sz, event_ts) AS o_ask_sz
+  FROM bba GROUP BY 1, 2
+),
+gbase AS (
+  SELECT l.*,
+         last_value(b.o_bid_px IGNORE NULLS) OVER cum AS bid_px,
+         last_value(b.o_ask_px IGNORE NULLS) OVER cum AS ask_px,
+         last_value(b.o_bid_sz IGNORE NULLS) OVER cum AS bid_sz,
+         last_value(b.o_ask_sz IGNORE NULLS) OVER cum AS ask_sz
+  FROM locf l
+  LEFT JOIN bba_tick b ON l.symbol = b.symbol AND l.tick = b.tick
+  WINDOW cum AS (PARTITION BY l.symbol ORDER BY l.tick
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+g1 AS (
+  SELECT symbol, tick, feature_ts, price, volume, buy_volume, sell_volume,
+         notional, trades, data_age_ms, gap_indicator, source,
+         (bid_px + ask_px) / 2.0 AS mid,
+         (ask_px - bid_px) / ((bid_px + ask_px) / 2.0) * 10000.0 AS spread_bp_r,
+         (bid_sz - ask_sz) / (bid_sz + ask_sz) AS ob_imb_r,
+         bid_sz / ask_sz AS bid_ask_ratio_r,
+         ln(price / lag(price, 1)  OVER w) AS ret_2s_r,
+         ln(price / lag(price, 5)  OVER w) AS ret_10s_r,
+         ln(price / lag(price, 15) OVER w) AS ret_30s_r,
+         ln(price / lag(price, 30) OVER w) AS ret_60s_r,
+         sum(volume) OVER t5  AS vol_10,
+         sum(volume) OVER t15 AS vol_30,
+         sum(buy_volume) OVER t5  AS buy_10,
+         sum(sell_volume) OVER t5 AS sell_10,
+         sum(trades) OVER t5 AS trades_10,
+         sum(notional) OVER t5 AS dollar_10,
+         stddev_samp(price) OVER t30 AS volat_r,
+         price - lag(price, 5) OVER w AS momentum_r,
+         avg(CAST(has_obs AS INTEGER)) OVER t15 AS completeness_r
+  FROM gbase
+  WINDOW w   AS (PARTITION BY symbol ORDER BY tick),
+         t5  AS (PARTITION BY symbol ORDER BY tick ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         t15 AS (PARTITION BY symbol ORDER BY tick ROWS BETWEEN 14 PRECEDING AND CURRENT ROW),
+         t30 AS (PARTITION BY symbol ORDER BY tick ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+),
+g2 AS (
+  SELECT *,
+         momentum_r - lag(momentum_r, 5) OVER w AS accel_r,
+         CAST((feature_ts // 3600) % 24 AS INTEGER) AS hh
+  FROM g1
+  WINDOW w AS (PARTITION BY symbol ORDER BY tick)
+)
+SELECT symbol, feature_ts,
+       CAST(feature_ts * 1000 AS BIGINT) AS feature_ts_ms,
+       round(price, 6) AS price,
+       round(mid, 6) AS mid_price,
+       round(ret_2s_r, 6)  AS ret_2s,
+       round(ret_10s_r, 6) AS ret_10s,
+       round(ret_30s_r, 6) AS ret_30s,
+       round(ret_60s_r, 6) AS ret_60s,
+       round(volume, 6) AS volume_2s,
+       round(vol_10, 6) AS volume_10s,
+       round(vol_30, 6) AS volume_30s,
+       round((buy_volume - sell_volume) / greatest(volume, 1.0), 6) AS vol_imbalance_2s,
+       round((buy_10 - sell_10) / greatest(vol_10, 1.0), 6) AS vol_imbalance_10s,
+       round(spread_bp_r, 6) AS spread_bp,
+       round(ob_imb_r, 6) AS ob_imbalance,
+       round(bid_ask_ratio_r, 6) AS bid_ask_ratio,
+       round(trades / 2.0, 6) AS trade_intensity_2s,
+       round(trades_10 / 10.0, 6) AS trade_intensity_10s,
+       round(CASE WHEN trades > 0 THEN volume / trades END, 6) AS avg_trade_size_2s,
+       round(notional, 6) AS dollar_volume_2s,
+       round(dollar_10, 6) AS dollar_volume_10s,
+       round(CASE WHEN vol_10 > 0 THEN dollar_10 / vol_10 END - mid, 6) AS vwap_dev_10s,
+       round(volat_r, 6) AS price_volatility,
+       round(momentum_r, 6) AS momentum,
+       round(accel_r, 6) AS acceleration,
+       round(sin(2 * pi() * hh / 24.0), 6) AS hour_sin,
+       round(cos(2 * pi() * hh / 24.0), 6) AS hour_cos,
+       CAST(hh >= 14 AND hh < 21 AS INTEGER) AS is_us_hours,
+       CAST(hh >= 0 AND hh < 7 AS INTEGER)   AS is_asia_hours,
+       CAST(hh >= 7 AND hh < 14 AS INTEGER)  AS is_europe_hours,
+       round(completeness_r, 6) AS completeness,
+       data_age_ms, gap_indicator,
+       CASE WHEN gap_indicator THEN 'degraded' ELSE source END AS source_quality
+FROM g2"""
+
+
 def gold_training_set_1s(spark: SparkSession, sf_dir: str, slice_s: int = GOLD_SLICE_S) -> DataFrame:
     """The complete training dataset at the reference's true gold grain
     (S3_SCHEMA.md §3 "Training Datasets" over the §1/§2 feature + label
@@ -522,9 +768,7 @@ def gold_training_set_1s(spark: SparkSession, sf_dir: str, slice_s: int = GOLD_S
     boundary is a broadcast scalar."""
     feats = gold_vector(spark, sf_dir, slice_s)
     labels = grid_ops.grid_labels(
-        grid_ops.locf_resample(
-            pipeline.trades_clean(spark, sf_dir), step_s=1, slice_s=slice_s
-        )
+        pipeline.locf_grid(spark, sf_dir, step_s=1, slice_s=slice_s)
     ).select(
         "symbol",
         "feature_ts",

@@ -26,3 +26,28 @@ def trades_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bars_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query: full ingest→bars pipeline (driver `entry`)."""
     return bars_1m(trades_clean(spark, sf_dir))
+
+
+_DEFAULT_SLICE = object()  # sentinel: None is a real value (full span)
+
+
+def locf_grid(
+    spark: SparkSession,
+    sf_dir: str,
+    step_s: int = 1,
+    slice_s=_DEFAULT_SLICE,
+) -> DataFrame:
+    """events → deduped trades → fixed-second LOCF grid, with the
+    dedup-invariant bounds hint wired so the slice-anchor branch reads the
+    cheap pre-dedup stream (see grid.locf_resample).  Omit ``slice_s`` for
+    the grid module default; pass an int to override or None for the full
+    data span."""
+    from ..operators import grid as grid_ops
+
+    kwargs = {} if slice_s is _DEFAULT_SLICE else {"slice_s": slice_s}
+    return grid_ops.locf_resample(
+        trades_clean(spark, sf_dir),
+        step_s=step_s,
+        bounds_hint=valid_trades(table(spark, sf_dir, "events")),
+        **kwargs,
+    )

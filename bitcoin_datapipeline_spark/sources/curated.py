@@ -6,12 +6,13 @@ overlapping batches stay idempotent, then bulk-written to Postgres
 (``minute_bars`` / ``trades`` tables, RDS_SCHEMA.md).  Schemas are Avro at
 rest in the reference (``src/bitcoin_datapipeline/schemas/avro/*.avsc``).
 
-Sandbox exclusions (documented, gated, tested):
-- No JDBC driver jar and no database are installed here, so
-  :func:`write_curated_jdbc`'s final ``df.write.jdbc`` call cannot execute
-  in CI.  The part that carries the reference's correctness contract —
-  key-dedup-before-write (:func:`prepare_curated_rows`) — is pure DataFrame
-  logic and is unit-tested.
+Sandbox notes (gated, tested):
+- :func:`write_curated_jdbc` runs END-TO-END against the embedded Derby
+  driver the Spark distribution bundles (``jdbc:derby:<dir>;create=true``)
+  — the identical ``df.write.jdbc`` code path a Postgres cluster exercises
+  with a different driver class/URL; see tests/test_curated.py.  The
+  reference's correctness contract — key-dedup-before-write
+  (:func:`prepare_curated_rows`) — is additionally unit-tested.
 - Spark's ``avro`` short name is registered by the external spark-avro
   module, absent here — but the implementation classes ARE on the wheel's
   classpath, so :func:`write_avro`/:func:`read_avro` fall back to the
@@ -52,9 +53,8 @@ def write_curated_jdbc(
     """S9: curated JDBC sink = prepare_curated_rows ∘ df.write.jdbc.
 
     ``numPartitions``/batch sizing are left to the caller's properties; the
-    dedup guarantees the write is idempotent with respect to replays.  In
-    this sandbox there is no JDBC driver — the call raises Spark's standard
-    driver-not-found error; see module docstring for the exclusion."""
+    dedup guarantees the write is idempotent with respect to replays.
+    Exercised end-to-end against embedded Derby in tests/test_curated.py."""
     deduped = prepare_curated_rows(df, key_cols, order_col)
     deduped.write.mode(mode).jdbc(url, table, properties=properties or {})
 

@@ -115,6 +115,39 @@ def stream_sliding_stats(trades: DataFrame, watermark: str = "10 minutes") -> Da
     )
 
 
+def stream_sessionize(
+    trades: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """§2.10e streaming: gap-based session windows — the streaming twin of
+    operators/windows.sessionize (reference analog: connection/stream-session
+    accounting around gap-triggered re-anchors).  ``session_window`` merges
+    events whose inter-arrival gap is under ``gap``; the watermark closes a
+    session once no event can extend it, so state per (symbol, open session)
+    is bounded and append mode emits each session exactly once.
+
+    Session bounds are reported from the observed event_ts min/max (the
+    batch operator's convention) alongside the engine's window struct — the
+    window end is last-event + gap by session_window semantics, which is why
+    duration comes from the event bounds, not the window."""
+    t = with_event_time(trades).withWatermark("event_time", watermark)
+    g = t.groupBy(
+        "symbol", F.session_window("event_time", gap).alias("win")
+    ).agg(
+        F.min("event_ts").alias("session_start"),
+        F.max("event_ts").alias("session_end"),
+        F.count("*").cast("long").alias("n_trades"),
+        F.sum("qty").alias("volume"),
+    )
+    return g.select(
+        "symbol",
+        "session_start",
+        "session_end",
+        ((F.col("session_end") - F.col("session_start")) / 1000.0).alias("duration_s"),
+        "n_trades",
+        "volume",
+    )
+
+
 GAP_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("symbol", T.StringType()),

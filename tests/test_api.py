@@ -36,6 +36,19 @@ def test_views_join_across_layers(spark, sf_dir):
     assert len(j) == 5
 
 
+def test_register_views_span_override(spark, sf_dir):
+    """The grid span knobs reach the views: a shorter slice yields a
+    proportionally smaller grid, so a production caller can widen (or pass
+    None to un-cap) the span without touching engine constants."""
+    api.register_views(spark, sf_dir, grid_slice_s=600)
+    short = spark.sql("SELECT max(tick) - min(tick) AS span FROM grid_1s").collect()[0]
+    assert short.span <= 600 - 1
+
+    api.register_views(spark, sf_dir, grid_slice_s=1200)
+    long = spark.sql("SELECT max(tick) - min(tick) AS span FROM grid_1s").collect()[0]
+    assert 600 <= long.span <= 1200 - 1
+
+
 def test_run_by_name(spark, sf_dir):
     df = api.run(spark, "q_counts", sf_dir)
     assert df.count() == 5

@@ -1,8 +1,9 @@
 """Curated-sink contract tests (S9 JDBC path + Avro gating).
 
-The JDBC write itself needs a driver jar (absent here — documented
-exclusion in sources/curated.py); the correctness-bearing half is the
-key-dedup-before-write, tested directly."""
+The JDBC path runs END-TO-END against the embedded Derby driver the Spark
+distribution ships (jdbc:derby:<dir>;create=true — same ``df.write.jdbc``
+code path a Postgres cluster uses, different driver class); the
+key-dedup-before-write half is additionally unit-tested."""
 
 from __future__ import annotations
 
@@ -42,6 +43,29 @@ def test_prepare_curated_rows_idempotent_on_replay(spark):
     once = curated.prepare_curated_rows(base, ["symbol", "k"], "ingest_ts")
     twice = curated.prepare_curated_rows(replay, ["symbol", "k"], "ingest_ts")
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_jdbc_roundtrip_derby(spark, tmp_path):
+    """S9 end-to-end: write_curated_jdbc → real JDBC write (embedded Derby,
+    bundled with Spark) → read back → the upsert-key dedup held and values
+    survived the SQL type mapping."""
+    df = spark.createDataFrame(
+        [
+            ("BTC", 1, 100, 45000.5),
+            ("BTC", 1, 50, 45001.0),   # earlier ingest wins
+            ("ETH", 1, 5, 2500.25),
+        ],
+        "symbol string, k long, ingest_ts long, price double",
+    )
+    url = f"jdbc:derby:{tmp_path}/curated_db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    curated.write_curated_jdbc(
+        df, url, "curated_trades", ["symbol", "k"], "ingest_ts",
+        properties=props, mode="overwrite",
+    )
+    back = spark.read.jdbc(url, "curated_trades", properties=props)
+    rows = {(r.symbol, r.k): (r.ingest_ts, r.price) for r in back.collect()}
+    assert rows == {("BTC", 1): (50, 45001.0), ("ETH", 1): (5, 2500.25)}
 
 
 def test_avro_roundtrip(spark, tmp_path):

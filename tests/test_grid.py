@@ -41,6 +41,29 @@ def test_locf_carries_price_and_flags_gap(spark):
     assert rows[50]["data_age_ms"] - rows[49]["data_age_ms"] == 1000
 
 
+def test_full_span_grid_reaches_last_tick(spark):
+    """slice_s=None (the api's full-span knob) extends every symbol's grid
+    to the GLOBAL last tick instead of a fixed horizon."""
+    t = _trades(
+        spark,
+        [
+            ("A", 0, 1, 100.0, 1.0, False, "sbe"),
+            ("A", 10_000, 2, 101.0, 1.0, False, "sbe"),
+            ("B", 5_000, 3, 50.0, 1.0, False, "sbe"),
+            ("B", 250_000, 4, 51.0, 1.0, False, "sbe"),  # global last tick: 250
+        ],
+    )
+    g = grid.locf_resample(t, step_s=1, slice_s=None)
+    spans = {
+        r["symbol"]: r
+        for r in g.groupBy("symbol")
+        .agg(F.min("tick").alias("lo"), F.max("tick").alias("hi"))
+        .collect()
+    }
+    assert spans["A"]["lo"] == 0 and spans["A"]["hi"] == 250
+    assert spans["B"]["lo"] == 5 and spans["B"]["hi"] == 250
+
+
 def test_returns_zero_on_carried_prices(spark):
     t = _trades(
         spark,

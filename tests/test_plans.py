@@ -66,20 +66,18 @@ def test_ranking_gets_window_group_limit(spark, sf01):
 
 
 def test_no_python_udf_in_relational_plans(spark, sf01):
-    """UDF policy (SURVEY §2.11): no Python evaluation in any oracle-backed
-    relational plan — only the multimodal decode may use Python."""
+    """UDF policy (SURVEY §2.11): no Python evaluation in ANY declared query
+    plan — only the three multimodal decode paths may use Python (and those
+    must be Arrow mapInPandas, asserted separately)."""
     import __spark_entry__ as E
 
-    for name in [
-        "q_bars_1m",
-        "q_trade_features_1h",
-        "q_labels_10m",
-        "q_asof_price",
-        "q_minhash_lsh",
-        "q_embed_knn",
-    ]:
-        plan = _plan(spark, E.queries()[name](spark, sf01))
+    multimodal = {"q_multimodal_meta", "q_multimodal_decode", "q_multimodal_frames"}
+    for name, fn in E.queries().items():
+        if name in multimodal:
+            continue
+        plan = _plan(spark, fn(spark, sf01))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
 
 
 def test_multimodal_is_the_only_python_plan(spark, sf01):
@@ -111,6 +109,37 @@ def test_locf_grid_pushdown_and_per_tick_partial_agg(spark, sf01):
     plan = _plan(spark, E.queries()["q_returns_1s"](spark, sf01))
     assert re.search(r"PushedFilters: \[[^\]]*GreaterThan\(value,0\.0\)", plan)
     assert "partial_" in plan
+
+
+def test_gold_vector_single_dedup_pass_and_shared_sort(spark, sf01):
+    """The gold vector's analytic block must (a) run the expensive
+    dedup shuffle ONCE — the lead-based gap-fill removed the grid-bounds
+    branches that used to re-run it (3× in the executed plan) — and
+    (b) share one (symbol, tick) sort across every Window operator."""
+    import __spark_entry__ as E
+
+    plan = _plan(spark, E.queries()["q_gold_vector_1s"](spark, sf01), "simple")
+    dedup_ex = re.findall(
+        r"Exchange hashpartitioning\(symbol#\d+, trade_id#\d+", plan
+    )
+    assert len(dedup_ex) == 1, f"dedup must shuffle once, saw {len(dedup_ex)}"
+    tick_sorts = re.findall(r"Sort \[symbol#\d+ ASC NULLS FIRST, tick#\d+L", plan)
+    # exactly two (symbol, tick) sorts: the gap-fill lead window at obs
+    # grain, and ONE shared sort for the whole post-explode analytic block
+    assert len(tick_sorts) == 2, (
+        f"expected gap-fill sort + one shared analytic sort, saw {len(tick_sorts)}"
+    )
+
+
+def test_market_share_and_large_orders_partial_agg_broadcast(spark, sf01):
+    """The Q8/Q18-shaped joins must keep map-side partial aggregation and
+    broadcast their dimension sides."""
+    import __spark_entry__ as E
+
+    for name, min_bhj in (("q_market_share", 4), ("q_large_orders", 2)):
+        plan = _plan(spark, E.queries()[name](spark, sf01))
+        assert "partial_" in plan, name
+        assert plan.count("BroadcastHashJoin") >= min_bhj, name
 
 
 def test_orderbook_replay_collapses_before_explode(spark, sf01):

@@ -14,6 +14,7 @@ from bitcoin_datapipeline_spark.streaming.ops import (
     stream_bars_1m,
     stream_dedup,
     stream_gap_detect,
+    stream_sessionize,
 )
 from bitcoin_datapipeline_spark.tables import table
 
@@ -80,6 +81,47 @@ def test_stream_bars_append_mode(spark, trade_stream_dir):
             and r.bar_start.hour == 0]
     if btc0:  # watermark permitting, the first BTC bar has both trades
         assert btc0[0].trade_count == 3 and btc0[0].high == 101.0
+
+
+def test_stream_sessionize_append_mode(spark, trade_stream_dir):
+    """Session windows close once the watermark passes them: BTC's 5 h gap
+    splits two sessions; the first (3 trades inside 2 s) is emitted in
+    append mode with the batch operator's bounds/duration convention."""
+    src = spark.readStream.schema(TRADE_SCHEMA).parquet(trade_stream_dir)
+    out = _run(spark, stream_sessionize(src), "sess_out", "append").collect()
+    btc = [r for r in out if r.symbol == "BTC"]
+    assert len(btc) >= 1  # first session closed; the tail session may be open
+    first = min(btc, key=lambda r: r.session_start)
+    assert first.session_start == 0
+    assert first.session_end == 2000
+    assert first.duration_s == 2.0
+    assert first.n_trades == 3
+    assert first.volume == 3.0
+
+
+def test_stream_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming session windows over the real events table == batch
+    sessionize on (symbol, session_start) keys and per-session stats."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_datapipeline_spark.operators.windows import sessionize
+
+    trades = valid_trades(table(spark, sf_dir, "events"))
+    d = str(tmp_path / "sess_stream")
+    trades.write.parquet(d)
+    src = spark.readStream.schema(TRADE_SCHEMA).parquet(d)
+    streamed = _run(
+        spark, stream_sessionize(src, watermark="0 seconds"), "sess_b", "complete"
+    )
+    got = {
+        (r.symbol, r.session_start): (r.session_end, r.n_trades)
+        for r in streamed.collect()
+    }
+    want = {
+        (r.symbol, r.session_start): (r.session_end, r.n_trades)
+        for r in sessionize(trades).collect()
+    }
+    assert got == want
 
 
 def test_stream_gap_detect_stateful(spark, trade_stream_dir):
