@@ -22,6 +22,8 @@ behind an approximate (tolerance-compared) interface.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -321,55 +323,36 @@ IVF_SEED_STRIDE = 37  # seed c = training row (c * 37) % n_train
 IVF_TRAIN_MOD = 4  # quantizer trains on vec_id % 4 == 0 (25% of the corpus)
 
 
-def _assign(e: DataFrame, cents: DataFrame, topn: int = 1) -> DataFrame:
-    """Nearest-centroid assignment by ROUNDED cosine with a centroid-id
-    tiebreak (rounding makes the argmax identical across engines).
+def _centroid_scores(cents: list[tuple[int, list[float]]]):
+    """Array of (c_cos, negc) structs scoring the row's embedding against
+    every LITERAL centroid — the quantizer model broadcast as constants in
+    the expression tree, so nearest-centroid assignment is pure map-side
+    work: no crossJoin, no per-vector aggregation, no shuffle.
 
-    topn=1 (the full-corpus case: Lloyd iterations and posting-list
-    assignment) is a ``max_by`` aggregation — map-side combinable, no
-    per-vector window partitions.  topn>1 is only ever asked for the small
-    query subset, where a per-vector window is fine.  Both orderings are
-    (rounded cosine desc, centroid id asc), so the two forms agree.
-
-    The centroid norm is precomputed on the K-row broadcast side — inlining
-    the norm expression here would re-reduce the 64-dim centroid for every
-    (vector × centroid) pair."""
-    qc = e.crossJoin(F.broadcast(cents.withColumn("cnorm", _norm("centroid"))))
-    ccos = r6(_dot("embedding", "centroid") / (F.col("norm") * F.col("cnorm")))
-    scored = qc.withColumn("c_cos", ccos)
-    if topn == 1:
-        # max over (c_cos, -c): highest rounded cosine, then smallest id
-        keep = list(e.columns)
-        return (
-            scored.groupBy("vec_id")
-            .agg(
-                F.max_by(
-                    F.struct("c", "c_cos", *[f"`{f}`" for f in keep if f != "vec_id"]),
-                    F.struct(F.col("c_cos"), -F.col("c")),
-                ).alias("best")
-            )
-            .select("vec_id", "best.*")
+    c_cos is the 6-dp-rounded cosine (the cross-engine sync point); negc
+    makes the default struct ordering give "highest cosine, then smallest
+    centroid id" under array_max / reverse(array_sort).  The centroid norm
+    is computed in Python with the same sequential left-fold Spark's
+    ``aggregate`` uses — IEEE doubles, bit-identical."""
+    structs = []
+    for c, vec in cents:
+        acc = 0.0
+        for v in vec:
+            acc += float(v) * float(v)
+        cnorm = math.sqrt(acc)
+        lit = F.array(*[F.lit(float(v)) for v in vec])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                lit,
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0).cast("double"),
+            lambda a, v: a + v,
         )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.col("c"))
-    return (
-        scored.withColumn("c_rank", F.row_number().over(w))
-        .filter(F.col("c_rank") <= topn)
-    )
-
-
-def _update(embeddings: DataFrame, assign: DataFrame) -> DataFrame:
-    """Lloyd update: per-dimension mean of each cluster's members, ROUNDED to
-    6 dp so both engines continue from bit-identical centroids (double
-    summation order is engine-specific; the rounding is the sync point)."""
-    pos = embeddings.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
-    return (
-        pos.join(assign.select("vec_id", "c"), "vec_id")
-        .groupBy("c", "pos")
-        .agg(r6(F.avg(F.col("val").cast("double"))).alias("cval"))
-        .groupBy("c")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
-        .select("c", F.expr("transform(pairs, p -> p.cval)").alias("centroid"))
-    )
+        cos = r6(dot / (F.col("norm") * F.lit(cnorm)))
+        structs.append(F.struct(cos.alias("c_cos"), F.lit(-c).alias("negc")))
+    return F.array(*structs)
 
 
 def ann_ivf(embeddings: DataFrame, train_mod: int = IVF_TRAIN_MOD) -> DataFrame:
@@ -414,53 +397,80 @@ def ann_ivf(embeddings: DataFrame, train_mod: int = IVF_TRAIN_MOD) -> DataFrame:
     embeddings = embeddings.repartition(n_parts, "vec_id")
     e = with_norm(embeddings)
 
-    # deterministic training sample; vec_id is dense 0..N-1, so the r-th
-    # training row carries vec_id = r * train_mod — seeds stay joinable by id
-    train = embeddings.filter(F.col("vec_id") % train_mod == 0)
-    e_train = e.filter(F.col("vec_id") % train_mod == 0)
-    n_df = train.groupBy().agg(F.count("*").alias("n"))
-    seeds = (
-        n_df.select(
-            F.explode(F.sequence(F.lit(0), F.lit(IVF_K - 1))).alias("c"), "n"
-        )
-        .withColumn(
-            "seed_id", ((F.col("c") * IVF_SEED_STRIDE) % F.col("n")) * train_mod
-        )
-    )
-    cents = (
-        F.broadcast(seeds)
-        .join(train, F.col("seed_id") == F.col("vec_id"))
+    # --- driver-coordinated Lloyd training over the deterministic sample
+    # (the spark.ml KMeans pattern: per-iteration model state is K×dims
+    # doubles held on the driver and re-broadcast as expression literals, so
+    # assignment is map-only and each iteration is ONE job: a map-side
+    # assignment feeding a single K-row aggregate).  vec_id is dense
+    # 0..N-1, so the r-th training row carries vec_id = r * train_mod.
+    # the sample is bounded by construction (corpus/train_mod rows) — cache
+    # it across the count + seed lookup + IVF_ITERS iteration jobs instead
+    # of re-reading and re-filtering the corpus once per action
+    train = embeddings.filter(F.col("vec_id") % train_mod == 0).persist()
+    n_train = train.count()
+    seed_ids = [
+        ((c * IVF_SEED_STRIDE) % n_train) * train_mod for c in range(IVF_K)
+    ]
+    seed_map = {
+        r["vec_id"]: list(r["centroid"])
+        for r in train.filter(F.col("vec_id").isin(seed_ids))
         .select(
-            "c",
+            "vec_id",
             F.expr("transform(embedding, x -> cast(x as double))").alias("centroid"),
         )
-    )
+        .collect()
+    }
+    cents = [(c, seed_map[sid]) for c, sid in enumerate(seed_ids) if sid in seed_map]
+    dims = len(cents[0][1])
+    e_train = with_norm(train)
     for _ in range(IVF_ITERS):
-        assign = _assign(e_train, cents, topn=1).select("vec_id", "c")
-        cents = _update(train, assign)
+        best = F.array_max(_centroid_scores(cents))
+        updated = (
+            e_train.select((-best["negc"]).cast("long").alias("c"), "embedding")
+            .groupBy("c")
+            .agg(
+                *[
+                    r6(F.avg(F.expr(f"cast(embedding[{i}] as double)"))).alias(
+                        f"d{i}"
+                    )
+                    for i in range(dims)
+                ]
+            )
+            .collect()
+        )
+        cents = sorted(
+            (int(r["c"]), [r[f"d{i}"] for i in range(dims)]) for r in updated
+        )
+    train.unpersist()
 
+    # --- search: assignment by the same literal-centroid scores, map-only
+    scores = _centroid_scores(cents)
+    best = F.array_max(scores)
     # final inverted index: every vector in exactly one posting list
-    posting = (
-        _assign(e, cents, topn=1)
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("c"),
-            F.col("embedding").alias("emb_c"),
-            F.col("norm").alias("norm_c"),
-        )
+    posting = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        (-best["negc"]).cast("long").alias("c"),
+        F.col("embedding").alias("emb_c"),
+        F.col("norm").alias("norm_c"),
     )
-    # queries probe their nprobe nearest centroids
+    # queries probe their nprobe nearest centroids (reverse of the ascending
+    # struct sort = cosine desc, centroid id asc — same tiebreak as max)
+    nprobe = min(IVF_NPROBE, len(cents))
     probes = (
-        _assign(
-            e.filter(F.col("vec_id") % IVF_NPROBE_QUERY_MOD == 0),
-            cents,
-            topn=IVF_NPROBE,
-        )
+        e.filter(F.col("vec_id") % IVF_NPROBE_QUERY_MOD == 0)
         .select(
             F.col("vec_id").alias("query_id"),
-            F.col("c"),
             F.col("embedding").alias("emb_q"),
             F.col("norm").alias("norm_q"),
+            F.explode(
+                F.slice(F.reverse(F.array_sort(scores)), 1, nprobe)
+            ).alias("p"),
+        )
+        .select(
+            "query_id",
+            (-F.col("p.negc")).cast("long").alias("c"),
+            "emb_q",
+            "norm_q",
         )
     )
     j = probes.join(posting, ["c"]).filter(F.col("query_id") != F.col("neighbor_id"))
