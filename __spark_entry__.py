@@ -592,6 +592,34 @@ def q_labels_10s(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.grid_labels(pipeline.locf_grid(spark, sf_dir))
 
 
+# Truncated EWMA price smoothing on the 1 s grid (windowed HOF fold)
+@q(
+    "q_grid_ewma",
+    OD.with_ctes(
+        OD.locf_grid_cte(step_s=1, slice_s=43_200, gap_s=60),
+        body=f"""
+SELECT symbol, feature_ts, round(price, 6) AS price,
+       round(list_sum(list_transform(list_reverse(arr),
+                 (x, i) -> x * pow({1.0 - grid.EWMA_ALPHA}, i - 1)))
+             / list_sum(list_transform(list_reverse(arr),
+                 (x, i) -> pow({1.0 - grid.EWMA_ALPHA}, i - 1))), 6) AS ewma_price,
+       round(price - list_sum(list_transform(list_reverse(arr),
+                 (x, i) -> x * pow({1.0 - grid.EWMA_ALPHA}, i - 1)))
+             / list_sum(list_transform(list_reverse(arr),
+                 (x, i) -> pow({1.0 - grid.EWMA_ALPHA}, i - 1))), 6) AS ewma_dev,
+       CAST(len(arr) AS BIGINT) AS n_in_window
+FROM (
+  SELECT symbol, feature_ts, price,
+         list(price) OVER (PARTITION BY symbol ORDER BY tick
+             ROWS BETWEEN {grid.EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW) AS arr
+  FROM locf
+)""",
+    ),
+)
+def q_grid_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return grid.grid_ewma(pipeline.locf_grid(spark, sf_dir))
+
+
 @q(
     "q_latest_per_key",
     OD.with_ctes(
@@ -1209,6 +1237,12 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(table(spark, sf_dir, "documents"))
 
 
+# Corpus vocabulary coverage report (tokenizer/vocab-building pass)
+@q("q_vocab", text.VOCAB_ORACLE)
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.vocab_report(table(spark, sf_dir, "documents"))
+
+
 @q("q_forecast_revenue", relational.FORECAST_REVENUE_ORACLE)
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.forecast_revenue(table(spark, sf_dir, "lineitem"))
@@ -1258,6 +1292,28 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "nation"),
         table(spark, sf_dir, "region"),
     )
+
+
+# TPC-H-Q4-shaped: EXISTS as a left-semi join + priority counts
+@q("q_order_priority", relational.ORDER_PRIORITY_ORACLE)
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.order_priority_counts(
+        table(spark, sf_dir, "orders"), table(spark, sf_dir, "lineitem")
+    )
+
+
+# TPC-H-Q19-shaped: disjunctive predicate over a broadcast part join
+@q("q_disjunctive_parts", relational.DISJUNCTIVE_PARTS_ORACLE)
+def q_disjunctive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.disjunctive_parts_revenue(
+        table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "part")
+    )
+
+
+# Ordered user-journey funnel over the raw event stream
+@q("q_funnel", aggregates.CONVERSION_FUNNEL_ORACLE)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.conversion_funnel(table(spark, sf_dir, "events"))
 
 
 
@@ -1474,6 +1530,11 @@ _DRIVER_PRIORITY: list[str] = [
     "q_gold_vector_2s",
     "q_doc_minhash_dedup_capped",
     "q_session_stats",
+    "q_order_priority",
+    "q_disjunctive_parts",
+    "q_funnel",
+    "q_grid_ewma",
+    "q_vocab",
     # 7 with only an r1 row (rotated out of the r2 window)
     "q_doc_exact_dedup",
     "q_ngram_jaccard",

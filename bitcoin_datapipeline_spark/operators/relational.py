@@ -577,3 +577,94 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, year(o_orderdate)"""
+
+
+ORDER_PRIORITY_SHIP_FROM = "1996-01-01"
+ORDER_PRIORITY_SHIP_TO = "1996-07-01"
+
+
+def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H-Q4-shaped order-priority check: count orders per priority that
+    have AT LEAST ONE lineitem shipped inside the window — an EXISTS
+    subquery expressed as a left-semi join on the order key.
+
+    Plan shape: the date filter prunes lineitem at the scan, the semi join
+    carries only o_orderkey from the probe side (no fact-fact row blowup —
+    semi joins short-circuit on first match), and the priority count is a
+    5-group aggregate."""
+    shipped = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(ORDER_PRIORITY_SHIP_FROM).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(ORDER_PRIORITY_SHIP_TO).cast("timestamp_ntz"))
+    ).select("l_orderkey")
+    return (
+        orders.join(shipped, orders.o_orderkey == shipped.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+    )
+
+
+ORDER_PRIORITY_ORACLE = f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate >= TIMESTAMP '{ORDER_PRIORITY_SHIP_FROM}'
+    AND l_shipdate <  TIMESTAMP '{ORDER_PRIORITY_SHIP_TO}'
+)
+GROUP BY o_orderpriority"""
+
+
+def disjunctive_parts_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H-Q19-shaped disjunctive-predicate revenue: OR of per-brand
+    conjunct groups mixing part attributes (brand, size) with lineitem
+    attributes (quantity).  The join itself stays a plain broadcast
+    equi-join on partkey; only the residual disjunction filters joined rows
+    — the shape Catalyst handles by pushing the common partkey equality
+    down and keeping the OR as a post-join filter, plus scan-level IN/range
+    pushdown for the union of each side's constraints."""
+    j = lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(10, 30))
+            & (F.col("l_quantity").between(10, 40))
+        )
+    )
+    revenue = F.sum(
+        _dec(F.col("l_extendedprice")) * _dec(1.0 - F.col("l_discount"))
+    )
+    return (
+        j.filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            revenue.cast("double").alias("revenue"),
+            F.count("*").cast("long").alias("n_lineitems"),
+            F.avg("l_quantity").alias("avg_qty_raw"),
+        )
+        .select(
+            "p_brand",
+            "revenue",
+            "n_lineitems",
+            r6(F.col("avg_qty_raw")).alias("avg_qty"),
+        )
+    )
+
+
+DISJUNCTIVE_PARTS_ORACLE = """
+SELECT p_brand,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       round(avg(l_quantity), 6) AS avg_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 40)
+GROUP BY p_brand"""

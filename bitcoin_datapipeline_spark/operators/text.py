@@ -1060,3 +1060,54 @@ p AS (
 SELECT n_docs, n_exact_unique, n_exact_dup_rows, n_near_dup_pairs,
        round(n_exact_unique * 100.0 / n_docs, 6) AS unique_pct
 FROM n CROSS JOIN u CROSS JOIN p"""
+
+
+VOCAB_TOP_K = 50
+
+
+def vocab_report(documents: DataFrame, top_k: int = VOCAB_TOP_K) -> DataFrame:
+    """Corpus vocabulary report — the token-frequency table a tokenizer /
+    vocab-building pass starts from: top-k tokens by corpus frequency with
+    per-token corpus share and cumulative coverage.
+
+    Plan shape: explode → count per token (one hash-shuffle with map-side
+    partials), global total as a broadcast 1-row aggregate over the counts
+    (token-cardinality rows, not corpus rows), top-k via orderBy().limit()
+    (TakeOrderedAndProject), and the cumulative share windows only the K
+    survivors under a constant key."""
+    toks = documents.select(F.explode(_tokens()).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    total = counts.groupBy().agg(F.sum("n").alias("total"))
+    topk = counts.orderBy(F.desc("n"), "token").limit(top_k)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("n"), "token")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        topk.join(F.broadcast(total))
+        .select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            "token",
+            F.col("n").cast("long").alias("n"),
+            r6(F.col("n") / F.col("total")).alias("share"),
+            r6(F.sum("n").over(cum) / F.col("total")).alias("cum_share"),
+        )
+    )
+
+
+VOCAB_ORACLE = f"""
+WITH counts AS (
+  SELECT tok AS token, count(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+),
+total AS (SELECT sum(n) AS total FROM counts),
+topk AS (
+  SELECT token, n FROM counts ORDER BY n DESC, token LIMIT {VOCAB_TOP_K}
+)
+SELECT CAST(row_number() OVER w AS INTEGER) AS rank,
+       token,
+       CAST(n AS BIGINT) AS n,
+       round(n * 1.0 / total, 6) AS share,
+       round(sum(n) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * 1.0 / total, 6) AS cum_share
+FROM topk CROSS JOIN total
+WINDOW w AS (ORDER BY n DESC, token)"""

@@ -154,3 +154,32 @@ def test_resample_bars_composition(spark):
     assert h0.volume == 5.0
     assert h0.trade_count == 4 and h0.n_source_bars == 2
     assert out[1].open == 200.0 and out[1].n_source_bars == 1
+
+
+def test_conversion_funnel_requires_stage_order(spark):
+    """A purchase BEFORE the first click must not count as a conversion —
+    the funnel is ordered, not a bag of event types."""
+    import json
+
+    from pyspark.sql import Row
+
+    from bitcoin_datapipeline_spark.operators.aggregates import conversion_funnel
+
+    def ev(eid, ms, uid, etype):
+        return Row(event_id=eid, ts=ms * 1000, user_id=uid, event_type=etype,
+                   value=1.0, props=json.dumps({"k": 1}))
+
+    rows = [
+        # user 1: view -> click -> purchase (full conversion)
+        ev(1, 0, 1, "view"), ev(2, 10, 1, "click"), ev(3, 20, 1, "purchase"),
+        # user 2: purchase BEFORE click -> reaches click, not purchase
+        ev(4, 0, 2, "view"), ev(5, 30, 2, "click"), ev(6, 25, 2, "purchase"),
+        # user 3: click only, never viewed -> reaches nothing
+        ev(7, 0, 3, "click"),
+    ]
+    out = conversion_funnel(spark.createDataFrame(rows)).collect()[0]
+    assert out.n_users == 3
+    assert out.n_view == 2
+    assert out.n_click == 2
+    assert out.n_purchase == 1
+    assert out.view_to_purchase == 0.5
