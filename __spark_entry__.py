@@ -1294,6 +1294,16 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TPC-H-Q11-shaped: HAVING over a global scalar, decimal-exact threshold
+@q("q_supplier_above_avg", relational.SUPPLIER_ABOVE_AVG_ORACLE)
+def q_supplier_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.supplier_revenue_above_avg(
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "nation"),
+    )
+
+
 # TPC-H-Q4-shaped: EXISTS as a left-semi join + priority counts
 @q("q_order_priority", relational.ORDER_PRIORITY_ORACLE)
 def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1314,6 +1324,55 @@ def q_disjunctive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q_funnel", aggregates.CONVERSION_FUNNEL_ORACLE)
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.conversion_funnel(table(spark, sf_dir, "events"))
+
+
+# Cross-source feed-consistency check (SBE vs REST VWAP divergence)
+@q(
+    "q_source_consistency",
+    OD.with_ctes(
+        OD.VALID_TRADES_CTE, body=aggregates.SOURCE_CONSISTENCY_ORACLE.strip()
+    ),
+)
+def q_source_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.source_consistency(
+        normalize.valid_trades(table(spark, sf_dir, "events"))
+    )
+
+
+# Data-quality anomaly screen: returns beyond z rolling prior sigmas
+@q(
+    "q_return_outliers",
+    OD.with_ctes(
+        OD.BARS_1M_CTE,
+        body=f"""
+,r AS (
+  SELECT symbol, bucket, close,
+         ln(close / lag(close, 1) OVER (PARTITION BY symbol ORDER BY bucket))
+             AS ret_raw
+  FROM bars
+),
+d AS (
+  SELECT symbol, bucket, close, ret_raw,
+         stddev_samp(ret_raw) OVER prior AS sigma_raw,
+         count(ret_raw) OVER prior AS n_prior
+  FROM r
+  WINDOW prior AS (PARTITION BY symbol ORDER BY bucket
+                   ROWS BETWEEN {windows.OUTLIER_SIGMA_WINDOW} PRECEDING
+                            AND 1 PRECEDING)
+)
+SELECT symbol, bucket,
+       round(close, 6) AS close,
+       round(ret_raw, 6) AS ret,
+       round(sigma_raw, 6) AS sigma,
+       round(ret_raw / sigma_raw, 6) AS zscore
+FROM d
+WHERE n_prior >= {windows.OUTLIER_SIGMA_WINDOW}
+  AND sigma_raw > 0
+  AND abs(ret_raw / sigma_raw) > {windows.OUTLIER_Z}""",
+    ),
+)
+def q_return_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.return_outliers(pipeline.bars_pipeline(spark, sf_dir))
 
 
 
@@ -1535,6 +1594,9 @@ _DRIVER_PRIORITY: list[str] = [
     "q_funnel",
     "q_grid_ewma",
     "q_vocab",
+    "q_supplier_above_avg",
+    "q_source_consistency",
+    "q_return_outliers",
     # 7 with only an r1 row (rotated out of the r2 window)
     "q_doc_exact_dedup",
     "q_ngram_jaccard",

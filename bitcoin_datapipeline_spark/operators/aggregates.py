@@ -628,3 +628,78 @@ SELECT n_users, n_view, n_click, n_purchase,
        round(CASE WHEN n_click > 0 THEN n_purchase * 1.0 / n_click END, 6) AS click_to_purchase,
        round(CASE WHEN n_view > 0 THEN n_purchase * 1.0 / n_view END, 6)  AS view_to_purchase
 FROM g"""
+
+
+def source_consistency(valid_trades: DataFrame) -> DataFrame:
+    """Cross-source validation (the reference ingests the same market from
+    SBE websocket AND REST backfill): per (symbol, hour), VWAP and coverage
+    per source plus their divergence in basis points — the consistency
+    check that catches a degraded feed before it poisons features.
+    Only buckets observed by BOTH sources are emitted.
+
+    One groupBy with conditional decimal-exact sums (source pivot folded
+    into the aggregate — no join between per-source subqueries)."""
+    bucket = F.expr("event_ts div 3600000").cast("long")
+    dec = "decimal(20,4)"
+
+    def side(src, col):
+        return F.sum(
+            F.when(F.col("source") == src, col).otherwise(F.lit(0.0)).cast(dec)
+        )
+
+    g = valid_trades.groupBy("symbol", bucket.alias("bucket")).agg(
+        side("sbe", F.col("price") * F.col("qty")).alias("sbe_notional"),
+        side("sbe", F.col("qty")).alias("sbe_qty"),
+        F.sum(F.when(F.col("source") == "sbe", 1).otherwise(0))
+        .cast("long")
+        .alias("sbe_trades"),
+        side("rest", F.col("price") * F.col("qty")).alias("rest_notional"),
+        side("rest", F.col("qty")).alias("rest_qty"),
+        F.sum(F.when(F.col("source") == "rest", 1).otherwise(0))
+        .cast("long")
+        .alias("rest_trades"),
+    )
+    sbe_vwap = F.col("sbe_notional").cast("double") / F.col("sbe_qty").cast("double")
+    rest_vwap = F.col("rest_notional").cast("double") / F.col("rest_qty").cast("double")
+    return (
+        g.filter((F.col("sbe_trades") > 0) & (F.col("rest_trades") > 0))
+        .select(
+            "symbol",
+            "bucket",
+            "sbe_trades",
+            "rest_trades",
+            r6(sbe_vwap).alias("sbe_vwap"),
+            r6(rest_vwap).alias("rest_vwap"),
+            r6((sbe_vwap - rest_vwap) / rest_vwap * 10000.0).alias(
+                "vwap_divergence_bp"
+            ),
+        )
+    )
+
+
+SOURCE_CONSISTENCY_ORACLE = """
+SELECT symbol, bucket, sbe_trades, rest_trades,
+       round(CAST(sbe_notional AS DOUBLE) / CAST(sbe_qty AS DOUBLE), 6) AS sbe_vwap,
+       round(CAST(rest_notional AS DOUBLE) / CAST(rest_qty AS DOUBLE), 6) AS rest_vwap,
+       round((CAST(sbe_notional AS DOUBLE) / CAST(sbe_qty AS DOUBLE)
+              - CAST(rest_notional AS DOUBLE) / CAST(rest_qty AS DOUBLE))
+             / (CAST(rest_notional AS DOUBLE) / CAST(rest_qty AS DOUBLE))
+             * 10000.0, 6) AS vwap_divergence_bp
+FROM (
+  SELECT symbol, event_ts // 3600000 AS bucket,
+         sum(CAST(CASE WHEN source = 'sbe' THEN price * qty ELSE 0.0 END
+                  AS DECIMAL(20,4))) AS sbe_notional,
+         sum(CAST(CASE WHEN source = 'sbe' THEN qty ELSE 0.0 END
+                  AS DECIMAL(20,4))) AS sbe_qty,
+         CAST(sum(CASE WHEN source = 'sbe' THEN 1 ELSE 0 END) AS BIGINT)
+             AS sbe_trades,
+         sum(CAST(CASE WHEN source = 'rest' THEN price * qty ELSE 0.0 END
+                  AS DECIMAL(20,4))) AS rest_notional,
+         sum(CAST(CASE WHEN source = 'rest' THEN qty ELSE 0.0 END
+                  AS DECIMAL(20,4))) AS rest_qty,
+         CAST(sum(CASE WHEN source = 'rest' THEN 1 ELSE 0 END) AS BIGINT)
+             AS rest_trades
+  FROM valid_trades
+  GROUP BY 1, 2
+)
+WHERE sbe_trades > 0 AND rest_trades > 0"""

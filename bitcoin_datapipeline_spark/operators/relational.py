@@ -668,3 +668,60 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
        AND l_quantity BETWEEN 10 AND 40)
 GROUP BY p_brand"""
+
+
+def supplier_revenue_above_avg(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """TPC-H-Q11-shaped: suppliers whose revenue exceeds 1.05x the average
+    supplier revenue — a HAVING over a GLOBAL scalar, broadcast to the
+    per-supplier aggregate (the uniform synthetic revenue spread tops out
+    ~1.12x average, so 1.05 keeps the survivor set non-trivial).
+
+    The threshold compare stays integer/decimal-exact cross-engine:
+    ``rev * 20 * n > 21 * total`` instead of ``rev > 1.05 * (total / n)`` —
+    no double division anywhere near the predicate, so the survivor set is
+    bit-identical in both engines no matter the summation order."""
+    rev = lineitem.groupBy("l_suppkey").agg(
+        F.sum(_dec(F.col("l_extendedprice")) * _dec(1.0 - F.col("l_discount"))).alias(
+            "rev"
+        )
+    )
+    totals = rev.groupBy().agg(
+        F.sum("rev").alias("total"), F.count("*").alias("n_suppliers")
+    )
+    kept = (
+        rev.join(F.broadcast(totals))
+        .filter(F.col("rev") * 20 * F.col("n_suppliers") > 21 * F.col("total"))
+    )
+    return (
+        kept.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.col("rev").cast("double").alias("revenue"),
+            r6(
+                F.col("rev").cast("double") / F.col("total").cast("double") * 100.0
+            ).alias("revenue_share_pct"),
+        )
+    )
+
+
+SUPPLIER_ABOVE_AVG_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS rev
+  FROM lineitem GROUP BY l_suppkey
+),
+totals AS (SELECT sum(rev) AS total, count(*) AS n_suppliers FROM rev)
+SELECT s_suppkey, s_name, n_name,
+       CAST(rev AS DOUBLE) AS revenue,
+       round(CAST(rev AS DOUBLE) / CAST(total AS DOUBLE) * 100.0, 6)
+           AS revenue_share_pct
+FROM rev CROSS JOIN totals
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE rev * 20 * n_suppliers > 21 * total"""

@@ -288,3 +288,55 @@ def time_series_split(
         .otherwise("test")
         .alias("split"),
     )
+
+
+OUTLIER_SIGMA_WINDOW = 20
+OUTLIER_Z = 3.0
+
+
+def return_outliers(
+    bars: DataFrame, window: int = OUTLIER_SIGMA_WINDOW, z: float = OUTLIER_Z
+) -> DataFrame:
+    """Data-quality gate: bars whose log return exceeds ``z`` rolling
+    standard deviations — the anomaly screen a feature pipeline runs before
+    training data leaves silver.
+
+    The rolling σ uses the PRIOR ``window`` returns only (frame ends at
+    -1): the candidate observation never contaminates its own baseline, so
+    a genuine spike cannot mask itself.  One per-symbol sort shared by the
+    return lag and the σ window."""
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prior = w.rowsBetween(-window, -1)
+    # two projections: the return must materialize as a column before the
+    # σ window can aggregate it (window-inside-window is illegal), but both
+    # windows share the same (symbol, bucket) sort — one exchange
+    r = bars.select(
+        "symbol",
+        "bucket",
+        "close",
+        F.log(F.col("close") / F.lag("close", 1).over(w)).alias("ret_raw"),
+    )
+    d = r.select(
+        "symbol",
+        "bucket",
+        "close",
+        "ret_raw",
+        F.stddev_samp("ret_raw").over(prior).alias("sigma_raw"),
+        F.count("ret_raw").over(prior).alias("n_prior"),
+    )
+    zscore = F.col("ret_raw") / F.col("sigma_raw")
+    return (
+        d.filter(
+            (F.col("n_prior") >= window)
+            & (F.col("sigma_raw") > 0)
+            & (F.abs(zscore) > z)
+        )
+        .select(
+            "symbol",
+            "bucket",
+            r6(F.col("close")).alias("close"),
+            r6(F.col("ret_raw")).alias("ret"),
+            r6(F.col("sigma_raw")).alias("sigma"),
+            r6(zscore).alias("zscore"),
+        )
+    )
