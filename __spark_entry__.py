@@ -1064,6 +1064,13 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf(table(spark, sf_dir, "embeddings"))
 
 
+# Corpus clustering report over the trained coarse quantizer (data-mixture
+# balancing / junk-cluster detection view of the IVF k-means)
+@q("q_embed_cluster_stats", similarity.CLUSTER_STATS_ORACLE)
+def q_embed_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cluster_stats(table(spark, sf_dir, "embeddings"))
+
+
 @q("q_multimodal_meta", multimodal.MEDIA_META_ORACLE)
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_meta(table(spark, sf_dir, "documents"))
@@ -1597,6 +1604,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_supplier_above_avg",
     "q_source_consistency",
     "q_return_outliers",
+    "q_embed_cluster_stats",
     # 7 with only an r1 row (rotated out of the r2 window)
     "q_doc_exact_dedup",
     "q_ngram_jaccard",

@@ -355,57 +355,31 @@ def _centroid_scores(cents: list[tuple[int, list[float]]]):
     return F.array(*structs)
 
 
-def ann_ivf(embeddings: DataFrame, train_mod: int = IVF_TRAIN_MOD) -> DataFrame:
-    """IVF ANN with a real (deterministic, seeded) k-means coarse quantizer
-    trained on a SAMPLE, and nprobe > 1.
-
-    Index build — k-means with everything pinned so the DuckDB oracle can
-    replay it exactly, over the deterministic training sample
-    ``vec_id % train_mod == 0`` (mod-filtering instead of Bernoulli
-    sampling keeps the sample reproducible across engines): seeds are the
-    training rows at rank (c·37) mod n_train for c in 0..K-1, exactly
-    IVF_ITERS unrolled Lloyd iterations, assignments by rounded cosine with
-    id tiebreaks, centroid updates rounded to 6 dp (the cross-engine sync
-    points).  Empty clusters drop out of the index — deterministically in
-    both engines.  This is the 100 TB contract: quantizer TRAINING cost is
-    O(sample × dims × iters) — a knob, independent of corpus size — while
-    only the single final posting-list assignment touches every vector.
-    ``train_mod=1`` recovers full-corpus training for small corpora.
-
-    Search — each query probes its IVF_NPROBE nearest centroids' posting
-    lists (one broadcast of ≤K centroids + one equi-join on the cluster id)
-    and ranks candidates by exact cosine: no all-pairs scan, which is the
-    point of IVF at 100 TB.  On the isotropic synthetic corpus recall tracks
-    the probed fraction (~K_probe/K); real corpora with cluster structure
-    get far better recall at the same probe fraction.
-
-    cf. reference similarity surface: this engine-side family extends the
-    reference (which has no ANN); recall is asserted against exact kNN in
-    tests/test_similarity_recall.py (sampled training holds the same gate).
-    """
-    # the corpus usually arrives as a handful of parquet splits; the scoring
-    # math is per-row HOF work, so spread it across the executors first —
-    # otherwise the whole build runs at the input's (often single-split)
-    # parallelism.  The partition count must be EXPLICIT: a number-less
-    # repartition is AQE-advisory and gets coalesced straight back to one
-    # partition for a corpus this small.
+def _spread(embeddings: DataFrame) -> DataFrame:
+    """Explicit repartition before the scoring math: the corpus usually
+    arrives as a handful of parquet splits and the per-row HOF work should
+    run at executor parallelism.  The partition count must be EXPLICIT — a
+    number-less repartition is AQE-advisory and gets coalesced straight
+    back to one partition for a small corpus."""
     spark = embeddings.sparkSession
     try:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     except ValueError:  # e.g. "auto" on AQE-managed platforms
         n_parts = 32
-    embeddings = embeddings.repartition(n_parts, "vec_id")
-    e = with_norm(embeddings)
+    return embeddings.repartition(n_parts, "vec_id")
 
-    # --- driver-coordinated Lloyd training over the deterministic sample
-    # (the spark.ml KMeans pattern: per-iteration model state is K×dims
-    # doubles held on the driver and re-broadcast as expression literals, so
-    # assignment is map-only and each iteration is ONE job: a map-side
-    # assignment feeding a single K-row aggregate).  vec_id is dense
-    # 0..N-1, so the r-th training row carries vec_id = r * train_mod.
-    # the sample is bounded by construction (corpus/train_mod rows) — cache
-    # it across the count + seed lookup + IVF_ITERS iteration jobs instead
-    # of re-reading and re-filtering the corpus once per action
+
+def _train_quantizer(
+    embeddings: DataFrame, train_mod: int = IVF_TRAIN_MOD
+) -> list[tuple[int, list[float]]]:
+    """Driver-coordinated Lloyd training over the deterministic sample
+    (the spark.ml KMeans pattern: per-iteration model state is K×dims
+    doubles held on the driver and re-broadcast as expression literals, so
+    assignment is map-only and each iteration is ONE job: a map-side
+    assignment feeding a single K-row aggregate).  vec_id is dense 0..N-1,
+    so the r-th training row carries vec_id = r * train_mod.  The sample is
+    bounded by construction — cached across the count + seed lookup +
+    IVF_ITERS iteration jobs.  Returns the trained (c, centroid) model."""
     train = embeddings.filter(F.col("vec_id") % train_mod == 0).persist()
     n_train = train.count()
     seed_ids = [
@@ -442,6 +416,40 @@ def ann_ivf(embeddings: DataFrame, train_mod: int = IVF_TRAIN_MOD) -> DataFrame:
             (int(r["c"]), [r[f"d{i}"] for i in range(dims)]) for r in updated
         )
     train.unpersist()
+    return cents
+
+
+def ann_ivf(embeddings: DataFrame, train_mod: int = IVF_TRAIN_MOD) -> DataFrame:
+    """IVF ANN with a real (deterministic, seeded) k-means coarse quantizer
+    trained on a SAMPLE, and nprobe > 1.
+
+    Index build — k-means with everything pinned so the DuckDB oracle can
+    replay it exactly, over the deterministic training sample
+    ``vec_id % train_mod == 0`` (mod-filtering instead of Bernoulli
+    sampling keeps the sample reproducible across engines): seeds are the
+    training rows at rank (c·37) mod n_train for c in 0..K-1, exactly
+    IVF_ITERS unrolled Lloyd iterations, assignments by rounded cosine with
+    id tiebreaks, centroid updates rounded to 6 dp (the cross-engine sync
+    points).  Empty clusters drop out of the index — deterministically in
+    both engines.  This is the 100 TB contract: quantizer TRAINING cost is
+    O(sample × dims × iters) — a knob, independent of corpus size — while
+    only the single final posting-list assignment touches every vector.
+    ``train_mod=1`` recovers full-corpus training for small corpora.
+
+    Search — each query probes its IVF_NPROBE nearest centroids' posting
+    lists (one broadcast of ≤K centroids + one equi-join on the cluster id)
+    and ranks candidates by exact cosine: no all-pairs scan, which is the
+    point of IVF at 100 TB.  On the isotropic synthetic corpus recall tracks
+    the probed fraction (~K_probe/K); real corpora with cluster structure
+    get far better recall at the same probe fraction.
+
+    cf. reference similarity surface: this engine-side family extends the
+    reference (which has no ANN); recall is asserted against exact kNN in
+    tests/test_similarity_recall.py (sampled training holds the same gate).
+    """
+    embeddings = _spread(embeddings)
+    e = with_norm(embeddings)
+    cents = _train_quantizer(embeddings, train_mod)
 
     # --- search: assignment by the same literal-centroid scores, map-only
     scores = _centroid_scores(cents)
@@ -490,10 +498,10 @@ def ann_ivf(embeddings: DataFrame, train_mod: int = IVF_TRAIN_MOD) -> DataFrame:
     )
 
 
-def _ivf_oracle(train_mod: int = IVF_TRAIN_MOD) -> str:
-    """Unrolled DuckDB twin of ann_ivf: same mod-filtered training sample,
-    same seeds, same IVF_ITERS Lloyd rounds with the same 6-dp rounding
-    sync points, same full-corpus posting assignment and nprobe search."""
+def _ivf_train_ctes(train_mod: int = IVF_TRAIN_MOD) -> tuple[list[str], str]:
+    """DuckDB CTE cascade replaying the quantizer training exactly (same
+    mod-filtered sample, seeds, IVF_ITERS Lloyd rounds with the 6-dp
+    rounding sync points).  Returns (ctes, name_of_final_centroid_cte)."""
     assign_tpl = """{name} AS (
   SELECT vec_id, c FROM (
     SELECT e.vec_id, c.c,
@@ -527,7 +535,14 @@ def _ivf_oracle(train_mod: int = IVF_TRAIN_MOD) -> str:
     for i in range(IVF_ITERS):
         ctes.append(assign_tpl.format(name=f"assign{i}", cents=f"cents{i}"))
         ctes.append(update_tpl.format(name=f"cents{i + 1}", assign=f"assign{i}"))
-    final = f"cents{IVF_ITERS}"
+    return ctes, f"cents{IVF_ITERS}"
+
+
+def _ivf_oracle(train_mod: int = IVF_TRAIN_MOD) -> str:
+    """Unrolled DuckDB twin of ann_ivf: trained centroids from
+    :func:`_ivf_train_ctes`, then full-corpus posting assignment and the
+    nprobe search."""
+    ctes, final = _ivf_train_ctes(train_mod)
     ctes.append(
         f"""posting AS (
   SELECT vec_id AS neighbor_id, c FROM (
@@ -650,3 +665,79 @@ SELECT vec_id,
            abs(x - (vmin + floor((x - vmin) / scale + 0.5) * scale))))
          ELSE 0.0 END, 6) AS max_abs_err
 FROM s2"""
+
+
+def cluster_stats(
+    embeddings: DataFrame, train_mod: int = IVF_TRAIN_MOD
+) -> DataFrame:
+    """Corpus clustering report over the trained coarse quantizer — the
+    dataset-curation view of the same k-means the IVF index uses: per
+    cluster, member count, corpus share, and cohesion (mean / worst rounded
+    cosine of members to their centroid).  A pretraining pipeline reads
+    this to balance data mixtures by cluster and to spot junk clusters
+    (low cohesion = scrape noise).
+
+    Plan: training as in ann_ivf (driver-coordinated, sample-bounded), then
+    ONE map-only assignment pass over the full corpus feeding a K-row
+    aggregate — no joins, no windows."""
+    embeddings = _spread(embeddings)
+    e = with_norm(embeddings)
+    cents = _train_quantizer(embeddings, train_mod)
+    best = F.array_max(_centroid_scores(cents))
+    assigned = e.select(
+        (-best["negc"]).cast("long").alias("c"),
+        best["c_cos"].alias("c_cos"),
+    )
+    g = assigned.groupBy("c").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.avg("c_cos").alias("avg_cos_raw"),
+        F.min("c_cos").alias("min_cos_raw"),
+    )
+    total = g.groupBy().agg(F.sum("n_members").alias("total"))
+    return g.join(F.broadcast(total)).select(
+        F.col("c").cast("int").alias("cluster"),
+        "n_members",
+        r6(F.col("n_members") / F.col("total")).alias("share"),
+        r6(F.col("avg_cos_raw")).alias("avg_cosine"),
+        r6(F.col("min_cos_raw")).alias("min_cosine"),
+    )
+
+
+def _cluster_stats_oracle(train_mod: int = IVF_TRAIN_MOD) -> str:
+    """DuckDB twin of cluster_stats: trained centroids from
+    :func:`_ivf_train_ctes`, full-corpus nearest-centroid assignment, then
+    the per-cluster roll-up."""
+    ctes, final = _ivf_train_ctes(train_mod)
+    ctes.append(
+        f"""assigned AS (
+  SELECT c, c_cos FROM (
+    SELECT e.vec_id, c.c,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        c.centroid), 6) AS c_cos,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                   c.centroid), 6) DESC, c.c) AS rn
+    FROM embeddings e CROSS JOIN {final} c)
+  WHERE rn = 1
+)"""
+    )
+    ctes.append(
+        """g AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS n_members,
+         avg(c_cos) AS avg_cos_raw, min(c_cos) AS min_cos_raw
+  FROM assigned GROUP BY c
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT CAST(c AS INTEGER) AS cluster, n_members,
+       round(n_members * 1.0 / (SELECT sum(n_members) FROM g), 6) AS share,
+       round(avg_cos_raw, 6) AS avg_cosine,
+       round(min_cos_raw, 6) AS min_cosine
+FROM g"""
+    )
+
+
+CLUSTER_STATS_ORACLE = _cluster_stats_oracle()
