@@ -1210,6 +1210,59 @@ def q_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.time_series_split(pipeline.bars_pipeline(spark, sf_dir))
 
 
+# PSI drift report between the time split's train/test partitions
+@q(
+    "q_feature_drift",
+    OD.with_ctes(
+        OD.BARS_1M_CTE,
+        body=f"""
+,rng AS (SELECT min(bucket) AS lo_b, max(bucket) AS hi_b FROM bars),
+s AS (
+  SELECT symbol, bucket, close,
+         CASE WHEN bucket <= lo_b + floor((hi_b - lo_b) * 0.7) THEN 'train'
+              WHEN bucket <= lo_b + floor((hi_b - lo_b) * 0.85) THEN 'val'
+              ELSE 'test' END AS split
+  FROM bars CROSS JOIN rng
+),
+tb AS (
+  SELECT symbol, min(close) AS lo, max(close) AS hi
+  FROM s WHERE split = 'train' GROUP BY symbol
+),
+pb AS (
+  SELECT s.symbol,
+         CAST(CASE WHEN hi > lo
+              THEN least(greatest(floor((close - lo)
+                   / ((hi - lo) / {windows.DRIFT_BUCKETS})), 0),
+                   {windows.DRIFT_BUCKETS - 1})
+              ELSE 0 END AS INTEGER) AS b,
+         sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+         sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+  FROM s JOIN tb ON s.symbol = tb.symbol
+  WHERE split IN ('train', 'test')
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT symbol, sum(n_train) AS t_train, sum(n_test) AS t_test
+  FROM pb GROUP BY symbol
+)
+SELECT pb.symbol,
+       CAST(sum(n_train) AS BIGINT) AS n_train,
+       CAST(sum(n_test) AS BIGINT) AS n_test,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       round(sum(
+         (greatest(n_test * 1.0 / t_test, {windows.DRIFT_EPS})
+          - greatest(n_train * 1.0 / t_train, {windows.DRIFT_EPS}))
+         * ln(greatest(n_test * 1.0 / t_test, {windows.DRIFT_EPS})
+              / greatest(n_train * 1.0 / t_train, {windows.DRIFT_EPS}))
+       ), 6) AS psi
+FROM pb JOIN tot ON pb.symbol = tot.symbol
+GROUP BY pb.symbol""",
+    ),
+)
+def q_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.feature_drift(pipeline.bars_pipeline(spark, sf_dir))
+
+
 @q(
     "q_distinct_counts",
     OD.with_ctes(
@@ -1605,6 +1658,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_source_consistency",
     "q_return_outliers",
     "q_embed_cluster_stats",
+    "q_feature_drift",
     # 7 with only an r1 row (rotated out of the r2 window)
     "q_doc_exact_dedup",
     "q_ngram_jaccard",

@@ -77,6 +77,17 @@ def register_views(
         "orderbook_minutely": replay.orderbook_replay(
             normalize.depth(ev), slice_min=replay_slice_min
         ),
+        # round-3 monitoring/QA surface
+        "session_stats": windows.session_stats(normalize.valid_trades(ev)),
+        "source_consistency": aggregates.source_consistency(
+            normalize.valid_trades(ev)
+        ),
+        "return_outliers": windows.return_outliers(
+            pipeline.bars_pipeline(spark, sf_dir)
+        ),
+        "grid_ewma": grid_ops.grid_ewma(
+            pipeline.locf_grid(spark, sf_dir, slice_s=grid_slice_s)
+        ),
     }
     for name, df in derived.items():
         df.createOrReplaceTempView(name)

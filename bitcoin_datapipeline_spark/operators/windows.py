@@ -340,3 +340,63 @@ def return_outliers(
             r6(zscore).alias("zscore"),
         )
     )
+
+
+DRIFT_BUCKETS = 10
+DRIFT_EPS = 1e-6
+
+
+def feature_drift(
+    bars: DataFrame, buckets: int = DRIFT_BUCKETS, eps: float = DRIFT_EPS
+) -> DataFrame:
+    """Population-stability-index (PSI) drift report between the time
+    split's train and test partitions, per symbol — the distribution-shift
+    gate a training pipeline runs before trusting a temporal split:
+    PSI = Σ_b (p_test,b − p_train,b) · ln(p_test,b / p_train,b) over
+    fixed-width buckets of the close price anchored to the TRAIN min/max
+    (test mass outside the train range clamps into the edge buckets — that
+    mass is exactly the drift signal).  Rule of thumb: <0.1 stable, >0.25
+    shifted.
+
+    Deterministic cross-engine: bucket index is floor((x−lo)/w) of
+    identical IEEE doubles; proportions clamp at ``eps`` so empty buckets
+    contribute a finite penalty instead of ±inf.  Plan: two scalar-ish
+    aggregates (train bounds per symbol, split totals) broadcast back, one
+    bucket groupBy with the split pivot folded into conditional sums."""
+    s = time_series_split(bars)
+    b = (
+        s.filter(F.col("split") == "train")
+        .groupBy("symbol")
+        .agg(F.min("close").alias("lo"), F.max("close").alias("hi"))
+    )
+    j = s.filter(F.col("split").isin("train", "test")).join(F.broadcast(b), "symbol")
+    w_width = (F.col("hi") - F.col("lo")) / buckets
+    idx = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(
+            F.greatest(
+                F.floor((F.col("close") - F.col("lo")) / w_width), F.lit(0)
+            ),
+            F.lit(buckets - 1),
+        ),
+    ).otherwise(0)
+    per_bucket = j.groupBy("symbol", idx.cast("int").alias("b")).agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_test"),
+    )
+    totals = per_bucket.groupBy("symbol").agg(
+        F.sum("n_train").alias("t_train"), F.sum("n_test").alias("t_test")
+    )
+    p_train = F.greatest(F.col("n_train") / F.col("t_train"), F.lit(eps))
+    p_test = F.greatest(F.col("n_test") / F.col("t_test"), F.lit(eps))
+    term = (p_test - p_train) * F.log(p_test / p_train)
+    return (
+        per_bucket.join(totals, "symbol")
+        .groupBy("symbol")
+        .agg(
+            F.sum("n_train").cast("long").alias("n_train"),
+            F.sum("n_test").cast("long").alias("n_test"),
+            F.count("*").cast("long").alias("n_buckets"),
+            r6(F.sum(term)).alias("psi"),
+        )
+    )

@@ -122,3 +122,54 @@ def test_latest_per_key_is_max_ts(spark, batch):
     for sym, row in latest.items():
         sym_ts = [r.event_ts for r in raw if r.symbol == sym]
         assert row.event_ts == max(sym_ts)
+
+
+@given(batch=trade_strategy)
+@_settings
+def test_locf_grid_matches_naive_reference(spark, batch):
+    """The lead-based gap-fill grid must equal a naive per-second LOCF
+    computed in plain Python: same coverage (symbol's first tick → global
+    slice end), carried price = last observation at-or-before the tick,
+    flow columns only on observation ticks."""
+    from bitcoin_datapipeline_spark.operators.grid import locf_resample
+
+    slice_s = 60
+    step_ms = 1000
+    df = _df(spark, batch)
+    got = {
+        (r["symbol"], r["tick"]): r
+        for r in locf_resample(df, step_s=1, slice_s=slice_s).collect()
+    }
+
+    # naive reference over the deduped-equivalent input (trade_strategy
+    # collides trade_ids; locf_resample's contract input is ALREADY deduped,
+    # so feed raw rows to both paths — they see identical data)
+    by_sym: dict[str, dict[int, list]] = {}
+    for (s, ts, tid, cents, q, m) in batch:
+        by_sym.setdefault(s, {}).setdefault(ts // step_ms, []).append(
+            (ts, cents / 100.0, float(q))
+        )
+    g0 = min(min(ticks) for ticks in (d.keys() for d in by_sym.values()))
+    hi = g0 + slice_s - 1
+    expected_keys = set()
+    for s, d in by_sym.items():
+        lo = min(d)
+        if lo > hi:
+            continue
+        last_prices: set[float] = set()
+        for t in range(lo, hi + 1):
+            if t in d:
+                # max_by(price, event_ts) ties on event_ts are arbitrary:
+                # accept any price carried by a max-ts event in the step
+                mx = max(ts for (ts, _, _) in d[t])
+                last_prices = {p for (ts, p, _) in d[t] if ts == mx}
+            expected_keys.add((s, t))
+            r = got[(s, t)]
+            assert r["price"] in last_prices, (s, t)
+            assert r["has_obs"] == (t in d)
+            exp_vol = sum(q for (_, _, q) in d[t]) if t in d else 0.0
+            assert abs(r["volume"] - exp_vol) < 1e-9
+            exp_age = (t + 1) * step_ms - 1 - max(ts for (ts, _, _) in d[t]) if t in d else None
+            if t in d:
+                assert r["data_age_ms"] == exp_age
+    assert set(got) == expected_keys
