@@ -27,6 +27,7 @@ from bitcoin_datapipeline_spark.operators import (
     replay,
     setops,
     similarity,
+    skew,
     text,
     windows,
 )
@@ -136,6 +137,16 @@ def q_max_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.counts(normalize.valid_trades(table(spark, sf_dir, "events")))
+
+
+# Two-phase salted aggregation (hot-key skew mitigation; oracle = the
+# unsalted form, proving the salt is a pure physical rewrite)
+@q(
+    "q_counts_salted",
+    OD.with_ctes(OD.VALID_TRADES_CTE, body=skew.SALTED_COUNTS_ORACLE_BODY),
+)
+def q_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return skew.salted_counts(normalize.valid_trades(table(spark, sf_dir, "events")))
 
 # Data-contract profiling (ingestion health pass)
 @q(
@@ -1659,6 +1670,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_return_outliers",
     "q_embed_cluster_stats",
     "q_feature_drift",
+    "q_counts_salted",
     # 7 with only an r1 row (rotated out of the r2 window)
     "q_doc_exact_dedup",
     "q_ngram_jaccard",

@@ -151,3 +151,43 @@ def test_orderbook_replay_collapses_before_explode(spark, sf01):
     plan = _plan(spark, E.queries()["q_orderbook_replay"](spark, sf01))
     assert "partial_max_by" in plan
     assert "explode" in plan
+
+
+def test_bucketed_join_is_exchange_free(spark, sf01):
+    """Co-located join contract: two tables bucketed on the join key with
+    the same bucket count must SortMergeJoin with ZERO Exchange operators —
+    the physical property that makes a repeated big-big join affordable at
+    100 TB (one-time bucketed write replaces a per-query shuffle)."""
+    from bitcoin_datapipeline_spark.functions.normalize import valid_trades
+    from bitcoin_datapipeline_spark.sources.bucketed import (
+        read_table,
+        write_bucketed,
+    )
+    from bitcoin_datapipeline_spark.tables import table
+
+    # managed tables land in the session's spark-warehouse dir; the DROPs
+    # in the finally block delete their data (managed-table semantics)
+    t = valid_trades(table(spark, sf01, "events"))
+    write_bucketed(
+        t, "bt_trades", ["symbol"], n_buckets=4, sort_cols=["symbol"]
+    )
+    agg = t.groupBy("symbol").count()
+    write_bucketed(
+        agg, "bt_counts", ["symbol"], n_buckets=4, sort_cols=["symbol"]
+    )
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force SMJ so the assertion exercises the bucketed path, not BHJ
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = read_table(spark, "bt_trades").join(
+            read_table(spark, "bt_counts"), "symbol"
+        )
+        plan = _plan(spark, j, "simple")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bt_trades")
+        spark.sql("DROP TABLE IF EXISTS bt_counts")
