@@ -23,10 +23,10 @@ Spark-first shape (three stages, each scale-safe):
    rows/symbol/day at 1 s regardless of how many ticks fed it.
 3. **Slice anchor** — a broadcast 1-row aggregate fixes the grid end; the
    dedup-invariant ``bounds_hint`` (pre-dedup stream) keeps that branch a
-   shuffle-free pruned scan.  At 100 TB / multi-year spans you would key
-   the windows by (symbol, day) and seed each day with the previous day's
-   closing state (a tiny 1-row-per-symbol-day broadcast); the single-window
-   form here is exact and keeps the oracle twin simple.
+   shuffle-free pruned scan.  For 100 TB / multi-year spans,
+   :func:`locf_resample_daily` keys every window by (symbol, day) with a
+   previous-close seed handoff — row-for-row identical output (asserted in
+   tests), day-bounded window state.
 
 ``grid_returns`` / ``grid_labels`` then run lag/lead windows **on the
 grid**, where a lag of k rows ≡ exactly k·step seconds — the property the
@@ -299,4 +299,230 @@ def grid_ewma(
         r6(num / den).alias("ewma_price"),
         r6(F.col("price") - num / den).alias("ewma_dev"),
         F.size(arr).cast("long").alias("n_in_window"),
+    )
+
+
+SECONDS_PER_DAY = 86_400
+
+
+def locf_resample_daily(
+    dedup_trades: DataFrame,
+    step_s: int = 1,
+    slice_s: int | None = GRID_SLICE_S,
+    gap_threshold_s: int = GRID_GAP_THRESHOLD_S,
+    bounds_hint: DataFrame | None = None,
+) -> DataFrame:
+    """Multi-year form of :func:`locf_resample`: every window is keyed by
+    (symbol, DAY) instead of symbol alone, with the previous day's closing
+    observation handed to each day as a seed — the refinement the
+    single-window form's docstring promises for 100 TB / multi-year spans.
+    Output is IDENTICAL row-for-row to :func:`locf_resample` (asserted in
+    tests/test_grid.py); only the parallelism changes: sort/window state is
+    one day of observations per task instead of a symbol's full history,
+    and the day count — not the span — bounds the widest partition.
+
+    Mechanics: the per-day gap-fill needs two things the day partition
+    cannot see — (a) the first obs tick of the NEXT day with data (to bound
+    the last span of the current day) and (b) the previous day's closing
+    obs (to seed days that do not start with an observation, including runs
+    of EMPTY days).  Both live at (symbol, day) grain: a tiny per-day
+    aggregate (one row per symbol-day-with-data) is windowed per symbol —
+    thousands of rows per symbol even at decade spans — and broadcast back
+    by construction of the union, so no wide window ever sees tick-grain
+    data.
+    """
+    step_ms = step_s * 1000
+    ticks_per_day = SECONDS_PER_DAY // step_s
+    per_tick = dedup_trades.groupBy(
+        "symbol", F.expr(f"event_ts div {step_ms}").cast("long").alias("tick")
+    ).agg(
+        F.max_by("price", "event_ts").alias("obs_price"),
+        F.max("event_ts").alias("obs_last_ts"),
+        F.max_by("source", "event_ts").alias("obs_source"),
+        F.sum("qty").alias("obs_volume"),
+        F.sum(_buy()).alias("obs_buy_volume"),
+        F.sum(_sell()).alias("obs_sell_volume"),
+        F.sum((F.col("price") * F.col("qty")).cast("decimal(20,4)"))
+        .cast("double")
+        .alias("obs_notional"),
+        F.count("*").cast("long").alias("obs_trades"),
+    )
+
+    if slice_s is None:
+        bounds = per_tick.groupBy().agg(F.max("tick").alias("hi"))
+    else:
+        n_ticks = slice_s // step_s
+        anchor = (
+            bounds_hint.select(
+                F.expr(f"event_ts div {step_ms}").cast("long").alias("tick")
+            )
+            if bounds_hint is not None
+            else per_tick.select("tick")
+        )
+        bounds = anchor.groupBy().agg(
+            (F.min("tick") + F.lit(n_ticks - 1)).alias("hi")
+        )
+
+    pt = (
+        per_tick.join(F.broadcast(bounds))
+        .filter(F.col("tick") <= F.col("hi"))
+        .withColumn("day", (F.col("tick") / ticks_per_day).cast("long"))
+    )
+
+    # --- (symbol, day) summary frame: tiny (one row per day with data)
+    obs_struct = F.struct(
+        "obs_price",
+        "obs_last_ts",
+        "obs_source",
+    )
+    day_sum = pt.groupBy("symbol", "day").agg(
+        F.min("tick").alias("day_first_tick"),
+        F.max_by(obs_struct, "tick").alias("day_close"),
+    )
+    wd = Window.partitionBy("symbol").orderBy("day")
+    day_meta = day_sum.select(
+        "symbol",
+        "day",
+        "day_first_tick",
+        F.lag("day_close").over(wd).alias("prev_close"),
+        F.lag("day").over(wd).alias("prev_day"),
+    )
+
+    # --- seed rows: one synthetic span per day whose first obs is not at
+    # the day boundary, carrying the previous close across ALL days in
+    # (prev_day, day] — explode over the empty-day run keeps every emitted
+    # span inside one day, so the day-keyed explode bound holds
+    seed_src = day_meta.filter(F.col("prev_close").isNotNull())
+    seed_days = seed_src.select(
+        "symbol",
+        "day_first_tick",
+        "prev_close",
+        F.explode(F.sequence(F.col("prev_day") + 1, F.col("day"))).alias("sday"),
+    )
+    day_start = F.col("sday") * ticks_per_day
+    day_end = (F.col("sday") + 1) * ticks_per_day - 1
+    seeds = seed_days.select(
+        "symbol",
+        day_start.alias("span_start"),
+        F.when(day_end < F.col("day_first_tick"), day_end)
+        .otherwise(F.col("day_first_tick") - 1)
+        .alias("span_end"),
+        F.col("prev_close").alias("carry"),
+    ).filter(F.col("span_start") <= F.col("span_end"))
+
+    # --- trailing seeds: after a symbol's LAST data day, the close carries
+    # through hi (the single-window form's tail behavior), one span per day
+    last_day = day_sum.groupBy("symbol").agg(
+        F.max_by(F.struct("day", "day_close"), "day").alias("last")
+    )
+    trailing = (
+        last_day.join(F.broadcast(bounds))
+        .withColumn("hi_day", (F.col("hi") / ticks_per_day).cast("long"))
+        .filter(F.col("last.day") < F.col("hi_day"))
+        .select(
+            "symbol",
+            "hi",
+            F.col("last.day_close").alias("carry"),
+            F.explode(
+                F.sequence(F.col("last.day") + 1, F.col("hi_day"))
+            ).alias("sday"),
+        )
+        .select(
+            "symbol",
+            (F.col("sday") * ticks_per_day).alias("span_start"),
+            F.least(
+                (F.col("sday") + 1) * ticks_per_day - 1, F.col("hi")
+            ).alias("span_end"),
+            "carry",
+        )
+        .filter(F.col("span_start") <= F.col("span_end"))
+    )
+    seeds = seeds.unionByName(trailing)
+
+    # --- per-day gap-fill over observations (window keyed symbol, day)
+    wday = Window.partitionBy("symbol", "day").orderBy("tick")
+    spanned = (
+        pt.withColumn("next_tick", F.lead("tick").over(wday))
+        .withColumn(
+            "day_span_cap",
+            F.least(
+                (F.col("day") + 1) * ticks_per_day - 1,
+                F.col("hi"),
+            ),
+        )
+        .withColumn(
+            "span_end",
+            F.least(
+                F.coalesce(
+                    F.col("next_tick") - 1,
+                    # last obs of the day fills to end-of-day; the NEXT
+                    # day's seed row continues the carry
+                    F.col("day_span_cap"),
+                ),
+                F.col("day_span_cap"),
+            ),
+        )
+        .withColumnRenamed("tick", "obs_tick")
+        .select(
+            "symbol",
+            F.col("obs_tick").alias("span_start"),
+            "span_end",
+            "obs_price",
+            "obs_last_ts",
+            "obs_source",
+            "obs_volume",
+            "obs_buy_volume",
+            "obs_sell_volume",
+            "obs_notional",
+            "obs_trades",
+            F.col("obs_tick"),
+        )
+    )
+    obs_rows = spanned
+    seed_rows = seeds.select(
+        "symbol",
+        "span_start",
+        "span_end",
+        F.col("carry.obs_price").alias("obs_price"),
+        F.col("carry.obs_last_ts").alias("obs_last_ts"),
+        F.col("carry.obs_source").alias("obs_source"),
+        F.lit(0.0).alias("obs_volume"),
+        F.lit(0.0).alias("obs_buy_volume"),
+        F.lit(0.0).alias("obs_sell_volume"),
+        F.lit(0.0).alias("obs_notional"),
+        F.lit(0).cast("long").alias("obs_trades"),
+        F.lit(None).cast("long").alias("obs_tick"),
+    )
+    allspans = obs_rows.unionByName(seed_rows)
+    g = allspans.select(
+        "symbol",
+        "obs_tick",
+        "obs_price",
+        "obs_last_ts",
+        "obs_source",
+        "obs_volume",
+        "obs_buy_volume",
+        "obs_sell_volume",
+        "obs_notional",
+        "obs_trades",
+        F.explode(F.sequence("span_start", "span_end")).alias("tick"),
+    )
+    is_obs = F.col("tick") == F.col("obs_tick")
+    age_ms = (F.col("tick") + 1) * step_ms - 1 - F.col("obs_last_ts")
+    return g.select(
+        "symbol",
+        "tick",
+        (F.col("tick") * step_s).cast("long").alias("feature_ts"),
+        F.col("obs_price").alias("price"),
+        age_ms.cast("long").alias("data_age_ms"),
+        (age_ms > gap_threshold_s * 1000).alias("gap_indicator"),
+        F.col("obs_source").alias("source"),
+        F.when(is_obs, F.col("obs_volume")).otherwise(0.0).alias("volume"),
+        F.when(is_obs, F.col("obs_buy_volume")).otherwise(0.0).alias("buy_volume"),
+        F.when(is_obs, F.col("obs_sell_volume")).otherwise(0.0).alias("sell_volume"),
+        F.when(is_obs, F.col("obs_notional")).otherwise(0.0).alias("notional"),
+        F.when(is_obs, F.col("obs_trades")).otherwise(F.lit(0).cast("long")).alias(
+            "trades"
+        ),
+        F.coalesce(is_obs, F.lit(False)).alias("has_obs"),
     )

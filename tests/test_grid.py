@@ -100,3 +100,28 @@ def test_non_divisible_horizon_rejected(spark):
     g = grid.locf_resample(t, step_s=2, slice_s=10)
     with pytest.raises(ValueError, match="whole number"):
         grid.grid_returns(g, step_s=2, horizons_s=(5,))
+
+
+def test_daily_grid_matches_single_window(spark):
+    """locf_resample_daily (day-keyed windows + previous-close seed
+    handoff — the documented multi-year scale path) must be row-for-row
+    identical to the single-window form, including cross-day carries,
+    entirely-empty days, and the trailing fill after the last observation."""
+    d = 86_400_000  # one day in ms
+    t = _trades(
+        spark,
+        [
+            ("A", 1 * 3_600_000, 1, 100.0, 1.0, False, "sbe"),   # day 0 morning
+            ("A", 20 * 3_600_000, 2, 105.0, 2.0, True, "rest"),  # day 0 evening
+            ("A", 2 * d + 5_000, 3, 110.0, 1.0, False, "sbe"),   # day 2 (day 1 empty)
+            ("B", 1 * d + 7_200_000, 4, 50.0, 3.0, False, "sbe"),  # day 1 only
+        ],
+    )
+    step_s = 60
+    slice_s = 5 * 86_400  # trailing fill covers days 3-4
+    single = grid.locf_resample(t, step_s=step_s, slice_s=slice_s)
+    daily = grid.locf_resample_daily(t, step_s=step_s, slice_s=slice_s)
+    a = sorted(map(tuple, single.collect()))
+    b = sorted(map(tuple, daily.collect()))
+    assert len(a) == len(b)
+    assert a == b
