@@ -363,6 +363,56 @@ FROM d""",
 def q_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.daily_summary(pipeline.trades_clean(spark, sf_dir))
 
+# Daily skewness / excess kurtosis of 1m log returns (explicit moment
+# algebra — engine skewness/kurtosis builtins disagree across engines)
+@q(
+    "q_higher_moments",
+    OD.with_ctes(OD.BARS_1M_CTE, body=aggregates.HIGHER_MOMENTS_ORACLE_BODY.strip()),
+)
+def q_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.higher_moments(pipeline.bars_pipeline(spark, sf_dir))
+
+
+# Rolling pair correlation of 1m returns (cross-asset lead-lag feature)
+@q(
+    "q_pair_correlation",
+    OD.with_ctes(
+        OD.BARS_1M_CTE,
+        body=f"""
+,syms AS (SELECT symbol FROM bars GROUP BY symbol ORDER BY symbol LIMIT 2),
+r AS (
+  SELECT symbol, bucket,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY bucket)) AS ret
+  FROM bars
+  WHERE symbol IN (SELECT symbol FROM syms)
+  QUALIFY ret IS NOT NULL
+),
+j AS (
+  SELECT (SELECT min(symbol) FROM syms) AS sym_a,
+         (SELECT max(symbol) FROM syms) AS sym_b,
+         ra.bucket, ra.ret AS ret_a, rb.ret AS ret_b
+  FROM r ra JOIN r rb ON ra.bucket = rb.bucket
+  WHERE ra.symbol = (SELECT min(symbol) FROM syms)
+    AND rb.symbol = (SELECT max(symbol) FROM syms)
+)
+SELECT sym_a, sym_b, bucket,
+       round(ret_a, 6) AS ret_a,
+       round(ret_b, 6) AS ret_b,
+       round(CASE WHEN var_samp(ret_a) OVER wp > 0
+                   AND var_samp(ret_b) OVER wp > 0
+                  THEN corr(ret_a, ret_b) OVER wp END, 6)
+           AS corr_{windows.PAIR_CORR_WINDOW},
+       CAST(count(ret_a) OVER wp AS BIGINT) AS n_in_window
+FROM j
+WINDOW wp AS (PARTITION BY sym_a, sym_b ORDER BY bucket
+              ROWS BETWEEN {windows.PAIR_CORR_WINDOW - 1} PRECEDING
+                       AND CURRENT ROW)""",
+    ),
+)
+def q_pair_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.pair_correlation(pipeline.bars_pipeline(spark, sf_dir))
+
+
 # Range-based daily volatility estimators (Parkinson / Garman-Klass)
 @q(
     "q_volatility_estimators",
@@ -1671,6 +1721,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q_embed_cluster_stats",
     "q_feature_drift",
     "q_counts_salted",
+    "q_higher_moments",
+    "q_pair_correlation",
     # 7 with only an r1 row (rotated out of the r2 window)
     "q_doc_exact_dedup",
     "q_ngram_jaccard",

@@ -11,7 +11,7 @@ see SURVEY.md §2.4).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import r6
@@ -703,3 +703,72 @@ FROM (
   GROUP BY 1, 2
 )
 WHERE sbe_trades > 0 AND rest_trades > 0"""
+
+
+def higher_moments(bars: DataFrame) -> DataFrame:
+    """Daily skewness and excess kurtosis of 1-minute log returns — the
+    higher-moment distribution features a risk/regime model consumes next
+    to the variance estimators.
+
+    Moments are combined from raw power sums of the RETURNS (magnitude
+    ~1e-3, so the cancellation in the central-moment algebra stays far from
+    double noise — this would NOT be safe on raw prices), with explicit
+    formulas instead of engine ``skewness``/``kurtosis`` builtins: Spark's
+    are population moments, DuckDB's are sample-adjusted, and the explicit
+    algebra is the only form both engines reproduce bit-for-bit under r6."""
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    r = bars.select(
+        "symbol",
+        (F.expr("bucket div 1440")).cast("long").alias("day"),
+        F.log(F.col("close") / F.lag("close").over(w)).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    g = r.groupBy("symbol", "day").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("ret").alias("s1"),
+        F.sum(F.col("ret") * F.col("ret")).alias("s2"),
+        F.sum(F.col("ret") * F.col("ret") * F.col("ret")).alias("s3"),
+        F.sum(F.col("ret") * F.col("ret") * F.col("ret") * F.col("ret")).alias("s4"),
+    )
+    mu = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mu * mu
+    m3 = F.col("s3") / F.col("n") - 3 * mu * (F.col("s2") / F.col("n")) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * mu * (F.col("s3") / F.col("n"))
+        + 6 * mu * mu * (F.col("s2") / F.col("n"))
+        - 3 * mu * mu * mu * mu
+    )
+    return g.filter((F.col("n") >= 3) & (m2 > 0)).select(
+        "symbol",
+        "day",
+        "n",
+        r6(mu).alias("mean_ret"),
+        r6(F.sqrt(m2)).alias("std_ret"),
+        r6(m3 / F.pow(m2, 1.5)).alias("skewness"),
+        r6(m4 / (m2 * m2) - 3.0).alias("excess_kurtosis"),
+    )
+
+
+HIGHER_MOMENTS_ORACLE_BODY = """
+,r AS (
+  SELECT symbol, CAST(bucket // 1440 AS BIGINT) AS day,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY bucket)) AS ret
+  FROM bars
+  QUALIFY ret IS NOT NULL
+),
+g AS (
+  SELECT symbol, day, CAST(count(*) AS BIGINT) AS n,
+         sum(ret) AS s1, sum(ret*ret) AS s2,
+         sum(ret*ret*ret) AS s3, sum(ret*ret*ret*ret) AS s4
+  FROM r GROUP BY 1, 2
+)
+SELECT symbol, day, n,
+       round(s1/n, 6) AS mean_ret,
+       round(sqrt(s2/n - (s1/n)*(s1/n)), 6) AS std_ret,
+       round((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+             / pow(s2/n - (s1/n)*(s1/n), 1.5), 6) AS skewness,
+       round((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+              - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+             / pow(s2/n - (s1/n)*(s1/n), 2.0) - 3.0, 6) AS excess_kurtosis
+FROM g
+WHERE n >= 3 AND s2/n - (s1/n)*(s1/n) > 0"""

@@ -400,3 +400,58 @@ def feature_drift(
             r6(F.sum(term)).alias("psi"),
         )
     )
+
+
+PAIR_CORR_WINDOW = 60
+
+
+def pair_correlation(bars: DataFrame, window: int = PAIR_CORR_WINDOW) -> DataFrame:
+    """Rolling correlation of 1-bar log returns between the two
+    lexicographically-first symbols — the pair/lead-lag feature a
+    cross-asset model reads (and the reference's multi-symbol Redis cache
+    makes cheap to serve).
+
+    Plan: per-symbol returns (shared symbol sort), inner-join the pair on
+    the bucket (co-partitioned equi-join), rolling ``corr`` window keyed by
+    the constant pair column — the series is one pair so the window is one
+    partition BY CONSTRUCTION (bounded by bars-per-pair, not corpus size);
+    cross-pair scale-out partitions by the pair key."""
+    syms = [r["symbol"] for r in bars.select("symbol").distinct().orderBy("symbol").limit(2).collect()]
+    if len(syms) < 2:
+        raise ValueError("pair correlation needs at least two symbols")
+    a, b = syms[0], syms[1]
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    r = bars.select(
+        "symbol",
+        "bucket",
+        F.log(F.col("close") / F.lag("close").over(w)).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    ra = r.filter(F.col("symbol") == a).select(
+        F.col("bucket"), F.col("ret").alias("ret_a")
+    )
+    rb = r.filter(F.col("symbol") == b).select(
+        F.col("bucket"), F.col("ret").alias("ret_b")
+    )
+    j = ra.join(rb, "bucket").select(
+        F.lit(a).alias("sym_a"), F.lit(b).alias("sym_b"), "bucket", "ret_a", "ret_b"
+    )
+    wp = (
+        Window.partitionBy("sym_a", "sym_b")
+        .orderBy("bucket")
+        .rowsBetween(-(window - 1), 0)
+    )
+    # zero-variance windows: Spark's corr yields NaN, DuckDB NULL — gate on
+    # both windowed variances so the engines agree (NULL = undefined corr)
+    corr_guarded = F.when(
+        (F.var_samp("ret_a").over(wp) > 0) & (F.var_samp("ret_b").over(wp) > 0),
+        F.corr("ret_a", "ret_b").over(wp),
+    )
+    return j.select(
+        "sym_a",
+        "sym_b",
+        "bucket",
+        r6(F.col("ret_a")).alias("ret_a"),
+        r6(F.col("ret_b")).alias("ret_b"),
+        r6(corr_guarded).alias(f"corr_{window}"),
+        F.count("ret_a").over(wp).cast("long").alias("n_in_window"),
+    )
