@@ -1074,6 +1074,13 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.minhash_lsh_pairs(table(spark, sf_dir, "documents"))
 
 
+# Transitive near-dup clusters: connected components over the LSH pair
+# graph (iterative min-label propagation; recursive-CTE oracle)
+@q("q_dedup_components", text.DEDUP_COMPONENTS_ORACLE)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.dedup_components(table(spark, sf_dir, "documents"))
+
+
 # MinHash dedup with the hot-shingle doc-frequency cap engaged (the 100 TB
 # boilerplate guard — operators/text.py _cap_hot_shingles)
 @q("q_doc_minhash_dedup_capped", text.MINHASH_LSH_CAPPED_ORACLE)
@@ -1723,6 +1730,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_counts_salted",
     "q_higher_moments",
     "q_pair_correlation",
+    "q_dedup_components",
     # 7 with only an r1 row (rotated out of the r2 window)
     "q_doc_exact_dedup",
     "q_ngram_jaccard",

@@ -1111,3 +1111,123 @@ SELECT CAST(row_number() OVER w AS INTEGER) AS rank,
              * 1.0 / total, 6) AS cum_share
 FROM topk CROSS JOIN total
 WINDOW w AS (ORDER BY n DESC, token)"""
+
+
+CC_MAX_ITER = 10
+
+
+def dedup_components(
+    documents: DataFrame,
+    max_iter: int = CC_MAX_ITER,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Transitive near-dup clusters — the step a real dedup pipeline runs
+    AFTER pair generation: A~B and B~C must collapse into ONE cluster even
+    though (A, C) was never a candidate pair.  Connected components over
+    the MinHash-LSH pair graph by iterative min-label propagation
+    (Pregel-lite): every doc starts labeled with its own id; each round
+    every doc takes the min of its label and its neighbors' labels; fixed
+    point = per-component min doc_id.
+
+    Spark shape: a bounded driver loop (``max_iter``, early-stopped the
+    round nothing changes — label propagation converges in graph-diameter
+    rounds, and near-dup components are shallow) of join + groupBy(min) per
+    round over the PAIR GRAPH only — nodes not in any pair never enter the
+    loop.  Each round's labels are ``localCheckpoint``-ed: caching alone is
+    NOT enough for iterative plans — the logical plan still nests one join
+    per round and planning/codegen blows up superlinearly (measured: heap
+    exhaustion at 9 rounds) — the checkpoint truncates lineage so every
+    round plans against a leaf.  Output: every clustered doc with its
+    canonical (min) doc id and the cluster size.
+
+    ``pairs`` overrides the edge source (any (doc_a, doc_b) DataFrame —
+    e.g. winnow overlap pairs, or a synthetic graph in tests); default is
+    the MinHash-LSH candidate pairs."""
+    if pairs is None:
+        pairs = minhash_lsh_pairs(documents)
+    pairs = pairs.select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    edges = fwd.unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("u").alias("doc")).distinct()
+        .withColumn("comp", F.col("doc"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.v == labels.doc)
+            .groupBy("u")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc == neigh.u, "left")
+            .select(
+                "doc",
+                F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("comp").agg(F.count("*").cast("long").alias("cluster_size"))
+    out = labels.join(sizes, "comp").select(
+        F.col("doc").alias("doc_id"),
+        F.col("comp").alias("component"),
+        "cluster_size",
+    )
+    edges.unpersist()
+    return out
+
+
+# Recursive-CTE twin: pair generation is the MinHash oracle's CTE chain
+# verbatim; the closure is reachability from each node, component = min
+# reachable id (label propagation's fixed point).
+DEDUP_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE docs_sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        for i in generate_series(1, len(toks) - 2)]) AS shs
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 3
+),
+sigs AS (
+  SELECT doc_id, shs, len(shs) AS n,
+         {_SIG_SQL}
+  FROM docs_sh
+),
+bands AS ({_BAND_SQL}),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM cand
+),
+reach(a, b) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+),
+labels AS (
+  SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
+),
+sizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM labels GROUP BY component
+)
+SELECT l.doc_id, l.component, s.cluster_size
+FROM labels l JOIN sizes s USING (component)"""

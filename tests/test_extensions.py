@@ -165,3 +165,34 @@ def test_multimodal_decode_fake(spark):
 def test_decode_stub_real_path_raises():
     with pytest.raises(NotImplementedError):
         decode_stub(b"xx", "png", fake=False)
+
+
+def test_dedup_components_transitive_chain(spark):
+    """A~B and B~C must land in ONE cluster even when (A, C) is not an
+    edge — transitive closure over the pair graph, plus a disjoint pair
+    and an untouched singleton."""
+    from bitcoin_datapipeline_spark.operators.text import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    docs = spark.createDataFrame([_doc(i, "x y z") for i in (1, 2, 3, 4, 10, 11)])
+    out = {r.doc_id: r for r in dedup_components(docs, pairs=pairs).collect()}
+    assert set(out) == {1, 2, 3, 10, 11}  # doc 4 in no pair -> not clustered
+    assert out[1].component == out[2].component == out[3].component == 1
+    assert out[1].cluster_size == 3
+    assert out[10].component == out[11].component == 10
+    assert out[10].cluster_size == 2
+
+
+def test_dedup_components_long_chain_converges(spark):
+    """A 9-hop path graph needs several propagation rounds — the early-stop
+    loop must run to the true fixed point, not one round."""
+    from bitcoin_datapipeline_spark.operators.text import dedup_components
+
+    chain = [(i, i + 1) for i in range(1, 10)]  # 1-2-3-...-10
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    docs = spark.createDataFrame([_doc(i, "x y z") for i in range(1, 11)])
+    out = {r.doc_id: r for r in dedup_components(docs, pairs=pairs).collect()}
+    assert all(out[i].component == 1 for i in range(1, 11))
+    assert out[1].cluster_size == 10
