@@ -363,6 +363,15 @@ FROM d""",
 def q_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.daily_summary(pipeline.trades_clean(spark, sf_dir))
 
+# Percentile winsorization of bar volumes (outlier clipping pre-scaling)
+@q(
+    "q_winsorize",
+    OD.with_ctes(OD.BARS_1M_CTE, body=aggregates.WINSORIZE_ORACLE_BODY.strip()),
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.winsorize_volumes(pipeline.bars_pipeline(spark, sf_dir))
+
+
 # Daily skewness / excess kurtosis of 1m log returns (explicit moment
 # algebra — engine skewness/kurtosis builtins disagree across engines)
 @q(
@@ -1731,6 +1740,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_higher_moments",
     "q_pair_correlation",
     "q_dedup_components",
+    "q_winsorize",
     # 7 with only an r1 row (rotated out of the r2 window)
     "q_doc_exact_dedup",
     "q_ngram_jaccard",

@@ -772,3 +772,54 @@ SELECT symbol, day, n,
              / pow(s2/n - (s1/n)*(s1/n), 2.0) - 3.0, 6) AS excess_kurtosis
 FROM g
 WHERE n >= 3 AND s2/n - (s1/n)*(s1/n) > 0"""
+
+
+WINSOR_LO = 0.01
+WINSOR_HI = 0.99
+
+
+def winsorize_volumes(
+    bars: DataFrame, lo: float = WINSOR_LO, hi: float = WINSOR_HI
+) -> DataFrame:
+    """Percentile winsorization of bar volumes — the outlier-clipping
+    preprocessing a feature pipeline applies before scaling: per symbol,
+    volumes are clipped into [p01, p99] and the clip is flagged so the
+    mass of affected rows stays auditable.
+
+    The percentile bounds come from ONE per-symbol aggregate (Spark
+    ``percentile`` == DuckDB ``quantile_cont``, the parity
+    q_latency_percentiles already exercises) broadcast back onto the rows —
+    no window, no per-row sort."""
+    bounds = bars.groupBy("symbol").agg(
+        F.percentile("volume", lo).alias("p_lo"),
+        F.percentile("volume", hi).alias("p_hi"),
+    )
+    j = bars.join(F.broadcast(bounds), "symbol")
+    clipped = F.least(F.greatest(F.col("volume"), F.col("p_lo")), F.col("p_hi"))
+    return j.select(
+        "symbol",
+        "bucket",
+        r6(F.col("volume")).alias("volume"),
+        r6(clipped).alias("volume_winsorized"),
+        (F.col("volume") < F.col("p_lo")).alias("clipped_low"),
+        (F.col("volume") > F.col("p_hi")).alias("clipped_high"),
+        r6(F.col("p_lo")).alias("p_lo"),
+        r6(F.col("p_hi")).alias("p_hi"),
+    )
+
+
+WINSORIZE_ORACLE_BODY = f"""
+,bounds AS (
+  SELECT symbol,
+         quantile_cont(volume, {WINSOR_LO}) AS p_lo,
+         quantile_cont(volume, {WINSOR_HI}) AS p_hi
+  FROM bars GROUP BY symbol
+)
+SELECT b.symbol, b.bucket,
+       round(b.volume, 6) AS volume,
+       round(least(greatest(b.volume, p_lo), p_hi), 6) AS volume_winsorized,
+       b.volume < p_lo AS clipped_low,
+       b.volume > p_hi AS clipped_high,
+       round(p_lo, 6) AS p_lo,
+       round(p_hi, 6) AS p_hi
+FROM bars b JOIN bounds USING (symbol)"""

@@ -4,6 +4,7 @@ cross-batch state, replay idempotency."""
 from __future__ import annotations
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from bitcoin_datapipeline_spark.streaming.orderbook import (
     DELTA_SCHEMA,
@@ -112,3 +113,31 @@ def test_is_crossed_flag(spark, tmp_path):
     assert out["OK"].is_crossed is False
     assert out["BAD"].is_crossed is True
     assert out["ONE"].is_crossed is False  # empty side → not crossed
+
+
+def test_replay_full_span_reaches_last_minute(spark):
+    """slice_min=None (the api's full-span knob) replays the book through
+    the global last minute instead of the fixed 24 h horizon."""
+    from pyspark.sql import Row
+
+    from bitcoin_datapipeline_spark.operators.replay import orderbook_replay
+
+    def snap(symbol, ts_min, px):
+        lv = [Row(price=float(px - i), qty=1.0) for i in range(1, 11)]
+        la = [Row(price=float(px + i), qty=1.0) for i in range(1, 11)]
+        return Row(symbol=symbol, event_ts=ts_min * 60_000, last_update_id=1,
+                   bids=lv, asks=la)
+
+    # B's last update is far beyond A's 24h+ gap
+    depth = spark.createDataFrame(
+        [snap("A", 0, 100.0), snap("B", 10, 50.0), snap("B", 2000, 51.0)]
+    )
+    full = orderbook_replay(depth, slice_min=None)
+    spans = {
+        r["symbol"]: (r["lo"], r["hi"])
+        for r in full.groupBy("symbol")
+        .agg(F.min("minute").alias("lo"), F.max("minute").alias("hi"))
+        .collect()
+    }
+    assert spans["A"] == (0, 2000)   # carried through the global last minute
+    assert spans["B"] == (10, 2000)
