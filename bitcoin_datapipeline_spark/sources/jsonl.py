@@ -103,3 +103,20 @@ def read_bronze(spark: SparkSession, in_dir: str, fmt: str = "parquet") -> DataF
     else:
         raise ValueError(f"unsupported bronze format: {fmt!r}")
     return df.select([f.name for f in TRADE_SCHEMA.fields])
+
+
+def write_silver_parquet(
+    df: DataFrame, out_dir: str, partition_cols: list[str] | None = None
+) -> None:
+    """Silver-layer parquet writer with Hive partitioning — the layout that
+    makes symbol/date predicates PARTITION-PRUNING (directories skipped at
+    planning, before any IO) instead of row filters.  Default partitioning
+    is the bronze convention (symbol + date parts) when the columns exist;
+    pass explicit ``partition_cols`` otherwise."""
+    cols = partition_cols
+    if cols is None:
+        cols = [c for c in ("symbol", "yyyy", "mm", "dd") if c in df.columns]
+    w = df.write.mode("overwrite")
+    if cols:
+        w = w.partitionBy(*cols)
+    w.parquet(out_dir)

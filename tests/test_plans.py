@@ -191,3 +191,46 @@ def test_bucketed_join_is_exchange_free(spark, sf01):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS bt_trades")
         spark.sql("DROP TABLE IF EXISTS bt_counts")
+
+
+def test_partitioned_silver_scan_prunes_partitions(spark, sf01, tmp_path):
+    """A symbol predicate over a Hive-partitioned silver table must appear
+    as a PartitionFilter (directories skipped at planning) — NOT a data
+    filter — and the scan must list only the matching partition."""
+    from bitcoin_datapipeline_spark.functions.normalize import valid_trades
+    from bitcoin_datapipeline_spark.sources.jsonl import write_silver_parquet
+    from bitcoin_datapipeline_spark.tables import table
+
+    out = str(tmp_path / "silver")
+    write_silver_parquet(
+        valid_trades(table(spark, sf01, "events")), out, ["symbol"]
+    )
+    df = spark.read.parquet(out).filter("symbol = 'CLICK'")
+    plan = _plan(spark, df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "symbol" in m.group(1), "symbol must prune at partition level"
+    assert df.count() > 0
+
+
+def test_approx_percentile_tracks_exact(spark, sf01):
+    """The 100 TB percentile path: approx_percentile (mergeable sketch, one
+    pass, bounded memory) must track the exact percentile within the
+    configured accuracy on the latency distribution the exact query serves."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_datapipeline_spark.functions.normalize import valid_trades
+    from bitcoin_datapipeline_spark.tables import table
+
+    t = valid_trades(table(spark, sf01, "events")).withColumn(
+        "lat", (F.col("ingest_ts") - F.col("event_ts")).cast("double")
+    )
+    rows = t.groupBy("symbol").agg(
+        F.percentile("lat", 0.95).alias("exact"),
+        F.percentile_approx("lat", 0.95, 10_000).alias("approx"),
+    ).collect()
+    assert rows
+    for r in rows:
+        # latencies are 0..249 ms; the sketch returns an actual data point
+        # while the exact form interpolates — a few ms of play on a
+        # 250-wide distribution is the expected gap, not sketch error
+        assert abs(r["approx"] - r["exact"]) <= 4.0, r["symbol"]
