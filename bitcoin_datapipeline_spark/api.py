@@ -85,9 +85,7 @@ def register_views(
         "return_outliers": windows.return_outliers(
             pipeline.bars_pipeline(spark, sf_dir)
         ),
-        "grid_ewma": grid_ops.grid_ewma(
-            pipeline.locf_grid(spark, sf_dir, slice_s=grid_slice_s)
-        ),
+        "grid_ewma": grid_ops.grid_ewma(grid_1s),
     }
     for name, df in derived.items():
         df.createOrReplaceTempView(name)

@@ -366,7 +366,8 @@ def locf_resample_daily(
     pt = (
         per_tick.join(F.broadcast(bounds))
         .filter(F.col("tick") <= F.col("hi"))
-        .withColumn("day", (F.col("tick") / ticks_per_day).cast("long"))
+        # integer div, never double division + cast (repo time-arithmetic rule)
+        .withColumn("day", F.expr(f"tick div {ticks_per_day}").cast("long"))
     )
 
     # --- (symbol, day) summary frame: tiny (one row per day with data)
@@ -417,7 +418,7 @@ def locf_resample_daily(
     )
     trailing = (
         last_day.join(F.broadcast(bounds))
-        .withColumn("hi_day", (F.col("hi") / ticks_per_day).cast("long"))
+        .withColumn("hi_day", F.expr(f"hi div {ticks_per_day}").cast("long"))
         .filter(F.col("last.day") < F.col("hi_day"))
         .select(
             "symbol",

@@ -1178,6 +1178,14 @@ def dedup_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # never silently return a partial closure — a component whose
+        # diameter exceeds max_iter would split and diverge from the
+        # recursive-CTE oracle's true transitive closure
+        raise RuntimeError(
+            f"dedup_components did not converge within {max_iter} rounds; "
+            "raise max_iter (components deeper than the round budget exist)"
+        )
     sizes = labels.groupBy("comp").agg(F.count("*").cast("long").alias("cluster_size"))
     out = labels.join(sizes, "comp").select(
         F.col("doc").alias("doc_id"),

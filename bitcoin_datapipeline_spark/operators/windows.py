@@ -413,28 +413,33 @@ def pair_correlation(bars: DataFrame, window: int = PAIR_CORR_WINDOW) -> DataFra
 
     Plan: per-symbol returns (shared symbol sort), inner-join the pair on
     the bucket (co-partitioned equi-join), rolling ``corr`` window keyed by
-    the constant pair column — the series is one pair so the window is one
+    the pair columns — the series is one pair so the window is one
     partition BY CONSTRUCTION (bounded by bars-per-pair, not corpus size);
-    cross-pair scale-out partitions by the pair key."""
-    syms = [r["symbol"] for r in bars.select("symbol").distinct().orderBy("symbol").limit(2).collect()]
-    if len(syms) < 2:
-        raise ValueError("pair correlation needs at least two symbols")
-    a, b = syms[0], syms[1]
+    cross-pair scale-out partitions by the pair key.  The pair itself is a
+    broadcast 1-row aggregate, never a driver-side collect — and a
+    degenerate 1-symbol corpus yields self-correlation rows, matching the
+    oracle, instead of an engine-side exception."""
+    pair = (
+        bars.select("symbol")
+        .distinct()
+        .orderBy("symbol")
+        .limit(2)
+        .groupBy()
+        .agg(F.min("symbol").alias("sym_a"), F.max("symbol").alias("sym_b"))
+    )
     w = Window.partitionBy("symbol").orderBy("bucket")
     r = bars.select(
         "symbol",
         "bucket",
         F.log(F.col("close") / F.lag("close").over(w)).alias("ret"),
     ).filter(F.col("ret").isNotNull())
-    ra = r.filter(F.col("symbol") == a).select(
-        F.col("bucket"), F.col("ret").alias("ret_a")
-    )
-    rb = r.filter(F.col("symbol") == b).select(
-        F.col("bucket"), F.col("ret").alias("ret_b")
-    )
-    j = ra.join(rb, "bucket").select(
-        F.lit(a).alias("sym_a"), F.lit(b).alias("sym_b"), "bucket", "ret_a", "ret_b"
-    )
+    ra = r.join(
+        F.broadcast(pair), r.symbol == F.col("sym_a")
+    ).select("sym_a", "sym_b", "bucket", F.col("ret").alias("ret_a"))
+    rb = r.join(
+        F.broadcast(pair.select("sym_b")), r.symbol == F.col("sym_b")
+    ).select("bucket", F.col("ret").alias("ret_b"))
+    j = ra.join(rb, "bucket")
     wp = (
         Window.partitionBy("sym_a", "sym_b")
         .orderBy("bucket")

@@ -142,9 +142,11 @@ def stream_sessionize(
         "symbol",
         "session_start",
         "session_end",
-        ((F.col("session_end") - F.col("session_start")) / 1000.0).alias("duration_s"),
+        F.round((F.col("session_end") - F.col("session_start")) / 1000.0, 6).alias(
+            "duration_s"
+        ),
         "n_trades",
-        "volume",
+        F.round("volume", 6).alias("volume"),
     )
 
 

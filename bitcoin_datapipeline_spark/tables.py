@@ -39,21 +39,29 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+_FORCED_SCHEMAS: dict[str, StructType] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (column-pruned, pushdown-friendly parquet scan).
 
     For ``events`` the ``ts`` column is re-typed to raw int64 epoch-µs (see
-    module docstring); all other tables read with their footer schema."""
+    module docstring); the forced schema is derived from the footer ONCE per
+    path and cached — query construction calls table() repeatedly and the
+    footer re-read would otherwise run per call."""
     configure(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        base = spark.read.parquet(path).schema
-        forced = StructType(
-            [
-                StructField("ts", LongType(), f.nullable) if f.name == "ts" else f
-                for f in base.fields
-            ]
-        )
+        forced = _FORCED_SCHEMAS.get(path)
+        if forced is None:
+            base = spark.read.parquet(path).schema
+            forced = StructType(
+                [
+                    StructField("ts", LongType(), f.nullable) if f.name == "ts" else f
+                    for f in base.fields
+                ]
+            )
+            _FORCED_SCHEMAS[path] = forced
         return spark.read.schema(forced).parquet(path)
     return spark.read.parquet(path)
 
