@@ -1124,76 +1124,120 @@ def dedup_components(
     """Transitive near-dup clusters — the step a real dedup pipeline runs
     AFTER pair generation: A~B and B~C must collapse into ONE cluster even
     though (A, C) was never a candidate pair.  Connected components over
-    the MinHash-LSH pair graph by iterative min-label propagation
-    (Pregel-lite): every doc starts labeled with its own id; each round
-    every doc takes the min of its label and its neighbors' labels; fixed
-    point = per-component min doc_id.
+    the MinHash-LSH pair graph by alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): each round rewires every edge toward its
+    neighborhood minimum, so components contract to stars rooted at their
+    minimum doc id in O(log diameter) rounds — a 2^max_iter-hop chain
+    converges inside the default budget, where plain min-label propagation
+    needs one round PER hop and aborts on anything deeper than max_iter.
 
-    Spark shape: a bounded driver loop (``max_iter``, early-stopped the
-    round nothing changes — label propagation converges in graph-diameter
-    rounds, and near-dup components are shallow) of join + groupBy(min) per
-    round over the PAIR GRAPH only — nodes not in any pair never enter the
-    loop.  Each round's labels are ``localCheckpoint``-ed: caching alone is
-    NOT enough for iterative plans — the logical plan still nests one join
-    per round and planning/codegen blows up superlinearly (measured: heap
-    exhaustion at 9 rounds) — the checkpoint truncates lineage so every
-    round plans against a leaf.  Output: every clustered doc with its
-    canonical (min) doc id and the cluster size.
+      large-star: every node x computes m = min(N(x) ∪ {x}); each
+        neighbor LARGER than x re-links to m (one symmetric groupBy(min)
+        + one join).
+      small-star: on the resulting (hi → lo) orientation every node
+        links itself and all its smaller neighbors to their collective
+        minimum (one groupBy(min) + one join).
+
+    Both steps are plain shuffles on the edge table — no driver-side
+    graph state.  Spark shape: a bounded driver loop (``max_iter``,
+    early-stopped the round the edge set reaches its star fixed point)
+    over the PAIR GRAPH only — nodes not in any pair never enter the
+    loop.  Each round's edge set is ``localCheckpoint``-ed: caching alone
+    is NOT enough for iterative plans — the logical plan still nests one
+    join per round and planning/codegen blows up superlinearly (measured:
+    heap exhaustion at 9 rounds on the old label loop) — the checkpoint
+    truncates lineage so every round plans against a leaf, and the
+    PREVIOUS round's blocks are unpersisted as soon as the new round is
+    materialized (the final round's blocks back the returned DataFrame
+    and stay cached for the session).  Output: every clustered doc with
+    its canonical (min) doc id and the cluster size.
+
+    Sets ``dedup_components.last_rounds`` to the number of contraction
+    rounds executed (test hook for the O(log d) guarantee).
 
     ``pairs`` overrides the edge source (any (doc_a, doc_b) DataFrame —
     e.g. winnow overlap pairs, or a synthetic graph in tests); default is
     the MinHash-LSH candidate pairs."""
     if pairs is None:
         pairs = minhash_lsh_pairs(documents)
-    pairs = pairs.select("doc_a", "doc_b")
-    fwd = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    edges = fwd.unionByName(
-        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-    ).localCheckpoint()
-    labels = (
-        edges.select(F.col("u").alias("doc")).distinct()
-        .withColumn("comp", F.col("doc"))
+    # canonical (hi → lo) orientation; dedup — star-contraction treats the
+    # edge table as a set
+    edges = (
+        pairs.select("doc_a", "doc_b")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .distinct()
         .localCheckpoint()
     )
+    rounds = 0
     for _ in range(max_iter):
-        neigh = (
-            edges.join(labels, edges.v == labels.doc)
-            .groupBy("u")
-            .agg(F.min("comp").alias("ncomp"))
+        rounds += 1
+        # large-star over symmetric neighborhoods: for every node u with
+        # m = min(N(u) ∪ {u}), each neighbor v > u re-links to m.  Output
+        # pairs (v, m) satisfy v > u ≥ m, so the (hi → lo) orientation is
+        # preserved by construction.
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        new_labels = (
-            labels.join(neigh, labels.doc == neigh.u, "left")
-            .select(
-                "doc",
-                F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
-            )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star on the (hi → lo) orientation: node u and all its
+        # smaller neighbors link to their collective minimum m = min(Γ⁻(u))
+        mn = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(mn, "u")
+            .select(F.col("v").alias("x"), "m")
+            .unionByName(mn.select(F.col("u").alias("x"), "m"))
+            .filter(F.col("x") != F.col("m"))
+            .select(F.col("x").alias("u"), F.col("m").alias("v"))
+            .distinct()
             .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
+            ss.join(edges, ["u", "v"], "left_anti").count()
+            + edges.join(ss, ["u", "v"], "left_anti").count()
         )
-        labels = new_labels
+        edges.unpersist()
+        edges = ss
         if changed == 0:
             break
     else:
-        # never silently return a partial closure — a component whose
-        # diameter exceeds max_iter would split and diverge from the
-        # recursive-CTE oracle's true transitive closure
+        # never silently return a partial closure — a component that did
+        # not finish contracting would split and diverge from the
+        # recursive-CTE oracle's true transitive closure (needs a graph
+        # deeper than ~2^max_iter hops to trigger at the default budget)
         raise RuntimeError(
             f"dedup_components did not converge within {max_iter} rounds; "
-            "raise max_iter (components deeper than the round budget exist)"
+            "raise max_iter (components deeper than ~2^max_iter hops exist)"
         )
+    dedup_components.last_rounds = rounds
+    # fixed point = stars: every edge is (doc → component-min); roots are
+    # the lo endpoints and label themselves
+    stars = edges.select(F.col("u").alias("doc"), F.col("v").alias("comp"))
+    labels = stars.unionByName(
+        stars.select("comp").distinct().select(
+            F.col("comp").alias("doc"), F.col("comp")
+        )
+    )
     sizes = labels.groupBy("comp").agg(F.count("*").cast("long").alias("cluster_size"))
-    out = labels.join(sizes, "comp").select(
+    return labels.join(sizes, "comp").select(
         F.col("doc").alias("doc_id"),
         F.col("comp").alias("component"),
         "cluster_size",
     )
-    edges.unpersist()
-    return out
 
 
 # Recursive-CTE twin: pair generation is the MinHash oracle's CTE chain

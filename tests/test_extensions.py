@@ -185,14 +185,18 @@ def test_dedup_components_transitive_chain(spark):
     assert out[10].cluster_size == 2
 
 
-def test_dedup_components_long_chain_converges(spark):
-    """A 9-hop path graph needs several propagation rounds — the early-stop
-    loop must run to the true fixed point, not one round."""
+def test_dedup_components_long_chain_converges_in_log_rounds(spark):
+    """A 64-hop path graph is the adversarial shape for label propagation
+    (one round per hop); star contraction must close it in O(log d)
+    rounds — ≤ ceil(log2(64)) + 2 = 8 — well inside the default
+    max_iter=10 budget that plain propagation would blow through."""
     from bitcoin_datapipeline_spark.operators.text import dedup_components
 
-    chain = [(i, i + 1) for i in range(1, 10)]  # 1-2-3-...-10
+    n = 65  # nodes 1..65 → a 64-hop chain
+    chain = [(i, i + 1) for i in range(1, n)]
     pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
-    docs = spark.createDataFrame([_doc(i, "x y z") for i in range(1, 11)])
+    docs = spark.createDataFrame([_doc(i, "x y z") for i in range(1, n + 1)])
     out = {r.doc_id: r for r in dedup_components(docs, pairs=pairs).collect()}
-    assert all(out[i].component == 1 for i in range(1, 11))
-    assert out[1].cluster_size == 10
+    assert all(out[i].component == 1 for i in range(1, n + 1))
+    assert out[1].cluster_size == n
+    assert dedup_components.last_rounds <= 8
