@@ -40,6 +40,7 @@ def register_views(
     grid_slice_s: int | None = grid_ops.GRID_SLICE_S,
     gold_slice_s: int | None = gold.GOLD_SLICE_S,
     replay_slice_min: int | None = replay.REPLAY_SLICE_MIN,
+    approx_percentiles: bool = False,
 ) -> list[str]:
     """Register raw tables + the derived analytical views.  Returns the
     registered view names.
@@ -48,6 +49,11 @@ def register_views(
     correctness gate uses; a production caller passes ``None`` for any of
     the three span knobs to get the FULL data span (grid through the last
     tick, replay through the last minute) without editing engine constants.
+    ``approx_percentiles=True`` switches the percentile-bearing views
+    (``latency_percentiles``, ``bars_winsorized``) from exact
+    ``percentile`` — whose partial buffer holds every group value — to the
+    bounded-memory mergeable ``percentile_approx`` sketch, the right
+    default on a 100 TB cluster.
     """
     tables.register_views(spark, sf_dir)
     ev = tables.table(spark, sf_dir, "events")
@@ -86,6 +92,14 @@ def register_views(
             pipeline.bars_pipeline(spark, sf_dir)
         ),
         "grid_ewma": grid_ops.grid_ewma(grid_1s),
+        # percentile surface — exact by default (oracle contract), sketch
+        # at scale via the approx_percentiles knob
+        "latency_percentiles": aggregates.latency_percentiles(
+            normalize.valid_trades(ev), approx=approx_percentiles
+        ),
+        "bars_winsorized": aggregates.winsorize_volumes(
+            pipeline.bars_pipeline(spark, sf_dir), approx=approx_percentiles
+        ),
     }
     for name, df in derived.items():
         df.createOrReplaceTempView(name)

@@ -317,23 +317,40 @@ def daily_summary(dedup_trades: DataFrame) -> DataFrame:
 
 SLOW_LATENCY_MS = 200
 
+# percentile_approx accuracy: relative error ≤ 1/accuracy; at 10k the sketch
+# tracks the exact quantile within a few ms on the 0..250 ms latency range
+# (gated by tests/test_plans.py::test_approx_percentile_tracks_exact)
+PCTL_ACCURACY = 10_000
 
-def latency_percentiles(trades: DataFrame) -> DataFrame:
+
+def _pctl(col: str, p: float, approx: bool, accuracy: int):
+    """Exact `percentile` (== DuckDB quantile_cont, the oracle contract) or
+    the mergeable `percentile_approx` sketch for the 100 TB path."""
+    if approx:
+        return F.percentile_approx(col, p, accuracy)
+    return F.expr(f"percentile({col}, {p})")
+
+
+def latency_percentiles(
+    trades: DataFrame, approx: bool = False, accuracy: int = PCTL_ACCURACY
+) -> DataFrame:
     """A9: ingest-latency distribution per symbol (RDS_SCHEMA.md:610-629,
     :761-788 — PERCENTILE_CONT, AVG, RMSE via sqrt(avg(x^2)), boolean rate).
 
-    Exact `percentile` (== DuckDB quantile_cont) — at 100 TB swap for
-    `percentile_approx` (t-digest, mergeable partials); exact percentile
-    requires a per-group sort and is the one agg here that doesn't partial
-    nicely.
-    """
+    ``approx=False`` (the oracle/default path) uses exact `percentile`
+    (== DuckDB quantile_cont), whose partial buffer holds every value in
+    the group — fine per symbol-day, not mergeable in bounded memory.  At
+    100 TB pass ``approx=True``: `percentile_approx` keeps a bounded
+    quantile sketch per partial, merges map-side, and tracks exact within
+    1/accuracy relative error — same schema, so callers flip the knob
+    without editing the operator (api.register_views exposes it)."""
     lat = (F.col("ingest_ts") - F.col("event_ts")).cast("double")
     t = trades.withColumn("lat", lat)
     return t.groupBy("symbol").agg(
         F.count("*").cast("long").alias("n"),
-        r6(F.expr("percentile(lat, 0.5)")).alias("p50_latency_ms"),
-        r6(F.expr("percentile(lat, 0.95)")).alias("p95_latency_ms"),
-        r6(F.expr("percentile(lat, 0.99)")).alias("p99_latency_ms"),
+        r6(_pctl("lat", 0.5, approx, accuracy)).alias("p50_latency_ms"),
+        r6(_pctl("lat", 0.95, approx, accuracy)).alias("p95_latency_ms"),
+        r6(_pctl("lat", 0.99, approx, accuracy)).alias("p99_latency_ms"),
         r6(F.avg("lat")).alias("avg_latency_ms"),
         r6(F.sqrt(F.avg(F.col("lat") * F.col("lat")))).alias("rms_latency_ms"),
         r6(
@@ -779,7 +796,11 @@ WINSOR_HI = 0.99
 
 
 def winsorize_volumes(
-    bars: DataFrame, lo: float = WINSOR_LO, hi: float = WINSOR_HI
+    bars: DataFrame,
+    lo: float = WINSOR_LO,
+    hi: float = WINSOR_HI,
+    approx: bool = False,
+    accuracy: int = PCTL_ACCURACY,
 ) -> DataFrame:
     """Percentile winsorization of bar volumes — the outlier-clipping
     preprocessing a feature pipeline applies before scaling: per symbol,
@@ -789,10 +810,12 @@ def winsorize_volumes(
     The percentile bounds come from ONE per-symbol aggregate (Spark
     ``percentile`` == DuckDB ``quantile_cont``, the parity
     q_latency_percentiles already exercises) broadcast back onto the rows —
-    no window, no per-row sort."""
+    no window, no per-row sort.  ``approx=True`` swaps the bound estimate
+    to the mergeable `percentile_approx` sketch (see latency_percentiles)
+    — at 100 TB the clip bounds don't need interpolated exactness."""
     bounds = bars.groupBy("symbol").agg(
-        F.percentile("volume", lo).alias("p_lo"),
-        F.percentile("volume", hi).alias("p_hi"),
+        _pctl("volume", lo, approx, accuracy).alias("p_lo"),
+        _pctl("volume", hi, approx, accuracy).alias("p_hi"),
     )
     j = bars.join(F.broadcast(bounds), "symbol")
     clipped = F.least(F.greatest(F.col("volume"), F.col("p_lo")), F.col("p_hi"))

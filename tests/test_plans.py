@@ -234,3 +234,32 @@ def test_approx_percentile_tracks_exact(spark, sf01):
         # while the exact form interpolates — a few ms of play on a
         # 250-wide distribution is the expected gap, not sketch error
         assert abs(r["approx"] - r["exact"]) <= 4.0, r["symbol"]
+
+
+def test_approx_percentile_knob_partial_aggregates(spark, sf01):
+    """The approx=True knob on latency_percentiles / winsorize_volumes must
+    plan the mergeable sketch as a map-side PARTIAL aggregate (bounded
+    buffer merged across executors) — that partial-mergeability is the
+    entire reason the knob exists; the default path must stay on exact
+    `percentile` (the DuckDB-oracle contract)."""
+    from bitcoin_datapipeline_spark.functions.normalize import valid_trades
+    from bitcoin_datapipeline_spark.operators import aggregates
+    from bitcoin_datapipeline_spark.plans import pipeline
+    from bitcoin_datapipeline_spark.tables import table
+
+    t = valid_trades(table(spark, sf01, "events"))
+    approx_plan = _plan(spark, aggregates.latency_percentiles(t, approx=True))
+    assert re.search(r"partial_approx_percentile|partial_percentile_approx",
+                     approx_plan), "sketch must run as a map-side partial"
+    assert "percentile(" not in approx_plan.replace("approx_percentile(", "")
+
+    exact_plan = _plan(spark, aggregates.latency_percentiles(t))
+    assert "approx_percentile" not in exact_plan, (
+        "default path must keep the exact oracle-contract percentile"
+    )
+
+    wz = aggregates.winsorize_volumes(
+        pipeline.bars_pipeline(spark, sf01), approx=True
+    )
+    assert re.search(r"partial_approx_percentile|partial_percentile_approx",
+                     _plan(spark, wz))
