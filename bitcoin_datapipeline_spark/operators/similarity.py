@@ -22,7 +22,9 @@ behind an approximate (tolerance-compared) interface.
 
 from __future__ import annotations
 
+import functools
 import math
+import operator
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -323,36 +325,57 @@ IVF_SEED_STRIDE = 37  # seed c = training row (c * 37) % n_train
 IVF_TRAIN_MOD = 4  # quantizer trains on vec_id % 4 == 0 (25% of the corpus)
 
 
-def _centroid_scores(cents: list[tuple[int, list[float]]]):
-    """Array of (c_cos, negc) structs scoring the row's embedding against
-    every LITERAL centroid — the quantizer model broadcast as constants in
-    the expression tree, so nearest-centroid assignment is pure map-side
-    work: no crossJoin, no per-vector aggregation, no shuffle.
+def _centroid_frame(spark, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """The quantizer model as a broadcastable 1-row frame carrying
+    ``cents: array<struct<c, centroid, cnorm>>`` — the data-driven twin of
+    an all-literal expression tree.  Scoring K×dims literals inline makes
+    every iteration's expression UNIQUE, so whole-stage codegen recompiles
+    a ~512-literal tree per Lloyd round (measured ~1 s driver-side per
+    compile, the dominant cost of the whole IVF build).  Carrying the model
+    as DATA keeps the scoring expression small and byte-identical across
+    iterations and queries — compiled once, cached thereafter — while the
+    broadcast stays map-side: no crossJoin row inflation, no per-vector
+    shuffle.
 
-    c_cos is the 6-dp-rounded cosine (the cross-engine sync point); negc
-    makes the default struct ordering give "highest cosine, then smallest
-    centroid id" under array_max / reverse(array_sort).  The centroid norm
-    is computed in Python with the same sequential left-fold Spark's
-    ``aggregate`` uses — IEEE doubles, bit-identical."""
-    structs = []
-    for c, vec in cents:
-        acc = 0.0
-        for v in vec:
-            acc += float(v) * float(v)
-        cnorm = math.sqrt(acc)
-        lit = F.array(*[F.lit(float(v)) for v in vec])
+    The centroid norm is an `aggregate` left-fold over the array — the
+    same sequential IEEE-double order as the DuckDB oracle's list kernels,
+    bit-identical."""
+    cdf = spark.createDataFrame(
+        [(int(c), [float(v) for v in vec]) for c, vec in cents],
+        "c long, centroid array<double>",
+    )
+    cnorm = F.sqrt(
+        F.aggregate(F.col("centroid"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return (
+        cdf.withColumn("cnorm", cnorm)
+        .groupBy()
+        .agg(F.collect_list(F.struct("c", "centroid", "cnorm")).alias("cents"))
+    )
+
+
+def _centroid_scores():
+    """Array of (c_cos, negc) structs scoring the row's embedding against
+    every centroid in the joined ``cents`` model column (see
+    :func:`_centroid_frame`).  c_cos is the 6-dp-rounded cosine (the
+    cross-engine sync point); negc makes the default struct ordering give
+    "highest cosine, then smallest centroid id" under array_max /
+    reverse(array_sort)."""
+
+    def score(cs):
         dot = F.aggregate(
             F.zip_with(
                 F.col("embedding"),
-                lit,
-                lambda x, y: x.cast("double") * y.cast("double"),
+                cs["centroid"],
+                lambda x, y: x.cast("double") * y,
             ),
             F.lit(0.0).cast("double"),
             lambda a, v: a + v,
         )
-        cos = r6(dot / (F.col("norm") * F.lit(cnorm)))
-        structs.append(F.struct(cos.alias("c_cos"), F.lit(-c).alias("negc")))
-    return F.array(*structs)
+        cos = r6(dot / (F.col("norm") * cs["cnorm"]))
+        return F.struct(cos.alias("c_cos"), (-cs["c"]).alias("negc"))
+
+    return F.transform(F.col("cents"), score)
 
 
 def _spread(embeddings: DataFrame) -> DataFrame:
@@ -377,30 +400,63 @@ def _train_quantizer(
     doubles held on the driver and re-broadcast as expression literals, so
     assignment is map-only and each iteration is ONE job: a map-side
     assignment feeding a single K-row aggregate).  vec_id is dense 0..N-1,
-    so the r-th training row carries vec_id = r * train_mod.  The sample is
-    bounded by construction — cached across the count + seed lookup +
-    IVF_ITERS iteration jobs.  Returns the trained (c, centroid) model."""
-    train = embeddings.filter(F.col("vec_id") % train_mod == 0).persist()
-    n_train = train.count()
-    seed_ids = [
-        ((c * IVF_SEED_STRIDE) % n_train) * train_mod for c in range(IVF_K)
-    ]
-    seed_map = {
-        r["vec_id"]: list(r["centroid"])
-        for r in train.filter(F.col("vec_id").isin(seed_ids))
+    so the r-th training row carries vec_id = r * train_mod.
+
+    Job economy: the sample (WITH its norm column — reused by every
+    iteration) is persisted once, and the sample count + seed lookup are
+    FUSED into a single action — each row joins the broadcast 1-row count
+    and the K seed predicates ``vec_id == ((c·37) mod n_train)·train_mod``
+    are evaluated against that carried count, so the collected seed rows
+    also deliver n_train.  Total driver round-trips: 1 + IVF_ITERS
+    (previously 2 + IVF_ITERS, plus a re-derived norm per iteration).
+
+    Raises ``ValueError`` on an empty training sample (e.g. an empty
+    corpus, or every vec_id filtered out by ``train_mod``) — the callers
+    (ann_ivf / cluster_stats) execute training jobs EAGERLY at
+    DataFrame-construction time, so the error surfaces at call site, not
+    at first action.  Returns the trained (c, centroid) model."""
+    train = with_norm(
+        embeddings.filter(F.col("vec_id") % train_mod == 0)
+    ).persist()
+    cnt = train.groupBy().agg(F.count("*").alias("n_train"))
+    is_seed = functools.reduce(
+        operator.or_,
+        (
+            F.col("vec_id")
+            == (F.lit(c * IVF_SEED_STRIDE) % F.col("n_train")) * train_mod
+            for c in range(IVF_K)
+        ),
+    )
+    seed_rows = (
+        train.join(F.broadcast(cnt))
+        .filter(is_seed)
         .select(
             "vec_id",
+            "n_train",
             F.expr("transform(embedding, x -> cast(x as double))").alias("centroid"),
         )
         .collect()
-    }
+    )
+    if not seed_rows:
+        train.unpersist()
+        raise ValueError(
+            "IVF quantizer: empty training sample — the corpus has no rows "
+            f"with vec_id % {train_mod} == 0; lower train_mod or supply a "
+            "non-empty embeddings table"
+        )
+    n_train = seed_rows[0]["n_train"]
+    seed_map = {r["vec_id"]: list(r["centroid"]) for r in seed_rows}
+    seed_ids = [
+        ((c * IVF_SEED_STRIDE) % n_train) * train_mod for c in range(IVF_K)
+    ]
     cents = [(c, seed_map[sid]) for c, sid in enumerate(seed_ids) if sid in seed_map]
     dims = len(cents[0][1])
-    e_train = with_norm(train)
+    spark = embeddings.sparkSession
     for _ in range(IVF_ITERS):
-        best = F.array_max(_centroid_scores(cents))
+        best = F.array_max(_centroid_scores())
         updated = (
-            e_train.select((-best["negc"]).cast("long").alias("c"), "embedding")
+            train.join(F.broadcast(_centroid_frame(spark, cents)))
+            .select((-best["negc"]).cast("long").alias("c"), "embedding")
             .groupBy("c")
             .agg(
                 *[
@@ -443,6 +499,12 @@ def ann_ivf(embeddings: DataFrame, train_mod: int = IVF_TRAIN_MOD) -> DataFrame:
     the probed fraction (~K_probe/K); real corpora with cluster structure
     get far better recall at the same probe fraction.
 
+    NOTE: unlike the rest of the engine's lazily-declared queries, calling
+    this function runs the quantizer-training Spark jobs EAGERLY (1 fused
+    count+seed action + IVF_ITERS iteration actions — the spark.ml fit()
+    pattern) and raises ``ValueError`` immediately if the training sample
+    is empty; only the returned search DataFrame is lazy.
+
     cf. reference similarity surface: this engine-side family extends the
     reference (which has no ANN); recall is asserted against exact kNN in
     tests/test_similarity_recall.py (sampled training holds the same gate).
@@ -451,8 +513,9 @@ def ann_ivf(embeddings: DataFrame, train_mod: int = IVF_TRAIN_MOD) -> DataFrame:
     e = with_norm(embeddings)
     cents = _train_quantizer(embeddings, train_mod)
 
-    # --- search: assignment by the same literal-centroid scores, map-only
-    scores = _centroid_scores(cents)
+    # --- search: assignment by the same broadcast-model scores, map-only
+    e = e.join(F.broadcast(_centroid_frame(embeddings.sparkSession, cents)))
+    scores = _centroid_scores()
     best = F.array_max(scores)
     # final inverted index: every vector in exactly one posting list
     posting = e.select(
@@ -683,7 +746,8 @@ def cluster_stats(
     embeddings = _spread(embeddings)
     e = with_norm(embeddings)
     cents = _train_quantizer(embeddings, train_mod)
-    best = F.array_max(_centroid_scores(cents))
+    e = e.join(F.broadcast(_centroid_frame(embeddings.sparkSession, cents)))
+    best = F.array_max(_centroid_scores())
     assigned = e.select(
         (-best["negc"]).cast("long").alias("c"),
         best["c_cos"].alias("c_cos"),

@@ -84,3 +84,14 @@ def test_multi_table_lsh_beats_single_table(spark):
     truth = _exact_top1(ids, x, ids % similarity.ANN_QUERY_MOD == 0)
     hits = lambda got: sum(got.get(q) == truth[q] for q in truth)
     assert hits(multi) >= hits(single)
+
+
+def test_ivf_empty_training_sample_raises(spark):
+    """An empty (or fully mod-filtered) corpus must fail loudly at call
+    time — training executes eagerly, and a silent empty index would look
+    like a zero-recall bug downstream."""
+    import pytest
+
+    empty = table(spark, SF_DIR, "embeddings").filter("vec_id < 0")
+    with pytest.raises(ValueError, match="empty training sample"):
+        similarity.ann_ivf(empty)
