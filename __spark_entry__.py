@@ -605,7 +605,8 @@ def q_labels_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q_returns_1s",
     OD.with_ctes(
-        OD.locf_grid_cte(step_s=1, slice_s=43_200, gap_s=60),
+        OD.locf_grid_cte(step_s=1, slice_s=grid.GRID_SLICE_S,
+                         gap_s=grid.GRID_GAP_THRESHOLD_S),
         body="""
 SELECT symbol, feature_ts, round(price, 6) AS price,
        round(ln(price / lag(price, 1)  OVER w), 6) AS ret_1s,
@@ -625,7 +626,8 @@ def q_returns_1s(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q_labels_10s",
     OD.with_ctes(
-        OD.locf_grid_cte(step_s=1, slice_s=43_200, gap_s=60),
+        OD.locf_grid_cte(step_s=1, slice_s=grid.GRID_SLICE_S,
+                         gap_s=grid.GRID_GAP_THRESHOLD_S),
         body=f"""
 SELECT symbol, feature_ts,
        CAST(feature_ts + 10 AS BIGINT) AS target_ts,
@@ -666,7 +668,8 @@ def q_labels_10s(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q_grid_ewma",
     OD.with_ctes(
-        OD.locf_grid_cte(step_s=1, slice_s=43_200, gap_s=60),
+        OD.locf_grid_cte(step_s=1, slice_s=grid.GRID_SLICE_S,
+                         gap_s=grid.GRID_GAP_THRESHOLD_S),
         body=f"""
 SELECT symbol, feature_ts, round(price, 6) AS price,
        round(list_sum(list_transform(list_reverse(arr),

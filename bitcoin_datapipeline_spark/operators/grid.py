@@ -22,7 +22,7 @@ Spark-first shape (three stages, each scale-safe):
    grid stays *bounded by wall-clock, not by data volume*: 86 400
    rows/symbol/day at 1 s regardless of how many ticks fed it.
 3. **Slice anchor** — a broadcast 1-row aggregate fixes the grid end; the
-   dedup-invariant ``bounds_hint`` (pre-dedup stream) keeps that branch a
+   dedup-invariant ``valid_bounds_hint`` (pre-dedup stream) keeps that branch a
    shuffle-free pruned scan.  For 100 TB / multi-year spans,
    :func:`locf_resample_daily` keys every window by (symbol, day) with a
    previous-close seed handoff — row-for-row identical output (asserted in
@@ -63,7 +63,7 @@ def locf_resample(
     step_s: int = 1,
     slice_s: int | None = GRID_SLICE_S,
     gap_threshold_s: int = GRID_GAP_THRESHOLD_S,
-    bounds_hint: DataFrame | None = None,
+    valid_bounds_hint: DataFrame | None = None,
 ) -> DataFrame:
     """Resample the deduped trade stream onto a fixed ``step_s``-second grid
     with LOCF price fill, per-tick flow sums, and gap/data-age quality
@@ -85,10 +85,15 @@ def locf_resample(
     join-based form re-ran it for both grid-bounds branches: column pruning
     made the subtrees non-identical, defeating ReusedExchange — measured 3×
     the dedup pass in the executed plan).  The only other consumer is the
-    1-row slice-anchor aggregate, which accepts a ``bounds_hint`` — the
-    PRE-dedup stream — because min(event_ts) is dedup-invariant (first-wins
-    dedup never drops a symbol's earliest row): with the hint the anchor
-    branch is a shuffle-free column-pruned scan.  Explode skew is bounded by
+    1-row slice-anchor aggregate, which accepts a ``valid_bounds_hint``
+    because min(event_ts) is dedup-invariant (first-wins dedup never drops
+    a symbol's earliest row): with the hint the anchor branch is a
+    shuffle-free column-pruned scan.  CONTRACT: the hint MUST be the
+    VALIDATED pre-dedup stream (normalize.valid_trades — same validity
+    filtering as the dedup input, minus the dedup itself).  A raw
+    un-validated stream would silently shift the grid anchor/end whenever
+    an invalid row owns the min timestamp — there is no runtime check that
+    could catch it, hence the parameter name.  Explode skew is bounded by
     the longest single gap (≤ slice length), strictly narrower than the old
     whole-span-per-symbol explode.
     """
@@ -116,10 +121,10 @@ def locf_resample(
     else:
         n_ticks = slice_s // step_s
         anchor = (
-            bounds_hint.select(
+            valid_bounds_hint.select(
                 F.expr(f"event_ts div {step_ms}").cast("long").alias("tick")
             )
-            if bounds_hint is not None
+            if valid_bounds_hint is not None
             else per_tick.select("tick")
         )
         bounds = anchor.groupBy().agg(
@@ -310,7 +315,7 @@ def locf_resample_daily(
     step_s: int = 1,
     slice_s: int | None = GRID_SLICE_S,
     gap_threshold_s: int = GRID_GAP_THRESHOLD_S,
-    bounds_hint: DataFrame | None = None,
+    valid_bounds_hint: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-year form of :func:`locf_resample`: every window is keyed by
     (symbol, DAY) instead of symbol alone, with the previous day's closing
@@ -353,10 +358,10 @@ def locf_resample_daily(
     else:
         n_ticks = slice_s // step_s
         anchor = (
-            bounds_hint.select(
+            valid_bounds_hint.select(
                 F.expr(f"event_ts div {step_ms}").cast("long").alias("tick")
             )
-            if bounds_hint is not None
+            if valid_bounds_hint is not None
             else per_tick.select("tick")
         )
         bounds = anchor.groupBy().agg(

@@ -48,6 +48,6 @@ def locf_grid(
     return grid_ops.locf_resample(
         trades_clean(spark, sf_dir),
         step_s=step_s,
-        bounds_hint=valid_trades(table(spark, sf_dir, "events")),
+        valid_bounds_hint=valid_trades(table(spark, sf_dir, "events")),
         **kwargs,
     )
