@@ -1687,71 +1687,120 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of queries().
-# Registration order above is thematic; this list front-loads the queries
-# that still lack a green driver-side CORRECTNESS row (31 never checked as
-# of r2, plus the 7 rotated out of the r2 window, plus queries new this
-# round), so that over rounds every declared query accumulates driver
-# evidence. Names not listed keep registration order after these.
+# Registration order above is thematic; this list front-loads the 56
+# queries whose last driver-side CORRECTNESS row predates round 3 (the r3
+# sample covered the other 50 — see CORRECTNESS_r03.json), so driver
+# evidence stays fresh round-over-round: after r4, every declared query
+# has a row from r3 or r4. Names not listed keep registration order.
 _DRIVER_PRIORITY: list[str] = [
-    # 31 without any CORRECTNESS_r01/r02 row (verified by judge harness only)
-    "q_doc_decontaminate",
-    "q_doc_quality_filter",
-    "q_doc_repetition",
-    "q_corpus_mix",
-    "q_dedup_funnel",
-    "q_embed_ann_lsh",
-    "q_embed_ann_lsh_multi",
-    "q_embed_quantize",
-    "q_embed_ann_ivf",
-    "q_multimodal_meta",
-    "q_multimodal_decode",
-    "q_multimodal_frames",
-    "q_kline_parse",
-    "q_decimal_string_format",
-    "q_sessionize",
-    "q_time_split",
-    "q_distinct_counts",
-    "q_doc_chunks",
-    "q_doc_sample",
-    "q_tfidf",
-    "q_forecast_revenue",
-    "q_promo_revenue",
-    "q_returned_customers",
-    "q_shipping_priority",
-    "q_large_orders",
-    "q_market_share",
-    "q_gold_training_set",
-    "q_gold_vector_1s",
-    "q_gold_training_set_1s",
-    "q_orderbook_replay",
-    "q_resample_bars_1h",
-    # new in round 3 (no driver row can exist yet)
-    "q_gold_vector_2s",
-    "q_doc_minhash_dedup_capped",
-    "q_session_stats",
-    "q_order_priority",
-    "q_disjunctive_parts",
-    "q_funnel",
-    "q_grid_ewma",
-    "q_vocab",
-    "q_supplier_above_avg",
-    "q_source_consistency",
-    "q_return_outliers",
-    "q_embed_cluster_stats",
-    "q_feature_drift",
-    "q_counts_salted",
-    "q_higher_moments",
-    "q_pair_correlation",
-    "q_dedup_components",
-    "q_winsorize",
-    # 7 with only an r1 row (rotated out of the r2 window)
-    "q_doc_exact_dedup",
+    # 56 with no CORRECTNESS_r03 row — r4's sample window
+    "q_normalize_trades",
+    "q_validate_filter",
+    "q_dedup_trades",
+    "q_dedup_sink_stats",
+    "q_bars_1m",
+    "q_max_ts",
+    "q_counts",
+    "q_profile_trades",
+    "q_derived_time",
+    "q_categorize",
+    "q_decimal_cast",
+    "q_trade_features_1h",
+    "q_bba_features",
+    "q_depth_features",
+    "q_daily_summary",
+    "q_volatility_estimators",
+    "q_latency_percentiles",
+    "q_corr",
+    "q_group_compare",
+    "q_health_rollup",
+    "q_derived_lag",
+    "q_returns",
+    "q_labels_10m",
+    "q_returns_1s",
+    "q_labels_10s",
+    "q_latest_per_key",
+    "q_topk_recent",
+    "q_momentum",
+    "q_rolling_volatility",
+    "q_rolling_stats_5m",
+    "q_gap_detect",
+    "q_asof_price",
+    "q_feature_label_join",
+    "q_interval_join",
+    "q_feature_assembly",
+    "q_union_sources",
+    "q_pricing_summary",
+    "q_revenue_by_nation",
+    "q_top_customers",
+    "q_rollup_sales",
+    "q_pivot_orderstatus",
+    "q_anti_processed",
+    "q_semi_processed",
+    "q_doc_stats",
+    "q_lang_id",
+    "q_token_count",
+    "q_doc_fingerprint",
+    "q_doc_winnow",
+    "q_doc_winnow_pairs",
+    "q_doc_scrub",
     "q_ngram_jaccard",
     "q_minhash_lsh",
     "q_simhash",
     "q_doc_quality",
     "q_embed_cosine_pairs",
     "q_embed_knn",
+    # 50 green in CORRECTNESS_r03 (rotate to the back)
+    "q_counts_salted",
+    "q_winsorize",
+    "q_higher_moments",
+    "q_pair_correlation",
+    "q_grid_ewma",
+    "q_doc_decontaminate",
+    "q_doc_quality_filter",
+    "q_doc_repetition",
+    "q_corpus_mix",
+    "q_dedup_funnel",
+    "q_doc_exact_dedup",
+    "q_dedup_components",
+    "q_doc_minhash_dedup_capped",
+    "q_embed_ann_lsh",
+    "q_embed_ann_lsh_multi",
+    "q_embed_quantize",
+    "q_embed_ann_ivf",
+    "q_embed_cluster_stats",
+    "q_multimodal_meta",
+    "q_multimodal_decode",
+    "q_multimodal_frames",
+    "q_kline_parse",
+    "q_decimal_string_format",
+    "q_sessionize",
+    "q_session_stats",
+    "q_time_split",
+    "q_feature_drift",
+    "q_distinct_counts",
+    "q_doc_chunks",
+    "q_doc_sample",
+    "q_tfidf",
+    "q_vocab",
+    "q_forecast_revenue",
+    "q_promo_revenue",
+    "q_returned_customers",
+    "q_shipping_priority",
+    "q_large_orders",
+    "q_market_share",
+    "q_supplier_above_avg",
+    "q_order_priority",
+    "q_disjunctive_parts",
+    "q_funnel",
+    "q_source_consistency",
+    "q_return_outliers",
+    "q_gold_training_set",
+    "q_gold_vector_1s",
+    "q_gold_vector_2s",
+    "q_gold_training_set_1s",
+    "q_orderbook_replay",
+    "q_resample_bars_1h",
 ]
 
 
