@@ -263,3 +263,61 @@ def test_approx_percentile_knob_partial_aggregates(spark, sf01):
     )
     assert re.search(r"partial_approx_percentile|partial_percentile_approx",
                      _plan(spark, wz))
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """SCALING.md's join-skew story: salting covers aggregations
+    (test_salted_aggregation_equivalence); JOIN skew is delegated to AQE's
+    OptimizeSkewedJoin, which splits an oversized shuffle partition into
+    parallel sub-reads at runtime. Pin that the executed plan actually
+    marks the join skew-split on a synthetically hot key, so a conf
+    regression (AQE or skewJoin disabled) can't silently serialize the hot
+    key through one reducer."""
+    from pyspark.sql import functions as F
+
+    keys = [
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        # local-scale thresholds: production defaults (256 MB) scaled down so
+        # a ~MB hot partition triggers the same code path the cluster hits
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        # no broadcast escape hatch — force the shuffle join AQE must repair
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("dim")
+        )
+        j = left.join(right, "k")
+        # execute THIS DataFrame's plan (count() would spin up a separate
+        # QueryExecution and leave j's own AQE plan un-finalized)
+        assert len(j.collect()) == 200_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, (
+            "hot-key shuffle partition must be skew-split by AQE:\n" + plan
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
