@@ -47,6 +47,77 @@ HEADLINE = [
 ]
 
 
+# Superlinear-risk families for the scale-evidence mode (--families):
+# the operators whose cost curve COULD go quadratic if a plan regressed
+# (self-join fan-out, explode span, posting-list blowup). Measured at
+# sf0.1 vs the replica-scaled sf1 (tools/make_scale_data.py) — growth
+# ~<=10x per data decade is the evidence SCALING.md's plan-shape
+# arguments promise.
+FAMILIES: dict[str, list[str]] = {
+    "dedup": ["q_minhash_lsh", "q_doc_winnow_pairs", "q_ngram_jaccard"],
+    "ann": ["q_embed_ann_ivf"],
+    "grid": ["q_returns_1s"],
+}
+SCALE_DIRS = ["/root/testdata/sf0.1", ".scale_data/sf1"]
+
+
+def _time_queries(spark, qs, names: list[str], sf_dir: str) -> dict[str, dict]:
+    out: dict[str, dict] = {}
+    for name in names:
+        best, rows = float("inf"), 0
+        for _ in range(2):
+            t0 = time.time()
+            rows = qs[name](spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        out[name] = {"sec": round(best, 3), "rows": rows}
+    return out
+
+
+def families_main(family_arg: str) -> None:
+    """Scale-evidence mode: run the named families at sf0.1 AND the
+    replica-scaled sf1, print one JSON line with timings, result rows, and
+    the per-query growth ratio across the decade."""
+    import __spark_entry__ as entry
+    from bitcoin_datapipeline_spark.session import get_spark
+    from bitcoin_datapipeline_spark.tables import table
+
+    fams = [f.strip() for f in family_arg.split(",") if f.strip()]
+    unknown = [f for f in fams if f not in FAMILIES]
+    if unknown:
+        raise SystemExit(f"unknown families {unknown}; known: {list(FAMILIES)}")
+    names = [q for f in fams for q in FAMILIES[f]]
+
+    spark = get_spark("bench-scale")
+    qs = entry.queries()
+    per_dir: dict[str, dict] = {}
+    for d in SCALE_DIRS:
+        if not os.path.isdir(d):
+            raise SystemExit(
+                f"{d} missing — run `python tools/make_scale_data.py` first"
+            )
+        for t in ("events", "documents", "embeddings"):
+            table(spark, d, t).count()  # warm footers per dir
+        label = "sf" + d.rstrip("/").rsplit("sf", 1)[-1]
+        per_dir[label] = _time_queries(spark, qs, names, d)
+    lo, hi = (per_dir[k] for k in sorted(per_dir))  # sf0.1 then sf1
+    growth = {
+        n: round(hi[n]["sec"] / lo[n]["sec"], 2) if lo[n]["sec"] > 0 else None
+        for n in names
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "family_scale_seconds",
+                "unit": "sec",
+                "families": fams,
+                "dirs": per_dir,
+                "growth_sf0.1_to_sf1": growth,
+                "data_decade": 10.0,
+            }
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -92,4 +163,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--families":
+        families_main(sys.argv[2])
+    else:
+        main()

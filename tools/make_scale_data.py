@@ -1,0 +1,130 @@
+"""Replica-scaled testdata generator for scale-evidence benchmarking.
+
+The driver materializes sf0.001/0.01/0.1 only; the scale argument in
+SCALING.md ("plan shapes survive a decade of growth") needs one measured
+decade to become evidence.  This script derives an sf1-scale dataset from
+the READ-ONLY sf0.1 tables (never touching /root/testdata) by stacking R
+deterministic replicas of the three tables the superlinear-risk families
+touch, with per-replica transforms chosen so the *statistical shape* of the
+workload scales the way a real 10x corpus would:
+
+- ``events``: replica k keeps every timestamp (same wall-clock window) but
+  suffixes ``event_type`` with ``_k`` → 10x distinct symbols.  Grid/LOCF
+  work scales by symbol count within the same slice window, which is
+  exactly how a real exchange feed grows (more instruments, same hours).
+  ``event_id`` shifts by k·1e9 — a multiple of 100/250/10/2, preserving the
+  planted duplicate-id rate, ingest-latency skew, maker/source mixes.
+- ``documents``: replica k suffixes every whitespace token with ``_k`` →
+  shingles/minhashes NEVER collide across replicas, so near-dup pair
+  volume grows ~linearly (10x clusters), not quadratically (a verbatim 10x
+  copy would make every LSH bucket 10x deeper → 100x pairs — that measures
+  data pathology, not plan shape).  doc_id shifts by k·1e7.
+- ``embeddings``: replica k shifts vec_id by k·N keeping ids DENSE
+  0..10N-1 (the IVF seed-rank contract); vectors are unchanged — ANN cost
+  is row-count-bound, and exact-duplicate ties break on neighbor_id.
+
+Usage:  python tools/make_scale_data.py [--out .scale_data/sf1] [--replicas 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+EVENT_ID_STRIDE = 1_000_000_000  # multiple of 100/250/10/2 → patterns preserved
+DOC_ID_STRIDE = 10_000_000
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=".scale_data/sf1")
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--src", default=SRC)
+    args = ap.parse_args()
+
+    from bitcoin_datapipeline_spark.session import get_spark
+    from bitcoin_datapipeline_spark.tables import table
+
+    spark = get_spark("make-scale-data")
+    out = os.path.abspath(args.out)
+    os.makedirs(out, exist_ok=True)
+
+    ev = table(spark, args.src, "events")  # ts forced to raw int64 epoch-us
+    ev_reps = [
+        ev.select(
+            (F.col("event_id") + F.lit(k * EVENT_ID_STRIDE)).alias("event_id"),
+            "ts",
+            "user_id",
+            (
+                F.col("event_type")
+                if k == 0
+                else F.concat(F.col("event_type"), F.lit(f"_{k}"))
+            ).alias("event_type"),
+            "value",
+            "props",
+        )
+        for k in range(args.replicas)
+    ]
+    _union(ev_reps).repartition(32).write.mode("overwrite").parquet(
+        f"{out}/events.parquet"
+    )
+
+    docs = table(spark, args.src, "documents")
+    doc_reps = []
+    for k in range(args.replicas):
+        if k == 0:
+            doc_reps.append(docs)
+            continue
+        text = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda t: F.concat(t, F.lit(f"_{k}")),
+            ),
+            " ",
+        )
+        doc_reps.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(k * DOC_ID_STRIDE)).alias("doc_id"),
+                text.alias("text"),
+                "lang",
+                "source",
+                F.length(text).cast("long").alias("n_chars"),
+            )
+        )
+    _union(doc_reps).repartition(32).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+
+    emb = table(spark, args.src, "embeddings")
+    n = emb.count()
+    emb_reps = [
+        emb.select(
+            (F.col("vec_id") + F.lit(k * n)).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        for k in range(args.replicas)
+    ]
+    _union(emb_reps).repartition(32).write.mode("overwrite").parquet(
+        f"{out}/embeddings.parquet"
+    )
+
+    for t in ("events", "documents", "embeddings"):
+        print(t, spark.read.parquet(f"{out}/{t}.parquet").count())
+
+
+def _union(frames):
+    acc = frames[0]
+    for f in frames[1:]:
+        acc = acc.unionByName(f)
+    return acc
+
+
+if __name__ == "__main__":
+    main()
