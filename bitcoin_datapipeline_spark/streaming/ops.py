@@ -26,6 +26,23 @@ idempotent sink w/ unique index   foreachBatch + dropDuplicates against
 The arrival-vs-event-time split in the reference (buffers keyed by
 ``time.time()``, features computed on event_ts — SURVEY §7.4) is resolved
 here by standardizing on event time everywhere.
+
+STATEFUL-API COMPAT (decision, 2026-08): the three custom stateful
+operators (gap detector below, ``streaming/orderbook.py``,
+``streaming/grid.py``) stay on ``applyInPandasWithState``.  Spark 4.1
+ships the successor ``transformWithStateInPandas`` (StatefulProcessor:
+typed value/list/map state, timers, TTL, schema evolution) and migration
+is mechanical for all three (single ValueState each, no timers), BUT its
+Python *driver worker* hard-requires the ``protobuf`` package at runtime
+— absent here, the query fails at start with
+STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE ("cannot import name
+'descriptor' from 'google.protobuf'"), verified empirically on 4.1.2.
+``applyInPandasWithState`` has no such dependency, is not removed in 4.x,
+and both APIs share the RocksDB state store.  The pinned matrix in
+tests/test_streaming.py::test_stateful_api_compat_matrix asserts (a) the
+old API keeps working, (b) the new API surface exists, and (c) the
+protobuf blocker — so the moment the environment gains protobuf the test
+flags that migration is unblocked.
 """
 
 from __future__ import annotations
