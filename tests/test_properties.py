@@ -173,3 +173,58 @@ def test_locf_grid_matches_naive_reference(spark, batch):
             if t in d:
                 assert r["data_age_ms"] == exp_age
     assert set(got) == expected_keys
+
+
+edge_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=30),
+        st.integers(min_value=1, max_value=30),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=12, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(edge_strategy)
+def test_star_contraction_matches_union_find(spark, edges):
+    """dedup_components (large-star/small-star contraction) must equal a
+    driver-side union-find on EVERY random pair graph: same membership,
+    component = min doc id, sizes consistent — the closure invariant the
+    recursive-CTE oracle checks at sf grain, here exercised across random
+    shapes (self-loops, parallel edges, stars, chains, disjoint blobs)."""
+    from bitcoin_datapipeline_spark.operators.text import dedup_components
+
+    real = [(a, b) for a, b in edges if a != b]
+    if not real:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in real:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect_comp = {x: find(x) for x in parent}
+    sizes: dict[int, int] = {}
+    for x, c in expect_comp.items():
+        sizes[c] = sizes.get(c, 0) + 1
+
+    pairs = spark.createDataFrame(real, "doc_a long, doc_b long")
+    out = {
+        r.doc_id: r
+        for r in dedup_components(None, pairs=pairs).collect()
+    }
+    assert set(out) == set(expect_comp)
+    for x in expect_comp:
+        assert out[x].component == expect_comp[x], (x, real)
+        assert out[x].cluster_size == sizes[expect_comp[x]], (x, real)
