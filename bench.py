@@ -54,9 +54,19 @@ HEADLINE = [
 # ~<=10x per data decade is the evidence SCALING.md's plan-shape
 # arguments promise.
 FAMILIES: dict[str, list[str]] = {
-    "dedup": ["q_minhash_lsh", "q_doc_winnow_pairs", "q_ngram_jaccard"],
+    "dedup": [
+        "q_minhash_lsh",
+        "q_doc_winnow_pairs",
+        "q_ngram_jaccard",
+        # iterative: evidence that star-contraction ROUND count tracks
+        # graph diameter, not corpus size (wall-clock stays ~linear)
+        "q_dedup_components",
+    ],
     "ann": ["q_embed_ann_ivf"],
     "grid": ["q_returns_1s"],
+    # the flagship multi-stage pipeline — bars, windows, LOCF grid, labels,
+    # joins compounding in one plan
+    "gold": ["q_gold_vector_2s", "q_gold_training_set"],
 }
 SCALE_DIRS = ["/root/testdata/sf0.1", ".scale_data/sf1"]
 
