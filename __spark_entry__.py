@@ -1687,13 +1687,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of queries().
-# Registration order above is thematic; this list front-loads the 56
-# queries whose last driver-side CORRECTNESS row predates round 3 (the r3
-# sample covered the other 50 — see CORRECTNESS_r03.json), so driver
-# evidence stays fresh round-over-round: after r4, every declared query
-# has a row from r3 or r4. Names not listed keep registration order.
+# Registration order above is thematic; this list orders queries by driver-
+# evidence AGE (oldest first) so each round's 50-slot window refreshes the
+# stalest rows: the 6 whose only row is r1, then the 50 whose last row is
+# r2 (44 of which fit in r4's window — the remaining 6 carry r2 evidence,
+# the best a 50-slot window can do for a 106-query surface), then the 50
+# green in CORRECTNESS_r03. Names not listed keep registration order.
 _DRIVER_PRIORITY: list[str] = [
-    # 56 with no CORRECTNESS_r03 row — r4's sample window
+    # 6 whose only driver row is CORRECTNESS_r01
+    "q_ngram_jaccard",
+    "q_minhash_lsh",
+    "q_simhash",
+    "q_doc_quality",
+    "q_embed_cosine_pairs",
+    "q_embed_knn",
+    # 50 whose last driver row is CORRECTNESS_r02
     "q_normalize_trades",
     "q_validate_filter",
     "q_dedup_trades",
@@ -1744,13 +1752,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_doc_winnow",
     "q_doc_winnow_pairs",
     "q_doc_scrub",
-    "q_ngram_jaccard",
-    "q_minhash_lsh",
-    "q_simhash",
-    "q_doc_quality",
-    "q_embed_cosine_pairs",
-    "q_embed_knn",
-    # 50 green in CORRECTNESS_r03 (rotate to the back)
+    # 50 green in CORRECTNESS_r03 (freshest — rotate to the back)
     "q_counts_salted",
     "q_winsorize",
     "q_higher_moments",

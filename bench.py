@@ -173,7 +173,15 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 3 and sys.argv[1] == "--families":
+    if len(sys.argv) >= 2 and sys.argv[1] == "--families":
+        if len(sys.argv) < 3:
+            raise SystemExit(
+                "--families requires a comma-separated list, e.g. "
+                f"--families {','.join(FAMILIES)}"
+            )
         families_main(sys.argv[2])
+    elif len(sys.argv) >= 2:
+        raise SystemExit(f"unknown arguments {sys.argv[1:]}; "
+                         "usage: bench.py [--families dedup,ann,grid,gold]")
     else:
         main()

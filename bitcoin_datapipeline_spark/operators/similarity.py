@@ -440,9 +440,12 @@ def _train_quantizer(
     if not seed_rows:
         train.unpersist()
         raise ValueError(
-            "IVF quantizer: empty training sample — the corpus has no rows "
-            f"with vec_id % {train_mod} == 0; lower train_mod or supply a "
-            "non-empty embeddings table"
+            "IVF quantizer: no seed rows found. Either the training sample "
+            f"is empty (no rows with vec_id % {train_mod} == 0 — lower "
+            "train_mod or supply a non-empty embeddings table), or vec_id "
+            "violates the dense-0..N-1 contract this quantizer's "
+            "seed-by-rank lookup assumes (see docstring) — re-densify ids "
+            "with row_number() before indexing"
         )
     n_train = seed_rows[0]["n_train"]
     seed_map = {r["vec_id"]: list(r["centroid"]) for r in seed_rows}

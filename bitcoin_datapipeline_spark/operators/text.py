@@ -1161,11 +1161,14 @@ def dedup_components(
     the MinHash-LSH candidate pairs."""
     if pairs is None:
         pairs = minhash_lsh_pairs(documents)
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
     # canonical (hi → lo) orientation; dedup — star-contraction treats the
-    # edge table as a set
+    # edge table as a set.  Self-loop pairs (doc_a == doc_b) carry no
+    # connectivity but DO assert membership: their docs re-enter the
+    # output as singletons below (the LSH pair generator never emits
+    # them, but the documented pairs override accepts any pair frame).
     edges = (
-        pairs.select("doc_a", "doc_b")
-        .filter(F.col("doc_a") != F.col("doc_b"))
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
         .select(
             F.greatest("doc_a", "doc_b").alias("u"),
             F.least("doc_a", "doc_b").alias("v"),
@@ -1206,9 +1209,15 @@ def dedup_components(
             .distinct()
             .localCheckpoint()
         )
+        # fixed-point check in ONE action: both sets are distinct, so the
+        # symmetric difference is exactly the rows appearing once in the
+        # concatenation (an anti-join pair would cost two driver round-trips)
         changed = (
-            ss.join(edges, ["u", "v"], "left_anti").count()
-            + edges.join(ss, ["u", "v"], "left_anti").count()
+            ss.unionByName(edges)
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") == 1)
+            .count()
         )
         edges.unpersist()
         edges = ss
@@ -1219,19 +1228,46 @@ def dedup_components(
         # not finish contracting would split and diverge from the
         # recursive-CTE oracle's true transitive closure (needs a graph
         # deeper than ~2^max_iter hops to trigger at the default budget)
+        edges.unpersist()
+        pairs.unpersist()
         raise RuntimeError(
             f"dedup_components did not converge within {max_iter} rounds; "
             "raise max_iter (components deeper than ~2^max_iter hops exist)"
         )
     dedup_components.last_rounds = rounds
     # fixed point = stars: every edge is (doc → component-min); roots are
-    # the lo endpoints and label themselves
+    # the lo endpoints and label themselves; docs seen only in self-loop
+    # pairs come back as their own singleton component
     stars = edges.select(F.col("u").alias("doc"), F.col("v").alias("comp"))
-    labels = stars.unionByName(
-        stars.select("comp").distinct().select(
-            F.col("comp").alias("doc"), F.col("comp")
+    singles = (
+        pairs.filter(F.col("doc_a") == F.col("doc_b"))
+        .select(F.col("doc_a").alias("doc"))
+        .distinct()
+        .join(
+            stars.select("doc").unionByName(
+                stars.select(F.col("comp").alias("doc"))
+            ),
+            "doc",
+            "left_anti",
         )
+        .select("doc", F.col("doc").alias("comp"))
     )
+    labels = (
+        stars.unionByName(
+            stars.select("comp").distinct().select(
+                F.col("comp").alias("doc"), F.col("comp")
+            )
+        )
+        .unionByName(singles)
+        # the final ITERATION state (one checkpointed edge set per round)
+        # must not outlive the call: checkpoint the labels — the minimal
+        # result state, node-count-sized — then release everything else.
+        # This one block backs the returned DataFrame and stays cached for
+        # the session (documented trade-off of checkpoint-based iteration).
+        .localCheckpoint()
+    )
+    edges.unpersist()
+    pairs.unpersist()
     sizes = labels.groupBy("comp").agg(F.count("*").cast("long").alias("cluster_size"))
     return labels.join(sizes, "comp").select(
         F.col("doc").alias("doc_id"),

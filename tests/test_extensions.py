@@ -200,3 +200,20 @@ def test_dedup_components_long_chain_converges_in_log_rounds(spark):
     assert all(out[i].component == 1 for i in range(1, n + 1))
     assert out[1].cluster_size == n
     assert dedup_components.last_rounds <= 8
+
+
+def test_dedup_components_self_loop_pairs_become_singletons(spark):
+    """The pairs override accepts any pair frame; a doc appearing ONLY in
+    self-loop pairs must surface as its own singleton cluster (membership
+    assertion), matching the pre-contraction implementation — and a
+    self-loop on a doc that also has real edges must not double it."""
+    from bitcoin_datapipeline_spark.operators.text import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(7, 7), (1, 2), (2, 2)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r for r in dedup_components(None, pairs=pairs).collect()}
+    assert set(out) == {1, 2, 7}
+    assert out[7].component == 7 and out[7].cluster_size == 1
+    assert out[1].component == 1 and out[1].cluster_size == 2
+    assert out[2].component == 1 and out[2].cluster_size == 2
