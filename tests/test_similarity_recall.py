@@ -93,5 +93,5 @@ def test_ivf_empty_training_sample_raises(spark):
     import pytest
 
     empty = table(spark, SF_DIR, "embeddings").filter("vec_id < 0")
-    with pytest.raises(ValueError, match="empty training sample"):
+    with pytest.raises(ValueError, match="no seed rows"):
         similarity.ann_ivf(empty)
