@@ -27,7 +27,9 @@ from bitcoin_datapipeline_spark.operators import (
     replay,
     setops,
     similarity,
+    reshape,
     skew,
+    subqueries,
     text,
     windows,
 )
@@ -1460,6 +1462,115 @@ def q_disjunctive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Correlated-subquery / multi-join shapes (operators/subqueries.py) — the
+# remaining classic decision-support forms: Q2/Q7/Q9/Q12/Q13/Q16/Q17/Q21/Q22
+# adapted to the driver schema.
+# ---------------------------------------------------------------------------
+@q("q_volume_shipping", subqueries.VOLUME_SHIPPING_ORACLE)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return subqueries.volume_shipping(
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "nation"),
+    )
+
+
+@q("q_product_profit", subqueries.PRODUCT_PROFIT_ORACLE)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return subqueries.product_profit(
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "part"),
+        table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "nation"),
+    )
+
+
+@q("q_late_shipments", subqueries.LATE_SHIPMENTS_ORACLE)
+def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return subqueries.late_shipments(
+        table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "orders")
+    )
+
+
+@q("q_customer_distribution", subqueries.CUSTOMER_DISTRIBUTION_ORACLE)
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return subqueries.customer_distribution(
+        table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    )
+
+
+@q("q_parts_supplier_counts", subqueries.PARTS_SUPPLIER_COUNTS_ORACLE)
+def q_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return subqueries.parts_supplier_counts(
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "part"),
+        table(spark, sf_dir, "supplier"),
+    )
+
+
+@q("q_small_qty_revenue", subqueries.SMALL_QTY_REVENUE_ORACLE)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return subqueries.small_qty_revenue(
+        table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "part")
+    )
+
+
+@q("q_waiting_suppliers", subqueries.WAITING_SUPPLIERS_ORACLE)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return subqueries.waiting_suppliers(
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "supplier"),
+    )
+
+
+@q("q_sales_opportunity", subqueries.SALES_OPPORTUNITY_ORACLE)
+def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return subqueries.sales_opportunity(
+        table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    )
+
+
+@q("q_min_cost_supplier", subqueries.MIN_COST_SUPPLIER_ORACLE)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return subqueries.min_cost_supplier(
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "part"),
+        table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "nation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reshaping surface (operators/reshape.py): CUBE + grouping_id, wide→long
+# unpivot, within-day ntile/cume_dist deciles.
+# ---------------------------------------------------------------------------
+@q("q_cube_sales", reshape.CUBE_SALES_ORACLE)
+def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return reshape.cube_sales(
+        table(spark, sf_dir, "orders"), table(spark, sf_dir, "customer")
+    )
+
+
+@q("q_unpivot_metrics", reshape.UNPIVOT_ORDER_METRICS_ORACLE)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return reshape.unpivot_order_metrics(table(spark, sf_dir, "orders"))
+
+
+@q(
+    "q_price_deciles",
+    OD.with_ctes(
+        OD.DEDUP_TRADES_CTE + "," + reshape.PRICE_DECILE_CTE,
+        body=reshape.PRICE_DECILE_BODY,
+    ),
+)
+def q_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return reshape.price_deciles(pipeline.trades_clean(spark, sf_dir))
+
+
 # Ordered user-journey funnel over the raw event stream
 @q("q_funnel", aggregates.CONVERSION_FUNNEL_ORACLE)
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1694,6 +1805,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # the best a 50-slot window can do for a 106-query surface), then the 50
 # green in CORRECTNESS_r03. Names not listed keep registration order.
 _DRIVER_PRIORITY: list[str] = [
+    # NEW in round 4 — no driver row yet, so they outrank every stale row
+    "q_volume_shipping",
+    "q_product_profit",
+    "q_late_shipments",
+    "q_customer_distribution",
+    "q_parts_supplier_counts",
+    "q_small_qty_revenue",
+    "q_waiting_suppliers",
+    "q_sales_opportunity",
+    "q_min_cost_supplier",
+    "q_cube_sales",
+    "q_unpivot_metrics",
+    "q_price_deciles",
     # 6 whose only driver row is CORRECTNESS_r01
     "q_ngram_jaccard",
     "q_minhash_lsh",

@@ -1,0 +1,179 @@
+"""Structural tests for operators/subqueries.py and operators/reshape.py —
+invariants and plan shapes the DuckDB oracle compare can't see (the oracle
+pins values; these pin the physical strategy and the algebraic identities).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bitcoin_datapipeline_spark.operators import reshape, subqueries
+from bitcoin_datapipeline_spark.plans import pipeline
+from bitcoin_datapipeline_spark.tables import table
+
+
+@pytest.fixture(scope="module")
+def sf01():
+    return "/root/testdata/sf0.001"
+
+
+def _plan(spark, df, mode: str = "formatted") -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_volume_shipping_broadcasts_both_nation_legs(spark, sf01):
+    """Q7 shape: supplier-leg and the two nation joins must be broadcast —
+    only the lineitem ⋈ orders ⋈ customer chain may shuffle."""
+    df = subqueries.volume_shipping(
+        table(spark, sf01, "lineitem"),
+        table(spark, sf01, "orders"),
+        table(spark, sf01, "customer"),
+        table(spark, sf01, "supplier"),
+        table(spark, sf01, "nation"),
+    )
+    plan = _plan(spark, df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_customer_distribution_counts_every_customer(spark, sf01):
+    """Q13 identity: the distribution must partition the customer relation
+    exactly — sum(custdist) == |customer|, and the zero bucket equals the
+    anti-join count against the filtered orders."""
+    customer = table(spark, sf01, "customer")
+    orders = table(spark, sf01, "orders")
+    dist = subqueries.customer_distribution(customer, orders).collect()
+    assert sum(r.custdist for r in dist) == customer.count()
+    zero = next((r.custdist for r in dist if r.c_count == 0), 0)
+    kept = orders.filter(
+        F.col("o_orderpriority") != subqueries.CUSTOMER_DIST_EXCLUDED_PRIORITY
+    )
+    expected_zero = customer.join(
+        kept, customer.c_custkey == kept.o_custkey, "left_anti"
+    ).count()
+    assert zero == expected_zero
+
+
+def test_waiting_suppliers_one_wait_per_order(spark, sf01):
+    """Q21 identity: each qualifying order names exactly one waiting
+    supplier, so sum(numwait) == count of multi-supplier 'F' orders with a
+    unique latest shipper."""
+    lineitem = table(spark, sf01, "lineitem")
+    orders = table(spark, sf01, "orders")
+    supplier = table(spark, sf01, "supplier")
+    out = subqueries.waiting_suppliers(lineitem, orders, supplier)
+    total_waits = out.agg(F.sum("numwait")).collect()[0][0] or 0
+
+    f_orders = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    per_os = (
+        lineitem.join(f_orders, lineitem.l_orderkey == f_orders.o_orderkey, "left_semi")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("s_last_ship"))
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.max("s_last_ship").alias("o_last_ship"),
+        F.max(F.struct("s_last_ship", "l_suppkey")).alias("_m"),
+    )
+    # qualifying orders: >1 supplier and a unique max ship date
+    at_max = per_os.join(
+        per_order.select("l_orderkey", "o_last_ship", "n_supp"), "l_orderkey"
+    ).filter(F.col("s_last_ship") == F.col("o_last_ship"))
+    qualifying = (
+        at_max.groupBy("l_orderkey", "n_supp")
+        .agg(F.count("*").alias("n_at_max"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_at_max") == 1))
+        .count()
+    )
+    assert total_waits == qualifying
+    assert total_waits > 0, "fixture must exercise the qualifying branch"
+
+
+def test_waiting_suppliers_shares_one_window_exchange(spark, sf01):
+    """Both per-order windows partition on the same key — the plan must not
+    re-shuffle between them (one hashpartitioning on l_orderkey feeds both
+    Window operators)."""
+    df = subqueries.waiting_suppliers(
+        table(spark, sf01, "lineitem"),
+        table(spark, sf01, "orders"),
+        table(spark, sf01, "supplier"),
+    )
+    plan = _plan(spark, df, "simple")
+    n_order_exchanges = plan.count("hashpartitioning(l_orderkey")
+    assert n_order_exchanges <= 2, plan  # groupBy + (shared) window exchange
+
+
+def test_small_qty_predicate_is_integer_exact(spark, sf01):
+    """The 5*qty*cnt < sum cross-multiplication must match the double form
+    qty < 0.2*avg on this data (they are equivalent — the point of the
+    rewrite is only to remove the cross-engine double hazard)."""
+    lineitem = table(spark, sf01, "lineitem")
+    per_part = lineitem.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    )
+    j = lineitem.join(per_part, lineitem.l_partkey == per_part.pk)
+    int_form = j.filter(
+        5 * F.col("l_quantity").cast("long") * F.col("cnt") < F.col("sum_qty")
+    ).count()
+    dbl_form = j.filter(F.col("l_quantity") < 0.2 * F.col("avg_qty")).count()
+    assert int_form == dbl_form
+
+
+def test_min_cost_supplier_no_self_join(spark, sf01):
+    """Q2 shape must resolve the correlated min via one aggregate — no
+    second lineitem scan and no SortMergeJoin of lineitem against itself."""
+    df = subqueries.min_cost_supplier(
+        table(spark, sf01, "lineitem"),
+        table(spark, sf01, "part"),
+        table(spark, sf01, "supplier"),
+        table(spark, sf01, "nation"),
+    )
+    plan = _plan(spark, df)
+    assert plan.count("lineitem.parquet") <= 1, "correlated min re-scans the fact"
+
+
+def test_cube_sales_grouping_sets(spark, sf01):
+    """CUBE must emit all four grouping sets with the documented gid bit
+    order (first column = most-significant bit)."""
+    out = reshape.cube_sales(
+        table(spark, sf01, "orders"), table(spark, sf01, "customer")
+    ).collect()
+    gids = {r.gid for r in out}
+    assert gids == {0, 1, 2, 3}
+    for r in out:
+        assert (r.c_mktsegment is None) == bool(r.gid & 2)
+        assert (r.o_orderstatus is None) == bool(r.gid & 1)
+    # grand total row consistency
+    total = next(r for r in out if r.gid == 3)
+    detail = [r for r in out if r.gid == 0]
+    assert total.n_orders == sum(r.n_orders for r in detail)
+
+
+def test_unpivot_is_expand_not_join(spark, sf01):
+    """Wide→long must plan a single Expand — no union-of-scans, no join."""
+    df = reshape.unpivot_order_metrics(table(spark, sf01, "orders"))
+    plan = _plan(spark, df)
+    assert "Expand" in plan
+    assert plan.count("orders.parquet") == 1, "unpivot re-scanned the source"
+
+
+def test_price_deciles_are_ordered_partitions(spark, sf01):
+    """Within each (symbol, day): decile sizes differ by ≤1 (ANSI ntile)
+    and price ranges are non-overlapping in decile order."""
+    out = reshape.price_deciles(pipeline.trades_clean(spark, sf01)).collect()
+    by_key: dict = {}
+    for r in out:
+        by_key.setdefault((r.symbol, r.trade_day), []).append(r)
+    assert by_key
+    for rows in by_key.values():
+        rows.sort(key=lambda r: r.decile)
+        sizes = [r.n_trades for r in rows]
+        assert max(sizes) - min(sizes) <= 1
+        for a, b in zip(rows, rows[1:]):
+            assert a.hi_price <= b.lo_price
+        assert abs(rows[-1].edge_cume_dist - 1.0) < 1e-9
