@@ -1369,6 +1369,11 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(table(spark, sf_dir, "documents"))
 
 
+@q("q_doc_pack", text.SEQUENCE_PACK_ORACLE)
+def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.sequence_pack(table(spark, sf_dir, "documents"))
+
+
 @q("q_doc_sample", text.SAMPLE_ORACLE)
 def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.deterministic_sample(table(spark, sf_dir, "documents"))
@@ -1818,6 +1823,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_cube_sales",
     "q_unpivot_metrics",
     "q_price_deciles",
+    "q_doc_pack",
     # 6 whose only driver row is CORRECTNESS_r01
     "q_ngram_jaccard",
     "q_minhash_lsh",

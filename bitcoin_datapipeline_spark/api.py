@@ -41,6 +41,7 @@ def register_views(
     gold_slice_s: int | None = gold.GOLD_SLICE_S,
     replay_slice_min: int | None = replay.REPLAY_SLICE_MIN,
     approx_percentiles: bool = False,
+    approx_distinct: bool = False,
 ) -> list[str]:
     """Register raw tables + the derived analytical views.  Returns the
     registered view names.
@@ -53,7 +54,9 @@ def register_views(
     (``latency_percentiles``, ``bars_winsorized``) from exact
     ``percentile`` — whose partial buffer holds every group value — to the
     bounded-memory mergeable ``percentile_approx`` sketch, the right
-    default on a 100 TB cluster.
+    default on a 100 TB cluster.  ``approx_distinct=True`` does the same
+    for the ``distinct_counts`` view: HyperLogLog++ sketches instead of the
+    exact expand-based distinct aggregate.
     """
     tables.register_views(spark, sf_dir)
     ev = tables.table(spark, sf_dir, "events")
@@ -99,6 +102,11 @@ def register_views(
         ),
         "bars_winsorized": aggregates.winsorize_volumes(
             pipeline.bars_pipeline(spark, sf_dir), approx=approx_percentiles
+        ),
+        # distinct-cardinality observability — exact by default, HLL++
+        # sketches at scale via the approx_distinct knob
+        "distinct_counts": aggregates.distinct_counts(
+            normalize.valid_trades(ev), approx=approx_distinct
         ),
     }
     for name, df in derived.items():

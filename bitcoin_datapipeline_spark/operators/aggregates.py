@@ -415,23 +415,30 @@ def health_rollup(dedup_trades: DataFrame) -> DataFrame:
     )
 
 
-def distinct_counts(trades: DataFrame) -> DataFrame:
+def distinct_counts(
+    trades: DataFrame, approx: bool = False, rsd: float = 0.02
+) -> DataFrame:
     """Distinct-cardinality stats per symbol (the dedup-observability
     numbers the reference tracks in its dedup caches,
-    utils/deduplication.py:42-48 + s3_writer dedup stats): exact distinct
-    ids/prices and the approximate variant alongside.
+    utils/deduplication.py:42-48 + s3_writer dedup stats).
 
-    At 100 TB `countDistinct` is a double shuffle (expand + aggregate) —
-    `approx_count_distinct` (HyperLogLog++, mergeable sketches) is the scale
-    path; both are exposed so callers can trade exactness for one pass.
-    The oracle checks the exact columns; approx is engine-specific and
-    excluded from the comparison surface.
-    """
+    ``approx=False`` (default, the oracle-compared path): exact
+    ``countDistinct`` — at 100 TB that is the expand + two-phase distinct
+    aggregate, one extra shuffle per distinct column.  ``approx=True``:
+    ``approx_count_distinct`` (HyperLogLog++ at relative error ``rsd``) —
+    mergeable sketch partials, single aggregation pass, the scale default
+    for observability counters where ±2% is fine.  Same schema either way;
+    tests/test_plans.py gates the approx path's plan (no Expand) and its
+    accuracy envelope, mirroring the percentile_approx knob pattern."""
+    if approx:
+        cd = lambda c: F.approx_count_distinct(c, rsd)  # noqa: E731
+    else:
+        cd = F.countDistinct
     return trades.groupBy("symbol").agg(
         F.count("*").cast("long").alias("n_rows"),
-        F.countDistinct("trade_id").cast("long").alias("n_distinct_ids"),
-        F.countDistinct("price").cast("long").alias("n_distinct_prices"),
-        F.countDistinct("source").cast("long").alias("n_sources"),
+        cd("trade_id").cast("long").alias("n_distinct_ids"),
+        cd("price").cast("long").alias("n_distinct_prices"),
+        cd("source").cast("long").alias("n_sources"),
     )
 
 

@@ -731,6 +731,62 @@ SELECT doc_id, lang,
 FROM c, LATERAL unnest(generate_series(1, n_chunks)) AS u(i)"""
 
 
+PACK_BUDGET_TOKENS = 512
+
+
+def sequence_pack(
+    documents: DataFrame, budget_tokens: int = PACK_BUDGET_TOKENS
+) -> DataFrame:
+    """Training-sequence packing: concatenate documents in a deterministic
+    order within each (source, lang) stream and assign each document to the
+    fixed-token-budget pack where it STARTS — the standard greedy
+    document-boundary packing a pre-training loader does before batching.
+
+    The running token total is a keyed window cumsum (explicit ROWS frame,
+    unique doc_id tiebreak → identical in both engines); ``pack_id`` is the
+    integer quotient of the start offset, ``pack_offset`` the remainder.
+    Scale: partitions are (source, lang) streams — the same sharding a
+    packing job uses on a real corpus so packs never span shards; within a
+    shard the cumsum is one sort, no self-join, no Python."""
+    ntok = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0)).cast(
+        "long"
+    )
+    w = (
+        Window.partitionBy("source", "lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = documents.select("source", "lang", "doc_id", ntok.alias("n_tokens"))
+    t = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    return t.select(
+        "source",
+        "lang",
+        "doc_id",
+        "n_tokens",
+        (start / budget_tokens).cast("long").alias("pack_id"),
+        (start % budget_tokens).cast("long").alias("pack_offset"),
+    )
+
+
+SEQUENCE_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT source, lang, doc_id,
+         CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *, sum(n_tokens) OVER (
+             PARTITION BY source, lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM t
+)
+SELECT source, lang, doc_id, n_tokens,
+       CAST((cum_tokens - n_tokens) // {PACK_BUDGET_TOKENS} AS BIGINT) AS pack_id,
+       CAST((cum_tokens - n_tokens) % {PACK_BUDGET_TOKENS} AS BIGINT) AS pack_offset
+FROM c"""
+
+
 SAMPLE_KEEP_HEX_MAX = "3"  # md5 first hex in [0,3] → ~25% kept
 
 

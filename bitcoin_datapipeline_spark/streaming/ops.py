@@ -111,6 +111,71 @@ def stream_bars_1m(trades: DataFrame, watermark: str = "10 minutes") -> DataFram
     )
 
 
+BBA_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("event_ts", T.LongType()),
+        T.StructField("ingest_ts", T.LongType()),
+        T.StructField("bid_px", T.DoubleType()),
+        T.StructField("bid_sz", T.DoubleType()),
+        T.StructField("ask_px", T.DoubleType()),
+        T.StructField("ask_sz", T.DoubleType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+
+def stream_quote_trade_join(
+    trades: DataFrame, quotes: DataFrame, band_s: int = 2, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream interval join (§2.10 + J1's streaming twin): each
+    trade joined to the quotes of the same symbol in the ``band_s`` seconds
+    up to the trade — the live feature-assembly step the reference does by
+    buffering both feeds in memory (feature_builder.py's trade+BBA merge).
+
+    Both sides carry watermarks and the join condition carries an explicit
+    event-time band, so Spark can bound BOTH state stores: each side only
+    buffers `watermark + band` of history per symbol (the documented
+    requirement for unbounded-free stream-stream inner joins).  At 100 TB/d
+    the state is O(symbols × band × quote rate), independent of history."""
+    t = (
+        with_event_time(trades)
+        .withWatermark("event_time", watermark)
+        .select(
+            F.col("symbol").alias("t_symbol"),
+            F.col("event_time").alias("trade_time"),
+            "trade_id",
+            "price",
+            "qty",
+        )
+    )
+    q = (
+        quotes.withColumn("event_time", F.timestamp_millis(F.col("event_ts")))
+        .withWatermark("event_time", watermark)
+        .select(
+            F.col("symbol").alias("q_symbol"),
+            F.col("event_time").alias("quote_time"),
+            "bid_px",
+            "ask_px",
+        )
+    )
+    cond = (
+        (F.col("t_symbol") == F.col("q_symbol"))
+        & (F.col("quote_time") <= F.col("trade_time"))
+        & (F.col("quote_time") >= F.col("trade_time") - F.expr(f"INTERVAL {int(band_s)} SECONDS"))
+    )
+    j = t.join(q, cond, "inner")
+    return j.select(
+        F.col("t_symbol").alias("symbol"),
+        "trade_id",
+        "trade_time",
+        "quote_time",
+        "price",
+        "bid_px",
+        "ask_px",
+    )
+
+
 def stream_sliding_stats(trades: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """A5 streaming: sliding 5-minute/1-minute hot-window stats — the Redis
     `tr:{symbol}:{window}` rolling state (DATA_PIPELINE.md:109-157) as a

@@ -265,6 +265,78 @@ def test_approx_percentile_knob_partial_aggregates(spark, sf01):
                      _plan(spark, wz))
 
 
+def test_approx_distinct_knob_single_pass_and_accurate(spark, sf01):
+    """distinct_counts(approx=True) must drop the Expand-based exact
+    distinct (one extra shuffle per distinct column) for mergeable HLL++
+    sketch partials, and stay within the configured relative error on the
+    fixture cardinalities.  Default path must keep exact countDistinct
+    (the DuckDB-oracle contract)."""
+    from bitcoin_datapipeline_spark.functions.normalize import valid_trades
+    from bitcoin_datapipeline_spark.operators import aggregates
+    from bitcoin_datapipeline_spark.tables import table
+
+    t = valid_trades(table(spark, sf01, "events"))
+    approx_plan = _plan(spark, aggregates.distinct_counts(t, approx=True))
+    assert "approx_count_distinct" in approx_plan
+    assert "Expand" not in approx_plan, "HLL path must be a single aggregate"
+    assert re.search(r"partial_approx_count_distinct", approx_plan), (
+        "sketch must run as a map-side partial"
+    )
+    exact_plan = _plan(spark, aggregates.distinct_counts(t))
+    assert "approx_count_distinct" not in exact_plan
+
+    exact = {r.symbol: r for r in aggregates.distinct_counts(t).collect()}
+    for r in aggregates.distinct_counts(t, approx=True, rsd=0.02).collect():
+        e = exact[r.symbol]
+        assert abs(r.n_distinct_ids - e.n_distinct_ids) <= max(
+            3, 0.06 * e.n_distinct_ids
+        ), (r.symbol, r.n_distinct_ids, e.n_distinct_ids)
+        assert r.n_sources == e.n_sources  # tiny cardinalities stay exact
+
+
+def test_runtime_bloom_filter_prunes_probe_scan(spark, sf01):
+    """100 TB fact-fact join aid: with a selective filter on the build side,
+    Spark's runtime row-level filtering must inject a bloom filter —
+    `bloom_filter_agg` over the build keys, `might_contain` on the probe
+    scan — so probe rows that cannot join die at the scan instead of
+    crossing the shuffle.  Thresholds are production-scale by default
+    (application side ≥ 10 GB), so this test lowers the application-side
+    floor to exercise the rewrite on fixture data; the assertion is about
+    the OPTIMIZER REWRITE, which is size-independent."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_datapipeline_spark.tables import table
+
+    tweaked = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tweaked}
+    try:
+        for k, v in tweaked.items():
+            spark.conf.set(k, v)
+        orders = table(spark, sf01, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = table(spark, sf01, "lineitem")
+        j = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan(spark, j)
+        assert "bloom_filter_agg" in plan, "no bloom built on the filtered side"
+        assert "might_contain" in plan, "probe scan not bloom-pruned"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """SCALING.md's join-skew story: salting covers aggregations
     (test_salted_aggregation_equivalence); JOIN skew is delegated to AQE's

@@ -580,3 +580,57 @@ def test_stateful_api_compat_matrix():
         "blocker documented in streaming/ops.py is gone; migrate the three "
         "applyInPandasWithState operators and update this matrix"
     )
+
+
+def test_stream_stream_quote_trade_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join == the identical batch join: same symbol
+    equality, same [-band, 0] event-time band, same inner semantics.  Also
+    pins that the streaming plan is a watermarked StreamingSymmetricHashJoin
+    (bounded two-sided state), not an unbounded buffer."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_datapipeline_spark.functions.normalize import bba
+    from bitcoin_datapipeline_spark.streaming.ops import (
+        BBA_SCHEMA,
+        stream_quote_trade_join,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    trades_b = valid_trades(ev)
+    quotes_b = bba(ev)
+    td = str(tmp_path / "t_src")
+    qd = str(tmp_path / "q_src")
+    trades_b.write.parquet(td)
+    quotes_b.write.parquet(qd)
+
+    t_src = spark.readStream.schema(TRADE_SCHEMA).parquet(td)
+    q_src = spark.readStream.schema(BBA_SCHEMA).parquet(qd)
+    joined = stream_quote_trade_join(t_src, q_src, band_s=2)
+    assert "watermark" in joined._jdf.queryExecution().analyzed().toString().lower()
+    out = _run(spark, joined, "ssj_out", "append")
+
+    # batch twin: same condition expressed directly on the batch frames
+    t = trades_b.select(
+        F.col("symbol").alias("t_symbol"),
+        F.timestamp_millis("event_ts").alias("trade_time"),
+        "trade_id",
+        "price",
+    )
+    q = quotes_b.select(
+        F.col("symbol").alias("q_symbol"),
+        F.timestamp_millis("event_ts").alias("quote_time"),
+        "bid_px",
+        "ask_px",
+    )
+    cond = (
+        (F.col("t_symbol") == F.col("q_symbol"))
+        & (F.col("quote_time") <= F.col("trade_time"))
+        & (F.col("quote_time") >= F.col("trade_time") - F.expr("INTERVAL 2 SECONDS"))
+    )
+    expected = t.join(q, cond).count()
+    got = out.count()
+    assert got == expected and got > 0
+    # checksum a value column too, not just cardinality
+    exp_sum = t.join(q, cond).agg(F.sum("bid_px")).collect()[0][0]
+    got_sum = out.agg(F.sum("bid_px")).collect()[0][0]
+    assert abs(got_sum - exp_sum) < 1e-6 * max(1.0, abs(exp_sum))
