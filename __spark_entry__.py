@@ -1374,6 +1374,11 @@ def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.sequence_pack(table(spark, sf_dir, "documents"))
 
 
+@q("q_corpus_resample", text.TEMPERATURE_RESAMPLE_ORACLE)
+def q_corpus_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.temperature_resample(table(spark, sf_dir, "documents"))
+
+
 @q("q_doc_sample", text.SAMPLE_ORACLE)
 def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.deterministic_sample(table(spark, sf_dir, "documents"))
@@ -1824,6 +1829,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_unpivot_metrics",
     "q_price_deciles",
     "q_doc_pack",
+    "q_corpus_resample",
     # 6 whose only driver row is CORRECTNESS_r01
     "q_ngram_jaccard",
     "q_minhash_lsh",

@@ -44,6 +44,10 @@ HEADLINE = [
     "q_minhash_lsh",
     "q_embed_knn",
     "q_embed_ann_ivf",
+    # round 4: the correlated-subquery family (two window passes over one
+    # keyed exchange) and day-keyed rank bucketing
+    "q_waiting_suppliers",
+    "q_price_deciles",
 ]
 
 

@@ -810,6 +810,66 @@ FROM documents
 WHERE substr(md5(concat(lang, '|', CAST(doc_id AS VARCHAR))), 1, 1) <= '{SAMPLE_KEEP_HEX_MAX}'"""
 
 
+HEX5_SPACE = 16**5  # draw space of the first 5 md5 hex chars
+
+
+def temperature_resample(documents: DataFrame) -> DataFrame:
+    """Temperature-scaled language rebalancing (the corpus-mixing resample
+    a multi-source training pipeline runs after `corpus_mix` reports skew;
+    language is the skewed stratum in this corpus — sources are uniform):
+    downsample dominant languages so post-sample language shares follow
+    share^T (T = 0.5) instead of raw share — the standard tail-upweighting
+    mix.  For sampling-without-replacement the per-source keep probability
+    reduces to ``(n_min / n_i)^(1-T)``; at T = 0.5 that is
+    ``sqrt(n_min / n_i)``, computed with ``sqrt`` deliberately — IEEE
+    requires sqrt correctly rounded, so BOTH engines produce the identical
+    double, which a generic ``pow`` does not guarantee.  The keep decision
+    compares a 20-bit md5 draw against round(p × 16^5): integer-exact,
+    reproducible, no RNG state.
+
+    Plan: one tiny per-source aggregate broadcast back onto a map-only
+    filter — the same shuffle-free shape as deterministic_sample; the doc
+    relation is scanned once."""
+    counts = documents.groupBy(F.col("lang").alias("stratum")).agg(
+        F.count("*").alias("n_docs")
+    )
+    n_min = counts.groupBy().agg(F.min("n_docs").alias("n_min"))
+    probs = counts.join(F.broadcast(n_min)).select(
+        "stratum",
+        r6(F.sqrt(F.col("n_min") / F.col("n_docs"))).alias("keep_prob"),
+    )
+    # floor(x + 0.5) == half-up for positives; avoids round() so the
+    # oracle round-compat rewriter (scale-6 only) stays out of the way
+    thr = F.floor(F.col("keep_prob") * HEX5_SPACE + F.lit(0.5)).cast("long")
+    draw = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 5),
+        16,
+        10,
+    ).cast("long")
+    return (
+        documents.join(F.broadcast(probs), documents.lang == probs.stratum)
+        .withColumn("draw", draw)
+        .filter((thr >= HEX5_SPACE) | (F.col("draw") < thr))
+        .select("doc_id", "source", "lang", "keep_prob")
+    )
+
+
+TEMPERATURE_RESAMPLE_ORACLE = f"""
+WITH counts AS (
+  SELECT lang AS stratum, count(*) AS n_docs FROM documents GROUP BY lang
+),
+m AS (SELECT min(n_docs) AS n_min FROM counts),
+probs AS (
+  SELECT stratum, round(sqrt(CAST(n_min AS DOUBLE) / n_docs), 6) AS keep_prob
+  FROM counts CROSS JOIN m
+)
+SELECT doc_id, source, lang, keep_prob
+FROM documents JOIN probs ON lang = stratum
+WHERE CAST(floor(keep_prob * {HEX5_SPACE} + 0.5) AS BIGINT) >= {HEX5_SPACE}
+   OR CAST(('0x' || substr(md5(concat('mix|', CAST(doc_id AS VARCHAR))), 1, 5)) AS BIGINT)
+      < CAST(floor(keep_prob * {HEX5_SPACE} + 0.5) AS BIGINT)"""
+
+
 WINNOW_MIN_SHARED = 2
 
 

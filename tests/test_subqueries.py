@@ -177,3 +177,57 @@ def test_price_deciles_are_ordered_partitions(spark, sf01):
         for a, b in zip(rows, rows[1:]):
             assert a.hi_price <= b.lo_price
         assert abs(rows[-1].edge_cume_dist - 1.0) < 1e-9
+
+
+def test_temperature_resample_rebalances_langs(spark, sf01):
+    """The sqrt-law mix: the rarest language keeps everything (p = 1);
+    dominant languages downsample toward sqrt-share; realized keep rates
+    track keep_prob within binomial noise."""
+    from bitcoin_datapipeline_spark.operators import text as T
+
+    docs = table(spark, sf01, "documents")
+    before = {r.lang: r.cnt for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    out = T.temperature_resample(docs)
+    rows = out.collect()
+    n_min = min(before.values())
+    kept: dict = {}
+    probs: dict = {}
+    for r in rows:
+        kept[r.lang] = kept.get(r.lang, 0) + 1
+        probs[r.lang] = r.keep_prob
+    # rarest stratum fully kept
+    rarest = min(before, key=lambda k: before[k])
+    assert kept[rarest] == before[rarest]
+    assert probs[rarest] == 1.0
+    for lang, n in before.items():
+        p = (n_min / n) ** 0.5
+        assert abs(probs[lang] - round(p, 6)) < 1e-9
+        # 4-sigma binomial envelope
+        sigma = (n * p * (1 - p)) ** 0.5
+        assert abs(kept.get(lang, 0) - n * p) <= 4 * sigma + 1
+
+
+def test_compaction_hits_target_and_is_idempotent(spark, tmp_path):
+    """Small-file compaction: a partition fragmented into many files is
+    rewritten to ceil(bytes/target) files with identical rows; a second
+    sweep is a no-op."""
+    from bitcoin_datapipeline_spark.sources import compact
+
+    root = str(tmp_path / "lake")
+    df = spark.range(0, 20_000).selectExpr(
+        "id", "id % 7 AS k", "repeat('x', 64) AS pad"
+    )
+    df.repartition(40).write.parquet(root)  # 40 shards of one partition
+    n0, bytes0 = compact._dir_stats(root)
+    assert n0 == 40
+    target = max(1, bytes0 // 3)  # force ~3-4 output files
+    stats = compact.compact_tree(spark, root, target_bytes=target)
+    assert len(stats) == 1 and stats[0]["rewritten"]
+    want = -(-bytes0 // target)
+    assert stats[0]["files_after"] == want
+    back = spark.read.parquet(root)
+    assert back.count() == 20_000
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(range(20_000))
+    # idempotent second sweep
+    stats2 = compact.compact_tree(spark, root, target_bytes=target)
+    assert not stats2[0]["rewritten"]
