@@ -403,8 +403,14 @@ def waiting_suppliers(lineitem: DataFrame, orders: DataFrame, supplier: DataFram
     order key — one keyed sort shared by both (Catalyst reuses the
     exchange), millions of tiny partitions at scale, no global ordering."""
     f_orders = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    # repartition on the ORDER key alone: HashPartitioning(l_orderkey)
+    # satisfies the (l_orderkey, l_suppkey) aggregate's clustering AND the
+    # windows' partitioning, so the whole left branch runs on ONE exchange
+    # (without it the aggregate shuffles on both keys and the window
+    # re-shuffles on the order key — a second full pass over the grain).
     per_os = (
         lineitem.join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("l_shipdate").alias("s_last_ship"))
     )

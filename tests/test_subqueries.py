@@ -103,7 +103,10 @@ def test_waiting_suppliers_shares_one_window_exchange(spark, sf01):
     )
     plan = _plan(spark, df, "simple")
     n_order_exchanges = plan.count("hashpartitioning(l_orderkey")
-    assert n_order_exchanges <= 2, plan  # groupBy + (shared) window exchange
+    # ONE exchange on the order key serves the (order, supplier) aggregate
+    # AND both windows (HashPartitioning(l_orderkey) satisfies the
+    # two-key clustering) — see the repartition note in waiting_suppliers
+    assert n_order_exchanges == 1, plan
 
 
 def test_small_qty_predicate_is_integer_exact(spark, sf01):
