@@ -1044,6 +1044,12 @@ def q_doc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.decontaminate(table(spark, sf_dir, "documents"))
 
+# n-gram-overlap decontamination (GPT-3 appendix-C rule; catches partial
+# inclusions the exact-hash variant misses)
+@q("q_decontaminate_ngram", text.DECONTAMINATE_NGRAM_ORACLE)
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.decontaminate_ngram(table(spark, sf_dir, "documents"))
+
 # C4-style quality gate: per-rule verdicts + auditable keep flag
 @q("q_doc_quality_filter", text.QUALITY_FILTER_ORACLE)
 def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1144,6 +1150,13 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q_embed_ann_ivf", similarity.ANN_IVF_ORACLE)
 def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf(table(spark, sf_dir, "embeddings"))
+
+
+# SemDeDup: cluster-then-cosine semantic dedup (the coarse quantizer IS the
+# blocking key — pairwise work bounded by cluster width, never n²)
+@q("q_semdedup", similarity.SEMDEDUP_ORACLE)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semdedup(table(spark, sf_dir, "embeddings"))
 
 
 # Corpus clustering report over the trained coarse quantizer (data-mixture
@@ -1816,6 +1829,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # green in CORRECTNESS_r03. Names not listed keep registration order.
 _DRIVER_PRIORITY: list[str] = [
     # NEW in round 4 — no driver row yet, so they outrank every stale row
+    "q_decontaminate_ngram",
+    "q_semdedup",
     "q_volume_shipping",
     "q_product_profit",
     "q_late_shipments",

@@ -661,6 +661,138 @@ WHERE rank <= {KNN_K}"""
 ANN_IVF_ORACLE = _ivf_oracle()
 
 
+SEMDEDUP_THRESHOLD = 0.4  # tuned to the isotropic synthetic corpus (max
+# pairwise cosine ≈ 0.55); real embedding spaces use ~0.95+
+
+
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    train_mod: int = IVF_TRAIN_MOD,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — semantic dedup at corpus scale:
+    cluster the embedding space with the coarse k-means quantizer, then
+    search for near-duplicate pairs ONLY within each cluster, so the
+    pairwise cosine work is bounded by the largest cluster instead of n².
+    The keep rule is the paper's greedy one made deterministic: a vector
+    is dropped iff a SMALLER-id vector in its cluster has cosine ≥
+    threshold (so the lowest id of every duplicate group survives).
+
+    Emits one audit row per corpus vector: cluster id, keep verdict,
+    the id it duplicates (null if kept) and the in-cluster duplicate
+    neighbor count — the table a removal pass anti-joins against.
+
+    Plan shape: the quantizer is the SAME deterministic sampled-training
+    build as :func:`ann_ivf` (shared oracle CTEs); assignment is map-only
+    against the broadcast centroid model; the pair search is a self
+    equi-join on the cluster id (the cluster IS the blocking key — the
+    whole point of the method) + one aggregate on the dropped id + a left
+    join back to the assignment.  At 100 TB: K scales with corpus size to
+    bound cluster width (the paper uses K≈10⁵ for 5 B docs), the
+    assignment is persisted once instead of recomputed per branch, and
+    the per-cluster join stays quadratic only in cluster width.  Like
+    ann_ivf, quantizer training runs EAGERLY at call time (spark.ml
+    fit() pattern) and raises ``ValueError`` on an empty sample.
+
+    cf. reference similarity surface: extends the reference (no ANN/dedup
+    over embeddings there); same bucketed-candidate-generation discipline
+    as the MinHash-LSH text path (`text.py` banding)."""
+    embeddings = _spread(embeddings)
+    e = with_norm(embeddings)
+    cents = _train_quantizer(embeddings, train_mod)
+    e = e.join(F.broadcast(_centroid_frame(embeddings.sparkSession, cents)))
+    best = F.array_max(_centroid_scores())
+    assigned = e.select(
+        "vec_id",
+        (-best["negc"]).cast("long").alias("c"),
+        "embedding",
+        "norm",
+    )
+    left = assigned.select(
+        F.col("vec_id").alias("keep_id"),
+        "c",
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    right = assigned.select(
+        F.col("vec_id").alias("cand_id"),
+        "c",
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    cos6 = r6(_dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")))
+    dups = (
+        left.join(right, ["c"])
+        .filter(F.col("keep_id") < F.col("cand_id"))
+        .withColumn("cosine", cos6)
+        .filter(F.col("cosine") >= threshold)
+        .groupBy(F.col("cand_id").alias("vec_id"))
+        .agg(
+            F.min("keep_id").cast("long").alias("dup_of"),
+            F.count("*").cast("long").alias("n_dup_neighbors"),
+        )
+    )
+    return (
+        assigned.select("vec_id", F.col("c").cast("int").alias("cluster"))
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+            F.coalesce("n_dup_neighbors", F.lit(0).cast("long")).alias(
+                "n_dup_neighbors"
+            ),
+        )
+    )
+
+
+def _semdedup_oracle(
+    threshold: float = SEMDEDUP_THRESHOLD, train_mod: int = IVF_TRAIN_MOD
+) -> str:
+    """DuckDB twin: replayed quantizer training (shared CTEs), full-corpus
+    assignment, in-cluster pair search with the same 6-dp cosine sync."""
+    ctes, final = _ivf_train_ctes(train_mod)
+    ctes.append(
+        f"""assignment AS (
+  SELECT vec_id, c FROM (
+    SELECT e.vec_id, c.c,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                   c.centroid), 6) DESC, c.c) AS rn
+    FROM embeddings e CROSS JOIN {final} c)
+  WHERE rn = 1
+)"""
+    )
+    ctes.append(
+        f"""dups AS (
+  SELECT b.vec_id,
+         CAST(min(a.vec_id) AS BIGINT) AS dup_of,
+         CAST(count(*) AS BIGINT) AS n_dup_neighbors
+  FROM assignment a
+  JOIN assignment b ON a.c = b.c AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[])), 6)
+        >= {threshold}
+  GROUP BY b.vec_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT p.vec_id, CAST(p.c AS INTEGER) AS cluster,
+       d.vec_id IS NULL AS keep, d.dup_of,
+       CAST(coalesce(d.n_dup_neighbors, 0) AS BIGINT) AS n_dup_neighbors
+FROM assignment p LEFT JOIN dups d USING (vec_id)"""
+    )
+
+
+SEMDEDUP_ORACLE = _semdedup_oracle()
+
+
 def quantize_stats(embeddings: DataFrame) -> DataFrame:
     """Int8 scalar quantization audit — the storage-compression pass a
     100 TB embedding store runs before indexing (4× smaller than float32,

@@ -987,6 +987,85 @@ FROM tagged t JOIN train_hashes h ON t.content_hash = h.content_hash
 WHERE t.is_eval"""
 
 
+# n-gram contamination window.  Production pipelines use 13-gram overlap
+# (the GPT-3 appendix-C rule); the synthetic corpus's ~30-token documents
+# need a shorter window to exercise the non-exact-match path, so the
+# declared query pins n=4.  The operator takes n as a parameter.
+NGRAM_DECON_N = 4
+
+
+def decontaminate_ngram(documents: DataFrame, n: int = NGRAM_DECON_N) -> DataFrame:
+    """N-gram-overlap decontamination — the industry-standard upgrade of
+    :func:`decontaminate`'s exact-hash check (GPT-3 appendix C, PaLM,
+    Llama: a TRAIN document is contaminated if it shares any n-gram with
+    an eval document, catching paraphrases and partial inclusions that
+    whole-document hashing misses).  Same deterministic salted-hash
+    eval/train split as the exact variant.  Emits one row per contaminated
+    train document with the distinct shared n-grams, the distinct eval
+    documents hit, and the raw (gram × eval-doc) hit count — the audit
+    columns a removal pass filters on.
+
+    Plan shape: both sides come from ONE scan (map-only gram explode with
+    the let-bound token array, see :func:`_shingles`); the probe is a
+    gram equi-join + one aggregate on the train doc id.  At 100 TB the
+    eval side is a fixed benchmark suite — thousands of docs, millions of
+    grams — so the gram join broadcasts the eval set and the whole check
+    is map-side against the train scan; here the eval stratum is 25 % of
+    the corpus, so it shuffles like any gram join.  Hot boilerplate grams
+    fan out like hot shingles; the same doc-frequency cap
+    (:func:`_cap_hot_shingles`) applies if the eval set is not curated."""
+    h = F.md5(F.concat(F.col("lang"), F.lit("|"), F.col("doc_id").cast("string")))
+    grams = F.expr(
+        "transform(array(split(text, ' ')), toks -> "
+        f" CASE WHEN size(toks) >= {n} THEN"
+        f"  array_distinct(transform(sequence(0, size(toks) - {n}), i -> "
+        f"   concat_ws(' ', slice(toks, i + 1, {n}))))"
+        " ELSE array() END)[0]"
+    )
+    tagged = documents.select(
+        "doc_id",
+        (F.substring(h, 1, 1) <= SAMPLE_KEEP_HEX_MAX).alias("is_eval"),
+        F.explode(grams).alias("gram"),
+    )
+    eval_grams = tagged.filter(F.col("is_eval")).select(
+        "gram", F.col("doc_id").alias("eval_doc_id")
+    )
+    train_grams = tagged.filter(~F.col("is_eval")).select(
+        F.col("doc_id").alias("train_doc_id"), "gram"
+    )
+    return (
+        train_grams.join(eval_grams, "gram")
+        .groupBy("train_doc_id")
+        .agg(
+            F.countDistinct("gram").cast("long").alias("n_shared_ngrams"),
+            F.countDistinct("eval_doc_id").cast("long").alias("n_eval_docs"),
+            F.count("*").cast("long").alias("n_hits"),
+        )
+    )
+
+
+DECONTAMINATE_NGRAM_ORACLE = f"""
+WITH tagged AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         substr(md5(concat(lang, '|', CAST(doc_id AS VARCHAR))), 1, 1)
+             <= '{SAMPLE_KEEP_HEX_MAX}' AS is_eval
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, is_eval,
+         unnest([array_to_string(toks[i:i+{NGRAM_DECON_N - 1}], ' ')
+                 for i in generate_series(1, len(toks) - {NGRAM_DECON_N - 1})]) AS gram
+  FROM tagged
+)
+SELECT t.doc_id AS train_doc_id,
+       CAST(count(DISTINCT t.gram) AS BIGINT) AS n_shared_ngrams,
+       CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs,
+       CAST(count(*) AS BIGINT) AS n_hits
+FROM grams t JOIN grams e ON t.gram = e.gram AND e.is_eval
+WHERE NOT t.is_eval
+GROUP BY t.doc_id"""
+
+
 # C4-style quality gate thresholds (tuned to the synthetic corpus so both
 # kept and dropped classes are non-empty at every SF)
 QF_MIN_TOKENS = 30

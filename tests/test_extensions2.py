@@ -152,3 +152,85 @@ def test_deterministic_sample_stable(spark, sf_dir):
     assert s1 == s2                      # reproducible, no RNG state
     frac = len(s1) / d.count()
     assert 0.15 < frac < 0.35            # ~25% by construction
+
+
+def test_decontaminate_ngram_matches_python_model(spark):
+    """decontaminate_ngram vs an independent pure-Python recomputation on a
+    corpus designed so some train docs share 4-grams with eval docs (via a
+    common phrase) and others cannot (unique vocabularies)."""
+    import hashlib
+
+    from bitcoin_datapipeline_spark.operators.text import (
+        NGRAM_DECON_N,
+        SAMPLE_KEEP_HEX_MAX,
+        decontaminate_ngram,
+    )
+
+    phrase = "alpha beta gamma delta"          # one shared 4-gram
+    texts = {}
+    for i in range(20):
+        if i % 3 == 0:
+            texts[i] = f"u{i}a u{i}b {phrase} u{i}c u{i}d"   # carries phrase
+        else:
+            texts[i] = f"v{i}a v{i}b v{i}c v{i}d v{i}e"      # unique grams
+    d = spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+         for i, t in texts.items()]
+    )
+    out = {
+        r.train_doc_id: (r.n_shared_ngrams, r.n_eval_docs, r.n_hits)
+        for r in decontaminate_ngram(d).collect()
+    }
+
+    def grams(t, n=NGRAM_DECON_N):
+        toks = t.split(" ")
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    def is_eval(i):
+        return hashlib.md5(f"en|{i}".encode()).hexdigest()[0] <= SAMPLE_KEEP_HEX_MAX
+
+    eval_grams = {}  # gram -> set of eval doc ids
+    for i, t in texts.items():
+        if is_eval(i):
+            for g in grams(t):
+                eval_grams.setdefault(g, set()).add(i)
+    expected = {}
+    for i, t in texts.items():
+        if is_eval(i):
+            continue
+        shared = {g: eval_grams[g] for g in grams(t) if g in eval_grams}
+        if shared:
+            docs = set().union(*shared.values())
+            hits = sum(len(v) for v in shared.values())
+            expected[i] = (len(shared), len(docs), hits)
+
+    assert out == expected
+    assert expected, "corpus must produce at least one contaminated train doc"
+    clean_train = [i for i in texts if not is_eval(i) and i not in expected]
+    assert clean_train, "corpus must keep at least one clean train doc"
+
+
+def test_semdedup_greedy_keep_rule(spark):
+    """Groups of identical vectors land in one cluster; only the smallest id
+    of each group survives, with dup_of/neighbor counts per the greedy rule;
+    orthogonal groups never cross-contaminate (cos 0 < threshold)."""
+    from bitcoin_datapipeline_spark.operators.similarity import semdedup
+
+    basis = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+             [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+    rows = [Row(vec_id=i, embedding=basis[i // 4], label=i // 4)
+            for i in range(16)]
+    out = {r.vec_id: r for r in semdedup(
+        spark.createDataFrame(rows), train_mod=1).collect()}
+
+    assert len(out) == 16
+    for i in range(16):
+        g0 = (i // 4) * 4                      # group's smallest id
+        if i == g0:
+            assert out[i].keep and out[i].dup_of is None
+            assert out[i].n_dup_neighbors == 0
+        else:
+            assert not out[i].keep and out[i].dup_of == g0
+            assert out[i].n_dup_neighbors == i - g0
+        # identical vectors must share a cluster
+        assert out[i].cluster == out[g0].cluster
