@@ -669,6 +669,7 @@ def semdedup(
     embeddings: DataFrame,
     threshold: float = SEMDEDUP_THRESHOLD,
     train_mod: int = IVF_TRAIN_MOD,
+    persist_assignment: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) — semantic dedup at corpus scale:
     cluster the embedding space with the coarse k-means quantizer, then
@@ -688,11 +689,17 @@ def semdedup(
     equi-join on the cluster id (the cluster IS the blocking key — the
     whole point of the method) + one aggregate on the dropped id + a left
     join back to the assignment.  At 100 TB: K scales with corpus size to
-    bound cluster width (the paper uses K≈10⁵ for 5 B docs), the
-    assignment is persisted once instead of recomputed per branch, and
-    the per-cluster join stays quadratic only in cluster width.  Like
-    ann_ivf, quantizer training runs EAGERLY at call time (spark.ml
-    fit() pattern) and raises ``ValueError`` on an empty sample.
+    bound cluster width (the paper uses K≈10⁵ for 5 B docs) and the
+    per-cluster join stays quadratic only in cluster width.  The map-only
+    assignment feeds three plan branches; by default it is recomputed per
+    branch (3 scan+score passes — projection pushdown renames each
+    branch's columns below any shared exchange, so ReusedExchange cannot
+    deduplicate them).  Pass ``persist_assignment=True`` to materialize it
+    once instead — the production setting for a corpus-scale run; the
+    CALLER owns the unpersist (``df.sparkSession.catalog.clearCache()`` or
+    track the handle), which is why it defaults off.  Like ann_ivf,
+    quantizer training runs EAGERLY at call time (spark.ml fit() pattern)
+    and raises ``ValueError`` on an empty sample.
 
     cf. reference similarity surface: extends the reference (no ANN/dedup
     over embeddings there); same bucketed-candidate-generation discipline
@@ -708,6 +715,8 @@ def semdedup(
         "embedding",
         "norm",
     )
+    if persist_assignment:
+        assigned = assigned.persist()
     left = assigned.select(
         F.col("vec_id").alias("keep_id"),
         "c",

@@ -234,3 +234,16 @@ def test_semdedup_greedy_keep_rule(spark):
             assert out[i].n_dup_neighbors == i - g0
         # identical vectors must share a cluster
         assert out[i].cluster == out[g0].cluster
+
+
+def test_semdedup_persist_knob_equivalent(spark):
+    """persist_assignment=True must not change results (it only swaps
+    recompute-per-branch for a materialized assignment)."""
+    from bitcoin_datapipeline_spark.operators.similarity import semdedup
+    from bitcoin_datapipeline_spark.tables import table
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = sorted(map(tuple, semdedup(e, train_mod=1).collect()))
+    fast = semdedup(e, train_mod=1, persist_assignment=True)
+    assert sorted(map(tuple, fast.collect())) == base
+    spark.catalog.clearCache()
