@@ -1055,6 +1055,13 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_filter(table(spark, sf_dir, "documents"))
 
+# LM-perplexity quality scoring (CCNet-style, unigram LM): statistical
+# upgrade over the heuristic quality_filter rules
+@q("q_doc_perplexity", text.UNIGRAM_LOGLOSS_ORACLE)
+def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.unigram_logloss(table(spark, sf_dir, "documents"))
+
+
 # Repetition / boilerplate detection: top-shingle share per document
 @q("q_doc_repetition", text.REPETITION_ORACLE)
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1164,6 +1171,14 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q_embed_cluster_stats", similarity.CLUSTER_STATS_ORACLE)
 def q_embed_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cluster_stats(table(spark, sf_dir, "embeddings"))
+
+
+# Resize / box-filter downsample over binary media (long-form per-bin rows)
+@q("q_multimodal_resize", multimodal.RESIZE_ORACLE)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.resize_signal(
+        multimodal.media_table(table(spark, sf_dir, "documents"))
+    )
 
 
 @q("q_multimodal_meta", multimodal.MEDIA_META_ORACLE)
@@ -1831,6 +1846,8 @@ _DRIVER_PRIORITY: list[str] = [
     # NEW in round 4 — no driver row yet, so they outrank every stale row
     "q_decontaminate_ngram",
     "q_semdedup",
+    "q_doc_perplexity",
+    "q_multimodal_resize",
     "q_volume_shipping",
     "q_product_profit",
     "q_late_shipments",

@@ -65,6 +65,10 @@ FAMILIES: dict[str, list[str]] = {
         # iterative: evidence that star-contraction ROUND count tracks
         # graph diameter, not corpus size (wall-clock stays ~linear)
         "q_dedup_components",
+        # gram equi-join across the eval/train split (hot-gram fan-out risk)
+        "q_decontaminate_ngram",
+        # in-cluster pairwise cosine (cluster-width² risk)
+        "q_semdedup",
     ],
     "ann": ["q_embed_ann_ivf"],
     "grid": ["q_returns_1s"],

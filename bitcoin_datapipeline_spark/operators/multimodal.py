@@ -279,3 +279,101 @@ SELECT doc_id,
        CAST(list_min(fr) AS INTEGER) AS frame_min,
        CAST(list_max(fr) AS INTEGER) AS frame_max
 FROM frames"""
+
+
+RESIZE_BINS = 16
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("bin_idx", T.IntegerType()),
+        T.StructField("bin_start", T.LongType()),
+        T.StructField("bin_len", T.LongType()),
+        T.StructField("bin_mean", T.DoubleType()),
+    ]
+)
+
+
+def resize_signal(media: DataFrame, n_bins: int = RESIZE_BINS) -> DataFrame:
+    """Resize / downsample over binary media (the image-resize slot of the
+    multimodal brief): area-average the byte signal into ``n_bins``
+    near-equal blocks — exactly the arithmetic of a box-filter image
+    downsample, applied to the 1-D byte proxy (a real implementation swaps
+    the block-mean kernel for a pixel-space resampler behind the same
+    NotImplementedError guard as decode_stub).  Emitted LONG-form (one row
+    per bin) so every value is a scalar the oracle compares exactly: block
+    boundaries are ``floor(i·n/bins)`` and each block mean is one exact
+    integer sum over the uint8 view divided once — no rounding needed in
+    either engine.  Items shorter than ``n_bins`` bytes are dropped (no
+    full-width block exists).
+
+    Spark shape: same codec-homogeneous (format, shard) repartition as
+    decode_features, then one Arrow batch pass; the per-byte dimension is
+    numpy ``add.reduceat`` over the block boundaries — Python only walks
+    ragged row boundaries."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "format", "bin_idx", "bin_start", "bin_len",
+                "bin_mean",
+            )}
+            for doc_id, fmt, p in zip(pdf["doc_id"], pdf["fmt"], pdf["payload"]):
+                if p is None or len(p) < n_bins:
+                    continue
+                a = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+                n = len(a)
+                bounds = (np.arange(n_bins + 1, dtype=np.int64) * n) // n_bins
+                sums = np.add.reduceat(a, bounds[:-1])
+                lens = np.diff(bounds)
+                means = sums / lens
+                out["doc_id"].extend([int(doc_id)] * n_bins)
+                out["format"].extend([fmt] * n_bins)
+                out["bin_idx"].extend(range(n_bins))
+                out["bin_start"].extend(bounds[:-1].tolist())
+                out["bin_len"].extend(lens.tolist())
+                out["bin_mean"].extend(means.tolist())
+            yield pd.DataFrame(out)
+
+    flat = media.select(
+        "doc_id", "payload", F.col("media_meta.format").alias("fmt")
+    )
+    try:
+        n_parts = int(
+            media.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    except ValueError:
+        n_parts = 32
+    shards = max(n_parts // len(FORMATS), 1)
+    sharded = flat.repartition(
+        n_parts, F.col("fmt"), (F.col("doc_id") % F.lit(shards)).alias("shard")
+    )
+    return sharded.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+RESIZE_ORACLE = f"""
+WITH codes AS (
+  SELECT doc_id,
+         [ascii(substr(text, i, 1)) for i in generate_series(1, length(text))]
+             AS cs
+  FROM documents
+),
+bins AS (
+  SELECT doc_id, cs, len(cs) AS n, t.i AS bin_idx,
+         (t.i * len(cs)) // {RESIZE_BINS} AS lo,
+         ((t.i + 1) * len(cs)) // {RESIZE_BINS} AS hi
+  FROM codes, (SELECT unnest(generate_series(0, {RESIZE_BINS - 1})) AS i) t
+  WHERE len(cs) >= {RESIZE_BINS}
+)
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END
+           AS format,
+       CAST(bin_idx AS INTEGER) AS bin_idx,
+       CAST(lo AS BIGINT) AS bin_start,
+       CAST(hi - lo AS BIGINT) AS bin_len,
+       CAST(list_sum(cs[lo + 1 : hi]) AS DOUBLE) / (hi - lo) AS bin_mean
+FROM bins"""

@@ -1119,6 +1119,61 @@ SELECT doc_id,
 FROM sig"""
 
 
+def unigram_logloss(documents: DataFrame) -> DataFrame:
+    """LM-perplexity quality scoring, unigram edition — the CCNet/LLaMA
+    pipeline scores every document with a language model trained on a
+    trusted corpus and buckets by perplexity (head/middle/tail); the
+    heuristic rules in :func:`quality_filter` are the cheap pre-filter,
+    this is the statistical one.  Here the LM is the corpus's own unigram
+    distribution (the n=1 KenLM): per document, the mean negative log
+    probability of its tokens and the corresponding perplexity
+    ``exp(avg_nll)`` — outlier-vocabulary docs score high, templated docs
+    score low.
+
+    Plan shape: one token explode feeds BOTH the vocabulary count and the
+    scoring join; the vocab (with its grand total attached via a broadcast
+    1-row aggregate) is tiny relative to the corpus — Zipf keeps distinct
+    tokens in the millions at 100 TB — so the probability lookup
+    broadcasts and scoring is map-side against the exploded scan; the only
+    corpus-sized shuffle is the final per-doc aggregate.  In production
+    the vocab table is trained ONCE on the trusted corpus and reused as a
+    static broadcast dimension."""
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = vocab.groupBy().agg(F.sum("cnt").alias("total"))
+    probs = vocab.join(F.broadcast(total)).select(
+        "token", (F.col("cnt") / F.col("total")).alias("p")
+    )
+    avg_nll = -F.avg(F.log("p"))
+    return (
+        toks.join(F.broadcast(probs), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            r6(avg_nll).alias("avg_nll"),
+            r6(F.exp(avg_nll)).alias("ppl"),
+        )
+    )
+
+
+UNIGRAM_LOGLOSS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+probs AS (
+  SELECT token, cnt * 1.0 / (SELECT sum(cnt) FROM vocab) AS p FROM vocab
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(-avg(ln(p)), 6) AS avg_nll,
+       round(exp(-avg(ln(p))), 6) AS ppl
+FROM toks JOIN probs USING (token)
+GROUP BY doc_id"""
+
+
 def repetition_stats(documents: DataFrame) -> DataFrame:
     """Repetition / boilerplate detection (the dedup-adjacent quality
     signal): per document, the most frequent 3-gram's share of all 3-gram

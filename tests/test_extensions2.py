@@ -247,3 +247,46 @@ def test_semdedup_persist_knob_equivalent(spark):
     fast = semdedup(e, train_mod=1, persist_assignment=True)
     assert sorted(map(tuple, fast.collect())) == base
     spark.catalog.clearCache()
+
+
+def test_unigram_logloss_orders_by_rarity(spark):
+    """Docs made of corpus-common tokens must score lower perplexity than
+    docs of corpus-rare tokens; ppl == exp(avg_nll) consistency."""
+    import math
+
+    from bitcoin_datapipeline_spark.operators.text import unigram_logloss
+
+    common = "the the the the the the the the"          # dominates vocab
+    rare = "zeta theta kappa sigma omega lambda mu nu"  # singletons
+    d = spark.createDataFrame(
+        [Row(doc_id=0, text=common, lang="en", source="s", n_chars=len(common)),
+         Row(doc_id=1, text=rare, lang="en", source="s", n_chars=len(rare))]
+    )
+    out = {r.doc_id: r for r in unigram_logloss(d).collect()}
+    assert out[0].ppl < out[1].ppl
+    for r in out.values():
+        assert abs(r.ppl - math.exp(r.avg_nll)) < 1e-4
+    # common-token doc: p(the)=8/16 → avg_nll = ln 2
+    assert abs(out[0].avg_nll - math.log(2)) < 1e-6
+
+
+def test_resize_signal_bins_and_short_payload(spark):
+    """Block boundaries floor(i*n/bins); payloads shorter than n_bins drop."""
+    from bitcoin_datapipeline_spark.operators.multimodal import (
+        media_table,
+        resize_signal,
+    )
+
+    long_text = "".join(chr(65 + (i % 26)) for i in range(20))   # 20 bytes
+    d = spark.createDataFrame(
+        [Row(doc_id=0, text=long_text, lang="en", source="s", n_chars=20),
+         Row(doc_id=1, text="abc", lang="en", source="s", n_chars=3)]
+    )
+    out = resize_signal(media_table(d), n_bins=4).orderBy("bin_idx").collect()
+    assert {r.doc_id for r in out} == {0}           # short payload dropped
+    assert [r.bin_start for r in out] == [0, 5, 10, 15]
+    assert all(r.bin_len == 5 for r in out)
+    b = long_text.encode()
+    for r in out:
+        seg = b[r.bin_start:r.bin_start + r.bin_len]
+        assert r.bin_mean == sum(seg) / len(seg)

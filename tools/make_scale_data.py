@@ -20,8 +20,12 @@ workload scales the way a real 10x corpus would:
   copy would make every LSH bucket 10x deeper → 100x pairs — that measures
   data pathology, not plan shape).  doc_id shifts by k·1e7.
 - ``embeddings``: replica k shifts vec_id by k·N keeping ids DENSE
-  0..10N-1 (the IVF seed-rank contract); vectors are unchanged — ANN cost
-  is row-count-bound, and exact-duplicate ties break on neighbor_id.
+  0..10N-1 (the IVF seed-rank contract); vectors get a per-replica
+  deterministic SIGN FLIP (norm-preserving, replica-internal cosines
+  exactly preserved, cross-replica cosines decorrelated) so pairwise
+  families (semdedup, cosine pairs) grow ~linearly like a real corpus —
+  verbatim copies would grow threshold-pair volume quadratically.  ANN
+  cost stays row-count-bound either way.
 
 Usage:  python tools/make_scale_data.py [--out .scale_data/sf1] [--replicas 10]
 """
@@ -103,20 +107,53 @@ def main() -> None:
 
     emb = table(spark, args.src, "embeddings")
     n = emb.count()
-    emb_reps = [
-        emb.select(
-            (F.col("vec_id") + F.lit(k * n)).alias("vec_id"),
-            "embedding",
-            "label",
+    dims = len(emb.select("embedding").first()["embedding"])
+    emb_reps = []
+    for k in range(args.replicas):
+        # Per-replica deterministic sign flip (norm-preserving): replica-
+        # internal cosine structure is EXACTLY preserved (cos is invariant
+        # under a common coordinate sign pattern), while cross-replica
+        # cosines decorrelate — so near-dup pair volume for semdedup /
+        # cosine-pair queries grows ~linearly with replicas, the way a
+        # real 10x corpus grows, instead of quadratically as verbatim
+        # copies would (every copy-group of R identical vectors adds
+        # R²/2 threshold-crossing pairs — data pathology, not plan shape).
+        if k == 0:
+            vec = F.col("embedding")
+        else:
+            signs = _flip_signs(k, dims)
+            vec = F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(s) for s in signs]),
+                lambda x, s: (x * s).cast("float"),
+            )
+        emb_reps.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(k * n)).alias("vec_id"),
+                vec.alias("embedding"),
+                "label",
+            )
         )
-        for k in range(args.replicas)
-    ]
     _union(emb_reps).repartition(32).write.mode("overwrite").parquet(
         f"{out}/embeddings.parquet"
     )
 
     for t in ("events", "documents", "embeddings"):
         print(t, spark.read.parquet(f"{out}/{t}.parquet").count())
+
+
+def _flip_signs(k: int, dims: int) -> list[float]:
+    """±1 per dimension from md5(replica) bits — reproducible, no RNG state."""
+    import hashlib
+
+    bits = []
+    i = 0
+    while len(bits) < dims:
+        for byte in hashlib.md5(f"flip|{k}|{i}".encode()).digest():
+            for b in range(8):
+                bits.append(1.0 if (byte >> b) & 1 else -1.0)
+        i += 1
+    return bits[:dims]
 
 
 def _union(frames):
