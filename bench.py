@@ -48,6 +48,11 @@ HEADLINE = [
     # keyed exchange) and day-keyed rank bucketing
     "q_waiting_suppliers",
     "q_price_deciles",
+    # round 4 (late): the new LLM-pipeline surfaces — cluster-blocked
+    # semantic dedup, the gram-join decontamination, LM quality scoring
+    "q_semdedup",
+    "q_decontaminate_ngram",
+    "q_doc_perplexity",
 ]
 
 
