@@ -392,6 +392,16 @@ def _spread(embeddings: DataFrame) -> DataFrame:
     return embeddings.repartition(n_parts, "vec_id")
 
 
+# (semanticHash, train_mod) → trained centroids; see _train_quantizer doc
+_QUANTIZER_CACHE: dict[tuple[int, int], list[tuple[int, list[float]]]] = {}
+
+
+def clear_quantizer_cache() -> None:
+    """Drop memoized quantizer models (needed only if the files under a
+    previously-trained plan were rewritten in-process)."""
+    _QUANTIZER_CACHE.clear()
+
+
 def _train_quantizer(
     embeddings: DataFrame, train_mod: int = IVF_TRAIN_MOD
 ) -> list[tuple[int, list[float]]]:
@@ -414,7 +424,19 @@ def _train_quantizer(
     corpus, or every vec_id filtered out by ``train_mod``) — the callers
     (ann_ivf / cluster_stats) execute training jobs EAGERLY at
     DataFrame-construction time, so the error surfaces at call site, not
-    at first action.  Returns the trained (c, centroid) model."""
+    at first action.  Returns the trained (c, centroid) model.
+
+    Trained models are MEMOIZED per (analyzed-plan semanticHash,
+    train_mod): ann_ivf, semdedup, and cluster_stats over the same
+    embeddings table share ONE quantizer per process — the production
+    train-once-reuse-everywhere pattern, and sound here because training
+    is fully deterministic in the input data (a cached model can only go
+    stale if the files under an identical plan are rewritten mid-process;
+    call :func:`clear_quantizer_cache` after doing that)."""
+    key = (embeddings.semanticHash(), train_mod)
+    cached = _QUANTIZER_CACHE.get(key)
+    if cached is not None:
+        return cached
     train = with_norm(
         embeddings.filter(F.col("vec_id") % train_mod == 0)
     ).persist()
@@ -475,6 +497,7 @@ def _train_quantizer(
             (int(r["c"]), [r[f"d{i}"] for i in range(dims)]) for r in updated
         )
     train.unpersist()
+    _QUANTIZER_CACHE[key] = cents
     return cents
 
 
