@@ -78,6 +78,21 @@ def zorder_write(
             F.max(F.col(c).cast("double")).alias(f"_hi_{c}"),
         ]
     bounds = df.agg(*aggs)
+    # constant column guard: width_bucket needs lo < hi; a degenerate
+    # dimension contributes bin 0 everywhere (harmless — the other
+    # dimensions still cluster)
+    bounds = bounds.select(
+        *[
+            col
+            for c in cols
+            for col in (
+                F.col(f"_lo_{c}"),
+                F.greatest(
+                    F.col(f"_hi_{c}"), F.col(f"_lo_{c}") + F.lit(1e-9)
+                ).alias(f"_hi_{c}"),
+            )
+        ]
+    )
     with_z = df.join(F.broadcast(bounds))
     binned = [
         _bin_col(
