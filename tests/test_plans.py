@@ -67,11 +67,16 @@ def test_ranking_gets_window_group_limit(spark, sf01):
 
 def test_no_python_udf_in_relational_plans(spark, sf01):
     """UDF policy (SURVEY §2.11): no Python evaluation in ANY declared query
-    plan — only the three multimodal decode paths may use Python (and those
-    must be Arrow mapInPandas, asserted separately)."""
+    plan — only the multimodal decode/frames/resize paths may use Python
+    (and those must be Arrow mapInPandas, asserted separately)."""
     import __spark_entry__ as E
 
-    multimodal = {"q_multimodal_meta", "q_multimodal_decode", "q_multimodal_frames"}
+    multimodal = {
+        "q_multimodal_meta",
+        "q_multimodal_decode",
+        "q_multimodal_frames",
+        "q_multimodal_resize",
+    }
     for name, fn in E.queries().items():
         if name in multimodal:
             continue
