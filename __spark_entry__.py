@@ -14,6 +14,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from bitcoin_datapipeline_spark import oracle_defs as OD
 from bitcoin_datapipeline_spark.functions import categorize, klines, normalize, timeparts
@@ -1044,6 +1045,19 @@ def q_doc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.decontaminate(table(spark, sf_dir, "documents"))
 
+# Incremental-ingest dedup gate: new batch (odd doc_id) checked against the
+# existing corpus (even doc_id) — exact hash then banded-MinHash near check,
+# both one-sided joins against the corpus-side index
+@q("q_doc_incremental_dedup", text.INCREMENTAL_DEDUP_ORACLE)
+def q_doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    mod = text.INCR_CORPUS_MOD
+    return text.incremental_dedup(
+        docs.filter(F.col("doc_id") % mod != 0),
+        docs.filter(F.col("doc_id") % mod == 0),
+    )
+
+
 # n-gram-overlap decontamination (GPT-3 appendix-C rule; catches partial
 # inclusions the exact-hash variant misses)
 @q("q_decontaminate_ngram", text.DECONTAMINATE_NGRAM_ORACLE)
@@ -1848,6 +1862,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_semdedup",
     "q_doc_perplexity",
     "q_multimodal_resize",
+    "q_doc_incremental_dedup",
     "q_volume_shipping",
     "q_product_profit",
     "q_late_shipments",

@@ -338,6 +338,45 @@ JOIN sizes y ON doc_b = y.doc_id
 WHERE shared * 1.0 / (x.n + y.n - shared) >= {JACCARD_THRESHOLD}"""
 
 
+def _minhash_sigs(
+    documents: DataFrame, max_shingle_df: int | None = None
+) -> DataFrame:
+    """One shingle explode + ONE groupBy(doc_id) producing everything the
+    LSH pipeline needs: the MINHASH_SIGS signature mins, the set size, and
+    the doc's shingle array (for candidate verification)."""
+    shd = _shingles(documents)
+    if max_shingle_df is not None:
+        shd = _cap_hot_shingles(shd, max_shingle_df)
+    sig_cols = [
+        F.min(F.md5(F.concat(F.lit(str(j)), F.lit("|"), F.col("shingle")))).alias(f"s{j}")
+        for j in range(MINHASH_SIGS)
+    ]
+    return shd.groupBy("doc_id").agg(
+        *sig_cols,
+        F.count("*").alias("n"),
+        F.collect_set("shingle").alias("shs"),
+    )
+
+
+def _band_frame(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_hash) — the LSH bucket keys, one row per band."""
+    per_band = MINHASH_SIGS // MINHASH_BANDS
+    bands = []
+    for b in range(MINHASH_BANDS):
+        cols = [F.col(f"s{b * per_band + k}") for k in range(per_band)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.concat_ws("", *cols).alias("band_hash"),
+            )
+        )
+    allb = bands[0]
+    for x in bands[1:]:
+        allb = allb.unionByName(x)
+    return allb
+
+
 def minhash_lsh_pairs(
     documents: DataFrame, max_shingle_df: int | None = None
 ) -> DataFrame:
@@ -368,32 +407,8 @@ def minhash_lsh_pairs(
     before signatures are computed — see :func:`_cap_hot_shingles`; the
     declared capped query uses MINHASH_HOT_SHINGLE_DF.
     """
-    shd = _shingles(documents)
-    if max_shingle_df is not None:
-        shd = _cap_hot_shingles(shd, max_shingle_df)
-    sig_cols = [
-        F.min(F.md5(F.concat(F.lit(str(j)), F.lit("|"), F.col("shingle")))).alias(f"s{j}")
-        for j in range(MINHASH_SIGS)
-    ]
-    sigs = shd.groupBy("doc_id").agg(
-        *sig_cols,
-        F.count("*").alias("n"),
-        F.collect_set("shingle").alias("shs"),
-    )
-    per_band = MINHASH_SIGS // MINHASH_BANDS
-    bands = []
-    for b in range(MINHASH_BANDS):
-        cols = [F.col(f"s{b * per_band + k}") for k in range(per_band)]
-        bands.append(
-            sigs.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.concat_ws("", *cols).alias("band_hash"),
-            )
-        )
-    allb = bands[0]
-    for x in bands[1:]:
-        allb = allb.unionByName(x)
+    sigs = _minhash_sigs(documents, max_shingle_df)
+    allb = _band_frame(sigs)
     a = allb.alias("a")
     b2 = allb.alias("b")
     cand = (
@@ -430,12 +445,20 @@ _SIG_SQL = ",\n         ".join(
     for j in range(MINHASH_SIGS)
 )
 _PER_BAND = MINHASH_SIGS // MINHASH_BANDS
-_BAND_SQL = " UNION ALL ".join(
-    "SELECT doc_id, {b} AS band, concat({sigs}) AS band_hash FROM sigs".format(
-        b=b, sigs=", ".join(f"s{b * _PER_BAND + k}" for k in range(_PER_BAND))
+
+
+def _band_sql(src: str) -> str:
+    return " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat({sigs}) AS band_hash FROM {src}".format(
+            b=b,
+            sigs=", ".join(f"s{b * _PER_BAND + k}" for k in range(_PER_BAND)),
+            src=src,
+        )
+        for b in range(MINHASH_BANDS)
     )
-    for b in range(MINHASH_BANDS)
-)
+
+
+_BAND_SQL = _band_sql("sigs")
 MINHASH_LSH_ORACLE = f"""
 WITH docs_sh AS (
   SELECT doc_id,
@@ -508,6 +531,164 @@ SELECT c.doc_a, c.doc_b, c.n_bands_matched,
 FROM cand c
 JOIN sigs x ON c.doc_a = x.doc_id
 JOIN sigs y ON c.doc_b = y.doc_id"""
+
+
+INCR_NEAR_JACCARD = 0.5  # near-dup verdict threshold for the incremental gate
+INCR_CORPUS_MOD = 2  # declared query: corpus = even doc_id, incoming = odd
+
+
+def incremental_dedup(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    threshold: float = INCR_NEAR_JACCARD,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Incremental-ingest dedup — the gate a production pipeline runs on
+    every NEW batch: never re-dedup the whole corpus, check the increment
+    AGAINST it.  Two stages, both one-sided joins (incoming ⋈ corpus,
+    never corpus ⋈ corpus): exact content-hash lookup first, then MinHash
+    band-bucket candidates verified by true shingle Jaccard (same
+    signature machinery as :func:`minhash_lsh_pairs`, so the corpus-side
+    signatures/bands are exactly the index a production run would have
+    PRE-COMPUTED and stored — at 100 TB only the incoming batch is
+    re-shingled and the corpus band table is read, not rebuilt).
+
+    Emits one verdict row per incoming document: ``exact_dup`` (hash hit;
+    lowest matching corpus id), else ``near_dup`` (best banded candidate
+    with rounded Jaccard ≥ threshold; highest Jaccard, ties to lowest
+    corpus id), else ``new``.  Jaccard is reported only for near
+    verdicts."""
+    inc_h = incoming.select(
+        "doc_id", F.md5(F.lower(F.col("text"))).alias("h")
+    )
+    cor_h = corpus.select(
+        F.col("doc_id").alias("corpus_doc_id"),
+        F.md5(F.lower(F.col("text"))).alias("h"),
+    )
+    exact = (
+        inc_h.join(cor_h, "h")
+        .groupBy("doc_id")
+        .agg(F.min("corpus_doc_id").cast("long").alias("exact_match"))
+    )
+    sigs_i = _minhash_sigs(incoming, max_shingle_df)
+    sigs_c = _minhash_sigs(corpus, max_shingle_df)
+    cand = (
+        _band_frame(sigs_i)
+        .join(
+            _band_frame(sigs_c).select(
+                F.col("doc_id").alias("corpus_doc_id"), "band", "band_hash"
+            ),
+            ["band", "band_hash"],
+        )
+        .select("doc_id", "corpus_doc_id")
+        .distinct()
+    )
+    shared = F.size(F.array_intersect("shs_i", "shs_c"))
+    jac = r6(shared / (F.col("ni") + F.col("nc") - shared))
+    ver = (
+        cand.join(
+            sigs_i.select(
+                "doc_id", F.col("shs").alias("shs_i"), F.col("n").alias("ni")
+            ),
+            "doc_id",
+        )
+        .join(
+            sigs_c.select(
+                F.col("doc_id").alias("corpus_doc_id"),
+                F.col("shs").alias("shs_c"),
+                F.col("n").alias("nc"),
+            ),
+            "corpus_doc_id",
+        )
+        .withColumn("j", jac)
+        .filter(F.col("j") >= threshold)
+    )
+    near = ver.groupBy("doc_id").agg(
+        F.max(
+            F.struct(F.col("j"), (-F.col("corpus_doc_id")).alias("negid"))
+        ).alias("best")
+    ).select(
+        "doc_id",
+        (-F.col("best.negid")).cast("long").alias("near_match"),
+        F.col("best.j").alias("near_jaccard"),
+    )
+    return (
+        incoming.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.coalesce("exact_match", "near_match").alias("match_doc_id"),
+            F.when(F.col("exact_match").isNull(), F.col("near_jaccard")).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def _incremental_dedup_oracle(
+    threshold: float = INCR_NEAR_JACCARD, mod: int = INCR_CORPUS_MOD
+) -> str:
+    """DuckDB twin over the declared even/odd corpus/incoming split."""
+    sig_tpl = """{name} AS (
+  SELECT doc_id, shs, len(shs) AS n,
+         {sig_sql}
+  FROM (
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in generate_series(1, len(toks) - 2)]) AS shs
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {src})
+    WHERE len(toks) >= 3)
+)"""
+    return f"""
+WITH inc AS (SELECT * FROM documents WHERE doc_id % {mod} <> 0),
+cor AS (SELECT * FROM documents WHERE doc_id % {mod} = 0),
+ih AS (SELECT doc_id, md5(lower(text)) AS h FROM inc),
+ch AS (SELECT doc_id AS corpus_doc_id, md5(lower(text)) AS h FROM cor),
+exact AS (
+  SELECT i.doc_id, CAST(min(corpus_doc_id) AS BIGINT) AS exact_match
+  FROM ih i JOIN ch USING (h) GROUP BY i.doc_id
+),
+{sig_tpl.format(name="isigs", sig_sql=_SIG_SQL, src="inc")},
+{sig_tpl.format(name="csigs", sig_sql=_SIG_SQL, src="cor")},
+ibands AS ({_band_sql("isigs")}),
+cbands AS ({_band_sql("csigs")}),
+cand AS (
+  SELECT DISTINCT a.doc_id, b.doc_id AS corpus_doc_id
+  FROM ibands a JOIN cbands b ON a.band = b.band AND a.band_hash = b.band_hash
+),
+ver AS (
+  SELECT c.doc_id, c.corpus_doc_id,
+         round(len(list_intersect(x.shs, y.shs)) * 1.0
+               / (x.n + y.n - len(list_intersect(x.shs, y.shs))), 6) AS j
+  FROM cand c
+  JOIN isigs x ON c.doc_id = x.doc_id
+  JOIN csigs y ON c.corpus_doc_id = y.doc_id
+),
+near AS (
+  SELECT doc_id, CAST(corpus_doc_id AS BIGINT) AS near_match, j AS near_jaccard
+  FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY j DESC, corpus_doc_id) AS rn
+    FROM ver WHERE j >= {threshold})
+  WHERE rn = 1
+)
+SELECT b.doc_id,
+       CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+            WHEN n.near_match IS NOT NULL THEN 'near_dup'
+            ELSE 'new' END AS verdict,
+       coalesce(e.exact_match, n.near_match) AS match_doc_id,
+       CASE WHEN e.exact_match IS NULL THEN n.near_jaccard END AS jaccard
+FROM (SELECT doc_id FROM inc) b
+LEFT JOIN exact e USING (doc_id)
+LEFT JOIN near n USING (doc_id)"""
+
+
+INCREMENTAL_DEDUP_ORACLE = _incremental_dedup_oracle()
 
 
 def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:

@@ -290,3 +290,29 @@ def test_resize_signal_bins_and_short_payload(spark):
     for r in out:
         seg = b[r.bin_start:r.bin_start + r.bin_len]
         assert r.bin_mean == sum(seg) / len(seg)
+
+
+def test_incremental_dedup_verdict_classes(spark):
+    """All three verdicts on a hand-built corpus: exact copy, near-dup
+    (shares most shingles), and genuinely new content."""
+    from bitcoin_datapipeline_spark.operators.text import incremental_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [Row(doc_id=0, text=base, lang="en", source="s", n_chars=len(base)),
+         Row(doc_id=2, text="uno dos tres cuatro cinco seis", lang="en",
+             source="s", n_chars=30)]
+    )
+    near = base + " iota"                      # one extra token -> high jaccard
+    incoming = spark.createDataFrame(
+        [Row(doc_id=1, text=base, lang="en", source="s", n_chars=len(base)),
+         Row(doc_id=3, text=near, lang="en", source="s", n_chars=len(near)),
+         Row(doc_id=5, text="red green blue cyan magenta yellow", lang="en",
+             source="s", n_chars=34)]
+    )
+    out = {r.doc_id: r for r in incremental_dedup(incoming, corpus).collect()}
+    assert out[1].verdict == "exact_dup" and out[1].match_doc_id == 0
+    assert out[1].jaccard is None              # exact verdicts carry no jaccard
+    assert out[3].verdict == "near_dup" and out[3].match_doc_id == 0
+    assert out[3].jaccard and out[3].jaccard >= 0.5
+    assert out[5].verdict == "new" and out[5].match_doc_id is None
