@@ -316,3 +316,53 @@ def test_incremental_dedup_verdict_classes(spark):
     assert out[3].verdict == "near_dup" and out[3].match_doc_id == 0
     assert out[3].jaccard and out[3].jaccard >= 0.5
     assert out[5].verdict == "new" and out[5].match_doc_id is None
+
+
+def test_incremental_dedup_recall_vs_exhaustive(spark):
+    """The banded gate must find (almost) every incoming doc that an
+    EXHAUSTIVE shingle join says has a corpus match at j >= threshold.
+    On this corpus near-dups sit far above the LSH S-curve knee, so the
+    gate's recall is high; the test pins >= 0.9 rather than 1.0 because
+    banding is probabilistic by design near the threshold."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_datapipeline_spark.operators.text import (
+        INCR_CORPUS_MOD,
+        INCR_NEAR_JACCARD,
+        _shingles,
+        incremental_dedup,
+    )
+    from bitcoin_datapipeline_spark.operators.aggregates import r6
+    from bitcoin_datapipeline_spark.tables import table
+
+    docs = table(spark, "/root/testdata/sf0.01", "documents")
+    inc = docs.filter(F.col("doc_id") % INCR_CORPUS_MOD != 0)
+    cor = docs.filter(F.col("doc_id") % INCR_CORPUS_MOD == 0)
+    found = {
+        r.doc_id
+        for r in incremental_dedup(inc, cor)
+        .filter(F.col("verdict") != "new")
+        .collect()
+    }
+
+    shi = _shingles(inc)
+    shc = _shingles(cor).select(
+        F.col("doc_id").alias("cid"), F.col("shingle")
+    )
+    ni = shi.groupBy("doc_id").agg(F.count("*").alias("ni"))
+    nc = shc.groupBy("cid").agg(F.count("*").alias("nc"))
+    shared = (
+        shi.join(shc, "shingle")
+        .groupBy("doc_id", "cid")
+        .agg(F.count("*").alias("c"))
+    )
+    jac = r6(F.col("c") / (F.col("ni") + F.col("nc") - F.col("c")))
+    truth = {
+        r.doc_id
+        for r in shared.join(ni, "doc_id").join(nc, "cid")
+        .filter(jac >= INCR_NEAR_JACCARD)
+        .select("doc_id").distinct().collect()
+    }
+    assert truth, "corpus must contain at least one true cross near-dup"
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.9, (recall, sorted(truth - found))
