@@ -66,9 +66,14 @@ def test_ranking_gets_window_group_limit(spark, sf01):
 
 
 def test_no_python_udf_in_relational_plans(spark, sf01):
-    """UDF policy (SURVEY §2.11): no Python evaluation in ANY declared query
-    plan — only the multimodal decode/frames/resize paths may use Python
-    (and those must be Arrow mapInPandas, asserted separately)."""
+    """UDF policy (SURVEY §2.11) + join-strategy floor: no Python
+    evaluation in ANY declared query plan — only the multimodal
+    decode/frames/resize paths may use Python (and those must be Arrow
+    mapInPandas, asserted separately) — and no CartesianProduct anywhere:
+    every join in the engine is bucketed/equi/broadcast by construction
+    (1-row broadcast scalar joins plan as BroadcastNestedLoopJoin with a
+    single build row, which is fine; an unkeyed big-big cross join would
+    surface here as CartesianProduct)."""
     import __spark_entry__ as E
 
     multimodal = {
@@ -78,9 +83,10 @@ def test_no_python_udf_in_relational_plans(spark, sf01):
         "q_multimodal_resize",
     }
     for name, fn in E.queries().items():
+        plan = _plan(spark, fn(spark, sf01))
+        assert "CartesianProduct" not in plan, name
         if name in multimodal:
             continue
-        plan = _plan(spark, fn(spark, sf01))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         assert "MapInPandas" not in plan, name
 
