@@ -49,10 +49,12 @@ HEADLINE = [
     "q_waiting_suppliers",
     "q_price_deciles",
     # round 4 (late): the new LLM-pipeline surfaces — cluster-blocked
-    # semantic dedup, the gram-join decontamination, LM quality scoring
+    # semantic dedup, the gram-join decontamination, LM quality scoring,
+    # the incremental-ingest dedup gate
     "q_semdedup",
     "q_decontaminate_ngram",
     "q_doc_perplexity",
+    "q_doc_incremental_dedup",
 ]
 
 

@@ -146,20 +146,25 @@ def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
         F.col("media_meta.format").alias("fmt"),
         F.col("media_meta.n_bytes").alias("n_bytes"),
     )
-    # partition by (format, shard): each task stays codec-homogeneous
-    # WITHOUT collapsing parallelism to the 3 distinct formats — hashing on
-    # fmt alone caps the whole decode at <=3 tasks on any cluster.  The
-    # shard count follows the session's shuffle parallelism (AQE may still
-    # coalesce when the data is small — that's the right behavior).
+    return _codec_sharded(flat).mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+def _codec_sharded(flat: DataFrame) -> DataFrame:
+    """Partition by (format, shard): each task stays codec-homogeneous
+    WITHOUT collapsing parallelism to the 3 distinct formats — hashing on
+    fmt alone caps the whole decode at <=3 tasks on any cluster.  The
+    shard count follows the session's shuffle parallelism (AQE may still
+    coalesce when the data is small — that's the right behavior)."""
     try:
-        n_parts = int(media.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        n_parts = int(
+            flat.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
     except ValueError:  # e.g. "auto" on AQE-managed platforms
         n_parts = 32
     shards = max(n_parts // len(FORMATS), 1)
-    sharded = flat.repartition(
+    return flat.repartition(
         n_parts, F.col("fmt"), (F.col("doc_id") % F.lit(shards)).alias("shard")
     )
-    return sharded.mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
 # The fake decoder's byte statistics ARE oracle-expressible for this corpus:
@@ -342,17 +347,7 @@ def resize_signal(media: DataFrame, n_bins: int = RESIZE_BINS) -> DataFrame:
     flat = media.select(
         "doc_id", "payload", F.col("media_meta.format").alias("fmt")
     )
-    try:
-        n_parts = int(
-            media.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-    except ValueError:
-        n_parts = 32
-    shards = max(n_parts // len(FORMATS), 1)
-    sharded = flat.repartition(
-        n_parts, F.col("fmt"), (F.col("doc_id") % F.lit(shards)).alias("shard")
-    )
-    return sharded.mapInPandas(batches, schema=RESIZE_SCHEMA)
+    return _codec_sharded(flat).mapInPandas(batches, schema=RESIZE_SCHEMA)
 
 
 RESIZE_ORACLE = f"""
