@@ -558,12 +558,28 @@ def incremental_dedup(
     with rounded Jaccard ≥ threshold; highest Jaccard, ties to lowest
     corpus id), else ``new``.  Jaccard is reported only for near
     verdicts."""
-    inc_h = incoming.select(
-        "doc_id", F.md5(F.lower(F.col("text"))).alias("h")
-    )
     cor_h = corpus.select(
         F.col("doc_id").alias("corpus_doc_id"),
         F.md5(F.lower(F.col("text"))).alias("h"),
+    )
+    sigs_c = _minhash_sigs(corpus, max_shingle_df)
+    return _dedup_gate(incoming, cor_h, sigs_c, threshold, max_shingle_df)
+
+
+def _dedup_gate(
+    incoming: DataFrame,
+    cor_h: DataFrame,
+    sigs_c: DataFrame,
+    threshold: float = INCR_NEAR_JACCARD,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Gate ``incoming`` against PRE-COMPUTED corpus-side index frames:
+    ``cor_h`` (corpus_doc_id, h) content hashes and ``sigs_c`` the
+    :func:`_minhash_sigs` output.  This is the shape a production index
+    store serves (see ``sources/dedup_index.py``); only the incoming
+    batch is shingled here."""
+    inc_h = incoming.select(
+        "doc_id", F.md5(F.lower(F.col("text"))).alias("h")
     )
     exact = (
         inc_h.join(cor_h, "h")
@@ -571,7 +587,6 @@ def incremental_dedup(
         .agg(F.min("corpus_doc_id").cast("long").alias("exact_match"))
     )
     sigs_i = _minhash_sigs(incoming, max_shingle_df)
-    sigs_c = _minhash_sigs(corpus, max_shingle_df)
     cand = (
         _band_frame(sigs_i)
         .join(

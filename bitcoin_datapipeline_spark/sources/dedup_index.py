@@ -1,0 +1,87 @@
+"""Persistent corpus dedup index — the state behind incremental ingest.
+
+`operators/text.py incremental_dedup` gates a batch against corpus-side
+frames computed inline; a production pipeline computes those ONCE and
+stores them, so each ingest pays O(batch) work against a read-only index.
+This module materializes that index as two parquet tables and runs the
+maintain-loop:
+
+- ``hashes/``  (corpus_doc_id, h)        — exact-dup lookup keys
+- ``sigs/``    (doc_id, s0..s11, n, shs) — MinHash signatures + shingle
+  sets (the `_minhash_sigs` output; shingle sets serve the exact-Jaccard
+  verification — a store that keeps only the 12 signatures instead
+  verifies by signature agreement, trading exactness for 10-100× less
+  index storage; both shapes gate identically through `_dedup_gate`)
+
+``ingest_batch`` is the loop body a foreachBatch sink or daily job runs:
+gate the batch against the index, APPEND the surviving (verdict ``new``)
+documents' hashes and signatures, return the verdicts.  Batch k+1 thus
+dedups against everything batch k admitted — the cross-batch property
+tests/test_dedup_index.py pins.
+
+At 100 TB: the index appends are partitioned parquet writes (append mode,
+no rewrite); the gate's joins are one-sided (batch ⋈ index) on hash/band
+keys; compaction of the append-accumulated small files is
+`sources/compact.py`'s job.
+
+cf. reference `services/rest_ingestor/src/checkpoint.py` (processed-id
+checkpoint store) — same maintain-state-between-ingests role, upgraded
+from exact ids to exact+near content identity.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import (
+    INCR_NEAR_JACCARD,
+    _dedup_gate,
+    _minhash_sigs,
+)
+
+
+def _hashes(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        F.col("doc_id").alias("corpus_doc_id"),
+        F.md5(F.lower(F.col("text"))).alias("h"),
+    )
+
+
+def build_dedup_index(
+    corpus: DataFrame, index_dir: str, max_shingle_df: int | None = None
+) -> None:
+    """Materialize the index from an existing corpus (one-time backfill)."""
+    _hashes(corpus).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "hashes")
+    )
+    _minhash_sigs(corpus, max_shingle_df).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "sigs")
+    )
+
+
+def ingest_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    threshold: float = INCR_NEAR_JACCARD,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Gate ``batch`` against the stored index, append the admitted docs,
+    return the verdict frame (collected eagerly so the append below can't
+    race the gate's own index reads)."""
+    cor_h = spark.read.parquet(os.path.join(index_dir, "hashes"))
+    sigs_c = spark.read.parquet(os.path.join(index_dir, "sigs"))
+    verdicts = _dedup_gate(batch, cor_h, sigs_c, threshold, max_shingle_df)
+    rows = verdicts.collect()
+    admitted_ids = [r.doc_id for r in rows if r.verdict == "new"]
+    admitted = batch.filter(F.col("doc_id").isin(admitted_ids))
+    _hashes(admitted).write.mode("append").parquet(
+        os.path.join(index_dir, "hashes")
+    )
+    _minhash_sigs(admitted, max_shingle_df).write.mode("append").parquet(
+        os.path.join(index_dir, "sigs")
+    )
+    return spark.createDataFrame(rows, verdicts.schema)

@@ -1,0 +1,56 @@
+"""Persistent dedup index: batch k+1 must dedup against documents that
+batch k ADMITTED (not just the original corpus) — the cross-batch
+maintain-loop property."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+
+def _doc(doc_id, text):
+    return Row(doc_id=doc_id, text=text, lang="en", source="s",
+               n_chars=len(text))
+
+
+BASE = "alpha beta gamma delta epsilon zeta eta theta"
+
+
+def test_index_gates_across_batches(spark, tmp_path):
+    from bitcoin_datapipeline_spark.sources.dedup_index import (
+        build_dedup_index,
+        ingest_batch,
+    )
+
+    idx = str(tmp_path / "idx")
+    corpus = spark.createDataFrame([_doc(0, BASE)])
+    build_dedup_index(corpus, idx)
+
+    # batch 1: one dup of the corpus, one genuinely new doc X
+    x_text = "uno dos tres cuatro cinco seis siete"
+    b1 = spark.createDataFrame([_doc(10, BASE), _doc(11, x_text)])
+    v1 = {r.doc_id: r for r in ingest_batch(spark, b1, idx).collect()}
+    assert v1[10].verdict == "exact_dup" and v1[10].match_doc_id == 0
+    assert v1[11].verdict == "new"
+
+    # batch 2: exact copy of X (admitted in batch 1, never in the corpus)
+    # and a near-dup of X -> both must hit the GROWN index
+    b2 = spark.createDataFrame(
+        [_doc(20, x_text), _doc(21, x_text + " ocho")]
+    )
+    v2 = {r.doc_id: r for r in ingest_batch(spark, b2, idx).collect()}
+    assert v2[20].verdict == "exact_dup" and v2[20].match_doc_id == 11
+    assert v2[21].verdict == "near_dup" and v2[21].match_doc_id == 11
+
+    # rejected docs must NOT have been appended: re-sending the batch-1
+    # dup still matches the ORIGINAL corpus doc, not doc 10
+    b3 = spark.createDataFrame([_doc(30, BASE)])
+    v3 = {r.doc_id: r for r in ingest_batch(spark, b3, idx).collect()}
+    assert v3[30].verdict == "exact_dup" and v3[30].match_doc_id == 0
+
+    # the index holds exactly the corpus + the admitted docs (0 and 11) —
+    # none of the five rejected ids leaked in
+    ids = {
+        r.corpus_doc_id
+        for r in spark.read.parquet(f"{idx}/hashes").collect()
+    }
+    assert ids == {0, 11}
