@@ -68,20 +68,33 @@ def ingest_batch(
     index_dir: str,
     threshold: float = INCR_NEAR_JACCARD,
     max_shingle_df: int | None = None,
+    verdicts_dir: str | None = None,
 ) -> DataFrame:
     """Gate ``batch`` against the stored index, append the admitted docs,
-    return the verdict frame (collected eagerly so the append below can't
-    race the gate's own index reads)."""
+    return the verdict frame.
+
+    The verdicts are WRITTEN to parquet first (``verdicts_dir``, default
+    ``<index_dir>/verdicts_last`` — they are the batch's real output) and
+    re-read; that one write both materializes the gate (the index is read
+    exactly once) and cuts the lineage, so the hash/sig appends below
+    never read a path they are writing to.  No driver-side collect: the
+    admitted set flows as a left-semi join, distributed end to end."""
     cor_h = spark.read.parquet(os.path.join(index_dir, "hashes"))
     sigs_c = spark.read.parquet(os.path.join(index_dir, "sigs"))
-    verdicts = _dedup_gate(batch, cor_h, sigs_c, threshold, max_shingle_df)
-    rows = verdicts.collect()
-    admitted_ids = [r.doc_id for r in rows if r.verdict == "new"]
-    admitted = batch.filter(F.col("doc_id").isin(admitted_ids))
+    vpath = verdicts_dir or os.path.join(index_dir, "verdicts_last")
+    _dedup_gate(batch, cor_h, sigs_c, threshold, max_shingle_df).write.mode(
+        "overwrite"
+    ).parquet(vpath)
+    verdicts = spark.read.parquet(vpath)
+    admitted = batch.join(
+        verdicts.filter(F.col("verdict") == "new").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
     _hashes(admitted).write.mode("append").parquet(
         os.path.join(index_dir, "hashes")
     )
     _minhash_sigs(admitted, max_shingle_df).write.mode("append").parquet(
         os.path.join(index_dir, "sigs")
     )
-    return spark.createDataFrame(rows, verdicts.schema)
+    return verdicts
