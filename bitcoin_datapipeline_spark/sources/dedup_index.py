@@ -98,3 +98,42 @@ def ingest_batch(
         os.path.join(index_dir, "sigs")
     )
     return verdicts
+
+
+def stream_ingest(
+    docs_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    threshold: float = INCR_NEAR_JACCARD,
+    max_shingle_df: int | None = None,
+):
+    """Streaming form of the ingest loop: every micro-batch runs the same
+    gate-then-append body via ``foreachBatch``, with per-batch verdict
+    output under ``<index_dir>/verdicts/batch=<id>``.  foreachBatch is the
+    right tool (not a stateful operator): the corpus index is far larger
+    than any state store wants to hold, lives in parquet either way, and
+    the loop body is batch code — so streaming and daily-batch ingest are
+    LITERALLY the same function, checkpointed micro-batch ids giving
+    exactly-once-ish appends (a replayed batch overwrites its own verdict
+    dir and re-appends; dedup of the index itself on replay is the
+    documented compaction job's concern).  Returns the started query
+    (caller awaits termination)."""
+
+    def _body(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        ingest_batch(
+            batch_df.sparkSession,
+            batch_df,
+            index_dir,
+            threshold,
+            max_shingle_df,
+            verdicts_dir=os.path.join(index_dir, f"verdicts/batch={batch_id}"),
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_body)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -54,3 +54,42 @@ def test_index_gates_across_batches(spark, tmp_path):
         for r in spark.read.parquet(f"{idx}/hashes").collect()
     }
     assert ids == {0, 11}
+
+
+def test_stream_ingest_dedups_across_micro_batches(spark, tmp_path):
+    """File-source stream → foreachBatch ingest loop: a doc arriving in a
+    later availableNow run that duplicates one admitted earlier must be
+    rejected by the grown index."""
+    import glob
+
+    from bitcoin_datapipeline_spark.sources.dedup_index import (
+        build_dedup_index,
+        stream_ingest,
+    )
+
+    idx = str(tmp_path / "idx")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    build_dedup_index(spark.createDataFrame([_doc(0, BASE)]), idx)
+
+    x_text = "uno dos tres cuatro cinco seis siete"
+    b1 = spark.createDataFrame([_doc(10, x_text)])
+    b1.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    stream_ingest(stream, idx, ckpt).awaitTermination(120)
+
+    # second delivery: dup of the corpus AND dup of the batch-1 admit
+    spark.createDataFrame(
+        [_doc(20, BASE), _doc(21, x_text)]
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    stream_ingest(stream, idx, ckpt).awaitTermination(120)
+
+    verdicts = spark.read.parquet(*glob.glob(f"{idx}/verdicts/batch=*"))
+    v = {r.doc_id: r for r in verdicts.collect()}
+    assert v[10].verdict == "new"
+    assert v[20].verdict == "exact_dup" and v[20].match_doc_id == 0
+    assert v[21].verdict == "exact_dup" and v[21].match_doc_id == 10
+    ids = {r.corpus_doc_id
+           for r in spark.read.parquet(f"{idx}/hashes").collect()}
+    assert ids == {0, 10}
