@@ -1180,6 +1180,13 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup(table(spark, sf_dir, "embeddings"))
 
 
+# Prototypicality pruning (SSL-prototypes): drop the most centroid-typical
+# fraction per cluster — the data-pruning complement of SemDeDup
+@q("q_embed_prune_prototypes", similarity.PRUNE_PROTOTYPES_ORACLE)
+def q_embed_prune_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.prune_prototypes(table(spark, sf_dir, "embeddings"))
+
+
 # Corpus clustering report over the trained coarse quantizer (data-mixture
 # balancing / junk-cluster detection view of the IVF k-means)
 @q("q_embed_cluster_stats", similarity.CLUSTER_STATS_ORACLE)
@@ -1863,6 +1870,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_doc_perplexity",
     "q_multimodal_resize",
     "q_doc_incremental_dedup",
+    "q_embed_prune_prototypes",
     "q_volume_shipping",
     "q_product_profit",
     "q_late_shipments",

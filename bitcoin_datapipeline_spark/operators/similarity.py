@@ -825,6 +825,88 @@ FROM assignment p LEFT JOIN dups d USING (vec_id)"""
 SEMDEDUP_ORACLE = _semdedup_oracle()
 
 
+PROTO_PRUNE_FRAC = 0.25  # fraction of each cluster dropped as prototypical
+
+
+def prune_prototypes(
+    embeddings: DataFrame,
+    frac: float = PROTO_PRUNE_FRAC,
+    train_mod: int = IVF_TRAIN_MOD,
+) -> DataFrame:
+    """Prototypicality pruning (SSL-prototypes, Sorscher et al. 2022
+    "Beyond neural scaling laws"): within each cluster, the examples MOST
+    similar to their centroid are the least informative — drop the top
+    ``frac`` of every cluster by cosine-to-centroid, keep the harder tail.
+    The data-pruning complement of SemDeDup (which drops near-DUPLICATES;
+    this drops near-PROTOTYPES).
+
+    Emits one audit row per vector: cluster, 6-dp cosine to its own
+    centroid, prototypicality rank within the cluster, and the keep flag
+    (``rank > floor(frac · cluster_size)``; ties broken by vec_id so both
+    engines agree).
+
+    Plan shape: same memoized quantizer + map-only broadcast assignment as
+    ann_ivf/semdedup — the per-vector cosine to the assigned centroid is
+    ALREADY a by-product of the assignment scores; then one window over
+    the cluster key, whose width is bounded by the K knob exactly like the
+    SemDeDup pair join."""
+    embeddings = _spread(embeddings)
+    e = with_norm(embeddings)
+    cents = _train_quantizer(embeddings, train_mod)
+    e = e.join(F.broadcast(_centroid_frame(embeddings.sparkSession, cents)))
+    best = F.array_max(_centroid_scores())
+    assigned = e.select(
+        "vec_id",
+        (-best["negc"]).cast("long").alias("c"),
+        best["c_cos"].alias("proto_cos"),
+    )
+    w = Window.partitionBy("c").orderBy(F.desc("proto_cos"), "vec_id")
+    wc = Window.partitionBy("c")
+    return assigned.select(
+        "vec_id",
+        F.col("c").cast("int").alias("cluster"),
+        "proto_cos",
+        F.row_number().over(w).cast("long").alias("proto_rank"),
+        (
+            F.row_number().over(w)
+            > F.floor(F.lit(frac) * F.count("*").over(wc))
+        ).alias("keep"),
+    )
+
+
+def _prune_prototypes_oracle(
+    frac: float = PROTO_PRUNE_FRAC, train_mod: int = IVF_TRAIN_MOD
+) -> str:
+    ctes, final = _ivf_train_ctes(train_mod)
+    ctes.append(
+        f"""assignment AS (
+  SELECT vec_id, c, cos FROM (
+    SELECT e.vec_id, c.c,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        c.centroid), 6) AS cos,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                   c.centroid), 6) DESC, c.c) AS rn
+    FROM embeddings e CROSS JOIN {final} c)
+  WHERE rn = 1
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT vec_id, CAST(c AS INTEGER) AS cluster, cos AS proto_cos,
+       CAST(row_number() OVER w AS BIGINT) AS proto_rank,
+       row_number() OVER w > floor({frac} * count(*) OVER (PARTITION BY c))
+           AS keep
+FROM assignment
+WINDOW w AS (PARTITION BY c ORDER BY cos DESC, vec_id)"""
+    )
+
+
+PRUNE_PROTOTYPES_ORACLE = _prune_prototypes_oracle()
+
+
 def quantize_stats(embeddings: DataFrame) -> DataFrame:
     """Int8 scalar quantization audit — the storage-compression pass a
     100 TB embedding store runs before indexing (4× smaller than float32,

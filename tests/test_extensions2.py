@@ -366,3 +366,32 @@ def test_incremental_dedup_recall_vs_exhaustive(spark):
     assert truth, "corpus must contain at least one true cross near-dup"
     recall = len(found & truth) / len(truth)
     assert recall >= 0.9, (recall, sorted(truth - found))
+
+
+def test_prune_prototypes_drops_cluster_heads(spark):
+    """Per cluster: exactly floor(frac*n) dropped, and every dropped vector
+    is at least as centroid-typical as every kept one."""
+    import math
+    from collections import defaultdict
+
+    from bitcoin_datapipeline_spark.operators.similarity import (
+        PROTO_PRUNE_FRAC,
+        prune_prototypes,
+    )
+    from bitcoin_datapipeline_spark.tables import table
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = prune_prototypes(e, train_mod=1).collect()
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r.cluster].append(r)
+    assert len(rows) == e.count()
+    for members in by_cluster.values():
+        dropped = [r for r in members if not r.keep]
+        kept = [r for r in members if r.keep]
+        assert len(dropped) == math.floor(PROTO_PRUNE_FRAC * len(members))
+        if dropped and kept:
+            # the drop set is a prefix of the prototypicality ranking
+            assert max(r.proto_rank for r in dropped) < min(
+                r.proto_rank for r in kept
+            )
