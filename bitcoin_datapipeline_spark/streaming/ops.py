@@ -330,3 +330,14 @@ def latest_snapshot_sink(out_dir: str, key: str = "symbol", ts_col: str = "bucke
         retire(atomic_swap_write(latest, out_dir))
 
     return write
+
+
+def stream_enrich(trades: DataFrame, dim: DataFrame) -> DataFrame:
+    """§2.10 stream-static join: enrich the trade stream with a static
+    dimension (the aggregator's per-symbol config lookup — reference
+    `feature_builder` reads symbol metadata per message; here the dim is a
+    broadcast table joined map-side, re-resolved per micro-batch so a dim
+    refresh between batches is picked up without restarting the query).
+    Stateless — no watermark needed; the broadcast hint keeps the big
+    stream side shuffle-free at any scale."""
+    return trades.join(F.broadcast(dim), "symbol", "left")

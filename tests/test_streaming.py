@@ -634,3 +634,30 @@ def test_stream_stream_quote_trade_join_matches_batch(spark, sf_dir, tmp_path):
     exp_sum = t.join(q, cond).agg(F.sum("bid_px")).collect()[0][0]
     got_sum = out.agg(F.sum("bid_px")).collect()[0][0]
     assert abs(got_sum - exp_sum) < 1e-6 * max(1.0, abs(exp_sum))
+
+
+def test_stream_enrich_matches_batch_join(spark, trade_stream_dir, tmp_path):
+    """Stream-static broadcast enrichment must emit exactly the batch
+    left-join rows, with dim-less symbols passing through null-padded."""
+    from bitcoin_datapipeline_spark.streaming.ops import TRADE_SCHEMA, stream_enrich
+
+    batch = spark.read.schema(TRADE_SCHEMA).parquet(trade_stream_dir)
+    syms = [r.symbol for r in batch.select("symbol").distinct().collect()]
+    dim = spark.createDataFrame(
+        [Row(symbol=s, tick_size=0.01 * (i + 1), venue=f"v{i}")
+         for i, s in enumerate(sorted(syms)[:1])]  # only ONE symbol has dim
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    src = spark.readStream.schema(TRADE_SCHEMA).parquet(trade_stream_dir)
+    (
+        stream_enrich(src, dim)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    want = sorted(map(tuple, stream_enrich(batch, dim).collect()))
+    assert got == want and len(got) == batch.count()
