@@ -65,3 +65,24 @@ def test_zorder_layout_bounds_both_column_spans(spark, tmp_path):
         spark.read.parquet(zpath).agg(F.sum("o_orderkey")).first()[0]
         == orders.agg(F.sum("o_orderkey")).first()[0]
     )
+
+
+def test_zorder_code_is_bijective_on_the_grid(spark):
+    """The Morton interleave must map the 16x16 bin grid to 256 DISTINCT
+    codes covering exactly 0..255 (bijectivity = no two tiles share a
+    z-range; the data-skipping math relies on it)."""
+    from bitcoin_datapipeline_spark.sources.zorder import zorder_code
+
+    from pyspark.sql import functions as F
+
+    grid = spark.range(256).select(
+        (F.col("id") / 16).cast("long").alias("a"),
+        (F.col("id") % 16).cast("long").alias("b"),
+    )
+    codes = [
+        r.z
+        for r in grid.select(
+            zorder_code([F.col("a"), F.col("b")]).alias("z")
+        ).collect()
+    ]
+    assert sorted(codes) == list(range(256))
