@@ -1180,6 +1180,13 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup(table(spark, sf_dir, "embeddings"))
 
 
+# Johnson-Lindenstrauss random projection: 4x embedding compression with a
+# norm-distortion audit (deterministic md5 sign matrix, map-only)
+@q("q_embed_random_projection", similarity.RANDOM_PROJECTION_ORACLE)
+def q_embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.random_projection_audit(table(spark, sf_dir, "embeddings"))
+
+
 # Prototypicality pruning (SSL-prototypes): drop the most centroid-typical
 # fraction per cluster — the data-pruning complement of SemDeDup
 @q("q_embed_prune_prototypes", similarity.PRUNE_PROTOTYPES_ORACLE)
@@ -1871,6 +1878,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_multimodal_resize",
     "q_doc_incremental_dedup",
     "q_embed_prune_prototypes",
+    "q_embed_random_projection",
     "q_volume_shipping",
     "q_product_profit",
     "q_late_shipments",

@@ -907,6 +907,103 @@ WINDOW w AS (PARTITION BY c ORDER BY cos DESC, vec_id)"""
 PRUNE_PROTOTYPES_ORACLE = _prune_prototypes_oracle()
 
 
+RP_IN_DIMS = 64  # the driver corpus's embedding width
+RP_OUT_DIMS = 16  # 4× compression
+
+
+def _rp_signs(j: int, in_dims: int = RP_IN_DIMS) -> list[float]:
+    """Column j of the deterministic ±1 projection matrix (md5 bits — no
+    RNG state, so Spark and the oracle build the identical matrix)."""
+    import hashlib
+
+    signs: list[float] = []
+    blk = 0
+    while len(signs) < in_dims:
+        for byte in hashlib.md5(f"rp|{j}|{blk}".encode()).digest():
+            for b in range(8):
+                signs.append(1.0 if (byte >> b) & 1 else -1.0)
+        blk += 1
+    return signs[:in_dims]
+
+
+def random_projection_audit(
+    embeddings: DataFrame, out_dims: int = RP_OUT_DIMS
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection — the standard embedding
+    compression step before indexing at corpus scale (Achlioptas 2003:
+    a ±1/√k matrix preserves pairwise distances within (1±ε) w.h.p.).
+    Projects each vector through the deterministic sign matrix and emits
+    the audit a pipeline records before switching its index to the
+    compressed space: original norm, projected norm, the distortion
+    ratio, and the first projected coordinate (a value-level probe that
+    the projection itself — not just its length — is reproducible).
+
+    Plan shape: map-only — the matrix is a CONSTANT folded into the
+    expression tree (unlike the per-iteration centroid literals that
+    forced the IVF model into a data column, this expression is identical
+    across all calls, so whole-stage codegen compiles it once); no
+    shuffle, no state, embarrassingly parallel at any corpus size.  The
+    JL distortion bound is corpus-size-independent, which is exactly why
+    the audit transfers from sf0.01 to 100 TB."""
+    inv = 1.0 / (out_dims**0.5)
+    projected = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[F.lit(s) for s in _rp_signs(j)]),
+                    lambda x, s: x.cast("double") * s,
+                ),
+                F.lit(0.0).cast("double"),
+                lambda a, v: a + v,
+            )
+            * inv
+        ).alias(f"y{j}")
+        for j in range(out_dims)
+    ]
+    e = with_norm(embeddings).select("vec_id", "norm", *projected)
+    pnorm = F.sqrt(
+        sum((F.col(f"y{j}") * F.col(f"y{j}") for j in range(out_dims)), F.lit(0.0))
+    )
+    return e.select(
+        "vec_id",
+        r6(F.col("norm")).alias("norm_in"),
+        r6(pnorm).alias("norm_out"),
+        r6(pnorm / F.col("norm")).alias("distortion"),
+        r6(F.col("y0")).alias("proj_0"),
+    )
+
+
+def _rp_oracle(out_dims: int = RP_OUT_DIMS) -> str:
+    inv = 1.0 / (out_dims**0.5)
+    ys = ",\n         ".join(
+        "list_dot_product(CAST(embedding AS DOUBLE[]), {m}) * {inv} AS y{j}".format(
+            m="[" + ", ".join(str(s) for s in _rp_signs(j)) + "]",
+            inv=inv,
+            j=j,
+        )
+        for j in range(out_dims)
+    )
+    sq = " + ".join(f"y{j} * y{j}" for j in range(out_dims))
+    return f"""
+WITH p AS (
+  SELECT vec_id,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS norm_in,
+         {ys}
+  FROM embeddings
+)
+SELECT vec_id,
+       round(norm_in, 6) AS norm_in,
+       round(sqrt({sq}), 6) AS norm_out,
+       round(sqrt({sq}) / norm_in, 6) AS distortion,
+       round(y0, 6) AS proj_0
+FROM p"""
+
+
+RANDOM_PROJECTION_ORACLE = _rp_oracle()
+
+
 def quantize_stats(embeddings: DataFrame) -> DataFrame:
     """Int8 scalar quantization audit — the storage-compression pass a
     100 TB embedding store runs before indexing (4× smaller than float32,

@@ -395,3 +395,22 @@ def test_prune_prototypes_drops_cluster_heads(spark):
             assert max(r.proto_rank for r in dropped) < min(
                 r.proto_rank for r in kept
             )
+
+
+def test_random_projection_jl_distortion_bounded(spark):
+    """JL property on real data: distortion concentrates around 1 — the
+    mean is near 1 and the tails stay within the k=16 concentration band."""
+    from bitcoin_datapipeline_spark.operators.similarity import (
+        random_projection_audit,
+    )
+    from bitcoin_datapipeline_spark.tables import table
+
+    rows = random_projection_audit(
+        table(spark, "/root/testdata/sf0.01", "embeddings")
+    ).collect()
+    d = [r.distortion for r in rows]
+    assert len(d) == 500
+    mean = sum(d) / len(d)
+    assert 0.9 < mean < 1.1
+    # k=16 gives sd ~ 1/sqrt(2k) ~ 0.18; 4-sigma band
+    assert min(d) > 0.2 and max(d) < 1.8, (min(d), max(d))
