@@ -76,8 +76,18 @@ FAMILIES: dict[str, list[str]] = {
         "q_decontaminate_ngram",
         # in-cluster pairwise cosine (cluster-width² risk)
         "q_semdedup",
+        # one-sided batch-vs-corpus gate (band join fan-out risk)
+        "q_doc_incremental_dedup",
     ],
-    "ann": ["q_embed_ann_ivf"],
+    "ann": [
+        "q_embed_ann_ivf",
+        # window over the cluster key (cluster-width-bound check)
+        "q_embed_prune_prototypes",
+        # map-only matmul (linearity check — the control row)
+        "q_embed_random_projection",
+    ],
+    # corpus-wide vocab aggregate feeding a broadcast probability join
+    "quality": ["q_doc_perplexity"],
     "grid": ["q_returns_1s"],
     # the flagship multi-stage pipeline — bars, windows, LOCF grid, labels,
     # joins compounding in one plan
@@ -197,6 +207,6 @@ if __name__ == "__main__":
         families_main(sys.argv[2])
     elif len(sys.argv) >= 2:
         raise SystemExit(f"unknown arguments {sys.argv[1:]}; "
-                         "usage: bench.py [--families dedup,ann,grid,gold]")
+                         "usage: bench.py [--families dedup,ann,grid,gold,quality]")
     else:
         main()
