@@ -403,7 +403,7 @@ def clear_quantizer_cache() -> None:
 
 
 def _train_quantizer(
-    embeddings: DataFrame, train_mod: int = IVF_TRAIN_MOD
+    embeddings: DataFrame, train_mod: int = IVF_TRAIN_MOD, k: int = IVF_K
 ) -> list[tuple[int, list[float]]]:
     """Driver-coordinated Lloyd training over the deterministic sample
     (the spark.ml KMeans pattern: per-iteration model state is K×dims
@@ -433,7 +433,7 @@ def _train_quantizer(
     is fully deterministic in the input data (a cached model can only go
     stale if the files under an identical plan are rewritten mid-process;
     call :func:`clear_quantizer_cache` after doing that)."""
-    key = (embeddings.semanticHash(), train_mod)
+    key = (embeddings.semanticHash(), train_mod, k)
     cached = _QUANTIZER_CACHE.get(key)
     if cached is not None:
         return cached
@@ -446,7 +446,7 @@ def _train_quantizer(
         (
             F.col("vec_id")
             == (F.lit(c * IVF_SEED_STRIDE) % F.col("n_train")) * train_mod
-            for c in range(IVF_K)
+            for c in range(k)
         ),
     )
     seed_rows = (
@@ -472,7 +472,7 @@ def _train_quantizer(
     n_train = seed_rows[0]["n_train"]
     seed_map = {r["vec_id"]: list(r["centroid"]) for r in seed_rows}
     seed_ids = [
-        ((c * IVF_SEED_STRIDE) % n_train) * train_mod for c in range(IVF_K)
+        ((c * IVF_SEED_STRIDE) % n_train) * train_mod for c in range(k)
     ]
     cents = [(c, seed_map[sid]) for c, sid in enumerate(seed_ids) if sid in seed_map]
     dims = len(cents[0][1])
@@ -501,7 +501,9 @@ def _train_quantizer(
     return cents
 
 
-def ann_ivf(embeddings: DataFrame, train_mod: int = IVF_TRAIN_MOD) -> DataFrame:
+def ann_ivf(
+    embeddings: DataFrame, train_mod: int = IVF_TRAIN_MOD, k: int = IVF_K
+) -> DataFrame:
     """IVF ANN with a real (deterministic, seeded) k-means coarse quantizer
     trained on a SAMPLE, and nprobe > 1.
 
@@ -537,7 +539,7 @@ def ann_ivf(embeddings: DataFrame, train_mod: int = IVF_TRAIN_MOD) -> DataFrame:
     """
     embeddings = _spread(embeddings)
     e = with_norm(embeddings)
-    cents = _train_quantizer(embeddings, train_mod)
+    cents = _train_quantizer(embeddings, train_mod, k)
 
     # --- search: assignment by the same broadcast-model scores, map-only
     e = e.join(F.broadcast(_centroid_frame(embeddings.sparkSession, cents)))
@@ -587,7 +589,9 @@ def ann_ivf(embeddings: DataFrame, train_mod: int = IVF_TRAIN_MOD) -> DataFrame:
     )
 
 
-def _ivf_train_ctes(train_mod: int = IVF_TRAIN_MOD) -> tuple[list[str], str]:
+def _ivf_train_ctes(
+    train_mod: int = IVF_TRAIN_MOD, k: int = IVF_K
+) -> tuple[list[str], str]:
     """DuckDB CTE cascade replaying the quantizer training exactly (same
     mod-filtered sample, seeds, IVF_ITERS Lloyd rounds with the 6-dp
     rounding sync points).  Returns (ctes, name_of_final_centroid_cte)."""
@@ -616,7 +620,7 @@ def _ivf_train_ctes(train_mod: int = IVF_TRAIN_MOD) -> tuple[list[str], str]:
         "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr)",
         f"""cents0 AS (
   SELECT cc.c, CAST(e.embedding AS DOUBLE[]) AS centroid
-  FROM (SELECT unnest(generate_series(0, {IVF_K - 1})) AS c) cc
+  FROM (SELECT unnest(generate_series(0, {k - 1})) AS c) cc
   CROSS JOIN nn
   JOIN tr e ON e.vec_id = ((cc.c * {IVF_SEED_STRIDE}) % nn.n) * {train_mod}
 )""",
@@ -627,11 +631,11 @@ def _ivf_train_ctes(train_mod: int = IVF_TRAIN_MOD) -> tuple[list[str], str]:
     return ctes, f"cents{IVF_ITERS}"
 
 
-def _ivf_oracle(train_mod: int = IVF_TRAIN_MOD) -> str:
+def _ivf_oracle(train_mod: int = IVF_TRAIN_MOD, k: int = IVF_K) -> str:
     """Unrolled DuckDB twin of ann_ivf: trained centroids from
     :func:`_ivf_train_ctes`, then full-corpus posting assignment and the
     nprobe search."""
-    ctes, final = _ivf_train_ctes(train_mod)
+    ctes, final = _ivf_train_ctes(train_mod, k)
     ctes.append(
         f"""posting AS (
   SELECT vec_id AS neighbor_id, c FROM (
@@ -693,6 +697,7 @@ def semdedup(
     threshold: float = SEMDEDUP_THRESHOLD,
     train_mod: int = IVF_TRAIN_MOD,
     persist_assignment: bool = False,
+    k: int = IVF_K,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) — semantic dedup at corpus scale:
     cluster the embedding space with the coarse k-means quantizer, then
@@ -729,7 +734,7 @@ def semdedup(
     as the MinHash-LSH text path (`text.py` banding)."""
     embeddings = _spread(embeddings)
     e = with_norm(embeddings)
-    cents = _train_quantizer(embeddings, train_mod)
+    cents = _train_quantizer(embeddings, train_mod, k)
     e = e.join(F.broadcast(_centroid_frame(embeddings.sparkSession, cents)))
     best = F.array_max(_centroid_scores())
     assigned = e.select(
@@ -780,11 +785,13 @@ def semdedup(
 
 
 def _semdedup_oracle(
-    threshold: float = SEMDEDUP_THRESHOLD, train_mod: int = IVF_TRAIN_MOD
+    threshold: float = SEMDEDUP_THRESHOLD,
+    train_mod: int = IVF_TRAIN_MOD,
+    k: int = IVF_K,
 ) -> str:
     """DuckDB twin: replayed quantizer training (shared CTEs), full-corpus
     assignment, in-cluster pair search with the same 6-dp cosine sync."""
-    ctes, final = _ivf_train_ctes(train_mod)
+    ctes, final = _ivf_train_ctes(train_mod, k)
     ctes.append(
         f"""assignment AS (
   SELECT vec_id, c FROM (
@@ -832,6 +839,7 @@ def prune_prototypes(
     embeddings: DataFrame,
     frac: float = PROTO_PRUNE_FRAC,
     train_mod: int = IVF_TRAIN_MOD,
+    k: int = IVF_K,
 ) -> DataFrame:
     """Prototypicality pruning (SSL-prototypes, Sorscher et al. 2022
     "Beyond neural scaling laws"): within each cluster, the examples MOST
@@ -852,7 +860,7 @@ def prune_prototypes(
     SemDeDup pair join."""
     embeddings = _spread(embeddings)
     e = with_norm(embeddings)
-    cents = _train_quantizer(embeddings, train_mod)
+    cents = _train_quantizer(embeddings, train_mod, k)
     e = e.join(F.broadcast(_centroid_frame(embeddings.sparkSession, cents)))
     best = F.array_max(_centroid_scores())
     assigned = e.select(
@@ -875,9 +883,11 @@ def prune_prototypes(
 
 
 def _prune_prototypes_oracle(
-    frac: float = PROTO_PRUNE_FRAC, train_mod: int = IVF_TRAIN_MOD
+    frac: float = PROTO_PRUNE_FRAC,
+    train_mod: int = IVF_TRAIN_MOD,
+    k: int = IVF_K,
 ) -> str:
-    ctes, final = _ivf_train_ctes(train_mod)
+    ctes, final = _ivf_train_ctes(train_mod, k)
     ctes.append(
         f"""assignment AS (
   SELECT vec_id, c, cos FROM (
@@ -1077,7 +1087,7 @@ FROM s2"""
 
 
 def cluster_stats(
-    embeddings: DataFrame, train_mod: int = IVF_TRAIN_MOD
+    embeddings: DataFrame, train_mod: int = IVF_TRAIN_MOD, k: int = IVF_K
 ) -> DataFrame:
     """Corpus clustering report over the trained coarse quantizer — the
     dataset-curation view of the same k-means the IVF index uses: per
@@ -1091,7 +1101,7 @@ def cluster_stats(
     aggregate — no joins, no windows."""
     embeddings = _spread(embeddings)
     e = with_norm(embeddings)
-    cents = _train_quantizer(embeddings, train_mod)
+    cents = _train_quantizer(embeddings, train_mod, k)
     e = e.join(F.broadcast(_centroid_frame(embeddings.sparkSession, cents)))
     best = F.array_max(_centroid_scores())
     assigned = e.select(
@@ -1113,11 +1123,11 @@ def cluster_stats(
     )
 
 
-def _cluster_stats_oracle(train_mod: int = IVF_TRAIN_MOD) -> str:
+def _cluster_stats_oracle(train_mod: int = IVF_TRAIN_MOD, k: int = IVF_K) -> str:
     """DuckDB twin of cluster_stats: trained centroids from
     :func:`_ivf_train_ctes`, full-corpus nearest-centroid assignment, then
     the per-cluster roll-up."""
-    ctes, final = _ivf_train_ctes(train_mod)
+    ctes, final = _ivf_train_ctes(train_mod, k)
     ctes.append(
         f"""assigned AS (
   SELECT c, c_cos FROM (

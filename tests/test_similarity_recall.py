@@ -95,3 +95,27 @@ def test_ivf_empty_training_sample_raises(spark):
     empty = table(spark, SF_DIR, "embeddings").filter("vec_id < 0")
     with pytest.raises(ValueError, match="no seed rows"):
         similarity.ann_ivf(empty)
+
+
+def test_ivf_k_knob_oracle_parity_at_k4(spark):
+    """The K knob (SCALING.md's 'scale K with the corpus' contract) must
+    hold the oracle bit-for-bit at a non-default K: Spark ann_ivf(k=4)
+    vs the k=4-parametrized DuckDB oracle."""
+    import duckdb
+
+    from bitcoin_datapipeline_spark.operators.similarity import (
+        _ivf_oracle,
+        ann_ivf,
+    )
+    from bitcoin_datapipeline_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        map(tuple, ann_ivf(table(spark, sf, "embeddings"), k=4).collect())
+    )
+    con = duckdb.connect(":memory:")
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(_ivf_oracle(k=4)).fetchall()))
+    assert got == want and len(got) > 0
