@@ -502,7 +502,10 @@ def _train_quantizer(
 
 
 def ann_ivf(
-    embeddings: DataFrame, train_mod: int = IVF_TRAIN_MOD, k: int = IVF_K
+    embeddings: DataFrame,
+    train_mod: int = IVF_TRAIN_MOD,
+    k: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
     """IVF ANN with a real (deterministic, seeded) k-means coarse quantizer
     trained on a SAMPLE, and nprobe > 1.
@@ -554,7 +557,7 @@ def ann_ivf(
     )
     # queries probe their nprobe nearest centroids (reverse of the ascending
     # struct sort = cosine desc, centroid id asc — same tiebreak as max)
-    nprobe = min(IVF_NPROBE, len(cents))
+    nprobe = min(nprobe, len(cents))
     probes = (
         e.filter(F.col("vec_id") % IVF_NPROBE_QUERY_MOD == 0)
         .select(
@@ -631,7 +634,9 @@ def _ivf_train_ctes(
     return ctes, f"cents{IVF_ITERS}"
 
 
-def _ivf_oracle(train_mod: int = IVF_TRAIN_MOD, k: int = IVF_K) -> str:
+def _ivf_oracle(
+    train_mod: int = IVF_TRAIN_MOD, k: int = IVF_K, nprobe: int = IVF_NPROBE
+) -> str:
     """Unrolled DuckDB twin of ann_ivf: trained centroids from
     :func:`_ivf_train_ctes`, then full-corpus posting assignment and the
     nprobe search."""
@@ -656,7 +661,7 @@ def _ivf_oracle(train_mod: int = IVF_TRAIN_MOD, k: int = IVF_K) -> str:
                                                    c.centroid), 6) DESC, c.c) AS rn
     FROM embeddings e CROSS JOIN {final} c
     WHERE e.vec_id % {IVF_NPROBE_QUERY_MOD} = 0)
-  WHERE rn <= {IVF_NPROBE}
+  WHERE rn <= {nprobe}
 )"""
     )
     ctes.append(

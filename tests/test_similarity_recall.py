@@ -119,3 +119,26 @@ def test_ivf_k_knob_oracle_parity_at_k4(spark):
     )
     want = sorted(map(tuple, con.execute(_ivf_oracle(k=4)).fetchall()))
     assert got == want and len(got) > 0
+
+
+def test_ivf_nprobe_knob_oracle_parity(spark):
+    """nprobe wired end-to-end: nprobe=2 halves the probed lists and still
+    matches the nprobe=2-parametrized oracle exactly."""
+    import duckdb
+
+    from bitcoin_datapipeline_spark.operators.similarity import (
+        _ivf_oracle,
+        ann_ivf,
+    )
+    from bitcoin_datapipeline_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        map(tuple, ann_ivf(table(spark, sf, "embeddings"), nprobe=2).collect())
+    )
+    con = duckdb.connect(":memory:")
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(_ivf_oracle(nprobe=2)).fetchall()))
+    assert got == want and len(got) > 0
