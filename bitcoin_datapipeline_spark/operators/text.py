@@ -339,7 +339,9 @@ WHERE shared * 1.0 / (x.n + y.n - shared) >= {JACCARD_THRESHOLD}"""
 
 
 def _minhash_sigs(
-    documents: DataFrame, max_shingle_df: int | None = None
+    documents: DataFrame,
+    max_shingle_df: int | None = None,
+    n_sigs: int = MINHASH_SIGS,
 ) -> DataFrame:
     """One shingle explode + ONE groupBy(doc_id) producing everything the
     LSH pipeline needs: the MINHASH_SIGS signature mins, the set size, and
@@ -349,7 +351,7 @@ def _minhash_sigs(
         shd = _cap_hot_shingles(shd, max_shingle_df)
     sig_cols = [
         F.min(F.md5(F.concat(F.lit(str(j)), F.lit("|"), F.col("shingle")))).alias(f"s{j}")
-        for j in range(MINHASH_SIGS)
+        for j in range(n_sigs)
     ]
     return shd.groupBy("doc_id").agg(
         *sig_cols,
@@ -358,11 +360,18 @@ def _minhash_sigs(
     )
 
 
-def _band_frame(sigs: DataFrame) -> DataFrame:
-    """(doc_id, band, band_hash) — the LSH bucket keys, one row per band."""
-    per_band = MINHASH_SIGS // MINHASH_BANDS
+def _band_frame(
+    sigs: DataFrame,
+    n_sigs: int = MINHASH_SIGS,
+    n_bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """(doc_id, band, band_hash) — the LSH bucket keys, one row per band.
+    (n_sigs, n_bands) is the LSH S-curve knob: r = n_sigs/n_bands rows per
+    band sets where the candidate-probability curve 1-(1-j^r)^b inflects —
+    more bands = higher recall at low jaccard, more candidates."""
+    per_band = n_sigs // n_bands
     bands = []
-    for b in range(MINHASH_BANDS):
+    for b in range(n_bands):
         cols = [F.col(f"s{b * per_band + k}") for k in range(per_band)]
         bands.append(
             sigs.select(
@@ -378,7 +387,10 @@ def _band_frame(sigs: DataFrame) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    documents: DataFrame, max_shingle_df: int | None = None
+    documents: DataFrame,
+    max_shingle_df: int | None = None,
+    n_sigs: int = MINHASH_SIGS,
+    n_bands: int = MINHASH_BANDS,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidates.
 
@@ -407,8 +419,8 @@ def minhash_lsh_pairs(
     before signatures are computed — see :func:`_cap_hot_shingles`; the
     declared capped query uses MINHASH_HOT_SHINGLE_DF.
     """
-    sigs = _minhash_sigs(documents, max_shingle_df)
-    allb = _band_frame(sigs)
+    sigs = _minhash_sigs(documents, max_shingle_df, n_sigs)
+    allb = _band_frame(sigs, n_sigs, n_bands)
     a = allb.alias("a")
     b2 = allb.alias("b")
     cand = (
@@ -440,26 +452,44 @@ def minhash_lsh_pairs(
     )
 
 
-_SIG_SQL = ",\n         ".join(
-    f"list_min(list_transform(shs, x -> md5(concat('{j}', '|', x)))) AS s{j}"
-    for j in range(MINHASH_SIGS)
-)
-_PER_BAND = MINHASH_SIGS // MINHASH_BANDS
+def _sig_sql(n_sigs: int = MINHASH_SIGS) -> str:
+    return ",\n         ".join(
+        f"list_min(list_transform(shs, x -> md5(concat('{j}', '|', x)))) AS s{j}"
+        for j in range(n_sigs)
+    )
 
 
-def _band_sql(src: str) -> str:
+_SIG_SQL = _sig_sql()
+
+
+def _band_sql(
+    src: str, n_sigs: int = MINHASH_SIGS, n_bands: int = MINHASH_BANDS
+) -> str:
+    per_band = n_sigs // n_bands
     return " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, concat({sigs}) AS band_hash FROM {src}".format(
             b=b,
-            sigs=", ".join(f"s{b * _PER_BAND + k}" for k in range(_PER_BAND)),
+            sigs=", ".join(f"s{b * per_band + k}" for k in range(per_band)),
             src=src,
         )
-        for b in range(MINHASH_BANDS)
+        for b in range(n_bands)
     )
 
 
 _BAND_SQL = _band_sql("sigs")
-MINHASH_LSH_ORACLE = f"""
+
+
+def _minhash_lsh_oracle(
+    n_sigs: int = MINHASH_SIGS, n_bands: int = MINHASH_BANDS
+) -> str:
+    """Parametrized twin of minhash_lsh_pairs — the (n_sigs, n_bands)
+    S-curve knob holds the oracle contract at any setting."""
+    return MINHASH_LSH_ORACLE_TPL.format(
+        sig_sql=_sig_sql(n_sigs), band_sql=_band_sql("sigs", n_sigs, n_bands)
+    )
+
+
+MINHASH_LSH_ORACLE_TPL = """
 WITH docs_sh AS (
   SELECT doc_id,
          list_distinct([array_to_string(toks[i:i+2], ' ')
@@ -469,10 +499,10 @@ WITH docs_sh AS (
 ),
 sigs AS (
   SELECT doc_id, shs, len(shs) AS n,
-         {_SIG_SQL}
+         {sig_sql}
   FROM docs_sh
 ),
-bands AS ({_BAND_SQL}),
+bands AS ({band_sql}),
 cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(count(*) AS BIGINT) AS n_bands_matched
@@ -487,6 +517,9 @@ SELECT c.doc_a, c.doc_b, c.n_bands_matched,
 FROM cand c
 JOIN sigs x ON c.doc_a = x.doc_id
 JOIN sigs y ON c.doc_b = y.doc_id"""
+
+
+MINHASH_LSH_ORACLE = _minhash_lsh_oracle()
 
 
 # Capped twin: identical pipeline, but shingles with doc-frequency above

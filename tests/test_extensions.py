@@ -217,3 +217,31 @@ def test_dedup_components_self_loop_pairs_become_singletons(spark):
     assert out[7].component == 7 and out[7].cluster_size == 1
     assert out[1].component == 1 and out[1].cluster_size == 2
     assert out[2].component == 1 and out[2].cluster_size == 2
+
+
+def test_minhash_band_knob_oracle_parity(spark):
+    """(n_sigs, n_bands) — the LSH S-curve knob — holds the oracle contract
+    at a non-default setting (6 sigs x 3 bands vs the default 12x4)."""
+    import duckdb
+
+    from bitcoin_datapipeline_spark.operators.text import (
+        _minhash_lsh_oracle,
+        minhash_lsh_pairs,
+    )
+    from bitcoin_datapipeline_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        map(
+            tuple,
+            minhash_lsh_pairs(
+                table(spark, sf, "documents"), n_sigs=6, n_bands=3
+            ).collect(),
+        )
+    )
+    con = duckdb.connect(":memory:")
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(_minhash_lsh_oracle(6, 3)).fetchall()))
+    assert got == want and len(got) > 0
