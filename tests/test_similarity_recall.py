@@ -142,3 +142,23 @@ def test_ivf_nprobe_knob_oracle_parity(spark):
     )
     want = sorted(map(tuple, con.execute(_ivf_oracle(nprobe=2)).fetchall()))
     assert got == want and len(got) > 0
+
+
+def test_quantizer_memoized_across_consumers(spark):
+    """ann_ivf / semdedup / cluster_stats over the same table must share
+    ONE trained model (the train-once production pattern) — keyed by the
+    input plan, cleared by clear_quantizer_cache."""
+    from bitcoin_datapipeline_spark.operators import similarity as S
+    from bitcoin_datapipeline_spark.tables import table
+
+    S.clear_quantizer_cache()
+    e = table(spark, "/root/testdata/sf0.001", "embeddings")
+    S.ann_ivf(e)
+    assert len(S._QUANTIZER_CACHE) == 1
+    S.semdedup(e)
+    S.cluster_stats(e)
+    assert len(S._QUANTIZER_CACHE) == 1          # same key: no retraining
+    S.ann_ivf(e, k=4)
+    assert len(S._QUANTIZER_CACHE) == 2          # different k: new model
+    S.clear_quantizer_cache()
+    assert not S._QUANTIZER_CACHE
