@@ -1069,6 +1069,13 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_filter(table(spark, sf_dir, "documents"))
 
+# DSIR importance weights: hashed-bigram likelihood ratio vs the target
+# (eval) distribution — the data-selection scoring pass
+@q("q_doc_dsir_weights", text.DSIR_ORACLE)
+def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.dsir_weights(table(spark, sf_dir, "documents"))
+
+
 # LM-perplexity quality scoring (CCNet-style, unigram LM): statistical
 # upgrade over the heuristic quality_filter rules
 @q("q_doc_perplexity", text.UNIGRAM_LOGLOSS_ORACLE)
@@ -1879,6 +1886,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_doc_incremental_dedup",
     "q_embed_prune_prototypes",
     "q_embed_random_projection",
+    "q_doc_dsir_weights",
     "q_volume_shipping",
     "q_product_profit",
     "q_late_shipments",

@@ -32,6 +32,7 @@ MINHASH_BANDS = 4  # MINHASH_SIGS // MINHASH_BANDS signatures per band
 #: present in more than this many documents are treated as corpus
 #: boilerplate and dropped before candidate generation
 MINHASH_HOT_SHINGLE_DF = 5
+SAMPLE_KEEP_HEX_MAX = "3"  # md5 first hex in [0,3] → ~25% kept (split rule shared by sample/decontaminate/DSIR)
 
 
 _STOP_SQL = "(" + ",".join(f"'{s}'" for s in STOPWORDS) + ")"
@@ -739,6 +740,111 @@ LEFT JOIN near n USING (doc_id)"""
 INCREMENTAL_DEDUP_ORACLE = _incremental_dedup_oracle()
 
 
+DSIR_SMOOTH = 1.0  # Laplace smoothing per hashed-feature bucket
+DSIR_NBUCKETS = 16  # bucket = first md5 hex char of each bigram
+
+
+def dsir_weights(documents: DataFrame) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    score every candidate training document by how much more likely its
+    hashed n-gram features are under the TARGET distribution than under
+    the source pool, then sample by weight.  Target here is the
+    deterministic eval stratum (same salted-hash split as the
+    decontamination family — in production, the curated high-quality
+    corpus); features are bigrams hashed to 16 buckets (first md5 hex
+    char — a cross-engine-stable hash); both bucket distributions are
+    Laplace-smoothed.  Emits, per source document, the feature count, the
+    6-dp log importance weight Σ n_b·ln(p_target_b / p_source_b), and the
+    DSIR keep flag (weight > 0 ⇔ more target-like than source-like; the
+    paper samples ∝ weight — a deterministic md5-draw against the
+    normalized weight slots in exactly like `deterministic_sample`).
+
+    Plan shape: one bigram explode feeds both side aggregates (16-row
+    tables) AND the scoring join; the bucket-ratio table broadcasts, so
+    scoring is map-side and the only corpus-sized shuffle is the final
+    per-doc aggregate — identical scale shape to unigram_logloss."""
+    h = F.md5(F.concat(F.col("lang"), F.lit("|"), F.col("doc_id").cast("string")))
+    grams = F.expr(
+        "transform(array(split(text, ' ')), toks -> "
+        " CASE WHEN size(toks) >= 2 THEN"
+        "  transform(sequence(0, size(toks) - 2), i -> "
+        "   concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2)))"
+        " ELSE array() END)[0]"
+    )
+    tagged = documents.select(
+        "doc_id",
+        (F.substring(h, 1, 1) <= SAMPLE_KEEP_HEX_MAX).alias("is_eval"),
+        F.explode(grams).alias("gram"),
+    ).select(
+        "doc_id",
+        "is_eval",
+        F.substring(F.md5("gram"), 1, 1).alias("bucket"),
+    )
+
+    def side_probs(flag, name):
+        cnt = (
+            tagged.filter(flag)
+            .groupBy("bucket")
+            .agg(F.count("*").alias("cnt"))
+        )
+        tot = cnt.groupBy().agg(F.sum("cnt").alias("tot"))
+        return cnt.join(F.broadcast(tot)).select(
+            "bucket",
+            (
+                (F.col("cnt") + DSIR_SMOOTH)
+                / (F.col("tot") + DSIR_SMOOTH * DSIR_NBUCKETS)
+            ).alias(name),
+        )
+
+    ratios = (
+        side_probs(F.col("is_eval"), "p_t")
+        .join(side_probs(~F.col("is_eval"), "p_s"), "bucket")
+        .select("bucket", F.log(F.col("p_t") / F.col("p_s")).alias("lr"))
+    )
+    return (
+        tagged.filter(~F.col("is_eval"))
+        .join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_features"),
+            r6(F.sum("lr")).alias("log_weight"),
+        )
+        .withColumn("keep", F.col("log_weight") > 0)
+    )
+
+
+DSIR_ORACLE = f"""
+WITH tagged AS (
+  SELECT doc_id,
+         substr(md5(concat(lang, '|', CAST(doc_id AS VARCHAR))), 1, 1)
+             <= '{SAMPLE_KEEP_HEX_MAX}' AS is_eval,
+         substr(md5(gram), 1, 1) AS bucket
+  FROM (
+    SELECT doc_id, lang,
+           unnest([array_to_string(toks[i:i+1], ' ')
+                   for i in generate_series(1, len(toks) - 1)]) AS gram
+    FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents))
+),
+tc AS (SELECT bucket, count(*) AS cnt FROM tagged WHERE is_eval GROUP BY bucket),
+sc AS (SELECT bucket, count(*) AS cnt FROM tagged WHERE NOT is_eval GROUP BY bucket),
+ratios AS (
+  SELECT t.bucket,
+         ln(((t.cnt + {DSIR_SMOOTH}) * 1.0
+             / ((SELECT sum(cnt) FROM tc) + {DSIR_SMOOTH * DSIR_NBUCKETS}))
+            / ((s.cnt + {DSIR_SMOOTH}) * 1.0
+               / ((SELECT sum(cnt) FROM sc) + {DSIR_SMOOTH * DSIR_NBUCKETS})))
+             AS lr
+  FROM tc t JOIN sc s ON t.bucket = s.bucket
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_features,
+       round(sum(lr), 6) AS log_weight,
+       sum(lr) > 0 AS keep
+FROM tagged JOIN ratios USING (bucket)
+WHERE NOT is_eval
+GROUP BY doc_id"""
+
+
 def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash document fingerprint (bit-majority over token hashes).
 
@@ -1016,7 +1122,6 @@ SELECT source, lang, doc_id, n_tokens,
 FROM c"""
 
 
-SAMPLE_KEEP_HEX_MAX = "3"  # md5 first hex in [0,3] → ~25% kept
 
 
 def deterministic_sample(documents: DataFrame) -> DataFrame:

@@ -414,3 +414,68 @@ def test_random_projection_jl_distortion_bounded(spark):
     assert 0.9 < mean < 1.1
     # k=16 gives sd ~ 1/sqrt(2k) ~ 0.18; 4-sigma band
     assert min(d) > 0.2 and max(d) < 1.8, (min(d), max(d))
+
+
+def test_dsir_weights_match_python_model(spark):
+    """dsir_weights vs a pure-Python recomputation of the hashed-bigram
+    importance weights on the sf0.001 corpus."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from bitcoin_datapipeline_spark.operators.text import (
+        DSIR_NBUCKETS,
+        DSIR_SMOOTH,
+        SAMPLE_KEEP_HEX_MAX,
+        dsir_weights,
+    )
+    from bitcoin_datapipeline_spark.tables import table
+
+    docs = {
+        r.doc_id: (r.lang, r.text)
+        for r in table(spark, "/root/testdata/sf0.001", "documents").collect()
+    }
+    out = {
+        r.doc_id: r
+        for r in dsir_weights(
+            table(spark, "/root/testdata/sf0.001", "documents")
+        ).collect()
+    }
+
+    def is_eval(i, lang):
+        return (
+            hashlib.md5(f"{lang}|{i}".encode()).hexdigest()[0]
+            <= SAMPLE_KEEP_HEX_MAX
+        )
+
+    def buckets(text):
+        toks = text.split(" ")
+        return [
+            hashlib.md5(f"{a} {b}".encode()).hexdigest()[0]
+            for a, b in zip(toks, toks[1:])
+        ]
+
+    tgt, src = Counter(), Counter()
+    for i, (lang, t) in docs.items():
+        (tgt if is_eval(i, lang) else src).update(buckets(t))
+    lr = {
+        b: math.log(
+            ((tgt[b] + DSIR_SMOOTH) / (sum(tgt.values()) + DSIR_SMOOTH * DSIR_NBUCKETS))
+            / ((src[b] + DSIR_SMOOTH) / (sum(src.values()) + DSIR_SMOOTH * DSIR_NBUCKETS))
+        )
+        for b in set(tgt) & set(src)
+    }
+    for i, (lang, t) in docs.items():
+        if is_eval(i, lang):
+            assert i not in out
+            continue
+        bs = [b for b in buckets(t) if b in lr]
+        if not bs:
+            assert i not in out
+            continue
+        w = sum(lr[b] for b in bs)
+        assert out[i].n_features == len(bs)
+        assert abs(out[i].log_weight - w) < 1e-4
+        assert out[i].keep == (out[i].log_weight > 0)
+    assert any(r.keep for r in out.values())
+    assert any(not r.keep for r in out.values())
