@@ -87,7 +87,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_embed_random_projection",
     ],
     # corpus-wide vocab aggregate feeding a broadcast probability join
-    "quality": ["q_doc_perplexity"],
+    "quality": ["q_doc_perplexity", "q_doc_dsir_weights"],
     "grid": ["q_returns_1s"],
     # the flagship multi-stage pipeline — bars, windows, LOCF grid, labels,
     # joins compounding in one plan
