@@ -404,3 +404,14 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_quality_scoring_joins_broadcast(spark, sf01):
+    """The perplexity vocab join and the DSIR ratio join must plan as
+    BroadcastHashJoin — the docstrings' map-side-scoring claim, pinned."""
+    import __spark_entry__ as E
+
+    for name in ("q_doc_perplexity", "q_doc_dsir_weights"):
+        plan = _plan(spark, E.queries()[name](spark, sf01))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
