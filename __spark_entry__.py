@@ -1083,6 +1083,12 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_logloss(table(spark, sf_dir, "documents"))
 
 
+# Bigram-LM scoring (order-sensitive KenLM family member, n=2)
+@q("q_doc_perplexity_bigram", text.BIGRAM_LOGLOSS_ORACLE)
+def q_doc_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bigram_logloss(table(spark, sf_dir, "documents"))
+
+
 # Repetition / boilerplate detection: top-shingle share per document
 @q("q_doc_repetition", text.REPETITION_ORACLE)
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1887,6 +1893,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_embed_prune_prototypes",
     "q_embed_random_projection",
     "q_doc_dsir_weights",
+    "q_doc_perplexity_bigram",
     "q_volume_shipping",
     "q_product_profit",
     "q_late_shipments",

@@ -1508,6 +1508,87 @@ FROM toks JOIN probs USING (token)
 GROUP BY doc_id"""
 
 
+def bigram_logloss(documents: DataFrame) -> DataFrame:
+    """Order-sensitive LM scoring — the n=2 member of the KenLM family
+    (:func:`unigram_logloss` is n=1; CCNet ships n=5): per document, the
+    mean negative log probability of its token TRANSITIONS under the
+    corpus bigram model with add-one smoothing,
+    ``p(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁)+V)``.  Shuffled-word documents that
+    fool the unigram scorer (same vocabulary, broken order) score high
+    here — the property the test pins.
+
+    Plan shape: one bigram explode feeds the transition-count table; the
+    unigram counts and V come from one more aggregate over the same scan;
+    scoring joins the broadcast probability table and reduces per doc —
+    the unigram_logloss shape with a (w₁ w₂) key.  Documents with fewer
+    than 2 tokens have no transitions and drop out (none in this corpus;
+    production left-joins them back with a null score)."""
+    toks = documents.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN"
+                " transform(sequence(0, size(toks) - 2), i -> "
+                "  concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2)))"
+                " ELSE array() END"
+            )
+        ).alias("bg"),
+    )
+    unigrams = documents.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    uni = unigrams.groupBy("w").agg(F.count("*").alias("cw"))
+    v = uni.groupBy().agg(F.count("*").alias("v"))
+    bi = bigrams.groupBy("bg").agg(F.count("*").alias("cbg"))
+    probs = (
+        bi.withColumn("w", F.split(F.col("bg"), " ")[0])
+        .join(uni, "w")
+        .join(F.broadcast(v))
+        .select(
+            "bg",
+            ((F.col("cbg") + 1) / (F.col("cw") + F.col("v"))).alias("p"),
+        )
+    )
+    avg_nll = -F.avg(F.log("p"))
+    return (
+        bigrams.join(F.broadcast(probs), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_transitions"),
+            r6(avg_nll).alias("avg_nll"),
+            r6(F.exp(avg_nll)).alias("ppl"),
+        )
+    )
+
+
+BIGRAM_LOGLOSS_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bigrams AS (
+  SELECT doc_id,
+         unnest([array_to_string(t[i:i+1], ' ')
+                 for i in generate_series(1, len(t) - 1)]) AS bg
+  FROM toks
+),
+uni AS (
+  SELECT w, count(*) AS cw FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w
+),
+bi AS (SELECT bg, count(*) AS cbg FROM bigrams GROUP BY bg),
+probs AS (
+  SELECT bg, (cbg + 1) * 1.0 / (cw + (SELECT count(*) FROM uni)) AS p
+  FROM bi JOIN uni ON string_split(bg, ' ')[1] = uni.w
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       round(-avg(ln(p)), 6) AS avg_nll,
+       round(exp(-avg(ln(p))), 6) AS ppl
+FROM bigrams JOIN probs USING (bg)
+GROUP BY doc_id"""
+
+
 def repetition_stats(documents: DataFrame) -> DataFrame:
     """Repetition / boilerplate detection (the dedup-adjacent quality
     signal): per document, the most frequent 3-gram's share of all 3-gram

@@ -479,3 +479,27 @@ def test_dsir_weights_match_python_model(spark):
         assert out[i].keep == (out[i].log_weight > 0)
     assert any(r.keep for r in out.values())
     assert any(not r.keep for r in out.values())
+
+
+def test_bigram_logloss_detects_broken_order(spark):
+    """The order-sensitivity property that separates n=2 from n=1: a
+    shuffled-word copy of a coherent doc has IDENTICAL unigram score but
+    strictly higher bigram perplexity (its transitions are unseen)."""
+    from bitcoin_datapipeline_spark.operators.text import (
+        bigram_logloss,
+        unigram_logloss,
+    )
+
+    phrase = "the cat sat on the mat and the dog sat on the rug"
+    toks = phrase.split(" ")
+    shuffled = " ".join(toks[::2] + toks[1::2])  # same multiset, new order
+    d = spark.createDataFrame(
+        [Row(doc_id=0, text=phrase, lang="en", source="s", n_chars=1),
+         Row(doc_id=1, text=phrase, lang="en", source="s", n_chars=1),
+         Row(doc_id=2, text=shuffled, lang="en", source="s", n_chars=1)]
+    )
+    uni = {r.doc_id: r.ppl for r in unigram_logloss(d).collect()}
+    bi = {r.doc_id: r.ppl for r in bigram_logloss(d).collect()}
+    assert uni[0] == uni[2]          # unigram can't see the difference
+    assert bi[2] > bi[0]             # bigram can
+    assert bi[0] == bi[1]            # deterministic
