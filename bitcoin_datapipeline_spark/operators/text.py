@@ -759,10 +759,14 @@ def dsir_weights(documents: DataFrame) -> DataFrame:
     paper samples ∝ weight — a deterministic md5-draw against the
     normalized weight slots in exactly like `deterministic_sample`).
 
-    Plan shape: one bigram explode feeds both side aggregates (16-row
-    tables) AND the scoring join; the bucket-ratio table broadcasts, so
-    scoring is map-side and the only corpus-sized shuffle is the final
-    per-doc aggregate — identical scale shape to unigram_logloss."""
+    Plan shape: the bigram explode is map-only and logically shared by
+    the two side aggregates and the scoring branch (physically each
+    branch re-runs the scan+explode — projection pushdown defeats
+    ReusedExchange here exactly as in semdedup; a corpus-scale run
+    persists `tagged` once).  The side aggregates reduce to 16-row
+    tables, the bucket-ratio table broadcasts, so scoring is map-side
+    and the only corpus-sized shuffle is the final per-doc aggregate —
+    the unigram_logloss scale shape."""
     h = F.md5(F.concat(F.col("lang"), F.lit("|"), F.col("doc_id").cast("string")))
     grams = F.expr(
         "transform(array(split(text, ' ')), toks -> "
