@@ -824,6 +824,21 @@ def q_asof_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joins.asof_purchase_click(table(spark, sf_dir, "events"))
 
 
+# Lee-Ready aggressor-side classification (quote rule + tick test) with a
+# per-symbol accuracy audit against the feed's ground-truth taker flag
+@q(
+    "q_lee_ready",
+    OD.with_ctes(OD.DEDUP_TRADES_CTE, OD.BBA_CTE + "," + joins.LEE_READY_BODY,
+                 body=""),
+)
+def q_lee_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return joins.lee_ready(
+        dedup.dedup_trades(normalize.valid_trades(events)),
+        normalize.bba(events),
+    )
+
+
 @q(
     "q_feature_label_join",
     OD.with_ctes(
@@ -1894,6 +1909,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_embed_random_projection",
     "q_doc_dsir_weights",
     "q_doc_perplexity_bigram",
+    "q_lee_ready",
     "q_volume_shipping",
     "q_product_profit",
     "q_late_shipments",

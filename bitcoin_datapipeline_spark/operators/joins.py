@@ -186,3 +186,194 @@ def feature_assembly(
     return tf.join(bf, ["symbol", "bucket"], "inner").join(
         F.broadcast(df), ["symbol"], "left"
     )
+
+
+LR_QUOTE_MAX_AGE_MS = 30_000  # quote staleness bound, mirrors the as-of window
+
+
+def lee_ready(trades: DataFrame, quotes: DataFrame) -> DataFrame:
+    """Lee–Ready trade-side classification (Lee & Ready 1991) — the
+    canonical microstructure algorithm for inferring aggressor side when
+    the feed has no taker flag: the QUOTE RULE signs each trade against
+    the prevailing mid (above → buy, below → sell), and the TICK TEST
+    breaks mid ties against the last DIFFERENT trade price.  This corpus
+    carries ground truth (``is_buyer_maker``), so the output doubles as a
+    per-symbol classifier audit: rule mix and accuracy vs truth — exactly
+    how a desk validates the classifier before trusting it on flagless
+    history.
+
+    Plan shape: the prevailing mid is the union+LOCF as-of idiom (one
+    (symbol)-keyed sort shared with the tick-test windows — no range
+    join); quotes pre-aggregate to one row per (symbol, ms); the tick
+    test is a conditional LOCF over the deduped trade sequence; one
+    partial-combinable aggregate per symbol at the end.
+
+    cf. reference: extends the surface (the reference always has the SBE
+    taker flag, `feature_builder.py` trusts it; this reconstructs it)."""
+    q = quotes.groupBy("symbol", "event_ts").agg(
+        F.max("bid_px").alias("bid"), F.max("ask_px").alias("ask")
+    )
+    t = trades.select(
+        "symbol",
+        "event_ts",
+        "trade_id",
+        "price",
+        "is_buyer_maker",
+        F.lit(1).alias("is_t"),
+        F.lit(None).cast("double").alias("bid"),
+        F.lit(None).cast("double").alias("ask"),
+    ).unionByName(
+        q.select(
+            "symbol",
+            "event_ts",
+            F.lit(None).cast("long").alias("trade_id"),
+            F.lit(None).cast("double").alias("price"),
+            F.lit(None).cast("boolean").alias("is_buyer_maker"),
+            F.lit(0).alias("is_t"),
+            "bid",
+            "ask",
+        )
+    )
+    # quotes sort before trades at the same ms -> at-or-before semantics
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("event_ts", "is_t", "trade_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    quote_row = F.when(
+        F.col("is_t") == 0,
+        F.struct(
+            F.col("event_ts").alias("qts"),
+            ((F.col("bid") + F.col("ask")) / 2.0).alias("mid"),
+        ),
+    )
+    lq = F.last(quote_row, ignorenulls=True).over(w)
+    tr = (
+        t.withColumn("mid", lq.getField("mid"))
+        .withColumn("qts", lq.getField("qts"))
+        .filter(F.col("is_t") == 1)
+    )
+    fresh = F.col("qts").isNotNull() & (
+        (F.col("event_ts") - F.col("qts")) <= LR_QUOTE_MAX_AGE_MS
+    )
+    # tick test state: last DIFFERENT price strictly before this trade
+    tw = (
+        Window.partitionBy("symbol")
+        .orderBy("event_ts", "trade_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev = F.lag("price").over(
+        Window.partitionBy("symbol").orderBy("event_ts", "trade_id")
+    )
+    tr = tr.withColumn(
+        "ldp",
+        F.last(
+            F.when(F.col("price") != prev, prev), ignorenulls=True
+        ).over(tw),
+    )
+    quote_side = F.when(F.col("price") > F.col("mid"), 1).when(
+        F.col("price") < F.col("mid"), -1
+    )
+    tick_side = F.when(F.col("price") > F.col("ldp"), 1).when(
+        F.col("price") < F.col("ldp"), -1
+    )
+    side = F.when(fresh & quote_side.isNotNull(), quote_side).otherwise(
+        tick_side
+    )
+    method = (
+        F.when(fresh & quote_side.isNotNull(), F.lit("quote"))
+        .when(tick_side.isNotNull(), F.lit("tick"))
+        .otherwise(F.lit("none"))
+    )
+    truth = F.when(F.col("is_buyer_maker"), -1).otherwise(1)
+    classified = tr.select(
+        "symbol",
+        method.alias("method"),
+        (side == truth).alias("correct"),
+    )
+    n_classified = F.sum(F.when(F.col("method") != "none", 1).otherwise(0))
+    return classified.groupBy("symbol").agg(
+        F.count("*").cast("long").alias("n_trades"),
+        F.sum(F.when(F.col("method") == "quote", 1).otherwise(0))
+        .cast("long")
+        .alias("n_quote_rule"),
+        F.sum(F.when(F.col("method") == "tick", 1).otherwise(0))
+        .cast("long")
+        .alias("n_tick_test"),
+        F.sum(F.when(F.col("method") == "none", 1).otherwise(0))
+        .cast("long")
+        .alias("n_unclassified"),
+        r6(
+            F.sum(F.when(F.col("correct"), 1).otherwise(0)) / n_classified
+        ).alias("accuracy"),
+    )
+
+
+LEE_READY_ORACLE_BODY = f"""
+q AS (
+  SELECT symbol, event_ts, max(bid_px) AS bid, max(ask_px) AS ask
+  FROM bba GROUP BY symbol, event_ts
+),
+u AS (
+  SELECT symbol, event_ts, trade_id, price, is_buyer_maker, 1 AS is_t,
+         CAST(NULL AS DOUBLE) AS bid, CAST(NULL AS DOUBLE) AS ask
+  FROM dedup_trades
+  UNION ALL
+  SELECT symbol, event_ts, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+         CAST(NULL AS BOOLEAN), 0, bid, ask
+  FROM q
+),
+l AS (
+  SELECT *, last_value(
+      CASE WHEN is_t = 0
+           THEN {{'qts': event_ts, 'mid': (bid + ask) / 2.0}} END
+      IGNORE NULLS) OVER (
+        PARTITION BY symbol ORDER BY event_ts, is_t, trade_id
+        ROWS UNBOUNDED PRECEDING) AS lq
+  FROM u
+),
+tr AS (
+  SELECT symbol, event_ts, trade_id, price, is_buyer_maker,
+         lq.mid AS mid, lq.qts AS qts
+  FROM l WHERE is_t = 1
+),
+tt AS (
+  SELECT *, last_value(
+      CASE WHEN price != prev THEN prev END IGNORE NULLS) OVER (
+        PARTITION BY symbol ORDER BY event_ts, trade_id
+        ROWS UNBOUNDED PRECEDING) AS ldp
+  FROM (
+    SELECT *, lag(price) OVER (
+        PARTITION BY symbol ORDER BY event_ts, trade_id) AS prev
+    FROM tr)
+),
+c AS (
+  SELECT symbol,
+         CASE WHEN qts IS NOT NULL AND event_ts - qts <= {{max_age}}
+                   AND (price > mid OR price < mid) THEN 'quote'
+              WHEN price > ldp OR price < ldp THEN 'tick'
+              ELSE 'none' END AS method,
+         CASE WHEN qts IS NOT NULL AND event_ts - qts <= {{max_age}}
+                   AND (price > mid OR price < mid)
+              THEN CASE WHEN price > mid THEN 1 ELSE -1 END
+              WHEN price > ldp THEN 1 WHEN price < ldp THEN -1 END AS side,
+         CASE WHEN is_buyer_maker THEN -1 ELSE 1 END AS truth
+  FROM tt
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       CAST(sum(CASE WHEN method = 'quote' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_quote_rule,
+       CAST(sum(CASE WHEN method = 'tick' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tick_test,
+       CAST(sum(CASE WHEN method = 'none' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unclassified,
+       round(sum(CASE WHEN side = truth THEN 1 ELSE 0 END) * 1.0
+             / sum(CASE WHEN method != 'none' THEN 1 ELSE 0 END), 6)
+           AS accuracy
+FROM c GROUP BY symbol"""
+
+
+LEE_READY_BODY = LEE_READY_ORACLE_BODY.replace(
+    "{max_age}", str(LR_QUOTE_MAX_AGE_MS)
+)

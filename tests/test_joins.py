@@ -146,3 +146,51 @@ def test_asof_null_click_value_travels_with_its_timestamp(spark):
     r = out[0]
     assert r.click_ms == 1 * h        # matched the latest click row...
     assert r.click_value is None      # ...whose value is legitimately NULL
+
+
+def test_lee_ready_rules(spark):
+    """Quote rule, mid-tie tick fallback, stale-quote tick fallback, and
+    the accuracy arithmetic on a hand-built tape."""
+    from pyspark.sql import Row
+
+    from bitcoin_datapipeline_spark.operators.joins import lee_ready
+
+    def t(ts, tid, price, maker):
+        return Row(symbol="BTC", event_ts=ts, trade_id=tid,
+                   price=float(price), is_buyer_maker=maker)
+
+    def q(ts, bid, ask):
+        return Row(symbol="BTC", event_ts=ts,
+                   bid_px=float(bid), ask_px=float(ask))
+
+    quotes = spark.createDataFrame([q(1000, 99.0, 101.0)])   # mid = 100
+    trades = spark.createDataFrame([
+        t(1500, 1, 101.0, False),   # > mid → quote rule buy; truth buy ✔
+        t(1600, 2, 99.0, False),    # < mid → quote sell; truth buy ✗
+        t(1700, 3, 100.0, True),    # == mid → tick test vs ldp 99 → buy; truth sell ✗
+        t(90_000, 4, 98.0, True),   # quote stale (>30 s) → tick vs 100 → sell; truth sell ✔
+    ])
+    r = lee_ready(trades, quotes).collect()[0]
+    assert r.n_trades == 4
+    assert r.n_quote_rule == 2 and r.n_tick_test == 2 and r.n_unclassified == 0
+    assert r.accuracy == 0.5
+
+
+def test_lee_ready_unclassified_without_state(spark):
+    """First trade with no quote and no prior different price → 'none'."""
+    from pyspark.sql import Row
+
+    from bitcoin_datapipeline_spark.operators.joins import lee_ready
+
+    trades = spark.createDataFrame(
+        [Row(symbol="BTC", event_ts=1000, trade_id=1, price=100.0,
+             is_buyer_maker=False),
+         Row(symbol="BTC", event_ts=2000, trade_id=2, price=101.0,
+             is_buyer_maker=False)]
+    )
+    quotes = spark.createDataFrame(
+        [], "symbol string, event_ts long, bid_px double, ask_px double"
+    )
+    r = lee_ready(trades, quotes).collect()[0]
+    assert r.n_unclassified == 1          # the opening print
+    assert r.n_tick_test == 1 and r.accuracy == 1.0
