@@ -303,8 +303,12 @@ def lee_ready(trades: DataFrame, quotes: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("method") == "none", 1).otherwise(0))
         .cast("long")
         .alias("n_unclassified"),
-        r6(
-            F.sum(F.when(F.col("correct"), 1).otherwise(0)) / n_classified
+        # zero guard: a symbol with NO classifiable trade (no fresh quote,
+        # no prior different price) must emit NULL, not 0/0 — Spark gives
+        # NaN there while DuckDB's round() may disagree cross-engine.
+        F.when(
+            n_classified > 0,
+            r6(F.sum(F.when(F.col("correct"), 1).otherwise(0)) / n_classified),
         ).alias("accuracy"),
     )
 
@@ -368,9 +372,10 @@ SELECT symbol,
            AS n_tick_test,
        CAST(sum(CASE WHEN method = 'none' THEN 1 ELSE 0 END) AS BIGINT)
            AS n_unclassified,
-       round(sum(CASE WHEN side = truth THEN 1 ELSE 0 END) * 1.0
-             / sum(CASE WHEN method != 'none' THEN 1 ELSE 0 END), 6)
-           AS accuracy
+       CASE WHEN sum(CASE WHEN method != 'none' THEN 1 ELSE 0 END) > 0
+            THEN round(sum(CASE WHEN side = truth THEN 1 ELSE 0 END) * 1.0
+                       / sum(CASE WHEN method != 'none' THEN 1 ELSE 0 END), 6)
+       END AS accuracy
 FROM c GROUP BY symbol"""
 
 

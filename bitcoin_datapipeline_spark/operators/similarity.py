@@ -25,6 +25,9 @@ from __future__ import annotations
 import functools
 import math
 import operator
+import os
+import threading
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -392,14 +395,47 @@ def _spread(embeddings: DataFrame) -> DataFrame:
     return embeddings.repartition(n_parts, "vec_id")
 
 
-# (semanticHash, train_mod) → trained centroids; see _train_quantizer doc
-_QUANTIZER_CACHE: dict[tuple[int, int], list[tuple[int, list[float]]]] = {}
+# (semanticHash, train_mod, k, data fingerprint) → trained centroids; see
+# _train_quantizer doc.  Guarded by _QUANTIZER_LOCK: concurrent driver
+# threads may train the same model twice (benign — training is
+# deterministic) but never corrupt the dict.
+_QUANTIZER_CACHE: dict[tuple, list[tuple[int, list[float]]]] = {}
+_QUANTIZER_LOCK = threading.Lock()
+
+
+def _data_fingerprint(df: DataFrame) -> tuple:
+    """Cheap identity of the data UNDER a plan: the scan's input file list
+    plus (mtime_ns, size) for locally statable files.  Folded into the
+    quantizer cache key so rewriting parquet in place under an unchanged
+    plan/path (compaction, index rebuild, test fixtures regenerating
+    data) misses the cache instead of silently serving a stale model.
+    Non-file-backed plans (local relations) return () — their
+    semanticHash already covers content, since the rows live in the plan."""
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:  # pragma: no cover - analysis failure -> no pin
+        return ()
+    out = []
+    for f in files:
+        u = urlparse(f)
+        if u.scheme in ("", "file"):
+            try:
+                st = os.stat(unquote(u.path))
+                out.append((f, st.st_mtime_ns, st.st_size))
+                continue
+            except OSError:
+                pass
+        out.append((f, 0, 0))
+    return tuple(out)
 
 
 def clear_quantizer_cache() -> None:
-    """Drop memoized quantizer models (needed only if the files under a
-    previously-trained plan were rewritten in-process)."""
-    _QUANTIZER_CACHE.clear()
+    """Drop memoized quantizer models.  Rarely needed: the cache key pins
+    the backing files' (mtime, size), so in-place rewrites of LOCAL files
+    miss automatically; call this only after rewriting remote storage the
+    driver cannot stat (the fingerprint pins the file NAMES there)."""
+    with _QUANTIZER_LOCK:
+        _QUANTIZER_CACHE.clear()
 
 
 def _train_quantizer(
@@ -427,14 +463,18 @@ def _train_quantizer(
     at first action.  Returns the trained (c, centroid) model.
 
     Trained models are MEMOIZED per (analyzed-plan semanticHash,
-    train_mod): ann_ivf, semdedup, and cluster_stats over the same
-    embeddings table share ONE quantizer per process — the production
-    train-once-reuse-everywhere pattern, and sound here because training
-    is fully deterministic in the input data (a cached model can only go
-    stale if the files under an identical plan are rewritten mid-process;
-    call :func:`clear_quantizer_cache` after doing that)."""
-    key = (embeddings.semanticHash(), train_mod, k)
-    cached = _QUANTIZER_CACHE.get(key)
+    train_mod, k, data fingerprint): ann_ivf, semdedup, and cluster_stats
+    over the same embeddings table share ONE quantizer per process — the
+    production train-once-reuse-everywhere pattern, sound because
+    training is fully deterministic in the input data.  The fingerprint
+    (:func:`_data_fingerprint`: input file list + local mtime/size) makes
+    in-place rewrites of local files a cache MISS; only a same-named
+    rewrite on storage the driver cannot stat still needs
+    :func:`clear_quantizer_cache`.  The cache dict is lock-guarded for
+    concurrent driver threads."""
+    key = (embeddings.semanticHash(), train_mod, k, _data_fingerprint(embeddings))
+    with _QUANTIZER_LOCK:
+        cached = _QUANTIZER_CACHE.get(key)
     if cached is not None:
         return cached
     train = with_norm(
@@ -497,7 +537,8 @@ def _train_quantizer(
             (int(r["c"]), [r[f"d{i}"] for i in range(dims)]) for r in updated
         )
     train.unpersist()
-    _QUANTIZER_CACHE[key] = cents
+    with _QUANTIZER_LOCK:
+        _QUANTIZER_CACHE[key] = cents
     return cents
 
 

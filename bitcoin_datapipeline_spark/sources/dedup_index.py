@@ -14,10 +14,12 @@ maintain-loop:
   index storage; both shapes gate identically through `_dedup_gate`)
 
 ``ingest_batch`` is the loop body a foreachBatch sink or daily job runs:
-gate the batch against the index, APPEND the surviving (verdict ``new``)
-documents' hashes and signatures, return the verdicts.  Batch k+1 thus
-dedups against everything batch k admitted — the cross-batch property
-tests/test_dedup_index.py pins.
+gate the batch against the index, collapse intra-batch duplicate groups
+to one representative, APPEND the surviving (verdict ``new``) documents'
+hashes and signatures, return the verdicts.  Batch k+1 thus dedups
+against everything batch k admitted, and duplicates arriving TOGETHER in
+one batch admit exactly one copy — both properties pinned by
+tests/test_dedup_index.py.
 
 At 100 TB: the index appends are partitioned parquet writes (append mode,
 no rewrite); the gate's joins are one-sided (batch ⋈ index) on hash/band
@@ -40,6 +42,7 @@ from ..operators.text import (
     INCR_NEAR_JACCARD,
     _dedup_gate,
     _minhash_sigs,
+    minhash_lsh_pairs,
 )
 
 
@@ -62,6 +65,60 @@ def build_dedup_index(
     )
 
 
+def _intra_batch_verdicts(
+    batch_new: DataFrame,
+    threshold: float,
+    max_shingle_df: int | None,
+) -> DataFrame:
+    """Collapse duplicate groups WITHIN a batch to their min-doc_id
+    representative.  ``batch_new`` is the subset of a batch the corpus
+    gate passed as ``new``; two identical (or near-identical) documents
+    arriving in the same batch both pass that gate, so without this step
+    the index would permanently store exact duplicates — breaking the
+    module invariant that the index holds exactly the corpus plus the
+    admitted docs.
+
+    Returns one verdict row per DROPPED doc: exact dups collapse on
+    content hash (keep min doc_id per group); the surviving
+    representatives then run the same banded MinHash + true-Jaccard
+    verification as :func:`minhash_lsh_pairs`, and a doc is dropped as
+    ``near_dup`` of its best lower-id match (greedy min-id collapse —
+    chains fold onto the lowest id transitively, the standard LSH keep-min
+    policy).  All joins are band-bucketed within the batch only: O(batch
+    bands), never batch x corpus."""
+    h = batch_new.select("doc_id", F.md5(F.lower(F.col("text"))).alias("h"))
+    rep = h.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
+    hr = h.join(rep, "h")
+    exact = hr.filter(F.col("doc_id") != F.col("rep_id")).select(
+        "doc_id",
+        F.lit("exact_dup").alias("verdict"),
+        F.col("rep_id").cast("long").alias("match_doc_id"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    reps = batch_new.join(
+        hr.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    near = (
+        minhash_lsh_pairs(reps, max_shingle_df)
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy(F.col("doc_b").alias("doc_id"))
+        .agg(
+            F.max(
+                F.struct(F.col("jaccard").alias("j"), (-F.col("doc_a")).alias("negid"))
+            ).alias("best")
+        )
+        .select(
+            "doc_id",
+            F.lit("near_dup").alias("verdict"),
+            (-F.col("best.negid")).cast("long").alias("match_doc_id"),
+            F.col("best.j").alias("jaccard"),
+        )
+    )
+    return exact.unionByName(near)
+
+
 def ingest_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -70,8 +127,15 @@ def ingest_batch(
     max_shingle_df: int | None = None,
     verdicts_dir: str | None = None,
 ) -> DataFrame:
-    """Gate ``batch`` against the stored index, append the admitted docs,
-    return the verdict frame.
+    """Gate ``batch`` against the stored index, collapse intra-batch
+    duplicate groups, append the admitted docs, return the verdict frame.
+
+    Two gates compose: the corpus gate (one-sided joins vs the stored
+    index) and the intra-batch collapse (:func:`_intra_batch_verdicts`,
+    batch-local band joins), so a duplicate pair arriving in ONE batch
+    admits exactly one representative — its partner's verdict points at
+    the admitted batch doc, keeping ``verdict == 'new'`` equivalent to
+    "this doc_id is now in the index".
 
     The verdicts are WRITTEN to parquet first (``verdicts_dir``, default
     ``<index_dir>/verdicts_last`` — they are the batch's real output) and
@@ -82,9 +146,27 @@ def ingest_batch(
     cor_h = spark.read.parquet(os.path.join(index_dir, "hashes"))
     sigs_c = spark.read.parquet(os.path.join(index_dir, "sigs"))
     vpath = verdicts_dir or os.path.join(index_dir, "verdicts_last")
-    _dedup_gate(batch, cor_h, sigs_c, threshold, max_shingle_df).write.mode(
-        "overwrite"
-    ).parquet(vpath)
+    gate = _dedup_gate(batch, cor_h, sigs_c, threshold, max_shingle_df)
+    batch_new = batch.join(
+        gate.filter(F.col("verdict") == "new").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    intra = _intra_batch_verdicts(batch_new, threshold, max_shingle_df).select(
+        "doc_id",
+        F.col("verdict").alias("iv"),
+        F.col("match_doc_id").alias("im"),
+        F.col("jaccard").alias("ij"),
+    )
+    # intra only holds corpus-new docs, so coalesce(intra, gate) is exact:
+    # non-new gate rows never appear in intra and keep their gate verdict.
+    combined = gate.join(intra, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("iv", "verdict").alias("verdict"),
+        F.coalesce("im", "match_doc_id").cast("long").alias("match_doc_id"),
+        F.coalesce("ij", "jaccard").alias("jaccard"),
+    )
+    combined.write.mode("overwrite").parquet(vpath)
     verdicts = spark.read.parquet(vpath)
     admitted = batch.join(
         verdicts.filter(F.col("verdict") == "new").select("doc_id"),

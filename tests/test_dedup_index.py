@@ -93,3 +93,44 @@ def test_stream_ingest_dedups_across_micro_batches(spark, tmp_path):
     ids = {r.corpus_doc_id
            for r in spark.read.parquet(f"{idx}/hashes").collect()}
     assert ids == {0, 10}
+
+
+def test_intra_batch_duplicates_admit_one_representative(spark, tmp_path):
+    """Two identical docs arriving in the SAME batch must not both be
+    appended: the min-id representative is admitted, its partner's verdict
+    points at it, and a near-dup chain folds onto the lowest id."""
+    from bitcoin_datapipeline_spark.sources.dedup_index import (
+        build_dedup_index,
+        ingest_batch,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_dedup_index(spark.createDataFrame([_doc(0, BASE)]), idx)
+
+    x_text = "uno dos tres cuatro cinco seis siete"
+    b = spark.createDataFrame([
+        _doc(10, x_text),            # new -> admitted (group representative)
+        _doc(11, x_text),            # intra-batch EXACT dup of 10
+        _doc(12, x_text + " ocho"),  # intra-batch NEAR dup of 10
+        _doc(13, BASE),              # corpus exact dup -> gate, not intra
+    ])
+    v = {r.doc_id: r for r in ingest_batch(spark, b, idx).collect()}
+    assert v[10].verdict == "new"
+    assert v[11].verdict == "exact_dup" and v[11].match_doc_id == 10
+    assert v[12].verdict == "near_dup" and v[12].match_doc_id == 10
+    assert v[12].jaccard is not None and v[12].jaccard >= 0.5
+    assert v[13].verdict == "exact_dup" and v[13].match_doc_id == 0
+
+    # the index holds exactly corpus + the one admitted representative
+    ids = {r.corpus_doc_id
+           for r in spark.read.parquet(f"{idx}/hashes").collect()}
+    assert ids == {0, 10}
+    sig_ids = {r.doc_id
+               for r in spark.read.parquet(f"{idx}/sigs").collect()}
+    assert sig_ids == {0, 10}
+
+    # re-sending the intra-batch dup alone still matches the admitted
+    # representative, proving the rejected copy never leaked in
+    v2 = {r.doc_id: r for r in ingest_batch(
+        spark, spark.createDataFrame([_doc(30, x_text)]), idx).collect()}
+    assert v2[30].verdict == "exact_dup" and v2[30].match_doc_id == 10

@@ -162,3 +162,27 @@ def test_quantizer_memoized_across_consumers(spark):
     assert len(S._QUANTIZER_CACHE) == 2          # different k: new model
     S.clear_quantizer_cache()
     assert not S._QUANTIZER_CACHE
+
+
+def test_quantizer_cache_misses_on_in_place_rewrite(spark, tmp_path):
+    """Rewriting the parquet files under an UNCHANGED plan/path must miss
+    the quantizer cache (the key pins the backing files' mtime/size), so
+    a stale model is never served after compaction/fixture regeneration."""
+    import os
+    import shutil
+
+    from bitcoin_datapipeline_spark.operators import similarity as S
+
+    dst = str(tmp_path / "embeddings.parquet")
+    shutil.copyfile("/root/testdata/sf0.001/embeddings.parquet", dst)
+    S.clear_quantizer_cache()
+    e = spark.read.parquet(dst)
+    S.ann_ivf(e)
+    assert len(S._QUANTIZER_CACHE) == 1
+    # same data, same plan, but bump the mtime: identical semanticHash,
+    # different fingerprint -> retrain (second cache entry)
+    st = os.stat(dst)
+    os.utime(dst, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
+    S.ann_ivf(spark.read.parquet(dst))
+    assert len(S._QUANTIZER_CACHE) == 2
+    S.clear_quantizer_cache()
