@@ -1894,64 +1894,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness gate checks the FIRST 50 entries of queries().
 # Registration order above is thematic; this list orders queries by driver-
 # evidence AGE (oldest first) so each round's 50-slot window refreshes the
-# stalest rows: the 6 whose only row is r1, then the 50 whose last row is
-# r2 (44 of which fit in r4's window — the remaining 6 carry r2 evidence,
-# the best a 50-slot window can do for a 106-query surface), then the 50
-# green in CORRECTNESS_r03. Names not listed keep registration order.
+# stalest rows.  After r4 every query's latest driver row is r2 (30
+# queries), r3 (50), or r4 (50); the r5 window takes all 30 r2-era rows
+# plus the 20 oldest r3-era rows, after which no query's latest driver
+# row predates r3.  Queries not listed are NEW (no driver row at all) and
+# sort first — see _driver_order.
 _DRIVER_PRIORITY: list[str] = [
-    # NEW in round 4 — no driver row yet, so they outrank every stale row
-    "q_decontaminate_ngram",
-    "q_semdedup",
-    "q_doc_perplexity",
-    "q_multimodal_resize",
-    "q_doc_incremental_dedup",
-    "q_embed_prune_prototypes",
-    "q_embed_random_projection",
-    "q_doc_dsir_weights",
-    "q_doc_perplexity_bigram",
-    "q_lee_ready",
-    "q_volume_shipping",
-    "q_product_profit",
-    "q_late_shipments",
-    "q_customer_distribution",
-    "q_parts_supplier_counts",
-    "q_small_qty_revenue",
-    "q_waiting_suppliers",
-    "q_sales_opportunity",
-    "q_min_cost_supplier",
-    "q_cube_sales",
-    "q_unpivot_metrics",
-    "q_price_deciles",
-    "q_doc_pack",
-    "q_corpus_resample",
-    # 6 whose only driver row is CORRECTNESS_r01
-    "q_ngram_jaccard",
-    "q_minhash_lsh",
-    "q_simhash",
-    "q_doc_quality",
-    "q_embed_cosine_pairs",
-    "q_embed_knn",
-    # 50 whose last driver row is CORRECTNESS_r02
-    "q_normalize_trades",
-    "q_validate_filter",
-    "q_dedup_trades",
-    "q_dedup_sink_stats",
-    "q_bars_1m",
-    "q_max_ts",
-    "q_counts",
-    "q_profile_trades",
-    "q_derived_time",
-    "q_categorize",
-    "q_decimal_cast",
-    "q_trade_features_1h",
-    "q_bba_features",
-    "q_depth_features",
-    "q_daily_summary",
-    "q_volatility_estimators",
-    "q_latency_percentiles",
-    "q_corr",
-    "q_group_compare",
-    "q_health_rollup",
+    # 30 whose last driver row is CORRECTNESS_r02 — the r5 50-slot
+    # window must clear this bucket entirely (VERDICT r4 item 3)
     "q_derived_lag",
     "q_returns",
     "q_labels_10m",
@@ -1982,7 +1932,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_doc_winnow",
     "q_doc_winnow_pairs",
     "q_doc_scrub",
-    # 50 green in CORRECTNESS_r03 (freshest — rotate to the back)
+    # 50 whose last driver row is CORRECTNESS_r03
     "q_counts_salted",
     "q_winsorize",
     "q_higher_moments",
@@ -2033,12 +1983,64 @@ _DRIVER_PRIORITY: list[str] = [
     "q_gold_training_set_1s",
     "q_orderbook_replay",
     "q_resample_bars_1h",
+    # 50 green in CORRECTNESS_r04 (freshest — rotate to the back)
+    "q_decontaminate_ngram",
+    "q_semdedup",
+    "q_doc_perplexity",
+    "q_multimodal_resize",
+    "q_doc_incremental_dedup",
+    "q_embed_prune_prototypes",
+    "q_embed_random_projection",
+    "q_doc_dsir_weights",
+    "q_doc_perplexity_bigram",
+    "q_lee_ready",
+    "q_volume_shipping",
+    "q_product_profit",
+    "q_late_shipments",
+    "q_customer_distribution",
+    "q_parts_supplier_counts",
+    "q_small_qty_revenue",
+    "q_waiting_suppliers",
+    "q_sales_opportunity",
+    "q_min_cost_supplier",
+    "q_cube_sales",
+    "q_unpivot_metrics",
+    "q_price_deciles",
+    "q_doc_pack",
+    "q_corpus_resample",
+    "q_ngram_jaccard",
+    "q_minhash_lsh",
+    "q_simhash",
+    "q_doc_quality",
+    "q_embed_cosine_pairs",
+    "q_embed_knn",
+    "q_normalize_trades",
+    "q_validate_filter",
+    "q_dedup_trades",
+    "q_dedup_sink_stats",
+    "q_bars_1m",
+    "q_max_ts",
+    "q_counts",
+    "q_profile_trades",
+    "q_derived_time",
+    "q_categorize",
+    "q_decimal_cast",
+    "q_trade_features_1h",
+    "q_bba_features",
+    "q_depth_features",
+    "q_daily_summary",
+    "q_volatility_estimators",
+    "q_latency_percentiles",
+    "q_corr",
+    "q_group_compare",
+    "q_health_rollup",
 ]
 
 
 def _driver_order(names: list[str]) -> list[str]:
-    head = [n for n in _DRIVER_PRIORITY if n in names]
-    return head + [n for n in names if n not in _DRIVER_PRIORITY]
+    # unlisted = brand new this round, no driver row yet -> most urgent
+    new = [n for n in names if n not in _DRIVER_PRIORITY]
+    return new + [n for n in _DRIVER_PRIORITY if n in names]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

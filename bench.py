@@ -96,22 +96,76 @@ FAMILIES: dict[str, list[str]] = {
 SCALE_DIRS = ["/root/testdata/sf0.1", ".scale_data/sf1"]
 
 
+def _median3(run) -> dict:
+    """One un-billed warm-up run (codegen compilation, footer caching),
+    then three measured runs; report median + spread.  Single-shot
+    timings at this magnitude carry a ~2x machine-noise band (observed
+    same-round on an untouched query in r4) — the median is the
+    regression-detecting statistic, the spread is the noise bound."""
+    run()  # warm-up, not billed
+    samples = []
+    rows = 0
+    for _ in range(3):
+        t0 = time.time()
+        rows = run()
+        samples.append(time.time() - t0)
+    samples.sort()
+    return {
+        "sec": round(samples[1], 3),
+        "min": round(samples[0], 3),
+        "max": round(samples[2], 3),
+        "rows": rows,
+    }
+
+
 def _time_queries(spark, qs, names: list[str], sf_dir: str) -> dict[str, dict]:
-    out: dict[str, dict] = {}
-    for name in names:
-        best, rows = float("inf"), 0
-        for _ in range(2):
-            t0 = time.time()
-            rows = qs[name](spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        out[name] = {"sec": round(best, 3), "rows": rows}
-    return out
+    return {
+        n: _median3(lambda: qs[n](spark, sf_dir).count()) for n in names
+    }
 
 
-def families_main(family_arg: str) -> None:
+def _ann_production_row(spark, sf_dir: str, scale: int) -> dict:
+    """The production-convention ann_ivf cost at ``scale``x data: a FIXED
+    query set (query_mod scaled with the corpus), posting-list depth held
+    constant (k scaled), nprobe fixed, training sample bounded
+    (train_mod scaled — the faiss-style sample ~ O(k) points per
+    centroid).  Under this convention candidate volume is ~constant per
+    decade; contrast the default bench convention where query count AND
+    posting depth both grow 10x (candidates x100 by construction)."""
+    from bitcoin_datapipeline_spark.operators.similarity import (
+        IVF_K,
+        IVF_NPROBE_QUERY_MOD,
+        IVF_TRAIN_MOD,
+        ann_ivf,
+        clear_quantizer_cache,
+    )
+    from bitcoin_datapipeline_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+
+    def run():
+        # training is part of the measured cost each run: memoization
+        # would otherwise hide the build side of the convention
+        clear_quantizer_cache()
+        return ann_ivf(
+            emb,
+            train_mod=IVF_TRAIN_MOD * scale,
+            k=IVF_K * scale,
+            query_mod=IVF_NPROBE_QUERY_MOD * scale,
+        ).count()
+
+    return _median3(run)
+
+
+def families_main(family_arg: str, convention: str = "bench") -> None:
     """Scale-evidence mode: run the named families at sf0.1 AND the
     replica-scaled sf1, print one JSON line with timings, result rows, and
-    the per-query growth ratio across the decade."""
+    the per-query growth ratio across the decade.
+
+    ``convention='production'`` (ann family only) swaps the declared
+    q_embed_ann_ivf for the production-parameterized run (fixed query
+    set, k and train_mod scaled with the corpus — see
+    :func:`_ann_production_row`); other queries are unaffected."""
     import __spark_entry__ as entry
     from bitcoin_datapipeline_spark.session import get_spark
     from bitcoin_datapipeline_spark.tables import table
@@ -133,7 +187,14 @@ def families_main(family_arg: str) -> None:
         for t in ("events", "documents", "embeddings"):
             table(spark, d, t).count()  # warm footers per dir
         label = "sf" + d.rstrip("/").rsplit("sf", 1)[-1]
-        per_dir[label] = _time_queries(spark, qs, names, d)
+        scale = round(float(label[2:]) / 0.1)
+        timed = {}
+        for n in names:
+            if n == "q_embed_ann_ivf" and convention == "production":
+                timed[n] = _ann_production_row(spark, d, scale)
+            else:
+                timed[n] = _time_queries(spark, qs, [n], d)[n]
+        per_dir[label] = timed
     lo, hi = (per_dir[k] for k in sorted(per_dir))  # sf0.1 then sf1
     growth = {
         n: round(hi[n]["sec"] / lo[n]["sec"], 2) if lo[n]["sec"] > 0 else None
@@ -145,6 +206,8 @@ def families_main(family_arg: str) -> None:
                 "metric": "family_scale_seconds",
                 "unit": "sec",
                 "families": fams,
+                "convention": convention,
+                "runs_per_query": 3,
                 "dirs": per_dir,
                 "growth_sf0.1_to_sf1": growth,
                 "data_decade": 10.0,
@@ -169,18 +232,18 @@ def main() -> None:
     table(spark, sf_dir, "events").count()
     table(spark, sf_dir, "lineitem").count()
 
-    # two runs per query, report the faster: run 1 pays one-time codegen
-    # compilation and shuffle-service init; run 2 is the steady-state cost a
-    # resident cluster pays per invocation (results are not cached between
-    # runs — every run re-executes the full plan).
+    # per query: one un-billed warm-up (codegen compilation, shuffle init)
+    # then median-of-3 measured runs — the steady-state cost a resident
+    # cluster pays per invocation (results are not cached between runs —
+    # every run re-executes the full plan).  The median is the headline
+    # number; min/max per query bound the machine-noise band so a real
+    # regression is distinguishable from a noisy run.
     timings: dict[str, float] = {}
+    spread: dict[str, dict] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            qs[name](spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        m = _median3(lambda: qs[name](spark, sf_dir).count())
+        timings[name] = m["sec"]
+        spread[name] = {"min": m["min"], "max": m["max"]}
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -190,7 +253,9 @@ def main() -> None:
                 "metric": "headline_suite_seconds",
                 "value": total,
                 "unit": "sec",
+                "stat": "median_of_3_after_warmup",
                 "queries": timings,
+                "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
@@ -198,15 +263,26 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 2 and sys.argv[1] == "--families":
-        if len(sys.argv) < 3:
+    argv = sys.argv[1:]
+    convention = "bench"
+    if "--convention" in argv:
+        i = argv.index("--convention")
+        if len(argv) < i + 2 or argv[i + 1] not in ("bench", "production"):
+            raise SystemExit("--convention requires 'bench' or 'production'")
+        convention = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    if argv and argv[0] == "--families":
+        if len(argv) < 2:
             raise SystemExit(
                 "--families requires a comma-separated list, e.g. "
                 f"--families {','.join(FAMILIES)}"
             )
-        families_main(sys.argv[2])
-    elif len(sys.argv) >= 2:
-        raise SystemExit(f"unknown arguments {sys.argv[1:]}; "
-                         "usage: bench.py [--families dedup,ann,grid,gold,quality]")
+        families_main(argv[1], convention)
+    elif argv:
+        raise SystemExit(
+            f"unknown arguments {argv}; usage: bench.py "
+            "[--families dedup,ann,grid,gold,quality] "
+            "[--convention bench|production]"
+        )
     else:
         main()

@@ -547,6 +547,7 @@ def ann_ivf(
     train_mod: int = IVF_TRAIN_MOD,
     k: int = IVF_K,
     nprobe: int = IVF_NPROBE,
+    query_mod: int = IVF_NPROBE_QUERY_MOD,
 ) -> DataFrame:
     """IVF ANN with a real (deterministic, seeded) k-means coarse quantizer
     trained on a SAMPLE, and nprobe > 1.
@@ -570,6 +571,13 @@ def ann_ivf(
     point of IVF at 100 TB.  On the isotropic synthetic corpus recall tracks
     the probed fraction (~K_probe/K); real corpora with cluster structure
     get far better recall at the same probe fraction.
+
+    ``query_mod`` selects the deterministic query subset (``vec_id %
+    query_mod == 0``).  It is the production-convention knob: scaling
+    query_mod with the corpus keeps the query COUNT fixed while ``k``
+    scaled alongside keeps posting-list DEPTH fixed, so candidate volume —
+    the search cost — stays ~constant per data decade (the convention
+    BENCH_SCALE's production row measures; see SCALING.md).
 
     NOTE: unlike the rest of the engine's lazily-declared queries, calling
     this function runs the quantizer-training Spark jobs EAGERLY (1 fused
@@ -600,7 +608,7 @@ def ann_ivf(
     # struct sort = cosine desc, centroid id asc — same tiebreak as max)
     nprobe = min(nprobe, len(cents))
     probes = (
-        e.filter(F.col("vec_id") % IVF_NPROBE_QUERY_MOD == 0)
+        e.filter(F.col("vec_id") % query_mod == 0)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("emb_q"),
@@ -676,7 +684,10 @@ def _ivf_train_ctes(
 
 
 def _ivf_oracle(
-    train_mod: int = IVF_TRAIN_MOD, k: int = IVF_K, nprobe: int = IVF_NPROBE
+    train_mod: int = IVF_TRAIN_MOD,
+    k: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+    query_mod: int = IVF_NPROBE_QUERY_MOD,
 ) -> str:
     """Unrolled DuckDB twin of ann_ivf: trained centroids from
     :func:`_ivf_train_ctes`, then full-corpus posting assignment and the
@@ -701,7 +712,7 @@ def _ivf_oracle(
              ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                                    c.centroid), 6) DESC, c.c) AS rn
     FROM embeddings e CROSS JOIN {final} c
-    WHERE e.vec_id % {IVF_NPROBE_QUERY_MOD} = 0)
+    WHERE e.vec_id % {query_mod} = 0)
   WHERE rn <= {nprobe}
 )"""
     )

@@ -186,3 +186,27 @@ def test_quantizer_cache_misses_on_in_place_rewrite(spark, tmp_path):
     S.ann_ivf(spark.read.parquet(dst))
     assert len(S._QUANTIZER_CACHE) == 2
     S.clear_quantizer_cache()
+
+
+def test_ivf_query_mod_knob_oracle_parity(spark):
+    """query_mod (the production fixed-query-set knob) wired end-to-end:
+    query_mod=50 halves the query set and still matches the equally
+    parametrized oracle exactly."""
+    import duckdb
+
+    from bitcoin_datapipeline_spark.operators.similarity import (
+        _ivf_oracle,
+        ann_ivf,
+    )
+    from bitcoin_datapipeline_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(
+        tuple, ann_ivf(table(spark, sf, "embeddings"), query_mod=50).collect()
+    ))
+    con = duckdb.connect(":memory:")
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(_ivf_oracle(query_mod=50)).fetchall()))
+    assert got == want and len(got) > 0
