@@ -18,13 +18,23 @@ carried price, last trade ts).  Each micro-batch:
    gap flag (exactly operators/grid.locf_resample's columns);
 3. advance the state frontier.
 
-Late events older than the frontier are dropped (the batch twin's
-watermark policy); re-delivered batches re-emit only seconds past the
-frontier, so the output stream is append-consistent under retries.
+Disorder tolerance (``allowed_lateness_s``): a real SBE feed reorders at
+ms scale, and occasionally across a second boundary.  Emission is held
+back ``allowed_lateness_s`` seconds behind the newest observed second —
+seconds inside that window accumulate per-second partial aggregates in
+state (a bounded pending buffer, ≤ lateness entries) and only EMIT once
+the frontier passes them, so any event no more than ``allowed_lateness_s``
+seconds out of order lands in its correct grid row and the output matches
+the batch twin row-for-row (pinned with shuffled input in
+tests/test_streaming.py).  Events behind the EMITTED frontier are still
+dropped — that is the hard watermark; re-delivered batches re-emit only
+seconds past the frontier, so the output stream is append-consistent
+under retries.  ``allowed_lateness_s=0`` (default) emits through the
+newest active second, the strictest policy.
 
-State is O(1) per symbol regardless of stream volume — the same bound as
-the reference's Redis hash — and emission is bounded by wall-clock seconds,
-not event count.
+State is O(1 + allowed_lateness_s) per symbol regardless of stream
+volume — the same bound as the reference's Redis hash — and emission is
+bounded by wall-clock seconds, not event count.
 """
 
 from __future__ import annotations
@@ -47,18 +57,29 @@ GRID_OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
-# (frontier second already emitted, carried price, last trade event_ts ms)
+# frontier second already emitted (sentinel _NO_FRONTIER before the first
+# emission), carried price, last trade event_ts ms — plus the bounded
+# pending buffer: parallel arrays of per-second partial aggregates for
+# observed-but-not-yet-emitted seconds inside the lateness window.
 GRID_STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_sec", T.LongType()),
         T.StructField("price", T.DoubleType()),
         T.StructField("last_trade_ts", T.LongType()),
+        T.StructField("pend_sec", T.ArrayType(T.LongType())),
+        T.StructField("pend_price", T.ArrayType(T.DoubleType())),
+        T.StructField("pend_ts", T.ArrayType(T.LongType())),
+        T.StructField("pend_vol", T.ArrayType(T.DoubleType())),
+        T.StructField("pend_n", T.ArrayType(T.LongType())),
     ]
 )
 
+_NO_FRONTIER = -(1 << 62)  # "nothing emitted yet" (epoch seconds are >= 0)
 
-def make_grid_resampler(gap_threshold_s: int = 60):
+
+def make_grid_resampler(gap_threshold_s: int = 60, allowed_lateness_s: int = 0):
     gap_ms = gap_threshold_s * 1000
+    late_s = allowed_lateness_s
 
     def fn(key, pdfs, state: GroupState):
         symbol = key[0]
@@ -74,13 +95,18 @@ def make_grid_resampler(gap_threshold_s: int = 60):
             return
         ev = pd.concat(chunks, ignore_index=True)
         if state.exists:
-            last_sec, price, last_ts = state.get
-            # late data behind the frontier is dropped (watermark policy)
+            last_sec, price, last_ts, psec, pprice, pts, pvol, pn = state.get
+            # sec -> [last price, its event_ts, volume, trades]
+            pend = {
+                int(s): [float(p), int(t), float(v), int(n)]
+                for s, p, t, v, n in zip(psec, pprice, pts, pvol, pn)
+            }
+            # late data behind the EMITTED frontier is dropped (the hard
+            # watermark); anything newer merges into the pending buffer
             ev = ev[ev["event_ts"] // 1000 > last_sec]
         else:
-            last_sec, price, last_ts = None, None, None
+            last_sec, price, last_ts, pend = _NO_FRONTIER, None, None, {}
 
-        rows = []
         if len(ev):
             ev = ev.sort_values("event_ts", kind="mergesort")
             ev["sec"] = ev["event_ts"] // 1000
@@ -90,24 +116,50 @@ def make_grid_resampler(gap_threshold_s: int = 60):
                 volume=("qty", "sum"),
                 trades=("qty", "size"),
             )
-            start = (
-                int(per_sec.index[0]) if last_sec is None else int(last_sec) + 1
-            )
-            end = int(per_sec.index[-1])
-            for sec in range(start, end + 1):
-                if sec in per_sec.index:
-                    o = per_sec.loc[sec]
-                    price = float(o["price"])
-                    last_ts = int(o["last_ts"])
-                    vol, n, has = float(o["volume"]), int(o["trades"]), True
+            for sec, o in per_sec.iterrows():
+                s = int(sec)
+                cur = pend.get(s)
+                if cur is None:
+                    pend[s] = [
+                        float(o["price"]), int(o["last_ts"]),
+                        float(o["volume"]), int(o["trades"]),
+                    ]
+                else:
+                    # merge a late sliver into its pending second: "last
+                    # price" follows the max event_ts across deliveries
+                    if int(o["last_ts"]) >= cur[1]:
+                        cur[0], cur[1] = float(o["price"]), int(o["last_ts"])
+                    cur[2] += float(o["volume"])
+                    cur[3] += int(o["trades"])
+
+        rows = []
+        if pend:
+            end_emit = max(pend) - late_s
+            start = min(pend) if last_sec == _NO_FRONTIER else last_sec + 1
+            for sec in range(start, end_emit + 1):
+                obs = pend.pop(sec, None)
+                if obs is not None:
+                    price, last_ts = obs[0], obs[1]
+                    vol, n, has = obs[2], obs[3], True
                 else:
                     vol, n, has = 0.0, 0, False
                 age = (sec + 1) * 1000 - 1 - last_ts
                 rows.append(
                     (symbol, sec, price, age, age > gap_ms, vol, n, has)
                 )
-            last_sec = end
-            state.update((int(last_sec), float(price), int(last_ts)))
+            if rows:
+                last_sec = end_emit
+            items = sorted(pend.items())
+            state.update((
+                int(last_sec),
+                float(price) if price is not None else 0.0,
+                int(last_ts) if last_ts is not None else 0,
+                [s for s, _ in items],
+                [p[0] for _, p in items],
+                [p[1] for _, p in items],
+                [p[2] for _, p in items],
+                [p[3] for _, p in items],
+            ))
         yield pd.DataFrame(
             rows, columns=[f.name for f in GRID_OUTPUT_SCHEMA.fields]
         )
@@ -115,13 +167,22 @@ def make_grid_resampler(gap_threshold_s: int = 60):
     return fn
 
 
-def stream_locf_grid(trades: DataFrame, gap_threshold_s: int = 60) -> DataFrame:
+def stream_locf_grid(
+    trades: DataFrame,
+    gap_threshold_s: int = 60,
+    allowed_lateness_s: int = 0,
+) -> DataFrame:
     """Dense per-second LOCF rows from a trade stream — the incremental
     form of operators/grid.locf_resample (same columns, same carry/gap
     semantics), verified row-for-row against the batch twin in
-    tests/test_streaming.py."""
+    tests/test_streaming.py.
+
+    ``allowed_lateness_s`` holds emission that many seconds behind the
+    newest observed second, absorbing feed disorder across second
+    boundaries (see module docstring); 0 emits through the newest active
+    second and tolerates only intra-second disorder."""
     return trades.groupBy("symbol").applyInPandasWithState(
-        make_grid_resampler(gap_threshold_s),
+        make_grid_resampler(gap_threshold_s, allowed_lateness_s),
         outputStructType=GRID_OUTPUT_SCHEMA,
         stateStructType=GRID_STATE_SCHEMA,
         outputMode="append",

@@ -661,3 +661,97 @@ def test_stream_enrich_matches_batch_join(spark, trade_stream_dir, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
     want = sorted(map(tuple, stream_enrich(batch, dim).collect()))
     assert got == want and len(got) == batch.count()
+
+
+def test_stream_locf_grid_bounded_lateness_matches_batch(spark, tmp_path):
+    """allowed_lateness_s=2: input shuffled out of order by up to 2 s —
+    including disorder ACROSS micro-batch boundaries — still produces the
+    batch twin's rows exactly, because emission is held 2 s behind the
+    newest observed second while late slivers merge into their pending
+    grid second."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_datapipeline_spark.operators import grid as batch_grid
+    from bitcoin_datapipeline_spark.streaming import grid as sgrid
+
+    schema = (
+        "symbol string, event_ts long, trade_id long, price double, qty double,"
+        " is_buyer_maker boolean, source string"
+    )
+    # event times deliberately OUT OF ORDER within a 2 s disorder bound:
+    # 5_500 arrives after 6_900/7_100; batch 2 starts with 9_400 which is
+    # older than batch 1's newest (10_100) — cross-batch disorder.
+    batch1 = [
+        ("A", 0, 1, 100.0, 1.0, False, "sbe"),
+        ("A", 6_900, 2, 103.0, 1.0, False, "sbe"),
+        ("A", 7_100, 3, 104.0, 2.0, True, "sbe"),
+        ("A", 5_500, 4, 101.0, 2.0, True, "sbe"),   # 1.6 s late
+        ("A", 10_100, 5, 106.0, 1.0, False, "sbe"),
+    ]
+    batch2 = [
+        ("A", 9_400, 6, 105.0, 2.0, True, "sbe"),   # behind batch 1's max
+        ("A", 15_200, 7, 108.0, 1.0, False, "sbe"),
+        ("A", 14_300, 8, 107.0, 1.0, True, "sbe"),  # late within batch 2
+        ("A", 30_000, 9, 110.0, 1.0, False, "sbe"), # flush sentinel
+    ]
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def run_once(rows, part):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / part)
+        )
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).option("recursiveFileLookup", "true").parquet(str(src))
+        q = (
+            sgrid.stream_locf_grid(
+                stream, gap_threshold_s=60, allowed_lateness_s=2
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once(batch1, "p1")
+    run_once(batch2, "p2")
+
+    got = spark.read.parquet(out)
+    trades = spark.createDataFrame(batch1 + batch2, schema)
+    want = (
+        batch_grid.locf_resample(
+            trades, step_s=1, slice_s=1_000, gap_threshold_s=60
+        )
+        # the stream has emitted through newest_sec - lateness = 28
+        .filter(F.col("feature_ts") <= 30 - 2)
+        .select(
+            "symbol", "feature_ts", "price", "data_age_ms", "gap_indicator",
+            "volume", "trades", "has_obs",
+        )
+    )
+    assert got.count() == want.count() == 29
+    mismatched = (
+        got.alias("g")
+        .join(want.alias("w"), ["symbol", "feature_ts"], "full")
+        .filter(
+            "g.price IS DISTINCT FROM w.price OR "
+            "g.data_age_ms IS DISTINCT FROM w.data_age_ms OR "
+            "g.gap_indicator IS DISTINCT FROM w.gap_indicator OR "
+            "g.volume IS DISTINCT FROM w.volume OR "
+            "g.trades IS DISTINCT FROM w.trades OR "
+            "g.has_obs IS DISTINCT FROM w.has_obs"
+        )
+        .count()
+    )
+    assert mismatched == 0
+    # the late slivers landed in their correct seconds: sec 5 carries the
+    # 5.5 s print, sec 9 the cross-batch 9.4 s print
+    by_sec = {r["feature_ts"]: r for r in got.collect()}
+    assert by_sec[5]["price"] == 101.0 and by_sec[5]["has_obs"]
+    assert by_sec[9]["price"] == 105.0 and by_sec[9]["has_obs"]
