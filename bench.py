@@ -88,7 +88,12 @@ FAMILIES: dict[str, list[str]] = {
     ],
     # corpus-wide vocab aggregate feeding a broadcast probability join
     "quality": ["q_doc_perplexity", "q_doc_dsir_weights"],
-    "grid": ["q_returns_1s"],
+    # q_returns_1s_full_span is the PRODUCTION grid convention: the
+    # declared query runs a 12 h slice (GRID_SLICE_S, a test-size
+    # decision); the full-span row times the whole data span
+    # (api.register_views(grid_slice_s=None) path) so the gold family's
+    # backbone cost is a measured number, not an extrapolation.
+    "grid": ["q_returns_1s", "q_returns_1s_full_span"],
     # the flagship multi-stage pipeline — bars, windows, LOCF grid, labels,
     # joins compounding in one plan
     "gold": ["q_gold_vector_2s", "q_gold_training_set"],
@@ -157,6 +162,18 @@ def _ann_production_row(spark, sf_dir: str, scale: int) -> dict:
     return _median3(run)
 
 
+def _full_span_grid_row(spark, sf_dir: str) -> dict:
+    """q_returns_1s with slice_s=None — the full-span production grid."""
+    from bitcoin_datapipeline_spark.operators import grid
+    from bitcoin_datapipeline_spark.plans import pipeline
+
+    return _median3(
+        lambda: grid.grid_returns(
+            pipeline.locf_grid(spark, sf_dir, slice_s=None)
+        ).count()
+    )
+
+
 def families_main(family_arg: str, convention: str = "bench") -> None:
     """Scale-evidence mode: run the named families at sf0.1 AND the
     replica-scaled sf1, print one JSON line with timings, result rows, and
@@ -192,6 +209,8 @@ def families_main(family_arg: str, convention: str = "bench") -> None:
         for n in names:
             if n == "q_embed_ann_ivf" and convention == "production":
                 timed[n] = _ann_production_row(spark, d, scale)
+            elif n == "q_returns_1s_full_span":
+                timed[n] = _full_span_grid_row(spark, d)
             else:
                 timed[n] = _time_queries(spark, qs, [n], d)[n]
         per_dir[label] = timed
