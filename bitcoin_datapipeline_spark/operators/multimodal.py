@@ -4,10 +4,13 @@ A 100 TB multimodal pipeline treats image/audio/video as `binary` columns
 with a metadata struct, partitions by (modality, shard), and runs decode /
 feature-extract as Arrow-batched Pandas functions over ``mapInPandas``.
 This module implements that plumbing for real — schema, batch iteration,
-deterministic partitioning — while STUBBING the actual media decode (no
-image/audio libraries in this container): `decode_stub` raises
-``NotImplementedError`` unless the deterministic fake decoder is selected,
-which computes byte-level statistics standing in for pixel/sample features.
+deterministic partitioning — with the media decode split by what this
+container can actually run: wav decodes for REAL via the stdlib ``wave``
+module (``fake=False`` parses the RIFF container and computes statistics
+over the decoded PCM bytes, end-to-end through the Arrow batches); png
+and jpeg need PIL/ffmpeg, so `decode_stub` raises ``NotImplementedError``
+for them unless the deterministic fake decoder is selected, which
+computes byte-level statistics standing in for pixel/sample features.
 
 The driver's `documents` table provides the payload bytes (text encoded to
 binary) — the plumbing is identical for real media bytes.
@@ -72,15 +75,52 @@ SELECT doc_id,
 FROM documents"""
 
 
+def _decode_wav(payload: bytes):
+    """REAL codec path for the one format the sandbox can decode with the
+    stdlib: parse the RIFF/WAVE container with ``wave`` and return the
+    decoded PCM sample bytes as a uint8 array — container headers
+    stripped, exactly what a soundfile-style decoder hands downstream.
+    Raises ``wave.Error`` on a malformed container (a real decode
+    failure, deliberately not swallowed)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        frames = w.readframes(w.getnframes())
+    return np.frombuffer(frames, dtype=np.uint8)
+
+
+# formats with a working real decoder in this container; png/jpeg need
+# PIL/ffmpeg and stay behind the NotImplementedError guard
+_REAL_DECODERS = {"wav": _decode_wav}
+
+
 def decode_stub(payload: bytes, fmt: str, fake: bool = True) -> dict:
-    """Per-item media decode.  Real decode needs PIL/ffmpeg — not in this
-    container; the `fake` path computes deterministic byte statistics with
-    the exact shape a pixel/sample decoder would emit."""
+    """Per-item media decode.  ``fake=False`` runs a REAL decoder where
+    the sandbox has one (``_REAL_DECODERS``: wav via the stdlib ``wave``
+    module) and computes the statistics over the DECODED sample bytes;
+    formats needing PIL/ffmpeg (png, jpeg) raise ``NotImplementedError``.
+    The `fake` path computes deterministic byte statistics over the raw
+    payload with the exact shape a pixel/sample decoder would emit."""
     if not fake:
-        raise NotImplementedError(
-            "real media decode requires PIL/soundfile/ffmpeg (not installed); "
-            "run with fake=True for the deterministic byte-stat decoder"
-        )
+        dec = _REAL_DECODERS.get(fmt)
+        if dec is None:
+            raise NotImplementedError(
+                f"real media decode for format {fmt!r} requires PIL/ffmpeg "
+                "(not installed); formats with a stdlib decoder: "
+                f"{sorted(_REAL_DECODERS)} — or run with fake=True for the "
+                "deterministic byte-stat decoder"
+            )
+        b = dec(payload)
+        if len(b) == 0:
+            return {"byte_mean": None, "byte_min": None, "byte_max": None}
+        return {
+            "byte_mean": float(b.mean()),
+            "byte_min": int(b.min()),
+            "byte_max": int(b.max()),
+        }
     if not payload:
         return {"byte_mean": None, "byte_min": None, "byte_max": None}
     b = bytes(payload)
@@ -102,23 +142,33 @@ def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
         import pandas as pd
 
         for pdf in it:
-            if not fake:
-                # same guard as decode_stub — a real codec slots in here
-                decode_stub(b"", "", fake=False)
             # byte statistics are numpy reductions over each payload's
             # uint8 view — the per-BYTE dimension (the heavy one) never
             # touches Python.  The per-row loop only walks the ragged
             # payload boundaries.  np.mean on uint8 promotes to float64
             # with an exact integer sum, so values match sum(b)/len(b).
+            # fake=False swaps the raw view for the REAL decoder's output
+            # (decoded PCM for wav; NotImplementedError for png/jpeg —
+            # the codec-sharded layout means a wav-only corpus never
+            # routes a row through the guarded formats).
             means = np.full(len(pdf), np.nan)
             mins = np.zeros(len(pdf), dtype="float64")
             maxs = np.zeros(len(pdf), dtype="float64")
             empty = np.zeros(len(pdf), dtype=bool)
-            for i, p in enumerate(pdf["payload"]):
+            for i, (p, fmt) in enumerate(zip(pdf["payload"], pdf["fmt"])):
                 if p is None or len(p) == 0:
                     empty[i] = True
                     continue
-                a = np.frombuffer(p, dtype=np.uint8)
+                if fake:
+                    a = np.frombuffer(p, dtype=np.uint8)
+                else:
+                    dec = _REAL_DECODERS.get(fmt)
+                    if dec is None:
+                        decode_stub(p, fmt, fake=False)  # raises
+                    a = dec(p)
+                    if len(a) == 0:
+                        empty[i] = True
+                        continue
                 means[i] = a.mean()
                 mins[i] = a.min()
                 maxs[i] = a.max()

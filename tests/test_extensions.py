@@ -245,3 +245,76 @@ def test_minhash_band_knob_oracle_parity(spark):
     )
     want = sorted(map(tuple, con.execute(_minhash_lsh_oracle(6, 3)).fetchall()))
     assert got == want and len(got) > 0
+
+
+def _wav_bytes(samples):
+    """A REAL RIFF/WAVE container: 8-bit mono PCM of the given sample
+    bytes, built with the stdlib wave module."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes(samples))
+    return buf.getvalue()
+
+
+def test_decode_features_real_wav_codec_end_to_end(spark):
+    """fake=False with a wav corpus runs the REAL stdlib wave decoder
+    inside the Arrow mapInPandas batches: statistics come from the
+    DECODED PCM samples, not the raw container bytes (header included),
+    proving the plumbing carries real decoder output."""
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    from bitcoin_datapipeline_spark.operators.multimodal import (
+        decode_features,
+        decode_stub,
+    )
+
+    s0, s1 = [10, 20, 30, 240], [0, 128, 255]
+    media_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_meta", T.StructType([
+            T.StructField("format", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("origin", T.StringType()),
+        ])),
+    ])
+    rows = [
+        (0, bytearray(_wav_bytes(s0)), ("wav", len(_wav_bytes(s0)), "t")),
+        (1, bytearray(_wav_bytes(s1)), ("wav", len(_wav_bytes(s1)), "t")),
+    ]
+    media = spark.createDataFrame(rows, media_schema)
+    out = {r.doc_id: r for r in decode_features(media, fake=False).collect()}
+    assert out[0].byte_mean == sum(s0) / len(s0)
+    assert out[0].byte_min == min(s0) and out[0].byte_max == max(s0)
+    assert out[1].byte_mean == sum(s1) / len(s1)
+    assert out[1].byte_min == 0 and out[1].byte_max == 255
+    # the stats are over DECODED samples — the raw container would differ
+    # (RIFF header bytes like 'R'=82 pollute raw stats)
+    raw = bytes(_wav_bytes(s0))
+    assert out[0].byte_mean != sum(raw) / len(raw)
+    # scalar twin agrees
+    st = decode_stub(_wav_bytes(s1), "wav", fake=False)
+    assert st == {"byte_mean": sum(s1) / len(s1), "byte_min": 0,
+                  "byte_max": 255}
+    # png stays guarded in the distributed path too
+    png = spark.createDataFrame(
+        [(2, bytearray(b"xx"), ("png", 2, "t"))], media_schema
+    )
+    with pytest.raises(Exception, match="real media decode"):
+        decode_features(png, fake=False).collect()
+
+
+def test_decode_stub_real_wav_rejects_malformed():
+    """A corrupt container is a real decode ERROR (wave.Error), not a
+    silent fallback to byte stats."""
+    import wave
+
+    with pytest.raises(wave.Error):
+        decode_stub(b"not a riff container", "wav", fake=False)
