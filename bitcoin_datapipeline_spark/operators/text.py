@@ -18,6 +18,8 @@ Cross-engine determinism notes:
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1785,6 +1787,20 @@ WINDOW w AS (ORDER BY n DESC, token)"""
 CC_MAX_ITER = 10
 
 
+def _release_ckpt(df: DataFrame) -> None:
+    """Actually release a ``localCheckpoint``-ed DataFrame's storage.
+    ``DataFrame.unpersist()`` goes through the cache manager and is a
+    NO-OP for checkpoint blocks — they are persisted on the plan's
+    internal RDD (a ``LogicalRDD`` leaf), never registered as a cached
+    query — so the block release must go through that RDD handle
+    (verified empirically: getRDDStorageInfo drains only on this path).
+    Blocking, so callers can assert storage is empty on return."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(True)
+    except Exception:  # pragma: no cover - non-LogicalRDD plan; best effort
+        df.unpersist(True)
+
+
 def dedup_components(
     documents: DataFrame,
     max_iter: int = CC_MAX_ITER,
@@ -1817,10 +1833,14 @@ def dedup_components(
     join per round and planning/codegen blows up superlinearly (measured:
     heap exhaustion at 9 rounds on the old label loop) — the checkpoint
     truncates lineage so every round plans against a leaf, and the
-    PREVIOUS round's blocks are unpersisted as soon as the new round is
-    materialized (the final round's blocks back the returned DataFrame
-    and stay cached for the session).  Output: every clustered doc with
-    its canonical (min) doc id and the cluster size.
+    PREVIOUS round's blocks are released as soon as the new round is
+    materialized (via :func:`_release_ckpt` — plain
+    ``DataFrame.unpersist`` silently does nothing for checkpoint
+    blocks).  The final labels' blocks back the returned DataFrame and
+    stay cached until the caller releases them with
+    :func:`release_components` (or scopes the call with
+    :func:`components_scope`).  Output: every clustered doc with its
+    canonical (min) doc id and the cluster size.
 
     Sets ``dedup_components.last_rounds`` to the number of contraction
     rounds executed (test hook for the O(log d) guarantee).
@@ -1888,7 +1908,7 @@ def dedup_components(
             .filter(F.col("n") == 1)
             .count()
         )
-        edges.unpersist()
+        _release_ckpt(edges)
         edges = ss
         if changed == 0:
             break
@@ -1897,8 +1917,8 @@ def dedup_components(
         # not finish contracting would split and diverge from the
         # recursive-CTE oracle's true transitive closure (needs a graph
         # deeper than ~2^max_iter hops to trigger at the default budget)
-        edges.unpersist()
-        pairs.unpersist()
+        _release_ckpt(edges)
+        _release_ckpt(pairs)
         raise RuntimeError(
             f"dedup_components did not converge within {max_iter} rounds; "
             "raise max_iter (components deeper than ~2^max_iter hops exist)"
@@ -1931,18 +1951,54 @@ def dedup_components(
         # the final ITERATION state (one checkpointed edge set per round)
         # must not outlive the call: checkpoint the labels — the minimal
         # result state, node-count-sized — then release everything else.
-        # This one block backs the returned DataFrame and stays cached for
-        # the session (documented trade-off of checkpoint-based iteration).
+        # This one block backs the returned DataFrame; the caller releases
+        # it with release_components / components_scope when done.
         .localCheckpoint()
     )
-    edges.unpersist()
-    pairs.unpersist()
+    _release_ckpt(edges)
+    _release_ckpt(pairs)
     sizes = labels.groupBy("comp").agg(F.count("*").cast("long").alias("cluster_size"))
-    return labels.join(sizes, "comp").select(
+    out = labels.join(sizes, "comp").select(
         F.col("doc").alias("doc_id"),
         F.col("comp").alias("component"),
         "cluster_size",
     )
+    # lifecycle handle: the one retained checkpoint block backing `out`.
+    # A long-lived session calling dedup_components repeatedly would
+    # otherwise accumulate node-count-sized label blocks with no way to
+    # release them — see release_components / components_scope.
+    out._cc_ckpt = labels
+    return out
+
+
+def release_components(result: DataFrame) -> None:
+    """Release the ``localCheckpoint`` blocks backing a
+    :func:`dedup_components` result (blocking, so storage is verifiably
+    empty on return).  The result DataFrame must not be used afterwards —
+    its leaf blocks are gone.  Call this once a production session has
+    written the labels out (or finished joining against them); repeated
+    calls in one session otherwise accumulate node-count-sized cached
+    label sets — small relative to data, unbounded across calls.
+    Idempotent; a no-op on DataFrames that carry no handle."""
+    ckpt = getattr(result, "_cc_ckpt", None)
+    if ckpt is not None:
+        _release_ckpt(ckpt)
+        result._cc_ckpt = None
+
+
+@contextlib.contextmanager
+def components_scope(documents: DataFrame, **kwargs):
+    """Context-managed :func:`dedup_components`: yields the labels frame
+    and releases its checkpoint blocks on exit —
+
+        with components_scope(docs) as comps:
+            comps.write.parquet(path)
+    """
+    result = dedup_components(documents, **kwargs)
+    try:
+        yield result
+    finally:
+        release_components(result)
 
 
 # Recursive-CTE twin: pair generation is the MinHash oracle's CTE chain

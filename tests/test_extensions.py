@@ -318,3 +318,52 @@ def test_decode_stub_real_wav_rejects_malformed():
 
     with pytest.raises(wave.Error):
         decode_stub(b"not a riff container", "wav", fake=False)
+
+
+def test_dedup_components_release_empties_storage(spark):
+    """release_components must blocking-unpersist the retained label
+    checkpoint so a long-lived session can release the per-call state;
+    components_scope does it automatically."""
+    import time
+
+    from bitcoin_datapipeline_spark.operators.text import (
+        components_scope,
+        dedup_components,
+        release_components,
+    )
+
+    sc = spark.sparkContext
+
+    def stored_ids():
+        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    def wait_until_released(base, timeout=15.0):
+        # in-function unpersists of intermediate rounds are non-blocking;
+        # give the BlockManager a moment to drain them
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            extra = stored_ids() - base
+            if not extra:
+                return set()
+            time.sleep(0.25)
+        return stored_ids() - base
+
+    base = stored_ids()
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    docs = spark.createDataFrame(
+        [_doc(i, "x y z") for i in (1, 2, 3, 10, 11)]
+    )
+    res = dedup_components(docs, pairs=pairs)
+    assert res.count() == 5
+    assert stored_ids() - base, "labels checkpoint must be cached"
+    release_components(res)
+    release_components(res)  # idempotent
+    assert wait_until_released(base) == set()
+
+    base = stored_ids()
+    with components_scope(docs, pairs=pairs) as comps:
+        assert comps.count() == 5
+        assert stored_ids() - base
+    assert wait_until_released(base) == set()
