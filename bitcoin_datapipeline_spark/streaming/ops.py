@@ -43,6 +43,14 @@ tests/test_streaming.py::test_stateful_api_compat_matrix asserts (a) the
 old API keeps working, (b) the new API surface exists, and (c) the
 protobuf blocker — so the moment the environment gains protobuf the test
 flags that migration is unblocked.
+
+DE-RISK (round 5): the gap detector — smallest state of the three — is
+now DUAL-PATH: ``stream_gap_detect(api=...)`` selects between the classic
+operator and a ``StatefulProcessor`` port (``make_gap_processor``), with
+``api="auto"`` gated on :func:`tws_available`.  The successor path's
+equivalence test auto-skips while protobuf is absent and activates the
+moment the environment unblocks; migrating orderbook/grid then follows
+the same mechanical shape.
 """
 
 from __future__ import annotations
@@ -273,7 +281,84 @@ def make_gap_detector(threshold_ms: int = 2 * 3_600_000):
     return fn
 
 
-def stream_gap_detect(trades: DataFrame, threshold_ms: int = 2 * 3_600_000) -> DataFrame:
+def tws_available() -> bool:
+    """True when Spark's successor stateful API
+    (``transformWithStateInPandas``) can actually RUN here: the API
+    surface shipped in 4.0+, but its Python driver worker hard-requires
+    the ``protobuf`` package (see STATEFUL-API COMPAT in the module
+    docstring).  The version gate the dual-path operators consult."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+
+        return True
+    except ImportError:
+        return False
+
+
+def make_gap_processor(threshold_ms: int = 2 * 3_600_000):
+    """``transformWithStateInPandas`` port of :func:`make_gap_detector` —
+    the de-risk path for the eventual migration off
+    ``applyInPandasWithState`` (smallest state of the three custom
+    stateful operators: one LONG per symbol).  Identical semantics on the
+    successor API: typed ``ValueState`` replaces the state tuple, chunks
+    are still accumulated before sorting (same Arrow-batch-boundary
+    hazard), and emission rows are byte-identical to the classic path."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class GapProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState("last_ts", "last_ts long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            symbol = key[0]
+            last_ts = self._last.get()[0] if self._last.exists() else None
+            all_ts: list[int] = []
+            for pdf in rows:
+                all_ts.extend(pdf["event_ts"].tolist())
+            out = []
+            for ts in sorted(all_ts):
+                if last_ts is not None and ts - last_ts > threshold_ms:
+                    out.append((symbol, last_ts, ts, ts - last_ts))
+                last_ts = ts
+            self._last.update((last_ts,))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in GAP_OUTPUT_SCHEMA.fields]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return GapProcessor()
+
+
+def stream_gap_detect(
+    trades: DataFrame,
+    threshold_ms: int = 2 * 3_600_000,
+    api: str = "auto",
+) -> DataFrame:
+    """Dual-path per-symbol gap detection.  ``api``:
+
+    - ``"classic"`` — ``applyInPandasWithState`` (runs everywhere);
+    - ``"tws"`` — the ``transformWithStateInPandas`` successor
+      (requires :func:`tws_available`);
+    - ``"auto"`` — classic while the successor's protobuf dependency is
+      missing, successor once the environment unblocks (both paths are
+      equivalence-tested against the batch twin)."""
+    if api == "auto":
+        api = "tws" if tws_available() else "classic"
+    if api == "tws":
+        return trades.groupBy("symbol").transformWithStateInPandas(
+            make_gap_processor(threshold_ms),
+            outputStructType=GAP_OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
     return (
         trades.groupBy("symbol")
         .applyInPandasWithState(
