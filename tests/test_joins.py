@@ -194,3 +194,28 @@ def test_lee_ready_unclassified_without_state(spark):
     r = lee_ready(trades, quotes).collect()[0]
     assert r.n_unclassified == 1          # the opening print
     assert r.n_tick_test == 1 and r.accuracy == 1.0
+
+
+def test_lee_ready_fully_unclassified_symbol_null_accuracy(spark):
+    """A symbol whose EVERY trade is unclassifiable (no quote, single
+    price level) must emit accuracy NULL — never 0/0 = NaN, which rounds
+    differently across engines."""
+    import math
+
+    from pyspark.sql import Row
+
+    from bitcoin_datapipeline_spark.operators.joins import lee_ready
+
+    trades = spark.createDataFrame(
+        [Row(symbol="BTC", event_ts=1000, trade_id=1, price=100.0,
+             is_buyer_maker=False),
+         Row(symbol="BTC", event_ts=2000, trade_id=2, price=100.0,  # same px
+             is_buyer_maker=True)]
+    )
+    quotes = spark.createDataFrame(
+        [], "symbol string, event_ts long, bid_px double, ask_px double"
+    )
+    r = lee_ready(trades, quotes).collect()[0]
+    assert r.n_trades == 2 and r.n_unclassified == 2
+    assert r.accuracy is None or not math.isnan(r.accuracy)
+    assert r.accuracy is None
