@@ -202,31 +202,40 @@ RETURNS_OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
-# grid frontier + a bounded ring of the last max(horizon) carried prices
+# grid frontier + a bounded ring of the last max(horizon) carried prices,
+# plus the same bounded pending buffer as the grid resampler
 RETURNS_STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_sec", T.LongType()),
         T.StructField("last_trade_ts", T.LongType()),
         T.StructField("hist", T.ArrayType(T.DoubleType())),
+        T.StructField("pend_sec", T.ArrayType(T.LongType())),
+        T.StructField("pend_price", T.ArrayType(T.DoubleType())),
+        T.StructField("pend_ts", T.ArrayType(T.LongType())),
     ]
 )
 
 RET_HORIZONS_S = (1, 5, 10)
 
 
-def make_returns_resampler(gap_threshold_s: int = 60):
+def make_returns_resampler(gap_threshold_s: int = 60, allowed_lateness_s: int = 0):
     """Streaming k-second returns at grid grain — the live form of the
     reference's Redis ``ret_1s``/``ret_5s``/``ret_10s`` feature fields
     (REDIS_SCHEMA.md feat hash; batch twin: operators/grid.grid_returns).
 
     State per symbol = the LOCF frontier plus a bounded price ring of the
-    last max(horizon) grid prices — O(60 doubles), the Redis-hash bound.
+    last max(horizon) grid prices — O(60 doubles), the Redis-hash bound —
+    plus, when ``allowed_lateness_s`` > 0, the same bounded pending-second
+    buffer as :func:`make_grid_resampler` (emission held ``lateness``
+    seconds behind the newest observation, so cross-second feed disorder
+    lands in the correct grid row before its return is computed).
     Returns over carried prices are exactly 0 (log p/p), matching the batch
     twin; a horizon reaching before the symbol's first print yields NULL."""
     import math
 
     gap_ms = gap_threshold_s * 1000
     max_h = max(RET_HORIZONS_S)
+    late_s = allowed_lateness_s
 
     def fn(key, pdfs, state: GroupState):
         symbol = key[0]
@@ -238,29 +247,39 @@ def make_returns_resampler(gap_threshold_s: int = 60):
             return
         ev = pd.concat(chunks, ignore_index=True)
         if state.exists:
-            last_sec, last_ts, hist = state.get
+            last_sec, last_ts, hist, psec, pprice, pts = state.get
             hist = list(hist)
+            pend = {
+                int(s): [float(p), int(t)]
+                for s, p, t in zip(psec, pprice, pts)
+            }
             ev = ev[ev["event_ts"] // 1000 > last_sec]
         else:
-            last_sec, last_ts, hist = None, None, []
+            last_sec, last_ts, hist, pend = _NO_FRONTIER, None, [], {}
 
-        rows = []
         if len(ev):
             ev = ev.sort_values("event_ts", kind="mergesort")
             ev["sec"] = ev["event_ts"] // 1000
             per_sec = ev.groupby("sec").agg(
                 price=("price", "last"), last_ts=("event_ts", "max")
             )
-            start = (
-                int(per_sec.index[0]) if last_sec is None else int(last_sec) + 1
-            )
-            end = int(per_sec.index[-1])
+            for sec, o in per_sec.iterrows():
+                s = int(sec)
+                cur = pend.get(s)
+                if cur is None:
+                    pend[s] = [float(o["price"]), int(o["last_ts"])]
+                elif int(o["last_ts"]) >= cur[1]:
+                    cur[0], cur[1] = float(o["price"]), int(o["last_ts"])
+
+        rows = []
+        if pend:
+            end_emit = max(pend) - late_s
+            start = min(pend) if last_sec == _NO_FRONTIER else last_sec + 1
             price = hist[-1] if hist else None
-            for sec in range(start, end + 1):
-                if sec in per_sec.index:
-                    o = per_sec.loc[sec]
-                    price = float(o["price"])
-                    last_ts = int(o["last_ts"])
+            for sec in range(start, end_emit + 1):
+                obs = pend.pop(sec, None)
+                if obs is not None:
+                    price, last_ts = obs[0], obs[1]
                 hist.append(price)
                 rets = []
                 for h in RET_HORIZONS_S:
@@ -270,8 +289,18 @@ def make_returns_resampler(gap_threshold_s: int = 60):
                     )
                 age = (sec + 1) * 1000 - 1 - last_ts
                 rows.append((symbol, sec, price, *rets, age > gap_ms))
+            if rows:
+                last_sec = end_emit
             hist = hist[-(max_h + 1):]
-            state.update((int(end), int(last_ts), hist))
+            items = sorted(pend.items())
+            state.update((
+                int(last_sec),
+                int(last_ts) if last_ts is not None else 0,
+                hist,
+                [s for s, _ in items],
+                [p[0] for _, p in items],
+                [p[1] for _, p in items],
+            ))
         yield pd.DataFrame(
             rows, columns=[f.name for f in RETURNS_OUTPUT_SCHEMA.fields]
         )
@@ -279,11 +308,16 @@ def make_returns_resampler(gap_threshold_s: int = 60):
     return fn
 
 
-def stream_grid_returns(trades: DataFrame, gap_threshold_s: int = 60) -> DataFrame:
+def stream_grid_returns(
+    trades: DataFrame,
+    gap_threshold_s: int = 60,
+    allowed_lateness_s: int = 0,
+) -> DataFrame:
     """Per-second streaming returns over the LOCF grid (live twin of
-    operators/grid.grid_returns for horizons {1,5,10} s)."""
+    operators/grid.grid_returns for horizons {1,5,10} s).  See
+    :func:`stream_locf_grid` for the ``allowed_lateness_s`` semantics."""
     return trades.groupBy("symbol").applyInPandasWithState(
-        make_returns_resampler(gap_threshold_s),
+        make_returns_resampler(gap_threshold_s, allowed_lateness_s),
         outputStructType=RETURNS_OUTPUT_SCHEMA,
         stateStructType=RETURNS_STATE_SCHEMA,
         outputMode="append",

@@ -807,3 +807,89 @@ def test_gap_processor_constructs_when_api_present():
 
     assert isinstance(p, StatefulProcessor)
     assert hasattr(p, "handleInputRows") and hasattr(p, "init")
+
+
+def test_stream_grid_returns_bounded_lateness_matches_batch(spark, tmp_path):
+    """allowed_lateness_s=2 on the returns resampler: out-of-order input
+    (including across micro-batches) still yields the batch twin's
+    returns — the late print lands in its grid second BEFORE that
+    second's return is computed."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_datapipeline_spark.operators import grid as batch_grid
+    from bitcoin_datapipeline_spark.streaming import grid as sgrid
+
+    schema = (
+        "symbol string, event_ts long, trade_id long, price double, qty double,"
+        " is_buyer_maker boolean, source string"
+    )
+    batch1 = [
+        ("A", 0, 1, 100.0, 1.0, False, "sbe"),
+        ("A", 7_400, 2, 110.0, 1.0, False, "sbe"),
+        ("A", 6_100, 3, 105.0, 1.0, False, "sbe"),   # 1.3 s late
+    ]
+    batch2 = [
+        ("A", 6_900, 4, 108.0, 1.0, False, "sbe"),   # cross-batch late
+        ("A", 14_200, 5, 121.0, 1.0, False, "sbe"),
+        ("A", 25_000, 6, 130.0, 1.0, False, "sbe"),  # flush sentinel
+    ]
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def run_once(rows, part):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / part)
+        )
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).option("recursiveFileLookup", "true").parquet(str(src))
+        q = (
+            sgrid.stream_grid_returns(stream, allowed_lateness_s=2)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once(batch1, "p1")
+    run_once(batch2, "p2")
+
+    got = spark.read.parquet(out)
+    trades = spark.createDataFrame(batch1 + batch2, schema)
+    want = (
+        batch_grid.grid_returns(
+            batch_grid.locf_resample(trades, step_s=1, slice_s=1_000),
+            horizons_s=(1, 5, 10),
+        )
+        .filter(F.col("feature_ts") <= 25 - 2)  # emitted frontier
+    )
+    assert got.count() == want.count() == 24  # seconds 0..23
+    g = got.select(
+        "symbol", "feature_ts",
+        F.round("price", 6).alias("price"),
+        F.round("ret_1s", 6).alias("ret_1s"),
+        F.round("ret_5s", 6).alias("ret_5s"),
+        F.round("ret_10s", 6).alias("ret_10s"),
+    )
+    w = want.select("symbol", "feature_ts", "price", "ret_1s", "ret_5s",
+                    "ret_10s")
+    mism = (
+        g.alias("g").join(w.alias("w"), ["symbol", "feature_ts"], "full")
+        .filter(
+            "g.price IS DISTINCT FROM w.price OR "
+            "g.ret_1s IS DISTINCT FROM w.ret_1s OR "
+            "g.ret_5s IS DISTINCT FROM w.ret_5s OR "
+            "g.ret_10s IS DISTINCT FROM w.ret_10s"
+        )
+        .count()
+    )
+    assert mism == 0
+    r = {x["feature_ts"]: x for x in got.collect()}
+    # sec 6's price is the LAST event-ts print of that second (6.9 s =
+    # 108.0, delivered a batch late), not the first-arrived 105.0
+    assert r[6]["price"] == 108.0
