@@ -1458,6 +1458,13 @@ def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.sequence_pack(table(spark, sf_dir, "documents"))
 
 
+# round 5: RefinedWeb-style exact-span dedup — REWRITES documents by
+# deleting cross-document duplicated fixed-window passages
+@q("q_doc_passage_scrub", text.PASSAGE_SCRUB_ORACLE)
+def q_doc_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.passage_scrub(table(spark, sf_dir, "documents"))
+
+
 @q("q_corpus_resample", text.TEMPERATURE_RESAMPLE_ORACLE)
 def q_corpus_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.temperature_resample(table(spark, sf_dir, "documents"))

@@ -1072,6 +1072,149 @@ SELECT doc_id, lang,
 FROM c, LATERAL unnest(generate_series(1, n_chunks)) AS u(i)"""
 
 
+PASSAGE_W = 8  # words per exact-span dedup segment
+
+
+def passage_scrub(documents: DataFrame, window_tokens: int = PASSAGE_W) -> DataFrame:
+    """Corpus-duplicated passage REMOVAL (the RefinedWeb / "Deduplicating
+    Training Data Makes Language Models Better" exact-span pass at
+    fixed-window grain): unlike the document-level dedup family, which
+    DROPS whole documents, this rewrites each document, deleting every
+    ``window_tokens``-word segment whose content also appears in another
+    document — the boilerplate/licence-header/quoted-reply scrubber a
+    pre-training pipeline runs between exact-dedup and near-dedup.
+
+    Semantics: documents split into NON-overlapping ``window_tokens``-word
+    full segments plus a trailing remainder (always kept — no full-width
+    span to match).  A segment is removed iff its lowercased text occurs
+    in ≥ 2 DISTINCT documents (so a passage repeated within one document
+    survives — only cross-document duplication is boilerplate evidence).
+    Output per doc: segment counts, the scrubbed text (kept segments in
+    order + remainder), and its word count.
+
+    Plan shape at 100 TB: one explode to corpus/W segment rows, one
+    count-distinct aggregate on the segment hash (two-phase, partial
+    combinable), one equi-join back on the hash, one per-doc reassembly
+    aggregate — three shuffles over corpus/W rows, keys are content
+    hashes (uniform).  No self-join, no window, no Python.
+
+    cf. reference: extends the surface (the reference pipeline has no
+    document corpus); grain mirrors `chunk_documents`' token-exact
+    windows so the oracle replicates boundaries with list slicing."""
+    w = window_tokens
+    toks = F.split(F.col("text"), " ")
+    base = documents.select(
+        "doc_id",
+        (F.size(toks) / w).cast("int").alias("n_segments"),
+        F.concat_ws(
+            " ", F.slice(toks, F.size(toks) - F.size(toks) % w + 1, w)
+        ).alias("remainder"),
+    )
+    # NB: Spark's sequence(1, 0) yields DESCENDING [1, 0], not the empty
+    # series DuckDB's generate_series(1, 0) gives — docs shorter than one
+    # window must be guarded out explicitly or they fabricate segments
+    seg = documents.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(split(text, ' ')) >= {w} THEN "
+                f"transform(sequence(1, size(split(text, ' ')) div {w}), "
+                f"i -> concat_ws(' ', slice(split(text, ' '), (i - 1) * {w} + 1, {w}))) "
+                f"ELSE array() END"
+            )
+        ).alias("seg_id", "seg_text"),
+    )
+    df_h = (
+        seg.groupBy(F.md5(F.lower(F.col("seg_text"))).alias("h"))
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    kept = (
+        seg.join(df_h, F.md5(F.lower(F.col("seg_text"))) == F.col("h"))
+        .filter(F.col("df") < 2)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seg_id", "seg_text"))
+                    ),
+                    lambda x: x["seg_text"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )
+    scrubbed = F.concat_ws(
+        " ",
+        F.nullif(F.col("kept_text"), F.lit("")),
+        F.nullif(F.col("remainder"), F.lit("")),
+    )
+    return (
+        base.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segments",
+            (F.col("n_segments") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+            scrubbed.alias("scrubbed_text"),
+        )
+        .withColumn(
+            "n_kept_words",
+            F.when(F.col("scrubbed_text") == "", 0)
+            .otherwise(F.size(F.split(F.col("scrubbed_text"), " ")))
+            .cast("int"),
+        )
+    )
+
+
+PASSAGE_SCRUB_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+base AS (
+  SELECT doc_id, toks,
+         len(toks) // {PASSAGE_W} AS n_full,
+         array_to_string(
+             toks[len(toks) - len(toks) % {PASSAGE_W} + 1 : len(toks)], ' ')
+             AS remainder
+  FROM t
+),
+seg AS (
+  SELECT doc_id, u.i AS seg_id,
+         array_to_string(
+             toks[(u.i - 1) * {PASSAGE_W} + 1 : u.i * {PASSAGE_W}], ' ')
+             AS seg_text
+  FROM base, LATERAL unnest(generate_series(1, n_full)) AS u(i)
+),
+dfh AS (
+  SELECT md5(lower(seg_text)) AS h, count(DISTINCT doc_id) AS df
+  FROM seg GROUP BY 1
+),
+kept AS (
+  SELECT s.doc_id,
+         CAST(count(*) AS INTEGER) AS n_kept,
+         string_agg(s.seg_text, ' ' ORDER BY s.seg_id) AS kept_text
+  FROM seg s JOIN dfh ON md5(lower(s.seg_text)) = dfh.h
+  WHERE dfh.df < 2
+  GROUP BY s.doc_id
+),
+o AS (
+  SELECT b.doc_id,
+         CAST(b.n_full AS INTEGER) AS n_segments,
+         CAST(b.n_full - coalesce(k.n_kept, 0) AS INTEGER) AS n_removed,
+         concat_ws(' ', nullif(coalesce(k.kept_text, ''), ''),
+                   nullif(b.remainder, '')) AS scrubbed_text
+  FROM base b LEFT JOIN kept k USING (doc_id)
+)
+SELECT doc_id, n_segments, n_removed, scrubbed_text,
+       CASE WHEN scrubbed_text = '' THEN 0
+            ELSE CAST(len(string_split(scrubbed_text, ' ')) AS INTEGER)
+       END AS n_kept_words
+FROM o"""
+
+
 PACK_BUDGET_TOKENS = 512
 
 

@@ -367,3 +367,32 @@ def test_dedup_components_release_empties_storage(spark):
         assert comps.count() == 5
         assert stored_ids() - base
     assert wait_until_released(base) == set()
+
+
+def test_passage_scrub_removes_cross_doc_spans_only(spark):
+    """An 8-word passage shared by two docs is deleted from BOTH; a
+    passage repeated WITHIN one doc survives (not boilerplate evidence);
+    the trailing partial window is always kept."""
+    from bitcoin_datapipeline_spark.operators.text import passage_scrub
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"          # exactly one window
+    uniq_a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    rep = "r1 r2 r3 r4 r5 r6 r7 r8"
+    docs = spark.createDataFrame([
+        _doc(1, f"{shared} {uniq_a} tail1 tail2"),
+        _doc(2, f"{shared} b1 b2 b3 b4 b5 b6 b7 b8"),
+        _doc(3, f"{rep} {rep} c-tail"),           # intra-doc repeat only
+        _doc(4, "short text only"),               # no full window at all
+    ])
+    out = {r.doc_id: r for r in passage_scrub(docs).collect()}
+    assert out[1].n_segments == 2 and out[1].n_removed == 1
+    assert out[1].scrubbed_text == f"{uniq_a} tail1 tail2"
+    assert out[1].n_kept_words == 10
+    assert out[2].n_removed == 1 and out[2].scrubbed_text == \
+        "b1 b2 b3 b4 b5 b6 b7 b8"
+    # within-doc duplication survives: df counts DISTINCT documents
+    assert out[3].n_removed == 0
+    assert out[3].scrubbed_text == f"{rep} {rep} c-tail"
+    # no full window -> nothing to scrub, remainder passes through
+    assert out[4].n_segments == 0 and out[4].n_removed == 0
+    assert out[4].scrubbed_text == "short text only"
