@@ -1092,11 +1092,19 @@ def passage_scrub(documents: DataFrame, window_tokens: int = PASSAGE_W) -> DataF
     Output per doc: segment counts, the scrubbed text (kept segments in
     order + remainder), and its word count.
 
-    Plan shape at 100 TB: one explode to corpus/W segment rows, one
-    count-distinct aggregate on the segment hash (two-phase, partial
-    combinable), one equi-join back on the hash, one per-doc reassembly
-    aggregate — three shuffles over corpus/W rows, keys are content
-    hashes (uniform).  No self-join, no window, no Python.
+    Plan shape at 100 TB: explode to corpus/W segment rows, a
+    count-distinct aggregate on the segment hash (two-phase — the
+    per-(h, doc) pre-aggregation collapses hot boilerplate segments
+    MAP-SIDE before any shuffle), one equi-join back on the hash, one
+    per-doc reassembly aggregate.  Keys are content hashes (uniform);
+    a hot segment skews only the join's probe side, which AQE skew-split
+    handles (build side is one row per hash).  The df branch re-derives
+    the segment explode (a map-only second scan) rather than computing
+    the verdict with a window over h — deliberately: a partition-by-hash
+    window has no partial aggregation, so one corpus-wide boilerplate
+    segment would funnel corpus/W rows into a single window task.  A
+    production run materializes the segment table once and feeds both
+    branches.  No self-join, no window, no Python.
 
     cf. reference: extends the surface (the reference pipeline has no
     document corpus); grain mirrors `chunk_documents`' token-exact
