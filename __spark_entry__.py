@@ -1180,6 +1180,13 @@ def q_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn(table(spark, sf_dir, "embeddings"))
 
 
+# round 5: embedding-space decontamination — the paraphrase-robust
+# complement of q_doc_decontaminate / q_decontaminate_ngram
+@q("q_embed_decontaminate", similarity.EMBED_DECON_ORACLE)
+def q_embed_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embed_decontaminate(table(spark, sf_dir, "embeddings"))
+
+
 @q("q_embed_ann_lsh", similarity.ANN_LSH_ORACLE)
 def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh(table(spark, sf_dir, "embeddings"))

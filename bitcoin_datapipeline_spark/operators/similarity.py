@@ -146,6 +146,90 @@ FROM (
 WHERE rank <= {KNN_K}"""
 
 
+EMBED_DECON_THRESHOLD = 0.4  # same isotropic-corpus tuning as SemDeDup;
+# real embedding spaces use ~0.9+ for paraphrase-level contamination
+
+
+def embed_decontaminate(
+    embeddings: DataFrame,
+    eval_mod: int = ANN_QUERY_MOD,
+    threshold: float = EMBED_DECON_THRESHOLD,
+) -> DataFrame:
+    """Embedding-space decontamination — the semantic complement of the
+    text family's exact-hash (`doc_decontaminate`) and n-gram
+    (`decontaminate_ngram`) passes: an eval item that was PARAPHRASED
+    into the training corpus defeats both, but still sits next to its
+    source in embedding space.  Flags every training vector whose cosine
+    to ANY held-out eval vector reaches ``threshold``, with the best
+    (highest-cosine, lowest-id tiebreak) eval match reported — the
+    audit table a decontamination pass anti-joins the corpus against.
+
+    The eval set is the deterministic ``vec_id % eval_mod == 0`` holdout
+    (the engine's standard query-subset discipline, so the oracle
+    replays it).  Plan shape at 100 TB: the eval side is SMALL by
+    construction (the benchmark's eval sets are thousands of items, not
+    billions) and broadcasts — the scan over the training corpus is
+    MAP-ONLY (broadcast nested-loop + per-row HOF dot products), with the
+    threshold filter applied before the per-vector best-match aggregate,
+    so shuffled rows are contaminated candidates only.  No corpus-side
+    self-join, no shuffle of the full corpus.
+
+    cf. reference: extends the surface (no embedding ops in the
+    reference); same broadcast-small-side discipline as J5."""
+    e = with_norm(_spread(embeddings))
+    ev = with_norm(embeddings.filter(F.col("vec_id") % eval_mod == 0)).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("emb_e"),
+        F.col("norm").alias("norm_e"),
+    )
+    train = e.filter(F.col("vec_id") % eval_mod != 0)
+    cos6 = r6(_dot("embedding", "emb_e") / (F.col("norm") * F.col("norm_e")))
+    return (
+        train.join(F.broadcast(ev))
+        .withColumn("cosine", cos6)
+        .filter(F.col("cosine") >= threshold)
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cosine"), (-F.col("eval_id")).alias("negid")
+                )
+            ).alias("best"),
+            F.count("*").cast("long").alias("n_eval_hits"),
+        )
+        .select(
+            "vec_id",
+            (-F.col("best.negid")).cast("long").alias("eval_id"),
+            F.col("best.cosine").alias("cosine"),
+            "n_eval_hits",
+        )
+    )
+
+
+EMBED_DECON_ORACLE = f"""
+WITH ev AS (
+  SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS emb_e
+  FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
+),
+s AS (
+  SELECT t.vec_id, ev.eval_id,
+         round(list_cosine_similarity(CAST(t.embedding AS DOUBLE[]), emb_e), 6)
+             AS cosine
+  FROM embeddings t CROSS JOIN ev
+  WHERE t.vec_id % {ANN_QUERY_MOD} <> 0
+),
+f AS (SELECT * FROM s WHERE cosine >= {EMBED_DECON_THRESHOLD})
+SELECT vec_id, eval_id, cosine, n_eval_hits
+FROM (
+  SELECT vec_id, eval_id, cosine,
+         CAST(count(*) OVER (PARTITION BY vec_id) AS BIGINT) AS n_eval_hits,
+         row_number() OVER (
+             PARTITION BY vec_id ORDER BY cosine DESC, eval_id) AS rn
+  FROM f
+)
+WHERE rn = 1"""
+
+
 def ann_lsh(embeddings: DataFrame) -> DataFrame:
     """Approximate NN via sign-bucket LSH: bucket key = concatenated signs
     of the first LSH_DIMS dimensions (a fixed axis-aligned hyperplane set —

@@ -396,3 +396,36 @@ def test_passage_scrub_removes_cross_doc_spans_only(spark):
     # no full window -> nothing to scrub, remainder passes through
     assert out[4].n_segments == 0 and out[4].n_removed == 0
     assert out[4].scrubbed_text == "short text only"
+
+
+def test_embed_decontaminate_flags_planted_paraphrase(spark):
+    """A training vector nearly identical to an eval-holdout vector is
+    flagged with that eval id; orthogonal vectors are not; ties break to
+    the highest cosine then lowest eval id; eval-side vectors never
+    appear as training rows."""
+    from pyspark.sql import Row
+
+    from bitcoin_datapipeline_spark.operators.similarity import (
+        embed_decontaminate,
+    )
+
+    def v(vec_id, emb):
+        return Row(vec_id=vec_id, embedding=[float(x) for x in emb], label=0)
+
+    e = spark.createDataFrame([
+        v(0, [1, 0, 0, 0]),       # eval (0 % 5 == 0)
+        v(5, [0, 1, 0, 0]),       # eval
+        v(1, [0.99, 0.1, 0, 0]),  # train: near eval 0 -> contaminated
+        v(2, [0, 0, 1, 0]),       # train: orthogonal -> clean
+        v(3, [0.7, 0.7, 0, 0]),   # train: mid between both evals
+    ])
+    out = {r.vec_id: r for r in
+           embed_decontaminate(e, eval_mod=5, threshold=0.9).collect()}
+    assert 1 in out and out[1].eval_id == 0 and out[1].cosine > 0.99
+    assert 2 not in out
+    assert 3 not in out  # cos ~= 0.707 < 0.9
+    out2 = {r.vec_id: r for r in
+            embed_decontaminate(e, eval_mod=5, threshold=0.5).collect()}
+    assert out2[3].n_eval_hits == 2  # hits both evals at the lax threshold
+    assert out2[3].eval_id in (0, 5)
+    assert 0 not in out2 and 5 not in out2  # eval side excluded
