@@ -415,3 +415,27 @@ def test_quality_scoring_joins_broadcast(spark, sf01):
         plan = _plan(spark, E.queries()[name](spark, sf01))
         assert "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_embed_decontaminate_broadcasts_eval_side(spark, sf01):
+    """The eval holdout must broadcast (map-only corpus scan — the
+    docstring's no-corpus-shuffle claim): the condition-less join plans
+    as BroadcastNestedLoopJoin, never CartesianProduct or a shuffle
+    join, and the threshold filter sits below the best-match aggregate."""
+    import __spark_entry__ as E
+
+    plan = _plan(spark, E.queries()["q_embed_decontaminate"](spark, sf01))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_passage_scrub_df_agg_partial_combines(spark, sf01):
+    """The segment-df aggregate must two-phase (partial_count(distinct)
+    map-side before the exchange) so hot boilerplate segments collapse
+    before any shuffle — the docstring's skew argument, pinned."""
+    import __spark_entry__ as E
+
+    plan = _plan(spark, E.queries()["q_doc_passage_scrub"](spark, sf01))
+    assert "partial_count(distinct" in plan
+    assert "CartesianProduct" not in plan
