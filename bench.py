@@ -55,6 +55,10 @@ HEADLINE = [
     "q_decontaminate_ngram",
     "q_doc_perplexity",
     "q_doc_incremental_dedup",
+    # round 5: cross-document exact-span scrub and embedding-space
+    # decontamination
+    "q_doc_passage_scrub",
+    "q_embed_decontaminate",
 ]
 
 
@@ -78,6 +82,8 @@ FAMILIES: dict[str, list[str]] = {
         "q_semdedup",
         # one-sided batch-vs-corpus gate (band join fan-out risk)
         "q_doc_incremental_dedup",
+        # segment-hash df join-back (hot-boilerplate fan-out risk)
+        "q_doc_passage_scrub",
     ],
     "ann": [
         "q_embed_ann_ivf",
