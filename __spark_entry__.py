@@ -839,6 +839,42 @@ def q_lee_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# round 5: Kyle's lambda price-impact regression (decimal-exact moments,
+# not regr_slope — see operators/aggregates.kyle_lambda)
+@q(
+    "q_kyle_lambda",
+    OD.with_ctes(OD.DEDUP_TRADES_CTE + aggregates.KYLE_LAMBDA_ORACLE_BODY,
+                 body=""),
+)
+def q_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.kyle_lambda(
+        dedup.dedup_trades(normalize.valid_trades(table(spark, sf_dir, "events")))
+    )
+
+
+# round 5: VPIN flow toxicity on the volume clock
+@q(
+    "q_vpin",
+    OD.with_ctes(OD.DEDUP_TRADES_CTE + aggregates.VPIN_ORACLE_BODY, body=""),
+)
+def q_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.vpin(
+        dedup.dedup_trades(normalize.valid_trades(table(spark, sf_dir, "events")))
+    )
+
+
+# round 5: Roll implied spread from serial covariance of price changes
+@q(
+    "q_roll_spread",
+    OD.with_ctes(OD.DEDUP_TRADES_CTE + aggregates.ROLL_SPREAD_ORACLE_BODY,
+                 body=""),
+)
+def q_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.roll_spread(
+        dedup.dedup_trades(normalize.valid_trades(table(spark, sf_dir, "events")))
+    )
+
+
 @q(
     "q_feature_label_join",
     OD.with_ctes(

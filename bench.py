@@ -55,10 +55,12 @@ HEADLINE = [
     "q_decontaminate_ngram",
     "q_doc_perplexity",
     "q_doc_incremental_dedup",
-    # round 5: cross-document exact-span scrub and embedding-space
-    # decontamination
+    # round 5: cross-document exact-span scrub, embedding-space
+    # decontamination, and the VPIN volume-clock (cumsum + bucket agg +
+    # trailing window in one plan — the microstructure representative)
     "q_doc_passage_scrub",
     "q_embed_decontaminate",
+    "q_vpin",
 ]
 
 

@@ -853,3 +853,274 @@ SELECT b.symbol, b.bucket,
        round(p_lo, 6) AS p_lo,
        round(p_hi, 6) AS p_hi
 FROM bars b JOIN bounds USING (symbol)"""
+
+
+KYLE_BUCKET_MS = 60_000  # price-impact regression grain: 1-minute buckets
+
+
+def kyle_lambda(dedup_trades: DataFrame) -> DataFrame:
+    """Kyle's lambda (Kyle 1985) — per-symbol price impact: the OLS slope
+    of per-bucket price change on per-bucket signed (aggressor) volume,
+    the canonical liquidity/impact measure a desk computes from the same
+    tape Lee-Ready classifies.  Aggressor sign comes from the feed's
+    taker flag (buy = NOT is_buyer_maker), matching `bars_1m`'s
+    buy/sell split.
+
+    Cross-engine determinism: the regression is NOT `regr_slope` (whose
+    internal double accumulation is summation-order-dependent) — the four
+    moments Σx, Σy, Σxy, Σx² are DECIMAL-exact sums (signed qty and
+    bucket open/close live on decimal grids), cast to double once, and
+    the slope/intercept arithmetic is the same scalar expression in both
+    engines, so the division sees bit-identical operands.
+
+    Plan shape: one partial-combinable aggregate to buckets, one K-row
+    aggregate to symbols — two shuffles, second over symbol count only.
+    A symbol whose signed volume is constant across buckets (zero
+    variance) emits NULL slope/intercept, not 0/0."""
+    ordk = F.struct("event_ts", "trade_id")
+    sgn = F.when(~F.col("is_buyer_maker"), F.col("qty")).otherwise(-F.col("qty"))
+    b = dedup_trades.groupBy(
+        "symbol", F.expr(f"event_ts div {KYLE_BUCKET_MS}").cast("long").alias("bucket")
+    ).agg(
+        F.sum(sgn.cast("decimal(18,4)")).alias("sv"),
+        (
+            F.max_by("price", ordk).cast("decimal(18,4)")
+            - F.min_by("price", ordk).cast("decimal(18,4)")
+        ).alias("dp_oc"),
+    )
+    # NB: max_by/min_by keyed on (event_ts, trade_id) are LAST/FIRST in
+    # event order — dp_oc is the open→close move, not high−low
+    g = b.groupBy("symbol").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("sv").cast("double").alias("sx"),
+        F.sum("dp_oc").cast("double").alias("sy"),
+        F.sum((F.col("sv") * F.col("dp_oc")).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("sv") * F.col("sv")).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    den = F.col("n_buckets") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n_buckets") * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    return g.select(
+        "symbol",
+        "n_buckets",
+        F.when(den != 0, r6(slope)).alias("kyle_lambda"),
+        F.when(den != 0, r6((F.col("sy") - slope * F.col("sx")) / F.col("n_buckets"))).alias(
+            "impact_intercept"
+        ),
+    )
+
+
+KYLE_LAMBDA_ORACLE_BODY = f"""
+,kb AS (
+  SELECT symbol, event_ts // {KYLE_BUCKET_MS} AS bucket,
+         sum(CAST(CASE WHEN NOT is_buyer_maker THEN qty ELSE -qty END
+                  AS DECIMAL(18,4))) AS sv,
+         CAST(last(price ORDER BY event_ts, trade_id) AS DECIMAL(18,4))
+           - CAST(first(price ORDER BY event_ts, trade_id) AS DECIMAL(18,4))
+             AS dp_oc
+  FROM dedup_trades GROUP BY 1, 2
+),
+kg AS (
+  SELECT symbol,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(sv) AS DOUBLE) AS sx,
+         CAST(sum(dp_oc) AS DOUBLE) AS sy,
+         CAST(sum(CAST(sv * dp_oc AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(sv * sv AS DECIMAL(38,8))) AS DOUBLE) AS sxx
+  FROM kb GROUP BY symbol
+)
+SELECT symbol, n_buckets,
+       CASE WHEN n_buckets * sxx - sx * sx != 0
+            THEN round((n_buckets * sxy - sx * sy)
+                       / (n_buckets * sxx - sx * sx), 6) END AS kyle_lambda,
+       CASE WHEN n_buckets * sxx - sx * sx != 0
+            THEN round((sy - (n_buckets * sxy - sx * sy)
+                             / (n_buckets * sxx - sx * sx) * sx)
+                       / n_buckets, 6) END AS impact_intercept
+FROM kg"""
+
+
+VPIN_BUCKET_VOLUME = 2_000  # volume per bucket (volume clock)
+VPIN_WINDOW = 10  # trailing buckets averaged into the VPIN estimate
+
+
+def vpin(
+    dedup_trades: DataFrame,
+    bucket_volume: int = VPIN_BUCKET_VOLUME,
+    window: int = VPIN_WINDOW,
+) -> DataFrame:
+    """VPIN — Volume-synchronized Probability of INformed trading
+    (Easley, López de Prado, O'Hara 2012): trades sequence onto a VOLUME
+    clock (each bucket holds ``bucket_volume`` units), each bucket's
+    order-flow imbalance is |buy − sell| aggressor volume, and VPIN is
+    the volume-weighted imbalance over the trailing ``window`` buckets —
+    the flow-toxicity gauge that spikes before liquidity events.
+
+    Discrete convention (documented, oracle-replicated): each trade
+    belongs wholly to the bucket where its cumulative volume STARTS
+    (floor(cum_before / V)) — no trade splitting, so buckets carry
+    slightly unequal realized volume and the estimate divides by the
+    realized sum, not the nominal V.  The cumulative volume is a
+    DECIMAL-exact keyed window cumsum; bucket ids floor an exact-operand
+    double division, and qty grids keep every division operand exact, so
+    both engines agree bit-for-bit.
+
+    Plan shape: ONE partitionBy(symbol) sort shared by the cumsum, then a
+    partial-combinable bucket aggregate and a bounded ROWS window over
+    buckets (state = ``window`` rows) — the same single-exchange
+    discipline as the rolling families in operators/windows.py."""
+    qd = F.col("qty").cast("decimal(20,4)")
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("event_ts", "trade_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_excl = F.sum(qd).over(w) - qd
+    b = (
+        dedup_trades.withColumn(
+            "bucket",
+            F.floor(cum_excl.cast("double") / F.lit(bucket_volume)).cast("long"),
+        )
+        .groupBy("symbol", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_trades"),
+            F.sum(
+                F.when(~F.col("is_buyer_maker"), F.col("qty"))
+                .otherwise(F.lit(0.0))
+                .cast("decimal(20,4)")
+            ).alias("buy_v"),
+            F.sum(
+                F.when(F.col("is_buyer_maker"), F.col("qty"))
+                .otherwise(F.lit(0.0))
+                .cast("decimal(20,4)")
+            ).alias("sell_v"),
+            F.sum(qd).alias("vol"),
+        )
+    )
+    imb = F.abs(F.col("buy_v") - F.col("sell_v"))
+    wb = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket")
+        .rowsBetween(-(window - 1), 0)
+    )
+    return b.select(
+        "symbol",
+        "bucket",
+        "n_trades",
+        F.col("vol").cast("double").alias("bucket_volume"),
+        imb.cast("double").alias("imbalance"),
+        F.count("*").over(wb).cast("long").alias("n_in_window"),
+        r6(
+            F.sum(imb).over(wb).cast("double")
+            / F.sum(F.col("vol")).over(wb).cast("double")
+        ).alias("vpin"),
+    )
+
+
+VPIN_ORACLE_BODY = f"""
+,vc AS (
+  SELECT symbol, event_ts, trade_id, qty, is_buyer_maker,
+         sum(CAST(qty AS DECIMAL(20,4))) OVER (
+             PARTITION BY symbol ORDER BY event_ts, trade_id
+             ROWS UNBOUNDED PRECEDING) - CAST(qty AS DECIMAL(20,4))
+             AS cum_excl
+  FROM dedup_trades
+),
+vb AS (
+  SELECT symbol,
+         CAST(floor(CAST(cum_excl AS DOUBLE) / {VPIN_BUCKET_VOLUME}) AS BIGINT)
+             AS bucket,
+         CAST(count(*) AS BIGINT) AS n_trades,
+         sum(CAST(CASE WHEN NOT is_buyer_maker THEN qty ELSE 0.0 END
+                  AS DECIMAL(20,4))) AS buy_v,
+         sum(CAST(CASE WHEN is_buyer_maker THEN qty ELSE 0.0 END
+                  AS DECIMAL(20,4))) AS sell_v,
+         sum(CAST(qty AS DECIMAL(20,4))) AS vol
+  FROM vc GROUP BY 1, 2
+)
+SELECT symbol, bucket, n_trades,
+       CAST(vol AS DOUBLE) AS bucket_volume,
+       CAST(abs(buy_v - sell_v) AS DOUBLE) AS imbalance,
+       CAST(count(*) OVER tw AS BIGINT) AS n_in_window,
+       round(CAST(sum(abs(buy_v - sell_v)) OVER tw AS DOUBLE)
+             / CAST(sum(vol) OVER tw AS DOUBLE), 6) AS vpin
+FROM vb
+WINDOW tw AS (PARTITION BY symbol ORDER BY bucket
+              ROWS BETWEEN {VPIN_WINDOW - 1} PRECEDING AND CURRENT ROW)"""
+
+
+def roll_spread(dedup_trades: DataFrame) -> DataFrame:
+    """Roll's implied effective spread (Roll 1984): under the bid-ask
+    bounce model, consecutive trade-price changes are negatively
+    serially correlated and the effective half-spread is
+    √(−cov(Δp_t, Δp_{t−1})) — the classic spread estimate for a tape
+    with no quote data (complements `lee_ready`, which needs quotes).
+
+    Determinism: Δp pairs live on the price grid — the covariance
+    moments Σx, Σy, Σxy are DECIMAL-exact sums (same discipline as
+    :func:`kyle_lambda`), so the final double arithmetic sees identical
+    operands in both engines.  A positive serial covariance (trending
+    tape — the model's failure mode) yields NULL spread, with the raw
+    covariance always reported so the caller can see why.
+
+    Plan shape: the Δp lags ride ONE partitionBy(symbol) sort, then one
+    partial-combinable aggregate per symbol."""
+    wl = Window.partitionBy("symbol").orderBy("event_ts", "trade_id")
+    pd_ = F.col("price").cast("decimal(18,4)")
+    dp = pd_ - F.lag(pd_).over(wl)
+    t = (
+        dedup_trades.withColumn("dp", dp)
+        .withColumn("dp_prev", F.lag("dp").over(wl))
+        .filter(F.col("dp").isNotNull() & F.col("dp_prev").isNotNull())
+    )
+    g = t.groupBy("symbol").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("dp").cast("double").alias("sx"),
+        F.sum("dp_prev").cast("double").alias("sy"),
+        F.sum((F.col("dp") * F.col("dp_prev")).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n_pairs")) / F.col(
+        "n_pairs"
+    )
+    return g.select(
+        "symbol",
+        "n_pairs",
+        r6(cov).alias("serial_cov"),
+        F.when(cov < 0, r6(2.0 * F.sqrt(-cov))).alias("roll_spread"),
+    )
+
+
+ROLL_SPREAD_ORACLE_BODY = """
+,rl0 AS (
+  SELECT symbol, event_ts, trade_id,
+         CAST(price AS DECIMAL(18,4))
+           - lag(CAST(price AS DECIMAL(18,4))) OVER w AS dp
+  FROM dedup_trades
+  WINDOW w AS (PARTITION BY symbol ORDER BY event_ts, trade_id)
+),
+rl AS (
+  SELECT symbol, dp,
+         lag(dp) OVER (PARTITION BY symbol ORDER BY event_ts, trade_id)
+             AS dp_prev
+  FROM rl0
+),
+rg AS (
+  SELECT symbol,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(dp) AS DOUBLE) AS sx,
+         CAST(sum(dp_prev) AS DOUBLE) AS sy,
+         CAST(sum(CAST(dp * dp_prev AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+  FROM rl WHERE dp IS NOT NULL AND dp_prev IS NOT NULL
+  GROUP BY symbol
+)
+SELECT symbol, n_pairs,
+       round((sxy - sx * sy / n_pairs) / n_pairs, 6) AS serial_cov,
+       CASE WHEN (sxy - sx * sy / n_pairs) / n_pairs < 0
+            THEN round(2.0 * sqrt(-((sxy - sx * sy / n_pairs) / n_pairs)), 6)
+       END AS roll_spread
+FROM rg"""

@@ -1,0 +1,91 @@
+
+
+def test_kyle_lambda_perfect_line_and_degenerate(spark):
+    """Hand-built tape where dp = 0.1*sv exactly across three buckets ->
+    slope 0.1, intercept 0; a symbol with constant signed volume has zero
+    variance -> NULL slope, never 0/0."""
+    from pyspark.sql import Row
+
+    from bitcoin_datapipeline_spark.operators.aggregates import kyle_lambda
+
+    def t(sym, ts, tid, price, qty, maker):
+        return Row(symbol=sym, event_ts=ts, trade_id=tid,
+                   price=float(price), qty=float(qty), is_buyer_maker=maker)
+
+    rows = [
+        # bucket 0: sv = +10, open 100 close 101 -> dp = +1
+        t("A", 1_000, 1, 100.0, 6.0, False),
+        t("A", 2_000, 2, 101.0, 4.0, False),
+        # bucket 1: sv = -10, dp = -1
+        t("A", 60_500, 3, 101.0, 6.0, True),
+        t("A", 61_000, 4, 100.0, 4.0, True),
+        # bucket 2: sv = +20, dp = +2
+        t("A", 120_100, 5, 100.0, 12.0, False),
+        t("A", 121_000, 6, 102.0, 8.0, False),
+        # symbol B: sv identical (+5) in both buckets -> zero variance
+        t("B", 1_000, 1, 50.0, 5.0, False),
+        t("B", 61_000, 2, 51.0, 5.0, False),
+    ]
+    out = {r.symbol: r for r in
+           kyle_lambda(spark.createDataFrame(rows)).collect()}
+    assert out["A"].n_buckets == 3
+    assert out["A"].kyle_lambda == 0.1
+    assert out["A"].impact_intercept == 0.0
+    assert out["B"].kyle_lambda is None and out["B"].impact_intercept is None
+
+
+def test_vpin_volume_clock_and_trailing_window(spark):
+    """Volume-clock bucketing (trade belongs where its cumulative volume
+    starts) and the trailing volume-weighted imbalance."""
+    from pyspark.sql import Row
+
+    from bitcoin_datapipeline_spark.operators.aggregates import vpin
+
+    def t(ts, tid, qty, maker):
+        return Row(symbol="A", event_ts=ts, trade_id=tid, price=100.0,
+                   qty=float(qty), is_buyer_maker=maker)
+
+    rows = [
+        t(1000, 1, 6, False),   # cum_before 0  -> bucket 0 (buy)
+        t(2000, 2, 6, True),    # cum_before 6  -> bucket 0 (sell)
+        t(3000, 3, 6, False),   # cum_before 12 -> bucket 1 (buy)
+        t(4000, 4, 6, False),   # cum_before 18 -> bucket 1 (buy)
+        t(5000, 5, 6, True),    # cum_before 24 -> bucket 2 (sell)
+    ]
+    out = {r.bucket: r for r in
+           vpin(spark.createDataFrame(rows), bucket_volume=10,
+                window=2).collect()}
+    assert out[0].imbalance == 0.0 and out[0].bucket_volume == 12.0
+    assert out[1].imbalance == 12.0
+    assert out[2].imbalance == 6.0 and out[2].bucket_volume == 6.0
+    assert out[0].vpin == 0.0
+    assert out[1].vpin == 0.5          # (0 + 12) / (12 + 12)
+    assert out[2].vpin == 1.0          # (12 + 6) / (12 + 6)
+    assert out[0].n_in_window == 1 and out[2].n_in_window == 2
+
+
+def test_roll_spread_bounce_and_trend(spark):
+    """Alternating bid-ask bounce gives the hand-computed negative serial
+    covariance and spread; a monotone trending tape (cov >= 0, the
+    model's failure mode) reports the covariance but NULL spread."""
+    from pyspark.sql import Row
+
+    from bitcoin_datapipeline_spark.operators.aggregates import roll_spread
+
+    def t(sym, tid, price):
+        return Row(symbol=sym, event_ts=1000 * tid, trade_id=tid,
+                   price=float(price), qty=1.0, is_buyer_maker=False)
+
+    rows = (
+        [t("A", i, 100.0 if i % 2 else 101.0) for i in range(1, 6)]
+        + [t("B", i, 100.0 + i) for i in range(1, 5)]
+    )
+    out = {r.symbol: r for r in
+           roll_spread(spark.createDataFrame(rows)).collect()}
+    # A: dps alternate +1/-1 -> n=3, sx=-1, sy=1, sxy=-3
+    # cov = (-3 - (-1)(1)/3)/3 = -0.888889; spread = 2*sqrt(0.888889)
+    assert out["A"].n_pairs == 3
+    assert out["A"].serial_cov == -0.888889
+    assert out["A"].roll_spread == 1.885618
+    # B: constant +1 dps -> cov 0 -> NULL spread
+    assert out["B"].serial_cov == 0.0 and out["B"].roll_spread is None
