@@ -876,7 +876,11 @@ def kyle_lambda(dedup_trades: DataFrame) -> DataFrame:
     Plan shape: one partial-combinable aggregate to buckets, one K-row
     aggregate to symbols — two shuffles, second over symbol count only.
     A symbol whose signed volume is constant across buckets (zero
-    variance) emits NULL slope/intercept, not 0/0."""
+    variance) emits NULL slope/intercept, not 0/0.
+
+    cf. reference: extends the surface (same aggressor-sign convention as
+    `feature_builder.py:119-123`'s buy/sell split; the reference computes
+    imbalance but no impact regression)."""
     ordk = F.struct("event_ts", "trade_id")
     sgn = F.when(~F.col("is_buyer_maker"), F.col("qty")).otherwise(-F.col("qty"))
     b = dedup_trades.groupBy(
@@ -971,7 +975,10 @@ def vpin(
     Plan shape: ONE partitionBy(symbol) sort shared by the cumsum, then a
     partial-combinable bucket aggregate and a bounded ROWS window over
     buckets (state = ``window`` rows) — the same single-exchange
-    discipline as the rolling families in operators/windows.py."""
+    discipline as the rolling families in operators/windows.py.
+
+    cf. reference: extends the surface (volume-clock form of the
+    wall-clock volume imbalance `feature_builder.py:160-161` computes)."""
     qd = F.col("qty").cast("decimal(20,4)")
     w = (
         Window.partitionBy("symbol")
@@ -1067,7 +1074,11 @@ def roll_spread(dedup_trades: DataFrame) -> DataFrame:
     covariance always reported so the caller can see why.
 
     Plan shape: the Δp lags ride ONE partitionBy(symbol) sort, then one
-    partial-combinable aggregate per symbol."""
+    partial-combinable aggregate per symbol.
+
+    cf. reference: extends the surface (the reference reads the spread
+    directly from the BBA stream, `feature_builder.py:220-225`; this
+    recovers it from trades alone — the audit pair for that feed)."""
     wl = Window.partitionBy("symbol").orderBy("event_ts", "trade_id")
     pd_ = F.col("price").cast("decimal(18,4)")
     dp = pd_ - F.lag(pd_).over(wl)
