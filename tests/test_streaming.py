@@ -893,3 +893,88 @@ def test_stream_grid_returns_bounded_lateness_matches_batch(spark, tmp_path):
     # sec 6's price is the LAST event-ts print of that second (6.9 s =
     # 108.0, delivered a batch late), not the first-arrived 105.0
     assert r[6]["price"] == 108.0
+
+
+def test_stream_vpin_matches_batch_completed_buckets(spark, tmp_path):
+    """Streaming volume-clock VPIN == batch vpin on every COMPLETED
+    bucket (the batch twin additionally reports each symbol's still-open
+    tail bucket), with the clock and the trailing ring surviving a
+    micro-batch boundary mid-bucket."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_datapipeline_spark.operators.aggregates import vpin
+    from bitcoin_datapipeline_spark.streaming.vpin import stream_vpin
+
+    schema = (
+        "symbol string, event_ts long, trade_id long, price double, qty double,"
+        " is_buyer_maker boolean, source string"
+    )
+    batch1 = [
+        ("A", 1_000, 1, 100.0, 6.0, False, "sbe"),
+        ("A", 2_000, 2, 100.0, 6.0, True, "sbe"),
+        ("A", 3_000, 3, 100.0, 6.0, False, "sbe"),   # opens bucket 1
+        ("B", 1_000, 1, 50.0, 25.0, False, "sbe"),   # huge trade: bucket 0 alone
+    ]
+    batch2 = [
+        ("A", 4_000, 4, 100.0, 6.0, False, "sbe"),   # still bucket 1
+        ("A", 5_000, 5, 100.0, 6.0, True, "sbe"),    # opens bucket 2 -> closes 1
+        ("A", 6_000, 6, 100.0, 9.5, False, "sbe"),   # opens bucket 3 -> closes 2
+        ("B", 2_000, 2, 50.0, 4.0, True, "sbe"),     # bucket 2 -> closes 0
+    ]
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def run_once(rows, part):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / part)
+        )
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).option("recursiveFileLookup", "true").parquet(str(src))
+        q = (
+            stream_vpin(stream, bucket_volume=10, window=2)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once(batch1, "p1")
+    run_once(batch2, "p2")
+
+    got = spark.read.parquet(out)
+    trades = spark.createDataFrame(batch1 + batch2, schema)
+    full = vpin(trades, bucket_volume=10, window=2)
+    tails = full.groupBy("symbol").agg(F.max("bucket").alias("tail"))
+    want = (
+        full.join(tails, "symbol")
+        .filter(F.col("bucket") < F.col("tail"))
+        .drop("tail")
+    )
+    assert got.count() == want.count() == 4  # A: buckets 0,1,2; B: bucket 0
+    mism = (
+        got.select(
+            "symbol", "bucket", "n_trades", "bucket_volume", "imbalance",
+            "n_in_window", F.round("vpin", 6).alias("vpin"),
+        )
+        .alias("g")
+        .join(want.alias("w"), ["symbol", "bucket"], "full")
+        .filter(
+            "g.n_trades IS DISTINCT FROM w.n_trades OR "
+            "g.bucket_volume IS DISTINCT FROM w.bucket_volume OR "
+            "g.imbalance IS DISTINCT FROM w.imbalance OR "
+            "g.n_in_window IS DISTINCT FROM w.n_in_window OR "
+            "g.vpin IS DISTINCT FROM w.vpin"
+        )
+        .count()
+    )
+    assert mism == 0
+    # the mid-bucket batch boundary did not split A's bucket 1
+    # (t3 closes batch 1, t4 arrives in batch 2; both land in bucket 1)
+    a1 = got.filter("symbol = 'A' AND bucket = 1").collect()[0]
+    assert a1["n_trades"] == 2 and a1["bucket_volume"] == 12.0
