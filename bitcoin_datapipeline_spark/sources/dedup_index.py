@@ -84,8 +84,14 @@ def _intra_batch_verdicts(
     verification as :func:`minhash_lsh_pairs`, and a doc is dropped as
     ``near_dup`` of its best lower-id match (greedy min-id collapse —
     chains fold onto the lowest id transitively, the standard LSH keep-min
-    policy).  All joins are band-bucketed within the batch only: O(batch
-    bands), never batch x corpus."""
+    policy).  NB on chain pointers: a dropped doc's ``match_doc_id``
+    names its BEST lower-id match, which may itself have been dropped as
+    a near-dup of a still-lower doc (A←B←C drops B and C, C pointing at
+    B) — ``verdict == 'new'`` is the admission truth; consumers needing
+    the admitted root follow the pointer chain (or run
+    ``operators/text.dedup_components`` for the full closure).  All joins
+    are band-bucketed within the batch only: O(batch bands), never
+    batch x corpus."""
     h = batch_new.select("doc_id", F.md5(F.lower(F.col("text"))).alias("h"))
     rep = h.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
     hr = h.join(rep, "h")

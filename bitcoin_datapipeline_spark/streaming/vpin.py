@@ -34,7 +34,11 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.aggregates import VPIN_BUCKET_VOLUME, VPIN_WINDOW
 
-UNITS = 10_000  # qty grid: 1e-4
+# qty grid: 1e-4 (FIXTURES.md).  Integer units assume qty sits on a <=4dp
+# grid — there float->int rounding has no ties, so it agrees with the
+# batch twin's CAST(qty AS DECIMAL(20,4)) exactly; an off-grid feed would
+# need UNITS raised to its grid.
+UNITS = 10_000
 
 VPIN_OUTPUT_SCHEMA = T.StructType(
     [
