@@ -108,6 +108,10 @@ def register_views(
         "distinct_counts": aggregates.distinct_counts(
             normalize.valid_trades(ev), approx=approx_distinct
         ),
+        # round-5 liquidity/microstructure surface
+        "kyle_lambda": aggregates.kyle_lambda(pipeline.trades_clean(spark, sf_dir)),
+        "vpin": aggregates.vpin(pipeline.trades_clean(spark, sf_dir)),
+        "roll_spread": aggregates.roll_spread(pipeline.trades_clean(spark, sf_dir)),
     }
     for name, df in derived.items():
         df.createOrReplaceTempView(name)
