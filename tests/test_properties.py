@@ -327,3 +327,76 @@ def test_resize_signal_matches_block_means(spark, payload):
     for r in out:
         seg = payload[r.bin_start:r.bin_start + r.bin_len]
         assert r.bin_mean == sum(seg) / len(seg)
+
+
+@given(batch=trade_strategy, n_chunks=st.integers(min_value=1, max_value=4))
+@_settings
+def test_stream_vpin_processor_matches_batch(spark, batch, n_chunks):
+    """The streaming VPIN processor, driven chunk-by-chunk with ARBITRARY
+    micro-batch boundaries over an ordered tape, emits exactly the batch
+    vpin rows for every completed bucket — for every random tape."""
+    import pandas as pd
+
+    from bitcoin_datapipeline_spark.operators.aggregates import vpin
+    from bitcoin_datapipeline_spark.streaming.vpin import (
+        VPIN_OUTPUT_SCHEMA,
+        make_vpin_processor,
+    )
+
+    # unique (event_ts, trade_id) sort keys: delivery order == event order
+    ordered = sorted(batch, key=lambda t: t[1])
+    recs = [
+        Row(symbol=s, event_ts=ts, trade_id=i, price=c / 100.0,
+            qty=float(q), is_buyer_maker=m)
+        for i, (s, ts, _tid, c, q, m) in enumerate(ordered)
+    ]
+    V, W = 50, 3
+
+    class _State:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    fn = make_vpin_processor(bucket_volume=V, window=W)
+    cols = ["event_ts", "trade_id", "qty", "is_buyer_maker"]
+    emitted = []
+    for sym in {r.symbol for r in recs}:
+        mine = [r for r in recs if r.symbol == sym]
+        state = _State()
+        size = max(1, (len(mine) + n_chunks - 1) // n_chunks)
+        for i in range(0, len(mine), size):
+            pdf = pd.DataFrame(
+                [(r.event_ts, r.trade_id, r.qty, r.is_buyer_maker)
+                 for r in mine[i:i + size]],
+                columns=cols,
+            )
+            for out in fn((sym,), iter([pdf]), state):
+                emitted.extend(out.itertuples(index=False))
+
+    got = {(e.symbol, e.bucket): e for e in emitted}
+    full = vpin(spark.createDataFrame(recs), bucket_volume=V,
+                window=W).collect()
+    tails = {}
+    for r in full:
+        tails[r.symbol] = max(tails.get(r.symbol, -1), r.bucket)
+    want = {(r.symbol, r.bucket): r for r in full
+            if r.bucket < tails[r.symbol]}
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert g.n_trades == w.n_trades
+        assert g.bucket_volume == w.bucket_volume
+        assert g.imbalance == w.imbalance
+        assert g.n_in_window == w.n_in_window
+        # batch vpin is r6-rounded; the processor emits raw
+        assert abs(g.vpin - w.vpin) <= 5e-7
