@@ -400,3 +400,49 @@ def test_stream_vpin_processor_matches_batch(spark, batch, n_chunks):
         assert g.n_in_window == w.n_in_window
         # batch vpin is r6-rounded; the processor emits raw
         assert abs(g.vpin - w.vpin) <= 5e-7
+
+
+_words = st.sampled_from(["aa", "Bb", "cc", "dd"])
+_docs_strategy = st.lists(
+    st.lists(_words, min_size=0, max_size=14), min_size=1, max_size=8
+)
+
+
+@given(docs=_docs_strategy)
+@_settings
+def test_passage_scrub_matches_naive(spark, docs):
+    """passage_scrub == a naive Python reference for every random corpus:
+    case-insensitive cross-document window counting, min-size guard,
+    remainder pass-through, and the exact reassembled string."""
+    from bitcoin_datapipeline_spark.operators.text import passage_scrub
+
+    w = 3
+    seg_docs: dict[str, set[int]] = {}
+    per_doc = []
+    for did, words in enumerate(docs):
+        n_full = len(words) // w
+        ss = [" ".join(words[i * w:(i + 1) * w]) for i in range(n_full)]
+        rem = " ".join(words[n_full * w:])
+        per_doc.append((did, ss, rem))
+        for s in {x.lower() for x in ss}:
+            seg_docs.setdefault(s, set()).add(did)
+    want = {}
+    for did, ss, rem in per_doc:
+        kept = [s for s in ss if len(seg_docs[s.lower()]) < 2]
+        scrubbed = " ".join(kept + ([rem] if rem else []))
+        want[did] = (
+            len(ss),
+            len(ss) - len(kept),
+            scrubbed,
+            0 if not scrubbed else len(scrubbed.split(" ")),
+        )
+
+    rows = [Row(doc_id=i, text=" ".join(ws)) for i, ws in enumerate(docs)]
+    got = {
+        r.doc_id: (r.n_segments, r.n_removed, r.scrubbed_text, r.n_kept_words)
+        for r in passage_scrub(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            window_tokens=w,
+        ).collect()
+    }
+    assert got == want
