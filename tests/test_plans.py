@@ -439,3 +439,64 @@ def test_passage_scrub_df_agg_partial_combines(spark, sf01):
     plan = _plan(spark, E.queries()["q_doc_passage_scrub"](spark, sf01))
     assert "partial_count(distinct" in plan
     assert "CartesianProduct" not in plan
+
+
+# Measured shuffle-exchange budgets for every headline query (round 5,
+# sf0.001, AQE initial plan): hash + range + single-partition exchanges,
+# ReusedExchange/BroadcastExchange excluded.  These pin the engine's
+# "minimize shuffles" property — a plan change that ADDS an exchange to a
+# headline query fails here loudly instead of surfacing as a silent
+# wall-clock regression at scale.  Lowering a budget after a genuine
+# optimization is expected; raising one requires a reviewed reason.
+SHUFFLE_BUDGETS = {
+    "q_bars_1m": 2,
+    "q_dedup_trades": 1,
+    "q_trade_features_1h": 2,
+    "q_daily_summary": 3,
+    "q_latency_percentiles": 1,
+    "q_rolling_stats_5m": 3,
+    "q_labels_10m": 3,
+    "q_asof_price": 2,
+    "q_feature_assembly": 4,
+    "q_gold_training_set": 7,
+    "q_returns_1s": 4,
+    "q_gold_vector_2s": 5,
+    "q_pricing_summary": 1,
+    "q_forecast_revenue": 1,
+    "q_shipping_priority": 1,
+    "q_revenue_by_nation": 1,
+    "q_top_customers": 2,
+    "q_minhash_lsh": 10,
+    "q_embed_knn": 1,
+    "q_embed_ann_ivf": 4,
+    "q_waiting_suppliers": 2,
+    "q_price_deciles": 2,
+    "q_semdedup": 7,
+    "q_decontaminate_ngram": 2,
+    "q_doc_perplexity": 4,
+    "q_doc_incremental_dedup": 12,
+    "q_doc_passage_scrub": 3,
+    "q_embed_decontaminate": 1,
+    "q_vpin": 2,
+}
+
+
+def test_headline_shuffle_budgets(spark, sf01):
+    """Every headline query's shuffle count stays within its recorded
+    budget (see SHUFFLE_BUDGETS)."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    over = {}
+    for name, budget in SHUFFLE_BUDGETS.items():
+        # simple mode: one line per operator, same representation the
+        # budgets were measured from
+        p = _plan(spark, qs[name](spark, sf01), mode="simple")
+        n = (
+            p.count("Exchange hashpartitioning")
+            + p.count("Exchange rangepartitioning")
+            + p.count("Exchange SinglePartition")
+        )
+        if n > budget:
+            over[name] = (n, budget)
+    assert not over, f"shuffle budget exceeded: {over}"
