@@ -485,6 +485,11 @@ def test_headline_shuffle_budgets(spark, sf01):
     """Every headline query's shuffle count stays within its recorded
     budget (see SHUFFLE_BUDGETS)."""
     import __spark_entry__ as E
+    import bench
+
+    # a headline query added without a budget would silently escape the
+    # guard — keep the two lists in lockstep
+    assert set(SHUFFLE_BUDGETS) == set(bench.HEADLINE)
 
     qs = E.queries()
     over = {}
