@@ -1140,6 +1140,28 @@ def q_doc_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_logloss(table(spark, sf_dir, "documents"))
 
 
+# bounded-broadcast LM variants (VERDICT r5 item 3): top-V vocabulary with
+# a tail-mass UNK bucket caps the probability-table broadcast at V+1 rows
+# (unigram) / (V+1)^2 keys (bigram) no matter the corpus size.  V=16 is
+# below the fixture vocabulary (31 distinct tokens at every SF) so the
+# UNK path is genuinely exercised cross-engine, not a no-op.
+PPL_CAP_V = 16
+
+
+@q("q_doc_perplexity_capped", text.UNIGRAM_LOGLOSS_CAPPED_ORACLE.format(v=PPL_CAP_V))
+def q_doc_perplexity_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.unigram_logloss(
+        table(spark, sf_dir, "documents"), vocab_top_v=PPL_CAP_V
+    )
+
+
+@q("q_doc_perplexity_bigram_capped", text.BIGRAM_LOGLOSS_CAPPED_ORACLE.format(v=PPL_CAP_V))
+def q_doc_perplexity_bigram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bigram_logloss(
+        table(spark, sf_dir, "documents"), vocab_top_v=PPL_CAP_V
+    )
+
+
 # Repetition / boilerplate detection: top-shingle share per document
 @q("q_doc_repetition", text.REPETITION_ORACLE)
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1944,146 +1966,150 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness gate checks the FIRST 50 entries of queries().
 # Registration order above is thematic; this list orders queries by driver-
 # evidence AGE (oldest first) so each round's 50-slot window refreshes the
-# stalest rows.  After r4 every query's latest driver row is r2 (30
-# queries), r3 (50), or r4 (50); the r5 window takes all 30 r2-era rows
-# plus the 20 oldest r3-era rows, after which no query's latest driver
-# row predates r3.  Queries not listed are NEW (no driver row at all) and
-# sort first — see _driver_order.
+# stalest rows.  After r5 every query's latest driver row is r3 (35
+# queries), r4 (50), or r5 (50); the r6 window takes all 35 r3-era rows
+# plus the 15 oldest r4-era rows, after which no query's latest driver
+# row predates r4 (VERDICT r5 item 4).  Queries not listed are NEW (no
+# driver row at all) and sort first -- see _driver_order.
 _DRIVER_PRIORITY: list[str] = [
-    # 30 whose last driver row is CORRECTNESS_r02 — the r5 50-slot
-    # window must clear this bucket entirely (VERDICT r4 item 3)
-    "q_derived_lag",
-    "q_returns",
-    "q_labels_10m",
-    "q_returns_1s",
-    "q_labels_10s",
-    "q_latest_per_key",
-    "q_topk_recent",
-    "q_momentum",
-    "q_rolling_volatility",
-    "q_rolling_stats_5m",
-    "q_gap_detect",
-    "q_asof_price",
-    "q_feature_label_join",
-    "q_interval_join",
-    "q_feature_assembly",
-    "q_union_sources",
-    "q_pricing_summary",
-    "q_revenue_by_nation",
-    "q_top_customers",
-    "q_rollup_sales",
-    "q_pivot_orderstatus",
-    "q_anti_processed",
-    "q_semi_processed",
-    "q_doc_stats",
-    "q_lang_id",
-    "q_token_count",
-    "q_doc_fingerprint",
-    "q_doc_winnow",
-    "q_doc_winnow_pairs",
-    "q_doc_scrub",
-    # 50 whose last driver row is CORRECTNESS_r03
-    "q_counts_salted",
-    "q_winsorize",
-    "q_higher_moments",
-    "q_pair_correlation",
-    "q_grid_ewma",
-    "q_doc_decontaminate",
-    "q_doc_quality_filter",
-    "q_doc_repetition",
-    "q_corpus_mix",
-    "q_dedup_funnel",
-    "q_doc_exact_dedup",
-    "q_dedup_components",
-    "q_doc_minhash_dedup_capped",
-    "q_embed_ann_lsh",
-    "q_embed_ann_lsh_multi",
-    "q_embed_quantize",
-    "q_embed_ann_ivf",
-    "q_embed_cluster_stats",
-    "q_multimodal_meta",
-    "q_multimodal_decode",
-    "q_multimodal_frames",
-    "q_kline_parse",
+    # 35 whose last driver row is CORRECTNESS_r03
     "q_decimal_string_format",
-    "q_sessionize",
-    "q_session_stats",
-    "q_time_split",
-    "q_feature_drift",
+    "q_disjunctive_parts",
     "q_distinct_counts",
     "q_doc_chunks",
     "q_doc_sample",
-    "q_tfidf",
-    "q_vocab",
+    "q_embed_ann_ivf",
+    "q_embed_cluster_stats",
+    "q_embed_quantize",
+    "q_feature_drift",
     "q_forecast_revenue",
-    "q_promo_revenue",
-    "q_returned_customers",
-    "q_shipping_priority",
-    "q_large_orders",
-    "q_market_share",
-    "q_supplier_above_avg",
-    "q_order_priority",
-    "q_disjunctive_parts",
     "q_funnel",
-    "q_source_consistency",
-    "q_return_outliers",
     "q_gold_training_set",
+    "q_gold_training_set_1s",
     "q_gold_vector_1s",
     "q_gold_vector_2s",
-    "q_gold_training_set_1s",
+    "q_kline_parse",
+    "q_large_orders",
+    "q_market_share",
+    "q_multimodal_decode",
+    "q_multimodal_frames",
+    "q_multimodal_meta",
+    "q_order_priority",
     "q_orderbook_replay",
+    "q_promo_revenue",
     "q_resample_bars_1h",
-    # 50 green in CORRECTNESS_r04 (freshest — rotate to the back)
-    "q_decontaminate_ngram",
-    "q_semdedup",
-    "q_doc_perplexity",
-    "q_multimodal_resize",
-    "q_doc_incremental_dedup",
-    "q_embed_prune_prototypes",
-    "q_embed_random_projection",
-    "q_doc_dsir_weights",
-    "q_doc_perplexity_bigram",
-    "q_lee_ready",
-    "q_volume_shipping",
-    "q_product_profit",
-    "q_late_shipments",
-    "q_customer_distribution",
-    "q_parts_supplier_counts",
-    "q_small_qty_revenue",
-    "q_waiting_suppliers",
-    "q_sales_opportunity",
-    "q_min_cost_supplier",
-    "q_cube_sales",
-    "q_unpivot_metrics",
-    "q_price_deciles",
-    "q_doc_pack",
+    "q_return_outliers",
+    "q_returned_customers",
+    "q_session_stats",
+    "q_sessionize",
+    "q_shipping_priority",
+    "q_source_consistency",
+    "q_supplier_above_avg",
+    "q_tfidf",
+    "q_time_split",
+    "q_vocab",
+    # 50 whose last driver row is CORRECTNESS_r04
+    "q_bars_1m",
+    "q_bba_features",
+    "q_categorize",
     "q_corpus_resample",
-    "q_ngram_jaccard",
-    "q_minhash_lsh",
-    "q_simhash",
+    "q_corr",
+    "q_counts",
+    "q_cube_sales",
+    "q_customer_distribution",
+    "q_daily_summary",
+    "q_decimal_cast",
+    "q_decontaminate_ngram",
+    "q_dedup_sink_stats",
+    "q_dedup_trades",
+    "q_depth_features",
+    "q_derived_time",
+    "q_doc_dsir_weights",
+    "q_doc_incremental_dedup",
+    "q_doc_pack",
+    "q_doc_perplexity",
+    "q_doc_perplexity_bigram",
     "q_doc_quality",
     "q_embed_cosine_pairs",
     "q_embed_knn",
-    "q_normalize_trades",
-    "q_validate_filter",
-    "q_dedup_trades",
-    "q_dedup_sink_stats",
-    "q_bars_1m",
-    "q_max_ts",
-    "q_counts",
-    "q_profile_trades",
-    "q_derived_time",
-    "q_categorize",
-    "q_decimal_cast",
-    "q_trade_features_1h",
-    "q_bba_features",
-    "q_depth_features",
-    "q_daily_summary",
-    "q_volatility_estimators",
-    "q_latency_percentiles",
-    "q_corr",
+    "q_embed_prune_prototypes",
+    "q_embed_random_projection",
     "q_group_compare",
     "q_health_rollup",
+    "q_late_shipments",
+    "q_latency_percentiles",
+    "q_lee_ready",
+    "q_max_ts",
+    "q_min_cost_supplier",
+    "q_minhash_lsh",
+    "q_multimodal_resize",
+    "q_ngram_jaccard",
+    "q_normalize_trades",
+    "q_parts_supplier_counts",
+    "q_price_deciles",
+    "q_product_profit",
+    "q_profile_trades",
+    "q_sales_opportunity",
+    "q_semdedup",
+    "q_simhash",
+    "q_small_qty_revenue",
+    "q_trade_features_1h",
+    "q_unpivot_metrics",
+    "q_validate_filter",
+    "q_volatility_estimators",
+    "q_volume_shipping",
+    "q_waiting_suppliers",
+    # 50 whose last driver row is CORRECTNESS_r05
+    "q_anti_processed",
+    "q_asof_price",
+    "q_corpus_mix",
+    "q_counts_salted",
+    "q_dedup_components",
+    "q_dedup_funnel",
+    "q_derived_lag",
+    "q_doc_decontaminate",
+    "q_doc_exact_dedup",
+    "q_doc_fingerprint",
+    "q_doc_minhash_dedup_capped",
+    "q_doc_passage_scrub",
+    "q_doc_quality_filter",
+    "q_doc_repetition",
+    "q_doc_scrub",
+    "q_doc_stats",
+    "q_doc_winnow",
+    "q_doc_winnow_pairs",
+    "q_embed_ann_lsh",
+    "q_embed_ann_lsh_multi",
+    "q_embed_decontaminate",
+    "q_feature_assembly",
+    "q_feature_label_join",
+    "q_gap_detect",
+    "q_grid_ewma",
+    "q_higher_moments",
+    "q_interval_join",
+    "q_kyle_lambda",
+    "q_labels_10m",
+    "q_labels_10s",
+    "q_lang_id",
+    "q_latest_per_key",
+    "q_momentum",
+    "q_pair_correlation",
+    "q_pivot_orderstatus",
+    "q_pricing_summary",
+    "q_returns",
+    "q_returns_1s",
+    "q_revenue_by_nation",
+    "q_roll_spread",
+    "q_rolling_stats_5m",
+    "q_rolling_volatility",
+    "q_rollup_sales",
+    "q_semi_processed",
+    "q_token_count",
+    "q_top_customers",
+    "q_topk_recent",
+    "q_union_sources",
+    "q_vpin",
+    "q_winsorize",
 ]
 
 

@@ -94,8 +94,15 @@ FAMILIES: dict[str, list[str]] = {
         # map-only matmul (linearity check — the control row)
         "q_embed_random_projection",
     ],
-    # corpus-wide vocab aggregate feeding a broadcast probability join
-    "quality": ["q_doc_perplexity", "q_doc_dsir_weights"],
+    # corpus-wide vocab aggregate feeding a broadcast probability join;
+    # the capped twin (top-V + UNK tail bucket, r6) is the bounded-
+    # broadcast production path — its decade row should be flat-ish
+    # where the uncapped row grows with corpus vocabulary
+    "quality": [
+        "q_doc_perplexity",
+        "q_doc_perplexity_capped",
+        "q_doc_dsir_weights",
+    ],
     # q_returns_1s_full_span is the PRODUCTION grid convention: the
     # declared query runs a 12 h slice (GRID_SLICE_S, a test-size
     # decision); the full-span row times the whole data span
@@ -137,14 +144,26 @@ def _time_queries(spark, qs, names: list[str], sf_dir: str) -> dict[str, dict]:
     }
 
 
-def _ann_production_row(spark, sf_dir: str, scale: int) -> dict:
+def _ann_production_row(
+    spark, sf_dir: str, scale: int, k_scale: float | None = None
+) -> dict:
     """The production-convention ann_ivf cost at ``scale``x data: a FIXED
     query set (query_mod scaled with the corpus), posting-list depth held
     constant (k scaled), nprobe fixed, training sample bounded
     (train_mod scaled — the faiss-style sample ~ O(k) points per
     centroid).  Under this convention candidate volume is ~constant per
     decade; contrast the default bench convention where query count AND
-    posting depth both grow 10x (candidates x100 by construction)."""
+    posting depth both grow 10x (candidates x100 by construction).
+
+    ``k_scale`` overrides the centroid-count scaling for the
+    production-sqrtk convention (SCALING.md's balance note): production
+    systems size K ~ sqrt(N) so the N*K assignment term and the N/K
+    posting-depth term grow together — at a data decade that is K x
+    sqrt(10) (IVF_K=8 -> 25), train_mod x sqrt(10) (sample per centroid
+    held), nprobe fixed, query set fixed.  The r5 recorded rows (K x10)
+    bounded one end of the trade; this measures the balanced point."""
+    import math
+
     from bitcoin_datapipeline_spark.operators.similarity import (
         IVF_K,
         IVF_NPROBE_QUERY_MOD,
@@ -154,7 +173,12 @@ def _ann_production_row(spark, sf_dir: str, scale: int) -> dict:
     )
     from bitcoin_datapipeline_spark.tables import table
 
+    if k_scale is None:
+        k_scale = float(scale)
     emb = table(spark, sf_dir, "embeddings")
+    k = round(IVF_K * k_scale)
+    train_mod = max(1, round(IVF_TRAIN_MOD * k_scale))
+    assert k_scale in (float(scale), math.sqrt(scale)), k_scale
 
     def run():
         # training is part of the measured cost each run: memoization
@@ -162,12 +186,15 @@ def _ann_production_row(spark, sf_dir: str, scale: int) -> dict:
         clear_quantizer_cache()
         return ann_ivf(
             emb,
-            train_mod=IVF_TRAIN_MOD * scale,
-            k=IVF_K * scale,
+            train_mod=train_mod,
+            k=k,
             query_mod=IVF_NPROBE_QUERY_MOD * scale,
         ).count()
 
-    return _median3(run)
+    out = _median3(run)
+    out["knobs"] = {"k": k, "train_mod": train_mod,
+                    "query_mod": IVF_NPROBE_QUERY_MOD * scale}
+    return out
 
 
 def _full_span_grid_row(spark, sf_dir: str) -> dict:
@@ -217,6 +244,12 @@ def families_main(family_arg: str, convention: str = "bench") -> None:
         for n in names:
             if n == "q_embed_ann_ivf" and convention == "production":
                 timed[n] = _ann_production_row(spark, d, scale)
+            elif n == "q_embed_ann_ivf" and convention == "production-sqrtk":
+                import math
+
+                timed[n] = _ann_production_row(
+                    spark, d, scale, k_scale=math.sqrt(scale)
+                )
             elif n == "q_returns_1s_full_span":
                 timed[n] = _full_span_grid_row(spark, d)
             else:
@@ -274,6 +307,24 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # The driver captures only the TAIL of stdout; in round 5 the single
+    # line carrying both medians and per-query spread outgrew that buffer
+    # and truncated its own front, leaving BENCH_r05.json unparseable.
+    # Emission contract since r6: the per-query min/max spread goes to a
+    # sidecar file (and a preceding stdout line for humans), and the LAST
+    # line printed is the compact headline JSON — medians only — so the
+    # tail capture always sees a complete object.
+    spread_payload = {"metric": "headline_suite_spread", "spread": spread}
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_SPREAD_LOCAL.json"),
+            "w",
+        ) as f:
+            json.dump(spread_payload, f)
+    except OSError:
+        pass  # read-only checkout: the stdout line below still carries it
+    print(json.dumps(spread_payload))
     print(
         json.dumps(
             {
@@ -282,7 +333,6 @@ def main() -> None:
                 "unit": "sec",
                 "stat": "median_of_3_after_warmup",
                 "queries": timings,
-                "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
@@ -294,8 +344,13 @@ if __name__ == "__main__":
     convention = "bench"
     if "--convention" in argv:
         i = argv.index("--convention")
-        if len(argv) < i + 2 or argv[i + 1] not in ("bench", "production"):
-            raise SystemExit("--convention requires 'bench' or 'production'")
+        if len(argv) < i + 2 or argv[i + 1] not in (
+            "bench", "production", "production-sqrtk"
+        ):
+            raise SystemExit(
+                "--convention requires 'bench', 'production', or "
+                "'production-sqrtk'"
+            )
         convention = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     if argv and argv[0] == "--families":
