@@ -1202,10 +1202,25 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Transitive near-dup clusters: connected components over the LSH pair
-# graph (iterative min-label propagation; recursive-CTE oracle)
+# graph (iterative min-label propagation; recursive-CTE oracle).
+# Lifecycle: dedup_components retains ONE node-count-sized checkpoint
+# block backing its result; an external driver sweeping queries() never
+# calls release_components, so repeated sweeps in one session would
+# accumulate blocks.  The wrapper releases the PREVIOUS call's block on
+# each invocation (at most one live set through any number of sweeps);
+# harness callers that materialize eagerly (tools/check_oracle.py)
+# additionally release the current one, leaving storage empty.
+_last_components: DataFrame | None = None
+
+
 @q("q_dedup_components", text.DEDUP_COMPONENTS_ORACLE)
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.dedup_components(table(spark, sf_dir, "documents"))
+    global _last_components
+    if _last_components is not None:
+        text.release_components(_last_components)
+    out = text.dedup_components(table(spark, sf_dir, "documents"))
+    _last_components = out
+    return out
 
 
 # MinHash dedup with the hot-shingle doc-frequency cap engaged (the 100 TB

@@ -965,12 +965,16 @@ def vpin(
 
     Discrete convention (documented, oracle-replicated): each trade
     belongs wholly to the bucket where its cumulative volume STARTS
-    (floor(cum_before / V)) — no trade splitting, so buckets carry
+    (cum_before div V) — no trade splitting, so buckets carry
     slightly unequal realized volume and the estimate divides by the
     realized sum, not the nominal V.  The cumulative volume is a
-    DECIMAL-exact keyed window cumsum; bucket ids floor an exact-operand
-    double division, and qty grids keep every division operand exact, so
-    both engines agree bit-for-bit.
+    DECIMAL-exact keyed window cumsum; the bucket id is derived in EXACT
+    integer arithmetic — the decimal(.,4) cumsum scaled to 1e-4 units
+    (the same integer clock streaming/vpin.py keeps) and integer-divided
+    by bucket_volume*10^4 — never through a double cast, whose half-ulp
+    rounding near a bucket boundary could flip floor() once a symbol's
+    cumulative units approach 2^53.  cum_excl >= 0 always, so truncating
+    and flooring division agree across engines.
 
     Plan shape: ONE partitionBy(symbol) sort shared by the cumsum, then a
     partial-combinable bucket aggregate and a bounded ROWS window over
@@ -986,11 +990,17 @@ def vpin(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum_excl = F.sum(qd).over(w) - qd
+    # exact 1e-4-unit integer clock (streaming/vpin.py UNITS): decimal
+    # scale-4 * 10^4 is integral by construction, so the long cast is
+    # lossless; `div` is integer division (== floor for cum_excl >= 0)
     b = (
         dedup_trades.withColumn(
-            "bucket",
-            F.floor(cum_excl.cast("double") / F.lit(bucket_volume)).cast("long"),
+            "cum_units", (cum_excl * F.lit(10_000)).cast("long")
         )
+        .withColumn(
+            "bucket", F.expr(f"cum_units div {bucket_volume * 10_000}L")
+        )
+        .drop("cum_units")
         .groupBy("symbol", "bucket")
         .agg(
             F.count("*").cast("long").alias("n_trades"),
@@ -1038,7 +1048,9 @@ VPIN_ORACLE_BODY = f"""
 ),
 vb AS (
   SELECT symbol,
-         CAST(floor(CAST(cum_excl AS DOUBLE) / {VPIN_BUCKET_VOLUME}) AS BIGINT)
+         -- exact integer clock: scale-4 decimal * 10^4 is integral, so
+         -- the BIGINT cast is lossless; // == floor for cum_excl >= 0
+         (CAST(cum_excl * 10000 AS BIGINT) // {VPIN_BUCKET_VOLUME * 10_000})
              AS bucket,
          CAST(count(*) AS BIGINT) AS n_trades,
          sum(CAST(CASE WHEN NOT is_buyer_maker THEN qty ELSE 0.0 END

@@ -2093,11 +2093,36 @@ def _release_ckpt(df: DataFrame) -> None:
     internal RDD (a ``LogicalRDD`` leaf), never registered as a cached
     query — so the block release must go through that RDD handle
     (verified empirically: getRDDStorageInfo drains only on this path).
-    Blocking, so callers can assert storage is empty on return."""
+    Blocking, so callers can assert storage is empty on return.
+
+    The py4j accessor chain is private API; if a Spark upgrade breaks it,
+    the fallback ``unpersist`` would silently reintroduce the storage
+    leak — so the fallback VERIFIES via getRDDStorageInfo and warns when
+    blocks survive, making a broken release path visible (ADVICE r5)."""
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(True)
-    except Exception:  # pragma: no cover - non-LogicalRDD plan; best effort
+    except Exception:  # pragma: no cover - non-LogicalRDD plan/private-API drift
         df.unpersist(True)
+        try:
+            leaked = [
+                i
+                for i in df.sparkSession._jsc.sc().getRDDStorageInfo()
+                if i.numCachedPartitions() > 0
+            ]
+        except Exception:
+            leaked = None
+        if leaked is None or leaked:
+            import warnings
+
+            warnings.warn(
+                "_release_ckpt: private RDD handle unavailable and "
+                "DataFrame.unpersist left checkpoint blocks cached "
+                f"({'unverifiable' if leaked is None else len(leaked)}) — "
+                "release_components/components_scope are not reclaiming "
+                "storage on this Spark version",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
 
 def dedup_components(

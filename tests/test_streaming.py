@@ -960,7 +960,7 @@ def test_stream_vpin_matches_batch_completed_buckets(spark, tmp_path):
     mism = (
         got.select(
             "symbol", "bucket", "n_trades", "bucket_volume", "imbalance",
-            "n_in_window", F.round("vpin", 6).alias("vpin"),
+            "n_in_window", "vpin",  # emitted pre-rounded == batch r6
         )
         .alias("g")
         .join(want.alias("w"), ["symbol", "bucket"], "full")
@@ -978,3 +978,118 @@ def test_stream_vpin_matches_batch_completed_buckets(spark, tmp_path):
     # (t3 closes batch 1, t4 arrives in batch 2; both land in bucket 1)
     a1 = got.filter("symbol = 'A' AND bucket = 1").collect()[0]
     assert a1["n_trades"] == 2 and a1["bucket_volume"] == 12.0
+
+
+class _VpinState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def _drive_vpin(batches, **kw):
+    """Drive make_vpin_processor chunk-by-chunk for one symbol; returns
+    (emitted namedtuple rows, final state tuple)."""
+    import pandas as pd
+
+    from bitcoin_datapipeline_spark.streaming.vpin import make_vpin_processor
+
+    fn = make_vpin_processor(**kw)
+    state = _VpinState()
+    cols = ["event_ts", "trade_id", "qty", "is_buyer_maker"]
+    emitted = []
+    for batch in batches:
+        pdf = pd.DataFrame(batch, columns=cols)
+        for out in fn(("A",), iter([pdf]), state):
+            emitted.extend(out.itertuples(index=False))
+    return emitted, state.get
+
+
+def test_stream_vpin_bounded_lateness_reorders_across_batches(spark):
+    """A trade delivered out of order ACROSS a micro-batch boundary lands
+    in its correct volume-clock position when allowed_lateness_s covers
+    the disorder — the streaming output equals the batch twin built from
+    the correctly-ordered tape (ADVICE r5: the VPIN processor previously
+    folded such trades into whatever bucket was open, silently)."""
+    from bitcoin_datapipeline_spark.operators.aggregates import vpin
+
+    # ordered tape: t1..t6, 6 units each, bucket_volume=10 -> buckets of 2
+    tape = [
+        (1_000, 1, 6.0, False),
+        (2_000, 2, 6.0, True),
+        (3_000, 3, 6.0, False),
+        (4_000, 4, 6.0, True),
+        (5_000, 5, 6.0, False),
+        (6_000, 6, 6.0, True),
+    ]
+    # delivery: t3 (ts=3000) arrives one batch LATE, after t4/t5 — within
+    # a 5 s lateness window of the newest observed event
+    batches = [
+        [tape[0], tape[1]],
+        [tape[3], tape[4]],
+        [tape[2], tape[5]],
+        # flush: a later trade advances the horizon past the whole tape
+        [(20_000, 7, 25.0, False)],
+    ]
+    emitted, _ = _drive_vpin(
+        batches, bucket_volume=10, window=2, allowed_lateness_s=5
+    )
+    assert all(e.late_dropped == 0 for e in emitted)
+
+    rows = [
+        ("A", ts, tid, 100.0, qty, mk, "sbe")
+        for ts, tid, qty, mk in tape + [(20_000, 7, 25.0, False)]
+    ]
+    schema = (
+        "symbol string, event_ts long, trade_id long, price double,"
+        " qty double, is_buyer_maker boolean, source string"
+    )
+    full = vpin(
+        spark.createDataFrame(rows, schema), bucket_volume=10, window=2
+    ).collect()
+    tail = max(r.bucket for r in full)
+    want = {r.bucket: r for r in full if r.bucket < tail}
+    got = {e.bucket: e for e in emitted}
+    assert set(got) == set(want)
+    for b, w in want.items():
+        g = got[b]
+        assert (g.n_trades, g.bucket_volume, g.imbalance, g.n_in_window,
+                g.vpin) == (w.n_trades, w.bucket_volume, w.imbalance,
+                            w.n_in_window, w.vpin)
+
+
+def test_stream_vpin_hard_late_trade_dropped_and_counted(spark):
+    """With allowed_lateness_s=0 a trade behind the folded frontier is
+    dropped, not silently folded into the open bucket — and the drop is
+    observable via the cumulative late_dropped column on emitted rows."""
+    batches = [
+        # bucket 0 opens: t1 + t2 = 12 units of the 10-unit clock
+        [(1_000, 1, 6.0, False), (2_000, 2, 6.0, True)],
+        # ts=1500 is behind the folded frontier (2_000) -> hard-late;
+        # t3 advances the clock and closes bucket 0
+        [(1_500, 9, 6.0, False), (3_000, 3, 6.0, False)],
+        # t4 folds into bucket 1; t5 opens bucket 2 -> closes bucket 1
+        [(4_000, 4, 2.0, False), (5_000, 5, 1.0, False)],
+    ]
+    emitted, state = _drive_vpin(
+        batches, bucket_volume=10, window=2, allowed_lateness_s=0
+    )
+    # the late trade contributed to NO bucket: volumes reflect only the
+    # in-order tape (t1+t2 = bucket 0; t3+t4 = bucket 1)
+    by_bucket = {e.bucket: e for e in emitted}
+    assert set(by_bucket) == {0, 1}
+    assert by_bucket[0].bucket_volume == 12.0
+    assert by_bucket[1].bucket_volume == 8.0
+    # every row emitted after the drop carries the cumulative count
+    assert by_bucket[0].late_dropped == 1
+    assert by_bucket[1].late_dropped == 1
+    assert state[9] == 1  # n_late persisted in state

@@ -80,7 +80,16 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, args.sf).toPandas()
+            frame = fn(spark, args.sf)
+            sdf = frame.toPandas()
+            # queries that retain checkpoint blocks (dedup_components)
+            # expose a lifecycle handle — release once materialized so a
+            # full sweep leaves storage empty (no-op for everything else)
+            from bitcoin_datapipeline_spark.operators.text import (
+                release_components,
+            )
+
+            release_components(frame)
         except Exception:
             print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
             n_fail += 1
