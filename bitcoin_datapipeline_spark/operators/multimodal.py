@@ -5,12 +5,15 @@ with a metadata struct, partitions by (modality, shard), and runs decode /
 feature-extract as Arrow-batched Pandas functions over ``mapInPandas``.
 This module implements that plumbing for real — schema, batch iteration,
 deterministic partitioning — with the media decode split by what this
-container can actually run: wav decodes for REAL via the stdlib ``wave``
-module (``fake=False`` parses the RIFF container and computes statistics
-over the decoded PCM bytes, end-to-end through the Arrow batches); png
-and jpeg need PIL/ffmpeg, so `decode_stub` raises ``NotImplementedError``
-for them unless the deterministic fake decoder is selected, which
-computes byte-level statistics standing in for pixel/sample features.
+container can actually run: wav (audio) decodes for REAL via the stdlib
+``wave`` module and ppm/pgm (image) via a stdlib binary-netpbm parser —
+``fake=False`` parses the container and computes statistics over the
+decoded PCM samples / raster pixels, end-to-end through the Arrow
+batches, so BOTH modalities prove the plumbing carries real decoder
+output; png and jpeg need PIL/ffmpeg, so `decode_stub` raises
+``NotImplementedError`` for them unless the deterministic fake decoder
+is selected, which computes byte-level statistics standing in for
+pixel/sample features.
 
 The driver's `documents` table provides the payload bytes (text encoded to
 binary) — the plumbing is identical for real media bytes.
@@ -92,9 +95,68 @@ def _decode_wav(payload: bytes):
     return np.frombuffer(frames, dtype=np.uint8)
 
 
-# formats with a working real decoder in this container; png/jpeg need
-# PIL/ffmpeg and stay behind the NotImplementedError guard
-_REAL_DECODERS = {"wav": _decode_wav}
+def _decode_ppm(payload: bytes):
+    """REAL codec path for a stdlib-decodable IMAGE format: binary netpbm
+    (P5 grayscale / P6 RGB).  Parses the header per the netpbm spec —
+    whitespace-separated tokens, ``#`` comments legal between any of
+    them — and returns the raster pixel bytes as a uint8 array, header
+    stripped: exactly what a PIL-style decoder hands downstream.  Raises
+    ``ValueError`` on a malformed container (bad magic, non-numeric or
+    missing dimensions, >8-bit maxval, truncated raster) — a real decode
+    failure, deliberately not swallowed, mirroring _decode_wav."""
+    import numpy as np
+
+    data = bytes(payload)
+
+    def _tokens():
+        # header tokenizer: netpbm whitespace rules with # comments;
+        # yields (token, end_offset) so the raster start is known
+        i = 0
+        while i < len(data):
+            c = data[i:i + 1]
+            if c.isspace():
+                i += 1
+            elif c == b"#":
+                while i < len(data) and data[i:i + 1] not in (b"\n", b"\r"):
+                    i += 1
+            else:
+                j = i
+                while j < len(data) and not data[j:j + 1].isspace():
+                    j += 1
+                yield data[i:j], j
+                i = j
+
+    toks = _tokens()
+    try:
+        magic, _ = next(toks)
+        if magic not in (b"P5", b"P6"):
+            raise ValueError(f"not a binary netpbm payload: magic {magic!r}")
+        (w_tok, _), (h_tok, _), (max_tok, end) = (
+            next(toks), next(toks), next(toks)
+        )
+        width, height, maxval = int(w_tok), int(h_tok), int(max_tok)
+    except StopIteration:
+        raise ValueError("truncated netpbm header") from None
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad netpbm dimensions {width}x{height}")
+    if not 0 < maxval < 256:
+        raise ValueError(f"unsupported netpbm maxval {maxval} (8-bit only)")
+    channels = 3 if magic == b"P6" else 1
+    n = width * height * channels
+    # exactly ONE whitespace byte separates maxval from the raster
+    raster = data[end + 1: end + 1 + n]
+    if len(raster) != n:
+        raise ValueError(
+            f"truncated netpbm raster: want {n} bytes, have {len(raster)}"
+        )
+    return np.frombuffer(raster, dtype=np.uint8)
+
+
+# formats with a working real decoder in this container — wav (audio,
+# stdlib wave) and ppm/pgm (image, stdlib netpbm parser) both prove the
+# Arrow path carries real decoder output; png/jpeg need PIL/ffmpeg and
+# stay behind the NotImplementedError guard
+_REAL_DECODERS = {"wav": _decode_wav, "ppm": _decode_ppm, "pgm": _decode_ppm}
 
 
 def decode_stub(payload: bytes, fmt: str, fake: bool = True) -> dict:

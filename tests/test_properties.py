@@ -448,3 +448,172 @@ def test_passage_scrub_matches_naive(spark, docs):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# microstructure trio vs naive exact-arithmetic references (VERDICT r5
+# item 6): kyle_lambda and roll_spread get the same randomized-equivalence
+# treatment the streaming VPIN twin already has.  The naive references sum
+# with Fraction (exact, like the engine's DECIMAL moments), convert to
+# double once, then run the identical scalar expression — so agreement is
+# EXACT, including the NULL guards on degenerate tapes.
+
+def _spark_round6(x: float) -> float:
+    from bitcoin_datapipeline_spark.streaming.vpin import _round6
+
+    return _round6(x)
+
+
+def _unique_trades(batch):
+    """Re-enumerate trade_id over the sorted batch so (event_ts, trade_id)
+    sort keys are unique — delivery order == event order, no first/last
+    ambiguity (same normalization as the VPIN property test)."""
+    from fractions import Fraction
+
+    ordered = sorted(batch, key=lambda t: t[1])
+    return [
+        (s, ts, i, Fraction(c, 100), q, m)
+        for i, (s, ts, _tid, c, q, m) in enumerate(ordered)
+    ]
+
+
+def _naive_kyle(trades, bucket_ms=60_000):
+    from fractions import Fraction
+
+    buckets: dict = {}
+    for s, ts, tid, p, q, m in trades:
+        d = buckets.setdefault((s, ts // bucket_ms), {
+            "sv": Fraction(0), "first": None, "last": None,
+        })
+        d["sv"] += -q if m else q
+        k = (ts, tid)
+        if d["first"] is None or k < d["first"][0]:
+            d["first"] = (k, p)
+        if d["last"] is None or k > d["last"][0]:
+            d["last"] = (k, p)
+    per: dict = {}
+    for (s, _b), d in buckets.items():
+        dp = d["last"][1] - d["first"][1]
+        g = per.setdefault(s, {
+            "n": 0, "sx": Fraction(0), "sy": Fraction(0),
+            "sxy": Fraction(0), "sxx": Fraction(0),
+        })
+        g["n"] += 1
+        g["sx"] += d["sv"]
+        g["sy"] += dp
+        g["sxy"] += d["sv"] * dp
+        g["sxx"] += d["sv"] * d["sv"]
+    out = {}
+    for s, g in per.items():
+        n = g["n"]
+        sx, sy = float(g["sx"]), float(g["sy"])
+        sxy, sxx = float(g["sxy"]), float(g["sxx"])
+        den = n * sxx - sx * sx
+        if den != 0:
+            slope = (n * sxy - sx * sy) / den
+            out[s] = (n, _spark_round6(slope),
+                      _spark_round6((sy - slope * sx) / n))
+        else:
+            out[s] = (n, None, None)
+    return out
+
+
+def _naive_roll(trades):
+    import math
+    from fractions import Fraction
+
+    per: dict = {}
+    for t in sorted(trades, key=lambda t: (t[0], t[1], t[2])):
+        per.setdefault(t[0], []).append(t[3])
+    out = {}
+    for s, prices in per.items():
+        dps = [b - a for a, b in zip(prices, prices[1:])]
+        pairs = list(zip(dps[1:], dps))  # (dp, dp_prev)
+        if not pairs:
+            continue
+        n = len(pairs)
+        sx = float(sum((x for x, _ in pairs), Fraction(0)))
+        sy = float(sum((y for _, y in pairs), Fraction(0)))
+        sxy = float(sum((x * y for x, y in pairs), Fraction(0)))
+        cov = (sxy - sx * sy / n) / n
+        spread = _spark_round6(2.0 * math.sqrt(-cov)) if cov < 0 else None
+        out[s] = (n, _spark_round6(cov), spread)
+    return out
+
+
+def _trades_df(spark, trades):
+    rows = [
+        Row(symbol=s, event_ts=ts, trade_id=tid, price=float(p),
+            qty=float(q), is_buyer_maker=m, source="sbe")
+        for s, ts, tid, p, q, m in trades
+    ]
+    return spark.createDataFrame(
+        rows,
+        "symbol string, event_ts long, trade_id long, price double,"
+        " qty double, is_buyer_maker boolean, source string",
+    )
+
+
+@given(batch=trade_strategy)
+@_settings
+def test_kyle_lambda_matches_naive_reference(spark, batch):
+    from bitcoin_datapipeline_spark.operators.aggregates import kyle_lambda
+
+    trades = _unique_trades(batch)
+    got = {
+        r.symbol: (r.n_buckets, r.kyle_lambda, r.impact_intercept)
+        for r in kyle_lambda(_trades_df(spark, trades)).collect()
+    }
+    assert got == _naive_kyle(trades)
+
+
+@given(batch=trade_strategy)
+@_settings
+def test_roll_spread_matches_naive_reference(spark, batch):
+    from bitcoin_datapipeline_spark.operators.aggregates import roll_spread
+
+    trades = _unique_trades(batch)
+    got = {
+        r.symbol: (r.n_pairs, r.serial_cov, r.roll_spread)
+        for r in roll_spread(_trades_df(spark, trades)).collect()
+    }
+    assert got == _naive_roll(trades)
+
+
+def test_microstructure_degenerate_tapes(spark):
+    """The hand-reasoned edge cases the NULL guards exist for: constant
+    price (cov=0 -> no spread; kyle slope NULL when signed volume is also
+    constant), a single trade (no Δp pairs -> symbol absent from roll;
+    one bucket -> den=0 -> NULL slope), and an all-same-side tape."""
+    from fractions import Fraction
+
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        kyle_lambda,
+        roll_spread,
+    )
+
+    P = Fraction(100)
+    const_price = [("C", i * 1_000, i, P, 5, i % 2 == 0) for i in range(6)]
+    single = [("S", 0, 0, P, 5, False)]
+    # all buyer-aggressor, price drifting up: positive serial covariance
+    # is Roll's documented failure mode -> NULL spread, cov reported
+    trending = [
+        ("T", i * 1_000, i, P + i * i, 5, False) for i in range(6)
+    ]
+    trades = const_price + single + trending
+    roll = {
+        r.symbol: (r.n_pairs, r.serial_cov, r.roll_spread)
+        for r in roll_spread(_trades_df(spark, trades)).collect()
+    }
+    assert roll == _naive_roll(trades)
+    assert "S" not in roll                      # no pairs at all
+    assert roll["C"] == (4, 0.0, None)          # cov=0 is NOT a spread
+    assert roll["T"][1] > 0 and roll["T"][2] is None
+
+    kyle = {
+        r.symbol: (r.n_buckets, r.kyle_lambda, r.impact_intercept)
+        for r in kyle_lambda(_trades_df(spark, trades)).collect()
+    }
+    assert kyle == _naive_kyle(trades)
+    # single trade: one bucket -> den = 1*sv^2 - sv^2 = 0 -> NULLs
+    assert kyle["S"] == (1, None, None)
