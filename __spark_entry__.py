@@ -1243,6 +1243,37 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_quality(table(spark, sf_dir, "documents"))
 
 
+# round 6: per-domain quality-quantile gating (stratified threshold — one
+# domain-keyed aggregate broadcast back; exact percentile for oracle
+# parity, approx knob for scale)
+@q(
+    "q_doc_domain_gate",
+    text.DOMAIN_QUANTILE_GATE_ORACLE.format(stop=text._STOP_SQL),
+)
+def q_doc_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.domain_quantile_gate(table(spark, sf_dir, "documents"))
+
+
+# round 6: Bloom-filter membership gate (m-bounded broadcast summary of
+# the corpus hash set; exact verdict kept as the FP-rate audit column);
+# corpus/incoming split shares the incremental-dedup convention
+@q("q_doc_bloom_gate", text._bloom_gate_oracle(text.INCR_CORPUS_MOD))
+def q_doc_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    mod = text.INCR_CORPUS_MOD
+    return text.bloom_gate(
+        docs.filter(F.col("doc_id") % mod != 0),
+        docs.filter(F.col("doc_id") % mod == 0),
+    )
+
+
+# round 6: per-document n-gram novelty (share of distinct trigrams with
+# corpus df == 1 — the inverse lens of decontamination)
+@q("q_doc_novelty", text.NGRAM_NOVELTY_ORACLE)
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.ngram_novelty(table(spark, sf_dir, "documents"))
+
+
 @q("q_embed_cosine_pairs", similarity.COSINE_PAIRS_ORACLE)
 def q_embed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs(table(spark, sf_dir, "embeddings"))

@@ -2368,3 +2368,271 @@ sizes AS (
 )
 SELECT l.doc_id, l.component, s.cluster_size
 FROM labels l JOIN sizes s USING (component)"""
+
+
+# ---------------------------------------------------------------------------
+# round 6 additions: per-domain quantile gating, Bloom-filter membership,
+# n-gram novelty — three more first-class LLM-pipeline passes, each with a
+# DuckDB oracle and a 100 TB plan argument.
+
+DOMAIN_GATE_Q = 0.25  # threshold quantile: keep the top 75% per domain
+
+
+def domain_quantile_gate(
+    documents: DataFrame, q: float = DOMAIN_GATE_Q, approx: bool = False
+) -> DataFrame:
+    """Per-domain quality-quantile gating — the stratified form of the
+    quality filter real corpora need: a fixed global threshold over-prunes
+    weak domains and under-prunes strong ones (web vs books vs code), so
+    production pipelines keep the top (1−q) of each SOURCE by quality
+    score (the convention in Gopher/MassiveText-style curation).  Per
+    document: the :func:`doc_quality` composite score, its domain's
+    q-quantile threshold, and the keep verdict ``score >= threshold``.
+
+    Plan shape: score is map-only over the scan; thresholds are ONE
+    aggregate keyed by source (group count = #domains, tiny) that
+    broadcasts back onto the scored scan — the filter itself never
+    shuffles the corpus.  ``approx=False`` (default) uses exact
+    ``percentile`` for oracle parity; at 100 TB exact per-group
+    percentile buffers each domain's scores, so production flips
+    ``approx=True`` (``approx_percentile``, partial-combinable constant
+    memory) — the same exact/approx knob contract as
+    ``latency_percentiles``.  Both engines quantile over the 6-dp-rounded
+    scores and round the threshold again, so the keep boundary compares
+    identical operands.
+
+    cf. reference: extends the surface (no corpus curation in the
+    reference; the quality signals reuse `doc_quality`'s composition).
+    """
+    t = _tokens()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tok = F.size(t)
+    stop_ratio = (
+        F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x))) / n_tok
+    )
+    ttr = F.size(F.array_distinct(t)) / n_tok
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    stop_score = F.least(stop_ratio / F.lit(0.05), F.lit(1.0))
+    scored = documents.select(
+        "doc_id",
+        "source",
+        r6((len_score + stop_score + ttr) / 3.0).alias("quality_score"),
+    )
+    pct = (
+        F.expr(f"approx_percentile(quality_score, {q})")
+        if approx
+        else F.expr(f"percentile(quality_score, {q})")
+    )
+    thr = scored.groupBy("source").agg(r6(pct).alias("domain_threshold"))
+    return scored.join(F.broadcast(thr), "source").select(
+        "doc_id",
+        "source",
+        "quality_score",
+        "domain_threshold",
+        (F.col("quality_score") >= F.col("domain_threshold")).alias("keep"),
+    )
+
+
+DOMAIN_QUANTILE_GATE_ORACLE = f"""
+WITH t AS (SELECT *, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, source,
+         round((least(len(toks) / 50.0, 1.0)
+                + least((len(list_filter(toks, x -> x IN {{stop}})) * 1.0
+                         / len(toks)) / 0.05, 1.0)
+                + len(list_distinct(toks)) * 1.0 / len(toks)) / 3.0, 6)
+             AS quality_score
+  FROM t
+),
+thr AS (
+  SELECT source,
+         round(quantile_cont(quality_score, {DOMAIN_GATE_Q}), 6)
+             AS domain_threshold
+  FROM s GROUP BY source
+)
+SELECT s.doc_id, s.source, s.quality_score, thr.domain_threshold,
+       s.quality_score >= thr.domain_threshold AS keep
+FROM s JOIN thr USING (source)"""
+
+
+BLOOM_M = 4_096  # filter width (bit positions)
+BLOOM_K = 3      # hash functions per key
+
+
+def bloom_gate(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Bloom-filter membership gate — the bounded-memory FIRST stage of an
+    ingest dedup path: the corpus's content-hash set is summarized into an
+    m-bit filter (k md5-derived positions per key), and each incoming
+    document tests against it.  ``bloom_member=false`` is a certain NEW
+    (no false negatives — the cheap early exit that skips the exact index
+    lookup for most of a fresh crawl); ``bloom_member=true`` falls through
+    to the exact stage.  The declared query keeps the exact verdict as an
+    audit column so the filter's false-positive rate is a MEASURED number
+    on every run, not a formula.
+
+    Spark-first shape: the "filter" is the distinct set of occupied
+    positions — AT MOST m rows by construction, so it BROADCASTS at any
+    corpus size (the whole point of a Bloom summary: the 100 TB corpus
+    compresses to m bits); the membership test is a broadcast left join
+    on the exploded incoming positions plus a k-hit count.  The exact
+    audit column is one hash equi-join (production drops it and serves
+    the exact stage from the persistent index, `sources/dedup_index.py`).
+    False-positive rate follows fill ratio: (1-(1-1/m)^(k·n))^k.
+
+    Position hashing reuses the engine's cross-engine md5 discipline
+    (28-bit hex prefix via conv — the `minhash_lsh_pairs` pattern), so
+    DuckDB replays the filter bit-for-bit.
+
+    cf. reference: extends the surface (the reference dedups via a DB
+    unique index, `db_writer.py:131-135`; this is the scale-path summary
+    structure in front of such an index)."""
+    def positions(df: DataFrame, keep_doc: bool) -> DataFrame:
+        h = F.md5(F.lower(F.col("text")))
+        pos = F.array(*[
+            F.expr(
+                f"cast(conv(substring(md5(concat('{i}', '|', "
+                f"md5(lower(text)))), 1, 7), 16, 10) as bigint) % {m}"
+            )
+            for i in range(k)
+        ])
+        cols = (["doc_id"] if keep_doc else []) + [
+            F.explode(pos).alias("pos")
+        ]
+        return df.select(*cols)
+
+    bits = positions(corpus, keep_doc=False).distinct()  # <= m rows
+    hits = (
+        positions(incoming, keep_doc=True)
+        .join(F.broadcast(bits.withColumn("set_", F.lit(True))), "pos", "left")
+        .groupBy("doc_id")
+        .agg((F.count("set_") == k).alias("bloom_member"))
+    )
+    cor_h = corpus.select(F.md5(F.lower(F.col("text"))).alias("h")).distinct()
+    inc_h = incoming.select(
+        "doc_id", F.md5(F.lower(F.col("text"))).alias("h")
+    )
+    exact = inc_h.join(
+        cor_h.withColumn("present", F.lit(True)), "h", "left"
+    ).select("doc_id", F.coalesce("present", F.lit(False)).alias("present"))
+    return hits.join(exact, "doc_id").select(
+        "doc_id",
+        "bloom_member",
+        "present",
+        (F.col("bloom_member") & ~F.col("present")).alias("false_positive"),
+    )
+
+
+def _bloom_gate_oracle(mod: int, m: int = BLOOM_M, k: int = BLOOM_K) -> str:
+    pos_exprs = ", ".join(
+        f"CAST(concat('0x', substring(md5(concat('{i}', '|', "
+        f"md5(lower(text)))), 1, 7)) AS BIGINT) % {m}"
+        for i in range(k)
+    )
+    return f"""
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % {mod} = 0),
+incoming AS (SELECT * FROM documents WHERE doc_id % {mod} != 0),
+bits AS (
+  SELECT DISTINCT unnest([{pos_exprs}]) AS pos FROM corpus
+),
+ipos AS (
+  SELECT doc_id, unnest([{pos_exprs}]) AS pos FROM incoming
+),
+hits AS (
+  SELECT i.doc_id, count(b.pos) = {k} AS bloom_member
+  FROM ipos i LEFT JOIN bits b USING (pos) GROUP BY i.doc_id
+),
+exact AS (
+  SELECT i.doc_id,
+         coalesce(max(c.doc_id IS NOT NULL), false) AS present
+  FROM incoming i LEFT JOIN corpus c
+    ON md5(lower(i.text)) = md5(lower(c.text))
+  GROUP BY i.doc_id
+)
+SELECT h.doc_id, h.bloom_member, e.present,
+       h.bloom_member AND NOT e.present AS false_positive
+FROM hits h JOIN exact e USING (doc_id)"""
+
+
+NOVELTY_N = 3  # trigram grain
+
+
+def ngram_novelty(documents: DataFrame, n: int = NOVELTY_N) -> DataFrame:
+    """Per-document n-gram novelty — the inverse lens of decontamination:
+    the share of a document's DISTINCT n-grams that occur in NO other
+    document.  Low novelty flags boilerplate/templated text that exact
+    and MinHash dedup both miss (each copy differs, but the phrase
+    inventory is corpus-common); high novelty marks genuinely fresh
+    content worth up-weighting (and, inverted, a memorization-risk
+    signal for eval design).
+
+    Plan shape: one bounded token explode → distinct (doc, gram) [the
+    dedup shuffle] → gram document-frequency (partial-combinable count
+    over already-distinct rows) → join the df back onto the (doc, gram)
+    rows (per-gram join fan-out = its df — 1:1 against the distinct
+    pairs, no blowup even for corpus-wide boilerplate grams) → one
+    per-doc aggregate.  Documents shorter than n tokens have no grams
+    and report novelty NULL via the left join back to the scan.
+
+    cf. reference: extends the surface (no text analytics in the
+    reference; same gram discipline as `decontaminate_ngram`)."""
+    grams = documents.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(split(text, ' ')) >= {n} THEN "
+                f"array_distinct(transform(sequence(0, size(split(text, ' ')) - {n}), "
+                f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))) "
+                "ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    df_ = grams.groupBy("gram").agg(F.count("*").cast("long").alias("df"))
+    per_doc = (
+        grams.join(df_, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            r6(F.col("n_novel") / F.col("n_grams")).alias("novelty"),
+        )
+    )
+
+
+NGRAM_NOVELTY_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(toks[i:i+{NOVELTY_N - 1}], ' ')
+                 for i in generate_series(1, len(toks) - {NOVELTY_N - 1})])
+             AS gram
+  FROM t WHERE len(toks) >= {NOVELTY_N}
+),
+df AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM grams GROUP BY gram),
+per_doc AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel
+  FROM grams g JOIN df USING (gram) GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_grams, 0) AS n_grams,
+       coalesce(p.n_novel, 0) AS n_novel,
+       round(coalesce(p.n_novel, 0) * 1.0 / p.n_grams, 6) AS novelty
+FROM documents d LEFT JOIN per_doc p USING (doc_id)"""

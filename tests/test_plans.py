@@ -505,3 +505,25 @@ def test_headline_shuffle_budgets(spark, sf01):
         if n > budget:
             over[name] = (n, budget)
     assert not over, f"shuffle budget exceeded: {over}"
+
+
+def test_domain_gate_broadcasts_thresholds(spark, sf01):
+    """The per-domain quantile gate's threshold table (one row per
+    source) must broadcast back onto the scored scan — the corpus itself
+    never shuffles for the filter step."""
+    import __spark_entry__ as E
+
+    plan = _plan(spark, E.queries()["q_doc_domain_gate"](spark, sf01))
+    assert "BroadcastHashJoin" in plan
+    # exactly one corpus-keyed exchange: the source-keyed percentile agg
+    assert "partial_percentile" in plan or "percentile" in plan
+
+
+def test_bloom_gate_broadcasts_filter_bits(spark, sf01):
+    """The Bloom membership test must join against a BROADCAST of the
+    occupied-position set (<= m rows by construction — the entire point
+    of the summary structure at 100 TB)."""
+    import __spark_entry__ as E
+
+    plan = _plan(spark, E.queries()["q_doc_bloom_gate"](spark, sf01))
+    assert plan.count("BroadcastHashJoin") >= 1

@@ -617,3 +617,72 @@ def test_microstructure_degenerate_tapes(spark):
     assert kyle == _naive_kyle(trades)
     # single trade: one bucket -> den = 1*sv^2 - sv^2 = 0 -> NULLs
     assert kyle["S"] == (1, None, None)
+
+
+_novelty_docs = st.lists(
+    st.lists(st.sampled_from(["aa", "Bb", "cc", "dd", "ee"]),
+             min_size=0, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=_novelty_docs)
+@_settings
+def test_ngram_novelty_matches_naive(spark, docs):
+    """Trigram novelty equals the naive Python computation for every
+    random corpus, including docs shorter than the gram width (NULL
+    novelty, zero counts)."""
+    from bitcoin_datapipeline_spark.operators.text import ngram_novelty
+
+    n = 3
+    per_doc_grams = []
+    for words in docs:
+        gs = {
+            " ".join(words[i:i + n]) for i in range(len(words) - n + 1)
+        }
+        per_doc_grams.append(gs)
+    df_count: dict[str, int] = {}
+    for gs in per_doc_grams:
+        for g in gs:
+            df_count[g] = df_count.get(g, 0) + 1
+    want = {}
+    for i, gs in enumerate(per_doc_grams):
+        novel = sum(1 for g in gs if df_count[g] == 1)
+        want[i] = (
+            len(gs), novel,
+            round(novel / len(gs), 6) if gs else None,
+        )
+
+    rows = [Row(doc_id=i, text=" ".join(ws)) for i, ws in enumerate(docs)]
+    got = {
+        r.doc_id: (r.n_grams, r.n_novel, r.novelty)
+        for r in ngram_novelty(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert got == want
+
+
+@given(docs=_novelty_docs)
+@_settings
+def test_bloom_gate_never_false_negative(spark, docs):
+    """The Bloom gate's defining guarantee, for every random corpus and
+    every filter width: a document whose text IS in the corpus is ALWAYS
+    bloom_member (no false negatives) — and every false_positive row is
+    bloom_member AND NOT present."""
+    from bitcoin_datapipeline_spark.operators.text import bloom_gate
+
+    rows = [
+        Row(doc_id=i, text=" ".join(ws) or "empty")
+        for i, ws in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = df.filter("doc_id % 2 = 0")
+    incoming = df  # includes the corpus docs themselves -> present=true
+    out = bloom_gate(incoming, corpus, m=64, k=3).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        if r.present:
+            assert r.bloom_member, r  # no false negatives, ever
+        assert r.false_positive == (r.bloom_member and not r.present)
