@@ -1,0 +1,335 @@
+"""Streaming Kyle's lambda and Roll spread — live twins of the batch
+microstructure estimators (operators/aggregates.kyle_lambda /
+roll_spread), completing the live trio alongside streaming/vpin.py.
+
+Both are running-moment estimators, so the streaming form is exact with
+O(1) per-symbol state:
+
+- **Kyle** folds trades onto the minute bucket clock (KYLE_BUCKET_MS,
+  same grain as batch); state is the open bucket's partials (signed
+  volume, open/close price) plus the closed-bucket moment sums
+  (n, Σx, Σy, Σxy, Σx²).  Each bucket close emits the regression
+  re-solved over all closed buckets so far — the live price-impact
+  gauge a desk actually watches.
+- **Roll** keeps (last price, previous Δp) and the pair moment sums;
+  each micro-batch that folds at least one new Δp pair emits the updated
+  serial covariance and implied spread ("update"-style cadence — one row
+  per symbol per batch, not per trade).
+
+Exactness discipline (the vpin.py contract): prices and quantities live
+on the 1e-4 grid, so ALL moment sums accumulate in INTEGER units
+(Python ints — arbitrary precision, no overflow) and convert to doubles
+once via ``Fraction`` (correctly rounded, bit-identical to the batch
+DECIMAL→double cast); the final scalar arithmetic is the same float
+expression as the batch estimator, rounded with the Spark-identical
+HALF_UP 6-dp rule — so a live row EQUALS its batch row, including the
+NULL guards (den=0 → NULL lambda; cov≥0 → NULL spread).
+
+Disorder follows streaming/disorder.merge_fold: ``allowed_lateness_s``
+buffers bounded disorder so the fold order matches the batch sort;
+hard-late trades behind the folded frontier are dropped AND counted
+(``late_dropped`` on every emitted row).
+
+cf. reference: extends the surface (the reference's aggregator computes
+live imbalance, `feature_builder.py:119-123,160-161`; impact/spread
+estimation has no counterpart there — these are the live forms of the
+engine's own batch extensions).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.aggregates import KYLE_BUCKET_MS
+from .disorder import _NO_FRONTIER, merge_fold
+from .vpin import UNITS, _round6
+
+KYLE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("n_buckets", T.LongType()),
+        T.StructField("kyle_lambda", T.DoubleType()),
+        T.StructField("impact_intercept", T.DoubleType()),
+        T.StructField("late_dropped", T.LongType()),
+    ]
+)
+
+KYLE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("frontier_ts", T.LongType()),
+        T.StructField("frontier_tid", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+        T.StructField("pend_ts", T.ArrayType(T.LongType())),
+        T.StructField("pend_tid", T.ArrayType(T.LongType())),
+        T.StructField("pend_price", T.ArrayType(T.LongType())),
+        T.StructField("pend_qty", T.ArrayType(T.LongType())),
+        T.StructField("pend_maker", T.ArrayType(T.BooleanType())),
+        T.StructField("cur_bucket", T.LongType()),
+        T.StructField("cur_sv", T.LongType()),
+        T.StructField("cur_open", T.LongType()),
+        T.StructField("cur_close", T.LongType()),
+        T.StructField("n_closed", T.LongType()),
+        T.StructField("sx_u", T.LongType()),
+        T.StructField("sy_u", T.LongType()),
+        T.StructField("sxy_u", T.LongType()),
+        T.StructField("sxx_u", T.LongType()),
+    ]
+)
+
+
+def _kyle_solve(n: int, sx_u: int, sy_u: int, sxy_u: int, sxx_u: int):
+    """Moments (integer 1e-4 / 1e-8 units) → the batch twin's doubles."""
+    sx = float(Fraction(sx_u, 10**4))
+    sy = float(Fraction(sy_u, 10**4))
+    sxy = float(Fraction(sxy_u, 10**8))
+    sxx = float(Fraction(sxx_u, 10**8))
+    den = n * sxx - sx * sx
+    if den == 0:
+        return None, None
+    slope = (n * sxy - sx * sy) / den
+    return _round6(slope), _round6((sy - slope * sx) / n)
+
+
+def make_kyle_processor(
+    bucket_ms: int = KYLE_BUCKET_MS, allowed_lateness_s: int = 0
+):
+    late_ms = allowed_lateness_s * 1000
+
+    def fn(key, pdfs, state: GroupState):
+        symbol = key[0]
+        chunks = [
+            pdf[["event_ts", "trade_id", "price", "qty", "is_buyer_maker"]]
+            for pdf in pdfs
+            if len(pdf)
+        ]
+        if not chunks:
+            yield pd.DataFrame(
+                [], columns=[f.name for f in KYLE_OUTPUT_SCHEMA.fields]
+            )
+            return
+        ev = pd.concat(chunks, ignore_index=True)
+        if state.exists:
+            (f_ts, f_tid, n_late, p_ts, p_tid, p_pr, p_q, p_mk,
+             cur_b, cur_sv, cur_open, cur_close,
+             n_closed, sx_u, sy_u, sxy_u, sxx_u) = state.get
+            pend = list(zip(p_ts, p_tid, p_pr, p_q, p_mk))
+        else:
+            f_ts = f_tid = _NO_FRONTIER
+            n_late = 0
+            pend = []
+            cur_b, cur_sv, cur_open, cur_close = None, 0, None, None
+            n_closed = sx_u = sy_u = sxy_u = sxx_u = 0
+
+        new = (
+            (int(ts), int(tid), int(round(float(p) * UNITS)),
+             int(round(float(q) * UNITS)), bool(mk))
+            for ts, tid, p, q, mk in zip(
+                ev["event_ts"], ev["trade_id"], ev["price"], ev["qty"],
+                ev["is_buyer_maker"],
+            )
+        )
+        fold, pend, (f_ts, f_tid), late_inc = merge_fold(
+            new, pend, (f_ts, f_tid), late_ms
+        )
+        n_late += late_inc
+
+        rows = []
+
+        def close_bucket():
+            nonlocal n_closed, sx_u, sy_u, sxy_u, sxx_u
+            dp = cur_close - cur_open  # 1e-4 units (open→close move)
+            n_closed += 1
+            sx_u += cur_sv
+            sy_u += dp
+            sxy_u += cur_sv * dp
+            sxx_u += cur_sv * cur_sv
+            lam, icpt = _kyle_solve(n_closed, sx_u, sy_u, sxy_u, sxx_u)
+            rows.append(
+                (symbol, int(cur_b), int(n_closed), lam, icpt, int(n_late))
+            )
+
+        for ts, tid, p_u, q_u, maker in fold:
+            b = ts // bucket_ms
+            if cur_b is None:
+                cur_b, cur_sv, cur_open = b, 0, p_u
+            elif b != cur_b:
+                close_bucket()
+                cur_b, cur_sv, cur_open = b, 0, p_u
+            cur_sv += -q_u if maker else q_u
+            cur_close = p_u
+
+        state.update((
+            int(f_ts), int(f_tid), int(n_late),
+            [t[0] for t in pend], [t[1] for t in pend],
+            [t[2] for t in pend], [t[3] for t in pend],
+            [t[4] for t in pend],
+            int(cur_b) if cur_b is not None else None,
+            int(cur_sv),
+            int(cur_open) if cur_open is not None else None,
+            int(cur_close) if cur_close is not None else None,
+            int(n_closed), int(sx_u), int(sy_u), int(sxy_u), int(sxx_u),
+        ))
+        out = pd.DataFrame(
+            rows, columns=[f.name for f in KYLE_OUTPUT_SCHEMA.fields]
+        )
+        # the den=0 guard emits SQL NULL like the batch twin — pandas
+        # would silently coerce None to NaN in a float64 column, and NaN
+        # survives Arrow as NaN, not null; object dtype keeps the None
+        for c in ("kyle_lambda", "impact_intercept"):
+            out[c] = out[c].astype(object).where(pd.notna(out[c]), None)
+        yield out
+
+    return fn
+
+
+def stream_kyle_lambda(
+    trades: DataFrame,
+    bucket_ms: int = KYLE_BUCKET_MS,
+    allowed_lateness_s: int = 0,
+) -> DataFrame:
+    """Live price impact: one append-final row per CLOSED minute bucket
+    carrying the regression over all closed buckets so far; the row for
+    the last closed bucket equals the batch `kyle_lambda` over the tape
+    restricted to closed buckets (property-tested)."""
+    return trades.groupBy("symbol").applyInPandasWithState(
+        make_kyle_processor(bucket_ms, allowed_lateness_s),
+        outputStructType=KYLE_OUTPUT_SCHEMA,
+        stateStructType=KYLE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+ROLL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("n_pairs", T.LongType()),
+        T.StructField("serial_cov", T.DoubleType()),
+        T.StructField("roll_spread", T.DoubleType()),
+        T.StructField("late_dropped", T.LongType()),
+    ]
+)
+
+ROLL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("frontier_ts", T.LongType()),
+        T.StructField("frontier_tid", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+        T.StructField("pend_ts", T.ArrayType(T.LongType())),
+        T.StructField("pend_tid", T.ArrayType(T.LongType())),
+        T.StructField("pend_price", T.ArrayType(T.LongType())),
+        T.StructField("last_price", T.LongType()),
+        T.StructField("prev_dp", T.LongType()),
+        T.StructField("n_pairs", T.LongType()),
+        T.StructField("sx_u", T.LongType()),
+        T.StructField("sy_u", T.LongType()),
+        T.StructField("sxy_u", T.LongType()),
+    ]
+)
+
+
+def _roll_solve(n: int, sx_u: int, sy_u: int, sxy_u: int):
+    import math
+
+    sx = float(Fraction(sx_u, 10**4))
+    sy = float(Fraction(sy_u, 10**4))
+    sxy = float(Fraction(sxy_u, 10**8))
+    cov = (sxy - sx * sy / n) / n
+    spread = _round6(2.0 * math.sqrt(-cov)) if cov < 0 else None
+    return _round6(cov), spread
+
+
+def make_roll_processor(allowed_lateness_s: int = 0):
+    late_ms = allowed_lateness_s * 1000
+
+    def fn(key, pdfs, state: GroupState):
+        symbol = key[0]
+        chunks = [
+            pdf[["event_ts", "trade_id", "price"]] for pdf in pdfs if len(pdf)
+        ]
+        if not chunks:
+            yield pd.DataFrame(
+                [], columns=[f.name for f in ROLL_OUTPUT_SCHEMA.fields]
+            )
+            return
+        ev = pd.concat(chunks, ignore_index=True)
+        if state.exists:
+            (f_ts, f_tid, n_late, p_ts, p_tid, p_pr,
+             last_p, prev_dp, n_pairs, sx_u, sy_u, sxy_u) = state.get
+            pend = list(zip(p_ts, p_tid, p_pr))
+        else:
+            f_ts = f_tid = _NO_FRONTIER
+            n_late = 0
+            pend = []
+            last_p, prev_dp = None, None
+            n_pairs = sx_u = sy_u = sxy_u = 0
+
+        new = (
+            (int(ts), int(tid), int(round(float(p) * UNITS)))
+            for ts, tid, p in zip(
+                ev["event_ts"], ev["trade_id"], ev["price"]
+            )
+        )
+        fold, pend, (f_ts, f_tid), late_inc = merge_fold(
+            new, pend, (f_ts, f_tid), late_ms
+        )
+        n_late += late_inc
+
+        new_pairs = False
+        for ts, tid, p_u in fold:
+            if last_p is not None:
+                dp = p_u - last_p
+                if prev_dp is not None:
+                    n_pairs += 1
+                    sx_u += dp
+                    sy_u += prev_dp
+                    sxy_u += dp * prev_dp
+                    new_pairs = True
+                prev_dp = dp
+            last_p = p_u
+
+        rows = []
+        if new_pairs:
+            cov, spread = _roll_solve(n_pairs, sx_u, sy_u, sxy_u)
+            rows.append((symbol, int(n_pairs), cov, spread, int(n_late)))
+        state.update((
+            int(f_ts), int(f_tid), int(n_late),
+            [t[0] for t in pend], [t[1] for t in pend],
+            [t[2] for t in pend],
+            int(last_p) if last_p is not None else None,
+            int(prev_dp) if prev_dp is not None else None,
+            int(n_pairs), int(sx_u), int(sy_u), int(sxy_u),
+        ))
+        out = pd.DataFrame(
+            rows, columns=[f.name for f in ROLL_OUTPUT_SCHEMA.fields]
+        )
+        # cov>=0 emits NULL spread like the batch twin (see kyle note)
+        out["roll_spread"] = (
+            out["roll_spread"].astype(object)
+            .where(pd.notna(out["roll_spread"]), None)
+        )
+        yield out
+
+    return fn
+
+
+def stream_roll_spread(
+    trades: DataFrame, allowed_lateness_s: int = 0
+) -> DataFrame:
+    """Live Roll implied spread: one row per symbol per micro-batch that
+    folded at least one new Δp pair ("update" cadence); the latest row
+    equals the batch `roll_spread` over the folded tape exactly
+    (property-tested)."""
+    return trades.groupBy("symbol").applyInPandasWithState(
+        make_roll_processor(allowed_lateness_s),
+        outputStructType=ROLL_OUTPUT_SCHEMA,
+        stateStructType=ROLL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

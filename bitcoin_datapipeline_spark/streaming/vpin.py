@@ -58,6 +58,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.aggregates import VPIN_BUCKET_VOLUME, VPIN_WINDOW
+from .disorder import _NO_FRONTIER, merge_fold
 
 # qty grid: 1e-4 (FIXTURES.md).  Integer units assume qty sits on a <=4dp
 # grid — there float->int rounding has no ties, so it agrees with the
@@ -111,9 +112,6 @@ VPIN_STATE_SCHEMA = T.StructType(
     ]
 )
 
-_NO_FRONTIER = -(1 << 62)
-
-
 def make_vpin_processor(
     bucket_volume: int = VPIN_BUCKET_VOLUME,
     window: int = VPIN_WINDOW,
@@ -147,18 +145,17 @@ def make_vpin_processor(
             f_ts, f_tid, n_late = _NO_FRONTIER, _NO_FRONTIER, 0
             pend = []
 
-        # merge this batch into the pending pool, dropping (and counting)
-        # hard-late trades already passed by the folded frontier
-        for ts, tid, qty, maker in zip(
-            ev["event_ts"], ev["trade_id"], ev["qty"], ev["is_buyer_maker"]
-        ):
-            k = (int(ts), int(tid))
-            if k <= (f_ts, f_tid):
-                n_late += 1
-                continue
-            pend.append(
-                (k[0], k[1], int(round(float(qty) * UNITS)), bool(maker))
+        new = (
+            (int(ts), int(tid), int(round(float(qty) * UNITS)), bool(maker))
+            for ts, tid, qty, maker in zip(
+                ev["event_ts"], ev["trade_id"], ev["qty"],
+                ev["is_buyer_maker"],
             )
+        )
+        fold, pend, (f_ts, f_tid), late_inc = merge_fold(
+            new, pend, (f_ts, f_tid), late_ms
+        )
+        n_late += late_inc
 
         rows = []
 
@@ -184,32 +181,19 @@ def make_vpin_processor(
             del ring_vol[: max(0, len(ring_vol) - (window - 1))]
             cur_n, buy, sell = 0, 0, 0
 
-        if pend:
-            # fold everything at or behind the lateness horizon, in
-            # (event_ts, trade_id) order; the remainder keeps waiting
-            horizon = max(t[0] for t in pend) - late_ms
-            pend.sort()
-            keep_from = len(pend)
-            for i, t in enumerate(pend):
-                if t[0] > horizon:
-                    keep_from = i
-                    break
-            fold, pend = pend[:keep_from], pend[keep_from:]
-            for ts, tid, units, maker in fold:
-                b = cum // v_units
-                if cur_b is None:
-                    cur_b = b
-                elif b != cur_b:
-                    close_bucket()
-                    cur_b = b
-                cur_n += 1
-                if maker:
-                    sell += units
-                else:
-                    buy += units
-                cum += units
-            if fold:
-                f_ts, f_tid = fold[-1][0], fold[-1][1]
+        for ts, tid, units, maker in fold:
+            b = cum // v_units
+            if cur_b is None:
+                cur_b = b
+            elif b != cur_b:
+                close_bucket()
+                cur_b = b
+            cur_n += 1
+            if maker:
+                sell += units
+            else:
+                buy += units
+            cum += units
 
         state.update((
             int(cum),

@@ -686,3 +686,126 @@ def test_bloom_gate_never_false_negative(spark, docs):
         if r.present:
             assert r.bloom_member, r  # no false negatives, ever
         assert r.false_positive == (r.bloom_member and not r.present)
+
+
+class _MockState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def _drive_processor(fn, recs, cols, n_chunks):
+    """Drive a keyed stateful processor chunk-by-chunk per symbol over
+    already-ordered records; returns emitted namedtuples."""
+    import pandas as pd
+
+    emitted = []
+    for sym in sorted({r.symbol for r in recs}):
+        mine = [r for r in recs if r.symbol == sym]
+        state = _MockState()
+        size = max(1, (len(mine) + n_chunks - 1) // n_chunks)
+        for i in range(0, len(mine), size):
+            pdf = pd.DataFrame(
+                [tuple(getattr(r, c) for c in cols) for r in mine[i:i + size]],
+                columns=cols,
+            )
+            for out in fn((sym,), iter([pdf]), state):
+                emitted.extend(out.itertuples(index=False))
+    return emitted
+
+
+@given(batch=trade_strategy, n_chunks=st.integers(min_value=1, max_value=4))
+@_settings
+def test_stream_kyle_processor_matches_batch(spark, batch, n_chunks):
+    """The streaming Kyle processor, driven with arbitrary micro-batch
+    boundaries over an ordered tape, emits after EVERY closed minute
+    bucket the exact batch kyle_lambda over the tape restricted to the
+    buckets closed so far — for every random tape."""
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        KYLE_BUCKET_MS,
+        kyle_lambda,
+    )
+    from bitcoin_datapipeline_spark.streaming.impact import (
+        make_kyle_processor,
+    )
+
+    ordered = sorted(batch, key=lambda t: t[1])
+    recs = [
+        Row(symbol=s, event_ts=ts, trade_id=i, price=c / 100.0,
+            qty=float(q), is_buyer_maker=m)
+        for i, (s, ts, _tid, c, q, m) in enumerate(ordered)
+    ]
+    emitted = _drive_processor(
+        make_kyle_processor(),
+        recs,
+        ["event_ts", "trade_id", "price", "qty", "is_buyer_maker"],
+        n_chunks,
+    )
+    if not emitted:
+        return
+    df = spark.createDataFrame(
+        recs,
+        "symbol string, event_ts long, trade_id long, price double,"
+        " qty double, is_buyer_maker boolean",
+    )
+    for e in emitted:
+        assert e.late_dropped == 0
+        prefix = df.filter(
+            f"symbol = '{e.symbol}' AND "
+            f"event_ts div {KYLE_BUCKET_MS} <= {e.bucket}"
+        )
+        w = {
+            r.symbol: r for r in kyle_lambda(prefix).collect()
+        }[e.symbol]
+        assert (e.n_buckets, e.kyle_lambda, e.impact_intercept) == (
+            w.n_buckets, w.kyle_lambda, w.impact_intercept,
+        ), (e, w)
+
+
+@given(batch=trade_strategy, n_chunks=st.integers(min_value=1, max_value=4))
+@_settings
+def test_stream_roll_processor_matches_batch(spark, batch, n_chunks):
+    """The streaming Roll processor's LATEST row per symbol equals the
+    batch roll_spread over the full tape exactly (lateness 0 folds
+    everything) — for every random tape and chunking."""
+    from bitcoin_datapipeline_spark.operators.aggregates import roll_spread
+    from bitcoin_datapipeline_spark.streaming.impact import (
+        make_roll_processor,
+    )
+
+    ordered = sorted(batch, key=lambda t: t[1])
+    recs = [
+        Row(symbol=s, event_ts=ts, trade_id=i, price=c / 100.0,
+            qty=float(q), is_buyer_maker=m)
+        for i, (s, ts, _tid, c, q, m) in enumerate(ordered)
+    ]
+    emitted = _drive_processor(
+        make_roll_processor(), recs, ["event_ts", "trade_id", "price"],
+        n_chunks,
+    )
+    latest = {}
+    for e in emitted:
+        latest[e.symbol] = e  # emission order per symbol is chronological
+        assert e.late_dropped == 0
+    df = spark.createDataFrame(
+        recs,
+        "symbol string, event_ts long, trade_id long, price double,"
+        " qty double, is_buyer_maker boolean",
+    )
+    want = {r.symbol: r for r in roll_spread(df).collect()}
+    assert set(latest) == set(want)
+    for s, w in want.items():
+        g = latest[s]
+        assert (g.n_pairs, g.serial_cov, g.roll_spread) == (
+            w.n_pairs, w.serial_cov, w.roll_spread,
+        ), (g, w)

@@ -1093,3 +1093,72 @@ def test_stream_vpin_hard_late_trade_dropped_and_counted(spark):
     assert by_bucket[0].late_dropped == 1
     assert by_bucket[1].late_dropped == 1
     assert state[9] == 1  # n_late persisted in state
+
+
+def test_stream_kyle_lambda_matches_batch_closed_buckets(spark, tmp_path):
+    """Streaming Kyle's lambda through a REAL availableNow stream: state
+    (including nullable longs and pending arrays) survives checkpointed
+    micro-batches, and each closed minute bucket's emitted row equals the
+    batch kyle_lambda over the closed buckets — with NULL (not NaN)
+    lambda when the single-bucket den=0 guard fires."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_datapipeline_spark.operators.aggregates import kyle_lambda
+    from bitcoin_datapipeline_spark.streaming.impact import stream_kyle_lambda
+
+    schema = (
+        "symbol string, event_ts long, trade_id long, price double, qty double,"
+        " is_buyer_maker boolean, source string"
+    )
+    # minute buckets: A gets buckets 0,1,2 (2 closed); the boundary
+    # between bucket 0 and 1 falls ACROSS the micro-batch split
+    batch1 = [
+        ("A", 10_000, 1, 100.00, 5.0, False, "sbe"),
+        ("A", 20_000, 2, 100.50, 3.0, True, "sbe"),
+    ]
+    batch2 = [
+        ("A", 70_000, 3, 101.00, 4.0, False, "sbe"),   # opens bucket 1
+        ("A", 80_000, 4, 100.75, 2.0, False, "sbe"),
+        ("A", 130_000, 5, 101.50, 6.0, True, "sbe"),   # opens bucket 2
+    ]
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def run_once(rows, part):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / part)
+        )
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).option("recursiveFileLookup", "true").parquet(str(src))
+        q = (
+            stream_kyle_lambda(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once(batch1, "p1")
+    run_once(batch2, "p2")
+
+    got = {r.bucket: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {0, 1}  # bucket 2 still open
+    # bucket-0 row: regression over ONE bucket -> den=0 -> SQL NULL
+    assert got[0].n_buckets == 1
+    assert got[0].kyle_lambda is None and got[0].impact_intercept is None
+    assert got[0].late_dropped == 0
+    # bucket-1 row == batch over buckets 0..1
+    trades = spark.createDataFrame(batch1 + batch2, schema).filter(
+        "event_ts < 120000"
+    )
+    w = kyle_lambda(trades).collect()[0]
+    g = got[1]
+    assert (g.n_buckets, g.kyle_lambda, g.impact_intercept) == (
+        w.n_buckets, w.kyle_lambda, w.impact_intercept,
+    )
