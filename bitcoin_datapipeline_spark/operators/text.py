@@ -608,15 +608,40 @@ def _dedup_gate(
     sigs_c: DataFrame,
     threshold: float = INCR_NEAR_JACCARD,
     max_shingle_df: int | None = None,
+    bloom_bits: DataFrame | None = None,
 ) -> DataFrame:
     """Gate ``incoming`` against PRE-COMPUTED corpus-side index frames:
     ``cor_h`` (corpus_doc_id, h) content hashes and ``sigs_c`` the
     :func:`_minhash_sigs` output.  This is the shape a production index
     store serves (see ``sources/dedup_index.py``); only the incoming
-    batch is shingled here."""
+    batch is shingled here.
+
+    ``bloom_bits`` (optional, a (pos) frame of <= BLOOM_M occupied
+    positions — the stored summary from `sources/dedup_index.py`) prunes
+    the EXACT stage: bloom-negative docs cannot have a content-hash
+    match (no false negatives, property-tested), so only bloom-positive
+    docs probe the corpus hash table.  Results are IDENTICAL with or
+    without the filter (pinned in tests); only the exact join's probe
+    side shrinks — on a fresh crawl, to the few true-dup + FP-rate
+    docs.  The near-dup stage is unaffected (Bloom summarizes exact
+    identity, not shingle bands)."""
     inc_h = incoming.select(
         "doc_id", F.md5(F.lower(F.col("text"))).alias("h")
     )
+    if bloom_bits is not None:
+        member = (
+            bloom_doc_positions(incoming)
+            .join(
+                F.broadcast(bloom_bits.withColumn("set_", F.lit(True))),
+                "pos",
+                "left",
+            )
+            .groupBy("doc_id")
+            .agg((F.count("set_") == BLOOM_K).alias("bm"))
+            .filter("bm")
+            .select("doc_id")
+        )
+        inc_h = inc_h.join(member, "doc_id", "left_semi")
     exact = (
         inc_h.join(cor_h, "h")
         .groupBy("doc_id")
@@ -2459,7 +2484,27 @@ BLOOM_M = 4_096  # filter width (bit positions)
 BLOOM_K = 3      # hash functions per key
 
 
+def bloom_doc_positions(
+    df: DataFrame, m: int = BLOOM_M, k: int = BLOOM_K, keep_doc: bool = True
+) -> DataFrame:
+    """The k md5-derived Bloom bit positions of each document's content
+    hash (28-bit hex prefix via conv, mod m) — shared by
+    :func:`bloom_gate` and the persistent index's stored summary
+    (`sources/dedup_index.py`), so the stored filter and the inline one
+    are the same structure bit-for-bit."""
+    pos = F.array(*[
+        F.expr(
+            f"cast(conv(substring(md5(concat('{i}', '|', "
+            f"md5(lower(text)))), 1, 7), 16, 10) as bigint) % {m}"
+        )
+        for i in range(k)
+    ])
+    cols = (["doc_id"] if keep_doc else []) + [F.explode(pos).alias("pos")]
+    return df.select(*cols)
+
+
 def bloom_gate(
+
     incoming: DataFrame,
     corpus: DataFrame,
     m: int = BLOOM_M,
@@ -2492,18 +2537,7 @@ def bloom_gate(
     unique index, `db_writer.py:131-135`; this is the scale-path summary
     structure in front of such an index)."""
     def positions(df: DataFrame, keep_doc: bool) -> DataFrame:
-        h = F.md5(F.lower(F.col("text")))
-        pos = F.array(*[
-            F.expr(
-                f"cast(conv(substring(md5(concat('{i}', '|', "
-                f"md5(lower(text)))), 1, 7), 16, 10) as bigint) % {m}"
-            )
-            for i in range(k)
-        ])
-        cols = (["doc_id"] if keep_doc else []) + [
-            F.explode(pos).alias("pos")
-        ]
-        return df.select(*cols)
+        return bloom_doc_positions(df, m, k, keep_doc)
 
     bits = positions(corpus, keep_doc=False).distinct()  # <= m rows
     hits = (

@@ -12,6 +12,12 @@ maintain-loop:
   verification — a store that keeps only the 12 signatures instead
   verifies by signature agreement, trading exactness for 10-100× less
   index storage; both shapes gate identically through `_dedup_gate`)
+- ``bloom/``   (pos)                     — the content-hash Bloom summary
+  (operators/text.bloom_gate's positions, <= BLOOM_M rows by
+  construction): the gate broadcasts it and only bloom-POSITIVE docs
+  probe the exact hash table — on a fresh crawl that prunes the exact
+  stage to the few true-dup + FP-rate docs, with results identical to
+  the un-pruned gate (no false negatives; pinned in tests)
 
 ``ingest_batch`` is the loop body a foreachBatch sink or daily job runs:
 gate the batch against the index, collapse intra-batch duplicate groups
@@ -39,6 +45,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.text import (
+    BLOOM_K,
+    BLOOM_M,
     INCR_NEAR_JACCARD,
     _dedup_gate,
     _minhash_sigs,
@@ -53,6 +61,20 @@ def _hashes(docs: DataFrame) -> DataFrame:
     )
 
 
+def _bloom_positions(docs: DataFrame) -> DataFrame:
+    """The content-hash Bloom positions (operators/text.bloom_gate's
+    hashing: k md5-derived 28-bit positions mod m) — the <= BLOOM_M-row
+    summary the index stores alongside the exact hash table."""
+    pos = F.array(*[
+        F.expr(
+            f"cast(conv(substring(md5(concat('{i}', '|', "
+            f"md5(lower(text)))), 1, 7), 16, 10) as bigint) % {BLOOM_M}"
+        )
+        for i in range(BLOOM_K)
+    ])
+    return docs.select(F.explode(pos).alias("pos")).distinct()
+
+
 def build_dedup_index(
     corpus: DataFrame, index_dir: str, max_shingle_df: int | None = None
 ) -> None:
@@ -62,6 +84,9 @@ def build_dedup_index(
     )
     _minhash_sigs(corpus, max_shingle_df).write.mode("overwrite").parquet(
         os.path.join(index_dir, "sigs")
+    )
+    _bloom_positions(corpus).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "bloom")
     )
 
 
@@ -151,8 +176,18 @@ def ingest_batch(
     admitted set flows as a left-semi join, distributed end to end."""
     cor_h = spark.read.parquet(os.path.join(index_dir, "hashes"))
     sigs_c = spark.read.parquet(os.path.join(index_dir, "sigs"))
+    # stored Bloom summary (indexes built before r6 lack it — gate runs
+    # identically without, just un-pruned; see _dedup_gate's contract)
+    bloom_dir = os.path.join(index_dir, "bloom")
+    bloom_bits = (
+        spark.read.parquet(bloom_dir).distinct()
+        if os.path.isdir(bloom_dir)
+        else None
+    )
     vpath = verdicts_dir or os.path.join(index_dir, "verdicts_last")
-    gate = _dedup_gate(batch, cor_h, sigs_c, threshold, max_shingle_df)
+    gate = _dedup_gate(
+        batch, cor_h, sigs_c, threshold, max_shingle_df, bloom_bits
+    )
     batch_new = batch.join(
         gate.filter(F.col("verdict") == "new").select("doc_id"),
         "doc_id",
@@ -185,6 +220,11 @@ def ingest_batch(
     _minhash_sigs(admitted, max_shingle_df).write.mode("append").parquet(
         os.path.join(index_dir, "sigs")
     )
+    if bloom_bits is not None:
+        # append-only position rows; readers distinct() — compaction
+        # (sources/compact.py) collapses the accumulation like any other
+        # append table, and the set is bounded at BLOOM_M rows anyway
+        _bloom_positions(admitted).write.mode("append").parquet(bloom_dir)
     return verdicts
 
 

@@ -134,3 +134,48 @@ def test_intra_batch_duplicates_admit_one_representative(spark, tmp_path):
     v2 = {r.doc_id: r for r in ingest_batch(
         spark, spark.createDataFrame([_doc(30, x_text)]), idx).collect()}
     assert v2[30].verdict == "exact_dup" and v2[30].match_doc_id == 10
+
+
+def test_bloom_summary_prunes_without_changing_verdicts(spark, tmp_path):
+    """The stored Bloom summary (r6: bloom/ table) must leave gate
+    verdicts IDENTICAL to the un-pruned gate — the no-false-negative
+    guarantee applied to the index — while the summary stays bounded at
+    BLOOM_M position rows, and cross-batch: a doc admitted in batch 1 is
+    caught through the bloom-pruned exact stage in batch 2."""
+    import shutil
+
+    from bitcoin_datapipeline_spark.operators.text import BLOOM_M
+    from bitcoin_datapipeline_spark.sources.dedup_index import (
+        build_dedup_index,
+        ingest_batch,
+    )
+
+    texts = [f"w{i} x{i} y{i} z{i} common tail words here" for i in range(6)]
+    corpus = spark.createDataFrame([_doc(i, t) for i, t in enumerate(texts)])
+
+    idx_b = str(tmp_path / "with_bloom")
+    idx_n = str(tmp_path / "no_bloom")
+    build_dedup_index(corpus, idx_b)
+    build_dedup_index(corpus, idx_n)
+    shutil.rmtree(f"{idx_n}/bloom")  # a pre-r6 index: no summary stored
+
+    batch = spark.createDataFrame(
+        [_doc(100, texts[2]),                 # exact dup of the corpus
+         _doc(101, texts[3] + " extra"),      # near dup
+         _doc(102, "totally different words only never seen")]
+    )
+    vb = sorted(map(tuple, ingest_batch(spark, batch, idx_b).collect()))
+    vn = sorted(map(tuple, ingest_batch(spark, batch, idx_n).collect()))
+    assert vb == vn  # pruning never changes results
+
+    # the stored summary is bounded and grew with the admitted doc
+    bloom = spark.read.parquet(f"{idx_b}/bloom").distinct()
+    assert bloom.count() <= BLOOM_M
+
+    # cross-batch through the PRUNED path: the batch-1 admitted doc 102
+    # must be exact-caught in batch 2 (its positions were appended)
+    b2 = spark.createDataFrame(
+        [_doc(200, "totally different words only never seen")]
+    )
+    v2 = {r.doc_id: r for r in ingest_batch(spark, b2, idx_b).collect()}
+    assert v2[200].verdict == "exact_dup" and v2[200].match_doc_id == 102
