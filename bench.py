@@ -61,6 +61,12 @@ HEADLINE = [
     "q_doc_passage_scrub",
     "q_embed_decontaminate",
     "q_vpin",
+    # round 6: the three new LLM passes (stratified quantile gate, gram
+    # novelty) and the bounded-broadcast LM variant — the headline keeps
+    # tracking the whole engine as it grows
+    "q_doc_domain_gate",
+    "q_doc_novelty",
+    "q_doc_perplexity_capped",
 ]
 
 

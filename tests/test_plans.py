@@ -478,6 +478,9 @@ SHUFFLE_BUDGETS = {
     "q_doc_passage_scrub": 3,
     "q_embed_decontaminate": 1,
     "q_vpin": 2,
+    "q_doc_domain_gate": 1,
+    "q_doc_novelty": 2,
+    "q_doc_perplexity_capped": 7,
 }
 
 
