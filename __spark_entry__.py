@@ -1274,6 +1274,13 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.ngram_novelty(table(spark, sf_dir, "documents"))
 
 
+# round 6: deterministic content-hash train/val/test split (map-only,
+# growth-stable, exact-dup pairs never straddle splits)
+@q("q_doc_hash_split", text.DOC_HASH_SPLIT_ORACLE)
+def q_doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_hash_split(table(spark, sf_dir, "documents"))
+
+
 @q("q_embed_cosine_pairs", similarity.COSINE_PAIRS_ORACLE)
 def q_embed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs(table(spark, sf_dir, "embeddings"))

@@ -2670,3 +2670,48 @@ SELECT d.doc_id,
        coalesce(p.n_novel, 0) AS n_novel,
        round(coalesce(p.n_novel, 0) * 1.0 / p.n_grams, 6) AS novelty
 FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
+
+
+# train/val/test fractions on the 256-bucket content-hash wheel
+HASH_SPLIT_TRAIN_HI = 204  # buckets 0..203  (~80%)
+HASH_SPLIT_VAL_HI = 230    # buckets 204..229 (~10%)
+
+
+def doc_hash_split(documents: DataFrame) -> DataFrame:
+    """Deterministic content-hash train/val/test assignment — the
+    DATA-side split that complements :func:`~..operators.windows.
+    time_series_split`'s time-side split: each document's bucket is a
+    byte of md5(lower(text)), so the assignment is (a) reproducible
+    across runs and engines with no RNG state, (b) stable under corpus
+    growth (adding docs never reassigns existing ones), and (c)
+    LEAKAGE-SAFE under exact duplication — byte-identical texts land in
+    the same split by construction, so a dup pair can never straddle
+    train/test (the failure mode a row-number or rand() split has).
+
+    Map-only over the scan; no shuffle at any scale.
+
+    cf. reference: extends the surface (the reference's ML docs describe
+    a chronological split only; this is the content-keyed companion)."""
+    bucket = F.expr(
+        "cast(conv(substring(md5(lower(text)), 1, 2), 16, 10) as int)"
+    )
+    return documents.select(
+        "doc_id",
+        bucket.alias("hash_bucket"),
+        F.when(bucket < HASH_SPLIT_TRAIN_HI, "train")
+        .when(bucket < HASH_SPLIT_VAL_HI, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+DOC_HASH_SPLIT_ORACLE = f"""
+SELECT doc_id,
+       CAST(concat('0x', substring(md5(lower(text)), 1, 2)) AS INT)
+           AS hash_bucket,
+       CASE WHEN CAST(concat('0x', substring(md5(lower(text)), 1, 2)) AS INT)
+                 < {HASH_SPLIT_TRAIN_HI} THEN 'train'
+            WHEN CAST(concat('0x', substring(md5(lower(text)), 1, 2)) AS INT)
+                 < {HASH_SPLIT_VAL_HI} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents"""

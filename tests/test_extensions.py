@@ -539,3 +539,54 @@ def test_embed_decontaminate_flags_planted_paraphrase(spark):
     assert out2[3].n_eval_hits == 2  # hits both evals at the lax threshold
     assert out2[3].eval_id in (0, 5)
     assert 0 not in out2 and 5 not in out2  # eval side excluded
+
+
+def test_domain_gate_approx_knob(spark):
+    """The approx=True scale path (approx_percentile thresholds) keeps
+    the exact path's schema and scores; its threshold is an ORDER
+    STATISTIC of the observed scores (approx_percentile picks a real
+    element, exact percentile interpolates), so verdicts may differ only
+    at the quantile boundary — the same knob contract as
+    latency_percentiles."""
+    from bitcoin_datapipeline_spark.operators.text import (
+        domain_quantile_gate,
+    )
+
+    docs = spark.createDataFrame(
+        [_doc(i, ("the a of " * (i + 1)).strip()) for i in range(8)]
+    )
+    exact = {r.doc_id: r for r in domain_quantile_gate(docs).collect()}
+    approx = {
+        r.doc_id: r
+        for r in domain_quantile_gate(docs, approx=True).collect()
+    }
+    assert set(exact) == set(approx) == set(range(8))
+    scores = {exact[i].quality_score for i in range(8)}
+    for i in range(8):
+        assert exact[i].quality_score == approx[i].quality_score
+        assert approx[i].domain_threshold in scores  # real order statistic
+    n_exact = sum(exact[i].keep for i in range(8))
+    n_approx = sum(approx[i].keep for i in range(8))
+    assert abs(n_exact - n_approx) <= 1  # boundary doc only
+
+
+def test_doc_hash_split_dup_pairs_never_straddle(spark):
+    """The content-hash split's leakage guarantee: byte-identical texts
+    always co-assign; assignments are deterministic across calls and
+    unaffected by corpus growth."""
+    from bitcoin_datapipeline_spark.operators.text import doc_hash_split
+
+    texts = [f"doc number {i} words" for i in range(20)]
+    docs = spark.createDataFrame(
+        [_doc(i, texts[i % 10]) for i in range(20)]  # each text twice
+    )
+    out = {r.doc_id: r.split for r in doc_hash_split(docs).collect()}
+    for i in range(10):
+        assert out[i] == out[i + 10]  # duplicate pair co-assigned
+    # growth-stable: adding docs never reassigns existing ones
+    grown = spark.createDataFrame(
+        [_doc(i, texts[i % 10]) for i in range(20)]
+        + [_doc(100 + i, f"new doc {i}") for i in range(5)]
+    )
+    out2 = {r.doc_id: r.split for r in doc_hash_split(grown).collect()}
+    assert all(out2[i] == out[i] for i in range(20))
