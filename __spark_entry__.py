@@ -1281,6 +1281,14 @@ def q_doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_hash_split(table(spark, sf_dir, "documents"))
 
 
+# round 6: any-offset duplicated-substring share (sliding stride-1
+# windows — the Lee et al. exact-substring detection semantic that the
+# fixed-grid passage_scrub cannot see; interval-union coverage per doc)
+@q("q_doc_substring_dup", text.SUBSTRING_DUP_ORACLE)
+def q_doc_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.substring_dup_share(table(spark, sf_dir, "documents"))
+
+
 @q("q_embed_cosine_pairs", similarity.COSINE_PAIRS_ORACLE)
 def q_embed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs(table(spark, sf_dir, "embeddings"))

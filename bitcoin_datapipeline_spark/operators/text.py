@@ -2715,3 +2715,147 @@ SELECT doc_id,
                  < {HASH_SPLIT_VAL_HI} THEN 'val'
             ELSE 'test' END AS split
 FROM documents"""
+
+
+SUBSTR_W = 8  # any-offset duplicated-substring detection window
+
+
+def substring_dup_share(
+    documents: DataFrame, w: int = SUBSTR_W
+) -> DataFrame:
+    """Any-offset duplicated-substring measurement — the SLIDING-window
+    strengthening of :func:`passage_scrub`: a passage duplicated across
+    documents at an arbitrary token offset is invisible to the fixed
+    non-overlapping grid (the two copies tile into different segments)
+    but is caught here, because EVERY w-token window (stride 1) is
+    hashed.  This is the detection semantic of the suffix-array pass in
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2022) at fixed minimum-match length w; per document it reports
+    how many windows are corpus-duplicated and the share of the
+    document's tokens covered by at least one such window — the signal a
+    pipeline thresholds before paying for span REMOVAL.
+
+    Spark-first shape, and the documented trade: the explode emits ~n
+    window hashes per n-token document (w× the fixed-grid pass) — the
+    cost the suffix-array construction avoids on a single machine, paid
+    here deliberately because hash-explode + two-phase countDistinct is
+    embarrassingly parallel while a distributed suffix array is not.
+    Stages: stride-1 window explode → per-(hash, doc) MAP-SIDE collapse →
+    distinct-doc count per hash → equi-join verdicts back → per-doc
+    interval-union coverage (running-max end over ONE partitionBy(doc_id)
+    sort — windows per task bounded by document length, never corpus
+    size) → per-doc aggregate.  Same hot-hash discipline as
+    passage_scrub: the verdict join's build side is one row per hash.
+
+    cf. reference: extends the surface (no text analytics in the
+    reference; completes the exact-dedup family alongside
+    `passage_scrub` / `doc_winnow`)."""
+    toks = documents.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("toks"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    wins = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {w} THEN "
+                f"transform(sequence(0, size(toks) - {w}), i -> "
+                f"named_struct('i', i, 'h', "
+                f"md5(lower(concat_ws(' ', slice(toks, i + 1, {w})))))) "
+                "ELSE array() END"
+            )
+        ).alias("win"),
+    ).select("doc_id", "n_tokens", F.col("win.i").alias("i"), F.col("win.h").alias("h"))
+    # two-phase distinct-doc count: per-(h, doc) collapse is map-side
+    df_ = (
+        wins.groupBy("h", "doc_id")
+        .agg(F.lit(1).alias("one"))
+        .groupBy("h")
+        .agg(F.count("*").cast("long").alias("docs"))
+    )
+    flagged = wins.join(df_.filter(F.col("docs") >= 2), "h")
+    wd = Window.partitionBy("doc_id").orderBy("i")
+    prev_end = F.max(F.col("i") + F.lit(w)).over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.lit(0),
+        (F.col("i") + F.lit(w))
+        - F.greatest(F.coalesce(prev_end, F.lit(0)), F.col("i")),
+    )
+    per_doc = flagged.select(
+        "doc_id", contrib.alias("c")
+    ).groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dup_windows"),
+        F.sum("c").cast("long").alias("covered_tokens"),
+    )
+    return (
+        documents.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+            F.greatest(
+                F.lit(0),
+                F.size(F.split(F.col("text"), " ")) - F.lit(w - 1),
+            ).alias("n_windows"),
+        )
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias(
+                "n_dup_windows"
+            ),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long").alias(
+                "covered_tokens"
+            ),
+            r6(
+                F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens")
+            ).alias("dup_share"),
+        )
+    )
+
+
+SUBSTRING_DUP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, i,
+         md5(lower(array_to_string(toks[i+1:i+{SUBSTR_W}], ' '))) AS h
+  FROM (SELECT doc_id, toks,
+               unnest(range(0, len(toks) - {SUBSTR_W} + 1)) AS i
+        FROM t WHERE len(toks) >= {SUBSTR_W})
+),
+df AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS docs
+  FROM (SELECT DISTINCT h, doc_id FROM wins) GROUP BY h
+),
+flagged AS (
+  SELECT w.doc_id, w.i FROM wins w JOIN df USING (h) WHERE df.docs >= 2
+),
+cov AS (
+  SELECT doc_id, i,
+         greatest(0, (i + {SUBSTR_W})
+                     - greatest(coalesce(max(i + {SUBSTR_W}) OVER (
+                           PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0), i)) AS c
+  FROM flagged
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_dup_windows,
+         CAST(sum(c) AS BIGINT) AS covered_tokens
+  FROM cov GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(greatest(0, t.n_tokens - {SUBSTR_W - 1}) AS BIGINT) AS n_windows,
+       coalesce(p.n_dup_windows, 0) AS n_dup_windows,
+       coalesce(p.covered_tokens, 0) AS covered_tokens,
+       round(coalesce(p.covered_tokens, 0) * 1.0 / t.n_tokens, 6)
+           AS dup_share
+FROM t LEFT JOIN per_doc p USING (doc_id)"""

@@ -590,3 +590,46 @@ def test_doc_hash_split_dup_pairs_never_straddle(spark):
     )
     out2 = {r.doc_id: r.split for r in doc_hash_split(grown).collect()}
     assert all(out2[i] == out[i] for i in range(20))
+
+
+def test_substring_dup_catches_offset_duplication(spark):
+    """The sliding-window pass detects a cross-document passage at an
+    ARBITRARY offset — the case the fixed non-overlapping grid
+    (passage_scrub) structurally misses — and interval-union coverage
+    counts overlapping flagged windows once."""
+    from bitcoin_datapipeline_spark.operators.text import (
+        passage_scrub,
+        substring_dup_share,
+    )
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"  # 8 tokens = one window
+    # doc 0 carries the passage at offset 0; doc 1 at offset 3 — the
+    # fixed 8-grid tiles doc 1's copy across two segments, so
+    # passage_scrub sees no cross-doc segment, but every stride-1 pass
+    # sees the identical window
+    d0 = shared + " a1 a2 a3 a4 a5"
+    d1 = "b1 b2 b3 " + shared + " b4 b5"
+    docs = spark.createDataFrame([_doc(0, d0), _doc(1, d1)])
+
+    scrub = {r.doc_id: r for r in passage_scrub(docs).collect()}
+    assert scrub[0].n_removed == 0 and scrub[1].n_removed == 0  # grid-blind
+
+    out = {r.doc_id: r for r in substring_dup_share(docs).collect()}
+    assert out[0].n_dup_windows == 1 and out[0].covered_tokens == 8
+    assert out[1].n_dup_windows == 1 and out[1].covered_tokens == 8
+    assert out[0].dup_share == round(8 / 13, 6)
+    assert out[1].dup_share == round(8 / 13, 6)
+
+    # overlap-union: doc 2/3 share a 10-token passage = three overlapping
+    # flagged windows covering exactly 10 tokens, not 24
+    long_shared = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    docs2 = spark.createDataFrame(
+        [_doc(2, long_shared + " u1 u2"), _doc(3, "v1 " + long_shared)]
+    )
+    out2 = {r.doc_id: r for r in substring_dup_share(docs2).collect()}
+    assert out2[2].n_dup_windows == 3 and out2[2].covered_tokens == 10
+    assert out2[3].n_dup_windows == 3 and out2[3].covered_tokens == 10
+    # a doc shorter than the window reports zero windows, share 0
+    tiny = spark.createDataFrame([_doc(9, "one two"), _doc(10, "one two")])
+    t9 = {r.doc_id: r for r in substring_dup_share(tiny).collect()}
+    assert t9[9].n_windows == 0 and t9[9].dup_share == 0.0
