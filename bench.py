@@ -92,6 +92,9 @@ FAMILIES: dict[str, list[str]] = {
         "q_doc_incremental_dedup",
         # segment-hash df join-back (hot-boilerplate fan-out risk)
         "q_doc_passage_scrub",
+        # stride-1 window explode (w-times the fixed grid — the
+        # documented trade; decade row proves it stays linear)
+        "q_doc_substring_dup",
     ],
     "ann": [
         "q_embed_ann_ivf",
