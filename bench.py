@@ -110,6 +110,9 @@ FAMILIES: dict[str, list[str]] = {
     "quality": [
         "q_doc_perplexity",
         "q_doc_perplexity_capped",
+        # the (V+1)^2-key transition-table cap — the heavier bounded
+        # broadcast of the two capped LM variants
+        "q_doc_perplexity_bigram_capped",
         "q_doc_dsir_weights",
     ],
     # q_returns_1s_full_span is the PRODUCTION grid convention: the

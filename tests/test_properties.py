@@ -809,3 +809,52 @@ def test_stream_roll_processor_matches_batch(spark, batch, n_chunks):
         assert (g.n_pairs, g.serial_cov, g.roll_spread) == (
             w.n_pairs, w.serial_cov, w.roll_spread,
         ), (g, w)
+
+
+_score_docs = st.lists(
+    st.tuples(
+        st.sampled_from(["sA", "sB"]),
+        st.lists(st.sampled_from(["the", "a", "of", "word", "zig", "zag"]),
+                 min_size=1, max_size=20),
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(docs=_score_docs)
+@_settings
+def test_domain_gate_threshold_matches_numpy_interpolation(spark, docs):
+    """Spark's exact `percentile` must agree with the linear-interpolation
+    convention (index q*(n-1), numpy 'linear') on the 6-dp-rounded
+    scores for every random per-source group — the interpolation parity
+    the DuckDB quantile_cont oracle relies on, pinned independently."""
+    import numpy as np
+
+    from bitcoin_datapipeline_spark.operators.text import (
+        DOMAIN_GATE_Q,
+        domain_quantile_gate,
+    )
+    from bitcoin_datapipeline_spark.streaming.vpin import _round6
+
+    rows = [
+        Row(doc_id=i, text=" ".join(ws), lang="en", source=src,
+            n_chars=len(" ".join(ws)))
+        for i, (src, ws) in enumerate(docs)
+    ]
+    out = domain_quantile_gate(spark.createDataFrame(rows)).collect()
+    by_src: dict[str, list[float]] = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.quality_score)
+    want_thr = {
+        s: _round6(
+            float(np.percentile(np.array(v), DOMAIN_GATE_Q * 100,
+                                method="linear"))
+        )
+        for s, v in by_src.items()
+    }
+    for r in out:
+        assert r.domain_threshold == want_thr[r.source], (
+            r.source, r.domain_threshold, want_thr[r.source], by_src[r.source]
+        )
+        assert r.keep == (r.quality_score >= r.domain_threshold)
