@@ -2028,10 +2028,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # Registration order above is thematic; this list orders queries by driver-
 # evidence AGE (oldest first) so each round's 50-slot window refreshes the
 # stalest rows.  After r5 every query's latest driver row is r3 (35
-# queries), r4 (50), or r5 (50); the r6 window takes all 35 r3-era rows
-# plus the 15 oldest r4-era rows, after which no query's latest driver
-# row predates r4 (VERDICT r5 item 4).  Queries not listed are NEW (no
-# driver row at all) and sort first -- see _driver_order.
+# queries), r4 (50), or r5 (50); in r6 the SEVEN new queries (no driver
+# row yet) sort first and consume gate slots, so the 50-slot window
+# covers 7 new + all 35 r3-era rows + the 8 oldest r4-era rows — after
+# which no query's latest driver row predates r4 (VERDICT r5 item 4).
+# Queries not listed are NEW and sort first -- see _driver_order.
 _DRIVER_PRIORITY: list[str] = [
     # 35 whose last driver row is CORRECTNESS_r03
     "q_decimal_string_format",

@@ -629,10 +629,18 @@ def _dedup_gate(
         "doc_id", F.md5(F.lower(F.col("text"))).alias("h")
     )
     if bloom_bits is not None:
+        # defensive distinct: the stored bloom/ table is append-only, so
+        # a caller passing it raw would carry duplicate position rows —
+        # a doc position then joins >1 times and count == k would read
+        # FALSE for a genuine member (a Bloom false negative, the one
+        # failure the structure must never have)
         member = (
             bloom_doc_positions(incoming)
             .join(
-                F.broadcast(bloom_bits.withColumn("set_", F.lit(True))),
+                F.broadcast(
+                    bloom_bits.select("pos").distinct()
+                    .withColumn("set_", F.lit(True))
+                ),
                 "pos",
                 "left",
             )
@@ -921,18 +929,29 @@ SELECT doc_id, CAST({_FP_SQL} AS BIGINT) AS simhash16
 FROM votes"""
 
 
+def _quality_score_exprs():
+    """The composite 0-1 quality score's column expressions — ONE
+    definition shared by :func:`doc_quality` and
+    :func:`domain_quantile_gate`, so the per-domain gate can never drift
+    from the score it claims to threshold.  Returns (len_score,
+    stop_score, ttr, score)."""
+    t = _tokens()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tok = F.size(t)
+    stop_ratio = (
+        F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x))) / n_tok
+    )
+    ttr = F.size(F.array_distinct(t)) / n_tok
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    stop_score = F.least(stop_ratio / F.lit(0.05), F.lit(1.0))
+    return len_score, stop_score, ttr, (len_score + stop_score + ttr) / 3.0
+
+
 def doc_quality(documents: DataFrame) -> DataFrame:
     """Quality scoring: length / stopword / repetition signals composed into
     a 0-1 score and a keep/review/drop bucket — the standard pre-training
     filter pass."""
-    t = _tokens()
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_tok = F.size(t)
-    stop_ratio = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x))) / n_tok
-    ttr = F.size(F.array_distinct(t)) / n_tok
-    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
-    stop_score = F.least(stop_ratio / F.lit(0.05), F.lit(1.0))
-    score = (len_score + stop_score + ttr) / 3.0
+    len_score, stop_score, ttr, score = _quality_score_exprs()
     return documents.select(
         "doc_id",
         r6(len_score).alias("length_score"),
@@ -2139,12 +2158,19 @@ def _release_ckpt(df: DataFrame) -> None:
         if leaked is None or leaked:
             import warnings
 
+            # NB: getRDDStorageInfo is app-wide — surviving blocks may
+            # belong to unrelated caches (a user df.cache(), another
+            # live components result), and the RDD that backs THIS
+            # frame's checkpoint is only reachable through the broken
+            # private path.  So the warning claims inconclusive
+            # verification, not a certain leak.
             warnings.warn(
-                "_release_ckpt: private RDD handle unavailable and "
-                "DataFrame.unpersist left checkpoint blocks cached "
-                f"({'unverifiable' if leaked is None else len(leaked)}) — "
-                "release_components/components_scope are not reclaiming "
-                "storage on this Spark version",
+                "_release_ckpt: private RDD handle unavailable; fell "
+                "back to DataFrame.unpersist (a documented no-op for "
+                "checkpoint blocks) and could not verify the release — "
+                f"{'storage info unreadable' if leaked is None else f'{len(leaked)} cached RDD(s) remain app-wide (possibly unrelated)'}. "
+                "release_components/components_scope may not be "
+                "reclaiming storage on this Spark version",
                 RuntimeWarning,
                 stacklevel=2,
             )
@@ -2429,19 +2455,11 @@ def domain_quantile_gate(
     cf. reference: extends the surface (no corpus curation in the
     reference; the quality signals reuse `doc_quality`'s composition).
     """
-    t = _tokens()
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_tok = F.size(t)
-    stop_ratio = (
-        F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x))) / n_tok
-    )
-    ttr = F.size(F.array_distinct(t)) / n_tok
-    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
-    stop_score = F.least(stop_ratio / F.lit(0.05), F.lit(1.0))
+    _, _, _, score = _quality_score_exprs()
     scored = documents.select(
         "doc_id",
         "source",
-        r6((len_score + stop_score + ttr) / 3.0).alias("quality_score"),
+        r6(score).alias("quality_score"),
     )
     pct = (
         F.expr(f"approx_percentile(quality_score, {q})")

@@ -62,17 +62,15 @@ def _hashes(docs: DataFrame) -> DataFrame:
 
 
 def _bloom_positions(docs: DataFrame) -> DataFrame:
-    """The content-hash Bloom positions (operators/text.bloom_gate's
-    hashing: k md5-derived 28-bit positions mod m) — the <= BLOOM_M-row
-    summary the index stores alongside the exact hash table."""
-    pos = F.array(*[
-        F.expr(
-            f"cast(conv(substring(md5(concat('{i}', '|', "
-            f"md5(lower(text)))), 1, 7), 16, 10) as bigint) % {BLOOM_M}"
-        )
-        for i in range(BLOOM_K)
-    ])
-    return docs.select(F.explode(pos).alias("pos")).distinct()
+    """The content-hash Bloom positions — the <= BLOOM_M-row summary the
+    index stores alongside the exact hash table.  Delegates to the ONE
+    hashing implementation (`text.bloom_doc_positions`) so the stored
+    filter and the gate's probe positions can never drift apart: a
+    hashing tweak applied to one but not the other would produce Bloom
+    false negatives and silently admit exact duplicates."""
+    from ..operators.text import bloom_doc_positions
+
+    return bloom_doc_positions(docs, BLOOM_M, BLOOM_K, keep_doc=False).distinct()
 
 
 def build_dedup_index(
