@@ -1162,3 +1162,70 @@ def test_stream_kyle_lambda_matches_batch_closed_buckets(spark, tmp_path):
     assert (g.n_buckets, g.kyle_lambda, g.impact_intercept) == (
         w.n_buckets, w.kyle_lambda, w.impact_intercept,
     )
+
+
+def test_stream_kyle_bounded_lateness_reorders_across_batches(spark):
+    """A trade delivered out of order ACROSS a micro-batch boundary lands
+    in its correct minute bucket when allowed_lateness_s covers the
+    disorder; a hard-late trade under lateness 0 is dropped and counted —
+    the shared merge_fold discipline, exercised on the Kyle twin."""
+    import pandas as pd
+
+    from bitcoin_datapipeline_spark.operators.aggregates import kyle_lambda
+    from bitcoin_datapipeline_spark.streaming.impact import (
+        make_kyle_processor,
+    )
+
+    cols = ["event_ts", "trade_id", "price", "qty", "is_buyer_maker"]
+    # minute buckets 0,1,2; t3 (bucket 0's close) arrives a batch late
+    tape = [
+        (10_000, 1, 100.0, 5.0, False),
+        (20_000, 2, 101.0, 3.0, True),
+        (30_000, 3, 102.0, 2.0, False),   # late-delivered
+        (70_000, 4, 103.0, 4.0, False),   # bucket 1
+        (80_000, 5, 102.5, 1.0, True),
+        (130_000, 6, 104.0, 6.0, False),  # bucket 2 (stays open)
+    ]
+    batches = [
+        [tape[0], tape[1]],
+        [tape[3], tape[4]],            # bucket 1 before t3 arrives
+        [tape[2]],                     # t3, 50s late
+        [tape[5]],
+        # flush: advances the lateness horizon past buckets 0-1 so their
+        # events fold and bucket 2 opens (closing bucket 1)
+        [(200_000, 7, 104.0, 1.0, False)],
+    ]
+    state = _VpinState()
+    fn = make_kyle_processor(allowed_lateness_s=60)
+    emitted = []
+    for b in batches:
+        for out in fn(("A",), iter([pd.DataFrame(b, columns=cols)]), state):
+            emitted.extend(out.itertuples(index=False))
+    assert [e.bucket for e in emitted] == [0, 1]
+    assert all(e.late_dropped == 0 for e in emitted)
+    # the bucket-1 row equals batch kyle_lambda over buckets 0..1 of the
+    # CORRECTLY ORDERED tape — t3 landed in bucket 0 despite arriving
+    # after bucket 1's trades
+    schema = ("symbol string, event_ts long, trade_id long, price double,"
+              " qty double, is_buyer_maker boolean")
+    df = spark.createDataFrame(
+        [("A",) + t for t in tape if t[0] < 120_000], schema
+    )
+    w = kyle_lambda(df).collect()[0]
+    g = emitted[-1]
+    assert (g.n_buckets, g.kyle_lambda, g.impact_intercept) == (
+        w.n_buckets, w.kyle_lambda, w.impact_intercept,
+    )
+
+    # hard-late under lateness 0: dropped + counted, buckets unpolluted
+    state2 = _VpinState()
+    fn2 = make_kyle_processor(allowed_lateness_s=0)
+    emitted2 = []
+    for b in [[tape[0], tape[1]], [(15_000, 9, 500.0, 9.0, False), tape[3]],
+              [tape[5]]]:
+        for out in fn2(("A",), iter([pd.DataFrame(b, columns=cols)]), state2):
+            emitted2.extend(out.itertuples(index=False))
+    assert [e.bucket for e in emitted2] == [0, 1]
+    assert emitted2[0].late_dropped == 1  # counted on first row after drop
+    # the dropped 500.0 print never entered bucket 0's open/close
+    assert emitted2[0].n_buckets == 1
