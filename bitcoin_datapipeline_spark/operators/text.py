@@ -2450,7 +2450,12 @@ def domain_quantile_gate(
     memory) — the same exact/approx knob contract as
     ``latency_percentiles``.  Both engines quantile over the 6-dp-rounded
     scores and round the threshold again, so the keep boundary compares
-    identical operands.
+    identical operands.  Interpolation parity is EXACT, not approximate:
+    Spark ``percentile`` and DuckDB ``quantile_cont`` both compute the
+    symmetric lerp lo*(1-f) + hi*f at index q*(n-1) — verified on a
+    half-ulp boundary case where numpy's lo + (hi-lo)*f form lands one
+    ulp higher and flips the 6-dp rounding (pinned by a hypothesis test
+    in tests/test_properties.py).
 
     cf. reference: extends the surface (no corpus curation in the
     reference; the quality signals reuse `doc_quality`'s composition).

@@ -824,18 +824,27 @@ _score_docs = st.lists(
 
 @given(docs=_score_docs)
 @_settings
-def test_domain_gate_threshold_matches_numpy_interpolation(spark, docs):
-    """Spark's exact `percentile` must agree with the linear-interpolation
-    convention (index q*(n-1), numpy 'linear') on the 6-dp-rounded
-    scores for every random per-source group — the interpolation parity
-    the DuckDB quantile_cont oracle relies on, pinned independently."""
-    import numpy as np
-
+def test_domain_gate_threshold_matches_lerp_interpolation(spark, docs):
+    """Spark's exact `percentile` must agree with the SYMMETRIC linear
+    interpolation lo*(1-f) + hi*f at index q*(n-1) on the 6-dp-rounded
+    scores for every random per-source group — the exact arithmetic
+    DuckDB's quantile_cont shares (verified on a half-ulp boundary case:
+    both engines produce 0.39071449999999996 where numpy's
+    lo + (hi-lo)*f form lands one ulp higher at 0.3907145, flipping the
+    6-dp rounding).  This pins the convention the oracle relies on."""
     from bitcoin_datapipeline_spark.operators.text import (
         DOMAIN_GATE_Q,
         domain_quantile_gate,
     )
     from bitcoin_datapipeline_spark.streaming.vpin import _round6
+
+    def lerp_quantile(vals, q):
+        v = sorted(vals)
+        pos = q * (len(v) - 1)
+        lo_i = int(pos)
+        f = pos - lo_i
+        hi_i = min(lo_i + 1, len(v) - 1)
+        return v[lo_i] * (1 - f) + v[hi_i] * f
 
     rows = [
         Row(doc_id=i, text=" ".join(ws), lang="en", source=src,
@@ -847,10 +856,7 @@ def test_domain_gate_threshold_matches_numpy_interpolation(spark, docs):
     for r in out:
         by_src.setdefault(r.source, []).append(r.quality_score)
     want_thr = {
-        s: _round6(
-            float(np.percentile(np.array(v), DOMAIN_GATE_Q * 100,
-                                method="linear"))
-        )
+        s: _round6(lerp_quantile(v, DOMAIN_GATE_Q))
         for s, v in by_src.items()
     }
     for r in out:
