@@ -864,3 +864,62 @@ def test_domain_gate_threshold_matches_lerp_interpolation(spark, docs):
             r.source, r.domain_threshold, want_thr[r.source], by_src[r.source]
         )
         assert r.keep == (r.quality_score >= r.domain_threshold)
+
+
+@given(docs=_docs_strategy, v=st.integers(min_value=1, max_value=6))
+@_settings
+def test_capped_unigram_logloss_matches_naive(spark, docs, v):
+    """The top-V + UNK-bucket unigram LM equals a naive Fraction-exact
+    Python reference for every random corpus and cap: top-V by (count
+    desc, token asc), tail mass as the UNK probability, per-doc mean NLL
+    over the mixed lookup — including caps larger than the vocabulary
+    (empty tail never scores: no token falls through to UNK)."""
+    import math
+    from fractions import Fraction
+
+    from bitcoin_datapipeline_spark.operators.text import unigram_logloss
+    from bitcoin_datapipeline_spark.streaming.vpin import _round6
+
+    toks_per_doc = [ws for ws in docs]
+    if not any(toks_per_doc):
+        return
+    counts: dict[str, int] = {}
+    for ws in toks_per_doc:
+        for w in ws:
+            counts[w] = counts.get(w, 0) + 1
+    total = sum(counts.values())
+    top = sorted(counts, key=lambda t: (-counts[t], t))[:v]
+    top_set = set(top)
+    p_unk = Fraction(total - sum(counts[t] for t in top), total)
+    want = {}
+    for i, ws in enumerate(toks_per_doc):
+        if not ws:
+            continue
+        nll = 0.0
+        for w in ws:
+            p = (
+                Fraction(counts[w], total) if w in top_set else p_unk
+            )
+            nll += -math.log(float(p))
+        avg = -(-nll / len(ws))  # keep the engine's -avg(log p) ordering
+        want[i] = (len(ws), _round6(avg), _round6(math.exp(avg)))
+
+    rows = [
+        Row(doc_id=i, text=" ".join(ws), lang="en", source="s",
+            n_chars=len(" ".join(ws)))
+        for i, ws in enumerate(toks_per_doc) if ws
+    ]
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_nll, r.ppl)
+        for r in unigram_logloss(
+            spark.createDataFrame(rows), vocab_top_v=v
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for i, w in want.items():
+        g = got[i]
+        assert g[0] == w[0]
+        # float sum order differs from Spark's avg; 6-dp agreement is the
+        # engine policy bar (exact equality holds in practice off the
+        # rounding boundary, but -avg(ln p) accumulates in engine order)
+        assert abs(g[1] - w[1]) <= 1e-6 and abs(g[2] - w[2]) <= 1e-5, (g, w)

@@ -1229,3 +1229,50 @@ def test_stream_kyle_bounded_lateness_reorders_across_batches(spark):
     assert emitted2[0].late_dropped == 1  # counted on first row after drop
     # the dropped 500.0 print never entered bucket 0's open/close
     assert emitted2[0].n_buckets == 1
+
+
+def test_stream_roll_bounded_lateness_reorders_across_batches(spark):
+    """A price delivered out of order across a micro-batch boundary lands
+    in its correct Δp-pair position under allowed_lateness_s — the final
+    streaming row equals batch roll_spread over the correctly ordered
+    tape (merge_fold discipline on the Roll twin)."""
+    import pandas as pd
+
+    from bitcoin_datapipeline_spark.operators.aggregates import roll_spread
+    from bitcoin_datapipeline_spark.streaming.impact import (
+        make_roll_processor,
+    )
+
+    cols = ["event_ts", "trade_id", "price"]
+    tape = [
+        (1_000, 1, 100.0),
+        (2_000, 2, 99.5),
+        (3_000, 3, 100.2),   # late-delivered
+        (4_000, 4, 99.8),
+        (5_000, 5, 100.1),
+    ]
+    batches = [
+        [tape[0], tape[1]],
+        [tape[3], tape[4]],          # arrive before t3
+        [tape[2]],                   # t3, 2s late
+        [(60_000, 6, 100.0)],        # flush past the lateness window
+    ]
+    state = _VpinState()
+    fn = make_roll_processor(allowed_lateness_s=5)
+    emitted = []
+    for b in batches:
+        for out in fn(("A",), iter([pd.DataFrame(b, columns=cols)]), state):
+            emitted.extend(out.itertuples(index=False))
+    assert emitted and all(e.late_dropped == 0 for e in emitted)
+    final = emitted[-1]
+    # the flush trade itself stays inside the lateness window (pending,
+    # not folded) — the batch twin compares over the FOLDED prefix
+    schema = ("symbol string, event_ts long, trade_id long, price double,"
+              " qty double, is_buyer_maker boolean")
+    df = spark.createDataFrame(
+        [("A", ts, tid, p, 1.0, False) for ts, tid, p in tape], schema
+    )
+    w = roll_spread(df).collect()[0]
+    assert (final.n_pairs, final.serial_cov, final.roll_spread) == (
+        w.n_pairs, w.serial_cov, w.roll_spread,
+    )
