@@ -143,8 +143,32 @@ def _decode_ppm(payload: bytes):
         raise ValueError(f"unsupported netpbm maxval {maxval} (8-bit only)")
     channels = 3 if magic == b"P6" else 1
     n = width * height * channels
-    # exactly ONE whitespace byte separates maxval from the raster
-    raster = data[end + 1: end + 1 + n]
+    # the spec mandates a single whitespace byte between maxval and the
+    # raster, but real writers emit CRLF or a trailing comment line; the
+    # separator is consumed tolerantly WITHOUT ever eating raster bytes:
+    # whitespace/comments are skipped only while the remaining payload is
+    # still LONGER than the raster, so a raster whose first byte happens
+    # to be whitespace-valued is untouched once the length lines up, and
+    # non-separator surplus bytes are rejected instead of shifting the
+    # raster start silently off-by-one.
+    if end >= len(data) or not data[end:end + 1].isspace():
+        raise ValueError("netpbm maxval not followed by whitespace")
+    start = end + 1
+    while len(data) - start > n:
+        c = data[start:start + 1]
+        if c.isspace():
+            start += 1
+        elif c == b"#":
+            while start < len(data) and data[start:start + 1] not in (
+                b"\n", b"\r"
+            ):
+                start += 1
+        else:
+            raise ValueError(
+                f"netpbm payload has {len(data) - start - n} trailing "
+                "bytes after the raster"
+            )
+    raster = data[start:start + n]
     if len(raster) != n:
         raise ValueError(
             f"truncated netpbm raster: want {n} bytes, have {len(raster)}"

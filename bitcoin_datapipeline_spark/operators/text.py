@@ -1768,6 +1768,16 @@ SELECT doc_id,
 FROM scored GROUP BY doc_id"""
 
 
+# UNK sentinel for the capped-vocabulary LMs: contains a SPACE, which a
+# space-split token can never contain, so no corpus token can spoof it
+# (a literal "<unk>" in the data stays its own vocabulary entry).
+_UNK = "<unk >"
+# bigram-key separator: \x1f (unit separator) — never appears in
+# space-split tokens AND not a space, so keys embedding the
+# space-carrying _UNK sentinel still split unambiguously.
+_BG_SEP = "\x1f"
+
+
 def bigram_logloss(
     documents: DataFrame, vocab_top_v: int | None = None
 ) -> DataFrame:
@@ -1787,13 +1797,23 @@ def bigram_logloss(
     production left-joins them back with a null score).
 
     ``vocab_top_v`` caps the model vocabulary the same way as
-    :func:`unigram_logloss`: out-of-top-V tokens collapse to a literal
-    ``<unk>`` symbol BEFORE transition counting (the standard KenLM
+    :func:`unigram_logloss`: out-of-top-V tokens collapse to an UNK
+    symbol BEFORE transition counting (the standard KenLM
     open-vocabulary treatment), so the transition table is bounded by
     (V+1)² keys and both probability joins stay broadcastable at 100 TB.
     The mapping itself is broadcast left-joins on the exploded tokens /
     bigram legs — map-side, no extra corpus-sized shuffle.  Default
-    ``None`` keeps the exact uncapped model for oracle parity."""
+    ``None`` keeps the exact uncapped model for oracle parity.
+
+    The UNK sentinel is :data:`_UNK` = ``"<unk >"`` — it contains a
+    space, which a space-split token can NEVER contain, so a corpus
+    token literally spelled ``<unk>`` stays a distinct vocabulary entry
+    instead of silently merging into the UNK bucket and perturbing the
+    transition counts (the spoofable-sentinel hazard of the bare KenLM
+    convention).  Bigram keys are joined with :data:`_BG_SEP` (the
+    ``\\x1f`` unit separator) rather than a space for the same reason:
+    the key stays unambiguously splittable even when one leg is the
+    space-carrying sentinel."""
     toks = documents.select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     )
@@ -1803,7 +1823,7 @@ def bigram_logloss(
             F.expr(
                 "CASE WHEN size(toks) >= 2 THEN"
                 " transform(sequence(0, size(toks) - 2), i -> "
-                "  concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2)))"
+                "  concat_ws(chr(31), element_at(toks, i + 1), element_at(toks, i + 2)))"
                 " ELSE array() END"
             )
         ).alias("bg"),
@@ -1820,25 +1840,25 @@ def bigram_logloss(
         )
         unigrams = unigrams.join(F.broadcast(top), "w", "left").select(
             F.when(F.col("keep"), F.col("w"))
-            .otherwise(F.lit("<unk>"))
+            .otherwise(F.lit(_UNK))
             .alias("w")
         )
         t1 = top.select(F.col("w").alias("w1"), F.col("keep").alias("k1"))
         t2 = top.select(F.col("w").alias("w2"), F.col("keep").alias("k2"))
         bigrams = (
-            bigrams.withColumn("w1", F.split("bg", " ")[0])
-            .withColumn("w2", F.split("bg", " ")[1])
+            bigrams.withColumn("w1", F.split("bg", _BG_SEP)[0])
+            .withColumn("w2", F.split("bg", _BG_SEP)[1])
             .join(F.broadcast(t1), "w1", "left")
             .join(F.broadcast(t2), "w2", "left")
             .select(
                 "doc_id",
                 F.concat_ws(
-                    " ",
+                    _BG_SEP,
                     F.when(F.col("k1"), F.col("w1")).otherwise(
-                        F.lit("<unk>")
+                        F.lit(_UNK)
                     ),
                     F.when(F.col("k2"), F.col("w2")).otherwise(
-                        F.lit("<unk>")
+                        F.lit(_UNK)
                     ),
                 ).alias("bg"),
             )
@@ -1847,7 +1867,7 @@ def bigram_logloss(
     v = uni.groupBy().agg(F.count("*").alias("v"))
     bi = bigrams.groupBy("bg").agg(F.count("*").alias("cbg"))
     probs = (
-        bi.withColumn("w", F.split(F.col("bg"), " ")[0])
+        bi.withColumn("w", F.split(F.col("bg"), _BG_SEP)[0])
         .join(uni, "w")
         .join(F.broadcast(v))
         .select(
@@ -1893,7 +1913,9 @@ GROUP BY doc_id"""
 
 
 # capped-vocab twin of BIGRAM_LOGLOSS_ORACLE: tokens outside the top-{v}
-# collapse to '<unk>' before transition counting.  DuckDB forbids
+# collapse to the un-spoofable '<unk >' sentinel (space-carrying — no
+# space-split token can collide) before transition counting, and bigram
+# keys join on chr(31) so the sentinel splits cleanly.  DuckDB forbids
 # subqueries inside lambda expressions, so the token mapping is expressed
 # as explode-with-position -> left join top -> list(... ORDER BY i) —
 # the same semantics as the engine's broadcast-join mapping.
@@ -1910,7 +1932,7 @@ exploded AS (
 ),
 mapped AS (
   SELECT e.doc_id, e.i,
-         CASE WHEN tp.w IS NULL THEN '<unk>' ELSE e.x END AS x
+         CASE WHEN tp.w IS NULL THEN '<unk >' ELSE e.x END AS x
   FROM exploded e LEFT JOIN topw tp ON e.x = tp.w
 ),
 toks AS (
@@ -1918,7 +1940,7 @@ toks AS (
 ),
 bigrams AS (
   SELECT doc_id,
-         unnest([array_to_string(t[i:i+1], ' ')
+         unnest([array_to_string(t[i:i+1], chr(31))
                  for i in generate_series(1, len(t) - 1)]) AS bg
   FROM toks
 ),
@@ -1928,7 +1950,7 @@ uni AS (
 bi AS (SELECT bg, count(*) AS cbg FROM bigrams GROUP BY bg),
 probs AS (
   SELECT bg, (cbg + 1) * 1.0 / (cw + (SELECT count(*) FROM uni)) AS p
-  FROM bi JOIN uni ON string_split(bg, ' ')[1] = uni.w
+  FROM bi JOIN uni ON string_split(bg, chr(31))[1] = uni.w
 )
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_transitions,

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -175,13 +176,16 @@ def ingest_batch(
     cor_h = spark.read.parquet(os.path.join(index_dir, "hashes"))
     sigs_c = spark.read.parquet(os.path.join(index_dir, "sigs"))
     # stored Bloom summary (indexes built before r6 lack it — gate runs
-    # identically without, just un-pruned; see _dedup_gate's contract)
+    # identically without, just un-pruned; see _dedup_gate's contract).
+    # Presence is probed through Spark itself, not a driver-local
+    # os.path check: index_dir may live on HDFS/S3/`file:` URIs where
+    # os.path.isdir is always False and would silently disable pruning
+    # AND the bloom append, letting the stored filter go stale.
     bloom_dir = os.path.join(index_dir, "bloom")
-    bloom_bits = (
-        spark.read.parquet(bloom_dir).distinct()
-        if os.path.isdir(bloom_dir)
-        else None
-    )
+    try:
+        bloom_bits = spark.read.parquet(bloom_dir).distinct()
+    except AnalysisException:
+        bloom_bits = None
     vpath = verdicts_dir or os.path.join(index_dir, "verdicts_last")
     gate = _dedup_gate(
         batch, cor_h, sigs_c, threshold, max_shingle_df, bloom_bits

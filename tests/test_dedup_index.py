@@ -56,6 +56,39 @@ def test_index_gates_across_batches(spark, tmp_path):
     assert ids == {0, 11}
 
 
+def test_bloom_summary_maintained_on_uri_index_dir(spark, tmp_path):
+    """The Bloom-summary presence probe goes through Spark's reader, not
+    a driver-local os.path check: an index_dir addressed as a `file:` URI
+    (the local stand-in for HDFS/S3 paths, where os.path.isdir is always
+    False) must still LOAD the stored summary and APPEND the admitted
+    docs' positions, so the filter never goes stale (ADVICE r6)."""
+    from bitcoin_datapipeline_spark.sources.dedup_index import (
+        build_dedup_index,
+        ingest_batch,
+    )
+
+    local = tmp_path / "idx_uri"
+    idx = "file:" + str(local)
+    corpus = spark.createDataFrame([_doc(0, BASE)])
+    build_dedup_index(corpus, idx)
+    n_before = spark.read.parquet(f"{idx}/bloom").count()
+    assert n_before > 0  # summary written at build time
+
+    new_text = "uno dos tres cuatro cinco seis siete"
+    b1 = spark.createDataFrame([_doc(10, BASE), _doc(11, new_text)])
+    v1 = {r.doc_id: r for r in ingest_batch(spark, b1, idx).collect()}
+    assert v1[10].verdict == "exact_dup" and v1[11].verdict == "new"
+    # the admitted doc's positions were appended through the URI path —
+    # with a driver-local isdir probe this count never grows and the
+    # stored filter silently drifts stale
+    assert spark.read.parquet(f"{idx}/bloom").count() > n_before
+
+    # and the maintained summary still gates the next batch correctly
+    b2 = spark.createDataFrame([_doc(20, new_text)])
+    v2 = {r.doc_id: r for r in ingest_batch(spark, b2, idx).collect()}
+    assert v2[20].verdict == "exact_dup" and v2[20].match_doc_id == 11
+
+
 def test_stream_ingest_dedups_across_micro_batches(spark, tmp_path):
     """File-source stream → foreachBatch ingest loop: a doc arriving in a
     later availableNow run that duplicates one admitted earlier must be

@@ -385,6 +385,34 @@ def test_decode_stub_real_ppm_rejects_malformed():
         decode_stub(b"P6\n0 1\n255\n", "ppm", fake=False)  # bad dims
 
 
+def test_decode_stub_ppm_tolerant_separator_exact_raster():
+    """Writers that emit CRLF (or a comment line) between maxval and the
+    raster decode to the SAME pixels as the strict single-LF form — and
+    the tolerance never shifts the raster start: surplus non-separator
+    bytes are a hard error, not a silent off-by-one (ADVICE r6)."""
+    from bitcoin_datapipeline_spark.operators.multimodal import decode_stub
+
+    px = bytes([0, 128, 255, 7])                       # 2x2 gray
+    strict = b"P5\n2 2\n255\n" + px
+    crlf = b"P5\r\n2 2\r\n255\r\n" + px                # CRLF everywhere
+    post_comment = b"P5\n2 2\n255\n# post-maxval note\n" + px
+    want = decode_stub(strict, "pgm", fake=False)
+    assert decode_stub(crlf, "pgm", fake=False) == want
+    assert decode_stub(post_comment, "pgm", fake=False) == want
+    # raster whose FIRST byte is whitespace-valued (0x0a) survives when
+    # the length already lines up — the separator loop must not eat it
+    nl_px = bytes([0x0A, 1, 2, 3])
+    got = decode_stub(b"P5\n2 2\n255\n" + nl_px, "pgm", fake=False)
+    assert got == {"byte_mean": 4.0, "byte_min": 1, "byte_max": 10}
+    # trailing garbage after a length-satisfying raster: reject, never
+    # decode shifted
+    with pytest.raises(ValueError, match="trailing"):
+        decode_stub(b"P5\n2 2\n255\n" + px + b"XX", "pgm", fake=False)
+    # maxval not followed by whitespace at all
+    with pytest.raises(ValueError, match="whitespace"):
+        decode_stub(b"P5\n2 2\n255", "pgm", fake=False)
+
+
 def test_decode_stub_real_wav_rejects_malformed():
     """A corrupt container is a real decode ERROR (wave.Error), not a
     silent fallback to byte stats."""

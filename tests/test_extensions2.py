@@ -503,3 +503,40 @@ def test_bigram_logloss_detects_broken_order(spark):
     assert uni[0] == uni[2]          # unigram can't see the difference
     assert bi[2] > bi[0]             # bigram can
     assert bi[0] == bi[1]            # deterministic
+
+
+def test_capped_bigram_unk_sentinel_is_unspoofable(spark):
+    """A corpus token literally spelled `<unk>` must stay a DISTINCT
+    vocabulary entry under the capped LM — the UNK sentinel carries a
+    space, which no space-split token can contain, so data cannot merge
+    into the UNK bucket and perturb transition counts (ADVICE r6).
+
+    Construction: `<unk>` is the most frequent literal token (in top-V),
+    `z` is out-of-vocabulary.  With a spoofable sentinel the collapsed
+    `z` merges with the literal `<unk>` counts (cw 3 → 4, V 3 → 2) and
+    doc 0's mean NLL collapses to ln 2 ≈ 0.693147; the un-spoofable
+    sentinel keeps them apart, giving the hand-computed 0.828302."""
+    import math
+
+    from bitcoin_datapipeline_spark.operators.text import bigram_logloss
+    from bitcoin_datapipeline_spark.streaming.vpin import _round6
+
+    d = spark.createDataFrame(
+        [Row(doc_id=0, text="<unk> <unk> <unk> b", lang="en", source="s",
+             n_chars=1),
+         Row(doc_id=1, text="z b", lang="en", source="s", n_chars=1)]
+    )
+    out = {r.doc_id: r for r in
+           bigram_logloss(d, vocab_top_v=2).collect()}
+    # naive reference with a truly distinct UNK symbol:
+    # counts <unk>:3 b:2 z:1, top-2 = {<unk>, b}, z -> UNK
+    # mapped uni: <unk>:3 b:2 UNK:1, V=3
+    # bigrams: (<unk>,<unk>):2 (<unk>,b):1 (UNK,b):1
+    # p = (cbg+1)/(cw(w1)+V): uu=3/6, ub=2/6, UNKb=2/4
+    d0 = -(math.log(3 / 6) + math.log(3 / 6) + math.log(2 / 6)) / 3
+    d1 = -math.log(2 / 4)
+    assert out[0].n_transitions == 3 and out[1].n_transitions == 1
+    assert out[0].avg_nll == _round6(d0)
+    assert out[1].avg_nll == _round6(d1)
+    # and the collision value it must NOT equal
+    assert out[0].avg_nll != _round6(math.log(2.0))
