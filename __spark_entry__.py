@@ -2027,58 +2027,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness gate checks the FIRST 50 entries of queries().
 # Registration order above is thematic; this list orders queries by driver-
 # evidence AGE (oldest first) so each round's 50-slot window refreshes the
-# stalest rows.  After r5 every query's latest driver row is r3 (35
-# queries), r4 (50), or r5 (50); in r6 the SEVEN new queries (no driver
-# row yet) sort first and consume gate slots, so the 50-slot window
-# covers 7 new + all 35 r3-era rows + the 8 oldest r4-era rows — after
-# which no query's latest driver row predates r4 (VERDICT r5 item 4).
-# Queries not listed are NEW and sort first -- see _driver_order.
+# stalest rows.  After r6 every query's latest driver row is r4 (42
+# queries), r5 (50), or r6 (50); in r7 any new queries (no driver row
+# yet) sort first, then the 42 r4-era rows, then the oldest r5-era rows
+# fill the remaining slots — after which no query's latest driver row
+# predates r5.  Queries not listed are NEW and sort first — see
+# _driver_order.
 _DRIVER_PRIORITY: list[str] = [
-    # 35 whose last driver row is CORRECTNESS_r03
-    "q_decimal_string_format",
-    "q_disjunctive_parts",
-    "q_distinct_counts",
-    "q_doc_chunks",
-    "q_doc_sample",
-    "q_embed_ann_ivf",
-    "q_embed_cluster_stats",
-    "q_embed_quantize",
-    "q_feature_drift",
-    "q_forecast_revenue",
-    "q_funnel",
-    "q_gold_training_set",
-    "q_gold_training_set_1s",
-    "q_gold_vector_1s",
-    "q_gold_vector_2s",
-    "q_kline_parse",
-    "q_large_orders",
-    "q_market_share",
-    "q_multimodal_decode",
-    "q_multimodal_frames",
-    "q_multimodal_meta",
-    "q_order_priority",
-    "q_orderbook_replay",
-    "q_promo_revenue",
-    "q_resample_bars_1h",
-    "q_return_outliers",
-    "q_returned_customers",
-    "q_session_stats",
-    "q_sessionize",
-    "q_shipping_priority",
-    "q_source_consistency",
-    "q_supplier_above_avg",
-    "q_tfidf",
-    "q_time_split",
-    "q_vocab",
-    # 50 whose last driver row is CORRECTNESS_r04
-    "q_bars_1m",
-    "q_bba_features",
-    "q_categorize",
-    "q_corpus_resample",
-    "q_corr",
-    "q_counts",
-    "q_cube_sales",
-    "q_customer_distribution",
+    # 42 whose last driver row is CORRECTNESS_r04
     "q_daily_summary",
     "q_decimal_cast",
     "q_decontaminate_ngram",
@@ -2172,6 +2128,57 @@ _DRIVER_PRIORITY: list[str] = [
     "q_union_sources",
     "q_vpin",
     "q_winsorize",
+    # 50 whose last driver row is CORRECTNESS_r06
+    "q_bars_1m",
+    "q_bba_features",
+    "q_categorize",
+    "q_corpus_resample",
+    "q_corr",
+    "q_counts",
+    "q_cube_sales",
+    "q_customer_distribution",
+    "q_decimal_string_format",
+    "q_disjunctive_parts",
+    "q_distinct_counts",
+    "q_doc_bloom_gate",
+    "q_doc_chunks",
+    "q_doc_domain_gate",
+    "q_doc_hash_split",
+    "q_doc_novelty",
+    "q_doc_perplexity_bigram_capped",
+    "q_doc_perplexity_capped",
+    "q_doc_sample",
+    "q_doc_substring_dup",
+    "q_embed_ann_ivf",
+    "q_embed_cluster_stats",
+    "q_embed_quantize",
+    "q_feature_drift",
+    "q_forecast_revenue",
+    "q_funnel",
+    "q_gold_training_set",
+    "q_gold_training_set_1s",
+    "q_gold_vector_1s",
+    "q_gold_vector_2s",
+    "q_kline_parse",
+    "q_large_orders",
+    "q_market_share",
+    "q_multimodal_decode",
+    "q_multimodal_frames",
+    "q_multimodal_meta",
+    "q_order_priority",
+    "q_orderbook_replay",
+    "q_promo_revenue",
+    "q_resample_bars_1h",
+    "q_return_outliers",
+    "q_returned_customers",
+    "q_session_stats",
+    "q_sessionize",
+    "q_shipping_priority",
+    "q_source_consistency",
+    "q_supplier_above_avg",
+    "q_tfidf",
+    "q_time_split",
+    "q_vocab",
 ]
 
 
