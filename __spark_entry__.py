@@ -875,6 +875,27 @@ def q_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# round 7: Cont-Kukanov-Stoikov order-flow imbalance on the BBA stream
+# (quote-side companion of q_kyle_lambda's signed trade volume)
+@q(
+    "q_ofi",
+    OD.with_ctes(OD.BBA_CTE + aggregates.OFI_ORACLE_BODY, body=""),
+)
+def q_ofi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.order_flow_imbalance(
+        normalize.bba(table(spark, sf_dir, "events"))
+    )
+
+
+# round 7: Amihud illiquidity per symbol-day over the 1-minute bars
+@q(
+    "q_amihud",
+    OD.with_ctes(OD.BARS_1M_CTE + aggregates.AMIHUD_ORACLE_BODY, body=""),
+)
+def q_amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.amihud_illiquidity(pipeline.bars_pipeline(spark, sf_dir))
+
+
 @q(
     "q_feature_label_join",
     OD.with_ctes(
@@ -1287,6 +1308,21 @@ def q_doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q_doc_substring_dup", text.SUBSTRING_DUP_ORACLE)
 def q_doc_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.substring_dup_share(table(spark, sf_dir, "documents"))
+
+
+# round 7: cross-split NEAR-dup leakage audit (hash split is exact-dup
+# safe by construction; this reports the jaccard pairs that straddle
+# splits anyway — the contamination a content-hash split cannot prevent)
+@q("q_doc_split_leakage", text.SPLIT_LEAKAGE_ORACLE)
+def q_doc_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.split_leakage(table(spark, sf_dir, "documents"))
+
+
+# round 7: corpus-level source-overlap Jaccard (distinct shingle sets
+# per source pair — the mixing diagnostic upstream of corpus_resample)
+@q("q_doc_source_overlap", text.SOURCE_OVERLAP_ORACLE)
+def q_doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.source_overlap(table(spark, sf_dir, "documents"))
 
 
 @q("q_embed_cosine_pairs", similarity.COSINE_PAIRS_ORACLE)

@@ -67,6 +67,13 @@ HEADLINE = [
     "q_doc_domain_gate",
     "q_doc_novelty",
     "q_doc_perplexity_capped",
+    # round 7: the microstructure pair on the quote/bar grains (OFI,
+    # Amihud) and the split-governance pair (cross-split near-dup
+    # leakage, corpus-level source overlap)
+    "q_ofi",
+    "q_amihud",
+    "q_doc_split_leakage",
+    "q_doc_source_overlap",
 ]
 
 
@@ -95,6 +102,12 @@ FAMILIES: dict[str, list[str]] = {
         # stride-1 window explode (w-times the fixed grid — the
         # documented trade; decade row proves it stays linear)
         "q_doc_substring_dup",
+        # jaccard pair generation + split join-back (r7: inherits the
+        # shingle-blocking fan-out risk of the pair pass it composes)
+        "q_doc_split_leakage",
+        # per-shingle source-set collect (r7: the single-corpus-shuffle
+        # claim — decade row proves the collect_set agg stays linear)
+        "q_doc_source_overlap",
     ],
     "ann": [
         "q_embed_ann_ivf",
@@ -124,6 +137,10 @@ FAMILIES: dict[str, list[str]] = {
     # the flagship multi-stage pipeline — bars, windows, LOCF grid, labels,
     # joins compounding in one plan
     "gold": ["q_gold_vector_2s", "q_gold_training_set"],
+    # r7 microstructure pair: OFI's four lags ride one full-stream
+    # symbol sort (sort-cost linearity check); Amihud is the bar-grain
+    # control row
+    "micro": ["q_ofi", "q_amihud"],
 }
 SCALE_DIRS = ["/root/testdata/sf0.1", ".scale_data/sf1"]
 

@@ -1147,3 +1147,179 @@ SELECT symbol, n_pairs,
             THEN round(2.0 * sqrt(-((sxy - sx * sy / n_pairs) / n_pairs)), 6)
        END AS roll_spread
 FROM rg"""
+
+
+OFI_BUCKET_MS = 60_000  # order-flow-imbalance aggregation grain: 1 minute
+
+
+def order_flow_imbalance(
+    bba: DataFrame, bucket_ms: int = OFI_BUCKET_MS
+) -> DataFrame:
+    """OFI — Order Flow Imbalance (Cont, Kukanov & Stoikov 2014): per
+    best-bid/ask update, the signed queue-size increment
+
+        e_n = 1{b_n ≥ b_{n−1}}·qb_n − 1{b_n ≤ b_{n−1}}·qb_{n−1}
+            − 1{a_n ≤ a_{n−1}}·qa_n + 1{a_n ≥ a_{n−1}}·qa_{n−1}
+
+    summed per (symbol, minute) — the quote-side impact driver whose
+    per-bucket sum is the regressor CKS show explains mid-price moves
+    better than signed trade volume (the trade-side twin is
+    :func:`kyle_lambda`'s signed-volume regressor).
+
+    Cross-engine determinism: queue sizes are cast to DECIMAL(18,6)
+    BEFORE the CASE arithmetic (sizes live on a ≤5 dp grid — the
+    FIXTURES qty grid times the 0.1-grid size multiplier — so the cast
+    is exact, same argument as the VPIN integer-unit state), making
+    each increment and therefore the per-bucket sum order-independent
+    decimals.  The update ordering is pinned by the deterministic key
+    (event_ts, ingest_ts, bid_px, ask_px, bid_sz, ask_sz): rows tying
+    on the full key are identical, and identical adjacent rows produce
+    the same increments in either order.
+
+    Plan shape: the four lags ride ONE partitionBy(symbol) sort, then
+    one partial-combinable aggregate to (symbol, bucket) — the
+    kyle/roll shuffle discipline.  Each symbol's first update has no
+    predecessor and contributes no increment.
+
+    cf. reference: extends the surface (the reference computes
+    spread/mid from the same BBA stream, `feature_builder.py:220-225`,
+    but no flow-imbalance measure)."""
+    wl = Window.partitionBy("symbol").orderBy(
+        "event_ts", "ingest_ts", "bid_px", "ask_px", "bid_sz", "ask_sz"
+    )
+    qb = F.col("bid_sz").cast("decimal(18,6)")
+    qa = F.col("ask_sz").cast("decimal(18,6)")
+    b = bba.select(
+        "symbol",
+        "event_ts",
+        "bid_px",
+        "ask_px",
+        qb.alias("qb"),
+        qa.alias("qa"),
+        F.lag("bid_px").over(wl).alias("bp"),
+        F.lag("ask_px").over(wl).alias("ap"),
+        F.lag(qb).over(wl).alias("qbp"),
+        F.lag(qa).over(wl).alias("qap"),
+    ).filter(F.col("bp").isNotNull())
+    zero = F.lit(0).cast("decimal(18,6)")
+    e = (
+        F.when(F.col("bid_px") >= F.col("bp"), F.col("qb")).otherwise(zero)
+        - F.when(F.col("bid_px") <= F.col("bp"), F.col("qbp")).otherwise(zero)
+        - F.when(F.col("ask_px") <= F.col("ap"), F.col("qa")).otherwise(zero)
+        + F.when(F.col("ask_px") >= F.col("ap"), F.col("qap")).otherwise(zero)
+    )
+    return (
+        b.groupBy(
+            "symbol",
+            F.expr(f"event_ts div {bucket_ms}").cast("long").alias("bucket"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_updates"),
+            F.sum(e).alias("ofi_raw"),
+        )
+        .select(
+            "symbol",
+            "bucket",
+            "n_updates",
+            r6(F.col("ofi_raw").cast("double")).alias("ofi"),
+        )
+    )
+
+
+# oracle body over the bba CTE (oracle_defs.BBA_CTE); same decimal casts,
+# same deterministic window key, same CASE arithmetic
+OFI_ORACLE_BODY = f"""
+,lagged AS (
+  SELECT symbol, event_ts, bid_px, ask_px,
+         CAST(bid_sz AS DECIMAL(18,6)) AS qb,
+         CAST(ask_sz AS DECIMAL(18,6)) AS qa,
+         lag(bid_px) OVER w AS bp,
+         lag(ask_px) OVER w AS ap,
+         lag(CAST(bid_sz AS DECIMAL(18,6))) OVER w AS qbp,
+         lag(CAST(ask_sz AS DECIMAL(18,6))) OVER w AS qap
+  FROM bba
+  WINDOW w AS (PARTITION BY symbol
+               ORDER BY event_ts, ingest_ts, bid_px, ask_px, bid_sz, ask_sz)
+)
+SELECT symbol,
+       event_ts // {OFI_BUCKET_MS} AS bucket,
+       CAST(count(*) AS BIGINT) AS n_updates,
+       round(CAST(sum(
+           (CASE WHEN bid_px >= bp THEN qb ELSE CAST(0 AS DECIMAL(18,6)) END)
+         - (CASE WHEN bid_px <= bp THEN qbp ELSE CAST(0 AS DECIMAL(18,6)) END)
+         - (CASE WHEN ask_px <= ap THEN qa ELSE CAST(0 AS DECIMAL(18,6)) END)
+         + (CASE WHEN ask_px >= ap THEN qap ELSE CAST(0 AS DECIMAL(18,6)) END)
+       ) AS DOUBLE), 6) AS ofi
+FROM lagged WHERE bp IS NOT NULL
+GROUP BY 1, 2"""
+
+
+AMIHUD_SCALE = 1_000_000.0  # report ILLIQ per million notional units
+
+
+def amihud_illiquidity(bars: DataFrame) -> DataFrame:
+    """Amihud (2002) illiquidity — per (symbol, day), the mean of
+    |bar return| / bar notional over consecutive 1-minute bars, scaled
+    per million notional units: the price move a unit of traded value
+    buys, the standard low-frequency liquidity proxy (the coarse
+    companion of :func:`kyle_lambda`'s per-bucket impact regression).
+
+    Intra-day convention (documented, oracle-replicated): returns are
+    close-to-close between consecutive bars of the SAME day — each
+    day's first bar has no predecessor and contributes no term, so a
+    day boundary never manufactures an overnight pseudo-return.
+
+    Determinism: each term |ret|/notional is computed from identical
+    double operands in both engines (bar close/notional are the
+    6-dp-rounded bar outputs), and the final mean is rounded to 6 dp —
+    the perplexity-family precedent for non-grid double averages.
+
+    Plan shape: the close lag rides ONE partitionBy(symbol) sort over
+    bars (already thousands-to-1 reduced from ticks), then one
+    partial-combinable aggregate to (symbol, day).
+
+    cf. reference: extends the surface (complements the reference's
+    per-bucket liquidity features, `feature_builder.py:119-123`)."""
+    wl = Window.partitionBy("symbol").orderBy("bucket")
+    b = bars.select(
+        "symbol",
+        "bucket",
+        F.expr("(bucket * 60000) div 86400000").cast("long").alias("day"),
+        "close",
+        "notional",
+        F.lag("close").over(wl).alias("prev_close"),
+        F.expr("(lag(bucket) over (partition by symbol order by bucket)"
+               " * 60000) div 86400000").cast("long").alias("prev_day"),
+    ).filter(
+        F.col("prev_close").isNotNull() & (F.col("day") == F.col("prev_day"))
+    )
+    term = (
+        F.abs(F.col("close") / F.col("prev_close") - 1.0)
+        / F.col("notional")
+        * F.lit(AMIHUD_SCALE)
+    )
+    return b.groupBy("symbol", "day").agg(
+        F.count("*").cast("long").alias("n_returns"),
+        r6(F.avg(term)).alias("amihud_illiq"),
+    )
+
+
+# oracle body over the bars CTE (oracle_defs.BARS_1M_CTE); same intra-day
+# lag convention and scale
+AMIHUD_ORACLE_BODY = f"""
+,ab AS (
+  SELECT symbol, bucket,
+         (bucket * 60000) // 86400000 AS day,
+         close, notional,
+         lag(close) OVER w AS prev_close,
+         (lag(bucket) OVER w * 60000) // 86400000 AS prev_day
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+)
+SELECT symbol, day,
+       CAST(count(*) AS BIGINT) AS n_returns,
+       round(avg(abs(close / prev_close - 1.0) / notional
+                 * {AMIHUD_SCALE}), 6) AS amihud_illiq
+FROM ab
+WHERE prev_close IS NOT NULL AND day = prev_day
+GROUP BY 1, 2"""

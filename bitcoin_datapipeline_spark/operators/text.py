@@ -2904,3 +2904,173 @@ SELECT t.doc_id,
        round(coalesce(p.covered_tokens, 0) * 1.0 / t.n_tokens, 6)
            AS dup_share
 FROM t LEFT JOIN per_doc p USING (doc_id)"""
+
+
+def split_leakage(
+    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Cross-split NEAR-dup leakage audit — the check a pipeline runs
+    after splitting: :func:`doc_hash_split` is leakage-safe under EXACT
+    duplication by construction (byte-identical texts hash to the same
+    split), but a near-duplicate pair (reworded boilerplate, appended
+    footer) hashes independently and can straddle train/test — exactly
+    the contamination eval decks measure.  This reports every 3-gram
+    Jaccard pair at/above ``threshold`` whose two docs landed in
+    DIFFERENT splits, with both assignments, so the caller can quarantine
+    or re-bucket them.
+
+    Plan shape: the pair generation is :func:`ngram_jaccard_pairs`'
+    shingle-blocked self-join (never n²; at 100 TB add the hot-shingle
+    cap there); the split assignment is the map-only hash over the
+    documents scan, joined to the threshold-filtered (small) pair side
+    on doc_id.  No new shuffle class beyond the jaccard pass itself.
+
+    cf. reference: extends the surface (composes the engine's own split
+    + near-dup operators; no reference counterpart)."""
+    pairs = ngram_jaccard_pairs(documents, threshold)
+    splits = doc_hash_split(documents).select("doc_id", "split")
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            "doc_a", "doc_b", "jaccard", "split_a", "split_b"
+        )
+    )
+
+
+SPLIT_LEAKAGE_ORACLE = f"""
+WITH {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b,
+         round(shared * 1.0 / (x.n + y.n - shared), 6) AS jaccard
+  FROM pairs
+  JOIN sizes x ON doc_a = x.doc_id
+  JOIN sizes y ON doc_b = y.doc_id
+  WHERE shared * 1.0 / (x.n + y.n - shared) >= {JACCARD_THRESHOLD}
+),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN CAST(concat('0x', substring(md5(lower(text)), 1, 2)) AS INT)
+                   < {HASH_SPLIT_TRAIN_HI} THEN 'train'
+              WHEN CAST(concat('0x', substring(md5(lower(text)), 1, 2)) AS INT)
+                   < {HASH_SPLIT_VAL_HI} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT j.doc_a, j.doc_b, j.jaccard,
+       sa.split AS split_a, sb.split AS split_b
+FROM jac j
+JOIN splits sa ON j.doc_a = sa.doc_id
+JOIN splits sb ON j.doc_b = sb.doc_id
+WHERE sa.split != sb.split"""
+
+
+def source_overlap(documents: DataFrame) -> DataFrame:
+    """Corpus-level source-overlap report: exact Jaccard similarity of
+    the DISTINCT 3-gram shingle sets of every source pair — the
+    mixing-level twin of the per-document near-dup pass, answering "how
+    much of source A's content space does source B already cover?"
+    before a pipeline weights or drops a source
+    (:func:`corpus_resample`'s upstream diagnostic).
+
+    Plan shape — ONE corpus-sized shuffle, never a corpus self-join:
+    groupBy(shingle) collects each shingle's source SET (bounded by the
+    source count S, a handful — partial collect_set combines map-side),
+    then per-pair intersection counts and per-source set sizes are both
+    tiny explodes over the already-reduced per-shingle frame, and the
+    final joins broadcast S rows.  The equivalent shingle self-join
+    costs three corpus-scale exchanges; this shape pays one.
+
+    cf. reference: extends the surface (no reference counterpart)."""
+    sh = documents.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(array(split(text, ' ')), toks -> "
+                " CASE WHEN size(toks) >= 3 THEN"
+                "  array_distinct(transform(sequence(0, size(toks) - 3), i -> "
+                "   concat_ws(' ', element_at(toks, i + 1),"
+                "             element_at(toks, i + 2), element_at(toks, i + 3))))"
+                " ELSE array() END)[0]"
+            )
+        ).alias("shingle"),
+    )
+    per_sh = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_set("source")).alias("srcs")
+    )
+    # ONE explode emits each shingle's singleton rows (source_b NULL —
+    # the per-source set-size tally) AND its ordered pair rows, so the
+    # set sizes and the intersection counts come out of a single
+    # aggregate.  All three consumers below then share a canonically
+    # IDENTICAL subtree, which Spark's ReuseExchange collapses to one
+    # runtime corpus pass (three distinct subtrees would re-scan).
+    combined = per_sh.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (x, i) -> concat("
+                " array(struct(x AS source_a, cast(null AS string) AS source_b)),"
+                " transform(slice(srcs, i + 2, size(srcs)), y ->"
+                "  struct(x AS source_a, y AS source_b)))))"
+            )
+        ).alias("p")
+    ).select("p.source_a", "p.source_b")
+    agg = combined.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("c")
+    )
+    pairs = agg.filter(F.col("source_b").isNotNull()).select(
+        "source_a", "source_b", F.col("c").alias("shared")
+    )
+    sizes = agg.filter(F.col("source_b").isNull()).select(
+        F.col("source_a").alias("source"), F.col("c").alias("n")
+    )
+    na = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        pairs.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("shared").cast("long").alias("shared_shingles"),
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            r6(jac).alias("jaccard"),
+        )
+    )
+
+
+SOURCE_OVERLAP_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT source,
+         unnest([array_to_string(toks[i:i+2], ' ')
+                 for i in generate_series(1, len(toks) - 2)]) AS shingle
+  FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)
+),
+sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b,
+       CAST(shared AS BIGINT) AS shared_shingles,
+       CAST(x.n AS BIGINT) AS n_a,
+       CAST(y.n AS BIGINT) AS n_b,
+       round(shared * 1.0 / (x.n + y.n - shared), 6) AS jaccard
+FROM pairs
+JOIN sizes x ON source_a = x.source
+JOIN sizes y ON source_b = y.source"""

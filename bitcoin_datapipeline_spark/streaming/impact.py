@@ -333,3 +333,155 @@ def stream_roll_spread(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming OFI (quote-side twin; operators/aggregates.order_flow_imbalance)
+
+# queue sizes live on a 1e-5 grid (the FIXTURES 1e-4 qty grid times the
+# 0.1-grid ask-size multiplier); 1e6 integer units hold them exactly and
+# match the batch DECIMAL(18,6) cast bit-for-bit after Fraction->double
+SZ_UNITS = 10**6
+
+OFI_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("n_updates", T.LongType()),
+        T.StructField("ofi", T.DoubleType()),
+        T.StructField("late_dropped", T.LongType()),
+    ]
+)
+
+OFI_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("frontier_ts", T.LongType()),
+        T.StructField("frontier_ingest", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+        T.StructField("pend_ts", T.ArrayType(T.LongType())),
+        T.StructField("pend_ingest", T.ArrayType(T.LongType())),
+        T.StructField("pend_bpx", T.ArrayType(T.DoubleType())),
+        T.StructField("pend_apx", T.ArrayType(T.DoubleType())),
+        T.StructField("pend_qb", T.ArrayType(T.LongType())),
+        T.StructField("pend_qa", T.ArrayType(T.LongType())),
+        T.StructField("prev_bpx", T.DoubleType()),
+        T.StructField("prev_apx", T.DoubleType()),
+        T.StructField("prev_qb", T.LongType()),
+        T.StructField("prev_qa", T.LongType()),
+        T.StructField("cur_bucket", T.LongType()),
+        T.StructField("cur_n", T.LongType()),
+        T.StructField("cur_ofi_u", T.LongType()),
+    ]
+)
+
+
+def make_ofi_processor(bucket_ms: int = None, allowed_lateness_s: int = 0):
+    """Streaming OFI — live twin of
+    :func:`~..operators.aggregates.order_flow_imbalance`: folds BBA
+    updates per symbol, accumulates each minute bucket's increment sum
+    in exact integer units, and emits one append-final row per CLOSED
+    bucket equal to the batch row (property-tested).
+
+    Fold-order discipline: the pending pool sorts on the FULL batch key
+    (event_ts, ingest_ts, bid_px, ask_px, qb, qa) — the same tuple
+    ordering the batch window uses — while the hard-late frontier keys
+    on (event_ts, ingest_ts), so bounded disorder reproduces the batch
+    sequence exactly wherever that prefix key is unique (true of the
+    fixture feed; a full-key tie is two identical updates, which fold
+    identically in either order)."""
+    from ..operators.aggregates import OFI_BUCKET_MS
+
+    bucket_ms = OFI_BUCKET_MS if bucket_ms is None else bucket_ms
+    late_ms = allowed_lateness_s * 1000
+
+    def fn(key, pdfs, state: GroupState):
+        symbol = key[0]
+        cols = ["event_ts", "ingest_ts", "bid_px", "ask_px", "bid_sz", "ask_sz"]
+        chunks = [pdf[cols] for pdf in pdfs if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame(
+                [], columns=[f.name for f in OFI_OUTPUT_SCHEMA.fields]
+            )
+            return
+        ev = pd.concat(chunks, ignore_index=True)
+        if state.exists:
+            (f_ts, f_ing, n_late, p_ts, p_ing, p_bpx, p_apx, p_qb, p_qa,
+             prev_bpx, prev_apx, prev_qb, prev_qa,
+             cur_b, cur_n, cur_u) = state.get
+            pend = list(zip(p_ts, p_ing, p_bpx, p_apx, p_qb, p_qa))
+        else:
+            f_ts = f_ing = _NO_FRONTIER
+            n_late = 0
+            pend = []
+            prev_bpx = prev_apx = prev_qb = prev_qa = None
+            cur_b, cur_n, cur_u = None, 0, 0
+
+        new = (
+            (int(ts), int(ing), float(bp), float(ap),
+             int(round(float(qb) * SZ_UNITS)),
+             int(round(float(qa) * SZ_UNITS)))
+            for ts, ing, bp, ap, qb, qa in zip(
+                ev["event_ts"], ev["ingest_ts"], ev["bid_px"],
+                ev["ask_px"], ev["bid_sz"], ev["ask_sz"],
+            )
+        )
+        fold, pend, (f_ts, f_ing), late_inc = merge_fold(
+            new, pend, (f_ts, f_ing), late_ms
+        )
+        n_late += late_inc
+
+        rows = []
+        for ts, _ing, bpx, apx, qb_u, qa_u in fold:
+            if prev_bpx is not None:
+                b = ts // bucket_ms
+                if cur_b is None:
+                    cur_b = b
+                elif b != cur_b:
+                    rows.append((
+                        symbol, int(cur_b), int(cur_n),
+                        _round6(float(Fraction(cur_u, SZ_UNITS))),
+                        int(n_late),
+                    ))
+                    cur_b, cur_n, cur_u = b, 0, 0
+                e_u = (
+                    (qb_u if bpx >= prev_bpx else 0)
+                    - (prev_qb if bpx <= prev_bpx else 0)
+                    - (qa_u if apx <= prev_apx else 0)
+                    + (prev_qa if apx >= prev_apx else 0)
+                )
+                cur_n += 1
+                cur_u += e_u
+            prev_bpx, prev_apx, prev_qb, prev_qa = bpx, apx, qb_u, qa_u
+
+        state.update((
+            int(f_ts), int(f_ing), int(n_late),
+            [t[0] for t in pend], [t[1] for t in pend],
+            [t[2] for t in pend], [t[3] for t in pend],
+            [t[4] for t in pend], [t[5] for t in pend],
+            prev_bpx, prev_apx,
+            int(prev_qb) if prev_qb is not None else None,
+            int(prev_qa) if prev_qa is not None else None,
+            int(cur_b) if cur_b is not None else None,
+            int(cur_n), int(cur_u),
+        ))
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in OFI_OUTPUT_SCHEMA.fields]
+        )
+
+    return fn
+
+
+def stream_ofi(
+    bba: DataFrame,
+    bucket_ms: int = None,
+    allowed_lateness_s: int = 0,
+) -> DataFrame:
+    """Live order-flow imbalance: one append-final row per closed
+    (symbol, minute) bucket, equal to the batch
+    `order_flow_imbalance` row for that bucket (property-tested)."""
+    return bba.groupBy("symbol").applyInPandasWithState(
+        make_ofi_processor(bucket_ms, allowed_lateness_s),
+        outputStructType=OFI_OUTPUT_SCHEMA,
+        stateStructType=OFI_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -481,6 +481,12 @@ SHUFFLE_BUDGETS = {
     "q_doc_domain_gate": 1,
     "q_doc_novelty": 2,
     "q_doc_perplexity_capped": 7,
+    "q_ofi": 1,
+    "q_amihud": 3,
+    "q_doc_split_leakage": 3,
+    # static plan count; at runtime AQE ReuseExchange collapses the
+    # corpus-scale legs to one (see operators/text.source_overlap)
+    "q_doc_source_overlap": 6,
 }
 
 

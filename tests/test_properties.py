@@ -811,6 +811,67 @@ def test_stream_roll_processor_matches_batch(spark, batch, n_chunks):
         ), (g, w)
 
 
+bba_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["BTC", "ETH"]),                 # symbol
+        st.integers(min_value=0, max_value=10_000_000),  # event_ts
+        st.integers(min_value=1, max_value=99999),       # bid px cents
+        st.integers(min_value=1, max_value=99999),       # ask px cents
+        st.integers(min_value=1, max_value=999),         # bid size deci-units
+        st.integers(min_value=1, max_value=9999),        # ask size centi-units
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(batch=bba_strategy, n_chunks=st.integers(min_value=1, max_value=4))
+@_settings
+def test_stream_ofi_processor_matches_batch(spark, batch, n_chunks):
+    """The streaming OFI processor, driven with arbitrary micro-batch
+    boundaries over an ordered quote tape, emits exactly one row per
+    CLOSED minute bucket, equal to the batch order_flow_imbalance row
+    for that bucket — for every random tape; the still-open last bucket
+    per symbol is the only batch row not yet emitted."""
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        order_flow_imbalance,
+    )
+    from bitcoin_datapipeline_spark.streaming.impact import (
+        make_ofi_processor,
+    )
+
+    ordered = sorted(batch, key=lambda t: t[1])
+    recs = [
+        Row(symbol=s, event_ts=ts, ingest_ts=i, bid_px=bc / 100.0,
+            ask_px=ac / 100.0, bid_sz=bs / 10.0, ask_sz=asz / 100.0)
+        for i, (s, ts, bc, ac, bs, asz) in enumerate(ordered)
+    ]
+    emitted = _drive_processor(
+        make_ofi_processor(),
+        recs,
+        ["event_ts", "ingest_ts", "bid_px", "ask_px", "bid_sz", "ask_sz"],
+        n_chunks,
+    )
+    df = spark.createDataFrame(
+        recs,
+        "symbol string, event_ts long, ingest_ts long, bid_px double,"
+        " ask_px double, bid_sz double, ask_sz double",
+    )
+    want = {
+        (r.symbol, r.bucket): r for r in order_flow_imbalance(df).collect()
+    }
+    got = {}
+    for e in emitted:
+        assert e.late_dropped == 0
+        got[(e.symbol, e.bucket)] = e
+        w = want[(e.symbol, e.bucket)]
+        assert (e.n_updates, e.ofi) == (w.n_updates, w.ofi), (e, w)
+    # every batch bucket except each symbol's last (still open) emitted
+    for sym in {s for s, _ in want}:
+        bs_ = sorted(b for s, b in want if s == sym)
+        assert [b for s, b in sorted(got) if s == sym] == bs_[:-1]
+
+
 _score_docs = st.lists(
     st.tuples(
         st.sampled_from(["sA", "sB"]),
