@@ -896,6 +896,34 @@ def q_amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.amihud_illiquidity(pipeline.bars_pipeline(spark, sf_dir))
 
 
+# round 7: effective vs quoted spread — trades priced against the
+# prevailing (strictly-before) quote via the single-sort as-of scan
+@q(
+    "q_effective_spread",
+    OD.with_ctes(
+        OD.DEDUP_TRADES_CTE,
+        OD.BBA_CTE + aggregates.EFFECTIVE_SPREAD_ORACLE_BODY,
+        body="",
+    ),
+)
+def q_effective_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return aggregates.effective_spread(
+        dedup.dedup_trades(normalize.valid_trades(events)),
+        normalize.bba(events),
+    )
+
+
+# round 7: realized variance vs bipower variation (BNS jump decomposition)
+# per symbol-day over the 1-minute bars
+@q(
+    "q_realized_var",
+    OD.with_ctes(OD.BARS_1M_CTE + aggregates.REALIZED_VAR_ORACLE_BODY, body=""),
+)
+def q_realized_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.realized_variance(pipeline.bars_pipeline(spark, sf_dir))
+
+
 @q(
     "q_feature_label_join",
     OD.with_ctes(
@@ -1323,6 +1351,23 @@ def q_doc_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q_doc_source_overlap", text.SOURCE_OVERLAP_ORACLE)
 def q_doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.source_overlap(table(spark, sf_dir, "documents"))
+
+
+_last_repair: DataFrame | None = None
+
+
+# round 7: leakage-closure repair — whole near-dup components re-bucketed
+# onto their canonical member's split (the fix for q_doc_split_leakage);
+# star-contraction checkpoint blocks released across driver sweeps like
+# q_dedup_components
+@q("q_doc_split_repair", text.SPLIT_REPAIR_ORACLE)
+def q_doc_split_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    global _last_repair
+    if _last_repair is not None:
+        text.release_components(_last_repair)
+    out = text.split_repair(table(spark, sf_dir, "documents"))
+    _last_repair = out
+    return out
 
 
 @q("q_embed_cosine_pairs", similarity.COSINE_PAIRS_ORACLE)

@@ -74,6 +74,10 @@ HEADLINE = [
     "q_amihud",
     "q_doc_split_leakage",
     "q_doc_source_overlap",
+    # round 7 (second wave): trades priced against prevailing quotes
+    # (single-sort as-of) and the BNS realized-variance jump split
+    "q_effective_spread",
+    "q_realized_var",
 ]
 
 
@@ -108,6 +112,9 @@ FAMILIES: dict[str, list[str]] = {
         # per-shingle source-set collect (r7: the single-corpus-shuffle
         # claim — decade row proves the collect_set agg stays linear)
         "q_doc_source_overlap",
+        # pair graph + star contraction + split join-back (r7: the
+        # repair composition — rounds track diameter, not corpus size)
+        "q_doc_split_repair",
     ],
     "ann": [
         "q_embed_ann_ivf",
@@ -137,10 +144,12 @@ FAMILIES: dict[str, list[str]] = {
     # the flagship multi-stage pipeline — bars, windows, LOCF grid, labels,
     # joins compounding in one plan
     "gold": ["q_gold_vector_2s", "q_gold_training_set"],
-    # r7 microstructure pair: OFI's four lags ride one full-stream
-    # symbol sort (sort-cost linearity check); Amihud is the bar-grain
-    # control row
-    "micro": ["q_ofi", "q_amihud"],
+    # r7 microstructure family: OFI's four lags ride one full-stream
+    # symbol sort (sort-cost linearity check); Amihud and the BNS
+    # jump decomposition are the bar-grain control rows; effective
+    # spread is the union-LOCF as-of scan over the FULL quote+trade
+    # stream (the single-sort as-of linearity check)
+    "micro": ["q_ofi", "q_amihud", "q_realized_var", "q_effective_spread"],
 }
 SCALE_DIRS = ["/root/testdata/sf0.1", ".scale_data/sf1"]
 

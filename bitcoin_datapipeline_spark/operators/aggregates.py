@@ -11,6 +11,8 @@ see SURVEY.md §2.4).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1323,3 +1325,226 @@ SELECT symbol, day,
 FROM ab
 WHERE prev_close IS NOT NULL AND day = prev_day
 GROUP BY 1, 2"""
+
+
+def effective_spread(trades: DataFrame, bba: DataFrame) -> DataFrame:
+    """Effective vs quoted spread per (symbol, minute) — the execution-cost
+    measure TAQ-style studies compute: each trade is matched to the
+    PREVAILING quote (latest best bid/ask strictly BEFORE the trade, so a
+    quote update caused by the trade itself can never price it), then
+
+        effective_bps = 2 · |price − mid| / mid · 1e4
+        quoted_bps    = (ask − bid) / mid · 1e4
+
+    are averaged per (symbol, minute).  Effective ≥ quoted gaps flag
+    trades walking the book; effective < quoted flags price improvement.
+
+    As-of discipline (the :func:`~.joins.asof_purchase_click` pattern,
+    single-sort form): quotes become available at ``event_ts + 1`` and the
+    union of quotes (is_q=0) and trades (is_q=1) is LOCF-scanned on ONE
+    partitionBy(symbol) sort — no join, no per-key range search.  Quote
+    ties at one availability instant resolve to the lexicographic MAX of
+    (ingest_ts, bid_px, ask_px, bid_sz, ask_sz): ascending sort puts that
+    row last, and the DuckDB twin takes ``max(struct(...))`` per instant
+    before its ASOF join — same row, both engines.  Trades before any
+    quote are dropped (no prevailing quote to price against).
+
+    Plan shape: one symbol-sort window pass over the union, then one
+    partial-combinable aggregate to (symbol, minute).  At 100 TB the sort
+    keys on (symbol, ts) — the partition layout the whole microstructure
+    family already rides.
+
+    cf. reference: extends the surface (the reference derives quoted
+    spread/mid on the BBA stream alone, `feature_builder.py:220-225`; it
+    never prices trades against prevailing quotes)."""
+    m = asof_quote_match(trades, bba)
+    mid = (F.col("bid_px") + F.col("ask_px")) / 2.0
+    eff = 2.0 * F.abs(F.col("price") - mid) / mid * 10000.0
+    quoted = (F.col("ask_px") - F.col("bid_px")) / mid * 10000.0
+    return (
+        m.groupBy(
+            "symbol",
+            F.expr("event_ts div 60000").cast("long").alias("bucket"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_trades"),
+            r6(F.avg(eff)).alias("eff_spread_bps"),
+            r6(F.avg(quoted)).alias("quoted_spread_bps"),
+        )
+    )
+
+
+def asof_quote_match(trades: DataFrame, bba: DataFrame) -> DataFrame:
+    """Per-trade prevailing-quote match (the :func:`effective_spread`
+    matching stage, exposed for direct testing): each trade row with the
+    bid/ask of the latest quote strictly BEFORE it — single symbol-sort
+    union-LOCF scan, lexicographic-max tie resolution, trades before any
+    quote dropped.  Output: (symbol, event_ts, price, bid_px, ask_px)."""
+    q = bba.select(
+        "symbol",
+        (F.col("event_ts") + F.lit(1)).cast("long").alias("sort_ts"),
+        F.lit(0).alias("is_q"),
+        "ingest_ts",
+        "bid_px",
+        "ask_px",
+        "bid_sz",
+        "ask_sz",
+        F.lit(None).cast("long").alias("event_ts"),
+        F.lit(None).cast("double").alias("price"),
+    )
+    t = trades.select(
+        "symbol",
+        F.col("event_ts").cast("long").alias("sort_ts"),
+        F.lit(1).alias("is_q"),
+        "ingest_ts",
+        F.lit(None).cast("double").alias("bid_px"),
+        F.lit(None).cast("double").alias("ask_px"),
+        F.lit(None).cast("double").alias("bid_sz"),
+        F.lit(None).cast("double").alias("ask_sz"),
+        "event_ts",
+        "price",
+    )
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("sort_ts", "is_q", "ingest_ts", "bid_px", "ask_px", "bid_sz", "ask_sz")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    quote = F.when(
+        F.col("is_q") == 0,
+        F.struct(F.col("bid_px").alias("b"), F.col("ask_px").alias("a")),
+    )
+    return (
+        q.unionByName(t)
+        .withColumn("pq", F.last(quote, ignorenulls=True).over(w))
+        .filter((F.col("is_q") == 1) & F.col("pq").isNotNull())
+        .select(
+            "symbol",
+            "event_ts",
+            "price",
+            F.col("pq.b").alias("bid_px"),
+            F.col("pq.a").alias("ask_px"),
+        )
+    )
+
+
+# oracle body appended after DEDUP_TRADES_CTE + BBA_CTE: quote ties at one
+# availability instant collapse to the lexicographic max tuple (the Spark
+# sort's last row), then a DuckDB ASOF join replays the LOCF scan
+EFFECTIVE_SPREAD_ORACLE_BODY = """
+,quotes AS (
+  SELECT symbol, event_ts + 1 AS avail_ts,
+         max({'i': ingest_ts, 'b': bid_px, 'a': ask_px,
+              'bs': bid_sz, 'asz': ask_sz}) AS s
+  FROM bba GROUP BY 1, 2
+),
+matched AS (
+  SELECT t.symbol, t.event_ts, t.price,
+         struct_extract(q.s, 'b') AS bid_px,
+         struct_extract(q.s, 'a') AS ask_px
+  FROM dedup_trades t
+  ASOF JOIN quotes q ON t.symbol = q.symbol AND t.event_ts >= q.avail_ts
+)
+SELECT symbol, event_ts // 60000 AS bucket,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       round(avg(2.0 * abs(price - (bid_px + ask_px) / 2.0)
+                 / ((bid_px + ask_px) / 2.0) * 10000.0), 6) AS eff_spread_bps,
+       round(avg((ask_px - bid_px) / ((bid_px + ask_px) / 2.0) * 10000.0), 6)
+           AS quoted_spread_bps
+FROM matched GROUP BY 1, 2"""
+
+
+def realized_variance(bars: DataFrame) -> DataFrame:
+    """Realized variance vs bipower variation per (symbol, day) — the
+    Barndorff-Nielsen & Shephard (2004) jump decomposition over 1-minute
+    bar log-returns:
+
+        RV  = Σ r_i²                   (quadratic variation incl. jumps)
+        BV  = (π/2) · Σ |r_i|·|r_{i−1}|  (jump-robust continuous part)
+        jump_share = max(0, 1 − BV/RV)
+
+    Intra-day convention (the :func:`amihud_illiquidity` precedent):
+    r_i = ln(close_i / close_{i−1}) only between consecutive bars of the
+    SAME day, so day boundaries contribute neither a pseudo-return nor a
+    cross-day bipower term (|r_i|·|r_{i−1}| is non-NULL only when three
+    consecutive bars share the day — NULL propagation enforces it).
+
+    Determinism: log-returns are computed from identical 6-dp-rounded bar
+    closes in both engines; sums are rounded to 6 dp (the non-grid double
+    average precedent); the jump share guards RV > 0 and BV non-NULL with
+    explicit CASE arms on both sides (Spark's ``greatest`` skips NULLs,
+    DuckDB's does not — neither is used).
+
+    Plan shape: both lags ride ONE partitionBy(symbol) sort over bars
+    (window specs share the sort, Spark collapses them into one Window
+    node), then one partial-combinable aggregate to (symbol, day).
+
+    cf. reference: extends the surface (the reference's daily summary
+    stops at close-to-close volatility, `feature_builder.py:119-123`)."""
+    wl = Window.partitionBy("symbol").orderBy("bucket")
+    day = F.expr("(bucket * 60000) div 86400000").cast("long")
+    b = bars.select(
+        "symbol",
+        "bucket",
+        day.alias("day"),
+        "close",
+        F.lag("close").over(wl).alias("prev_close"),
+        F.lag(day).over(wl).alias("prev_day"),
+    )
+    r = F.when(
+        F.col("prev_day") == F.col("day"),
+        F.log(F.col("close") / F.col("prev_close")),
+    )
+    b2 = b.select(
+        "symbol", "bucket", "day", r.alias("r")
+    ).withColumn("pr", F.lag("r").over(wl))
+    rv = F.sum(F.col("r") * F.col("r"))
+    bv = F.lit(math.pi / 2.0) * F.sum(F.abs(F.col("r")) * F.abs(F.col("pr")))
+    ratio = F.lit(1.0) - bv / rv
+    jump = F.when(
+        (rv > 0) & bv.isNotNull(),
+        F.when(ratio < 0, F.lit(0.0)).otherwise(ratio),
+    )
+    return b2.groupBy("symbol", "day").agg(
+        F.count("r").cast("long").alias("n_returns"),
+        r6(rv).alias("rv"),
+        r6(bv).alias("bv"),
+        r6(jump).alias("jump_share"),
+    )
+
+
+# oracle body over the bars CTE; same intra-day lag + NULL-propagation
+# conventions, explicit CASE jump guard (no greatest() — NULL semantics
+# differ between engines)
+REALIZED_VAR_ORACLE_BODY = f"""
+,lb AS (
+  SELECT symbol, bucket,
+         (bucket * 60000) // 86400000 AS day,
+         close,
+         lag(close) OVER w AS prev_close,
+         (lag(bucket) OVER w * 60000) // 86400000 AS prev_day
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+lr AS (
+  SELECT symbol, bucket, day,
+         CASE WHEN prev_day = day THEN ln(close / prev_close) END AS r
+  FROM lb
+),
+lr2 AS (
+  SELECT symbol, day, r, lag(r) OVER w AS pr
+  FROM lr
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+)
+SELECT symbol, day,
+       CAST(count(r) AS BIGINT) AS n_returns,
+       round(sum(r * r), 6) AS rv,
+       round({math.pi / 2.0!r} * sum(abs(r) * abs(pr)), 6) AS bv,
+       round(CASE WHEN sum(r * r) > 0
+                   AND sum(abs(r) * abs(pr)) IS NOT NULL
+                  THEN CASE WHEN 1.0 - {math.pi / 2.0!r} * sum(abs(r) * abs(pr))
+                                  / sum(r * r) < 0
+                            THEN 0.0
+                            ELSE 1.0 - {math.pi / 2.0!r} * sum(abs(r) * abs(pr))
+                                 / sum(r * r) END
+             END, 6) AS jump_share
+FROM lr2 GROUP BY 1, 2"""

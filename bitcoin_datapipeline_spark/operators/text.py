@@ -3074,3 +3074,104 @@ SELECT source_a, source_b,
 FROM pairs
 JOIN sizes x ON source_a = x.source
 JOIN sizes y ON source_b = y.source"""
+
+
+def split_repair(
+    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Leakage-closure split repair — the fix for what
+    :func:`split_leakage` reports: re-bucket every near-dup CLUSTER onto a
+    single split so no 3-gram Jaccard pair ≥ ``threshold`` straddles
+    train/val/test.  Moving only the directly-leaked pair is not enough
+    (move B(test) next to A(train) and B's same-split twin C now leaks),
+    so the unit of repair is the connected component over the FULL
+    near-dup pair graph: each component adopts the split of its canonical
+    (minimum-doc_id) member — deterministic, engine-agnostic, and stable
+    under re-runs because the canonical member never moves.  Output: the
+    docs whose assignment changed, with (component, from_split, to_split).
+
+    Plan shape: pair generation is the :func:`ngram_jaccard_pairs`
+    shingle-blocked join; the closure is :func:`dedup_components`'
+    O(log d) star contraction over the PAIR GRAPH only (docs in no pair
+    never enter); split assignment is the map-only content hash joined
+    back on doc_id/component.  At 100 TB every stage is the dedup
+    family's already-measured shape.  The returned frame is backed by the
+    contraction's checkpoint blocks — release with
+    :func:`release_components` after materializing (the
+    :func:`dedup_components` lifecycle).
+
+    cf. reference: extends the surface (composes the engine's own
+    near-dup + split + components operators; no reference counterpart)."""
+    pairs = ngram_jaccard_pairs(documents, threshold).select("doc_a", "doc_b")
+    comps = dedup_components(documents, pairs=pairs)
+    splits = doc_hash_split(documents).select("doc_id", "split")
+    labeled = comps.select("doc_id", "component").join(splits, "doc_id")
+    roots = labeled.filter(F.col("doc_id") == F.col("component")).select(
+        "component", F.col("split").alias("to_split")
+    )
+    out = (
+        labeled.join(roots, "component")
+        .filter(F.col("split") != F.col("to_split"))
+        .select(
+            "doc_id",
+            "component",
+            F.col("split").alias("from_split"),
+            "to_split",
+        )
+    )
+    # carry the contraction's checkpoint handle so release_components on
+    # THIS frame frees the blocks backing it
+    out._cc_ckpt = getattr(comps, "_cc_ckpt", None)
+    return out
+
+
+# recursive-CTE twin: jaccard pair generation (the near-dup oracle chain),
+# reachability closure, min-label components, canonical-member split
+SPLIT_REPAIR_ORACLE = f"""
+WITH RECURSIVE {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+cpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b
+  FROM cpairs
+  JOIN sizes x ON doc_a = x.doc_id
+  JOIN sizes y ON doc_b = y.doc_id
+  WHERE shared * 1.0 / (x.n + y.n - shared) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM jac
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM jac
+),
+reach(a, b) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+),
+labels AS (
+  SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
+),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN CAST(concat('0x', substring(md5(lower(text)), 1, 2)) AS INT)
+                   < {HASH_SPLIT_TRAIN_HI} THEN 'train'
+              WHEN CAST(concat('0x', substring(md5(lower(text)), 1, 2)) AS INT)
+                   < {HASH_SPLIT_VAL_HI} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+roots AS (
+  SELECT l.component, s.split AS to_split
+  FROM labels l JOIN splits s ON l.doc_id = s.doc_id
+  WHERE l.doc_id = l.component
+)
+SELECT l.doc_id, l.component,
+       s.split AS from_split, r.to_split
+FROM labels l
+JOIN splits s ON l.doc_id = s.doc_id
+JOIN roots r ON l.component = r.component
+WHERE s.split != r.to_split"""

@@ -661,3 +661,48 @@ def test_substring_dup_catches_offset_duplication(spark):
     tiny = spark.createDataFrame([_doc(9, "one two"), _doc(10, "one two")])
     t9 = {r.doc_id: r for r in substring_dup_share(tiny).collect()}
     assert t9[9].n_windows == 0 and t9[9].dup_share == 0.0
+
+
+def test_split_repair_closes_all_leakage(spark, sf_dir):
+    """The repair invariant: apply split_repair's reassignments on top of
+    doc_hash_split and NO 3-gram Jaccard pair at/above the threshold
+    straddles two splits anymore — the whole point of re-bucketing entire
+    near-dup components instead of individual leaked pairs.  Also pins
+    that every target split is the component's canonical (min doc_id)
+    member's ORIGINAL split, so the repair is stable under re-runs."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_datapipeline_spark.operators.text import (
+        doc_hash_split,
+        ngram_jaccard_pairs,
+        release_components,
+        split_leakage,
+        split_repair,
+    )
+    from bitcoin_datapipeline_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    assert split_leakage(docs).count() > 0  # the fixture does leak
+
+    repair = split_repair(docs)
+    moved = {r.doc_id: r for r in repair.collect()}
+    assert moved, "fixture leakage must force at least one move"
+
+    base = {r.doc_id: r.split for r in doc_hash_split(docs).collect()}
+    for did, r in moved.items():
+        assert base[did] == r.from_split
+        assert r.from_split != r.to_split
+        # canonical member never moves: its split IS the target
+        assert base[r.component] == r.to_split
+        assert r.component not in moved
+
+    final = dict(base)
+    final.update({d: r.to_split for d, r in moved.items()})
+    pairs = ngram_jaccard_pairs(docs).select("doc_a", "doc_b").collect()
+    straddling = [
+        (p.doc_a, p.doc_b)
+        for p in pairs
+        if final[p.doc_a] != final[p.doc_b]
+    ]
+    assert straddling == []
+    release_components(repair)

@@ -487,6 +487,8 @@ SHUFFLE_BUDGETS = {
     # static plan count; at runtime AQE ReuseExchange collapses the
     # corpus-scale legs to one (see operators/text.source_overlap)
     "q_doc_source_overlap": 6,
+    "q_effective_spread": 2,
+    "q_realized_var": 3,
 }
 
 

@@ -984,3 +984,159 @@ def test_capped_unigram_logloss_matches_naive(spark, docs, v):
         # engine policy bar (exact equality holds in practice off the
         # rounding boundary, but -avg(ln p) accumulates in engine order)
         assert abs(g[1] - w[1]) <= 1e-6 and abs(g[2] - w[2]) <= 1e-5, (g, w)
+
+
+# ---------------------------------------------------------------------------
+# round 7: the as-of quote match (effective spread's subtle stage) vs a
+# naive reference — strictly-before availability, lexicographic-max tie
+# resolution, drop-before-first-quote.  The matched bid/ask are COPIED
+# doubles (no FP summation), so agreement is exact.
+
+quote_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["BTC", "ETH"]),              # symbol
+        st.integers(min_value=0, max_value=50),       # event_ts (tight: ties)
+        st.integers(min_value=0, max_value=3),        # ingest offset
+        st.integers(min_value=100, max_value=199),    # bid px cents
+        st.integers(min_value=200, max_value=299),    # ask px cents
+        st.integers(min_value=1, max_value=9),        # bid size
+        st.integers(min_value=1, max_value=9),        # ask size
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+qtrade_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["BTC", "ETH"]),              # symbol
+        st.integers(min_value=0, max_value=50),       # event_ts
+        st.integers(min_value=150, max_value=250),    # price cents
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(quotes=quote_strategy, trades=qtrade_strategy)
+@_settings
+def test_asof_quote_match_matches_naive(spark, quotes, trades):
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        asof_quote_match,
+    )
+
+    qrows = [
+        Row(symbol=s, event_ts=ts, ingest_ts=ts + di, bid_px=b / 100.0,
+            ask_px=a / 100.0, bid_sz=float(bs), ask_sz=float(asz))
+        for s, ts, di, b, a, bs, asz in quotes
+    ]
+    trows = [
+        Row(symbol=s, event_ts=ts, ingest_ts=ts, price=p / 100.0)
+        for s, ts, p in trades
+    ]
+    qdf = spark.createDataFrame(
+        qrows or [],
+        "symbol string, event_ts long, ingest_ts long, bid_px double,"
+        " ask_px double, bid_sz double, ask_sz double",
+    )
+    tdf = spark.createDataFrame(
+        trows,
+        "symbol string, event_ts long, ingest_ts long, price double",
+    )
+    got = sorted(
+        (r.symbol, r.event_ts, r.price, r.bid_px, r.ask_px)
+        for r in asof_quote_match(tdf, qdf).collect()
+    )
+
+    # naive: per trade, the max (avail_ts, ingest, bid, ask, bs, asz)
+    # tuple among quotes with avail_ts <= trade ts
+    want = []
+    for t in trows:
+        cands = [
+            (q.event_ts + 1, q.ingest_ts, q.bid_px, q.ask_px, q.bid_sz, q.ask_sz)
+            for q in qrows
+            if q.symbol == t.symbol and q.event_ts + 1 <= t.event_ts
+        ]
+        if cands:
+            best = max(cands)
+            want.append((t.symbol, t.event_ts, t.price, best[2], best[3]))
+    assert got == sorted(want)
+
+
+# realized variance / bipower variation vs a naive float reference: the
+# engine's per-(symbol, day) sums fold window-sorted rows in bucket order
+# inside one partition (window partitioning pins group locality; partial
+# aggregation folds in iterator order), so a Python sum in the same order
+# is bit-identical — exact comparison after the shared 6-dp round.
+
+bar_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["BTC", "ETH"]),                # symbol
+        st.integers(min_value=0, max_value=4000),       # 1-min bucket (~2.8 d)
+        st.integers(min_value=100, max_value=99999),    # close px cents
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(bars=bar_strategy)
+@_settings
+def test_realized_variance_matches_naive(spark, bars):
+    import math
+
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        realized_variance,
+    )
+
+    uniq = {}
+    for s, b, c in bars:
+        uniq[(s, b)] = c / 100.0
+    rows = [
+        Row(symbol=s, bucket=b, close=c)
+        for (s, b), c in sorted(uniq.items())
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, bucket long, close double"
+    )
+    got = {
+        (r.symbol, r.day): (r.n_returns, r.rv, r.bv, r.jump_share)
+        for r in realized_variance(df).collect()
+    }
+
+    per: dict = {}
+    for r in rows:
+        per.setdefault(r.symbol, []).append((r.bucket, r.close))
+    want = {}
+    for s, seq in per.items():
+        rs = []  # (day, r or None) aligned to bars[1:]
+        for (pb, pc), (b, c) in zip(seq, seq[1:]):
+            day, pday = b * 60000 // 86400000, pb * 60000 // 86400000
+            rs.append((b * 60000 // 86400000,
+                       math.log(c / pc) if day == pday else None))
+        groups: dict = {}
+        for b, _c in seq:
+            groups.setdefault(b * 60000 // 86400000, {
+                "n": 0, "rv": 0.0, "bp": 0.0, "any_bp": False,
+            })
+        for i, (day, r) in enumerate(rs):
+            g = groups[day]
+            if r is not None:
+                g["n"] += 1
+                g["rv"] += r * r
+                pr = rs[i - 1][1] if i > 0 else None
+                if pr is not None:
+                    g["bp"] += abs(r) * abs(pr)
+                    g["any_bp"] = True
+        for day, g in groups.items():
+            bv = math.pi / 2.0 * g["bp"] if g["any_bp"] else None
+            jump = None
+            if g["rv"] > 0 and bv is not None:
+                ratio = 1.0 - bv / g["rv"]
+                jump = 0.0 if ratio < 0 else ratio
+            want[(s, day)] = (
+                g["n"],
+                _spark_round6(g["rv"]) if g["n"] else None,
+                _spark_round6(bv) if bv is not None else None,
+                _spark_round6(jump) if jump is not None else None,
+            )
+    assert got == want
