@@ -485,3 +485,158 @@ def stream_ofi(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming effective spread (operators/aggregates.effective_spread twin)
+
+# is_q-major / ingest-minor tiebreak packed into one long so the disorder
+# frontier keys on the batch sort prefix (sort_ts, is_q, ingest_ts):
+# ingest_ts values are ms (< 2^50), so is_q*(1<<50)+ingest is collision-free
+_ISQ_SHIFT = 1 << 50
+
+ESPREAD_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("n_trades", T.LongType()),
+        T.StructField("eff_spread_bps", T.DoubleType()),
+        T.StructField("quoted_spread_bps", T.DoubleType()),
+        T.StructField("late_dropped", T.LongType()),
+    ]
+)
+
+ESPREAD_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("frontier_ts", T.LongType()),
+        T.StructField("frontier_k2", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+        T.StructField("pend_ts", T.ArrayType(T.LongType())),
+        T.StructField("pend_k2", T.ArrayType(T.LongType())),
+        T.StructField("pend_b", T.ArrayType(T.DoubleType())),
+        T.StructField("pend_a", T.ArrayType(T.DoubleType())),
+        T.StructField("pend_bs", T.ArrayType(T.DoubleType())),
+        T.StructField("pend_asz", T.ArrayType(T.DoubleType())),
+        T.StructField("pend_px", T.ArrayType(T.DoubleType())),
+        T.StructField("pend_ets", T.ArrayType(T.LongType())),
+        T.StructField("qb", T.DoubleType()),
+        T.StructField("qa", T.DoubleType()),
+        T.StructField("cur_bucket", T.LongType()),
+        T.StructField("cur_n", T.LongType()),
+        T.StructField("sum_eff", T.DoubleType()),
+        T.StructField("sum_quoted", T.DoubleType()),
+    ]
+)
+
+
+def make_espread_processor(allowed_lateness_s: int = 0):
+    """Streaming effective/quoted spread — live twin of
+    :func:`~..operators.aggregates.effective_spread`: folds the MERGED
+    quote+trade stream per symbol in the batch sort order
+    (sort_ts, is_q, ingest_ts, quote tuple), prices each trade against
+    the last folded quote, accumulates the open minute bucket's spread
+    sums as doubles in that exact order (the batch partial-avg fold),
+    and emits one append-final row per CLOSED bucket equal to the batch
+    row (property-tested).
+
+    Quotes become available at event_ts + 1 (the strictly-before
+    discipline); trades folded before any quote are unmatched and
+    silently skipped, exactly like the batch filter.  The disorder
+    frontier keys on (sort_ts, is_q·2⁵⁰ + ingest_ts) — the batch sort
+    prefix — so bounded disorder reproduces the batch sequence wherever
+    that prefix is unique (full-prefix ties are resolved by the quote
+    tuple inside the pending pool, the batch tail key)."""
+    late_ms = allowed_lateness_s * 1000
+
+    def fn(key, pdfs, state: GroupState):
+        symbol = key[0]
+        cols = ["kind", "event_ts", "ingest_ts", "bid_px", "ask_px",
+                "bid_sz", "ask_sz", "price"]
+        chunks = [pdf[cols] for pdf in pdfs if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame(
+                [], columns=[f.name for f in ESPREAD_OUTPUT_SCHEMA.fields]
+            )
+            return
+        ev = pd.concat(chunks, ignore_index=True)
+        if state.exists:
+            (f_ts, f_k2, n_late, p_ts, p_k2, p_b, p_a, p_bs, p_asz, p_px,
+             p_ets, qb, qa, cur_b, cur_n, s_eff, s_q) = state.get
+            pend = list(zip(p_ts, p_k2, p_b, p_a, p_bs, p_asz, p_px, p_ets))
+        else:
+            f_ts = f_k2 = _NO_FRONTIER
+            n_late = 0
+            pend = []
+            qb = qa = None
+            cur_b, cur_n, s_eff, s_q = None, 0, 0.0, 0.0
+
+        def tuples():
+            for k, ts, ing, b, a, bs, asz, px in zip(
+                ev["kind"], ev["event_ts"], ev["ingest_ts"], ev["bid_px"],
+                ev["ask_px"], ev["bid_sz"], ev["ask_sz"], ev["price"],
+            ):
+                if int(k) == 0:
+                    yield (int(ts) + 1, int(ing), float(b), float(a),
+                           float(bs), float(asz), -1.0, -1)
+                else:
+                    yield (int(ts), _ISQ_SHIFT + int(ing), -1.0, -1.0,
+                           -1.0, -1.0, float(px), int(ts))
+
+        fold, pend, (f_ts, f_k2), late_inc = merge_fold(
+            tuples(), pend, (f_ts, f_k2), late_ms
+        )
+        n_late += late_inc
+
+        rows = []
+        for _ts, k2, b, a, _bs, _asz, px, ets in fold:
+            if k2 < _ISQ_SHIFT:  # quote
+                qb, qa = b, a
+                continue
+            if qb is None:  # trade before any quote: unmatched, skipped
+                continue
+            bkt = ets // 60000
+            if cur_b is None:
+                cur_b = bkt
+            elif bkt != cur_b:
+                rows.append((
+                    symbol, int(cur_b), int(cur_n),
+                    _round6(s_eff / cur_n), _round6(s_q / cur_n),
+                    int(n_late),
+                ))
+                cur_b, cur_n, s_eff, s_q = bkt, 0, 0.0, 0.0
+            mid = (qb + qa) / 2.0
+            s_eff += 2.0 * abs(px - mid) / mid * 10000.0
+            s_q += (qa - qb) / mid * 10000.0
+            cur_n += 1
+
+        state.update((
+            int(f_ts), int(f_k2), int(n_late),
+            [t[0] for t in pend], [t[1] for t in pend],
+            [t[2] for t in pend], [t[3] for t in pend],
+            [t[4] for t in pend], [t[5] for t in pend],
+            [t[6] for t in pend], [t[7] for t in pend],
+            qb, qa,
+            int(cur_b) if cur_b is not None else None,
+            int(cur_n), float(s_eff), float(s_q),
+        ))
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in ESPREAD_OUTPUT_SCHEMA.fields]
+        )
+
+    return fn
+
+
+def stream_effective_spread(
+    merged: DataFrame, allowed_lateness_s: int = 0
+) -> DataFrame:
+    """Live effective/quoted spread: one append-final row per closed
+    (symbol, minute) bucket over a merged quote+trade stream carrying
+    (symbol, kind 0=quote/1=trade, event_ts, ingest_ts, bid_px, ask_px,
+    bid_sz, ask_sz, price), equal to the batch `effective_spread` row
+    for that bucket (property-tested)."""
+    return merged.groupBy("symbol").applyInPandasWithState(
+        make_espread_processor(allowed_lateness_s),
+        outputStructType=ESPREAD_OUTPUT_SCHEMA,
+        stateStructType=ESPREAD_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

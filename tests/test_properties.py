@@ -1140,3 +1140,82 @@ def test_realized_variance_matches_naive(spark, bars):
                 _spark_round6(jump) if jump is not None else None,
             )
     assert got == want
+
+
+# merged quote/trade tape for the streaming effective-spread twin:
+# ingest_ts is the enumeration index, so the (sort_ts, is_q, ingest)
+# batch sort prefix is unique — the documented disorder discipline
+mixed_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["BTC", "ETH"]),              # symbol
+        st.integers(min_value=0, max_value=400_000),  # event_ts (~7 buckets)
+        st.booleans(),                                # is trade?
+        st.integers(min_value=100, max_value=199),    # bid / price cents
+        st.integers(min_value=200, max_value=299),    # ask cents
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(batch=mixed_strategy, n_chunks=st.integers(min_value=1, max_value=4))
+@_settings
+def test_stream_espread_processor_matches_batch(spark, batch, n_chunks):
+    """The streaming effective-spread processor, driven with arbitrary
+    micro-batch boundaries over a merged ordered quote+trade tape, emits
+    exactly one row per CLOSED minute bucket, equal to the batch
+    effective_spread row — the last still-open bucket per symbol is the
+    only batch row not yet emitted."""
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        effective_spread,
+    )
+    from bitcoin_datapipeline_spark.streaming.impact import (
+        make_espread_processor,
+    )
+
+    ordered = sorted(batch, key=lambda t: t[1])
+    recs = [
+        Row(symbol=s, kind=int(is_t), event_ts=ts, ingest_ts=i,
+            bid_px=None if is_t else b / 100.0,
+            ask_px=None if is_t else a / 100.0,
+            bid_sz=None if is_t else 1.0,
+            ask_sz=None if is_t else 1.0,
+            price=b / 100.0 if is_t else None)
+        for i, (s, ts, is_t, b, a) in enumerate(ordered)
+    ]
+    emitted = _drive_processor(
+        make_espread_processor(),
+        recs,
+        ["kind", "event_ts", "ingest_ts", "bid_px", "ask_px",
+         "bid_sz", "ask_sz", "price"],
+        n_chunks,
+    )
+
+    schema = (
+        "symbol string, kind int, event_ts long, ingest_ts long,"
+        " bid_px double, ask_px double, bid_sz double, ask_sz double,"
+        " price double"
+    )
+    df = spark.createDataFrame(recs, schema)
+    trades = df.filter("kind = 1").select(
+        "symbol", "event_ts", "ingest_ts", "price"
+    )
+    quotes = df.filter("kind = 0").select(
+        "symbol", "event_ts", "ingest_ts", "bid_px", "ask_px",
+        "bid_sz", "ask_sz"
+    )
+    want = {
+        (r.symbol, r.bucket): r
+        for r in effective_spread(trades, quotes).collect()
+    }
+    got = {}
+    for e in emitted:
+        assert e.late_dropped == 0
+        got[(e.symbol, e.bucket)] = e
+        w = want[(e.symbol, e.bucket)]
+        assert (e.n_trades, e.eff_spread_bps, e.quoted_spread_bps) == (
+            w.n_trades, w.eff_spread_bps, w.quoted_spread_bps
+        ), (e, w)
+    for sym in {s for s, _ in want}:
+        bs_ = sorted(b for s, b in want if s == sym)
+        assert [b for s, b in sorted(got) if s == sym] == bs_[:-1]
