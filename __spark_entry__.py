@@ -1408,6 +1408,20 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf(table(spark, sf_dir, "embeddings"))
 
 
+# round 7: product-quantization codes + reconstruction quality (the
+# codes-instead-of-floats memory story; training replayed by the oracle)
+@q("q_embed_pq", similarity.PQ_CODES_ORACLE)
+def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pq_codes(table(spark, sf_dir, "embeddings"))
+
+
+# round 7: IVF-PQ — codes-only inverted index, ADC posting-list scan,
+# exact refine of the top-pool candidates (Jégou et al. IVFADC)
+@q("q_embed_ann_ivfpq", similarity.ANN_IVFPQ_ORACLE)
+def q_embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_ivfpq(table(spark, sf_dir, "embeddings"))
+
+
 # SemDeDup: cluster-then-cosine semantic dedup (the coarse quantizer IS the
 # blocking key — pairwise work bounded by cluster width, never n²)
 @q("q_semdedup", similarity.SEMDEDUP_ORACLE)

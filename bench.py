@@ -78,6 +78,10 @@ HEADLINE = [
     # (single-sort as-of) and the BNS realized-variance jump split
     "q_effective_spread",
     "q_realized_var",
+    # round 7 (third wave): the codes-only index — PQ encoding and the
+    # IVF-PQ ADC search with exact refine
+    "q_embed_pq",
+    "q_embed_ann_ivfpq",
 ]
 
 
@@ -122,6 +126,12 @@ FAMILIES: dict[str, list[str]] = {
         "q_embed_prune_prototypes",
         # map-only matmul (linearity check — the control row)
         "q_embed_random_projection",
+        # r7: map-only broadcast-model encode (linearity control) and the
+        # ADC posting scan + bounded refine (inherits ann_ivf's bench-
+        # convention compounding on the posting join; the refine joins
+        # stay queries x pool by construction)
+        "q_embed_pq",
+        "q_embed_ann_ivfpq",
     ],
     # corpus-wide vocab aggregate feeding a broadcast probability join;
     # the capped twin (top-V + UNK tail bucket, r6) is the bounded-

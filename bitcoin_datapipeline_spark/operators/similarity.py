@@ -1302,3 +1302,669 @@ FROM g"""
 
 
 CLUSTER_STATS_ORACLE = _cluster_stats_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ): codes instead of floats at rest, ADC at
+# search time — the memory-side complement of the IVF posting-list index.
+
+# Codebook-size economics differ by use: the CODES artifact (q_embed_pq)
+# wants few, wide subspaces (64 floats -> 8 bytes, the compression story);
+# the ADC SEARCH index wants many, narrow ones — on this isotropic test
+# corpus 16-dim subvectors with tiny codebooks carry almost no ranking
+# signal (measured top-1 recall 0.15 at M=4/Ks=4), while 2-dim subvectors
+# with 8 codewords reach the IVF probe ceiling (0.65 vs IVF's own ~0.65
+# at nprobe=4/K=8).  Real high-dim corpora sit in between (FAISS
+# convention: sub ~ 4-8 dims, Ks = 256).
+PQ_M = 8        # subspaces for the codes artifact (dims must divide evenly)
+PQ_KS = 8       # codewords per subspace (dense ids 0..KS-1, carry-forward)
+PQ_ITERS = 2    # unrolled Lloyd iterations (same budget as the coarse model)
+PQ_SEED_MUL = 29  # per-subspace seed decorrelation: rank = (j*37 + m*29) % n
+IVFPQ_M = 32    # ADC search subspaces (2-dim subvectors at 64 dims)
+IVFPQ_KS = 8
+ADC_POOL = 16   # ADC candidate pool per query, re-ranked exactly
+
+
+def _train_pq(
+    embeddings: DataFrame,
+    train_mod: int = IVF_TRAIN_MOD,
+    m_sub: int = PQ_M,
+    ks: int = PQ_KS,
+) -> list[tuple[int, int, list[float]]]:
+    """Product-quantizer codebooks — ``m_sub`` independent k-means models,
+    one per dimension slice, trained exactly like the coarse quantizer
+    (:func:`_train_quantizer`: deterministic mod-filtered sample, seed by
+    rank, unrolled Lloyd rounds, 6-dp sync points) so the DuckDB oracle
+    replays training bit-for-bit.  Differences, both deliberate:
+
+    - assignment metric is squared L2 on the SUBVECTOR (classic PQ), the
+      6-dp-rounded left-fold sum both engines compute identically
+      (sequential IEEE adds: Spark `aggregate`, DuckDB `list_sum`);
+    - codeword ids stay DENSE 0..ks-1: an empty cluster KEEPS its previous
+      codeword (carry-forward) instead of dropping out, so ADC lookup
+      tables index by (m·ks + j) with no gap handling — and the oracle's
+      update CTE mirrors it with a coalesce left join.
+
+    All ``m_sub`` subspaces train in ONE Spark job per iteration (the
+    subvector explode keys the assignment and update by (m, j)).  Returns
+    [(m, j, codeword)] sorted, memoized like the coarse model.
+
+    cf. reference: extends the surface (Jégou et al. 2011 product
+    quantization; no reference counterpart)."""
+    key = (
+        "pq",
+        embeddings.semanticHash(),
+        train_mod,
+        m_sub,
+        ks,
+        _data_fingerprint(embeddings),
+    )
+    with _QUANTIZER_LOCK:
+        cached = _QUANTIZER_CACHE.get(key)
+    if cached is not None:
+        return cached
+    train = embeddings.filter(F.col("vec_id") % train_mod == 0).persist()
+    cnt = train.groupBy().agg(F.count("*").alias("n_train"))
+    seed_ranks = {
+        (m, j): (j * IVF_SEED_STRIDE + m * PQ_SEED_MUL)
+        for m in range(m_sub)
+        for j in range(ks)
+    }
+    is_seed = functools.reduce(
+        operator.or_,
+        (
+            F.col("vec_id") == (F.lit(r) % F.col("n_train")) * train_mod
+            for r in set(seed_ranks.values())
+        ),
+    )
+    seed_rows = (
+        train.join(F.broadcast(cnt))
+        .filter(is_seed)
+        .select(
+            "vec_id",
+            "n_train",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
+        .collect()
+    )
+    if not seed_rows:
+        train.unpersist()
+        raise ValueError(
+            "PQ quantizer: empty training sample (no rows with vec_id % "
+            f"{train_mod} == 0) or vec_id violates the dense-0..N-1 "
+            "contract — re-densify ids with row_number() before indexing"
+        )
+    n_train = seed_rows[0]["n_train"]
+    dims = len(seed_rows[0]["v"])
+    if dims % m_sub:
+        train.unpersist()
+        raise ValueError(f"PQ: dims {dims} not divisible by m_sub {m_sub}")
+    sub = dims // m_sub
+    seed_map = {r["vec_id"]: list(r["v"]) for r in seed_rows}
+    cbs: list[tuple[int, int, list[float]]] = []
+    for (m, j), r in sorted(seed_ranks.items()):
+        vid = (r % n_train) * train_mod
+        if vid in seed_map:
+            v = seed_map[vid]
+            cbs.append((m, j, v[m * sub : (m + 1) * sub]))
+    spark = embeddings.sparkSession
+
+    subs = train.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m_sub - 1}), m -> struct("
+                f" m AS m, transform(slice(embedding, m*{sub}+1, {sub}),"
+                f"  x -> cast(x as double)) AS sv))"
+            )
+        ).alias("p"),
+    ).select("vec_id", "p.m", "p.sv")
+
+    for _ in range(PQ_ITERS):
+        best = F.array_min(_pq_scores())
+        updated = (
+            subs.join(F.broadcast(_pq_frame(spark, cbs)), "m")
+            .select("m", best["j"].alias("j"), "sv")
+            .groupBy("m", "j")
+            .agg(
+                *[
+                    r6(F.avg(F.expr(f"sv[{i}]"))).alias(f"d{i}")
+                    for i in range(sub)
+                ]
+            )
+            .collect()
+        )
+        upd = {
+            (int(r["m"]), int(r["j"])): [r[f"d{i}"] for i in range(sub)]
+            for r in updated
+        }
+        # carry-forward: an empty codeword keeps its previous value so ids
+        # stay dense (the oracle's coalesce left join)
+        cbs = sorted(
+            (m, j, upd.get((m, j), cw)) for m, j, cw in cbs
+        )
+    train.unpersist()
+    with _QUANTIZER_LOCK:
+        _QUANTIZER_CACHE[key] = cbs
+    return cbs
+
+
+def _pq_frame(spark, cbs: list[tuple[int, int, list[float]]]) -> DataFrame:
+    """The PQ model as a broadcastable per-m frame: (m, cbs:
+    array<struct<j, cw, n2>>), cbs sorted by j (dense), n2 = |cw|² as the
+    same sequential left-fold both engines compute."""
+    rows: dict[int, list] = {}
+    for m, j, cw in sorted(cbs):
+        n2 = 0.0
+        for x in cw:
+            n2 += x * x
+        rows.setdefault(m, []).append((int(j), [float(x) for x in cw], n2))
+    return spark.createDataFrame(
+        [(m, v) for m, v in sorted(rows.items())],
+        "m int, cbs array<struct<j: int, cw: array<double>, n2: double>>",
+    )
+
+
+def _pq_scores():
+    """Array of (d2, j, pd, n2) structs scoring the row's ``sv`` subvector
+    against every codeword of its joined ``cbs`` model column: d2 is the
+    6-dp-rounded squared L2 (the cross-engine sync point — array_min picks
+    smallest d2 then smallest j; pd/n2 ride along and are never compared
+    because (d2, j) is unique), pd the codeword partial dot."""
+
+    def score(cb):
+        d2 = r6(
+            F.aggregate(
+                F.zip_with(
+                    F.col("sv"), cb["cw"], lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0).cast("double"),
+                lambda a, v: a + v,
+            )
+        )
+        pd = F.aggregate(
+            F.zip_with(F.col("sv"), cb["cw"], lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda a, v: a + v,
+        )
+        return F.struct(
+            d2.alias("d2"), cb["j"].alias("j"), pd.alias("pd"),
+            cb["n2"].alias("n2"),
+        )
+
+    return F.transform(F.col("cbs"), score)
+
+
+def _pq_model_frame(spark, cbs: list[tuple[int, int, list[float]]]) -> DataFrame:
+    """The whole PQ model as ONE broadcastable row — ``pqm:
+    array<array<struct<j, cw, n2>>>`` indexed [m][j] (both dense) — so
+    full-corpus encoding is a condition-less broadcast join + a map-only
+    nested-HOF expression: NO explode, NO re-group shuffle.  (The per-m
+    :func:`_pq_frame` is the training-side shape, where the sample is
+    already exploded by m.)"""
+    per_m: dict[int, list] = {}
+    for m, j, cw in sorted(cbs):
+        n2 = 0.0
+        for x in cw:
+            n2 += x * x
+        per_m.setdefault(m, []).append((int(j), [float(x) for x in cw], n2))
+    pqm = [v for _, v in sorted(per_m.items())]
+    return spark.createDataFrame(
+        [(pqm,)],
+        "pqm array<array<struct<j: int, cw: array<double>, n2: double>>>",
+    ).groupBy().agg(F.first("pqm").alias("pqm"))
+
+
+def _pq_bests(sub: int, m_sub: int):
+    """Map-only encoder over the joined ``pqm`` model column: array over
+    m of the winning (d2, j, pd, n2) struct for this row's ``embedding``
+    — same 6-dp d2 sync point and (d2, j) tiebreak as training."""
+    return F.expr(
+        f"""transform(sequence(0, {m_sub - 1}), m ->
+  array_min(transform(element_at(pqm, m + 1), cb -> struct(
+    cast(round(aggregate(zip_with(
+        slice(embedding, m*{sub}+1, {sub}), cb.cw,
+        (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),
+      cast(0.0 as double), (acc, v) -> acc + v), 6) as double) AS d2,
+    cb.j AS j,
+    aggregate(zip_with(
+        slice(embedding, m*{sub}+1, {sub}), cb.cw,
+        (x, y) -> cast(x as double) * y),
+      cast(0.0 as double), (acc, v) -> acc + v) AS pd,
+    cb.n2 AS n2))))"""
+    )
+
+
+def _embedding_dims(embeddings: DataFrame) -> int:
+    row = embeddings.select(F.size("embedding").alias("d")).limit(1).collect()
+    if not row:
+        raise ValueError("PQ: empty embeddings table")
+    return int(row[0]["d"])
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    train_mod: int = IVF_TRAIN_MOD,
+    m_sub: int = PQ_M,
+    ks: int = PQ_KS,
+) -> DataFrame:
+    """Product-quantization encoding + reconstruction quality report: per
+    vector its ``m_sub`` codeword ids (``code0..``, the bytes that replace
+    the floats at rest — 64 float32 dims → 4 small ints here, the 100 TB
+    memory story) and ``recon_cos``, the cosine between the vector and its
+    PQ reconstruction (how much geometry the codes preserve —
+    reconstruction dot and norm are per-subspace folds summed in m order,
+    the exact arithmetic the oracle replays).
+
+    Plan shape: training cost is O(sample · dims · iters) on the
+    mod-filtered sample (the :func:`ann_ivf` contract); encoding is a
+    condition-less broadcast of the (m_sub · ks)-codeword model + one
+    map-only nested-HOF pass over the corpus — nothing corpus-sized ever
+    shuffles.
+
+    cf. reference: extends the surface (Jégou et al. 2011; no reference
+    counterpart)."""
+    embeddings = _spread(embeddings)
+    cbs = _train_pq(embeddings, train_mod, m_sub, ks)
+    dims = _embedding_dims(embeddings)
+    sub = dims // m_sub
+    e = with_norm(embeddings).join(
+        F.broadcast(_pq_model_frame(embeddings.sparkSession, cbs))
+    )
+    b = e.select(
+        "vec_id", "norm", _pq_bests(sub, m_sub).alias("bests")
+    )
+    rdot = F.expr(
+        "aggregate(transform(bests, b -> b.pd), cast(0.0 as double),"
+        " (acc, v) -> acc + v)"
+    )
+    rn2 = F.expr(
+        "aggregate(transform(bests, b -> b.n2), cast(0.0 as double),"
+        " (acc, v) -> acc + v)"
+    )
+    return b.select(
+        "vec_id",
+        *[
+            F.expr(f"bests[{m}].j").cast("int").alias(f"code{m}")
+            for m in range(m_sub)
+        ],
+        r6(rdot / (F.col("norm") * F.sqrt(rn2))).alias("recon_cos"),
+    )
+
+
+def ann_ivfpq(
+    embeddings: DataFrame,
+    train_mod: int = IVF_TRAIN_MOD,
+    k: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+    query_mod: int = IVF_NPROBE_QUERY_MOD,
+    m_sub: int = IVFPQ_M,
+    ks: int = IVFPQ_KS,
+    pool: int = ADC_POOL,
+) -> DataFrame:
+    """IVF-PQ ANN — the memory-bounded form of :func:`ann_ivf`: the
+    inverted index stores CODES (coarse cell + ``m_sub`` codeword ids +
+    one reconstruction norm), not vectors; search scans posting lists by
+    asymmetric distance computation (ADC: per query, an (m_sub · ks)
+    lookup table of subvector·codeword partial dots, so each candidate
+    costs m_sub lookups + adds instead of a dims-wide dot), keeps the
+    top-``pool`` ADC candidates, and re-ranks ONLY those exactly by
+    fetching their original vectors by id — the standard refine step, a
+    join bounded by queries × pool, never corpus-sized.
+
+    Sharing: the coarse quantizer is the SAME memoized model
+    :func:`ann_ivf` trains (one coarse train per process serves both
+    indexes); the PQ codebooks come from :func:`_train_pq`.  Both
+    broadcast; posting-side encoding is map-only (:func:`_pq_model_frame`).
+
+    Determinism: ADC scores are 6-dp-rounded with neighbor-id tiebreaks at
+    BOTH cut points (pool and final rank), and every FP fold is the
+    sequential left fold both engines share — the DuckDB twin replays
+    coarse training, PQ training, encoding, the ADC join, and the refine
+    bit-for-bit.  Output: (query_id, rank, neighbor_id, adc_cos, cosine).
+
+    cf. reference: extends the surface (Jégou et al. 2011 IVFADC; no
+    reference counterpart)."""
+    embeddings = _spread(embeddings)
+    e = with_norm(embeddings)
+    spark = embeddings.sparkSession
+    cents = _train_quantizer(embeddings, train_mod, k)
+    cbs = _train_pq(embeddings, train_mod, m_sub, ks)
+    dims = _embedding_dims(embeddings)
+    sub = dims // m_sub
+
+    # posting side: coarse cell + PQ codes + recon norm² — codes-only index
+    ec = e.join(F.broadcast(_centroid_frame(spark, cents))).join(
+        F.broadcast(_pq_model_frame(spark, cbs))
+    )
+    best_c = F.array_max(_centroid_scores())
+    posting = ec.select(
+        F.col("vec_id").alias("neighbor_id"),
+        (-best_c["negc"]).cast("long").alias("c"),
+        _pq_bests(sub, m_sub).alias("bests"),
+    ).select(
+        "neighbor_id",
+        "c",
+        F.expr("transform(bests, b -> b.j)").alias("codes"),
+        F.expr(
+            "aggregate(transform(bests, b -> b.n2), cast(0.0 as double),"
+            " (acc, v) -> acc + v)"
+        ).alias("rn2"),
+    )
+
+    # query side: nprobe probe cells + the ADC lookup table lut[m][j] =
+    # dot(query subvector m, codeword (m, j)) — dense j indexing
+    nprobe = min(nprobe, len(cents))
+    eq = e.filter(F.col("vec_id") % query_mod == 0).join(
+        F.broadcast(_centroid_frame(spark, cents))
+    ).join(F.broadcast(_pq_model_frame(spark, cbs)))
+    scores = _centroid_scores()
+    lut = F.expr(
+        f"""transform(sequence(0, {m_sub - 1}), m ->
+  transform(element_at(pqm, m + 1), cb ->
+    aggregate(zip_with(slice(embedding, m*{sub}+1, {sub}), cb.cw,
+        (x, y) -> cast(x as double) * y),
+      cast(0.0 as double), (acc, v) -> acc + v)))"""
+    )
+    probes = (
+        eq.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("norm").alias("norm_q"),
+            lut.alias("lut"),
+            F.explode(
+                F.slice(F.reverse(F.array_sort(scores)), 1, nprobe)
+            ).alias("p"),
+        )
+        .select(
+            "query_id",
+            (-F.col("p.negc")).cast("long").alias("c"),
+            "norm_q",
+            "lut",
+        )
+    )
+
+    # ADC: m_sub lookups + adds per candidate, 6-dp sync point
+    adot = F.expr(
+        f"""aggregate(transform(sequence(0, {m_sub - 1}), m ->
+  element_at(element_at(lut, m + 1), element_at(codes, m + 1) + 1)),
+  cast(0.0 as double), (acc, v) -> acc + v)"""
+    )
+    j = (
+        probes.join(posting, ["c"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc_cos", r6(adot / (F.col("norm_q") * F.sqrt(F.col("rn2")))))
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cos"), F.col("neighbor_id")
+    )
+    pooled = (
+        j.withColumn("prank", F.row_number().over(wp))
+        .filter(F.col("prank") <= pool)
+        .select("query_id", "neighbor_id", "adc_cos", "norm_q")
+    )
+
+    # exact refine: fetch the pool's original vectors by id (bounded by
+    # queries × pool) and re-rank by true cosine
+    nv = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_n"),
+        F.col("norm").alias("norm_n"),
+    )
+    qv = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("emb_q"),
+    )
+    cos6 = r6(_dot("emb_q", "emb_n") / (F.col("norm_q") * F.col("norm_n")))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        pooled.join(nv, "neighbor_id")
+        .join(qv, "query_id")
+        .withColumn("cosine", cos6)
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            "adc_cos",
+            "cosine",
+        )
+    )
+
+
+def _pq_train_ctes(
+    train_mod: int = IVF_TRAIN_MOD, m_sub: int = PQ_M, ks: int = PQ_KS
+) -> tuple[list[str], str]:
+    """DuckDB CTE cascade replaying PQ training exactly (same sample,
+    per-subspace seeds, PQ_ITERS Lloyd rounds, 6-dp L2² sync points,
+    carry-forward on empty codewords).  Subvector width is derived in SQL
+    as len(embedding) // m_sub, matching the Spark-side literal.  Assumes
+    a ``tr`` CTE (the mod-filtered training sample) is already defined
+    (shared with :func:`_ivf_train_ctes`).  Returns (ctes,
+    final_codebook_cte)."""
+    sub = f"(len(embedding) // {m_sub})"
+    assign_tpl = """{name} AS (
+  SELECT vec_id, m, j FROM (
+    SELECT vec_id, m, j, row_number() OVER (
+        PARTITION BY vec_id, m ORDER BY d2, j) AS rn
+    FROM (
+      SELECT s.vec_id, s.m, p.j,
+             round(list_sum([(z[1]-z[2])*(z[1]-z[2])
+                             for z in list_zip(s.sv, p.cw)]), 6) AS d2
+      FROM psub s JOIN {cbs} p USING (m)))
+  WHERE rn = 1
+)"""
+    update_tpl = """{upd} AS (
+  SELECT m, j, list(round(cval, 6) ORDER BY pos) AS cw FROM (
+    SELECT a.m, a.j, p.pos, avg(p.val) AS cval
+    FROM ppos p JOIN {assign} a USING (vec_id, m) GROUP BY a.m, a.j, p.pos)
+  GROUP BY m, j
+),
+{nxt} AS (
+  SELECT c.m, c.j, coalesce(u.cw, c.cw) AS cw
+  FROM {cbs} c LEFT JOIN {upd} u USING (m, j)
+)"""
+    ctes = [
+        f"""mm AS (SELECT unnest(generate_series(0, {m_sub - 1})) AS m)""",
+        f"""psub AS (
+  SELECT vec_id, mm.m,
+         (CAST(embedding AS DOUBLE[]))[mm.m*{sub}+1 : (mm.m+1)*{sub}] AS sv
+  FROM tr CROSS JOIN mm
+)""",
+        """ppos AS (
+  SELECT vec_id, m, unnest(sv) AS val, generate_subscripts(sv, 1) AS pos
+  FROM psub
+)""",
+        f"""pqc0 AS (
+  SELECT g.m, g.j,
+         (CAST(e.embedding AS DOUBLE[]))[g.m*{sub.replace('embedding', 'e.embedding')}+1
+            : (g.m+1)*{sub.replace('embedding', 'e.embedding')}] AS cw
+  FROM (SELECT mm.m, jj.j
+        FROM mm CROSS JOIN
+             (SELECT unnest(generate_series(0, {ks - 1})) AS j) jj) g
+  CROSS JOIN nn
+  JOIN tr e ON e.vec_id =
+       ((g.j * {IVF_SEED_STRIDE} + g.m * {PQ_SEED_MUL}) % nn.n) * {train_mod}
+)""",
+    ]
+    for i in range(PQ_ITERS):
+        ctes.append(assign_tpl.format(name=f"passign{i}", cbs=f"pqc{i}"))
+        ctes.append(
+            update_tpl.format(
+                upd=f"pupd{i}", assign=f"passign{i}", cbs=f"pqc{i}",
+                nxt=f"pqc{i + 1}",
+            )
+        )
+    return ctes, f"pqc{PQ_ITERS}"
+
+
+def _pq_encode_ctes(final_cbs: str, m_sub: int = PQ_M) -> list[str]:
+    """Full-corpus PQ encoding CTEs: ``pbest`` (per vec_id and m: winning
+    j with its partial dot and codeword norm², same (d2, j) tiebreak) and
+    ``pvec`` (per-vector m-ordered fold of the reconstruction dot and
+    norm² — the Spark aggregate's sequential order via list(ORDER BY m))."""
+    sub = f"(len(embedding) // {m_sub})"
+    return [
+        f"""asub AS (
+  SELECT vec_id, mm.m,
+         (CAST(embedding AS DOUBLE[]))[mm.m*{sub}+1 : (mm.m+1)*{sub}] AS sv
+  FROM embeddings CROSS JOIN mm
+)""",
+        """pbest AS (
+  SELECT vec_id, m, j, pd, n2 FROM (
+    SELECT vec_id, m, j, pd, n2, row_number() OVER (
+        PARTITION BY vec_id, m ORDER BY d2, j) AS rn
+    FROM (
+      SELECT s.vec_id, s.m, p.j,
+             round(list_sum([(z[1]-z[2])*(z[1]-z[2])
+                             for z in list_zip(s.sv, p.cw)]), 6) AS d2,
+             list_inner_product(s.sv, p.cw) AS pd,
+             list_sum([x*x for x in p.cw]) AS n2
+      FROM asub s JOIN {cbs} p USING (m)))
+  WHERE rn = 1
+)""".replace("{cbs}", final_cbs),
+        """pvec AS (
+  SELECT vec_id,
+         list_sum(list(pd ORDER BY m)) AS rdot,
+         list_sum(list(n2 ORDER BY m)) AS rn2
+  FROM pbest GROUP BY vec_id
+)""",
+    ]
+
+
+def _pq_codes_oracle(
+    train_mod: int = IVF_TRAIN_MOD, m_sub: int = PQ_M, ks: int = PQ_KS
+) -> str:
+    ctes = [
+        f"tr AS (SELECT * FROM embeddings WHERE vec_id % {train_mod} = 0)",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr)",
+    ]
+    t_ctes, final = _pq_train_ctes(train_mod, m_sub, ks)
+    ctes += t_ctes
+    ctes += _pq_encode_ctes(final, m_sub)
+    code_cols = ",\n       ".join(
+        f"CAST(max(CASE WHEN b.m = {m} THEN b.j END) AS INTEGER) AS code{m}"
+        for m in range(m_sub)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT e.vec_id,
+       {code_cols},
+       round(any_value(v.rdot) /
+             (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE)
+                             for x in e.embedding]))
+              * sqrt(any_value(v.rn2))), 6) AS recon_cos
+FROM embeddings e
+JOIN pvec v USING (vec_id)
+JOIN pbest b USING (vec_id)
+GROUP BY e.vec_id, e.embedding"""
+    )
+
+
+def _ivfpq_oracle(
+    train_mod: int = IVF_TRAIN_MOD,
+    k: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+    query_mod: int = IVF_NPROBE_QUERY_MOD,
+    m_sub: int = IVFPQ_M,
+    ks: int = IVFPQ_KS,
+    pool: int = ADC_POOL,
+) -> str:
+    """Unrolled DuckDB twin of ann_ivfpq: coarse training
+    (:func:`_ivf_train_ctes`), PQ training (:func:`_pq_train_ctes`),
+    codes-only posting index, per-(query, m) LUT terms realized as the
+    relational join qsub ⋈ neighbor-codes ⋈ codebook, the m-ordered ADC
+    fold, the pool cut, and the exact refine."""
+    ctes, cfinal = _ivf_train_ctes(train_mod, k)
+    p_ctes, pfinal = _pq_train_ctes(train_mod, m_sub, ks)
+    ctes += p_ctes
+    ctes += _pq_encode_ctes(pfinal, m_sub)
+    ctes.append(
+        f"""posting AS (
+  SELECT vec_id AS neighbor_id, c FROM (
+    SELECT e.vec_id, c.c,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                   c.centroid), 6) DESC, c.c) AS rn
+    FROM embeddings e CROSS JOIN {cfinal} c)
+  WHERE rn = 1
+)"""
+    )
+    ctes.append(
+        f"""probes AS (
+  SELECT vec_id AS query_id, c FROM (
+    SELECT e.vec_id, c.c,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                   c.centroid), 6) DESC, c.c) AS rn
+    FROM embeddings e CROSS JOIN {cfinal} c
+    WHERE e.vec_id % {query_mod} = 0)
+  WHERE rn <= {nprobe}
+)"""
+    )
+    ctes.append(
+        """qnorm AS (
+  SELECT vec_id AS query_id,
+         sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE)
+                        for x in embedding])) AS norm_q
+  FROM embeddings
+)"""
+    )
+    # ADC term per (query, neighbor, m): query subvector · neighbor's
+    # winning codeword — list_inner_product is the same sequential fold as
+    # the Spark LUT entry; the m-ordered list_sum is the Spark outer fold
+    ctes.append(
+        f"""adc AS (
+  SELECT pr.query_id, po.neighbor_id,
+         list_sum(list(list_inner_product(qs.sv, cb.cw) ORDER BY nb.m))
+             AS adot,
+         any_value(v.rn2) AS rn2
+  FROM probes pr
+  JOIN posting po ON po.c = pr.c AND po.neighbor_id != pr.query_id
+  JOIN pbest nb ON nb.vec_id = po.neighbor_id
+  JOIN asub qs ON qs.vec_id = pr.query_id AND qs.m = nb.m
+  JOIN {pfinal} cb ON cb.m = nb.m AND cb.j = nb.j
+  JOIN pvec v ON v.vec_id = po.neighbor_id
+  GROUP BY pr.query_id, po.neighbor_id
+)"""
+    )
+    ctes.append(
+        f"""pool AS (
+  SELECT query_id, neighbor_id, adc_cos FROM (
+    SELECT a.query_id, a.neighbor_id,
+           round(a.adot / (qn.norm_q * sqrt(a.rn2)), 6) AS adc_cos,
+           row_number() OVER (PARTITION BY a.query_id
+             ORDER BY round(a.adot / (qn.norm_q * sqrt(a.rn2)), 6) DESC,
+                      a.neighbor_id) AS prank
+    FROM adc a JOIN qnorm qn USING (query_id))
+  WHERE prank <= {pool}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, adc_cos, cosine
+FROM (
+  SELECT p.query_id, p.neighbor_id, p.adc_cos,
+         round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                      CAST(ne.embedding AS DOUBLE[])), 6)
+             AS cosine,
+         row_number() OVER (PARTITION BY p.query_id
+           ORDER BY round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                                 CAST(ne.embedding AS DOUBLE[])), 6)
+                    DESC, p.neighbor_id) AS rank
+  FROM pool p
+  JOIN embeddings qe ON qe.vec_id = p.query_id
+  JOIN embeddings ne ON ne.vec_id = p.neighbor_id
+)
+WHERE rank <= {KNN_K}"""
+    )
+
+
+PQ_CODES_ORACLE = _pq_codes_oracle()
+ANN_IVFPQ_ORACLE = _ivfpq_oracle()

@@ -489,6 +489,11 @@ SHUFFLE_BUDGETS = {
     "q_doc_source_overlap": 6,
     "q_effective_spread": 2,
     "q_realized_var": 3,
+    "q_embed_pq": 2,
+    # ADC join on the cell key + pool window + the two bounded refine
+    # joins and the final rank window — each exchange is bounded by
+    # queries x pool except the posting-side cell join
+    "q_embed_ann_ivfpq": 11,
 }
 
 

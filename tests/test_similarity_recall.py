@@ -210,3 +210,44 @@ def test_ivf_query_mod_knob_oracle_parity(spark):
     )
     want = sorted(map(tuple, con.execute(_ivf_oracle(query_mod=50)).fetchall()))
     assert got == want and len(got) > 0
+
+
+def test_ivfpq_top1_recall_vs_exact(spark):
+    """IVF-PQ with exact refine must hold the same 0.6 top-1 recall gate
+    as plain IVF: the ADC pool (ADC_POOL per query) has to surface the
+    true neighbor often enough that the exact re-rank recovers it —
+    quantization error costs recall only when the true neighbor falls
+    outside the pool, not when ADC merely mis-orders it."""
+    rows = (
+        table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qmask = ids % similarity.IVF_NPROBE_QUERY_MOD == 0
+    truth = _exact_top1(ids, x, qmask)
+
+    ivfpq = similarity.ann_ivfpq(table(spark, SF_DIR, "embeddings"))
+    got = {
+        int(r["query_id"]): int(r["neighbor_id"])
+        for r in ivfpq.filter(F.col("rank") == 1).collect()
+    }
+    assert set(got) == set(truth)
+    recall = sum(got[q] == truth[q] for q in truth) / len(truth)
+    assert recall >= 0.6, f"IVF-PQ top-1 recall {recall:.2f} below the gate"
+
+
+def test_pq_reconstruction_preserves_geometry(spark):
+    """PQ codes must be non-trivially faithful: median reconstruction
+    cosine well above isotropic noise, every code id within the dense
+    0..PQ_KS-1 range, and codes not collapsed onto one codeword."""
+    pq = similarity.pq_codes(table(spark, SF_DIR, "embeddings")).collect()
+    assert len(pq) == 500
+    med = sorted(r["recon_cos"] for r in pq)[len(pq) // 2]
+    assert med >= 0.3, f"median recon cosine {med:.3f} — codes carry no signal"
+    for m in range(similarity.PQ_M):
+        vals = {r[f"code{m}"] for r in pq}
+        assert vals <= set(range(similarity.PQ_KS))
+        assert len(vals) > 1, f"subspace {m} collapsed to one codeword"
