@@ -924,6 +924,40 @@ def q_realized_var(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.realized_variance(pipeline.bars_pipeline(spark, sf_dir))
 
 
+# round 7: Stoikov microprice premium (imbalance-weighted fair value) —
+# the scan+agg control row of the microstructure family
+@q(
+    "q_microprice",
+    OD.with_ctes(OD.BBA_CTE, body=aggregates.MICROPRICE_ORACLE_BODY),
+)
+def q_microprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.microprice(normalize.bba(table(spark, sf_dir, "events")))
+
+
+# round 7: order-flow run lengths (value-change gaps-and-islands over the
+# deterministic trade sort — the persistence gauge upstream of VPIN)
+@q(
+    "q_trade_runs",
+    OD.with_ctes(
+        OD.DEDUP_TRADES_CTE + windows.TRADE_RUNS_ORACLE_BODY, body=""
+    ),
+)
+def q_trade_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.trade_runs(
+        dedup.dedup_trades(normalize.valid_trades(table(spark, sf_dir, "events")))
+    )
+
+
+# round 7: maximum drawdown per symbol (running peak + earliest-trough
+# struct-min tiebreak) over the 1-minute bars
+@q(
+    "q_drawdown",
+    OD.with_ctes(OD.BARS_1M_CTE + windows.DRAWDOWN_ORACLE_BODY, body=""),
+)
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.drawdown(pipeline.bars_pipeline(spark, sf_dir))
+
+
 @q(
     "q_feature_label_join",
     OD.with_ctes(
@@ -1368,6 +1402,13 @@ def q_doc_split_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = text.split_repair(table(spark, sf_dir, "documents"))
     _last_repair = out
     return out
+
+
+# round 7: near-dup threshold curve — jaccard histogram over ALL candidate
+# pairs with the hot-shingle cap engaged (the capped production path)
+@q("q_doc_jaccard_hist", text.JACCARD_HIST_ORACLE)
+def q_doc_jaccard_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.jaccard_histogram(table(spark, sf_dir, "documents"))
 
 
 @q("q_embed_cosine_pairs", similarity.COSINE_PAIRS_ORACLE)

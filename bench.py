@@ -82,6 +82,12 @@ HEADLINE = [
     # IVF-PQ ADC search with exact refine
     "q_embed_pq",
     "q_embed_ann_ivfpq",
+    # round 7 (fourth wave): microprice (scan+agg control row), order-flow
+    # run lengths, max drawdown, and the capped jaccard threshold curve
+    "q_microprice",
+    "q_trade_runs",
+    "q_drawdown",
+    "q_doc_jaccard_hist",
 ]
 
 
@@ -119,6 +125,10 @@ FAMILIES: dict[str, list[str]] = {
         # pair graph + star contraction + split join-back (r7: the
         # repair composition — rounds track diameter, not corpus size)
         "q_doc_split_repair",
+        # threshold-0 pair histogram with the hot-shingle cap engaged
+        # (r7: the capped pair pass IS the quadratic-risk guard — its
+        # decade row proves the cap holds the fan-out)
+        "q_doc_jaccard_hist",
     ],
     "ann": [
         "q_embed_ann_ivf",
@@ -159,7 +169,18 @@ FAMILIES: dict[str, list[str]] = {
     # jump decomposition are the bar-grain control rows; effective
     # spread is the union-LOCF as-of scan over the FULL quote+trade
     # stream (the single-sort as-of linearity check)
-    "micro": ["q_ofi", "q_amihud", "q_realized_var", "q_effective_spread"],
+    "micro": [
+        "q_ofi",
+        "q_amihud",
+        "q_realized_var",
+        "q_effective_spread",
+        # r7 fourth wave: scan+agg control row, the value-change
+        # segmentation (two stacked windows on one symbol sort), and the
+        # running-peak path statistic
+        "q_microprice",
+        "q_trade_runs",
+        "q_drawdown",
+    ],
 }
 SCALE_DIRS = ["/root/testdata/sf0.1", ".scale_data/sf1"]
 

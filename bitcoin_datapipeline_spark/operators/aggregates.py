@@ -1548,3 +1548,56 @@ SELECT symbol, day,
                                  / sum(r * r) END
              END, 6) AS jump_share
 FROM lr2 GROUP BY 1, 2"""
+
+
+def microprice(bba: DataFrame) -> DataFrame:
+    """Microprice premium per (symbol, minute) — Stoikov (2018): the
+    imbalance-weighted mid
+
+        micro = (qb·ask + qa·bid) / (qb + qa)
+
+    (more size on the bid pushes the fair price TOWARD the ask), reported
+    as the average premium over the plain mid in bps plus its average
+    magnitude — the short-horizon fair-value signal the plain mid hides.
+
+    Map-only per-update arithmetic over the BBA scan, then ONE
+    partial-combinable aggregate to (symbol, minute) — no window, no
+    sort: the cheapest microstructure query in the family (the 100 TB
+    shape is a pure scan+agg).  Doubles with the 6-dp average precedent
+    (:func:`amihud_illiquidity`).
+
+    cf. reference: extends the surface (the reference computes spread/mid
+    from the same stream, `feature_builder.py:220-225`; no imbalance
+    weighting)."""
+    mid = (F.col("bid_px") + F.col("ask_px")) / 2.0
+    micro = (
+        F.col("bid_sz") * F.col("ask_px") + F.col("ask_sz") * F.col("bid_px")
+    ) / (F.col("bid_sz") + F.col("ask_sz"))
+    prem = (micro - mid) / mid * 10000.0
+    return (
+        bba.groupBy(
+            "symbol",
+            F.expr("event_ts div 60000").cast("long").alias("bucket"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_updates"),
+            r6(F.avg(prem)).alias("micro_prem_bps"),
+            r6(F.avg(F.abs(prem))).alias("micro_prem_abs_bps"),
+        )
+    )
+
+
+# oracle body over the bba CTE: identical per-update arithmetic
+MICROPRICE_ORACLE_BODY = """
+SELECT symbol,
+       event_ts // 60000 AS bucket,
+       CAST(count(*) AS BIGINT) AS n_updates,
+       round(avg(((bid_sz * ask_px + ask_sz * bid_px) / (bid_sz + ask_sz)
+                  - (bid_px + ask_px) / 2.0)
+                 / ((bid_px + ask_px) / 2.0) * 10000.0), 6) AS micro_prem_bps,
+       round(avg(abs(((bid_sz * ask_px + ask_sz * bid_px) / (bid_sz + ask_sz)
+                      - (bid_px + ask_px) / 2.0)
+                     / ((bid_px + ask_px) / 2.0) * 10000.0)), 6)
+           AS micro_prem_abs_bps
+FROM bba
+GROUP BY 1, 2"""

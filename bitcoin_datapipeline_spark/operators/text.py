@@ -3175,3 +3175,83 @@ FROM labels l
 JOIN splits s ON l.doc_id = s.doc_id
 JOIN roots r ON l.component = r.component
 WHERE s.split != r.to_split"""
+
+
+def jaccard_histogram(
+    documents: DataFrame, max_shingle_df: int = MINHASH_HOT_SHINGLE_DF
+) -> DataFrame:
+    """Near-dup threshold curve: the 0.1-wide histogram of 3-gram Jaccard
+    over ALL candidate pairs (threshold 0 — every pair sharing at least
+    one surviving shingle), the diagnostic a pipeline reads BEFORE fixing
+    `JACCARD_THRESHOLD`: where the mass sits tells you what a 0.5 vs 0.7
+    cut would actually delete.  Bins are floor(jaccard·10) clamped to 9
+    (so 1.0 lands in the top bin), computed on the shared 6-dp-rounded
+    jaccard.
+
+    The hot-shingle cap is ON by default here (unlike the thresholded
+    pair pass, where it defaults off for exactness): an uncut threshold-0
+    histogram is precisely the query where one corpus-wide boilerplate
+    shingle would go quadratic, so this operator demonstrates the capped
+    production path cross-engine (the oracle replicates the cap).
+
+    Plan shape: one shuffle on the shingle key (blocked self-join), one
+    aggregate to ≤10 rows.
+
+    cf. reference: extends the surface (threshold-selection diagnostic
+    over the engine's own near-dup pass; no reference counterpart)."""
+    pairs = ngram_jaccard_pairs(
+        documents, threshold=0.0, max_shingle_df=max_shingle_df
+    )
+    bin_ = F.least(F.floor(F.col("jaccard") * 10).cast("int"), F.lit(9))
+    return (
+        pairs.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            r6(F.min("jaccard")).alias("bin_min"),
+            r6(F.max("jaccard")).alias("bin_max"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") / 10.0).alias("bin_lo"),
+            "n_pairs",
+            "bin_min",
+            "bin_max",
+        )
+    )
+
+
+JACCARD_HIST_ORACLE = f"""
+WITH shd0 AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(toks[i:i+2], ' ')
+                 for i in generate_series(1, len(toks) - 2)]) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+hot AS (
+  SELECT shingle FROM shd0 GROUP BY shingle
+  HAVING count(*) > {MINHASH_HOT_SHINGLE_DF}
+),
+shd AS (
+  SELECT doc_id, shingle FROM shd0
+  WHERE shingle NOT IN (SELECT shingle FROM hot)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT round(shared * 1.0 / (x.n + y.n - shared), 6) AS jaccard
+  FROM pairs
+  JOIN sizes x ON doc_a = x.doc_id
+  JOIN sizes y ON doc_b = y.doc_id
+)
+SELECT bin, bin / 10.0 AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(min(jaccard), 6) AS bin_min,
+       round(max(jaccard), 6) AS bin_max
+FROM (SELECT jaccard,
+             CAST(least(floor(jaccard * 10), 9) AS INTEGER) AS bin
+      FROM jac)
+GROUP BY bin"""

@@ -460,3 +460,143 @@ def pair_correlation(bars: DataFrame, window: int = PAIR_CORR_WINDOW) -> DataFra
         r6(corr_guarded).alias(f"corr_{window}"),
         F.count("ret_a").over(wp).cast("long").alias("n_in_window"),
     )
+
+
+def trade_runs(trades: DataFrame) -> DataFrame:
+    """Order-flow run-length statistics per (symbol, side): maximal runs
+    of consecutive same-side trades (the gaps-and-islands VALUE-CHANGE
+    segmentation — :func:`sessionize` is the time-gap twin), summarized
+    as run count / mean / max length.  Long buy runs are the order-
+    splitting signature behind long-memory order flow (Lillo & Farmer
+    2004) — the persistence gauge upstream of :func:`~.aggregates.vpin`'s
+    toxicity measure.
+
+    Segmentation: boundary = side != lag(side) over the deterministic
+    (event_ts, ingest_ts, trade_id) sort; run_id = running boundary count
+    — both windows and the per-run aggregate ride ONE partitionBy(symbol)
+    sort (run_id preserves symbol partitioning); the final aggregate is
+    #runs-sized.
+
+    cf. reference: extends the surface (the reference aggregates
+    per-bucket imbalance, `feature_builder.py:119-123`; no sequence
+    statistics)."""
+    wl = Window.partitionBy("symbol").orderBy(
+        "event_ts", "ingest_ts", "trade_id"
+    )
+    boundary = F.when(
+        F.lag("is_buyer_maker").over(wl).isNull()
+        | (F.lag("is_buyer_maker").over(wl) != F.col("is_buyer_maker")),
+        1,
+    ).otherwise(0)
+    runs = (
+        trades.select(
+            "symbol",
+            "is_buyer_maker",
+            boundary.alias("b"),
+            F.col("event_ts"),
+            F.col("ingest_ts"),
+            F.col("trade_id"),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("b").over(wl.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("symbol", "run_id")
+        .agg(
+            F.first("is_buyer_maker").alias("is_buyer_maker"),
+            F.count("*").alias("run_len"),
+        )
+    )
+    return runs.groupBy("symbol", "is_buyer_maker").agg(
+        F.count("*").cast("long").alias("n_runs"),
+        r6(F.avg("run_len")).alias("avg_run_len"),
+        F.max("run_len").cast("long").alias("max_run_len"),
+    )
+
+
+# oracle body over dedup_trades: same deterministic sort + segmentation
+TRADE_RUNS_ORACLE_BODY = """
+,seg AS (
+  SELECT symbol, is_buyer_maker, event_ts, ingest_ts, trade_id,
+         CASE WHEN lag(is_buyer_maker) OVER w IS NULL
+                OR lag(is_buyer_maker) OVER w != is_buyer_maker
+              THEN 1 ELSE 0 END AS b
+  FROM dedup_trades
+  WINDOW w AS (PARTITION BY symbol ORDER BY event_ts, ingest_ts, trade_id)
+),
+runs AS (
+  SELECT symbol, is_buyer_maker,
+         sum(b) OVER (PARTITION BY symbol
+                      ORDER BY event_ts, ingest_ts, trade_id
+                      ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM seg
+),
+rl AS (
+  SELECT symbol, run_id,
+         any_value(is_buyer_maker) AS is_buyer_maker,
+         count(*) AS run_len
+  FROM runs GROUP BY 1, 2
+)
+SELECT symbol, is_buyer_maker,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       round(avg(run_len), 6) AS avg_run_len,
+       CAST(max(run_len) AS BIGINT) AS max_run_len
+FROM rl GROUP BY 1, 2"""
+
+
+def drawdown(bars: DataFrame) -> DataFrame:
+    """Maximum drawdown per symbol over the 1-minute bar closes: running
+    peak (cumulative max close), per-bar drawdown close/peak − 1, and the
+    deepest point with its location — the risk summary every strategy
+    report leads with.  Ties on the minimum drawdown resolve to the
+    EARLIEST bar (lexicographic min over (drawdown, bucket) — bucket is
+    unique per symbol, so the struct min is total and engine-agnostic).
+
+    Plan shape: the running peak rides ONE partitionBy(symbol) sort;
+    the summary is a symbol-count-sized aggregate over the same
+    partitioning.
+
+    cf. reference: extends the surface (the reference's daily summary has
+    no path-dependent risk statistics, `feature_builder.py:119-123`)."""
+    wl = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    b = bars.select(
+        "symbol",
+        "bucket",
+        "close",
+        F.max("close").over(wl).alias("peak"),
+    ).withColumn("dd", F.col("close") / F.col("peak") - 1.0)
+    worst = F.min(F.struct("dd", "bucket", "peak", "close"))
+    return b.groupBy("symbol").agg(
+        F.count("*").cast("long").alias("n_bars"),
+        r6(worst.getField("dd")).alias("max_drawdown"),
+        worst.getField("bucket").cast("long").alias("trough_bucket"),
+        r6(worst.getField("peak")).alias("peak_close"),
+        r6(worst.getField("close")).alias("trough_close"),
+    )
+
+
+# oracle body over the bars CTE: same running peak + struct-min tiebreak
+DRAWDOWN_ORACLE_BODY = """
+,dd AS (
+  SELECT symbol, bucket, close,
+         max(close) OVER (PARTITION BY symbol ORDER BY bucket
+                          ROWS UNBOUNDED PRECEDING) AS peak
+  FROM bars
+),
+w AS (
+  SELECT symbol,
+         count(*) AS n_bars,
+         min({'dd': close / peak - 1.0, 'bucket': bucket,
+              'peak': peak, 'close': close}) AS worst
+  FROM dd GROUP BY symbol
+)
+SELECT symbol, CAST(n_bars AS BIGINT) AS n_bars,
+       round(worst.dd, 6) AS max_drawdown,
+       CAST(worst.bucket AS BIGINT) AS trough_bucket,
+       round(worst.peak, 6) AS peak_close,
+       round(worst.close, 6) AS trough_close
+FROM w"""

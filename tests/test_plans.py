@@ -494,6 +494,12 @@ SHUFFLE_BUDGETS = {
     # joins and the final rank window — each exchange is bounded by
     # queries x pool except the posting-side cell join
     "q_embed_ann_ivfpq": 11,
+    "q_microprice": 1,
+    "q_trade_runs": 2,
+    "q_drawdown": 3,
+    # capped pair pass: df-cap aggregate + semi-join legs around the
+    # shingle-blocked self-join; AQE reuses the shared scan at runtime
+    "q_doc_jaccard_hist": 8,
 }
 
 
