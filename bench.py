@@ -266,6 +266,49 @@ def _ann_production_row(
     return out
 
 
+def _ivfpq_production_row(
+    spark, sf_dir: str, scale: int, k_scale: float | None = None
+) -> dict:
+    """The production-convention q_embed_ann_ivfpq cost at ``scale``x
+    data — same coarse-knob scaling as :func:`_ann_production_row`
+    (fixed query set, K and train_mod scaled, nprobe fixed); the PQ
+    knobs (m_sub, ks, pool) stay FIXED because the codebook is
+    corpus-independent by design (the whole point of the codes-only
+    index: per-candidate ADC cost never grows with the corpus).  Both
+    quantizer trainings are re-done and billed each run."""
+    import math
+
+    from bitcoin_datapipeline_spark.operators.similarity import (
+        IVF_K,
+        IVF_NPROBE_QUERY_MOD,
+        IVF_TRAIN_MOD,
+        ann_ivfpq,
+        clear_quantizer_cache,
+    )
+    from bitcoin_datapipeline_spark.tables import table
+
+    if k_scale is None:
+        k_scale = float(scale)
+    emb = table(spark, sf_dir, "embeddings")
+    k = round(IVF_K * k_scale)
+    train_mod = max(1, round(IVF_TRAIN_MOD * k_scale))
+    assert k_scale in (float(scale), math.sqrt(scale)), k_scale
+
+    def run():
+        clear_quantizer_cache()
+        return ann_ivfpq(
+            emb,
+            train_mod=train_mod,
+            k=k,
+            query_mod=IVF_NPROBE_QUERY_MOD * scale,
+        ).count()
+
+    out = _median3(run)
+    out["knobs"] = {"k": k, "train_mod": train_mod,
+                    "query_mod": IVF_NPROBE_QUERY_MOD * scale}
+    return out
+
+
 def _full_span_grid_row(spark, sf_dir: str) -> dict:
     """q_returns_1s with slice_s=None — the full-span production grid."""
     from bitcoin_datapipeline_spark.operators import grid
@@ -317,6 +360,14 @@ def families_main(family_arg: str, convention: str = "bench") -> None:
                 import math
 
                 timed[n] = _ann_production_row(
+                    spark, d, scale, k_scale=math.sqrt(scale)
+                )
+            elif n == "q_embed_ann_ivfpq" and convention == "production":
+                timed[n] = _ivfpq_production_row(spark, d, scale)
+            elif n == "q_embed_ann_ivfpq" and convention == "production-sqrtk":
+                import math
+
+                timed[n] = _ivfpq_production_row(
                     spark, d, scale, k_scale=math.sqrt(scale)
                 )
             elif n == "q_returns_1s_full_span":
