@@ -1219,3 +1219,87 @@ def test_stream_espread_processor_matches_batch(spark, batch, n_chunks):
     for sym in {s for s, _ in want}:
         bs_ = sorted(b for s, b in want if s == sym)
         assert [b for s, b in sorted(got) if s == sym] == bs_[:-1]
+
+
+@given(batch=bar_strategy)
+@_settings
+def test_drawdown_matches_naive(spark, batch):
+    """Max drawdown vs a naive running-peak reference — EXACT: per-bar
+    dd = close/peak − 1 is computed from copied doubles (no FP sums) and
+    the (dd, bucket) struct-min tiebreak is a pure comparison, so both
+    engines and the reference agree bit-for-bit before the final round."""
+    from bitcoin_datapipeline_spark.operators.windows import drawdown
+
+    uniq = {}
+    for s, b, c in batch:
+        uniq[(s, b)] = c / 100.0
+    rows = [
+        Row(symbol=s, bucket=b, close=c) for (s, b), c in sorted(uniq.items())
+    ]
+    df = spark.createDataFrame(rows, "symbol string, bucket long, close double")
+    got = {
+        r.symbol: (r.n_bars, r.max_drawdown, r.trough_bucket,
+                   r.peak_close, r.trough_close)
+        for r in drawdown(df).collect()
+    }
+    want = {}
+    for r in rows:
+        st_ = want.setdefault(r.symbol, {"n": 0, "peak": None, "worst": None})
+        st_["n"] += 1
+        if st_["peak"] is None or r.close > st_["peak"]:
+            st_["peak"] = r.close
+        key = (r.close / st_["peak"] - 1.0, r.bucket, st_["peak"], r.close)
+        if st_["worst"] is None or key < st_["worst"]:
+            st_["worst"] = key
+    expected = {
+        s: (st_["n"], _spark_round6(st_["worst"][0]), st_["worst"][1],
+            _spark_round6(st_["worst"][2]), _spark_round6(st_["worst"][3]))
+        for s, st_ in want.items()
+    }
+    assert got == expected
+
+
+@given(batch=trade_strategy)
+@_settings
+def test_trade_runs_matches_naive(spark, batch):
+    """Order-flow run segmentation vs a naive scan — run boundaries on
+    the deterministic (event_ts, ingest_ts, trade_id) order; counts and
+    max are integers (exact), the mean length shares the 6-dp round."""
+    from bitcoin_datapipeline_spark.operators.windows import trade_runs
+
+    trades = _unique_trades(batch)
+    rows = [
+        Row(symbol=s, event_ts=ts, ingest_ts=ts + 1, trade_id=tid,
+            price=float(p), qty=float(q), is_buyer_maker=m, source="sbe")
+        for s, ts, tid, p, q, m in trades
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "symbol string, event_ts long, ingest_ts long, trade_id long,"
+        " price double, qty double, is_buyer_maker boolean, source string",
+    )
+    got = {
+        (r.symbol, r.is_buyer_maker): (r.n_runs, r.avg_run_len, r.max_run_len)
+        for r in trade_runs(df).collect()
+    }
+    per: dict = {}
+    for r in sorted(rows, key=lambda r: (r.symbol, r.event_ts, r.ingest_ts,
+                                         r.trade_id)):
+        per.setdefault(r.symbol, []).append(r.is_buyer_maker)
+    want = {}
+    for s, sides in per.items():
+        runs: list[tuple[bool, int]] = []
+        for side in sides:
+            if runs and runs[-1][0] == side:
+                runs[-1] = (side, runs[-1][1] + 1)
+            else:
+                runs.append((side, 1))
+        for side in (True, False):
+            lens = [n for sd, n in runs if sd == side]
+            if lens:
+                want[(s, side)] = (
+                    len(lens),
+                    _spark_round6(sum(lens) / len(lens)),
+                    max(lens),
+                )
+    assert got == want
