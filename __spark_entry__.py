@@ -924,6 +924,25 @@ def q_realized_var(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.realized_variance(pipeline.bars_pipeline(spark, sf_dir))
 
 
+# round 7: realized spread + price impact (Huang-Stoll post-trade
+# decomposition) — TWO as-of scans: the trade instant and the +5 min
+# horizon, joined on the distinct-collapsed trade identity
+@q(
+    "q_realized_spread",
+    OD.with_ctes(
+        OD.DEDUP_TRADES_CTE,
+        OD.BBA_CTE + aggregates.REALIZED_SPREAD_ORACLE_BODY,
+        body="",
+    ),
+)
+def q_realized_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return aggregates.realized_spread(
+        dedup.dedup_trades(normalize.valid_trades(events)),
+        normalize.bba(events),
+    )
+
+
 # round 7: Stoikov microprice premium (imbalance-weighted fair value) —
 # the scan+agg control row of the microstructure family
 @q(

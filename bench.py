@@ -88,6 +88,9 @@ HEADLINE = [
     "q_trade_runs",
     "q_drawdown",
     "q_doc_jaccard_hist",
+    # round 7 (fifth wave): Huang-Stoll post-trade decomposition — two
+    # as-of scans joined on the trade identity
+    "q_realized_spread",
 ]
 
 
@@ -180,6 +183,9 @@ FAMILIES: dict[str, list[str]] = {
         "q_microprice",
         "q_trade_runs",
         "q_drawdown",
+        # r7 fifth wave: TWO as-of scans + identity join — the heaviest
+        # microstructure plan; its decade row bounds the double-scan cost
+        "q_realized_spread",
     ],
 }
 SCALE_DIRS = ["/root/testdata/sf0.1", ".scale_data/sf1"]

@@ -1601,3 +1601,126 @@ SELECT symbol,
            AS micro_prem_abs_bps
 FROM bba
 GROUP BY 1, 2"""
+
+
+REALIZED_SPREAD_DELTA_MS = 300_000  # post-trade reversion horizon: 5 min
+
+
+def realized_spread(
+    trades: DataFrame, bba: DataFrame, delta_ms: int = REALIZED_SPREAD_DELTA_MS
+) -> DataFrame:
+    """Realized spread and price impact per (symbol, minute) — the
+    post-trade decomposition of the effective spread (Huang & Stoll
+    1996): with d = +1 for buyer-initiated trades (taker bought,
+    ``is_buyer_maker = false``) and m_t / m_{t+Δ} the prevailing mids at
+    the trade and Δ=5 min later,
+
+        effective_bps = 2·d·(p − m_t)     / m_t     · 1e4
+        realized_bps  = 2·d·(p − m_{t+Δ}) / m_{t+Δ} · 1e4
+        impact_bps    = 2·d·(m_{t+Δ} − m_t) / m_t   · 1e4
+
+    realized is what the liquidity provider actually keeps after the
+    price moves against the quote (effective ≈ realized + impact up to
+    the denominator difference — kept as the literature defines each
+    term, not forced to an identity).  Signing uses the feed's aggressor
+    flag, not Lee-Ready inference.
+
+    Plan shape: TWO union-LOCF as-of scans (the :func:`asof_quote_match`
+    single-sort discipline) — one at the trade instant, one at the
+    shifted instant t+Δ (same operator, trades carried with event_ts+Δ as
+    the sort key: a quote strictly before t+Δ is exactly the prevailing
+    quote at the horizon) — joined back on the (symbol, event_ts, price)
+    trade identity, then one partial-combinable aggregate.  Trades
+    lacking either mid (before the first quote, or within Δ of stream
+    end there is always a prior quote so only the leading edge drops)
+    are excluded from all three averages symmetrically.
+
+    Grain note: the join key (symbol, event_ts, price) makes SAME-PRICED
+    trades at one instant indistinguishable — they carry identical mids
+    and spreads, so the join multiplicity is collapsed by a pre-join
+    distinct to keep per-trade weighting exact (the oracle twin does the
+    same).
+
+    cf. reference: extends the surface (no post-trade reversion measure
+    in the reference; complements :func:`effective_spread`)."""
+    t0 = trades.select(
+        "symbol", "event_ts", "ingest_ts", "price", "is_buyer_maker"
+    ).distinct()
+    now = asof_quote_match(t0, bba).select(
+        "symbol", "event_ts", "price",
+        ((F.col("bid_px") + F.col("ask_px")) / 2.0).alias("mid_now"),
+    ).distinct()
+    shifted = t0.select(
+        "symbol",
+        (F.col("event_ts") + F.lit(delta_ms)).cast("long").alias("event_ts"),
+        "ingest_ts",
+        "price",
+    )
+    fwd = asof_quote_match(shifted, bba).select(
+        "symbol",
+        (F.col("event_ts") - F.lit(delta_ms)).cast("long").alias("event_ts"),
+        "price",
+        ((F.col("bid_px") + F.col("ask_px")) / 2.0).alias("mid_fwd"),
+    ).distinct()
+    sides = t0.select("symbol", "event_ts", "price", "is_buyer_maker").distinct()
+    m = sides.join(now, ["symbol", "event_ts", "price"]).join(
+        fwd, ["symbol", "event_ts", "price"]
+    )
+    d = F.when(F.col("is_buyer_maker"), F.lit(-1.0)).otherwise(F.lit(1.0))
+    eff = 2.0 * d * (F.col("price") - F.col("mid_now")) / F.col("mid_now") * 10000.0
+    rea = 2.0 * d * (F.col("price") - F.col("mid_fwd")) / F.col("mid_fwd") * 10000.0
+    imp = 2.0 * d * (F.col("mid_fwd") - F.col("mid_now")) / F.col("mid_now") * 10000.0
+    return m.groupBy(
+        "symbol",
+        F.expr("event_ts div 60000").cast("long").alias("bucket"),
+    ).agg(
+        F.count("*").cast("long").alias("n_trades"),
+        r6(F.avg(eff)).alias("eff_spread_bps"),
+        r6(F.avg(rea)).alias("realized_spread_bps"),
+        r6(F.avg(imp)).alias("impact_bps"),
+    )
+
+
+# oracle body after DEDUP_TRADES_CTE + BBA_CTE: two ASOF joins (trade
+# instant and the +delta horizon), same distinct-collapsed trade identity
+REALIZED_SPREAD_ORACLE_BODY = f"""
+,quotes AS (
+  SELECT symbol, event_ts + 1 AS avail_ts,
+         max({{'i': ingest_ts, 'b': bid_px, 'a': ask_px,
+              'bs': bid_sz, 'asz': ask_sz}}) AS s
+  FROM bba GROUP BY 1, 2
+),
+t0 AS (
+  SELECT DISTINCT symbol, event_ts, price, is_buyer_maker
+  FROM dedup_trades
+),
+now_m AS (
+  SELECT DISTINCT t.symbol, t.event_ts, t.price,
+         (struct_extract(q.s, 'b') + struct_extract(q.s, 'a')) / 2.0 AS mid_now
+  FROM t0 t
+  ASOF JOIN quotes q ON t.symbol = q.symbol AND t.event_ts >= q.avail_ts
+),
+fwd_m AS (
+  SELECT DISTINCT t.symbol, t.event_ts, t.price,
+         (struct_extract(q.s, 'b') + struct_extract(q.s, 'a')) / 2.0 AS mid_fwd
+  FROM t0 t
+  ASOF JOIN quotes q
+    ON t.symbol = q.symbol AND t.event_ts + {REALIZED_SPREAD_DELTA_MS} >= q.avail_ts
+),
+m AS (
+  SELECT t.symbol, t.event_ts, t.price,
+         CASE WHEN t.is_buyer_maker THEN -1.0 ELSE 1.0 END AS d,
+         n.mid_now, f.mid_fwd
+  FROM t0 t
+  JOIN now_m n USING (symbol, event_ts, price)
+  JOIN fwd_m f USING (symbol, event_ts, price)
+)
+SELECT symbol, event_ts // 60000 AS bucket,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       round(avg(2.0 * d * (price - mid_now) / mid_now * 10000.0), 6)
+           AS eff_spread_bps,
+       round(avg(2.0 * d * (price - mid_fwd) / mid_fwd * 10000.0), 6)
+           AS realized_spread_bps,
+       round(avg(2.0 * d * (mid_fwd - mid_now) / mid_now * 10000.0), 6)
+           AS impact_bps
+FROM m GROUP BY 1, 2"""

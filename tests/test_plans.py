@@ -497,6 +497,8 @@ SHUFFLE_BUDGETS = {
     "q_microprice": 1,
     "q_trade_runs": 2,
     "q_drawdown": 3,
+    # two union-LOCF as-of scans + the distinct-collapsed identity join
+    "q_realized_spread": 8,
     # capped pair pass: df-cap aggregate + semi-join legs around the
     # shingle-blocked self-join; AQE reuses the shared scan at runtime
     "q_doc_jaccard_hist": 8,
