@@ -2183,9 +2183,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # Registration order above is thematic; this list orders queries by driver-
 # evidence AGE (oldest first) so each round's 50-slot window refreshes the
 # stalest rows.  After r6 every query's latest driver row is r4 (42
-# queries), r5 (50), or r6 (50).  Round 7 declared 20 NEW queries (not
-# listed here -> they sort first and take the first 20 slots); the
-# remaining 30 slots refresh the oldest r4-era rows below, leaving 12
+# queries), r5 (50), or r6 (50).  Round 7 declared 14 NEW queries (not
+# listed here -> they sort first and take the first 14 slots); the
+# remaining 36 slots refresh the oldest r4-era rows below, leaving 6
 # r4-era rows for the r8 window.  Queries not listed are NEW and sort
 # first — see _driver_order.
 _DRIVER_PRIORITY: list[str] = [

@@ -1573,7 +1573,14 @@ def microprice(bba: DataFrame) -> DataFrame:
     micro = (
         F.col("bid_sz") * F.col("ask_px") + F.col("ask_sz") * F.col("bid_px")
     ) / (F.col("bid_sz") + F.col("ask_sz"))
-    prem = (micro - mid) / mid * 10000.0
+    # zero-depth guard: an empty book (qb + qa = 0) has no microprice.
+    # Spark's x/0 yields NULL (avg skips the row) but DuckDB's float
+    # division yields inf/NaN and poisons the bucket average — the CASE
+    # pins one convention (skip the update) on BOTH sides.
+    prem = F.when(
+        F.col("bid_sz") + F.col("ask_sz") > 0,
+        (micro - mid) / mid * 10000.0,
+    )
     return (
         bba.groupBy(
             "symbol",
@@ -1587,17 +1594,21 @@ def microprice(bba: DataFrame) -> DataFrame:
     )
 
 
-# oracle body over the bba CTE: identical per-update arithmetic
+# oracle body over the bba CTE: identical per-update arithmetic, same
+# zero-depth CASE (NULL, skipped by avg) as the engine
 MICROPRICE_ORACLE_BODY = """
 SELECT symbol,
        event_ts // 60000 AS bucket,
        CAST(count(*) AS BIGINT) AS n_updates,
-       round(avg(((bid_sz * ask_px + ask_sz * bid_px) / (bid_sz + ask_sz)
+       round(avg(CASE WHEN bid_sz + ask_sz > 0 THEN
+                 ((bid_sz * ask_px + ask_sz * bid_px) / (bid_sz + ask_sz)
                   - (bid_px + ask_px) / 2.0)
-                 / ((bid_px + ask_px) / 2.0) * 10000.0), 6) AS micro_prem_bps,
-       round(avg(abs(((bid_sz * ask_px + ask_sz * bid_px) / (bid_sz + ask_sz)
+                 / ((bid_px + ask_px) / 2.0) * 10000.0 END), 6)
+           AS micro_prem_bps,
+       round(avg(abs(CASE WHEN bid_sz + ask_sz > 0 THEN
+                     ((bid_sz * ask_px + ask_sz * bid_px) / (bid_sz + ask_sz)
                       - (bid_px + ask_px) / 2.0)
-                     / ((bid_px + ask_px) / 2.0) * 10000.0)), 6)
+                     / ((bid_px + ask_px) / 2.0) * 10000.0 END)), 6)
            AS micro_prem_abs_bps
 FROM bba
 GROUP BY 1, 2"""
@@ -1643,14 +1654,28 @@ def realized_spread(
 
     cf. reference: extends the surface (no post-trade reversion measure
     in the reference; complements :func:`effective_spread`)."""
-    t0 = trades.select(
-        "symbol", "event_ts", "ingest_ts", "price", "is_buyer_maker"
+    # Distinct BEFORE the two corpus-scale as-of scans, not after: the
+    # scans run on the 3-column (symbol, event_ts, price) identity
+    # (ingest_ts never affects the matched quote — it only tiebreaks
+    # among trade rows, which carry no quote data — so it is pinned to a
+    # constant), making each scan's output distinct by construction; the
+    # side flag rides the separate 4-column identity and joins back
+    # AFTER the scans so a same-instant buy/sell pair still contributes
+    # one row per side without multiplying through the scans.
+    tid = trades.select(
+        "symbol",
+        "event_ts",
+        F.lit(0).cast("long").alias("ingest_ts"),
+        "price",
     ).distinct()
-    now = asof_quote_match(t0, bba).select(
+    sides = trades.select(
+        "symbol", "event_ts", "price", "is_buyer_maker"
+    ).distinct()
+    now = asof_quote_match(tid, bba).select(
         "symbol", "event_ts", "price",
         ((F.col("bid_px") + F.col("ask_px")) / 2.0).alias("mid_now"),
-    ).distinct()
-    shifted = t0.select(
+    )
+    shifted = tid.select(
         "symbol",
         (F.col("event_ts") + F.lit(delta_ms)).cast("long").alias("event_ts"),
         "ingest_ts",
@@ -1661,8 +1686,7 @@ def realized_spread(
         (F.col("event_ts") - F.lit(delta_ms)).cast("long").alias("event_ts"),
         "price",
         ((F.col("bid_px") + F.col("ask_px")) / 2.0).alias("mid_fwd"),
-    ).distinct()
-    sides = t0.select("symbol", "event_ts", "price", "is_buyer_maker").distinct()
+    )
     m = sides.join(now, ["symbol", "event_ts", "price"]).join(
         fwd, ["symbol", "event_ts", "price"]
     )

@@ -1449,18 +1449,27 @@ def _train_pq(
     return cbs
 
 
-def _pq_frame(spark, cbs: list[tuple[int, int, list[float]]]) -> DataFrame:
-    """The PQ model as a broadcastable per-m frame: (m, cbs:
-    array<struct<j, cw, n2>>), cbs sorted by j (dense), n2 = |cw|² as the
-    same sequential left-fold both engines compute."""
+def _pq_rows(cbs: list[tuple[int, int, list[float]]]) -> dict[int, list]:
+    """Shared builder of the per-m codeword lists {m: [(j, cw, n2), ...]}
+    consumed by BOTH model-frame shapes.  n2 = |cw|² accumulated as the
+    same sequential left fold every engine-side kernel uses — a single
+    implementation so the training-side and encode-side scores can never
+    diverge on the fold."""
     rows: dict[int, list] = {}
     for m, j, cw in sorted(cbs):
         n2 = 0.0
         for x in cw:
-            n2 += x * x
+            n2 += float(x) * float(x)
         rows.setdefault(m, []).append((int(j), [float(x) for x in cw], n2))
+    return rows
+
+
+def _pq_frame(spark, cbs: list[tuple[int, int, list[float]]]) -> DataFrame:
+    """The PQ model as a broadcastable per-m frame: (m, cbs:
+    array<struct<j, cw, n2>>), cbs sorted by j (dense) — the
+    training-side shape (the sample is already exploded by m)."""
     return spark.createDataFrame(
-        [(m, v) for m, v in sorted(rows.items())],
+        [(m, v) for m, v in sorted(_pq_rows(cbs).items())],
         "m int, cbs array<struct<j: int, cw: array<double>, n2: double>>",
     )
 
@@ -1502,13 +1511,7 @@ def _pq_model_frame(spark, cbs: list[tuple[int, int, list[float]]]) -> DataFrame
     nested-HOF expression: NO explode, NO re-group shuffle.  (The per-m
     :func:`_pq_frame` is the training-side shape, where the sample is
     already exploded by m.)"""
-    per_m: dict[int, list] = {}
-    for m, j, cw in sorted(cbs):
-        n2 = 0.0
-        for x in cw:
-            n2 += x * x
-        per_m.setdefault(m, []).append((int(j), [float(x) for x in cw], n2))
-    pqm = [v for _, v in sorted(per_m.items())]
+    pqm = [v for _, v in sorted(_pq_rows(cbs).items())]
     return spark.createDataFrame(
         [(pqm,)],
         "pqm array<array<struct<j: int, cw: array<double>, n2: double>>>",

@@ -1810,20 +1810,32 @@ def bigram_logloss(
     token literally spelled ``<unk>`` stays a distinct vocabulary entry
     instead of silently merging into the UNK bucket and perturbing the
     transition counts (the spoofable-sentinel hazard of the bare KenLM
-    convention).  Bigram keys are joined with :data:`_BG_SEP` (the
-    ``\\x1f`` unit separator) rather than a space for the same reason:
-    the key stays unambiguously splittable even when one leg is the
-    space-carrying sentinel."""
+    convention).  Engine-side bigram keys are (w1, w2) STRUCTS — no
+    separator byte exists to collide with token content, so grouping is
+    exact for EVERY input (a separator-joined string key, space or
+    ``\\x1f``, mis-splits whenever a token contains the separator).  The
+    DuckDB twins keep string keys: the uncapped oracle's space separator
+    cannot appear in a space-split token, and the capped oracle's
+    :data:`_BG_SEP` (``\\x1f``) key shares the engine's groups for any
+    corpus without raw U+001F bytes inside tokens — the one residual
+    collision, documented here rather than hidden."""
     toks = documents.select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     )
+    # bigram keys are STRUCTS (w1, w2), never a separator-joined string:
+    # an in-band separator (space, chr(31), anything) can collide with
+    # token bytes and silently split keys differently from the oracle —
+    # struct grouping is exact for every input (the oracle twins keep
+    # their string keys, which group identically because THEIR separator
+    # cannot appear in a space-split token)
     bigrams = toks.select(
         "doc_id",
         F.explode(
             F.expr(
                 "CASE WHEN size(toks) >= 2 THEN"
                 " transform(sequence(0, size(toks) - 2), i -> "
-                "  concat_ws(chr(31), element_at(toks, i + 1), element_at(toks, i + 2)))"
+                "  struct(element_at(toks, i + 1) AS w1,"
+                "         element_at(toks, i + 2) AS w2))"
                 " ELSE array() END"
             )
         ).alias("bg"),
@@ -1846,20 +1858,19 @@ def bigram_logloss(
         t1 = top.select(F.col("w").alias("w1"), F.col("keep").alias("k1"))
         t2 = top.select(F.col("w").alias("w2"), F.col("keep").alias("k2"))
         bigrams = (
-            bigrams.withColumn("w1", F.split("bg", _BG_SEP)[0])
-            .withColumn("w2", F.split("bg", _BG_SEP)[1])
+            bigrams.withColumn("w1", F.col("bg.w1"))
+            .withColumn("w2", F.col("bg.w2"))
             .join(F.broadcast(t1), "w1", "left")
             .join(F.broadcast(t2), "w2", "left")
             .select(
                 "doc_id",
-                F.concat_ws(
-                    _BG_SEP,
-                    F.when(F.col("k1"), F.col("w1")).otherwise(
-                        F.lit(_UNK)
-                    ),
-                    F.when(F.col("k2"), F.col("w2")).otherwise(
-                        F.lit(_UNK)
-                    ),
+                F.struct(
+                    F.when(F.col("k1"), F.col("w1"))
+                    .otherwise(F.lit(_UNK))
+                    .alias("w1"),
+                    F.when(F.col("k2"), F.col("w2"))
+                    .otherwise(F.lit(_UNK))
+                    .alias("w2"),
                 ).alias("bg"),
             )
         )
@@ -1867,7 +1878,7 @@ def bigram_logloss(
     v = uni.groupBy().agg(F.count("*").alias("v"))
     bi = bigrams.groupBy("bg").agg(F.count("*").alias("cbg"))
     probs = (
-        bi.withColumn("w", F.split(F.col("bg"), _BG_SEP)[0])
+        bi.withColumn("w", F.col("bg.w1"))
         .join(uni, "w")
         .join(F.broadcast(v))
         .select(

@@ -706,3 +706,24 @@ def test_split_repair_closes_all_leakage(spark, sf_dir):
     ]
     assert straddling == []
     release_components(repair)
+
+
+def test_bigram_logloss_token_with_separator_byte(spark):
+    """Struct bigram keys are exact even when a token contains the old
+    in-band separator byte (U+001F): every transition must survive the
+    unigram join (a string key split on chr(31) would shear the token
+    and silently drop all three transitions of this document)."""
+    from pyspark.sql import Row
+
+    from bitcoin_datapipeline_spark.operators.text import bigram_logloss
+
+    weird = "a\x1fb"
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text=f"{weird} c {weird} c")],
+        "doc_id long, text string",
+    )
+    out = bigram_logloss(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_transitions == 3
+    assert r.avg_nll is not None and r.ppl is not None
