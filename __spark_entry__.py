@@ -943,6 +943,17 @@ def q_realized_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# round 7: TIME-weighted quoted spread (TAQ convention) — quote
+# lifetimes via lead, pro-rated across spanned minutes by the
+# interval->bucket explode
+@q(
+    "q_twa_spread",
+    OD.with_ctes(OD.BBA_CTE + aggregates.TWA_SPREAD_ORACLE_BODY, body=""),
+)
+def q_twa_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.twa_spread(normalize.bba(table(spark, sf_dir, "events")))
+
+
 # round 7: Stoikov microprice premium (imbalance-weighted fair value) —
 # the scan+agg control row of the microstructure family
 @q(
@@ -2183,9 +2194,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # Registration order above is thematic; this list orders queries by driver-
 # evidence AGE (oldest first) so each round's 50-slot window refreshes the
 # stalest rows.  After r6 every query's latest driver row is r4 (42
-# queries), r5 (50), or r6 (50).  Round 7 declared 14 NEW queries (not
-# listed here -> they sort first and take the first 14 slots); the
-# remaining 36 slots refresh the oldest r4-era rows below, leaving 6
+# queries), r5 (50), or r6 (50).  Round 7 declared 15 NEW queries (not
+# listed here -> they sort first and take the first 15 slots); the
+# remaining 35 slots refresh the oldest r4-era rows below, leaving 7
 # r4-era rows for the r8 window.  Queries not listed are NEW and sort
 # first — see _driver_order.
 _DRIVER_PRIORITY: list[str] = [

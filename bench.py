@@ -89,8 +89,10 @@ HEADLINE = [
     "q_drawdown",
     "q_doc_jaccard_hist",
     # round 7 (fifth wave): Huang-Stoll post-trade decomposition — two
-    # as-of scans joined on the trade identity
+    # as-of scans joined on the trade identity — and the TAQ
+    # time-weighted quoted spread (interval->bucket explode)
     "q_realized_spread",
+    "q_twa_spread",
 ]
 
 
@@ -186,6 +188,10 @@ FAMILIES: dict[str, list[str]] = {
         # r7 fifth wave: TWO as-of scans + identity join — the heaviest
         # microstructure plan; its decade row bounds the double-scan cost
         "q_realized_spread",
+        # interval->bucket explode: output is calendar-bounded (spanned
+        # minutes x symbols), so the decade row should be ~flat — the
+        # grid-family argument, measured here for the quote-lifetime form
+        "q_twa_spread",
     ],
 }
 SCALE_DIRS = ["/root/testdata/sf0.1", ".scale_data/sf1"]

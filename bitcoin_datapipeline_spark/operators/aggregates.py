@@ -1748,3 +1748,99 @@ SELECT symbol, event_ts // 60000 AS bucket,
        round(avg(2.0 * d * (mid_fwd - mid_now) / mid_now * 10000.0), 6)
            AS impact_bps
 FROM m GROUP BY 1, 2"""
+
+
+def twa_spread(bba: DataFrame) -> DataFrame:
+    """TIME-weighted quoted spread per (symbol, minute) — the TAQ
+    convention: each quote's spread is weighted by its LIFETIME (until
+    the next update), not its arrival count, so one flickering quote
+    can't dominate a minute it occupied for 2 ms.  A quote alive across
+    minute boundaries contributes to EVERY minute it spans, pro-rated by
+    overlap.
+
+    Lifetime: lead(event_ts) over the full deterministic quote order
+    (event_ts, ingest_ts, bid_px, ask_px, bid_sz, ask_sz); same-instant
+    duplicates get zero lifetime and drop out of the weighting naturally
+    (only the instant's last quote, the lexicographic max — the
+    :func:`effective_spread` tie convention — carries time).  Each
+    symbol's final quote closes at its own last update (the stream end;
+    it contributes nothing, the same right-open convention as the
+    duplicate rule).
+
+    Plan shape: ONE partitionBy(symbol) sort for the lead, then the
+    interval→minute explode (`sequence` of spanned buckets — output rows
+    = quote count + number of boundary crossings, linear in the stream),
+    then one partial-combinable aggregate.  The weighted sums are
+    doubles under the 6-dp average precedent; weights are exact integer
+    milliseconds.
+
+    cf. reference: extends the surface (the reference's BBA features are
+    arrival-weighted, `feature_builder.py:220-225`)."""
+    wl = Window.partitionBy("symbol").orderBy(
+        "event_ts", "ingest_ts", "bid_px", "ask_px", "bid_sz", "ask_sz"
+    )
+    q = bba.select(
+        "symbol",
+        "event_ts",
+        "bid_px",
+        "ask_px",
+        F.lead("event_ts").over(wl).alias("next_ts"),
+    ).filter(F.col("next_ts").isNotNull() & (F.col("next_ts") > F.col("event_ts")))
+    spread_bps = (
+        (F.col("ask_px") - F.col("bid_px"))
+        / ((F.col("bid_px") + F.col("ask_px")) / 2.0)
+        * 10000.0
+    )
+    e = q.select(
+        "symbol",
+        "event_ts",
+        "next_ts",
+        spread_bps.alias("spread_bps"),
+        F.explode(
+            F.expr("sequence(event_ts div 60000, (next_ts - 1) div 60000)")
+        ).alias("bucket"),
+    )
+    overlap = (
+        F.least(F.col("next_ts"), (F.col("bucket") + 1) * 60000)
+        - F.greatest(F.col("event_ts"), F.col("bucket") * 60000)
+    ).cast("long")
+    return (
+        e.select("symbol", "bucket", "spread_bps", overlap.alias("w"))
+        .groupBy("symbol", F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_intervals"),
+            F.sum("w").cast("long").alias("quoted_ms"),
+            r6(F.sum(F.col("spread_bps") * F.col("w")) / F.sum("w")).alias(
+                "twa_spread_bps"
+            ),
+        )
+    )
+
+
+# oracle body over the bba CTE: same deterministic lead order, same
+# interval->bucket explode and overlap arithmetic
+TWA_SPREAD_ORACLE_BODY = """
+,ql AS (
+  SELECT symbol, event_ts, bid_px, ask_px,
+         lead(event_ts) OVER w AS next_ts
+  FROM bba
+  WINDOW w AS (PARTITION BY symbol
+               ORDER BY event_ts, ingest_ts, bid_px, ask_px, bid_sz, ask_sz)
+),
+iv AS (
+  SELECT symbol, event_ts, next_ts,
+         (ask_px - bid_px) / ((bid_px + ask_px) / 2.0) * 10000.0 AS spread_bps,
+         unnest(generate_series(event_ts // 60000, (next_ts - 1) // 60000))
+             AS bucket
+  FROM ql
+  WHERE next_ts IS NOT NULL AND next_ts > event_ts
+)
+SELECT symbol, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(least(next_ts, (bucket + 1) * 60000)
+                - greatest(event_ts, bucket * 60000)) AS BIGINT) AS quoted_ms,
+       round(sum(spread_bps * (least(next_ts, (bucket + 1) * 60000)
+                               - greatest(event_ts, bucket * 60000)))
+             / sum(least(next_ts, (bucket + 1) * 60000)
+                   - greatest(event_ts, bucket * 60000)), 6) AS twa_spread_bps
+FROM iv GROUP BY 1, 2"""

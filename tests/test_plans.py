@@ -499,6 +499,8 @@ SHUFFLE_BUDGETS = {
     "q_drawdown": 3,
     # two union-LOCF as-of scans + the distinct-collapsed identity join
     "q_realized_spread": 8,
+    # the bucket aggregate rides the lead's symbol sort partitioning
+    "q_twa_spread": 1,
     # capped pair pass: df-cap aggregate + semi-join legs around the
     # shingle-blocked self-join; AQE reuses the shared scan at runtime
     "q_doc_jaccard_hist": 8,
