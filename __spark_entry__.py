@@ -1441,6 +1441,13 @@ def q_doc_jaccard_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.jaccard_histogram(table(spark, sf_dir, "documents"))
 
 
+# round 7: Broder resemblance-estimator calibration — per signature-
+# agreement count, the MinHash estimate next to the mean exact jaccard
+@q("q_doc_minhash_calibration", text.MINHASH_CALIBRATION_ORACLE)
+def q_doc_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.minhash_calibration(table(spark, sf_dir, "documents"))
+
+
 @q("q_embed_cosine_pairs", similarity.COSINE_PAIRS_ORACLE)
 def q_embed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs(table(spark, sf_dir, "embeddings"))
@@ -2194,9 +2201,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # Registration order above is thematic; this list orders queries by driver-
 # evidence AGE (oldest first) so each round's 50-slot window refreshes the
 # stalest rows.  After r6 every query's latest driver row is r4 (42
-# queries), r5 (50), or r6 (50).  Round 7 declared 15 NEW queries (not
-# listed here -> they sort first and take the first 15 slots); the
-# remaining 35 slots refresh the oldest r4-era rows below, leaving 7
+# queries), r5 (50), or r6 (50).  Round 7 declared 16 NEW queries (not
+# listed here -> they sort first and take the first 16 slots); the
+# remaining 34 slots refresh the oldest r4-era rows below, leaving 8
 # r4-era rows for the r8 window.  Queries not listed are NEW and sort
 # first — see _driver_order.
 _DRIVER_PRIORITY: list[str] = [

@@ -93,6 +93,9 @@ HEADLINE = [
     # time-weighted quoted spread (interval->bucket explode)
     "q_realized_spread",
     "q_twa_spread",
+    # round 7 (sixth wave): Broder estimator calibration over the LSH
+    # candidate set
+    "q_doc_minhash_calibration",
 ]
 
 
@@ -134,6 +137,9 @@ FAMILIES: dict[str, list[str]] = {
         # (r7: the capped pair pass IS the quadratic-risk guard — its
         # decade row proves the cap holds the fan-out)
         "q_doc_jaccard_hist",
+        # estimator calibration over the band-candidate set (r7: rides
+        # the same sigs aggregate + band join as minhash_lsh)
+        "q_doc_minhash_calibration",
     ],
     "ann": [
         "q_embed_ann_ivf",

@@ -3266,3 +3266,120 @@ FROM (SELECT jaccard,
              CAST(least(floor(jaccard * 10), 9) AS INTEGER) AS bin
       FROM jac)
 GROUP BY bin"""
+
+
+def minhash_calibration(
+    documents: DataFrame, n_sigs: int = MINHASH_SIGS
+) -> DataFrame:
+    """MinHash estimator calibration report — the empirical check of the
+    identity the whole LSH family rests on (P[min-hash match] = exact
+    Jaccard): over every band-LSH candidate pair, count the signature
+    positions that agree, and per agreement count k report the estimator
+    ĵ = k/n_sigs next to the mean EXACT Jaccard of those pairs.  A
+    healthy index shows avg_exact tracking est_jaccard within sampling
+    noise; systematic bias here means broken signatures (wrong seed
+    separator, truncated md5) long before recall regressions surface.
+
+    Plan shape: the candidate pairs and both signature lookups all read
+    the ONE sigs aggregate (the :func:`minhash_lsh_pairs` sharing
+    argument); per-pair work is n_sigs equality checks + one
+    array_intersect; the final aggregate has ≤ n_sigs+1 rows.
+
+    cf. reference: extends the surface (Broder 1997 resemblance
+    estimator; no reference counterpart)."""
+    sigs = _minhash_sigs(documents, None, n_sigs)
+    allb = _band_frame(sigs, n_sigs, MINHASH_BANDS)
+    a = allb.alias("a")
+    b2 = allb.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    pa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("n").alias("na"),
+        *[F.col(f"s{j}").alias(f"sa{j}") for j in range(n_sigs)],
+    )
+    pb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("n").alias("nb"),
+        *[F.col(f"s{j}").alias(f"sb{j}") for j in range(n_sigs)],
+    )
+    matches = sum(
+        F.when(F.col(f"sa{j}") == F.col(f"sb{j}"), 1).otherwise(0)
+        for j in range(n_sigs)
+    )
+    shared = F.size(F.array_intersect("shs_a", "shs_b"))
+    jac = shared / (F.col("na") + F.col("nb") - shared)
+    return (
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select(matches.alias("n_sig_matches"), r6(jac).alias("jaccard"))
+        .groupBy(F.col("n_sig_matches").cast("int").alias("n_sig_matches"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            r6(F.avg("jaccard")).alias("avg_exact_jaccard"),
+        )
+        .select(
+            "n_sig_matches",
+            r6(F.col("n_sig_matches") / F.lit(float(n_sigs))).alias(
+                "est_jaccard"
+            ),
+            "n_pairs",
+            "avg_exact_jaccard",
+        )
+    )
+
+
+def _minhash_calibration_oracle(n_sigs: int = MINHASH_SIGS) -> str:
+    match_sum = " + ".join(
+        f"(CASE WHEN x.s{j} = y.s{j} THEN 1 ELSE 0 END)" for j in range(n_sigs)
+    )
+    return f"""
+WITH docs_sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        for i in generate_series(1, len(toks) - 2)]) AS shs
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 3
+),
+sigs AS (
+  SELECT doc_id, shs, len(shs) AS n,
+         {_SIG_SQL}
+  FROM docs_sh
+),
+bands AS ({_BAND_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT ({match_sum}) AS n_sig_matches,
+         round(len(list_intersect(x.shs, y.shs)) * 1.0
+               / (x.n + y.n - len(list_intersect(x.shs, y.shs))), 6) AS jaccard
+  FROM cand c
+  JOIN sigs x ON c.doc_a = x.doc_id
+  JOIN sigs y ON c.doc_b = y.doc_id
+)
+SELECT CAST(n_sig_matches AS INTEGER) AS n_sig_matches,
+       round(n_sig_matches / {float(n_sigs)!r}, 6) AS est_jaccard,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(jaccard), 6) AS avg_exact_jaccard
+FROM pairs
+GROUP BY n_sig_matches"""
+
+
+MINHASH_CALIBRATION_ORACLE = _minhash_calibration_oracle()

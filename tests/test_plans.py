@@ -501,6 +501,9 @@ SHUFFLE_BUDGETS = {
     "q_realized_spread": 8,
     # the bucket aggregate rides the lead's symbol sort partitioning
     "q_twa_spread": 1,
+    # band-union legs + both signature lookups over the one sigs
+    # aggregate (ReusedExchange collapses them at runtime)
+    "q_doc_minhash_calibration": 11,
     # capped pair pass: df-cap aggregate + semi-join legs around the
     # shingle-blocked self-join; AQE reuses the shared scan at runtime
     "q_doc_jaccard_hist": 8,
