@@ -1448,6 +1448,26 @@ def q_doc_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.minhash_calibration(table(spark, sf_dir, "documents"))
 
 
+# round 7: serial-dependence diagnostic — ACF of bar-close price changes
+# at lags 1..5, the empirical check behind roll_spread's bounce model
+@q(
+    "q_acf",
+    OD.with_ctes(OD.BARS_1M_CTE + aggregates.ACF_ORACLE_BODY, body=""),
+)
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.acf_price_changes(pipeline.bars_pipeline(spark, sf_dir))
+
+
+# round 7: Lo-MacKinlay variance ratio — horizon-scaling companion of
+# q_acf (VR<1 = bounce/mean-reversion, ~1 = random walk, >1 = momentum)
+@q(
+    "q_variance_ratio",
+    OD.with_ctes(OD.BARS_1M_CTE + aggregates.VR_ORACLE_BODY, body=""),
+)
+def q_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.variance_ratio(pipeline.bars_pipeline(spark, sf_dir))
+
+
 @q("q_embed_cosine_pairs", similarity.COSINE_PAIRS_ORACLE)
 def q_embed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs(table(spark, sf_dir, "embeddings"))

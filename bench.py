@@ -96,6 +96,11 @@ HEADLINE = [
     # round 7 (sixth wave): Broder estimator calibration over the LSH
     # candidate set
     "q_doc_minhash_calibration",
+    # round 7 (seventh wave): serial-dependence diagnostics over the bar
+    # grain — ACF of close-to-close changes and the Lo-MacKinlay
+    # variance ratio, both decimal-exact single-sort plans
+    "q_acf",
+    "q_variance_ratio",
 ]
 
 

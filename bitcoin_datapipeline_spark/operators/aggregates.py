@@ -1844,3 +1844,243 @@ SELECT symbol, CAST(bucket AS BIGINT) AS bucket,
              / sum(least(next_ts, (bucket + 1) * 60000)
                    - greatest(event_ts, bucket * 60000)), 6) AS twa_spread_bps
 FROM iv GROUP BY 1, 2"""
+
+
+ACF_MAX_LAG = 5  # autocorrelation lags reported per symbol
+
+
+def acf_price_changes(bars: DataFrame, max_lag: int = ACF_MAX_LAG) -> DataFrame:
+    """Autocorrelation function of 1-minute bar close-to-close price
+    changes at lags 1..max_lag per symbol — the standard serial-dependence
+    diagnostic behind :func:`roll_spread` (whose model PREDICTS a negative
+    lag-1 value and ~zero beyond): one report that shows whether the tape
+    looks like bid-ask bounce (big negative lag-1 only), momentum
+    (positive short lags), or a random walk (all ~0).
+
+    Clock convention (documented, oracle-replicated): lags are in BAR
+    SEQUENCE order per symbol (trade-time clock) — bars exist only for
+    minutes that traded, and a gap does not break the sequence.  This is
+    the same convention :func:`amihud_illiquidity`'s close-to-close lag
+    uses, minus its same-day restriction (ACF is a whole-tape statistic).
+
+    Determinism: Δclose lives on the 6-dp bar grid → cast to
+    DECIMAL(12,6); all five Pearson moments Σx, Σy, Σxy, Σx², Σy² are
+    DECIMAL-exact sums cast to double once (the :func:`kyle_lambda`
+    discipline), so the correlation arithmetic sees bit-identical
+    operands in both engines.  Degenerate symbols (either margin
+    zero-variance, n<2) emit NULL, not 0/0.
+
+    Plan shape: Δclose and all lagged copies ride ONE
+    partitionBy(symbol) sort over bars (already thousands-to-1 reduced
+    from ticks); `stack` fans each pair row out max_lag× map-side; one
+    partial-combinable aggregate to (symbol, lag) — K·max_lag rows.
+    Scale-safe: no self-join, fan-out is the constant max_lag.
+
+    cf. reference: extends the surface (the reference computes per-batch
+    imbalance/returns but no serial-dependence diagnostics,
+    feature_builder.py:119-150)."""
+    wl = Window.partitionBy("symbol").orderBy("bucket")
+    cd = F.col("close").cast("decimal(12,6)")
+    dp = (cd - F.lag(cd).over(wl)).cast("decimal(12,6)")
+    b = bars.select("symbol", "bucket", dp.alias("dp"))
+    lag_cols = [
+        F.lag("dp", k).over(wl).alias(f"dp_l{k}") for k in range(1, max_lag + 1)
+    ]
+    stacked = b.select("symbol", "dp", *lag_cols).select(
+        "symbol",
+        "dp",
+        F.expr(
+            "stack({n}, {args}) AS (lag, dp_lag)".format(
+                n=max_lag,
+                args=", ".join(
+                    f"{k}, dp_l{k}" for k in range(1, max_lag + 1)
+                ),
+            )
+        ),
+    ).filter(F.col("dp").isNotNull() & F.col("dp_lag").isNotNull())
+    g = stacked.groupBy("symbol", "lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("dp").cast("double").alias("sx"),
+        F.sum("dp_lag").cast("double").alias("sy"),
+        F.sum((F.col("dp") * F.col("dp_lag")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("dp") * F.col("dp")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("dp_lag") * F.col("dp_lag")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    n = F.col("n_pairs")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(varx * vary)
+    return g.select(
+        "symbol",
+        F.col("lag").cast("int").alias("lag"),
+        "n_pairs",
+        F.when((varx > 0) & (vary > 0), r6(corr)).alias("acf"),
+    )
+
+
+ACF_ORACLE_BODY = f"""
+,acf_dp AS (
+  SELECT symbol, bucket,
+         CAST(CAST(close AS DECIMAL(12,6))
+              - lag(CAST(close AS DECIMAL(12,6))) OVER w AS DECIMAL(12,6))
+             AS dp
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+acf_lagged AS (
+  SELECT symbol, dp, lag_k.lag,
+         CASE lag_k.lag
+           {" ".join(f"WHEN {k} THEN lag(dp, {k}) OVER (PARTITION BY symbol, lag_k.lag ORDER BY bucket)" for k in range(1, ACF_MAX_LAG + 1))}
+         END AS dp_lag
+  FROM acf_dp
+  CROSS JOIN (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag) lag_k
+),
+acf_g AS (
+  SELECT symbol, lag,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(dp) AS DOUBLE) AS sx,
+         CAST(sum(dp_lag) AS DOUBLE) AS sy,
+         CAST(sum(CAST(dp * dp_lag AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(dp * dp AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(dp_lag * dp_lag AS DECIMAL(38,12))) AS DOUBLE) AS syy
+  FROM acf_lagged
+  WHERE dp IS NOT NULL AND dp_lag IS NOT NULL
+  GROUP BY symbol, lag
+)
+SELECT symbol, CAST(lag AS INT) AS lag, n_pairs,
+       CASE WHEN n_pairs * sxx - sx * sx > 0
+             AND n_pairs * syy - sy * sy > 0
+            THEN round((n_pairs * sxy - sx * sy)
+                       / sqrt((n_pairs * sxx - sx * sx)
+                              * (n_pairs * syy - sy * sy)), 6)
+       END AS acf
+FROM acf_g"""
+
+
+VR_HORIZON = 5  # variance-ratio aggregation horizon (bars per long period)
+
+
+def variance_ratio(bars: DataFrame, q: int = VR_HORIZON) -> DataFrame:
+    """Lo-MacKinlay variance ratio VR(q) per symbol over 1-minute bar
+    close-to-close price changes: Var of the q-bar overlapping sums over
+    q x Var of the 1-bar changes.  VR ~ 1 is a random walk, VR < 1 mean
+    reversion (bid-ask bounce — :func:`roll_spread`'s regime), VR > 1
+    momentum.  The plug-in estimator (population variances, overlapping
+    q-sums, no heteroskedasticity correction) — convention documented
+    and oracle-replicated.
+
+    Clock convention: bar-sequence (trade-time) lags, same as
+    :func:`acf_price_changes`.
+
+    Determinism: Δclose and its q-sums live on the 6-dp decimal grid —
+    every moment (Σx, Σx² for both margins) is a DECIMAL-exact sum cast
+    to double once, so the final ratio sees bit-identical operands in
+    both engines.  Symbols with zero short-horizon variance or fewer
+    than q+1 bars emit NULL.
+
+    Plan shape: Δclose and the ROWS-frame q-sum ride ONE
+    partitionBy(symbol) sort over bars; one partial-combinable aggregate
+    to K symbol rows.  Scale-safe: window state is q rows.
+
+    cf. reference: extends the surface (companion of
+    :func:`acf_price_changes`; the reference has no horizon-scaling
+    diagnostics)."""
+    wl = Window.partitionBy("symbol").orderBy("bucket")
+    wq = wl.rowsBetween(-(q - 1), 0)
+    cd = F.col("close").cast("decimal(12,6)")
+    dp = (cd - F.lag(cd).over(wl)).cast("decimal(12,6)")
+    b = (
+        bars.select("symbol", "bucket", dp.alias("dp"))
+        .withColumn("qsum", F.sum("dp").over(wq).cast("decimal(18,6)"))
+        .withColumn("q_n", F.count("dp").over(wq))
+    )
+    # qsum is a valid q-period change only once the frame holds q deltas
+    g = b.groupBy("symbol").agg(
+        F.count("dp").cast("long").alias("n_short"),
+        F.sum("dp").cast("double").alias("sx"),
+        F.sum((F.col("dp") * F.col("dp")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.when(F.col("q_n") == q, 1).otherwise(0))
+        .cast("long")
+        .alias("n_long"),
+        F.sum(F.when(F.col("q_n") == q, F.col("qsum")))
+        .cast("double")
+        .alias("sq"),
+        F.sum(
+            F.when(
+                F.col("q_n") == q, (F.col("qsum") * F.col("qsum")).cast("decimal(38,12)")
+            )
+        )
+        .cast("double")
+        .alias("sqq"),
+    )
+    var1 = (F.col("n_short") * F.col("sxx") - F.col("sx") * F.col("sx")) / (
+        F.col("n_short") * F.col("n_short")
+    )
+    varq = (F.col("n_long") * F.col("sqq") - F.col("sq") * F.col("sq")) / (
+        F.col("n_long") * F.col("n_long")
+    )
+    ok = (F.col("n_short") > 0) & (F.col("n_long") > 0) & (var1 > 0)
+    return g.select(
+        "symbol",
+        "n_short",
+        "n_long",
+        F.when(ok, r6(var1)).alias("var_1"),
+        F.when(ok, r6(varq)).alias(f"var_q"),
+        F.when(ok, r6(varq / (q * var1))).alias("variance_ratio"),
+    )
+
+
+VR_ORACLE_BODY = f"""
+,vr_dp AS (
+  SELECT symbol, bucket,
+         CAST(CAST(close AS DECIMAL(12,6))
+              - lag(CAST(close AS DECIMAL(12,6))) OVER w AS DECIMAL(12,6))
+             AS dp
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+vr_q AS (
+  SELECT symbol, dp,
+         CAST(sum(dp) OVER wq AS DECIMAL(18,6)) AS qsum,
+         count(dp) OVER wq AS q_n
+  FROM vr_dp
+  WINDOW wq AS (PARTITION BY symbol ORDER BY bucket
+                ROWS BETWEEN {VR_HORIZON - 1} PRECEDING AND CURRENT ROW)
+),
+vr_g AS (
+  SELECT symbol,
+         CAST(count(dp) AS BIGINT) AS n_short,
+         CAST(sum(dp) AS DOUBLE) AS sx,
+         CAST(sum(CAST(dp * dp AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CASE WHEN q_n = {VR_HORIZON} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_long,
+         CAST(sum(CASE WHEN q_n = {VR_HORIZON} THEN qsum END) AS DOUBLE) AS sq,
+         CAST(sum(CASE WHEN q_n = {VR_HORIZON}
+                       THEN CAST(qsum * qsum AS DECIMAL(38,12)) END) AS DOUBLE)
+             AS sqq
+  FROM vr_q
+  GROUP BY symbol
+)
+SELECT symbol, n_short, n_long,
+       CASE WHEN ok THEN round(var_1, 6) END AS var_1,
+       CASE WHEN ok THEN round(var_q, 6) END AS var_q,
+       CASE WHEN ok THEN round(var_q / ({VR_HORIZON} * var_1), 6) END
+           AS variance_ratio
+FROM (
+  SELECT symbol, n_short, n_long,
+         (n_short * sxx - sx * sx) / (CAST(n_short AS DOUBLE) * n_short)
+             AS var_1,
+         (n_long * sqq - sq * sq) / (CAST(n_long AS DOUBLE) * n_long) AS var_q,
+         n_short > 0 AND n_long > 0
+           AND (n_short * sxx - sx * sx)
+               / (CAST(n_short AS DOUBLE) * n_short) > 0 AS ok
+  FROM vr_g
+)"""

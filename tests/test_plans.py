@@ -507,6 +507,10 @@ SHUFFLE_BUDGETS = {
     # capped pair pass: df-cap aggregate + semi-join legs around the
     # shingle-blocked self-join; AQE reuses the shared scan at runtime
     "q_doc_jaccard_hist": 8,
+    # bars agg + the one symbol sort + the (symbol, lag) moment agg
+    "q_acf": 3,
+    # bars agg + the one symbol sort + the K-row symbol moment agg
+    "q_variance_ratio": 3,
 }
 
 

@@ -1303,3 +1303,152 @@ def test_trade_runs_matches_naive(spark, batch):
                     max(lens),
                 )
     assert got == want
+
+
+# --- round 7 (seventh wave): serial-dependence diagnostics -----------------
+# acf_price_changes and variance_ratio get the kyle/roll treatment: naive
+# references accumulate the decimal-grid moments with Fraction (exact, like
+# the engine's DECIMAL sums), convert to double once, then run the identical
+# scalar expression — agreement is EXACT, including the NULL guards.
+
+_bars_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["BTC", "ETH"]),                 # symbol
+        st.integers(min_value=0, max_value=500),         # bucket
+        st.integers(min_value=1, max_value=99999999),    # close in 1e-6 units
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _unique_bars(batch):
+    """One bar per (symbol, bucket) — bars_1m's output key — keeping the
+    lexicographically-last close so the input is deterministic."""
+    from fractions import Fraction
+
+    d = {}
+    for s, b, c6 in sorted(batch):
+        d[(s, b)] = Fraction(c6, 1_000_000)
+    return sorted((s, b, c) for (s, b), c in d.items())
+
+
+def _bars_df(spark, bars):
+    rows = [
+        Row(symbol=s, bucket=b, close=float(c)) for s, b, c in bars
+    ]
+    return spark.createDataFrame(
+        rows, "symbol string, bucket long, close double"
+    )
+
+
+def _dp_by_symbol(bars):
+    from collections import defaultdict
+
+    seq = defaultdict(list)
+    for s, _b, c in bars:  # bars sorted by (symbol, bucket)
+        seq[s].append(c)
+    return {
+        s: [cs[i] - cs[i - 1] for i in range(1, len(cs))]
+        for s, cs in seq.items()
+    }
+
+
+def _naive_acf(bars, max_lag=5):
+    out = {}
+    for s, dps in _dp_by_symbol(bars).items():
+        for k in range(1, max_lag + 1):
+            pairs = [(dps[i], dps[i - k]) for i in range(k, len(dps))]
+            if not pairs:
+                continue
+            n = len(pairs)
+            sx = float(sum(x for x, _ in pairs))
+            sy = float(sum(y for _, y in pairs))
+            sxy = float(sum(x * y for x, y in pairs))
+            sxx = float(sum(x * x for x, _ in pairs))
+            syy = float(sum(y * y for _, y in pairs))
+            varx = n * sxx - sx * sx
+            vary = n * syy - sy * sy
+            acf = (
+                _spark_round6((n * sxy - sx * sy) / (varx * vary) ** 0.5)
+                if varx > 0 and vary > 0
+                else None
+            )
+            out[(s, k)] = (n, acf)
+    return out
+
+
+def _naive_vr(bars, q=5):
+    out = {}
+    for s, dps in _dp_by_symbol(bars).items():
+        qsums = [
+            sum(dps[i - q + 1 : i + 1]) for i in range(q - 1, len(dps))
+        ]
+        n1, nq = len(dps), len(qsums)
+        sx = float(sum(dps))
+        sxx = float(sum(x * x for x in dps))
+        sq = float(sum(qsums)) if qsums else None
+        sqq = float(sum(x * x for x in qsums)) if qsums else None
+        var1 = (n1 * sxx - sx * sx) / (n1 * n1) if n1 > 0 else None
+        varq = (nq * sqq - sq * sq) / (nq * nq) if nq > 0 else None
+        ok = n1 > 0 and nq > 0 and var1 > 0
+        out[s] = (
+            n1,
+            nq,
+            _spark_round6(var1) if ok else None,
+            _spark_round6(varq) if ok else None,
+            _spark_round6(varq / (q * var1)) if ok else None,
+        )
+    return out
+
+
+@given(batch=_bars_strategy)
+@_settings
+def test_acf_matches_naive_reference(spark, batch):
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        acf_price_changes,
+    )
+
+    bars = _unique_bars(batch)
+    got = {
+        (r.symbol, r.lag): (r.n_pairs, r.acf)
+        for r in acf_price_changes(_bars_df(spark, bars)).collect()
+    }
+    assert got == _naive_acf(bars)
+
+
+@given(batch=_bars_strategy)
+@_settings
+def test_variance_ratio_matches_naive_reference(spark, batch):
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        variance_ratio,
+    )
+
+    bars = _unique_bars(batch)
+    got = {
+        r.symbol: (r.n_short, r.n_long, r.var_1, r.var_q, r.variance_ratio)
+        for r in variance_ratio(_bars_df(spark, bars)).collect()
+    }
+    assert got == _naive_vr(bars)
+
+
+def test_acf_vr_degenerate_bars(spark):
+    """Constant-price tape (zero variance -> NULL acf and NULL ratio,
+    counts still reported) and a single bar (no deltas -> no acf rows,
+    vr row with n_short=0 and NULLs)."""
+    from fractions import Fraction
+
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        acf_price_changes,
+        variance_ratio,
+    )
+
+    const = [("BTC", b, Fraction(100)) for b in range(10)]
+    single = [("ETH", 0, Fraction(5))]
+    df = _bars_df(spark, const + single)
+    acf = {(r.symbol, r.lag): r.acf for r in acf_price_changes(df).collect()}
+    assert all(v is None for v in acf.values())
+    assert not any(s == "ETH" for s, _ in acf)
+    vr = {r.symbol: r for r in variance_ratio(df).collect()}
+    assert vr["BTC"].variance_ratio is None  # var_1 == 0
+    assert vr["ETH"].n_short == 0 and vr["ETH"].variance_ratio is None
