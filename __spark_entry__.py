@@ -1468,6 +1468,16 @@ def q_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.variance_ratio(pipeline.bars_pipeline(spark, sf_dir))
 
 
+# round 7: cross-symbol lead-lag correlation on the shared minute clock
+# — which symbol moves first (price-discovery companion of q_acf)
+@q(
+    "q_leadlag_xcorr",
+    OD.with_ctes(OD.BARS_1M_CTE + aggregates.XCORR_ORACLE_BODY, body=""),
+)
+def q_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.leadlag_xcorr(pipeline.bars_pipeline(spark, sf_dir))
+
+
 @q("q_embed_cosine_pairs", similarity.COSINE_PAIRS_ORACLE)
 def q_embed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs(table(spark, sf_dir, "embeddings"))

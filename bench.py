@@ -101,6 +101,7 @@ HEADLINE = [
     # variance ratio, both decimal-exact single-sort plans
     "q_acf",
     "q_variance_ratio",
+    "q_leadlag_xcorr",
 ]
 
 

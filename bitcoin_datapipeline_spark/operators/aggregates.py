@@ -2084,3 +2084,128 @@ FROM (
                / (CAST(n_short AS DOUBLE) * n_short) > 0 AS ok
   FROM vr_g
 )"""
+
+
+XCORR_MAX_LAG = 2  # lead-lag horizon in 1-minute buckets (k in -2..2)
+
+
+def leadlag_xcorr(bars: DataFrame, max_lag: int = XCORR_MAX_LAG) -> DataFrame:
+    """Cross-symbol lead-lag correlation (Hoffmann-Rosenbaum-style price
+    discovery diagnostic): for every unordered symbol pair (a < b) and
+    lag k in [-max_lag, +max_lag], the Pearson correlation of a's
+    1-minute close-to-close change at bucket t with b's at bucket t+k.
+    An asymmetric profile (|xcorr| peaking at k>0) means a LEADS b —
+    which venue/asset moves first, the cross-asset complement of
+    :func:`acf_price_changes`'s own-lag profile.
+
+    Clock convention: CALENDAR buckets (not bar sequence) — a lead-lag
+    statement is only meaningful on a shared clock, so pairs form only
+    where BOTH symbols traded in the respective minutes (co-observed
+    buckets; gaps simply produce no pair, documented and
+    oracle-replicated).
+
+    Determinism: Δclose on the 6-dp decimal grid, all five moments
+    DECIMAL-exact (the :func:`kyle_lambda` discipline); degenerate
+    margins (zero variance, n<2) emit NULL.
+
+    Plan shape: bars → Δclose rides one partitionBy(symbol) sort; the
+    lag explode fans ONE side (2·max_lag+1)× map-side; the self-join is
+    a hash equi-join on the shifted bucket (both sides shuffle on
+    bucket — time-partitioned, never a cross join; the a<b predicate
+    is a join filter); one partial-combinable aggregate to
+    pairs×lags rows.  At 100 TB the join carries one row per
+    (symbol, minute) per side — already thousands-to-1 reduced from
+    ticks — and fan-out is the constant lag window.
+
+    cf. reference: extends the surface (the reference joins multi-source
+    features per symbol, feature_builder.py:214-276, but computes no
+    cross-symbol statistics)."""
+    wl = Window.partitionBy("symbol").orderBy("bucket")
+    cd = F.col("close").cast("decimal(12,6)")
+    d = (
+        bars.select(
+            "symbol", "bucket", (cd - F.lag(cd).over(wl)).cast("decimal(12,6)").alias("dp")
+        )
+        .filter(F.col("dp").isNotNull())
+    )
+    lags = F.array(*[F.lit(k) for k in range(-max_lag, max_lag + 1)])
+    b = (
+        d.select(
+            F.col("symbol").alias("symbol_b"),
+            F.col("bucket").alias("bucket_b"),
+            F.col("dp").alias("dp_b"),
+        )
+        .withColumn("lag", F.explode(lags))
+        .withColumn("bucket_a", F.col("bucket_b") - F.col("lag"))
+    )
+    pairs = d.alias("a").join(
+        b,
+        (F.col("a.bucket") == F.col("bucket_a"))
+        & (F.col("a.symbol") < F.col("symbol_b")),
+    )
+    g = pairs.groupBy(
+        F.col("a.symbol").alias("symbol_a"), "symbol_b", "lag"
+    ).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("a.dp").cast("double").alias("sx"),
+        F.sum("dp_b").cast("double").alias("sy"),
+        F.sum((F.col("a.dp") * F.col("dp_b")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("a.dp") * F.col("a.dp")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("dp_b") * F.col("dp_b")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    n = F.col("n_pairs")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(varx * vary)
+    return g.select(
+        "symbol_a",
+        "symbol_b",
+        F.col("lag").cast("int").alias("lag"),
+        "n_pairs",
+        F.when((varx > 0) & (vary > 0), r6(corr)).alias("xcorr"),
+    )
+
+
+XCORR_ORACLE_BODY = f"""
+,xc_dp AS (
+  SELECT symbol, bucket,
+         CAST(CAST(close AS DECIMAL(12,6))
+              - lag(CAST(close AS DECIMAL(12,6))) OVER w AS DECIMAL(12,6))
+             AS dp
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+xc AS (SELECT * FROM xc_dp WHERE dp IS NOT NULL),
+xc_pairs AS (
+  SELECT a.symbol AS symbol_a, b.symbol AS symbol_b, k.lag AS lag,
+         a.dp AS dp_a, b.dp AS dp_b
+  FROM xc a
+  JOIN (SELECT unnest(generate_series(-{XCORR_MAX_LAG}, {XCORR_MAX_LAG}))
+            AS lag) k ON true
+  JOIN xc b ON a.bucket = b.bucket - k.lag AND a.symbol < b.symbol
+),
+xc_g AS (
+  SELECT symbol_a, symbol_b, lag,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(dp_a) AS DOUBLE) AS sx,
+         CAST(sum(dp_b) AS DOUBLE) AS sy,
+         CAST(sum(CAST(dp_a * dp_b AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(dp_a * dp_a AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(dp_b * dp_b AS DECIMAL(38,12))) AS DOUBLE) AS syy
+  FROM xc_pairs
+  GROUP BY 1, 2, 3
+)
+SELECT symbol_a, symbol_b, CAST(lag AS INT) AS lag, n_pairs,
+       CASE WHEN n_pairs * sxx - sx * sx > 0
+             AND n_pairs * syy - sy * sy > 0
+            THEN round((n_pairs * sxy - sx * sy)
+                       / sqrt((n_pairs * sxx - sx * sx)
+                              * (n_pairs * syy - sy * sy)), 6)
+       END AS xcorr
+FROM xc_g"""

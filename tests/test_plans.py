@@ -511,6 +511,10 @@ SHUFFLE_BUDGETS = {
     "q_acf": 3,
     # bars agg + the one symbol sort + the K-row symbol moment agg
     "q_variance_ratio": 3,
+    # static count: both self-join legs re-derive bars+Δp (3 each); at
+    # runtime AQE ReusedExchange collapses the shared scan — the join
+    # itself is the one bucket-keyed exchange pair
+    "q_leadlag_xcorr": 6,
 }
 
 

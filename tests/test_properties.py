@@ -1452,3 +1452,54 @@ def test_acf_vr_degenerate_bars(spark):
     vr = {r.symbol: r for r in variance_ratio(df).collect()}
     assert vr["BTC"].variance_ratio is None  # var_1 == 0
     assert vr["ETH"].n_short == 0 and vr["ETH"].variance_ratio is None
+
+
+def _naive_xcorr(bars, max_lag=2):
+    from collections import defaultdict
+
+    dps = defaultdict(dict)  # symbol -> bucket -> dp
+    seq = defaultdict(list)
+    for s, b, c in bars:
+        seq[s].append((b, c))
+    for s, bc in seq.items():
+        for i in range(1, len(bc)):
+            dps[s][bc[i][0]] = bc[i][1] - bc[i - 1][1]
+    syms = sorted(dps)
+    out = {}
+    for ia, sa in enumerate(syms):
+        for sb in syms[ia + 1 :]:
+            for k in range(-max_lag, max_lag + 1):
+                pairs = [
+                    (dps[sa][t], dps[sb][t + k])
+                    for t in dps[sa]
+                    if t + k in dps[sb]
+                ]
+                if not pairs:
+                    continue
+                n = len(pairs)
+                sx = float(sum(x for x, _ in pairs))
+                sy = float(sum(y for _, y in pairs))
+                sxy = float(sum(x * y for x, y in pairs))
+                sxx = float(sum(x * x for x, _ in pairs))
+                syy = float(sum(y * y for _, y in pairs))
+                varx, vary = n * sxx - sx * sx, n * syy - sy * sy
+                out[(sa, sb, k)] = (
+                    n,
+                    _spark_round6((n * sxy - sx * sy) / (varx * vary) ** 0.5)
+                    if varx > 0 and vary > 0
+                    else None,
+                )
+    return out
+
+
+@given(batch=_bars_strategy)
+@_settings
+def test_leadlag_xcorr_matches_naive_reference(spark, batch):
+    from bitcoin_datapipeline_spark.operators.aggregates import leadlag_xcorr
+
+    bars = _unique_bars(batch)
+    got = {
+        (r.symbol_a, r.symbol_b, r.lag): (r.n_pairs, r.xcorr)
+        for r in leadlag_xcorr(_bars_df(spark, bars)).collect()
+    }
+    assert got == _naive_xcorr(bars)
