@@ -1478,6 +1478,14 @@ def q_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.leadlag_xcorr(pipeline.bars_pipeline(spark, sf_dir))
 
 
+# round 7: BM25 top-k retrieval probe over the document store — the RAG
+# companion of the embedding ANN family, map-side tf + one broadcast
+# stats row, WindowGroupLimit per-query top-k
+@q("q_doc_bm25", text.BM25_ORACLE)
+def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bm25_search(table(spark, sf_dir, "documents"))
+
+
 @q("q_embed_cosine_pairs", similarity.COSINE_PAIRS_ORACLE)
 def q_embed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs(table(spark, sf_dir, "embeddings"))

@@ -102,6 +102,9 @@ HEADLINE = [
     "q_acf",
     "q_variance_ratio",
     "q_leadlag_xcorr",
+    # round 7 (seventh wave cont.): BM25 keyword retrieval — map-side tf,
+    # one broadcast stats row, WindowGroupLimit per-query top-k
+    "q_doc_bm25",
 ]
 
 

@@ -3383,3 +3383,173 @@ GROUP BY n_sig_matches"""
 
 
 MINHASH_CALIBRATION_ORACLE = _minhash_calibration_oracle()
+
+
+# --- BM25 retrieval (round 7) ---------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 5
+# Fixed keyword queries over the corpus vocabulary — the retrieval probe a
+# RAG / training-data-curation pipeline runs against the document store.
+BM25_QUERIES: dict[str, list[str]] = {
+    "scan_filter": ["table", "scan", "filter"],
+    "hash_join": ["hash", "join", "merge"],
+    "window_agg": ["window", "agg", "order"],
+}
+
+
+def bm25_search(
+    documents: DataFrame,
+    queries: dict[str, list[str]] = BM25_QUERIES,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = BM25_TOP_K,
+) -> DataFrame:
+    """BM25 (Robertson-Sparck Jones Okapi) top-k retrieval for a fixed
+    keyword-query set: score(q,d) = Σ_t idf(t) · tf·(k1+1) /
+    (tf + k1·(1−b+b·dl/avgdl)), idf(t) = ln(1 + (N−df+0.5)/(df+0.5))
+    (the always-positive BM25+ variant).  Whitespace tokens — the corpus
+    convention shared with :func:`doc_stats` / :func:`vocab_report`.
+
+    Determinism: tf/dl/df/N are integers; avgdl and every per-term score
+    use the identical scalar expression in both engines, and the
+    per-query sum is written out as a FIXED-ORDER chain of additions
+    (term1 + term2 + term3), so no float-summation-order drift exists to
+    round away.  Ranking ties break on (rounded score desc, doc_id).
+
+    Plan shape: per-document tf for each query term is an array-HOF
+    count — entirely map-side, no posting-list shuffle; the corpus
+    statistics (N, Σdl, df per term) are ONE single-row aggregate
+    broadcast back; candidates (score > 0 docs only) flow into a
+    per-query rank window that Spark executes as WindowGroupLimit —
+    partial top-k map-side per partition, so the final per-query
+    exchange carries ≤ top_k·partitions rows, never the corpus.  At
+    100 TB: two corpus scans (stats + scoring) or one with cache, zero
+    joins on document keys, fan-out bounded by |queries|.
+
+    cf. reference: extends the surface (retrieval probe over the same
+    token convention as doc_stats; the reference has no text surface)."""
+    terms = sorted({t for ts in queries.values() for t in ts})
+    toks = F.split(F.col("text"), " ")
+    def _eq(term: str):
+        # NB: a `lambda x, t=t:` default-arg closure would have arity 2 and
+        # pyspark would bind the second parameter to the ARRAY INDEX
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(toks, _eq(t))).alias(f"tf_{t}") for t in terms
+    ]
+    base = documents.select(
+        "doc_id", F.size(toks).cast("long").alias("dl"), *tf_cols
+    )
+    stats = base.groupBy().agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df_{t}")
+            for t in terms
+        ],
+    )
+    scored = base.join(F.broadcast(stats))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+
+    def term_score(t: str):
+        tf = F.col(f"tf_{t}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5))
+            / (F.col(f"df_{t}") + F.lit(0.5))
+        )
+        return idf * (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+        )
+
+    q_rows = []
+    for qid, qterms in sorted(queries.items()):
+        expr = term_score(qterms[0])
+        for t in qterms[1:]:
+            expr = expr + term_score(t)
+        q_rows.append(
+            scored.select(
+                F.lit(qid).alias("query_id"),
+                "doc_id",
+                r6(expr).alias("score"),
+            )
+        )
+    allq = q_rows[0]
+    for r in q_rows[1:]:
+        allq = allq.unionByName(r)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        allq.filter(F.col("score") > 0)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def _bm25_oracle(
+    queries: dict[str, list[str]] = BM25_QUERIES,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = BM25_TOP_K,
+) -> str:
+    terms = sorted({t for ts in queries.values() for t in ts})
+    tf_sql = ",\n         ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{t}" for t in terms
+    )
+    df_sql = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{t}"
+        for t in terms
+    )
+
+    def term_score(t: str) -> str:
+        return (
+            f"ln(1.0 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
+            f" * (tf_{t} * ({k1} + 1.0))"
+            f" / (tf_{t} + {k1} * (1.0 - {b} + {b} * dl / avgdl))"
+        )
+
+    selects = []
+    for qid, qterms in sorted(queries.items()):
+        expr = " + ".join(term_score(t) for t in qterms)
+        selects.append(
+            f"SELECT '{qid}' AS query_id, doc_id,"
+            f" round({expr}, 6) AS score FROM scored"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         {tf_sql}
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+        FROM documents)
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_dl,
+         {df_sql}
+  FROM base
+),
+scored AS (
+  SELECT base.*, stats.*, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl
+  FROM base CROSS JOIN stats
+),
+unioned AS (
+{union}
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM unioned WHERE score > 0
+)
+WHERE rank <= {top_k}"""
+
+
+BM25_ORACLE = _bm25_oracle()

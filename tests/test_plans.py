@@ -515,6 +515,10 @@ SHUFFLE_BUDGETS = {
     # runtime AQE ReusedExchange collapses the shared scan — the join
     # itself is the one bucket-keyed exchange pair
     "q_leadlag_xcorr": 6,
+    # one single-row stats aggregate (broadcast back) + the per-query
+    # rank window; WindowGroupLimit keeps the window exchange at
+    # top_k·partitions rows (plan-asserted in test_bm25_plan)
+    "q_doc_bm25": 4,
 }
 
 
@@ -564,3 +568,17 @@ def test_bloom_gate_broadcasts_filter_bits(spark, sf01):
 
     plan = _plan(spark, E.queries()["q_doc_bloom_gate"](spark, sf01))
     assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_bm25_plan_shape(spark, sf01):
+    """BM25: per-doc tf stays map-side (no posting-list shuffle — no
+    groupBy on (doc, term)), the corpus stats row broadcasts back, and
+    the per-query top-k rank window runs under WindowGroupLimit."""
+    import __spark_entry__ as E
+
+    plan = _plan(spark, E.queries()["q_doc_bm25"](spark, sf01))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    # the only hash exchanges allowed are the stats aggregate + the
+    # per-query window — never a (doc_id, term) posting aggregate
+    assert "CartesianProduct" not in plan

@@ -1503,3 +1503,63 @@ def test_leadlag_xcorr_matches_naive_reference(spark, batch):
         for r in leadlag_xcorr(_bars_df(spark, bars)).collect()
     }
     assert got == _naive_xcorr(bars)
+
+
+# --- BM25 naive reference ---------------------------------------------------
+
+_bm25_docs = st.lists(
+    st.lists(
+        st.sampled_from(["table", "scan", "filter", "hash", "join", "the"]),
+        min_size=0,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _naive_bm25(docs, queries, k1=1.2, b=0.75, top_k=5):
+    import math
+
+    n = len(docs)
+    dls = [max(len(d), 1) if d else 1 for d in docs]
+    # empty token list never occurs: split('', ' ') == [''] — model that
+    toks = [d if d else [""] for d in docs]
+    dls = [len(t) for t in toks]
+    avgdl = sum(dls) / n
+    out = {}
+    for qid, qterms in sorted(queries.items()):
+        scored = []
+        for i, d in enumerate(toks):
+            s = 0.0
+            for t in qterms:
+                tf = sum(1 for x in d if x == t)
+                df = sum(1 for dd in toks if t in dd)
+                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                s = s + idf * (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * dls[i] / avgdl)
+                )
+            s = _spark_round6(s)
+            if s > 0:
+                scored.append((-s, i))
+        scored.sort()
+        for rank, (negs, i) in enumerate(scored[:top_k], start=1):
+            out[(qid, rank)] = (i, -negs)
+    return out
+
+
+@given(docs=_bm25_docs)
+@_settings
+def test_bm25_matches_naive_reference(spark, docs):
+    from bitcoin_datapipeline_spark.operators.text import bm25_search
+
+    queries = {"a": ["table", "scan"], "b": ["hash", "join", "filter"]}
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(d)) for i, d in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in bm25_search(df, queries=queries).collect()
+    }
+    assert got == _naive_bm25(docs, queries)
