@@ -1478,6 +1478,20 @@ def q_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.leadlag_xcorr(pipeline.bars_pipeline(spark, sf_dir))
 
 
+# round 7: order-book liquidity slope per (symbol, hour) — OLS of
+# cumulative qty on level index as two fixed-order weighted folds
+@q(
+    "q_depth_slope",
+    OD.with_ctes(
+        OD.DEPTH_CTE + aggregates.DEPTH_SLOPE_ORACLE_BODY, body=""
+    ),
+)
+def q_depth_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.depth_slope(
+        normalize.depth(table(spark, sf_dir, "events"))
+    )
+
+
 # round 7: BM25 top-k retrieval probe over the document store — the RAG
 # companion of the embedding ANN family, map-side tf + one broadcast
 # stats row, WindowGroupLimit per-query top-k

@@ -105,6 +105,9 @@ HEADLINE = [
     # round 7 (seventh wave cont.): BM25 keyword retrieval — map-side tf,
     # one broadcast stats row, WindowGroupLimit per-query top-k
     "q_doc_bm25",
+    # round 7 (seventh wave cont.): book-structure statistic — map-side
+    # weighted folds over the depth arrays, one (symbol, hour) aggregate
+    "q_depth_slope",
 ]
 
 

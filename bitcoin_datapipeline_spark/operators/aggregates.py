@@ -2209,3 +2209,118 @@ SELECT symbol_a, symbol_b, CAST(lag AS INT) AS lag, n_pairs,
                               * (n_pairs * syy - sy * sy)), 6)
        END AS xcorr
 FROM xc_g"""
+
+
+DEPTH_SLOPE_LEVELS = 10
+# OLS-over-levels weights, precomputed so BOTH engines consume identical
+# integer literals: regressing cumulative qty cq_i on level index i=1..n
+# needs S1 = Σ cq_i = Σ_j qty_j·(n−j+1) and S2 = Σ i·cq_i =
+# Σ_j qty_j·(Σ_{i=j..n} i) — two fixed-order weighted folds over the raw
+# qty array, no intermediate cumulative array.
+_DS_N = DEPTH_SLOPE_LEVELS
+_DS_W1 = [_DS_N - (j - 1) for j in range(1, _DS_N + 1)]
+_DS_W2 = [
+    _DS_N * (_DS_N + 1) // 2 - ((j - 1) * j) // 2 for j in range(1, _DS_N + 1)
+]
+_DS_SI = _DS_N * (_DS_N + 1) // 2                      # Σ i   = 55
+_DS_DEN = _DS_N * (_DS_N * (_DS_N + 1) * (2 * _DS_N + 1) // 6) - _DS_SI**2
+# n·Σi² − (Σi)² = 825
+
+DEPTH_SLOPE_BUCKET_MS = 3_600_000  # hourly roll-up
+
+
+def depth_slope(depth: DataFrame) -> DataFrame:
+    """Order-book liquidity slope per (symbol, hour): for each depth
+    snapshot, the OLS slope of CUMULATIVE quantity against level index
+    over the top-10 book levels, per side — how fast liquidity
+    accumulates as you walk away from the touch (a steep slope = a deep,
+    resilient book; the cross-sectional complement of
+    :func:`microprice`'s top-of-book imbalance) — then the hourly mean
+    of each side's slope plus a book-imbalance ratio.
+
+    Determinism: each snapshot's slope is two FIXED-ORDER weighted folds
+    (`aggregate` in Spark, `list_reduce` in DuckDB — both left-to-right
+    over the same 10 products of qty and a shared integer weight
+    literal), so per-snapshot slopes are bit-identical cross-engine; the
+    hourly mean is rounded to 6 dp (the documented non-grid-average
+    precedent, cf. :func:`amihud_illiquidity`).
+
+    Plan shape: the fold is map-side array math on the normalized depth
+    stream — the only shuffle is the final (symbol, hour)
+    partial-combinable aggregate.  Scale-safe: per-row work is O(levels).
+
+    cf. reference: the reference maintains the same top-10 book in Redis
+    (docs/architecture/DATA_PIPELINE.md:73-107) and reads top-of-book
+    features from it (feature_builder.py:220-276); this adds the
+    level-structure statistic it never computes."""
+    w1 = "array(" + ", ".join(str(w) for w in _DS_W1) + ")"
+    w2 = "array(" + ", ".join(str(w) for w in _DS_W2) + ")"
+
+    def fold(side: str, weights: str) -> str:
+        return (
+            f"aggregate(zip_with({side}, {weights},"
+            " (s, w) -> s.qty * w), 0D, (a, x) -> a + x)"
+        )
+
+    def slope(side: str) -> str:
+        return (
+            f"({_DS_N} * {fold(side, w2)} - {_DS_SI} * {fold(side, w1)})"
+            f" / {_DS_DEN}.0"
+        )
+
+    snap = depth.select(
+        "symbol",
+        F.expr(f"event_ts div {DEPTH_SLOPE_BUCKET_MS}").cast("long").alias("hour"),
+        F.expr(slope("bids")).alias("bid_slope"),
+        F.expr(slope("asks")).alias("ask_slope"),
+        F.expr(fold("bids", w1)).alias("bid_s1"),
+        F.expr(fold("asks", w1)).alias("ask_s1"),
+    )
+    return snap.groupBy("symbol", "hour").agg(
+        F.count("*").cast("long").alias("n_snapshots"),
+        r6(F.avg("bid_slope")).alias("avg_bid_slope"),
+        r6(F.avg("ask_slope")).alias("avg_ask_slope"),
+        r6(
+            F.avg(
+                (F.col("bid_s1") - F.col("ask_s1"))
+                / (F.col("bid_s1") + F.col("ask_s1"))
+            )
+        ).alias("avg_book_imbalance"),
+    )
+
+
+def _ds_oracle() -> str:
+    w1 = "[" + ", ".join(str(w) for w in _DS_W1) + "]"
+    w2 = "[" + ", ".join(str(w) for w in _DS_W2) + "]"
+
+    def fold(side: str, weights: str) -> str:
+        return (
+            f"list_reduce([{side}[i].qty * ({weights})[i]"
+            " for i in generate_series(1, 10)], (a, b) -> a + b)"
+        )
+
+    def slope(side: str) -> str:
+        return (
+            f"({_DS_N} * {fold(side, w2)} - {_DS_SI} * {fold(side, w1)})"
+            f" / {_DS_DEN}.0"
+        )
+
+    return f"""
+,ds AS (
+  SELECT symbol, event_ts // {DEPTH_SLOPE_BUCKET_MS} AS hour,
+         {slope('bids')} AS bid_slope,
+         {slope('asks')} AS ask_slope,
+         {fold('bids', w1)} AS bid_s1,
+         {fold('asks', w1)} AS ask_s1
+  FROM depth
+)
+SELECT symbol, CAST(hour AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_snapshots,
+       round(avg(bid_slope), 6) AS avg_bid_slope,
+       round(avg(ask_slope), 6) AS avg_ask_slope,
+       round(avg((bid_s1 - ask_s1) / (bid_s1 + ask_s1)), 6)
+           AS avg_book_imbalance
+FROM ds GROUP BY 1, 2"""
+
+
+DEPTH_SLOPE_ORACLE_BODY = _ds_oracle()

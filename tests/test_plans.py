@@ -519,6 +519,9 @@ SHUFFLE_BUDGETS = {
     # rank window; WindowGroupLimit keeps the window exchange at
     # top_k·partitions rows (plan-asserted in test_bm25_plan)
     "q_doc_bm25": 4,
+    # per-snapshot folds are map-side array math; the one exchange is
+    # the (symbol, hour) partial-combinable aggregate
+    "q_depth_slope": 1,
 }
 
 

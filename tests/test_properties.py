@@ -1563,3 +1563,92 @@ def test_bm25_matches_naive_reference(spark, docs):
         for r in bm25_search(df, queries=queries).collect()
     }
     assert got == _naive_bm25(docs, queries)
+
+
+# --- depth-slope naive reference -------------------------------------------
+
+_depth_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["BTC", "ETH"]),
+        st.integers(min_value=0, max_value=30),     # distinct hour slot
+        st.lists(st.integers(min_value=1, max_value=9999), min_size=10,
+                 max_size=10),                       # bid qty (1e-2 units)
+        st.lists(st.integers(min_value=1, max_value=9999), min_size=10,
+                 max_size=10),                       # ask qty
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _naive_depth_slope(snaps):
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        _DS_DEN,
+        _DS_N,
+        _DS_SI,
+        _DS_W1,
+        _DS_W2,
+    )
+
+    def fold(qtys, ws):
+        acc = 0.0
+        for q_, w in zip(qtys, ws):
+            acc = acc + q_ * w
+        return acc
+
+    out = {}
+    for s, hour, bq, aq in snaps:
+        bq = [x / 100.0 for x in bq]
+        aq = [x / 100.0 for x in aq]
+        bs = (_DS_N * fold(bq, _DS_W2) - _DS_SI * fold(bq, _DS_W1)) / float(_DS_DEN)
+        as_ = (_DS_N * fold(aq, _DS_W2) - _DS_SI * fold(aq, _DS_W1)) / float(_DS_DEN)
+        b1, a1 = fold(bq, _DS_W1), fold(aq, _DS_W1)
+        out[(s, hour)] = (
+            1,
+            _spark_round6(bs),
+            _spark_round6(as_),
+            _spark_round6((b1 - a1) / (b1 + a1)),
+        )
+    return out
+
+
+@given(batch=_depth_strategy)
+@_settings
+def test_depth_slope_matches_naive_reference(spark, batch):
+    """One snapshot per (symbol, hour) so the hourly mean is the identity —
+    the per-snapshot fold arithmetic is the property under test (the
+    multi-snapshot mean is the documented rounded-average convention)."""
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        DEPTH_SLOPE_BUCKET_MS,
+        depth_slope,
+    )
+
+    snaps = list({(s, h): (s, h, tuple(b), tuple(a))
+                  for s, h, b, a in batch}.values())
+    rows = [
+        Row(
+            symbol=s,
+            event_ts=h * DEPTH_SLOPE_BUCKET_MS + 5,
+            bids=[Row(price=100.0 - i, qty=q_ / 100.0)
+                  for i, q_ in enumerate(b)],
+            asks=[Row(price=100.0 + i, qty=q_ / 100.0)
+                  for i, q_ in enumerate(a)],
+        )
+        for s, h, b, a in snaps
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "symbol string, event_ts long,"
+        " bids array<struct<price double, qty double>>,"
+        " asks array<struct<price double, qty double>>",
+    )
+    got = {
+        (r.symbol, r.hour): (
+            r.n_snapshots,
+            r.avg_bid_slope,
+            r.avg_ask_slope,
+            r.avg_book_imbalance,
+        )
+        for r in depth_slope(df).collect()
+    }
+    assert got == _naive_depth_slope(snaps)
