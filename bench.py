@@ -177,6 +177,9 @@ FAMILIES: dict[str, list[str]] = {
         # broadcast of the two capped LM variants
         "q_doc_perplexity_bigram_capped",
         "q_doc_dsir_weights",
+        # r7 seventh wave: map-side tf + one broadcast stats row +
+        # WindowGroupLimit top-k — should be a flat corpus-scan row
+        "q_doc_bm25",
     ],
     # q_returns_1s_full_span is the PRODUCTION grid convention: the
     # declared query runs a 12 h slice (GRID_SLICE_S, a test-size
@@ -210,6 +213,16 @@ FAMILIES: dict[str, list[str]] = {
         # minutes x symbols), so the decade row should be ~flat — the
         # grid-family argument, measured here for the quote-lifetime form
         "q_twa_spread",
+        # r7 seventh wave: bar-grain moment aggregates (near-flat control
+        # rows — bar count is calendar-bounded) ...
+        "q_acf",
+        "q_variance_ratio",
+        # ... the bucket-keyed Δp self-join (the only genuine fan-out
+        # risk of the wave: 5x lag explode x co-observed minutes) ...
+        "q_leadlag_xcorr",
+        # ... and the events-grain array-fold scan (per-row O(levels)
+        # linearity check)
+        "q_depth_slope",
     ],
 }
 SCALE_DIRS = ["/root/testdata/sf0.1", ".scale_data/sf1"]
