@@ -2182,13 +2182,21 @@ XCORR_ORACLE_BODY = f"""
   WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
 ),
 xc AS (SELECT * FROM xc_dp WHERE dp IS NOT NULL),
+-- shift the bucket BEFORE the join (mirrors the engine plan): a 3-table
+-- join condition (a.bucket = b.bucket - k.lag) defeats the hash-join
+-- planner and degrades to a nested loop over a x (k x b)
+xc_b AS (
+  SELECT b.symbol AS symbol_b, k.lag AS lag,
+         b.bucket - k.lag AS bucket_a, b.dp AS dp_b
+  FROM xc b
+  CROSS JOIN (SELECT unnest(generate_series(-{XCORR_MAX_LAG},
+                                            {XCORR_MAX_LAG})) AS lag) k
+),
 xc_pairs AS (
-  SELECT a.symbol AS symbol_a, b.symbol AS symbol_b, k.lag AS lag,
-         a.dp AS dp_a, b.dp AS dp_b
+  SELECT a.symbol AS symbol_a, xb.symbol_b, xb.lag,
+         a.dp AS dp_a, xb.dp_b
   FROM xc a
-  JOIN (SELECT unnest(generate_series(-{XCORR_MAX_LAG}, {XCORR_MAX_LAG}))
-            AS lag) k ON true
-  JOIN xc b ON a.bucket = b.bucket - k.lag AND a.symbol < b.symbol
+  JOIN xc_b xb ON a.bucket = xb.bucket_a AND a.symbol < xb.symbol_b
 ),
 xc_g AS (
   SELECT symbol_a, symbol_b, lag,

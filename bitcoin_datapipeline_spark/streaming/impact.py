@@ -640,3 +640,190 @@ def stream_effective_spread(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming ACF twin (round 7 seventh wave) -----------------------------
+
+ACF_MAX_LAG_STREAM = 5
+
+ACF_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("lag", T.IntegerType()),
+        T.StructField("n_pairs", T.LongType()),
+        T.StructField("acf", T.DoubleType()),
+        T.StructField("late_dropped", T.LongType()),
+    ]
+)
+
+ACF_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("frontier_ts", T.LongType()),
+        T.StructField("frontier_tid", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+        T.StructField("pend_ts", T.ArrayType(T.LongType())),
+        T.StructField("pend_tid", T.ArrayType(T.LongType())),
+        T.StructField("pend_price", T.ArrayType(T.LongType())),
+        T.StructField("cur_bucket", T.LongType()),
+        T.StructField("cur_close", T.LongType()),
+        T.StructField("prev_close", T.LongType()),
+        # last ACF_MAX_LAG_STREAM Δcloses, newest last (1e-4 units)
+        T.StructField("dp_ring", T.ArrayType(T.LongType())),
+        # per-lag moment sums, index k-1: n, Σx, Σy, Σxy, Σx², Σy²
+        T.StructField("m_n", T.ArrayType(T.LongType())),
+        T.StructField("m_sx", T.ArrayType(T.LongType())),
+        T.StructField("m_sy", T.ArrayType(T.LongType())),
+        T.StructField("m_sxy", T.ArrayType(T.LongType())),
+        T.StructField("m_sxx", T.ArrayType(T.LongType())),
+        T.StructField("m_syy", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _acf_solve(n, sx_u, sy_u, sxy_u, sxx_u, syy_u):
+    """Integer 1e-4 / 1e-8-unit moments → the batch twin's doubles."""
+    sx = float(Fraction(sx_u, 10**4))
+    sy = float(Fraction(sy_u, 10**4))
+    sxy = float(Fraction(sxy_u, 10**8))
+    sxx = float(Fraction(sxx_u, 10**8))
+    syy = float(Fraction(syy_u, 10**8))
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    if varx <= 0 or vary <= 0:
+        return None
+    return _round6((n * sxy - sx * sy) / (varx * vary) ** 0.5)
+
+
+def make_acf_processor(
+    bucket_ms: int = 60_000,
+    max_lag: int = ACF_MAX_LAG_STREAM,
+    allowed_lateness_s: int = 0,
+):
+    """Live autocorrelation of bar close-to-close price changes — the
+    streaming twin of operators/aggregates.acf_price_changes.
+
+    State per symbol is O(max_lag): the open bucket's running close, the
+    previous closed close, a Δclose ring buffer of the last max_lag
+    values, and per-lag integer moment sums.  Prices fold on the 1e-4
+    grid (UNITS — the vpin.py contract); every closed bucket appends its
+    Δclose pairs to each lag's moments and emits the re-solved ACF rows,
+    so the rows for the last closed bucket EQUAL the batch operator over
+    bars restricted to closed buckets (property-tested across random
+    tapes and micro-batch boundaries, including the NULL variance
+    guards)."""
+    late_ms = allowed_lateness_s * 1000
+
+    def fn(key, pdfs, state: GroupState):
+        symbol = key[0]
+        chunks = [
+            pdf[["event_ts", "trade_id", "price"]] for pdf in pdfs if len(pdf)
+        ]
+        if not chunks:
+            yield pd.DataFrame(
+                [], columns=[f.name for f in ACF_OUTPUT_SCHEMA.fields]
+            )
+            return
+        ev = pd.concat(chunks, ignore_index=True)
+        if state.exists:
+            (f_ts, f_tid, n_late, p_ts, p_tid, p_pr,
+             cur_b, cur_close, prev_close, ring,
+             m_n, m_sx, m_sy, m_sxy, m_sxx, m_syy) = state.get
+            pend = list(zip(p_ts, p_tid, p_pr))
+            ring = list(ring)
+            m_n, m_sx, m_sy = list(m_n), list(m_sx), list(m_sy)
+            m_sxy, m_sxx, m_syy = list(m_sxy), list(m_sxx), list(m_syy)
+        else:
+            f_ts = f_tid = _NO_FRONTIER
+            n_late = 0
+            pend = []
+            cur_b = cur_close = prev_close = None
+            ring = []
+            m_n, m_sx, m_sy, m_sxy, m_sxx, m_syy = (
+                [0] * max_lag for _ in range(6)
+            )
+
+        new = (
+            (int(ts), int(tid), int(round(float(p) * UNITS)))
+            for ts, tid, p in zip(ev["event_ts"], ev["trade_id"], ev["price"])
+        )
+        fold, pend, (f_ts, f_tid), late_inc = merge_fold(
+            new, pend, (f_ts, f_tid), late_ms
+        )
+        n_late += late_inc
+
+        rows = []
+
+        def close_bucket():
+            nonlocal prev_close, ring
+            if prev_close is not None:
+                dp = cur_close - prev_close
+                for k in range(1, max_lag + 1):
+                    if len(ring) >= k:
+                        y = ring[-k]
+                        i = k - 1
+                        m_n[i] += 1
+                        m_sx[i] += dp
+                        m_sy[i] += y
+                        m_sxy[i] += dp * y
+                        m_sxx[i] += dp * dp
+                        m_syy[i] += y * y
+                ring.append(dp)
+                if len(ring) > max_lag:
+                    ring = ring[-max_lag:]
+                for k in range(1, max_lag + 1):
+                    i = k - 1
+                    if m_n[i] > 0:
+                        rows.append((
+                            symbol, int(cur_b), k, int(m_n[i]),
+                            _acf_solve(m_n[i], m_sx[i], m_sy[i],
+                                       m_sxy[i], m_sxx[i], m_syy[i]),
+                            int(n_late),
+                        ))
+            prev_close = cur_close
+
+        for ts, tid, p_u in fold:
+            b = ts // bucket_ms
+            if cur_b is None:
+                cur_b = b
+            elif b != cur_b:
+                close_bucket()
+                cur_b = b
+            cur_close = p_u
+
+        state.update((
+            int(f_ts), int(f_tid), int(n_late),
+            [t[0] for t in pend], [t[1] for t in pend],
+            [t[2] for t in pend],
+            int(cur_b) if cur_b is not None else None,
+            int(cur_close) if cur_close is not None else None,
+            int(prev_close) if prev_close is not None else None,
+            [int(x) for x in ring],
+            [int(x) for x in m_n], [int(x) for x in m_sx],
+            [int(x) for x in m_sy], [int(x) for x in m_sxy],
+            [int(x) for x in m_sxx], [int(x) for x in m_syy],
+        ))
+        out = pd.DataFrame(
+            rows, columns=[f.name for f in ACF_OUTPUT_SCHEMA.fields]
+        )
+        out["acf"] = out["acf"].astype(object).where(pd.notna(out["acf"]), None)
+        yield out
+
+    return fn
+
+
+def stream_acf(
+    trades: DataFrame,
+    bucket_ms: int = 60_000,
+    max_lag: int = ACF_MAX_LAG_STREAM,
+    allowed_lateness_s: int = 0,
+) -> DataFrame:
+    """Live serial-dependence profile: per closed minute bucket, one row
+    per lag with the ACF re-solved over all closed buckets so far."""
+    return trades.groupBy("symbol").applyInPandasWithState(
+        make_acf_processor(bucket_ms, max_lag, allowed_lateness_s),
+        outputStructType=ACF_OUTPUT_SCHEMA,
+        stateStructType=ACF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1652,3 +1652,55 @@ def test_depth_slope_matches_naive_reference(spark, batch):
         for r in depth_slope(df).collect()
     }
     assert got == _naive_depth_slope(snaps)
+
+
+@given(batch=trade_strategy, n_chunks=st.integers(min_value=1, max_value=4))
+@_settings
+def test_stream_acf_processor_matches_batch(spark, batch, n_chunks):
+    """The streaming ACF processor, driven with arbitrary micro-batch
+    boundaries, emits after EVERY closed minute bucket the exact batch
+    acf_price_changes over bars restricted to the buckets closed so
+    far — for every random tape (NULL variance guards included)."""
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        acf_price_changes,
+    )
+    from bitcoin_datapipeline_spark.streaming.impact import (
+        make_acf_processor,
+    )
+
+    ordered = sorted(batch, key=lambda t: t[1])
+    recs = [
+        Row(symbol=s, event_ts=ts, trade_id=i, price=c / 100.0)
+        for i, (s, ts, _tid, c, q, m) in enumerate(ordered)
+    ]
+    emitted = _drive_processor(
+        make_acf_processor(),
+        recs,
+        ["event_ts", "trade_id", "price"],
+        n_chunks,
+    )
+    if not emitted:
+        return
+    # batch bars: last price by (event_ts, trade_id) per (symbol, bucket)
+    closes = {}
+    for r in recs:
+        closes[(r.symbol, r.event_ts // 60_000)] = r.price
+    # group emissions by (symbol, bucket): each closed bucket's row set
+    # must equal the batch ACF over bars with bucket <= that bucket
+    from collections import defaultdict
+
+    by_close = defaultdict(dict)
+    for e in emitted:
+        assert e.late_dropped == 0
+        by_close[(e.symbol, e.bucket)][e.lag] = (e.n_pairs, e.acf)
+    for (sym, bucket), got in by_close.items():
+        bars = sorted(
+            (s, b, c) for (s, b), c in closes.items()
+            if s == sym and b <= bucket
+        )
+        df = _bars_df(spark, bars)
+        want = {
+            r.lag: (r.n_pairs, r.acf)
+            for r in acf_price_changes(df).collect()
+        }
+        assert got == want, (sym, bucket, got, want)
