@@ -1492,6 +1492,22 @@ def q_depth_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# round 7: HyperLogLog cardinality calibration — the 64-register
+# mergeable summary next to the exact distinct count (integer-rescaled
+# harmonic denominator, cross-engine-exact)
+@q("q_doc_hll", text.HLL_ORACLE)
+def q_doc_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.hll_distinct_tokens(table(spark, sf_dir, "documents"))
+
+
+# round 7: count-min sketch calibration — the fixed-size mergeable
+# frequency summary probed at the true top tokens (estimate >= truth,
+# overestimate measured per run)
+@q("q_doc_cms", text.CMS_ORACLE)
+def q_doc_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.cms_token_counts(table(spark, sf_dir, "documents"))
+
+
 # round 7: BM25 top-k retrieval probe over the document store — the RAG
 # companion of the embedding ANN family, map-side tf + one broadcast
 # stats row, WindowGroupLimit per-query top-k

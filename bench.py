@@ -108,6 +108,10 @@ HEADLINE = [
     # round 7 (seventh wave cont.): book-structure statistic — map-side
     # weighted folds over the depth arrays, one (symbol, hour) aggregate
     "q_depth_slope",
+    # round 7 (seventh wave cont.): the mergeable-sketch pair — CMS
+    # frequency cells and HLL registers, both fixed-size aggregates
+    "q_doc_cms",
+    "q_doc_hll",
 ]
 
 

@@ -3553,3 +3553,300 @@ WHERE rank <= {top_k}"""
 
 
 BM25_ORACLE = _bm25_oracle()
+
+
+# --- count-min sketch (round 7) --------------------------------------------
+
+CMS_D = 4     # hash rows
+CMS_W = 64    # buckets per row
+CMS_TOP = 10  # report rows: top tokens by true frequency
+
+
+def _cms_bucket_spark(row: int, token_expr: str, w: int) -> str:
+    return (
+        f"cast(conv(substring(md5(concat('{row}', '|', {token_expr})), 1, 7),"
+        f" 16, 10) as bigint) % {w}"
+    )
+
+
+def _cms_bucket_duck(row: int, token_expr: str, w: int) -> str:
+    return (
+        f"CAST(concat('0x', substring(md5(concat('{row}', '|', "
+        f"{token_expr})), 1, 7)) AS BIGINT) % {w}"
+    )
+
+
+def cms_token_counts(
+    documents: DataFrame,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    top: int = CMS_TOP,
+) -> DataFrame:
+    """Count-min sketch (Cormode-Muthukrishnan 2005) calibration report:
+    a d×w CMS over the corpus token stream, probed at the top-``top``
+    tokens by TRUE frequency — per token the sketch estimate (min over
+    its d cells), the exact count, and the overestimate.  The CMS
+    guarantee (estimate ≥ truth, ≤ truth + εN with prob 1−δ) becomes a
+    measured number per run, exactly like :func:`bloom_gate` measures
+    its false-positive rate.
+
+    Why a sketch when Spark can count exactly: the CMS aggregate
+    partial-combines to a FIXED d·w-cell summary — at 100 TB the shuffle
+    carries d·w rows per input partition regardless of vocabulary size,
+    and the merged sketch is a mergeable O(1)-memory stand-in for the
+    unbounded token-count table (the streaming/monitoring form of
+    :func:`vocab_report`).  The probe side touches only top·d cells via
+    a broadcast join.
+
+    Determinism: md5-derived buckets (the engine's cross-engine hash
+    discipline — 28-bit hex prefix, mod w) and integer counts — every
+    output value is exact integer math in both engines.
+
+    Plan shape: one explode → (row, bucket) aggregate bounded at d·w
+    rows; one token aggregate feeding the top-k (TakeOrderedAndProject);
+    the estimate join broadcasts the 256-cell sketch.
+
+    cf. reference: extends the surface (bounded-memory frequency summary
+    beside the exact `vocab_report`; the reference has no text
+    surface)."""
+    toks = documents.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    cells = toks.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    F.expr(_cms_bucket_spark(r, "token", w)).alias("bucket"),
+                )
+                for r in range(d)
+            ])
+        ).alias("rb")
+    ).groupBy("rb.row", "rb.bucket").agg(
+        F.count("*").cast("long").alias("cell_n")
+    )
+    truec = (
+        toks.groupBy("token")
+        .agg(F.count("*").cast("long").alias("true_n"))
+        .orderBy(F.desc("true_n"), "token")
+        .limit(top)
+    )
+    probes = truec.select(
+        "token",
+        "true_n",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    F.expr(_cms_bucket_spark(r, "token", w)).alias("bucket"),
+                )
+                for r in range(d)
+            ])
+        ).alias("rb"),
+    )
+    est = (
+        probes.join(
+            F.broadcast(cells),
+            (probes["rb.row"] == cells["row"])
+            & (probes["rb.bucket"] == cells["bucket"]),
+        )
+        .groupBy("token")
+        .agg(
+            F.max("true_n").cast("long").alias("true_n"),
+            F.min("cell_n").cast("long").alias("cms_estimate"),
+        )
+    )
+    return est.select(
+        "token",
+        "true_n",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("true_n"))
+        .cast("long")
+        .alias("overestimate"),
+    )
+
+
+def _cms_oracle(d: int = CMS_D, w: int = CMS_W, top: int = CMS_TOP) -> str:
+    cell_rows = "\nUNION ALL\n".join(
+        f"SELECT {r} AS row, {_cms_bucket_duck(r, 'token', w)} AS bucket,"
+        " token FROM toks"
+        for r in range(d)
+    )
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT token, true_n, {r} AS row,"
+        f" {_cms_bucket_duck(r, 'token', w)} AS bucket FROM topk"
+        for r in range(d)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+cells AS (
+  SELECT row, bucket, CAST(count(*) AS BIGINT) AS cell_n
+  FROM ({cell_rows})
+  GROUP BY row, bucket
+),
+topk AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS true_n
+  FROM toks GROUP BY token
+  ORDER BY true_n DESC, token LIMIT {top}
+),
+probes AS (
+{probe_rows}
+)
+SELECT p.token,
+       CAST(max(p.true_n) AS BIGINT) AS true_n,
+       CAST(min(c.cell_n) AS BIGINT) AS cms_estimate,
+       CAST(min(c.cell_n) - max(p.true_n) AS BIGINT) AS overestimate
+FROM probes p JOIN cells c ON p.row = c.row AND p.bucket = c.bucket
+GROUP BY p.token"""
+
+
+CMS_ORACLE = _cms_oracle()
+
+
+# --- HyperLogLog (round 7) --------------------------------------------------
+
+HLL_B = 6                  # register-index bits -> m = 64 registers
+HLL_M = 1 << HLL_B
+# Flajolet et al. 2007 bias constant for m=64 — computed ONCE here and
+# injected into both engines as the same literal
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+_HLL_WBITS = 54            # rank bits: 60-bit md5 prefix minus b
+_HLL_SHIFT = _HLL_WBITS + 1  # 2^(SHIFT-rho) keeps the register sum integral
+
+
+def hll_distinct_tokens(documents: DataFrame) -> DataFrame:
+    """HyperLogLog cardinality calibration (Flajolet-Fuseau-Gandouet-
+    Meunier 2007): a 64-register HLL over the corpus token stream next
+    to the EXACT distinct count — estimate, truth, relative error, and
+    the zero-register count per run.  The cardinality companion of
+    :func:`cms_token_counts`'s frequency sketch (and the engine-built,
+    cross-engine-replayable alternative to `approx_count_distinct`,
+    whose HLL++ internals DuckDB cannot mirror).
+
+    Scale shape: the register table is the whole point — a FIXED m-row
+    mergeable summary (groupBy register, max(rank)), so at 100 TB the
+    shuffle carries m rows per input partition regardless of
+    vocabulary; the exact distinct stays only as the audit column.
+
+    Determinism: registers and ranks come from a 60-bit md5 prefix
+    (register = h mod m; rank = 55 − bit_length(h div m), the
+    leading-zero count on the 54-bit remainder, w=0 → 55 — bit_length
+    via binary-string length, exact in both engines).  The harmonic-mean
+    denominator Σ 2^−rank is rescaled to the INTEGER Σ 2^(55−rank)
+    (< 2^61, exact BIGINT — a float sum of dyadics this wide would
+    round order-dependently), so both engines divide identical
+    operands; the m·ln(m/V) linear-counting branch for small ranges is
+    the same scalar expression.
+
+    cf. reference: extends the surface (mergeable-sketch family beside
+    bloom_gate and cms_token_counts)."""
+    m = HLL_M
+    toks = documents.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    h = (
+        "cast(conv(substring(md5(token), 1, 15), 16, 10) as bigint)"
+    )
+    regs = (
+        toks.select(
+            F.expr(f"{h} % {m}").alias("register"),
+            F.expr(
+                f"CASE WHEN {h} div {m} = 0 THEN {_HLL_SHIFT} "
+                f"ELSE {_HLL_SHIFT} - length(conv({h} div {m}, 10, 2)) END"
+            ).alias("rank"),
+        )
+        .groupBy("register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+    summ = regs.groupBy().agg(
+        F.count("*").cast("long").alias("m_present"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_SHIFT} - max_rank)"))
+        .cast("long")
+        .alias("s_present"),
+    )
+    truth = toks.groupBy().agg(
+        F.countDistinct("token").cast("long").alias("true_distinct")
+    )
+    j = summ.join(F.broadcast(truth))
+    # integer denominator: absent registers contribute 2^SHIFT each
+    s_total = (
+        (F.lit(m) - F.col("m_present"))
+        * F.expr(f"shiftleft(cast(1 as bigint), {_HLL_SHIFT})")
+        + F.col("s_present")
+    ).cast("long")
+    raw = (
+        F.lit(HLL_ALPHA)
+        * F.lit(float(m * m))
+        * F.expr(f"cast(shiftleft(cast(1 as bigint), {_HLL_SHIFT}) as double)")
+        / s_total.cast("double")
+    )
+    v = (F.lit(m) - F.col("m_present")).cast("long")
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return j.select(
+        "true_distinct",
+        r6(est).alias("hll_estimate"),
+        r6(
+            (est - F.col("true_distinct"))
+            / F.col("true_distinct")
+            * F.lit(100.0)
+        ).alias("rel_error_pct"),
+        v.alias("n_zero_registers"),
+    )
+
+
+def _hll_oracle() -> str:
+    m = HLL_M
+    h = "CAST(concat('0x', substring(md5(token), 1, 15)) AS BIGINT)"
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+regs AS (
+  SELECT {h} % {m} AS register,
+         max(CASE WHEN {h} // {m} = 0 THEN {_HLL_SHIFT}
+                  ELSE {_HLL_SHIFT} - length(bin({h} // {m})) END) AS max_rank
+  FROM toks GROUP BY 1
+),
+summ AS (
+  SELECT CAST(count(*) AS BIGINT) AS m_present,
+         CAST(sum(CAST(1 AS BIGINT) << ({_HLL_SHIFT} - max_rank))
+              AS BIGINT) AS s_present
+  FROM regs
+),
+truth AS (
+  SELECT CAST(count(DISTINCT token) AS BIGINT) AS true_distinct FROM toks
+),
+calc AS (
+  SELECT true_distinct,
+         ({m} - m_present) AS v,
+         (({m} - m_present) * (CAST(1 AS BIGINT) << {_HLL_SHIFT})
+          + s_present) AS s_total,
+         m_present
+  FROM summ CROSS JOIN truth
+),
+est AS (
+  SELECT true_distinct, v,
+         CASE WHEN (CAST({HLL_ALPHA!r} AS DOUBLE) * {float(m * m)!r}
+                    * CAST(CAST(1 AS BIGINT) << {_HLL_SHIFT} AS DOUBLE)
+                    / CAST(s_total AS DOUBLE)) <= 2.5 * {m} AND v > 0
+              THEN {float(m)!r} * ln({float(m)!r} / CAST(v AS DOUBLE))
+              ELSE (CAST({HLL_ALPHA!r} AS DOUBLE) * {float(m * m)!r}
+                    * CAST(CAST(1 AS BIGINT) << {_HLL_SHIFT} AS DOUBLE)
+                    / CAST(s_total AS DOUBLE))
+         END AS e
+  FROM calc
+)
+SELECT true_distinct,
+       round(e, 6) AS hll_estimate,
+       round((e - true_distinct) / true_distinct * 100.0, 6)
+           AS rel_error_pct,
+       CAST(v AS BIGINT) AS n_zero_registers
+FROM est"""
+
+
+HLL_ORACLE = _hll_oracle()

@@ -522,6 +522,12 @@ SHUFFLE_BUDGETS = {
     # per-snapshot folds are map-side array math; the one exchange is
     # the (symbol, hour) partial-combinable aggregate
     "q_depth_slope": 1,
+    # the fixed d·w cells aggregate + the token-count aggregate feeding
+    # the top-k probe (TakeOrderedAndProject, no extra exchange)
+    "q_doc_cms": 2,
+    # register aggregate (m rows) + its single-row summary + the exact
+    # distinct audit aggregate (two-phase countDistinct)
+    "q_doc_hll": 4,
 }
 
 

@@ -1704,3 +1704,101 @@ def test_stream_acf_processor_matches_batch(spark, batch, n_chunks):
             for r in acf_price_changes(df).collect()
         }
         assert got == want, (sym, bucket, got, want)
+
+
+# --- count-min sketch naive reference --------------------------------------
+
+
+def _naive_cms(docs, d=4, w=64, top=10):
+    import hashlib
+    from collections import Counter, defaultdict
+
+    toks = [t for doc in docs for t in (doc if doc else [""])]
+
+    def bucket(r, tok):
+        h = hashlib.md5(f"{r}|{tok}".encode()).hexdigest()[:7]
+        return int(h, 16) % w
+
+    cells = defaultdict(int)
+    for t in toks:
+        for r in range(d):
+            cells[(r, bucket(r, t))] += 1
+    true = Counter(toks)
+    topk = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+    return {
+        t: (n, min(cells[(r, bucket(r, t))] for r in range(d)),
+            min(cells[(r, bucket(r, t))] for r in range(d)) - n)
+        for t, n in topk
+    }
+
+
+@given(docs=_bm25_docs)
+@_settings
+def test_cms_matches_naive_reference(spark, docs):
+    """The CMS report equals a naive Python sketch exactly (integer math,
+    shared md5 bucket derivation) — and estimate >= truth always."""
+    from bitcoin_datapipeline_spark.operators.text import cms_token_counts
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(d)) for i, d in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.token: (r.true_n, r.cms_estimate, r.overestimate)
+        for r in cms_token_counts(df).collect()
+    }
+    assert got == _naive_cms(docs)
+    assert all(est >= n for n, est, _ in got.values())
+
+
+def _naive_hll(docs):
+    import hashlib
+    import math
+
+    from bitcoin_datapipeline_spark.operators.text import (
+        HLL_ALPHA,
+        HLL_M,
+        _HLL_SHIFT,
+    )
+
+    toks = [t for doc in docs for t in (doc if doc else [""])]
+    regs = {}
+    for t in toks:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        reg, w = h % HLL_M, h // HLL_M
+        rank = _HLL_SHIFT if w == 0 else _HLL_SHIFT - w.bit_length()
+        regs[reg] = max(regs.get(reg, 0), rank)
+    true = len(set(toks))
+    v = HLL_M - len(regs)
+    s_total = v * (1 << _HLL_SHIFT) + sum(
+        1 << (_HLL_SHIFT - r) for r in regs.values()
+    )
+    raw = HLL_ALPHA * float(HLL_M * HLL_M) * float(1 << _HLL_SHIFT) / float(
+        s_total
+    )
+    est = (
+        float(HLL_M) * math.log(float(HLL_M) / float(v))
+        if raw <= 2.5 * HLL_M and v > 0
+        else raw
+    )
+    return (
+        true,
+        _spark_round6(est),
+        _spark_round6((est - true) / true * 100.0),
+        v,
+    )
+
+
+@given(docs=_bm25_docs)
+@_settings
+def test_hll_matches_naive_reference(spark, docs):
+    from bitcoin_datapipeline_spark.operators.text import hll_distinct_tokens
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(d)) for i, d in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    [r] = hll_distinct_tokens(df).collect()
+    assert (
+        r.true_distinct, r.hll_estimate, r.rel_error_pct, r.n_zero_registers
+    ) == _naive_hll(docs)
