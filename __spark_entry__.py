@@ -1492,6 +1492,33 @@ def q_depth_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# round 7: quote-to-trade ratio per (symbol, hour) — the messaging-
+# intensity market-quality metric; full outer join keeps silent hours
+@q(
+    "q_quote_trade_ratio",
+    OD.with_ctes(
+        OD.DEDUP_TRADES_CTE, OD.BBA_CTE + aggregates.QTR_ORACLE_BODY, body=""
+    ),
+)
+def q_quote_trade_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return aggregates.quote_trade_ratio(
+        normalize.bba(ev), dedup.dedup_trades(normalize.valid_trades(ev))
+    )
+
+
+# round 7: intraday volume seasonality per (symbol, hour-of-day) — the
+# U-shape curve VWAP schedulers are built on
+@q(
+    "q_intraday_profile",
+    OD.with_ctes(OD.BARS_1M_CTE + aggregates.INTRADAY_ORACLE_BODY, body=""),
+)
+def q_intraday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.intraday_volume_profile(
+        pipeline.bars_pipeline(spark, sf_dir)
+    )
+
+
 # round 7: HyperLogLog cardinality calibration — the 64-register
 # mergeable summary next to the exact distinct count (integer-rescaled
 # harmonic denominator, cross-engine-exact)

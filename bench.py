@@ -112,6 +112,11 @@ HEADLINE = [
     # frequency cells and HLL registers, both fixed-size aggregates
     "q_doc_cms",
     "q_doc_hll",
+    # round 7 (eighth wave): market-quality pair — quote/trade message
+    # intensity (full outer join keeps silent hours) and the intraday
+    # volume seasonality curve
+    "q_quote_trade_ratio",
+    "q_intraday_profile",
 ]
 
 

@@ -2332,3 +2332,134 @@ FROM ds GROUP BY 1, 2"""
 
 
 DEPTH_SLOPE_ORACLE_BODY = _ds_oracle()
+
+
+QTR_BUCKET_MS = 3_600_000  # quote-to-trade ratio grain: 1 hour
+
+
+def quote_trade_ratio(
+    bba: DataFrame, dedup_trades: DataFrame, bucket_ms: int = QTR_BUCKET_MS
+) -> DataFrame:
+    """Quote-to-trade ratio per (symbol, hour) — the market-quality /
+    messaging-intensity metric surveillance desks track (SEC MIDAS
+    convention): quote updates per executed trade, with both raw counts
+    kept.  High ratios flag quote-stuffing regimes; the hourly grain
+    matches :func:`depth_slope`'s book-structure roll-up.
+
+    Determinism: pure integer counts; the ratio is one double division
+    of identical operands, NULL when the hour has no trades (ratio is
+    undefined, not infinite).
+
+    Plan shape: two partial-combinable count aggregates (quote stream,
+    trade stream) to the same (symbol, hour) key, then a full outer
+    join on K·hours rows — both sides already thousands-to-1 reduced.
+    Hours with quotes but no trades (ratio NULL) and trades but no
+    quotes (ratio 0-quote row) both survive the outer join: silence on
+    either stream is exactly what the metric audits.
+
+    cf. reference: extends the surface (the reference counts trades per
+    batch, feature_builder.py:96-100, but never relates the two message
+    streams)."""
+    q = bba.groupBy(
+        "symbol",
+        F.expr(f"event_ts div {bucket_ms}").cast("long").alias("hour"),
+    ).agg(F.count("*").cast("long").alias("n_quotes"))
+    t = dedup_trades.groupBy(
+        "symbol",
+        F.expr(f"event_ts div {bucket_ms}").cast("long").alias("hour"),
+    ).agg(F.count("*").cast("long").alias("n_trades"))
+    j = q.join(t, ["symbol", "hour"], "full_outer")
+    nq = F.coalesce(F.col("n_quotes"), F.lit(0)).cast("long")
+    nt = F.coalesce(F.col("n_trades"), F.lit(0)).cast("long")
+    return j.select(
+        "symbol",
+        "hour",
+        nq.alias("n_quotes"),
+        nt.alias("n_trades"),
+        F.when(nt > 0, r6(nq.cast("double") / nt.cast("double"))).alias(
+            "quote_trade_ratio"
+        ),
+    )
+
+
+QTR_ORACLE_BODY = f"""
+,qtr_q AS (
+  SELECT symbol, event_ts // {QTR_BUCKET_MS} AS hour,
+         CAST(count(*) AS BIGINT) AS n_quotes
+  FROM bba GROUP BY 1, 2
+),
+qtr_t AS (
+  SELECT symbol, event_ts // {QTR_BUCKET_MS} AS hour,
+         CAST(count(*) AS BIGINT) AS n_trades
+  FROM dedup_trades GROUP BY 1, 2
+)
+SELECT coalesce(q.symbol, t.symbol) AS symbol,
+       CAST(coalesce(q.hour, t.hour) AS BIGINT) AS hour,
+       CAST(coalesce(q.n_quotes, 0) AS BIGINT) AS n_quotes,
+       CAST(coalesce(t.n_trades, 0) AS BIGINT) AS n_trades,
+       CASE WHEN coalesce(t.n_trades, 0) > 0
+            THEN round(CAST(coalesce(q.n_quotes, 0) AS DOUBLE)
+                       / CAST(t.n_trades AS DOUBLE), 6)
+       END AS quote_trade_ratio
+FROM qtr_q q FULL OUTER JOIN qtr_t t
+  ON q.symbol = t.symbol AND q.hour = t.hour"""
+
+
+INTRADAY_HOURS = 24
+
+
+def intraday_volume_profile(bars: DataFrame) -> DataFrame:
+    """Intraday volume seasonality per (symbol, hour-of-day): each day's
+    hourly share of that day's total volume, averaged across days — the
+    U-shape curve execution schedulers (VWAP strategies) are built on.
+
+    Determinism: bar volumes live on the 6-dp grid → hourly and daily
+    sums are DECIMAL-exact; each day's share divides identical decimal-
+    derived doubles; the cross-day mean is the documented
+    rounded-average convention (cf. :func:`amihud_illiquidity`).
+
+    Plan shape: bars → one (symbol, day, hod) partial-combinable
+    aggregate; the day total rides a window over the (symbol, day)
+    partition (hours-per-day rows each); one final (symbol, hod)
+    aggregate to K·24 rows.
+
+    cf. reference: extends the surface (the reference's daily summary
+    has no time-of-day structure, S3_SCHEMA.md:568)."""
+    hb = bars.groupBy(
+        "symbol",
+        F.expr("(bucket * 60000) div 86400000").cast("long").alias("day"),
+        F.expr("(bucket * 60000) % 86400000 div 3600000")
+        .cast("int")
+        .alias("hod"),
+    ).agg(F.sum(F.col("volume").cast("decimal(18,6)")).alias("vol_h"))
+    wd = Window.partitionBy("symbol", "day")
+    sh = hb.withColumn(
+        "day_total", F.sum("vol_h").over(wd).cast("decimal(28,6)")
+    ).withColumn(
+        "share", F.col("vol_h").cast("double") / F.col("day_total").cast("double")
+    )
+    return sh.groupBy("symbol", "hod").agg(
+        F.count("*").cast("long").alias("n_days"),
+        r6(F.avg("share")).alias("avg_volume_share"),
+    )
+
+
+INTRADAY_ORACLE_BODY = """
+,ivp_h AS (
+  SELECT symbol,
+         (bucket * 60000) // 86400000 AS day,
+         CAST((bucket * 60000) % 86400000 // 3600000 AS INT) AS hod,
+         sum(CAST(volume AS DECIMAL(18,6))) AS vol_h
+  FROM bars GROUP BY 1, 2, 3
+),
+ivp_s AS (
+  SELECT symbol, day, hod,
+         CAST(vol_h AS DOUBLE)
+           / CAST(CAST(sum(vol_h) OVER (PARTITION BY symbol, day)
+                       AS DECIMAL(28,6)) AS DOUBLE) AS share
+  FROM ivp_h
+)
+SELECT symbol, hod,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(avg(share), 6) AS avg_volume_share
+FROM ivp_s GROUP BY 1, 2"""

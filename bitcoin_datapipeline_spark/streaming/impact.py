@@ -827,3 +827,186 @@ def stream_acf(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming variance-ratio twin (round 7 seventh wave) ------------------
+
+VR_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("n_short", T.LongType()),
+        T.StructField("n_long", T.LongType()),
+        T.StructField("var_1", T.DoubleType()),
+        T.StructField("var_q", T.DoubleType()),
+        T.StructField("variance_ratio", T.DoubleType()),
+        T.StructField("late_dropped", T.LongType()),
+    ]
+)
+
+VR_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("frontier_ts", T.LongType()),
+        T.StructField("frontier_tid", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+        T.StructField("pend_ts", T.ArrayType(T.LongType())),
+        T.StructField("pend_tid", T.ArrayType(T.LongType())),
+        T.StructField("pend_price", T.ArrayType(T.LongType())),
+        T.StructField("cur_bucket", T.LongType()),
+        T.StructField("cur_close", T.LongType()),
+        T.StructField("prev_close", T.LongType()),
+        # last q-1 Δcloses (1e-4 units), newest last — the open q-sum tail
+        T.StructField("dp_ring", T.ArrayType(T.LongType())),
+        T.StructField("n_short", T.LongType()),
+        T.StructField("sx_u", T.LongType()),
+        T.StructField("sxx_u", T.LongType()),
+        T.StructField("n_long", T.LongType()),
+        T.StructField("sq_u", T.LongType()),
+        T.StructField("sqq_u", T.LongType()),
+    ]
+)
+
+
+def _vr_solve(n1, sx_u, sxx_u, nq, sq_u, sqq_u):
+    sx = float(Fraction(sx_u, 10**4))
+    sxx = float(Fraction(sxx_u, 10**8))
+    if n1 > 0:
+        var1 = (n1 * sxx - sx * sx) / (n1 * n1)
+    else:
+        var1 = None
+    if nq > 0:
+        sq = float(Fraction(sq_u, 10**4))
+        sqq = float(Fraction(sqq_u, 10**8))
+        varq = (nq * sqq - sq * sq) / (nq * nq)
+    else:
+        varq = None
+    if not (n1 > 0 and nq > 0 and var1 > 0):
+        return None, None, None
+    from bitcoin_datapipeline_spark.operators.aggregates import VR_HORIZON
+
+    return (
+        _round6(var1),
+        _round6(varq),
+        _round6(varq / (VR_HORIZON * var1)),
+    )
+
+
+def make_vr_processor(
+    bucket_ms: int = 60_000,
+    q: int = None,
+    allowed_lateness_s: int = 0,
+):
+    """Live Lo-MacKinlay variance ratio — the streaming twin of
+    operators/aggregates.variance_ratio.  O(q) per-symbol state: the
+    open bucket's running close, a Δclose tail of the last q−1 values
+    (the open overlapping q-sum), and the integer moment sums for both
+    margins.  Each closed bucket appends its Δclose, folds the
+    completed q-sum when the tail is full, and emits the re-solved
+    ratio — rows per closed bucket EQUAL the batch operator over bars
+    restricted to closed buckets (property-tested)."""
+    from bitcoin_datapipeline_spark.operators.aggregates import VR_HORIZON
+
+    if q is None:
+        q = VR_HORIZON
+    late_ms = allowed_lateness_s * 1000
+
+    def fn(key, pdfs, state: GroupState):
+        symbol = key[0]
+        chunks = [
+            pdf[["event_ts", "trade_id", "price"]] for pdf in pdfs if len(pdf)
+        ]
+        if not chunks:
+            yield pd.DataFrame(
+                [], columns=[f.name for f in VR_OUTPUT_SCHEMA.fields]
+            )
+            return
+        ev = pd.concat(chunks, ignore_index=True)
+        if state.exists:
+            (f_ts, f_tid, n_late, p_ts, p_tid, p_pr,
+             cur_b, cur_close, prev_close, ring,
+             n1, sx_u, sxx_u, nq, sq_u, sqq_u) = state.get
+            pend = list(zip(p_ts, p_tid, p_pr))
+            ring = list(ring)
+        else:
+            f_ts = f_tid = _NO_FRONTIER
+            n_late = 0
+            pend = []
+            cur_b = cur_close = prev_close = None
+            ring = []
+            n1 = sx_u = sxx_u = nq = sq_u = sqq_u = 0
+
+        new = (
+            (int(ts), int(tid), int(round(float(p) * UNITS)))
+            for ts, tid, p in zip(ev["event_ts"], ev["trade_id"], ev["price"])
+        )
+        fold, pend, (f_ts, f_tid), late_inc = merge_fold(
+            new, pend, (f_ts, f_tid), late_ms
+        )
+        n_late += late_inc
+
+        rows = []
+
+        def close_bucket():
+            nonlocal prev_close, ring, n1, sx_u, sxx_u, nq, sq_u, sqq_u
+            if prev_close is not None:
+                dp = cur_close - prev_close
+                n1 += 1
+                sx_u += dp
+                sxx_u += dp * dp
+                ring.append(dp)
+                if len(ring) == q:
+                    qs = sum(ring)
+                    nq += 1
+                    sq_u += qs
+                    sqq_u += qs * qs
+                    ring = ring[1:]
+                v1, vq, vr = _vr_solve(n1, sx_u, sxx_u, nq, sq_u, sqq_u)
+                rows.append(
+                    (symbol, int(cur_b), int(n1), int(nq), v1, vq, vr,
+                     int(n_late))
+                )
+            prev_close = cur_close
+
+        for ts, tid, p_u in fold:
+            b = ts // bucket_ms
+            if cur_b is None:
+                cur_b = b
+            elif b != cur_b:
+                close_bucket()
+                cur_b = b
+            cur_close = p_u
+
+        state.update((
+            int(f_ts), int(f_tid), int(n_late),
+            [t[0] for t in pend], [t[1] for t in pend],
+            [t[2] for t in pend],
+            int(cur_b) if cur_b is not None else None,
+            int(cur_close) if cur_close is not None else None,
+            int(prev_close) if prev_close is not None else None,
+            [int(x) for x in ring],
+            int(n1), int(sx_u), int(sxx_u), int(nq), int(sq_u), int(sqq_u),
+        ))
+        out = pd.DataFrame(
+            rows, columns=[f.name for f in VR_OUTPUT_SCHEMA.fields]
+        )
+        for c in ("var_1", "var_q", "variance_ratio"):
+            out[c] = out[c].astype(object).where(pd.notna(out[c]), None)
+        yield out
+
+    return fn
+
+
+def stream_variance_ratio(
+    trades: DataFrame,
+    bucket_ms: int = 60_000,
+    allowed_lateness_s: int = 0,
+) -> DataFrame:
+    """Live variance ratio: one append-final row per closed minute
+    bucket with VR(q) re-solved over all closed buckets so far."""
+    return trades.groupBy("symbol").applyInPandasWithState(
+        make_vr_processor(bucket_ms, None, allowed_lateness_s),
+        outputStructType=VR_OUTPUT_SCHEMA,
+        stateStructType=VR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -528,6 +528,11 @@ SHUFFLE_BUDGETS = {
     # register aggregate (m rows) + its single-row summary + the exact
     # distinct audit aggregate (two-phase countDistinct)
     "q_doc_hll": 4,
+    # two count aggregates + the K·hours full outer join
+    "q_quote_trade_ratio": 3,
+    # bars (2) + the (symbol, day, hod) aggregate + the (symbol, day)
+    # share window + the K·24 final aggregate
+    "q_intraday_profile": 5,
 }
 
 

@@ -1802,3 +1802,46 @@ def test_hll_matches_naive_reference(spark, docs):
     assert (
         r.true_distinct, r.hll_estimate, r.rel_error_pct, r.n_zero_registers
     ) == _naive_hll(docs)
+
+
+@given(batch=trade_strategy, n_chunks=st.integers(min_value=1, max_value=4))
+@_settings
+def test_stream_vr_processor_matches_batch(spark, batch, n_chunks):
+    """The streaming variance-ratio processor emits after EVERY closed
+    minute bucket the exact batch variance_ratio over bars restricted
+    to the buckets closed so far — NULL guards included."""
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        variance_ratio,
+    )
+    from bitcoin_datapipeline_spark.streaming.impact import (
+        make_vr_processor,
+    )
+
+    ordered = sorted(batch, key=lambda t: t[1])
+    recs = [
+        Row(symbol=s, event_ts=ts, trade_id=i, price=c / 100.0)
+        for i, (s, ts, _tid, c, q, m) in enumerate(ordered)
+    ]
+    emitted = _drive_processor(
+        make_vr_processor(),
+        recs,
+        ["event_ts", "trade_id", "price"],
+        n_chunks,
+    )
+    if not emitted:
+        return
+    closes = {}
+    for r in recs:
+        closes[(r.symbol, r.event_ts // 60_000)] = r.price
+    for e in emitted:
+        assert e.late_dropped == 0
+        bars = sorted(
+            (s, b, c) for (s, b), c in closes.items()
+            if s == e.symbol and b <= e.bucket
+        )
+        [w] = variance_ratio(_bars_df(spark, bars)).collect()
+        assert (
+            e.n_short, e.n_long, e.var_1, e.var_q, e.variance_ratio
+        ) == (w.n_short, w.n_long, w.var_1, w.var_q, w.variance_ratio), (
+            e, w,
+        )
