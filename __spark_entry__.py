@@ -1492,6 +1492,17 @@ def q_depth_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# round 7: cross-sectional daily leaderboard — the full SQL
+# rank-function family (row_number/rank/dense_rank/percent_rank/
+# cume_dist/ntile) in one tie-free window
+@q(
+    "q_rank_surface",
+    OD.with_ctes(OD.BARS_1M_CTE + windows.RANK_SURFACE_ORACLE_BODY, body=""),
+)
+def q_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.daily_rank_surface(pipeline.bars_pipeline(spark, sf_dir))
+
+
 # round 7: quote-to-trade ratio per (symbol, hour) — the messaging-
 # intensity market-quality metric; full outer join keeps silent hours
 @q(

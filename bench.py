@@ -117,6 +117,9 @@ HEADLINE = [
     # volume seasonality curve
     "q_quote_trade_ratio",
     "q_intraday_profile",
+    # round 7 (eighth wave cont.): the full rank-function family on one
+    # tie-free cross-sectional window
+    "q_rank_surface",
 ]
 
 

@@ -600,3 +600,67 @@ SELECT symbol, CAST(n_bars AS BIGINT) AS n_bars,
        round(worst.peak, 6) AS peak_close,
        round(worst.close, 6) AS trough_close
 FROM w"""
+
+
+RANK_NTILES = 4
+
+
+def daily_rank_surface(bars: DataFrame, ntiles: int = RANK_NTILES) -> DataFrame:
+    """Cross-sectional ranking surface: per day, every symbol ranked by
+    its daily notional — row_number, rank, dense_rank, percent_rank,
+    cume_dist, and the ntile quartile in one pass.  The cross-sectional
+    "which symbols dominated today" leaderboard (and the engine's parity
+    pin for the full SQL rank-function family, which no other query
+    exercises).
+
+    Determinism: daily notional is a DECIMAL-exact sum of the 6-dp bar
+    notionals, and the window orders by (notional DESC, symbol) so ties
+    are impossible by construction — every rank function is then
+    value-deterministic in both engines (percent_rank/cume_dist are
+    exact small-integer ratios, rounded 6 dp only for the hash).
+
+    Plan shape: one partial-combinable (symbol, day) aggregate, then ONE
+    window over partitionBy(day) — K rows per partition (symbol count),
+    days partitions.  All six functions share the single sort.
+
+    cf. reference: extends the surface (the reference's daily summary,
+    S3_SCHEMA.md:568, has no cross-sectional ranking)."""
+    d = bars.groupBy(
+        "symbol",
+        F.expr("(bucket * 60000) div 86400000").cast("long").alias("day"),
+    ).agg(
+        F.sum(F.col("notional").cast("decimal(18,6)"))
+        .cast("decimal(28,6)")
+        .alias("notional_day")
+    )
+    w = Window.partitionBy("day").orderBy(F.desc("notional_day"), "symbol")
+    return d.select(
+        "day",
+        "symbol",
+        F.col("notional_day").cast("double").alias("notional_day"),
+        F.row_number().over(w).cast("int").alias("rn"),
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        r6(F.percent_rank().over(w)).alias("pct_rank"),
+        r6(F.cume_dist().over(w)).alias("cume"),
+        F.ntile(ntiles).over(w).cast("int").alias("quartile"),
+    )
+
+
+RANK_SURFACE_ORACLE_BODY = f"""
+,rs AS (
+  SELECT symbol, (bucket * 60000) // 86400000 AS day,
+         CAST(sum(CAST(notional AS DECIMAL(18,6))) AS DECIMAL(28,6))
+             AS notional_day
+  FROM bars GROUP BY 1, 2
+)
+SELECT CAST(day AS BIGINT) AS day, symbol,
+       CAST(notional_day AS DOUBLE) AS notional_day,
+       CAST(row_number() OVER w AS INT) AS rn,
+       CAST(rank() OVER w AS INT) AS rnk,
+       CAST(dense_rank() OVER w AS INT) AS drnk,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       CAST(ntile({RANK_NTILES}) OVER w AS INT) AS quartile
+FROM rs
+WINDOW w AS (PARTITION BY day ORDER BY notional_day DESC, symbol)"""

@@ -530,6 +530,9 @@ SHUFFLE_BUDGETS = {
     "q_doc_hll": 4,
     # two count aggregates + the K·hours full outer join
     "q_quote_trade_ratio": 3,
+    # bars (2) + the (symbol, day) aggregate + the one day-partitioned
+    # rank window (all six functions share its sort)
+    "q_rank_surface": 4,
     # bars (2) + the (symbol, day, hod) aggregate + the (symbol, day)
     # share window + the K·24 final aggregate
     "q_intraday_profile": 5,
