@@ -1492,6 +1492,29 @@ def q_depth_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# round 7: market-model realized beta per symbol vs the cross-sectional
+# market-move index (decimal-exact regression, NULL on flat markets)
+@q(
+    "q_realized_beta",
+    OD.with_ctes(OD.BARS_1M_CTE + aggregates.REALIZED_BETA_ORACLE_BODY, body=""),
+)
+def q_realized_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.realized_beta(pipeline.bars_pipeline(spark, sf_dir))
+
+
+# round 7: batch inter-trade gap audit — the data-quality twin of the
+# streaming gap detector (count/mean/p50/p90/max + staleness breaches)
+@q(
+    "q_gap_report",
+    OD.with_ctes(OD.DEDUP_TRADES_CTE + aggregates.GAP_REPORT_ORACLE_BODY, body=""),
+)
+def q_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return aggregates.trade_gap_report(
+        dedup.dedup_trades(normalize.valid_trades(ev))
+    )
+
+
 # round 7: cross-sectional daily leaderboard — the full SQL
 # rank-function family (row_number/rank/dense_rank/percent_rank/
 # cume_dist/ntile) in one tie-free window

@@ -120,6 +120,10 @@ HEADLINE = [
     # round 7 (eighth wave cont.): the full rank-function family on one
     # tie-free cross-sectional window
     "q_rank_surface",
+    # round 7 (ninth wave): market-model beta vs the cross-sectional
+    # index and the batch inter-trade gap audit
+    "q_realized_beta",
+    "q_gap_report",
 ]
 
 

@@ -2463,3 +2463,176 @@ SELECT symbol, hod,
        CAST(count(*) AS BIGINT) AS n_days,
        round(avg(share), 6) AS avg_volume_share
 FROM ivp_s GROUP BY 1, 2"""
+
+
+def realized_beta(bars: DataFrame) -> DataFrame:
+    """Market-model realized beta per symbol: the OLS slope of the
+    symbol's 1-minute Δclose on the MARKET Δclose (the cross-sectional
+    sum of all symbols' Δcloses in that minute — the equal-notional
+    market-move index), plus the regression R².  The market-model
+    companion of :func:`leadlag_xcorr`'s pairwise profile: one number
+    per symbol for "how much of this move is market, how much is
+    idiosyncratic".
+
+    Index convention (documented, oracle-replicated): the market factor
+    is the SUM of per-symbol Δcloses over symbols observed in BOTH
+    minutes (Δ needs a previous bar), not the mean — a sum of
+    DECIMAL(12,6) grid values stays on the grid, so every regression
+    moment is DECIMAL-exact (dividing by a varying symbol count would
+    leave the grid); the slope absorbs the scale.  Minutes where the
+    symbol itself has no Δclose contribute nothing to its regression.
+
+    Determinism: the :func:`kyle_lambda` discipline — decimal moments
+    cast to double once, NULL on zero market variance.
+
+    Plan shape: Δclose rides the ONE partitionBy(symbol) sort; the
+    market factor is a (bucket)-keyed partial-combinable aggregate over
+    the same Δp rows; one broadcast-sized join back on bucket (minute
+    count is calendar-bounded) and one K-row moment aggregate.
+
+    cf. reference: extends the surface (the reference has no
+    cross-sectional factor model)."""
+    wl = Window.partitionBy("symbol").orderBy("bucket")
+    cd = F.col("close").cast("decimal(12,6)")
+    d = (
+        bars.select(
+            "symbol",
+            "bucket",
+            (cd - F.lag(cd).over(wl)).cast("decimal(12,6)").alias("dp"),
+        )
+        .filter(F.col("dp").isNotNull())
+    )
+    mkt = d.groupBy("bucket").agg(
+        F.sum("dp").cast("decimal(18,6)").alias("dm")
+    )
+    j = d.join(mkt, "bucket")
+    g = j.groupBy("symbol").agg(
+        F.count("*").cast("long").alias("n_minutes"),
+        F.sum("dp").cast("double").alias("sy"),
+        F.sum("dm").cast("double").alias("sx"),
+        F.sum((F.col("dm") * F.col("dp")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("dm") * F.col("dm")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("dp") * F.col("dp")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    n = F.col("n_minutes")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    beta = cov / varx
+    r2 = (cov * cov) / (varx * vary)
+    return g.select(
+        "symbol",
+        "n_minutes",
+        F.when(varx > 0, r6(beta)).alias("beta"),
+        F.when((varx > 0) & (vary > 0), r6(r2)).alias("r2"),
+    )
+
+
+REALIZED_BETA_ORACLE_BODY = """
+,rb_dp AS (
+  SELECT symbol, bucket,
+         CAST(CAST(close AS DECIMAL(12,6))
+              - lag(CAST(close AS DECIMAL(12,6))) OVER w AS DECIMAL(12,6))
+             AS dp
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+rb AS (SELECT * FROM rb_dp WHERE dp IS NOT NULL),
+rb_mkt AS (
+  SELECT bucket, CAST(sum(dp) AS DECIMAL(18,6)) AS dm
+  FROM rb GROUP BY bucket
+),
+rb_g AS (
+  SELECT r.symbol,
+         CAST(count(*) AS BIGINT) AS n_minutes,
+         CAST(sum(r.dp) AS DOUBLE) AS sy,
+         CAST(sum(m.dm) AS DOUBLE) AS sx,
+         CAST(sum(CAST(m.dm * r.dp AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(m.dm * m.dm AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(r.dp * r.dp AS DECIMAL(38,12))) AS DOUBLE) AS syy
+  FROM rb r JOIN rb_mkt m ON r.bucket = m.bucket
+  GROUP BY r.symbol
+)
+SELECT symbol, n_minutes,
+       CASE WHEN n_minutes * sxx - sx * sx > 0
+            THEN round((n_minutes * sxy - sx * sy)
+                       / (n_minutes * sxx - sx * sx), 6)
+       END AS beta,
+       CASE WHEN n_minutes * sxx - sx * sx > 0
+             AND n_minutes * syy - sy * sy > 0
+            THEN round(((n_minutes * sxy - sx * sy)
+                        * (n_minutes * sxy - sx * sy))
+                       / ((n_minutes * sxx - sx * sx)
+                          * (n_minutes * syy - sy * sy)), 6)
+       END AS r2
+FROM rb_g"""
+
+
+GAP_REPORT_THRESHOLD_MS = 60_000  # "stale feed" gap threshold: 1 minute
+
+
+def trade_gap_report(
+    dedup_trades: DataFrame, threshold_ms: int = GAP_REPORT_THRESHOLD_MS
+) -> DataFrame:
+    """Batch inter-trade-gap data-quality report per symbol: count, mean,
+    p50/p90/max of the inter-arrival gaps, and how many exceeded the
+    staleness threshold — the batch audit twin of the STREAMING gap
+    detector (`streaming/ops.stream_gap_detect` flags them live; this
+    summarizes the whole tape for the data-quality dashboard).
+
+    Determinism: gaps are integer ms; exact `percentile` interpolation
+    (the engine's pinned symmetric-lerp convention == DuckDB
+    quantile_cont) over integers; the mean is an integer-sum / count
+    division of identical operands.
+
+    Plan shape: the gap lag rides ONE partitionBy(symbol) sort; one
+    K-row aggregate.  Exact percentiles don't partial-combine — the
+    same documented trade as `q_latency_percentiles`, with the
+    `percentile_approx` knob as the 100 TB path.
+
+    cf. reference: the reference documents gap detection as a service
+    (services/gap_detector/README.md) with wall-clock staleness; this
+    is the event-time batch audit over the same semantics."""
+    wl = Window.partitionBy("symbol").orderBy("event_ts", "trade_id")
+    g = (
+        dedup_trades.select(
+            "symbol",
+            (F.col("event_ts") - F.lag("event_ts").over(wl)).alias("gap_ms"),
+        )
+        .filter(F.col("gap_ms").isNotNull())
+    )
+    return g.groupBy("symbol").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        r6(F.sum("gap_ms").cast("double") / F.count("*")).alias("mean_gap_ms"),
+        r6(F.expr("percentile(gap_ms, 0.5)")).alias("p50_gap_ms"),
+        r6(F.expr("percentile(gap_ms, 0.9)")).alias("p90_gap_ms"),
+        F.max("gap_ms").cast("long").alias("max_gap_ms"),
+        F.sum(F.when(F.col("gap_ms") > threshold_ms, 1).otherwise(0))
+        .cast("long")
+        .alias("n_stale"),
+    )
+
+
+GAP_REPORT_ORACLE_BODY = f"""
+,gr AS (
+  SELECT symbol,
+         event_ts - lag(event_ts) OVER (
+             PARTITION BY symbol ORDER BY event_ts, trade_id) AS gap_ms
+  FROM dedup_trades
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       round(CAST(sum(gap_ms) AS DOUBLE) / count(*), 6) AS mean_gap_ms,
+       round(quantile_cont(gap_ms, 0.5), 6) AS p50_gap_ms,
+       round(quantile_cont(gap_ms, 0.9), 6) AS p90_gap_ms,
+       CAST(max(gap_ms) AS BIGINT) AS max_gap_ms,
+       CAST(sum(CASE WHEN gap_ms > {GAP_REPORT_THRESHOLD_MS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_stale
+FROM gr WHERE gap_ms IS NOT NULL
+GROUP BY symbol"""

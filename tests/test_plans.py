@@ -533,6 +533,12 @@ SHUFFLE_BUDGETS = {
     # bars (2) + the (symbol, day) aggregate + the one day-partitioned
     # rank window (all six functions share its sort)
     "q_rank_surface": 4,
+    # static count: both legs re-derive bars+Δp (3 each, AQE reuses the
+    # shared scan at runtime) + the bucket-keyed market aggregate/join
+    # + the K-row moment aggregate
+    "q_realized_beta": 7,
+    # the one symbol sort + the K-row percentile aggregate
+    "q_gap_report": 2,
     # bars (2) + the (symbol, day, hod) aggregate + the (symbol, day)
     # share window + the K·24 final aggregate
     "q_intraday_profile": 5,

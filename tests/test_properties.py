@@ -1845,3 +1845,55 @@ def test_stream_vr_processor_matches_batch(spark, batch, n_chunks):
         ) == (w.n_short, w.n_long, w.var_1, w.var_q, w.variance_ratio), (
             e, w,
         )
+
+
+def _naive_beta(bars):
+    from collections import defaultdict
+    from fractions import Fraction
+
+    seq = defaultdict(list)
+    for s, b, c in bars:
+        seq[s].append((b, c))
+    dps = defaultdict(dict)
+    for s, bc in seq.items():
+        for i in range(1, len(bc)):
+            dps[s][bc[i][0]] = bc[i][1] - bc[i - 1][1]
+    mkt = defaultdict(lambda: Fraction(0))
+    for s in dps:
+        for b, dp in dps[s].items():
+            mkt[b] += dp
+    out = {}
+    for s in dps:
+        rows = [(mkt[b], dp) for b, dp in dps[s].items()]
+        if not rows:
+            continue
+        n = len(rows)
+        sx = float(sum(x for x, _ in rows))
+        sy = float(sum(y for _, y in rows))
+        sxy = float(sum(x * y for x, y in rows))
+        sxx = float(sum(x * x for x, _ in rows))
+        syy = float(sum(y * y for _, y in rows))
+        varx = n * sxx - sx * sx
+        vary = n * syy - sy * sy
+        cov = n * sxy - sx * sy
+        out[s] = (
+            n,
+            _spark_round6(cov / varx) if varx > 0 else None,
+            _spark_round6((cov * cov) / (varx * vary))
+            if varx > 0 and vary > 0
+            else None,
+        )
+    return out
+
+
+@given(batch=_bars_strategy)
+@_settings
+def test_realized_beta_matches_naive_reference(spark, batch):
+    from bitcoin_datapipeline_spark.operators.aggregates import realized_beta
+
+    bars = _unique_bars(batch)
+    got = {
+        r.symbol: (r.n_minutes, r.beta, r.r2)
+        for r in realized_beta(_bars_df(spark, bars)).collect()
+    }
+    assert got == _naive_beta(bars)
