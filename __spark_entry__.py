@@ -1492,6 +1492,36 @@ def q_depth_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# round 7: variance-time scaling exponent (aggregated-variance Hurst) —
+# the multi-horizon closure of q_variance_ratio
+@q(
+    "q_hurst",
+    OD.with_ctes(OD.BARS_1M_CTE + aggregates.HURST_ORACLE_BODY, body=""),
+)
+def q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.hurst_exponent(pipeline.bars_pipeline(spark, sf_dir))
+
+
+# round 7: trade-arrival burstiness (Fano factor over the active span,
+# empty minutes counted as zero)
+@q(
+    "q_fano",
+    OD.with_ctes(OD.DEDUP_TRADES_CTE + aggregates.FANO_ORACLE_BODY, body=""),
+)
+def q_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return aggregates.fano_factor(
+        dedup.dedup_trades(normalize.valid_trades(ev))
+    )
+
+
+# round 7: Zipf-law fit over the corpus vocabulary — ordered-fold
+# moments so the ln-sums are fixed-order in both engines
+@q("q_doc_zipf", text.ZIPF_ORACLE)
+def q_doc_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.zipf_fit(table(spark, sf_dir, "documents"))
+
+
 # round 7: market-model realized beta per symbol vs the cross-sectional
 # market-move index (decimal-exact regression, NULL on flat markets)
 @q(

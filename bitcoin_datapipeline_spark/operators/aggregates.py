@@ -2636,3 +2636,239 @@ SELECT symbol,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_stale
 FROM gr WHERE gap_ms IS NOT NULL
 GROUP BY symbol"""
+
+
+HURST_QS = (1, 2, 4, 8)  # aggregation horizons for the variance-time fit
+
+
+def hurst_exponent(bars: DataFrame) -> DataFrame:
+    """Variance-time scaling exponent (aggregated-variance Hurst
+    estimator): per symbol, the population variance of overlapping q-bar
+    Δclose sums for q ∈ {1,2,4,8}, and H = slope/2 of ln Var(q) on
+    ln q.  H ≈ 0.5 is a random walk, < 0.5 mean reversion (bounce),
+    > 0.5 trending — the multi-horizon closure of
+    :func:`variance_ratio`'s single-q test.
+
+    Determinism: every per-q moment is a DECIMAL-exact sum (the
+    :func:`variance_ratio` machinery at four horizons in ONE aggregate);
+    the ln-ln regression is a CLOSED-FORM fixed-order expression over
+    the four variance doubles (x-values are the constants 0, ln2, 2ln2,
+    3ln2), so both engines evaluate identical scalar arithmetic.  Any
+    non-positive variance or missing horizon emits NULL H with the
+    variances still reported.
+
+    Plan shape: the four overlapping q-sum windows ride ONE
+    partitionBy(symbol) sort (window state ≤ 8 rows); one
+    partial-combinable aggregate to K rows.
+
+    cf. reference: extends the surface (multi-horizon companion of
+    q_acf / q_variance_ratio)."""
+    wl = Window.partitionBy("symbol").orderBy("bucket")
+    cd = F.col("close").cast("decimal(12,6)")
+    dp = (cd - F.lag(cd).over(wl)).cast("decimal(12,6)")
+    b = bars.select("symbol", "bucket", dp.alias("dp"))
+    for q_ in HURST_QS:
+        if q_ == 1:
+            b = b.withColumn("qs_1", F.col("dp")).withColumn(
+                "qn_1", F.when(F.col("dp").isNotNull(), 1).otherwise(0)
+            )
+        else:
+            wq = wl.rowsBetween(-(q_ - 1), 0)
+            b = b.withColumn(
+                f"qs_{q_}", F.sum("dp").over(wq).cast("decimal(18,6)")
+            ).withColumn(f"qn_{q_}", F.count("dp").over(wq))
+    aggs = []
+    for q_ in HURST_QS:
+        ok = F.col(f"qn_{q_}") == q_
+        aggs += [
+            F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias(f"n_{q_}"),
+            F.sum(F.when(ok, F.col(f"qs_{q_}"))).cast("double").alias(f"s_{q_}"),
+            F.sum(
+                F.when(
+                    ok,
+                    (F.col(f"qs_{q_}") * F.col(f"qs_{q_}")).cast(
+                        "decimal(38,12)"
+                    ),
+                )
+            )
+            .cast("double")
+            .alias(f"ss_{q_}"),
+        ]
+    g = b.groupBy("symbol").agg(*aggs)
+    var_cols = {}
+    for q_ in HURST_QS:
+        n = F.col(f"n_{q_}")
+        v = (n * F.col(f"ss_{q_}") - F.col(f"s_{q_}") * F.col(f"s_{q_}")) / (
+            n * n
+        )
+        var_cols[q_] = v
+    ok_all = None
+    for q_ in HURST_QS:
+        c = (F.col(f"n_{q_}") > 0) & (var_cols[q_] > 0)
+        ok_all = c if ok_all is None else (ok_all & c)
+    # closed-form OLS of ln(var_q) on ln(q): x = (0, ln2, 2ln2, 3ln2),
+    # x̄ = 1.5·ln2, Σ(x−x̄)² = 5·ln2²; fixed-order numerator
+    ln2 = math.log(2.0)
+    num = (
+        (F.lit(0.0) - F.lit(1.5 * ln2)) * F.log(var_cols[1])
+        + (F.lit(ln2) - F.lit(1.5 * ln2)) * F.log(var_cols[2])
+        + (F.lit(2 * ln2) - F.lit(1.5 * ln2)) * F.log(var_cols[4])
+        + (F.lit(3 * ln2) - F.lit(1.5 * ln2)) * F.log(var_cols[8])
+    )
+    slope = num / F.lit(5.0 * ln2 * ln2)
+    sel = ["symbol"]
+    for q_ in HURST_QS:
+        sel.append(
+            F.when(F.col(f"n_{q_}") > 0, r6(var_cols[q_])).alias(f"var_{q_}")
+        )
+    sel.append(F.when(ok_all, r6(slope / 2.0)).alias("hurst"))
+    return g.select(*sel)
+
+
+def _hurst_oracle() -> str:
+    ln2 = math.log(2.0)
+    qcols = []
+    for q_ in HURST_QS:
+        if q_ == 1:
+            qcols.append(
+                "dp AS qs_1, CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS qn_1"
+            )
+        else:
+            qcols.append(
+                f"CAST(sum(dp) OVER (PARTITION BY symbol ORDER BY bucket "
+                f"ROWS BETWEEN {q_ - 1} PRECEDING AND CURRENT ROW) "
+                f"AS DECIMAL(18,6)) AS qs_{q_}, "
+                f"count(dp) OVER (PARTITION BY symbol ORDER BY bucket "
+                f"ROWS BETWEEN {q_ - 1} PRECEDING AND CURRENT ROW) AS qn_{q_}"
+            )
+    moms = []
+    for q_ in HURST_QS:
+        moms.append(
+            f"CAST(sum(CASE WHEN qn_{q_} = {q_} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_{q_},"
+            f" CAST(sum(CASE WHEN qn_{q_} = {q_} THEN qs_{q_} END) AS DOUBLE)"
+            f" AS s_{q_},"
+            f" CAST(sum(CASE WHEN qn_{q_} = {q_} THEN"
+            f" CAST(qs_{q_} * qs_{q_} AS DECIMAL(38,12)) END) AS DOUBLE)"
+            f" AS ss_{q_}"
+        )
+    vexprs = {
+        q_: f"(n_{q_} * ss_{q_} - s_{q_} * s_{q_})"
+            f" / (CAST(n_{q_} AS DOUBLE) * n_{q_})"
+        for q_ in HURST_QS
+    }
+    ok = " AND ".join(f"n_{q_} > 0 AND {vexprs[q_]} > 0" for q_ in HURST_QS)
+    xs = {1: 0.0, 2: ln2, 4: 2 * ln2, 8: 3 * ln2}
+    num = " + ".join(
+        f"(CAST({xs[q_]!r} AS DOUBLE) - CAST({1.5 * ln2!r} AS DOUBLE))"
+        f" * ln({vexprs[q_]})"
+        for q_ in HURST_QS
+    )
+    vsel = ",\n       ".join(
+        f"CASE WHEN n_{q_} > 0 THEN round({vexprs[q_]}, 6) END AS var_{q_}"
+        for q_ in HURST_QS
+    )
+    return f"""
+,hu_dp AS (
+  SELECT symbol, bucket,
+         CAST(CAST(close AS DECIMAL(12,6))
+              - lag(CAST(close AS DECIMAL(12,6))) OVER w AS DECIMAL(12,6))
+             AS dp
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+hu_q AS (
+  SELECT symbol, {', '.join(qcols)}
+  FROM hu_dp
+),
+hu_g AS (
+  SELECT symbol, {', '.join(moms)}
+  FROM hu_q GROUP BY symbol
+)
+SELECT symbol,
+       {vsel},
+       CASE WHEN {ok}
+            THEN round(({num}) / CAST({5.0 * ln2 * ln2!r} AS DOUBLE) / 2.0, 6)
+       END AS hurst
+FROM hu_g"""
+
+
+HURST_ORACLE_BODY = _hurst_oracle()
+
+
+FANO_BUCKET_MS = 60_000  # burstiness grain: per-minute trade counts
+
+
+def fano_factor(dedup_trades: DataFrame, bucket_ms: int = FANO_BUCKET_MS) -> DataFrame:
+    """Trade-arrival burstiness per symbol: the Fano factor (variance /
+    mean) of per-minute trade counts over the symbol's ACTIVE SPAN
+    (first to last traded minute, empty minutes counted as zero —
+    dropping them would bias the variance down exactly where gaps make
+    arrivals bursty).  F ≈ 1 is Poisson, > 1 clustered/bursty (the
+    arrival-process complement of :func:`trade_gap_report`'s gap sizes).
+
+    Determinism: counts are integers; Σn and Σn² are exact integer
+    sums; span = max−min+1 bucket indices; mean and variance divide
+    identical operands in both engines.  Single-minute spans emit NULL
+    (variance of one observation).
+
+    Plan shape: one (symbol, bucket) partial-combinable count, one K-row
+    aggregate over the bucket counts — absent minutes need no rows
+    (they contribute zero to both sums; only the span matters).
+
+    cf. reference: extends the surface (trades_per_second at batch
+    grain, feature_builder.py:151-155, has no dispersion measure)."""
+    c = dedup_trades.groupBy(
+        "symbol",
+        F.expr(f"event_ts div {bucket_ms}").cast("long").alias("bucket"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    g = c.groupBy("symbol").agg(
+        (F.max("bucket") - F.min("bucket") + 1).cast("long").alias("span"),
+        F.count("*").cast("long").alias("active_minutes"),
+        F.sum("n").cast("long").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("snn"),
+    )
+    span = F.col("span").cast("double")
+    mean = F.col("sn") / span
+    var = F.col("snn") / span - mean * mean
+    return g.select(
+        "symbol",
+        "span",
+        "active_minutes",
+        "sn",
+        r6(mean).alias("mean_per_min"),
+        F.when(F.col("span") > 1, r6(var)).alias("var_per_min"),
+        F.when((F.col("span") > 1) & (mean > 0), r6(var / mean)).alias(
+            "fano_factor"
+        ),
+    )
+
+
+FANO_ORACLE_BODY = f"""
+,ff_c AS (
+  SELECT symbol, event_ts // {FANO_BUCKET_MS} AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM dedup_trades GROUP BY 1, 2
+),
+ff_g AS (
+  SELECT symbol,
+         CAST(max(bucket) - min(bucket) + 1 AS BIGINT) AS span,
+         CAST(count(*) AS BIGINT) AS active_minutes,
+         CAST(sum(n) AS BIGINT) AS sn,
+         CAST(sum(n * n) AS BIGINT) AS snn
+  FROM ff_c GROUP BY symbol
+)
+SELECT symbol, span, active_minutes, sn,
+       round(sn / CAST(span AS DOUBLE), 6) AS mean_per_min,
+       CASE WHEN span > 1
+            THEN round(snn / CAST(span AS DOUBLE)
+                       - (sn / CAST(span AS DOUBLE))
+                         * (sn / CAST(span AS DOUBLE)), 6)
+       END AS var_per_min,
+       CASE WHEN span > 1 AND sn / CAST(span AS DOUBLE) > 0
+            THEN round((snn / CAST(span AS DOUBLE)
+                        - (sn / CAST(span AS DOUBLE))
+                          * (sn / CAST(span AS DOUBLE)))
+                       / (sn / CAST(span AS DOUBLE)), 6)
+       END AS fano_factor
+FROM ff_g"""

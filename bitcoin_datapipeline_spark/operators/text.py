@@ -3850,3 +3850,141 @@ FROM est"""
 
 
 HLL_ORACLE = _hll_oracle()
+
+
+# --- Zipf-law fit (round 7) -------------------------------------------------
+
+ZIPF_TOP_V = 50  # ranks used for the log-log fit
+
+
+def zipf_fit(documents: DataFrame, top_v: int = ZIPF_TOP_V) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS of ln(frequency)
+    on ln(rank) for the top-``top_v`` tokens — slope (≈ −1 for natural
+    language; the synthetic corpus's flatter slope is itself the
+    measurement), intercept, and R².  The corpus-statistics probe a
+    tokenizer/vocab-design pass starts from, one scalar triple instead
+    of :func:`vocab_report`'s table.
+
+    Determinism: the regression moments are sums of ln-doubles — a
+    groupBy sum would be summation-order-dependent — so the top-V
+    (rank, count) pairs collapse to ONE sorted array and all four
+    moments fold in FIXED rank order (`aggregate` / `list_reduce`, the
+    :func:`depth_slope` discipline); every term ln(rank)/ln(count) is
+    computed from integers, so both engines fold identical doubles in
+    identical order.
+
+    Plan shape: token-count aggregate → top-V via
+    TakeOrderedAndProject → a V-row single-partition collect_list →
+    O(V) scalar math.  The corpus-sized work is the one count
+    aggregate; everything after is V rows.
+
+    cf. reference: extends the surface (corpus-statistics companion of
+    vocab_report; the reference has no text surface)."""
+    toks = documents.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    topv = (
+        toks.groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(top_v)
+        .select(
+            F.row_number()
+            .over(Window.partitionBy(F.lit(0)).orderBy(F.desc("n"), "token"))
+            .cast("long")
+            .alias("rank"),
+            "n",
+        )
+    )
+    arr = topv.groupBy().agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("rank"), F.col("n")))
+        ).alias("rn"),
+        F.count("*").cast("long").alias("v_used"),
+    )
+
+    def fold(term: str) -> str:
+        # fixed-order fold over the rank-sorted array
+        return (
+            f"aggregate(rn, cast(0.0 as double), (a, x) -> a + ({term}))"
+        )
+
+    sx = fold("ln(cast(x.rank as double))")
+    sy = fold("ln(cast(x.n as double))")
+    sxy = fold("ln(cast(x.rank as double)) * ln(cast(x.n as double))")
+    sxx = fold("ln(cast(x.rank as double)) * ln(cast(x.rank as double))")
+    syy = fold("ln(cast(x.n as double)) * ln(cast(x.n as double))")
+    c = arr.select(
+        "v_used",
+        F.expr(sx).alias("sx"),
+        F.expr(sy).alias("sy"),
+        F.expr(sxy).alias("sxy"),
+        F.expr(sxx).alias("sxx"),
+        F.expr(syy).alias("syy"),
+    )
+    n = F.col("v_used").cast("double")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = cov / varx
+    return c.select(
+        "v_used",
+        F.when(varx > 0, r6(slope)).alias("zipf_slope"),
+        F.when(varx > 0, r6((F.col("sy") - slope * F.col("sx")) / n)).alias(
+            "zipf_intercept"
+        ),
+        F.when((varx > 0) & (vary > 0), r6((cov * cov) / (varx * vary))).alias(
+            "r2"
+        ),
+    )
+
+
+def _zipf_oracle(top_v: int = ZIPF_TOP_V) -> str:
+    def fold(term: str) -> str:
+        return (
+            f"list_reduce([{term} for x in rn], (a, b) -> a + b)"
+        )
+
+    sx = fold("ln(CAST(x.rank AS DOUBLE))")
+    sy = fold("ln(CAST(x.n AS DOUBLE))")
+    sxy = fold("ln(CAST(x.rank AS DOUBLE)) * ln(CAST(x.n AS DOUBLE))")
+    sxx = fold("ln(CAST(x.rank AS DOUBLE)) * ln(CAST(x.rank AS DOUBLE))")
+    syy = fold("ln(CAST(x.n AS DOUBLE)) * ln(CAST(x.n AS DOUBLE))")
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+topv AS (
+  SELECT row_number() OVER (ORDER BY count(*) DESC, token) AS rank,
+         CAST(count(*) AS BIGINT) AS n
+  FROM toks GROUP BY token
+  ORDER BY n DESC, token LIMIT {top_v}
+),
+arr AS (
+  SELECT list({{'rank': rank, 'n': n}} ORDER BY rank) AS rn,
+         CAST(count(*) AS BIGINT) AS v_used
+  FROM topv
+),
+moms AS (
+  SELECT v_used,
+         {sx} AS sx, {sy} AS sy, {sxy} AS sxy,
+         {sxx} AS sxx, {syy} AS syy
+  FROM arr
+)
+SELECT v_used,
+       CASE WHEN vx > 0 THEN round(cv / vx, 6) END AS zipf_slope,
+       CASE WHEN vx > 0 THEN round((sy - (cv / vx) * sx) / vn, 6) END
+           AS zipf_intercept,
+       CASE WHEN vx > 0 AND vy > 0 THEN round((cv * cv) / (vx * vy), 6) END
+           AS r2
+FROM (
+  SELECT v_used, sx, sy,
+         CAST(v_used AS DOUBLE) AS vn,
+         CAST(v_used AS DOUBLE) * sxx - sx * sx AS vx,
+         CAST(v_used AS DOUBLE) * syy - sy * sy AS vy,
+         CAST(v_used AS DOUBLE) * sxy - sx * sy AS cv
+  FROM moms
+)"""
+
+
+ZIPF_ORACLE = _zipf_oracle()
