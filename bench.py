@@ -124,6 +124,13 @@ HEADLINE = [
     # index and the batch inter-trade gap audit
     "q_realized_beta",
     "q_gap_report",
+    # round 7 (tenth wave): the variance-time Hurst exponent (four
+    # overlapping-sum horizons on one symbol sort), trade-arrival
+    # burstiness (Fano factor, span arithmetic instead of a grid
+    # explode), and the Zipf-law corpus fit (fixed-order array fold)
+    "q_hurst",
+    "q_fano",
+    "q_doc_zipf",
 ]
 
 
@@ -196,6 +203,11 @@ FAMILIES: dict[str, list[str]] = {
         # r7 seventh wave: map-side tf + one broadcast stats row +
         # WindowGroupLimit top-k — should be a flat corpus-scan row
         "q_doc_bm25",
+        # r7 tenth wave: the Zipf fit's corpus-sized work is the one
+        # token-count aggregate (the same scan the vocab family rides);
+        # everything after is V rows — the decade row should track the
+        # corpus scan
+        "q_doc_zipf",
     ],
     # q_returns_1s_full_span is the PRODUCTION grid convention: the
     # declared query runs a 12 h slice (GRID_SLICE_S, a test-size
@@ -239,6 +251,12 @@ FAMILIES: dict[str, list[str]] = {
         # ... and the events-grain array-fold scan (per-row O(levels)
         # linearity check)
         "q_depth_slope",
+        # r7 tenth wave: four overlapping-sum horizons on one symbol
+        # sort (window state <= 8 rows — sort-cost linearity check) and
+        # the per-minute count + K-row span aggregate (near-flat: the
+        # first aggregate is calendar-bounded)
+        "q_hurst",
+        "q_fano",
     ],
 }
 SCALE_DIRS = ["/root/testdata/sf0.1", ".scale_data/sf1"]

@@ -542,6 +542,14 @@ SHUFFLE_BUDGETS = {
     # bars (2) + the (symbol, day, hod) aggregate + the (symbol, day)
     # share window + the K·24 final aggregate
     "q_intraday_profile": 5,
+    # bars agg (2) + the one symbol sort carrying all four overlapping-sum
+    # horizons + the K-row moment aggregate
+    "q_hurst": 3,
+    # dedup (1) + the (symbol, minute) count + the K-row span aggregate
+    "q_fano": 3,
+    # the one token-count aggregate; top-V via TakeOrderedAndProject and
+    # the V-row fold add no exchange
+    "q_doc_zipf": 1,
 }
 
 

@@ -1897,3 +1897,174 @@ def test_realized_beta_matches_naive_reference(spark, batch):
         for r in realized_beta(_bars_df(spark, bars)).collect()
     }
     assert got == _naive_beta(bars)
+
+
+# ---------------------------------------------------------------------------
+# tenth wave vs naive references: hurst (multi-horizon variance-time fit),
+# fano (arrival burstiness), zipf (fixed-order log-log vocabulary fit).
+# The naive sides sum exactly (Fraction / int), convert to double once, then
+# run the IDENTICAL scalar expression in the identical order — agreement is
+# exact, including every NULL guard.
+
+_HURST_QS = (1, 2, 4, 8)
+
+
+def _naive_hurst(bars):
+    import math
+
+    ln2 = math.log(2.0)
+    xs = {1: 0.0, 2: ln2, 4: 2 * ln2, 8: 3 * ln2}
+    xbar = 1.5 * ln2
+    out = {}
+    for s, dps in _dp_by_symbol(bars).items():
+        stats = {}
+        for q in _HURST_QS:
+            qsums = [
+                sum(dps[i - q + 1 : i + 1]) for i in range(q - 1, len(dps))
+            ]
+            n = len(qsums)
+            if n > 0:
+                sx = float(sum(qsums))
+                sxx = float(sum(x * x for x in qsums))
+                stats[q] = (n, (n * sxx - sx * sx) / (n * n))
+            else:
+                stats[q] = (0, None)
+        ok = all(n > 0 and v > 0 for n, v in stats.values())
+        if ok:
+            num = (
+                (xs[1] - xbar) * math.log(stats[1][1])
+                + (xs[2] - xbar) * math.log(stats[2][1])
+                + (xs[4] - xbar) * math.log(stats[4][1])
+                + (xs[8] - xbar) * math.log(stats[8][1])
+            )
+            h = _spark_round6(num / (5.0 * ln2 * ln2) / 2.0)
+        else:
+            h = None
+        out[s] = tuple(
+            _spark_round6(stats[q][1]) if stats[q][0] > 0 else None
+            for q in _HURST_QS
+        ) + (h,)
+    return out
+
+
+@given(batch=_bars_strategy)
+@_settings
+def test_hurst_matches_naive_reference(spark, batch):
+    from bitcoin_datapipeline_spark.operators.aggregates import hurst_exponent
+
+    bars = _unique_bars(batch)
+    got = {
+        r.symbol: (r.var_1, r.var_2, r.var_4, r.var_8, r.hurst)
+        for r in hurst_exponent(_bars_df(spark, bars)).collect()
+    }
+    assert got == _naive_hurst(bars)
+
+
+def test_hurst_degenerate_bars(spark):
+    """Constant-price tape: every horizon variance is 0 -> NULL hurst with
+    the zero variances reported; a tape shorter than the longest horizon:
+    n_8 = 0 -> var_8 NULL -> NULL hurst."""
+    from fractions import Fraction
+
+    from bitcoin_datapipeline_spark.operators.aggregates import hurst_exponent
+
+    const = [("BTC", b, Fraction(100)) for b in range(12)]
+    short = [("ETH", b, Fraction(1 + b)) for b in range(5)]  # 4 dps < 8
+    rows = {
+        r.symbol: r for r in hurst_exponent(_bars_df(spark, const + short)).collect()
+    }
+    assert rows["BTC"].var_1 == 0.0 and rows["BTC"].hurst is None
+    assert rows["ETH"].var_8 is None and rows["ETH"].hurst is None
+
+
+_fano_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["BTC", "ETH"]),                  # symbol
+        st.integers(min_value=0, max_value=1_200_000),    # event_ts (ms)
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(batch=_fano_strategy)
+@_settings
+def test_fano_matches_naive_reference(spark, batch):
+    from collections import Counter
+
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        FANO_BUCKET_MS,
+        fano_factor,
+    )
+
+    rows = [Row(symbol=s, event_ts=t) for s, t in batch]
+    df = spark.createDataFrame(rows, "symbol string, event_ts long")
+    got = {
+        r.symbol: (
+            r.span,
+            r.active_minutes,
+            r.sn,
+            r.mean_per_min,
+            r.var_per_min,
+            r.fano_factor,
+        )
+        for r in fano_factor(df).collect()
+    }
+    want = {}
+    for s in {s for s, _ in batch}:
+        c = Counter(t // FANO_BUCKET_MS for s2, t in batch if s2 == s)
+        span = max(c) - min(c) + 1
+        sn = sum(c.values())
+        snn = sum(n * n for n in c.values())
+        mean = sn / float(span)
+        var = snn / float(span) - mean * mean
+        want[s] = (
+            span,
+            len(c),
+            sn,
+            _spark_round6(mean),
+            _spark_round6(var) if span > 1 else None,
+            _spark_round6(var / mean) if span > 1 and mean > 0 else None,
+        )
+    assert got == want
+
+
+@given(docs=_docs_strategy, top_v=st.integers(min_value=1, max_value=5))
+@_settings
+def test_zipf_matches_naive_reference(spark, docs, top_v):
+    import math
+    from collections import Counter
+
+    from bitcoin_datapipeline_spark.operators.text import zipf_fit
+
+    rows = [Row(doc_id=i, text=" ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = zipf_fit(df, top_v=top_v).collect()[0]
+
+    # "".split(" ") == [""] — the empty doc contributes one empty token,
+    # exactly like F.split on the engine side
+    c = Counter(tok for ws in docs for tok in " ".join(ws).split(" "))
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top_v]
+    v = len(top)
+    sx = sy = sxy = sxx = syy = 0.0
+    for rank, (_tok, n) in enumerate(top, start=1):
+        lx, ly = math.log(float(rank)), math.log(float(n))
+        sx += lx
+        sy += ly
+        sxy += lx * ly
+        sxx += lx * lx
+        syy += ly * ly
+    nn = float(v)
+    varx = nn * sxx - sx * sx
+    vary = nn * syy - sy * sy
+    cov = nn * sxy - sx * sy
+    slope = cov / varx if varx > 0 else None
+    want = (
+        v,
+        _spark_round6(slope) if varx > 0 else None,
+        _spark_round6((sy - slope * sx) / nn) if varx > 0 else None,
+        _spark_round6((cov * cov) / (varx * vary))
+        if varx > 0 and vary > 0
+        else None,
+    )
+    assert (r.v_used, r.zipf_slope, r.zipf_intercept, r.r2) == want
