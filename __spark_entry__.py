@@ -1522,6 +1522,53 @@ def q_doc_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.zipf_fit(table(spark, sf_dir, "documents"))
 
 
+# round 7: trade-size Gini coefficient — participation inequality per
+# symbol (one symbol sort, decimal-exact rank moments)
+@q(
+    "q_gini",
+    OD.with_ctes(OD.DEDUP_TRADES_CTE + aggregates.GINI_ORACLE_BODY, body=""),
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return aggregates.gini_concentration(
+        dedup.dedup_trades(normalize.valid_trades(ev))
+    )
+
+
+# round 7: Spearman rank correlation of daily volume vs daily absolute
+# price movement — the monotone volume-volatility relation
+@q(
+    "q_spearman",
+    OD.with_ctes(
+        OD.BARS_1M_CTE + aggregates.SPEARMAN_ORACLE_BODY, body=""
+    ),
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.spearman_vol_volatility(
+        pipeline.bars_pipeline(spark, sf_dir)
+    )
+
+
+# round 7: two-sample KS drift between each symbol's early/late halves —
+# binning-free ECDF complement of the PSI feature-drift gate
+@q(
+    "q_ks_drift",
+    OD.with_ctes(OD.DEDUP_TRADES_CTE + aggregates.KS_ORACLE_BODY, body=""),
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return aggregates.ks_split_drift(
+        dedup.dedup_trades(normalize.valid_trades(ev))
+    )
+
+
+# round 7: per-document token entropy — map-only run-length HOF over the
+# sorted token array (zero corpus-grain shuffles)
+@q("q_doc_entropy", text.ENTROPY_ORACLE)
+def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_entropy(table(spark, sf_dir, "documents"))
+
+
 # round 7: market-model realized beta per symbol vs the cross-sectional
 # market-move index (decimal-exact regression, NULL on flat markets)
 @q(

@@ -131,6 +131,14 @@ HEADLINE = [
     "q_hurst",
     "q_fano",
     "q_doc_zipf",
+    # round 7 (eleventh wave): trade-size Gini (one symbol sort), the
+    # Spearman daily volume-volatility rank correlation, the two-sample
+    # KS drift test (ECDF gap as exact integers), and the map-only
+    # token-entropy state machine (zero corpus-grain shuffles)
+    "q_gini",
+    "q_spearman",
+    "q_ks_drift",
+    "q_doc_entropy",
 ]
 
 
@@ -208,6 +216,9 @@ FAMILIES: dict[str, list[str]] = {
         # everything after is V rows — the decade row should track the
         # corpus scan
         "q_doc_zipf",
+        # r7 eleventh wave: the map-only run-length entropy scan — the
+        # zero-shuffle linearity control row for the HOF path
+        "q_doc_entropy",
     ],
     # q_returns_1s_full_span is the PRODUCTION grid convention: the
     # declared query runs a 12 h slice (GRID_SLICE_S, a test-size
@@ -257,6 +268,14 @@ FAMILIES: dict[str, list[str]] = {
         # first aggregate is calendar-bounded)
         "q_hurst",
         "q_fano",
+        # r7 eleventh wave: rank moments on one symbol sort (sort-cost
+        # linearity), the (symbol, size)-grain ECDF plan (bounded by the
+        # qty grid, not the trade count — its decade row proves the
+        # distinct-value support stays sublinear), and the bar-grain
+        # rank-correlation control row
+        "q_gini",
+        "q_ks_drift",
+        "q_spearman",
     ],
 }
 SCALE_DIRS = ["/root/testdata/sf0.1", ".scale_data/sf1"]

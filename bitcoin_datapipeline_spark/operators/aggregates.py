@@ -2872,3 +2872,273 @@ SELECT symbol, span, active_minutes, sn,
                        / (sn / CAST(span AS DOUBLE)), 6)
        END AS fano_factor
 FROM ff_g"""
+
+
+def gini_concentration(dedup_trades: DataFrame) -> DataFrame:
+    """Trade-size concentration per symbol: the Gini coefficient of trade
+    quantities via the rank form G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n with
+    sizes sorted ascending.  G ≈ 0 is uniform participation, → 1 means a
+    few block trades carry the volume — the inequality complement of
+    :func:`fano_factor`'s temporal burstiness.
+
+    Determinism: x rides the engine-wide qty grid (DECIMAL(20,4), the
+    VPIN convention); ranks are tie-broken by trade_id so i is unique,
+    and the Gini sum is tie-order-invariant anyway (equal x share one
+    coefficient sum).  Σx and Σi·x are exact DECIMAL(38,4) sums; the
+    closing expression divides identical doubles in both engines.
+
+    Plan shape: ONE partitionBy(symbol) sort carries the ranks; the
+    K-row moment aggregate reuses its hash partitioning (no extra
+    exchange).  Zero-volume symbols (impossible post-validation, where
+    qty > 0) would emit NULL, not 0/0.
+
+    cf. reference: extends the surface (feature_builder.py's per-batch
+    aggregates have no inequality measure)."""
+    qd = F.col("qty").cast("decimal(20,4)")
+    r = dedup_trades.select("symbol", "trade_id", qd.alias("qd"))
+    i = (
+        F.row_number()
+        .over(Window.partitionBy("symbol").orderBy("qd", "trade_id"))
+        .cast("long")
+    )
+    g = r.select("symbol", "qd", i.alias("i")).groupBy("symbol").agg(
+        F.count("*").cast("long").alias("n_trades"),
+        F.sum("qd").cast("decimal(38,4)").cast("double").alias("sx"),
+        F.sum((F.col("i") * F.col("qd")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("six"),
+    )
+    n = F.col("n_trades")
+    sx = F.col("sx")
+    gini = (F.lit(2.0) * F.col("six")) / (n * sx) - (n + F.lit(1.0)) / n
+    return g.select(
+        "symbol",
+        "n_trades",
+        r6(sx).alias("total_qty"),
+        F.when(sx > 0, r6(gini)).alias("gini"),
+    )
+
+
+GINI_ORACLE_BODY = """
+,gi_r AS (
+  SELECT symbol,
+         CAST(qty AS DECIMAL(20,4)) AS qd,
+         CAST(row_number() OVER (PARTITION BY symbol
+              ORDER BY CAST(qty AS DECIMAL(20,4)), trade_id) AS BIGINT) AS i
+  FROM dedup_trades
+),
+gi_g AS (
+  SELECT symbol,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(CAST(sum(qd) AS DECIMAL(38,4)) AS DOUBLE) AS sx,
+         CAST(CAST(sum(CAST(i * qd AS DECIMAL(38,4))) AS DECIMAL(38,4))
+              AS DOUBLE) AS six
+  FROM gi_r GROUP BY symbol
+)
+SELECT symbol, n AS n_trades,
+       round(sx, 6) AS total_qty,
+       CASE WHEN sx > 0
+            THEN round((2.0 * six) / (n * sx) - (n + 1.0) / n, 6)
+       END AS gini
+FROM gi_g"""
+
+
+SPEARMAN_DAY_BARS = 1440  # minutes per day on the bar clock
+
+
+def spearman_vol_volatility(bars: DataFrame) -> DataFrame:
+    """Per-symbol Spearman rank correlation between daily volume and
+    daily absolute price movement — the monotone (outlier-robust) form
+    of the volume-volatility relation, where :func:`pair_correlation`'s
+    Pearson form is level-sensitive.
+
+    Determinism: daily sums are exact DECIMAL(18,6) (bar columns sit on
+    the engine-wide 1e-6 grid); ranks are row_number with the day as
+    tie-break, so both engines assign identical integer ranks, Σd² is an
+    exact BIGINT, and ρ = 1 − 6·Σd²/(n(n²−1)) divides identical
+    operands.  Single-day symbols emit NULL ρ (n(n²−1) = 0).
+
+    Plan shape: bars → one (symbol, day) partial-combinable aggregate →
+    both rank windows share ONE partitionBy(symbol) exchange (two sorts,
+    one shuffle) → K-row moment aggregate.
+
+    cf. reference: extends the surface (rank-statistics companion of
+    q_pair_correlation)."""
+    d = (
+        bars.groupBy(
+            "symbol",
+            F.expr(f"bucket div {SPEARMAN_DAY_BARS}").cast("long").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("volume").cast("decimal(18,6)")).alias("dvol"),
+            F.sum(F.abs(F.col("price_change")).cast("decimal(18,6)")).alias(
+                "dvola"
+            ),
+        )
+    )
+    wsym = Window.partitionBy("symbol")
+    rx = F.row_number().over(wsym.orderBy("dvol", "day")).cast("long")
+    ry = F.row_number().over(wsym.orderBy("dvola", "day")).cast("long")
+    ranked = d.select(
+        "symbol", rx.alias("rx"), ry.alias("ry")
+    ).withColumn("dd", F.col("rx") - F.col("ry"))
+    g = ranked.groupBy("symbol").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(F.col("dd") * F.col("dd")).cast("long").alias("sum_d2"),
+    )
+    n = F.col("n_days")
+    rho = F.lit(1.0) - (F.lit(6.0) * F.col("sum_d2")) / (n * (n * n - F.lit(1)))
+    return g.select(
+        "symbol",
+        "n_days",
+        "sum_d2",
+        F.when(n > 1, r6(rho)).alias("spearman_rho"),
+    )
+
+
+SPEARMAN_ORACLE_BODY = f"""
+,sp_d AS (
+  SELECT symbol, bucket // {SPEARMAN_DAY_BARS} AS day,
+         sum(CAST(volume AS DECIMAL(18,6))) AS dvol,
+         sum(CAST(abs(price_change) AS DECIMAL(18,6))) AS dvola
+  FROM bars GROUP BY 1, 2
+),
+sp_r AS (
+  SELECT symbol,
+         CAST(row_number() OVER (PARTITION BY symbol ORDER BY dvol, day)
+              AS BIGINT) AS rx,
+         CAST(row_number() OVER (PARTITION BY symbol ORDER BY dvola, day)
+              AS BIGINT) AS ry
+  FROM sp_d
+),
+sp_g AS (
+  SELECT symbol,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+  FROM sp_r GROUP BY symbol
+)
+SELECT symbol, n AS n_days, sum_d2,
+       CASE WHEN n > 1
+            THEN round(1.0 - (6.0 * sum_d2) / (n * (n * n - 1)), 6)
+       END AS spearman_rho
+FROM sp_g"""
+
+
+def ks_split_drift(dedup_trades: DataFrame) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test per symbol: split each
+    symbol's trades at the temporal midpoint of its span and compare the
+    trade-size distributions of the two halves — D = max|F_early(x) −
+    F_late(x)| over the merged support, plus the √(n_a·n_b/(n_a+n_b))·D
+    normalization the KS tables are entered with.  The distributional
+    complement of :func:`windows.feature_drift`'s binned PSI: no binning
+    choice, sensitive to the whole CDF.
+
+    Determinism: the ECDF gap is evaluated at DISTINCT size values with
+    integer cumulative counts, and the max runs over the exact integers
+    |cumA·n_b − cumB·n_a| (DECIMAL(38,0) — long·long would overflow at
+    cluster-scale per-symbol counts); only the final division and sqrt
+    touch doubles, on identical operands in both engines.  A symbol
+    whose trades all land in one half (e.g. a single-tick span) emits
+    NULL.
+
+    Plan shape: per-symbol span bounds (K rows, broadcast back) → one
+    (symbol, size) partial-combinable count aggregate (bounded by the
+    qty grid, not the trade count) → the cumulative window and the
+    K-row max ride ONE partitionBy(symbol) exchange.
+
+    cf. reference: extends the surface (drift governance the reference's
+    monitoring lacks)."""
+    t = dedup_trades.select(
+        "symbol", "event_ts", F.col("qty").cast("decimal(20,4)").alias("qd")
+    )
+    span = t.groupBy("symbol").agg(
+        F.min("event_ts").alias("lo"), F.max("event_ts").alias("hi")
+    )
+    mid = F.expr("(lo + hi) div 2")
+    t2 = t.join(F.broadcast(span), "symbol").withColumn(
+        "late", F.col("event_ts") > mid
+    )
+    c = t2.groupBy("symbol", "qd").agg(
+        F.sum(F.when(~F.col("late"), 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).cast("long").alias("cb"),
+    )
+    wsym = Window.partitionBy("symbol")
+    wcum = wsym.orderBy("qd").rowsBetween(Window.unboundedPreceding, 0)
+    cum = c.select(
+        "symbol",
+        F.sum("ca").over(wcum).cast("long").alias("cuma"),
+        F.sum("cb").over(wcum).cast("long").alias("cumb"),
+        F.sum("ca").over(wsym).cast("long").alias("na"),
+        F.sum("cb").over(wsym).cast("long").alias("nb"),
+    )
+    diff = F.abs(
+        F.col("cuma").cast("decimal(38,0)") * F.col("nb")
+        - F.col("cumb").cast("decimal(38,0)") * F.col("na")
+    )
+    g = cum.groupBy("symbol").agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.max(diff).cast("decimal(38,0)").alias("dmax"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ks = F.col("dmax").cast("double") / (na * nb)
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return g.select(
+        "symbol",
+        "n_a",
+        "n_b",
+        F.when(ok, r6(ks)).alias("ks_stat"),
+        F.when(ok, r6(F.sqrt((na * nb) / (na + nb)) * ks)).alias("ks_scaled"),
+    )
+
+
+KS_ORACLE_BODY = """
+,ks_t AS (
+  SELECT symbol, event_ts, CAST(qty AS DECIMAL(20,4)) AS qd
+  FROM dedup_trades
+),
+ks_span AS (
+  SELECT symbol, min(event_ts) AS lo, max(event_ts) AS hi
+  FROM ks_t GROUP BY symbol
+),
+ks_c AS (
+  SELECT t.symbol, t.qd,
+         CAST(sum(CASE WHEN t.event_ts > (s.lo + s.hi) // 2
+                       THEN 0 ELSE 1 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN t.event_ts > (s.lo + s.hi) // 2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM ks_t t JOIN ks_span s ON t.symbol = s.symbol
+  GROUP BY 1, 2
+),
+ks_cum AS (
+  SELECT symbol,
+         CAST(sum(ca) OVER (PARTITION BY symbol ORDER BY qd
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cuma,
+         CAST(sum(cb) OVER (PARTITION BY symbol ORDER BY qd
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumb,
+         CAST(sum(ca) OVER (PARTITION BY symbol) AS BIGINT) AS na,
+         CAST(sum(cb) OVER (PARTITION BY symbol) AS BIGINT) AS nb
+  FROM ks_c
+),
+ks_g AS (
+  SELECT symbol, max(na) AS n_a, max(nb) AS n_b,
+         CAST(max(abs(CAST(cuma AS DECIMAL(38,0)) * nb
+                      - CAST(cumb AS DECIMAL(38,0)) * na))
+              AS DECIMAL(38,0)) AS dmax
+  FROM ks_cum GROUP BY symbol
+)
+SELECT symbol, n_a, n_b,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN round(CAST(dmax AS DOUBLE)
+                       / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+       END AS ks_stat,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN round(sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                            / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                       * (CAST(dmax AS DOUBLE)
+                          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6)
+       END AS ks_scaled
+FROM ks_g"""

@@ -3988,3 +3988,101 @@ FROM (
 
 
 ZIPF_ORACLE = _zipf_oracle()
+
+
+# --- Token entropy (round 7) ------------------------------------------------
+
+
+def token_entropy(documents: DataFrame) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution, plus the
+    ln(n)-normalized form (≈1 all-distinct, →0 degenerate repetition) —
+    the information-theoretic quality signal that catches low-diversity
+    boilerplate :func:`doc_repetition`'s fixed-n-gram ratios can miss.
+
+    Determinism: H = ln n − (Σ c·ln c)/n needs a FIXED summation order
+    for the ln-double terms, so the engine never runs a groupBy over
+    (doc, token) floats: tokens are array_sort-ed and a single
+    `aggregate` HOF runs a run-length state machine over the sorted
+    array, closing each run with its c·ln c term in token order.  The
+    DuckDB twin folds a token-ORDERED (token, count) list with
+    `list_reduce` — identical terms, identical left-assoc order.
+
+    Plan shape: map-only — ZERO corpus-grain shuffles; one projection
+    with two HOFs per row.  The sort is per-document (bounded by doc
+    length), the state is one struct.  The ideal 100 TB shape: pure
+    scan, every executor independent.
+
+    cf. reference: extends the surface (quality-scoring companion of
+    doc_stats/doc_quality; the reference has no text surface)."""
+    run = F.expr(
+        """
+        aggregate(
+          array_sort(split(text, ' ')),
+          named_struct('prev', cast(null as string), 'c', 0L, 'd', 0L,
+                       's', cast(0.0 as double)),
+          (a, x) -> CASE
+            WHEN a.c = 0L THEN
+              named_struct('prev', x, 'c', 1L, 'd', 1L, 's', a.s)
+            WHEN x = a.prev THEN
+              named_struct('prev', x, 'c', a.c + 1L, 'd', a.d, 's', a.s)
+            ELSE
+              named_struct('prev', x, 'c', 1L, 'd', a.d + 1L,
+                           's', a.s + cast(a.c as double)
+                                      * ln(cast(a.c as double)))
+          END,
+          a -> named_struct(
+            'd', a.d,
+            's', a.s + CASE WHEN a.c > 0L
+                            THEN cast(a.c as double)
+                                 * ln(cast(a.c as double))
+                            ELSE cast(0.0 as double) END)
+        )
+        """
+    )
+    n = F.size(F.split(F.col("text"), " ")).cast("long")
+    d = documents.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        run.alias("rl"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    h = F.log(nd) - F.col("rl.s") / nd
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.col("rl.d").alias("n_distinct"),
+        r6(h).alias("entropy"),
+        F.when(F.col("n_tokens") > 1, r6(h / F.log(nd))).alias(
+            "entropy_norm"
+        ),
+    )
+
+
+ENTROPY_ORACLE = """
+WITH e AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+c AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+  FROM e GROUP BY 1, 2
+),
+g AS (
+  SELECT doc_id,
+         list({'token': token, 'c': c} ORDER BY token) AS tc,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS d
+  FROM c GROUP BY doc_id
+),
+m AS (
+  SELECT doc_id, n, d,
+         ln(CAST(n AS DOUBLE))
+         - list_reduce([CAST(x.c AS DOUBLE) * ln(CAST(x.c AS DOUBLE))
+                        for x in tc],
+                       (a, b) -> a + b) / CAST(n AS DOUBLE) AS h
+  FROM g
+)
+SELECT doc_id, n AS n_tokens, d AS n_distinct,
+       round(h, 6) AS entropy,
+       CASE WHEN n > 1 THEN round(h / ln(CAST(n AS DOUBLE)), 6) END
+           AS entropy_norm
+FROM m"""

@@ -550,6 +550,18 @@ SHUFFLE_BUDGETS = {
     # the one token-count aggregate; top-V via TakeOrderedAndProject and
     # the V-row fold add no exchange
     "q_doc_zipf": 1,
+    # dedup (1) + the one symbol sort carrying the ranks; the K-row
+    # moment aggregate rides its hash partitioning
+    "q_gini": 2,
+    # bars (2) + the (symbol, day) aggregate + ONE symbol exchange
+    # shared by both rank windows (two sorts, one shuffle)
+    "q_spearman": 4,
+    # dedup (1) + the K-row span aggregate (broadcast back) + the
+    # (symbol, size) count + the one symbol exchange shared by the
+    # cumulative window and the K-row max
+    "q_ks_drift": 5,
+    # map-only run-length HOF — zero corpus-grain shuffles
+    "q_doc_entropy": 0,
 }
 
 

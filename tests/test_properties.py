@@ -2068,3 +2068,215 @@ def test_zipf_matches_naive_reference(spark, docs, top_v):
         else None,
     )
     assert (r.v_used, r.zipf_slope, r.zipf_intercept, r.r2) == want
+
+
+# ---------------------------------------------------------------------------
+# eleventh wave vs naive references: gini (rank-form concentration),
+# spearman (daily rank correlation), ks (two-sample ECDF drift), and the
+# map-only token-entropy state machine.
+
+_gini_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["BTC", "ETH"]),                 # symbol
+        st.integers(min_value=1, max_value=30),          # trade_id
+        st.integers(min_value=0, max_value=1_200_000),   # event_ts (ms)
+        st.integers(min_value=1, max_value=50_000),      # qty in 1e-4 units
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+def _unique_trades(batch):
+    """One row per (symbol, trade_id) — the dedup output grain the
+    operators consume — keeping the lexicographically-last tuple."""
+    from fractions import Fraction
+
+    d = {}
+    for s, tid, ts, q4 in sorted(batch):
+        d[(s, tid)] = (ts, Fraction(q4, 10_000))
+    return sorted((s, tid, ts, q) for (s, tid), (ts, q) in d.items())
+
+
+def _trades_qty_df(spark, trades):
+    rows = [
+        Row(symbol=s, trade_id=tid, event_ts=ts, qty=float(q))
+        for s, tid, ts, q in trades
+    ]
+    return spark.createDataFrame(
+        rows, "symbol string, trade_id long, event_ts long, qty double"
+    )
+
+
+@given(batch=_gini_strategy)
+@_settings
+def test_gini_matches_naive_reference(spark, batch):
+    from collections import defaultdict
+
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        gini_concentration,
+    )
+
+    trades = _unique_trades(batch)
+    got = {
+        r.symbol: (r.n_trades, r.total_qty, r.gini)
+        for r in gini_concentration(_trades_qty_df(spark, trades)).collect()
+    }
+    per_sym = defaultdict(list)
+    for s, tid, _ts, q in trades:
+        per_sym[s].append((q, tid))
+    want = {}
+    for s, xs in per_sym.items():
+        xs.sort()
+        n = len(xs)
+        sx = float(sum(q for q, _ in xs))
+        six = float(sum(i * q for i, (q, _) in enumerate(xs, start=1)))
+        gini = (2.0 * six) / (n * sx) - (n + 1.0) / n
+        want[s] = (
+            n,
+            _spark_round6(sx),
+            _spark_round6(gini) if sx > 0 else None,
+        )
+    assert got == want
+
+
+@given(batch=_gini_strategy)
+@_settings
+def test_ks_drift_matches_naive_reference(spark, batch):
+    import math
+    from collections import defaultdict
+
+    from bitcoin_datapipeline_spark.operators.aggregates import ks_split_drift
+
+    trades = _unique_trades(batch)
+    got = {
+        r.symbol: (r.n_a, r.n_b, r.ks_stat, r.ks_scaled)
+        for r in ks_split_drift(_trades_qty_df(spark, trades)).collect()
+    }
+    per_sym = defaultdict(list)
+    for s, _tid, ts, q in trades:
+        per_sym[s].append((ts, q))
+    want = {}
+    for s, rows in per_sym.items():
+        lo, hi = min(t for t, _ in rows), max(t for t, _ in rows)
+        mid = (lo + hi) // 2
+        ca, cb = defaultdict(int), defaultdict(int)
+        for ts, q in rows:
+            (cb if ts > mid else ca)[q] += 1
+        na, nb = sum(ca.values()), sum(cb.values())
+        cuma = cumb = 0
+        dmax = 0
+        for v in sorted(set(ca) | set(cb)):
+            cuma += ca[v]
+            cumb += cb[v]
+            dmax = max(dmax, abs(cuma * nb - cumb * na))
+        if na > 0 and nb > 0:
+            ks = float(dmax) / (float(na) * float(nb))
+            scaled = (
+                math.sqrt((float(na) * float(nb)) / (float(na) + float(nb)))
+                * ks
+            )
+            want[s] = (na, nb, _spark_round6(ks), _spark_round6(scaled))
+        else:
+            want[s] = (na, nb, None, None)
+    assert got == want
+
+
+_spearman_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["BTC", "ETH"]),                   # symbol
+        st.integers(min_value=0, max_value=8_000),         # bucket (minutes)
+        st.integers(min_value=0, max_value=99_999_999),    # volume 1e-6 units
+        st.integers(min_value=-9_999_999, max_value=9_999_999),  # pc 1e-6
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(batch=_spearman_strategy)
+@_settings
+def test_spearman_matches_naive_reference(spark, batch):
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        SPEARMAN_DAY_BARS,
+        spearman_vol_volatility,
+    )
+
+    uniq = {}
+    for s, b, v6, p6 in sorted(batch):
+        uniq[(s, b)] = (Fraction(v6, 10**6), Fraction(p6, 10**6))
+    rows = [
+        Row(symbol=s, bucket=b, volume=float(v), price_change=float(p))
+        for (s, b), (v, p) in sorted(uniq.items())
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, bucket long, volume double, price_change double"
+    )
+    got = {
+        r.symbol: (r.n_days, r.sum_d2, r.spearman_rho)
+        for r in spearman_vol_volatility(df).collect()
+    }
+    daily = defaultdict(lambda: defaultdict(lambda: [Fraction(0), Fraction(0)]))
+    for (s, b), (v, p) in uniq.items():
+        acc = daily[s][b // SPEARMAN_DAY_BARS]
+        acc[0] += v
+        acc[1] += abs(p)
+    want = {}
+    for s, days in daily.items():
+        items = [(day, v, a) for day, (v, a) in days.items()]
+        rx = {
+            day: i
+            for i, (day, _v, _a) in enumerate(
+                sorted(items, key=lambda t: (t[1], t[0])), start=1
+            )
+        }
+        ry = {
+            day: i
+            for i, (day, _v, _a) in enumerate(
+                sorted(items, key=lambda t: (t[2], t[0])), start=1
+            )
+        }
+        n = len(items)
+        sd2 = sum((rx[day] - ry[day]) ** 2 for day, _v, _a in items)
+        rho = (
+            _spark_round6(1.0 - (6.0 * sd2) / (n * (n * n - 1)))
+            if n > 1
+            else None
+        )
+        want[s] = (n, sd2, rho)
+    assert got == want
+
+
+@given(docs=_docs_strategy)
+@_settings
+def test_token_entropy_matches_naive(spark, docs):
+    import math
+    from collections import Counter
+
+    from bitcoin_datapipeline_spark.operators.text import token_entropy
+
+    rows = [Row(doc_id=i, text=" ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_distinct, r.entropy, r.entropy_norm)
+        for r in token_entropy(df).collect()
+    }
+    want = {}
+    for i, ws in enumerate(docs):
+        toks = " ".join(ws).split(" ")
+        c = Counter(toks)
+        n = len(toks)
+        s = 0.0
+        for tok in sorted(c):
+            s += float(c[tok]) * math.log(float(c[tok]))
+        h = math.log(float(n)) - s / float(n)
+        want[i] = (
+            n,
+            len(c),
+            _spark_round6(h),
+            _spark_round6(h / math.log(float(n))) if n > 1 else None,
+        )
+    assert got == want
