@@ -1569,6 +1569,77 @@ def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_entropy(table(spark, sf_dir, "documents"))
 
 
+# round 7: volume-at-price profile with point-of-control flag —
+# K·n_bins-bounded aggregate, broadcast span bounds
+@q(
+    "q_volume_profile",
+    OD.with_ctes(
+        OD.DEDUP_TRADES_CTE + aggregates.VOLUME_PROFILE_ORACLE_BODY, body=""
+    ),
+)
+def q_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return aggregates.volume_profile(
+        dedup.dedup_trades(normalize.valid_trades(ev))
+    )
+
+
+# round 7: Flesch-style readability — map-only regex counts
+@q("q_doc_readability", text.READABILITY_ORACLE)
+def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.readability(table(spark, sf_dir, "documents"))
+
+
+# round 7: Wald–Wolfowitz runs test on bar-return signs — trending vs
+# mean-reverting, DECIMAL(38,0)-exact moment products
+@q(
+    "q_runs_test",
+    OD.with_ctes(OD.BARS_1M_CTE + aggregates.RUNS_TEST_ORACLE_BODY, body=""),
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.runs_test(pipeline.bars_pipeline(spark, sf_dir))
+
+
+# round 7: CUSUM level-shift audit — the prefix-sum − running-min
+# closed form of the reset-at-zero recursion, DECIMAL-exact end to end
+@q(
+    "q_cusum",
+    OD.with_ctes(OD.BARS_1M_CTE + aggregates.CUSUM_ORACLE_BODY, body=""),
+)
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.cusum_levels(pipeline.bars_pipeline(spark, sf_dir))
+
+
+# round 7: hourly volume-concentration HHI per (symbol, day) —
+# decimal-exact squares, calendar-bounded output
+@q(
+    "q_hhi",
+    OD.with_ctes(OD.DEDUP_TRADES_CTE + aggregates.HHI_ORACLE_BODY, body=""),
+)
+def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return aggregates.hhi_concentration(
+        dedup.dedup_trades(normalize.valid_trades(ev))
+    )
+
+
+# round 7: Hill tail-index estimator — top-k order statistics under
+# WindowGroupLimit, fixed-order ln-ratio fold
+@q(
+    "q_hill_tail",
+    OD.with_ctes(OD.BARS_1M_CTE + aggregates.HILL_ORACLE_BODY, body=""),
+)
+def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.hill_tail(pipeline.bars_pipeline(spark, sf_dir))
+
+
+# round 7: per-source Jensen–Shannon divergence vs the rest of the
+# corpus over top-V + UNK categories — the corpus-mix drift score
+@q("q_doc_jsd", text.SOURCE_JSD_ORACLE)
+def q_doc_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.source_jsd(table(spark, sf_dir, "documents"))
+
+
 # round 7: market-model realized beta per symbol vs the cross-sectional
 # market-move index (decimal-exact regression, NULL on flat markets)
 @q(

@@ -139,6 +139,25 @@ HEADLINE = [
     "q_spearman",
     "q_ks_drift",
     "q_doc_entropy",
+    # round 7 (twelfth wave): the volume-at-price profile with
+    # point-of-control flag (K-row span broadcast, K·n_bins-bounded
+    # aggregate) and the map-only Flesch readability gate
+    "q_volume_profile",
+    "q_doc_readability",
+    # round 7 (thirteenth wave): the Wald–Wolfowitz runs test (sign
+    # stream on one symbol sort), the CUSUM level-shift audit (the
+    # prefix-sum − running-min closed form of the reset recursion,
+    # DECIMAL-exact), and the hourly volume-concentration HHI
+    # (calendar-bounded, decimal-exact squares)
+    "q_runs_test",
+    "q_cusum",
+    "q_hhi",
+    # round 7 (fourteenth wave): the Hill tail-index estimator (top-k
+    # order statistics under WindowGroupLimit, fixed-order ln fold) and
+    # the per-source Jensen–Shannon corpus-mix divergence (two corpus
+    # passes, closed-form missing-mass term, K·(V+1)-bounded fold)
+    "q_hill_tail",
+    "q_doc_jsd",
 ]
 
 
@@ -219,6 +238,13 @@ FAMILIES: dict[str, list[str]] = {
         # r7 eleventh wave: the map-only run-length entropy scan — the
         # zero-shuffle linearity control row for the HOF path
         "q_doc_entropy",
+        # r7 twelfth wave: three regexp_extract_all passes per row,
+        # zero shuffles — the regex-cost linearity control row
+        "q_doc_readability",
+        # r7 fourteenth wave: TWO corpus-sized passes (the deliberate
+        # two-scan shape) then K·(V+1)-bounded windows — its decade row
+        # should track 2× the token-explode scan
+        "q_doc_jsd",
     ],
     # q_returns_1s_full_span is the PRODUCTION grid convention: the
     # declared query runs a 12 h slice (GRID_SLICE_S, a test-size
@@ -276,6 +302,21 @@ FAMILIES: dict[str, list[str]] = {
         "q_gini",
         "q_ks_drift",
         "q_spearman",
+        # r7 twelfth wave: the trade-grain bin assignment is map-only
+        # after a K-row broadcast; everything keyed is <= K·n_bins rows
+        # — its decade row should track the dedup scan
+        "q_volume_profile",
+        # r7 thirteenth wave: the CUSUM closed form stacks FOUR
+        # cumulative/full-partition windows on one symbol sort — its
+        # decade row bounds the multi-window sort cost; the HHI row is
+        # the calendar-bounded two-aggregate control
+        "q_cusum",
+        "q_hhi",
+        # r7 fourteenth wave: rank ≤ k+1 under WindowGroupLimit — the
+        # per-partition limit should keep the exchange payload at
+        # (k+1)·partitions rows regardless of tape size; its decade row
+        # proves the group-limit pushdown holds at scale
+        "q_hill_tail",
     ],
 }
 SCALE_DIRS = ["/root/testdata/sf0.1", ".scale_data/sf1"]

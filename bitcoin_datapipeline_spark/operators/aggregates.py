@@ -3142,3 +3142,573 @@ SELECT symbol, n_a, n_b,
                           / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6)
        END AS ks_scaled
 FROM ks_g"""
+
+
+VP_BINS = 20  # price bins per symbol for the volume profile
+
+
+def volume_profile(dedup_trades: DataFrame, n_bins: int = VP_BINS) -> DataFrame:
+    """Per-symbol volume-at-price profile: traded volume binned into
+    ``n_bins`` equal price slices of the symbol's [min, max] range, with
+    each bin's share of total volume and a point-of-control flag on the
+    highest-volume bin(s) — the volume-profile / POC structure a
+    liquidity-aware execution scheduler keys on.
+
+    Determinism: the bin index is floor((price−lo)/(hi−lo)·n_bins)
+    clamped to n_bins−1 — identical IEEE double arithmetic in both
+    engines on identical operands (lo/hi are exact column minima);
+    volumes are exact DECIMAL(38,4) sums on the engine-wide qty grid, so
+    the share division and the POC max-compare see identical values.  A
+    flat tape (hi == lo) collapses to bin 0.
+
+    Plan shape: K-row span bounds broadcast back onto the scan → one
+    (symbol, bin) partial-combinable aggregate (≤ K·n_bins rows) → the
+    share/POC window runs over those K·n_bins rows only.
+
+    cf. reference: extends the surface (depth_features
+    feature_builder.py:158-214 profiles the BOOK; this profiles traded
+    volume)."""
+    span = dedup_trades.groupBy("symbol").agg(
+        F.min("price").alias("lo"), F.max("price").alias("hi")
+    )
+    rel = (F.col("price") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+    bin_ = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(
+            F.floor(rel * F.lit(float(n_bins))), F.lit(n_bins - 1)
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    b = (
+        dedup_trades.join(F.broadcast(span), "symbol")
+        .select(
+            "symbol",
+            bin_.alias("bin"),
+            F.col("qty").cast("decimal(20,4)").alias("qd"),
+        )
+        .groupBy("symbol", "bin")
+        .agg(
+            F.sum("qd").cast("decimal(38,4)").alias("vol"),
+            F.count("*").cast("long").alias("n_trades"),
+        )
+    )
+    wsym = Window.partitionBy("symbol")
+    out = b.select(
+        "symbol",
+        "bin",
+        "n_trades",
+        F.col("vol"),
+        F.sum("vol").over(wsym).alias("tot"),
+        F.max("vol").over(wsym).alias("vmax"),
+    )
+    return out.select(
+        "symbol",
+        "bin",
+        "n_trades",
+        r6(F.col("vol").cast("double")).alias("bin_volume"),
+        r6(F.col("vol").cast("double") / F.col("tot").cast("double")).alias(
+            "volume_share"
+        ),
+        (F.col("vol") == F.col("vmax")).alias("is_poc"),
+    )
+
+
+VOLUME_PROFILE_ORACLE_BODY = f"""
+,vp_span AS (
+  SELECT symbol, min(price) AS lo, max(price) AS hi
+  FROM dedup_trades GROUP BY symbol
+),
+vp_b AS (
+  SELECT t.symbol,
+         CAST(CASE WHEN s.hi > s.lo
+                   THEN least(floor((t.price - s.lo) / (s.hi - s.lo)
+                                    * {float(VP_BINS)!r}), {VP_BINS - 1})
+                   ELSE 0 END AS BIGINT) AS bin,
+         CAST(sum(CAST(t.qty AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS vol,
+         CAST(count(*) AS BIGINT) AS n_trades
+  FROM dedup_trades t JOIN vp_span s ON t.symbol = s.symbol
+  GROUP BY 1, 2
+),
+vp_w AS (
+  SELECT symbol, bin, n_trades, vol,
+         sum(vol) OVER (PARTITION BY symbol) AS tot,
+         max(vol) OVER (PARTITION BY symbol) AS vmax
+  FROM vp_b
+)
+SELECT symbol, bin, n_trades,
+       round(CAST(vol AS DOUBLE), 6) AS bin_volume,
+       round(CAST(vol AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS volume_share,
+       vol = vmax AS is_poc
+FROM vp_w"""
+
+
+def runs_test(bars: DataFrame) -> DataFrame:
+    """Wald–Wolfowitz runs test on bar-return signs per symbol: count
+    positive/negative ``price_change`` bars and the number of sign RUNS,
+    then the z-statistic against the random-ordering null — too few runs
+    means trending (positive serial dependence), too many means
+    mean-reversion.  The non-parametric companion of :func:`acf`'s
+    lag-1 autocorrelation: it sees only signs, so a single outlier bar
+    cannot move it.
+
+    Conventions (shared with the oracle): zero-change bars are DISCARDED
+    (the standard treatment — a zero has no sign); a run boundary is any
+    bar whose sign differs from the previous nonzero bar's sign, so
+    R = 1 + Σ[sign_t ≠ sign_{t−1}].
+
+    Determinism: ``price_change`` is the engine-shared 6-dp-rounded bar
+    column, so the sign partition is identical; n₊, n₋, R are exact
+    integers; μ = 2n₊n₋/n + 1 and σ² = 2n₊n₋(2n₊n₋−n)/(n²(n−1)) are
+    evaluated over DECIMAL(38,0) products (2n₊n₋·(2n₊n₋−n) overflows
+    BIGINT once a symbol holds ≳2³² bars — the ks_drift precision
+    discipline), cast to double only for the final z division.  Symbols
+    with n₊ = 0 or n₋ = 0 (σ² = 0) emit NULL z.
+
+    Plan shape: bars → sign filter → lag on ONE partitionBy(symbol)
+    sort → the K-row count aggregate rides the window's hash
+    partitioning (no extra exchange).
+
+    cf. reference: extends the surface (randomness-audit companion of
+    q_acf / q_variance_ratio)."""
+    s = bars.filter(F.col("price_change") != 0).select(
+        "symbol",
+        "bucket",
+        F.when(F.col("price_change") > 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sign"),
+    )
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    flagged = s.select(
+        "symbol",
+        "sign",
+        F.when(
+            F.lag("sign").over(w).isNull()
+            | (F.col("sign") != F.lag("sign").over(w)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("new_run"),
+    )
+    g = flagged.groupBy("symbol").agg(
+        F.sum(F.when(F.col("sign") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("sign") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_neg"),
+        F.sum("new_run").cast("long").alias("n_runs"),
+    )
+    n1 = F.col("n_pos").cast("decimal(38,0)")
+    n2 = F.col("n_neg").cast("decimal(38,0)")
+    n = n1 + n2
+    two_nn = F.lit(2) * n1 * n2
+    mu = (two_nn.cast("double") / n.cast("double")) + F.lit(1.0)
+    var = (two_nn * (two_nn - n)).cast("double") / (
+        (n * n * (n - F.lit(1))).cast("double")
+    )
+    z = (F.col("n_runs").cast("double") - mu) / F.sqrt(var)
+    return g.select(
+        "symbol",
+        "n_pos",
+        "n_neg",
+        "n_runs",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+            & (F.col("n_pos") + F.col("n_neg") > 1),
+            r6(z),
+        ).alias("z_runs"),
+    )
+
+
+RUNS_TEST_ORACLE_BODY = """
+,rt_s AS (
+  SELECT symbol, bucket,
+         CASE WHEN price_change > 0 THEN 1 ELSE -1 END AS sign
+  FROM bars WHERE price_change <> 0
+),
+rt_f AS (
+  SELECT symbol, sign,
+         CASE WHEN lag(sign) OVER (PARTITION BY symbol ORDER BY bucket)
+                   IS DISTINCT FROM sign THEN 1 ELSE 0 END AS new_run
+  FROM rt_s
+),
+rt_g AS (
+  SELECT symbol,
+         CAST(sum(CASE WHEN sign = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN sign = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+         CAST(sum(new_run) AS BIGINT) AS n_runs
+  FROM rt_f GROUP BY symbol
+),
+rt_m AS (
+  SELECT symbol, n_pos, n_neg, n_runs,
+         CAST(n_pos AS DECIMAL(38,0)) + CAST(n_neg AS DECIMAL(38,0)) AS n,
+         2 * CAST(n_pos AS DECIMAL(38,0)) * CAST(n_neg AS DECIMAL(38,0))
+             AS two_nn
+  FROM rt_g
+)
+SELECT symbol, n_pos, n_neg, n_runs,
+       CASE WHEN n_pos > 0 AND n_neg > 0 AND n_pos + n_neg > 1
+            THEN round((CAST(n_runs AS DOUBLE)
+                        - (CAST(two_nn AS DOUBLE) / CAST(n AS DOUBLE) + 1.0))
+                       / sqrt(CAST(two_nn * (two_nn - n) AS DOUBLE)
+                              / CAST(n * n * (n - 1) AS DOUBLE)), 6)
+       END AS z_runs
+FROM rt_m"""
+
+
+CUSUM_H_SIGMA = 5.0  # breach threshold in per-symbol return sigmas
+
+
+def cusum_levels(bars: DataFrame, h_sigma: float = CUSUM_H_SIGMA) -> DataFrame:
+    """Per-symbol CUSUM level-shift audit over bar returns: the classic
+    one-sided statistics S⁺_t = max(0, S⁺_{t−1} + x_t) and
+    S⁻_t = max(0, S⁻_{t−1} − x_t) with breach threshold h = ``h_sigma``
+    per-symbol return sigmas — the sequential drift detector a
+    data-quality monitor runs next to :func:`windows.feature_drift`'s
+    batch PSI.
+
+    The recursion is NOT computed recursively: with prefix sums
+    P_t = Σx, the reset-at-zero forms collapse to
+    S⁺_t = P_t − min_{i≤t} P_i and S⁻_t = max_{i≤t} P_i − P_t, so both
+    statistics ride cumulative windows on ONE symbol sort — the
+    closed-form that keeps a 100 TB tape out of any per-row Python
+    loop.  (Zero drift allowance k = 0: this is the pure level-shift
+    form; an allowance subtracts a constant per step, which the prefix
+    form absorbs as P_t − k·t, at the cost of leaving the DECIMAL
+    grid — documented trade, not taken.)
+
+    Determinism: x = ``price_change`` sits on the shared 1e-6 bar grid,
+    so P, the running extrema, and both S statistics are exact
+    DECIMAL(38,6) in both engines; σ comes from decimal-exact Σx / Σx²
+    (the Kyle-lambda moment discipline, Σx² on the 1e-12 grid) via one
+    double expression over identical operands, and every breach compare
+    is exact-decimal-vs-identical-double.  n = 1 gives σ = 0 ⇒ h = 0 ⇒
+    the strict > never fires on the all-zero statistics.
+
+    Plan shape: bars → ONE partitionBy(symbol) sort carries the prefix
+    sum, both running extrema, AND the full-partition moment windows →
+    the K-row summary aggregate rides the same hash partitioning.
+
+    cf. reference: extends the surface (sequential-monitoring companion
+    of q_feature_drift / q_ks_drift)."""
+    xd = F.col("price_change").cast("decimal(18,6)")
+    b = bars.select("symbol", "bucket", xd.alias("x"))
+    wo = Window.partitionBy("symbol").orderBy("bucket")
+    wcum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("symbol")
+    p = F.sum("x").over(wcum).cast("decimal(38,6)")
+    c = b.select(
+        "symbol",
+        "bucket",
+        "x",
+        p.alias("p"),
+        F.count("*").over(wall).cast("long").alias("n_bars"),
+        F.sum("x").over(wall).cast("decimal(38,6)").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)"))
+        .over(wall)
+        .cast("decimal(38,12)")
+        .alias("sxx"),
+    )
+    c = c.select(
+        "symbol",
+        "bucket",
+        "n_bars",
+        "sx",
+        "sxx",
+        (F.col("p") - F.min("p").over(wcum)).alias("s_up"),
+        (F.max("p").over(wcum) - F.col("p")).alias("s_dn"),
+    )
+    nd = F.col("n_bars").cast("double")
+    var = (
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) / (nd * nd)
+    h = F.lit(float(h_sigma)) * F.sqrt(F.greatest(var, F.lit(0.0)))
+    flagged = c.select(
+        "symbol",
+        "bucket",
+        "n_bars",
+        "s_up",
+        "s_dn",
+        h.alias("h"),
+    )
+    g = flagged.groupBy("symbol").agg(
+        F.max("n_bars").alias("n_bars"),
+        F.max("h").alias("h"),
+        F.max("s_up").alias("max_s_up"),
+        F.max("s_dn").alias("max_s_dn"),
+        F.sum(
+            F.when(F.col("s_up").cast("double") > F.col("h"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_breach_up"),
+        F.sum(
+            F.when(F.col("s_dn").cast("double") > F.col("h"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_breach_dn"),
+        F.min(
+            F.when(F.col("s_up").cast("double") > F.col("h"), F.col("bucket"))
+        )
+        .cast("long")
+        .alias("first_breach_up"),
+        F.min(
+            F.when(F.col("s_dn").cast("double") > F.col("h"), F.col("bucket"))
+        )
+        .cast("long")
+        .alias("first_breach_dn"),
+    )
+    return g.select(
+        "symbol",
+        "n_bars",
+        r6(F.col("h")).alias("h_threshold"),
+        r6(F.col("max_s_up").cast("double")).alias("max_s_up"),
+        r6(F.col("max_s_dn").cast("double")).alias("max_s_dn"),
+        "n_breach_up",
+        "n_breach_dn",
+        "first_breach_up",
+        "first_breach_dn",
+    )
+
+
+CUSUM_ORACLE_BODY = f"""
+,cu_b AS (
+  SELECT symbol, bucket, CAST(price_change AS DECIMAL(18,6)) AS x
+  FROM bars
+),
+cu_c AS (
+  SELECT symbol, bucket, x,
+         CAST(sum(x) OVER w AS DECIMAL(38,6)) AS p,
+         CAST(count(*) OVER ws AS BIGINT) AS n_bars,
+         CAST(sum(x) OVER ws AS DECIMAL(38,6)) AS sx,
+         CAST(sum(CAST(x * x AS DECIMAL(38,12))) OVER ws AS DECIMAL(38,12))
+             AS sxx
+  FROM cu_b
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         ws AS (PARTITION BY symbol)
+),
+cu_s AS (
+  SELECT symbol, bucket, n_bars, sx, sxx,
+         p - min(p) OVER w AS s_up,
+         max(p) OVER w - p AS s_dn
+  FROM cu_c
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cu_h AS (
+  SELECT symbol, bucket, n_bars, s_up, s_dn,
+         {CUSUM_H_SIGMA!r} * sqrt(greatest(
+             (CAST(n_bars AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(n_bars AS DOUBLE) * CAST(n_bars AS DOUBLE)), 0.0)) AS h
+  FROM cu_s
+)
+SELECT symbol,
+       max(n_bars) AS n_bars,
+       round(max(h), 6) AS h_threshold,
+       round(CAST(max(s_up) AS DOUBLE), 6) AS max_s_up,
+       round(CAST(max(s_dn) AS DOUBLE), 6) AS max_s_dn,
+       CAST(sum(CASE WHEN CAST(s_up AS DOUBLE) > h THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_breach_up,
+       CAST(sum(CASE WHEN CAST(s_dn AS DOUBLE) > h THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_breach_dn,
+       CAST(min(CASE WHEN CAST(s_up AS DOUBLE) > h THEN bucket END)
+            AS BIGINT) AS first_breach_up,
+       CAST(min(CASE WHEN CAST(s_dn AS DOUBLE) > h THEN bucket END)
+            AS BIGINT) AS first_breach_dn
+FROM cu_h
+GROUP BY symbol"""
+
+
+def hhi_concentration(dedup_trades: DataFrame) -> DataFrame:
+    """Hourly volume-concentration per (symbol, day): the
+    Herfindahl–Hirschman index of the day's volume across its active
+    hours, HHI = Σ(vol_h)²/(Σvol_h)², plus the size-adjusted
+    HHI* = (HHI − 1/n)/(1 − 1/n) — 1/n for a perfectly even day, 1.0
+    when one hour carries everything.  The concentration complement of
+    :func:`q_intraday_profile`'s average shape: the profile says WHEN
+    volume trades, HHI says how LUMPY each individual day was.
+
+    Determinism: hourly volumes are exact DECIMAL(18,4) sums on the
+    engine-wide qty grid; their squares sit exactly on the 1e-8 grid
+    (DECIMAL(38,8) sums, ≤ 24 terms); the closing ratio divides doubles
+    cast from identical exact decimals — squaring the day total in
+    DOUBLE (not DECIMAL) sidesteps the precision-38 overflow a
+    decimal(38,4)² would hit, and stays engine-identical because both
+    operands are exact.  Single-hour days emit NULL HHI* (0/0).
+
+    Plan shape: dedup → one (symbol, day, hour) partial-combinable
+    aggregate → one (symbol, day) aggregate over ≤ 24·K·days rows.
+    Calendar-bounded output; no windows, no joins.
+
+    cf. reference: extends the surface (concentration companion of the
+    VWAP-scheduler intraday profile)."""
+    h = (
+        dedup_trades.select(
+            "symbol",
+            F.expr("event_ts div 86400000").cast("long").alias("day"),
+            F.expr("event_ts div 3600000").cast("long").alias("hour"),
+            F.col("qty").cast("decimal(18,4)").alias("qd"),
+        )
+        .groupBy("symbol", "day", "hour")
+        .agg(F.sum("qd").cast("decimal(18,4)").alias("vol"))
+    )
+    g = h.groupBy("symbol", "day").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum("vol").cast("decimal(38,4)").alias("tot"),
+        F.sum((F.col("vol") * F.col("vol")).cast("decimal(38,8)"))
+        .cast("decimal(38,8)")
+        .alias("ssq"),
+    )
+    totd = F.col("tot").cast("double")
+    hhi = F.col("ssq").cast("double") / (totd * totd)
+    n = F.col("n_hours").cast("double")
+    return g.select(
+        "symbol",
+        "day",
+        "n_hours",
+        r6(totd).alias("total_qty"),
+        r6(hhi).alias("hhi"),
+        F.when(
+            F.col("n_hours") > 1,
+            r6((hhi - F.lit(1.0) / n) / (F.lit(1.0) - F.lit(1.0) / n)),
+        ).alias("hhi_norm"),
+    )
+
+
+HHI_ORACLE_BODY = """
+,hh_h AS (
+  SELECT symbol,
+         event_ts // 86400000 AS day,
+         event_ts // 3600000 AS hour,
+         CAST(sum(CAST(qty AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS vol
+  FROM dedup_trades
+  GROUP BY 1, 2, 3
+),
+hh_g AS (
+  SELECT symbol, day,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(vol) AS DECIMAL(38,4)) AS tot,
+         CAST(sum(CAST(vol * vol AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS ssq
+  FROM hh_h GROUP BY 1, 2
+)
+SELECT symbol, day, n_hours,
+       round(CAST(tot AS DOUBLE), 6) AS total_qty,
+       round(CAST(ssq AS DOUBLE)
+             / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS hhi,
+       CASE WHEN n_hours > 1
+            THEN round((CAST(ssq AS DOUBLE)
+                        / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))
+                        - 1.0 / n_hours)
+                       / (1.0 - 1.0 / n_hours), 6)
+       END AS hhi_norm
+FROM hh_g"""
+
+
+HILL_K = 20  # tail order statistics per symbol for the Hill estimator
+
+
+def hill_tail(bars: DataFrame, k: int = HILL_K) -> DataFrame:
+    """Hill estimator of the power-law tail index per symbol over
+    absolute bar returns: α̂ = k_eff / Σ_{i≤k_eff} ln(x_(i)/x_(k_eff+1))
+    with x_(1) ≥ x_(2) ≥ … the descending order statistics of
+    |price_change| and k_eff = min(k, n−1) — the heavy-tail exponent a
+    risk model fits before trusting any variance-based statistic (α < 2
+    means the variance the other estimators report doesn't converge).
+    The tail-shape complement of :func:`higher_moments`' kurtosis.
+
+    Determinism: |price_change| is the shared 6-dp bar column, so both
+    engines see identical doubles; the order statistics are tie-broken
+    by bucket (row_number), the threshold x_(k_eff+1) is ONE array
+    element, and the k_eff ln-ratio terms fold in FIXED rank order over
+    one sorted array (`aggregate` / `list_reduce`, the zipf_fit
+    discipline) — identical doubles summed in identical order.  Symbols
+    with k_eff < 2 or a zero ln-sum (all tail values equal) emit NULL α.
+
+    Plan shape: sign filter → rank ≤ k+1 under WindowGroupLimit on ONE
+    partitionBy(symbol) sort (the per-partition limit keeps the
+    exchange's payload at k+1 rows per symbol-partition, not the tape)
+    → a K-row array fold.
+
+    cf. reference: extends the surface (tail-risk companion of
+    q_higher_moments / q_drawdown)."""
+    x = F.abs(F.col("price_change"))
+    nz = bars.filter(x > 0).select("symbol", "bucket", x.alias("x"))
+    rn = (
+        F.row_number()
+        .over(Window.partitionBy("symbol").orderBy(F.desc("x"), "bucket"))
+        .cast("long")
+    )
+    top = nz.select("symbol", "x", rn.alias("rn")).filter(
+        F.col("rn") <= k + 1
+    )
+    arr = top.groupBy("symbol").agg(
+        F.sort_array(F.collect_list(F.struct("rn", "x"))).alias("rx"),
+        F.count("*").cast("long").alias("n_top"),
+    )
+    thr = F.expr("element_at(rx, cast(n_top as int)).x")
+    lsum = F.expr(
+        "aggregate(slice(rx, 1, cast(n_top as int) - 1),"
+        " cast(0.0 as double),"
+        " (a, s) -> a + ln(s.x / element_at(rx, cast(n_top as int)).x))"
+    )
+    c = arr.select(
+        "symbol",
+        (F.col("n_top") - 1).cast("long").alias("n_tail"),
+        thr.alias("thr"),
+        lsum.alias("lsum"),
+    )
+    alpha = F.col("n_tail").cast("double") / F.col("lsum")
+    return c.select(
+        "symbol",
+        "n_tail",
+        r6(F.col("thr")).alias("x_threshold"),
+        F.when(
+            (F.col("n_tail") >= 2) & (F.col("lsum") > 0), r6(alpha)
+        ).alias("hill_alpha"),
+        F.when(
+            (F.col("n_tail") >= 2) & (F.col("lsum") > 0),
+            r6(F.col("lsum") / F.col("n_tail").cast("double")),
+        ).alias("mean_ln_excess"),
+    )
+
+
+HILL_ORACLE_BODY = f"""
+,hl_nz AS (
+  SELECT symbol, bucket, abs(price_change) AS x
+  FROM bars WHERE price_change <> 0
+),
+hl_r AS (
+  SELECT symbol, x,
+         CAST(row_number() OVER (PARTITION BY symbol
+              ORDER BY x DESC, bucket) AS BIGINT) AS rn
+  FROM hl_nz
+),
+hl_a AS (
+  SELECT symbol,
+         list(x ORDER BY rn) AS xs,
+         CAST(count(*) AS BIGINT) AS n_top
+  FROM hl_r WHERE rn <= {HILL_K + 1}
+  GROUP BY symbol
+),
+hl_s AS (
+  SELECT symbol, n_top - 1 AS n_tail,
+         xs[CAST(n_top AS INT)] AS thr,
+         CASE WHEN n_top >= 2
+              THEN list_reduce(
+                     list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(xs[1:CAST(n_top AS INT) - 1],
+                                      v -> ln(v / xs[CAST(n_top AS INT)]))),
+                     (a, b) -> a + b)
+              ELSE 0.0 END AS lsum
+  FROM hl_a
+)
+SELECT symbol, n_tail,
+       round(thr, 6) AS x_threshold,
+       CASE WHEN n_tail >= 2 AND lsum > 0
+            THEN round(CAST(n_tail AS DOUBLE) / lsum, 6) END AS hill_alpha,
+       CASE WHEN n_tail >= 2 AND lsum > 0
+            THEN round(lsum / CAST(n_tail AS DOUBLE), 6) END
+           AS mean_ln_excess
+FROM hl_s"""

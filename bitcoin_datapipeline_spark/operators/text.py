@@ -19,6 +19,7 @@ Cross-engine determinism notes:
 from __future__ import annotations
 
 import contextlib
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -4086,3 +4087,291 @@ SELECT doc_id, n AS n_tokens, d AS n_distinct,
        CASE WHEN n > 1 THEN round(h / ln(CAST(n AS DOUBLE)), 6) END
            AS entropy_norm
 FROM m"""
+
+
+# --- Readability (round 7) --------------------------------------------------
+
+
+def readability(documents: DataFrame) -> DataFrame:
+    """Per-document Flesch-style readability: average sentence length
+    (tokens per terminator run, the trailing unterminated sentence
+    counted) and a vowel-group syllable proxy feed the classic
+    206.835 − 1.015·ASL − 84.6·ASW score — the sentence-structure
+    quality gate that complements :func:`doc_quality`'s token-level
+    ratios (a wall of unpunctuated tokens scores low here even when its
+    stopword profile looks natural).
+
+    Conventions (documented, shared with the oracle): sentences =
+    max(1, count of ``[.!?]+`` runs); syllables = count of
+    ``[aeiou]+`` runs in the lowercased text (whitespace never matches,
+    so the per-word sum equals the whole-text count); words = the
+    engine-wide whitespace token count.
+
+    Determinism: all three inputs are INTEGER counts from identical
+    RE2/Java-compatible regexes; the score is one fixed expression over
+    three integer-derived doubles — both engines evaluate identical
+    scalar arithmetic.
+
+    Plan shape: map-only, zero shuffles — two regexp_extract_all + one
+    split per row.
+
+    cf. reference: extends the surface (quality-scoring family; the
+    reference has no text surface)."""
+    n_words = F.size(F.split(F.col("text"), " ")).cast("long")
+    n_sent = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"),
+    )
+    n_syl = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiou]+', 0)")
+    ).cast("long")
+    d = documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+    )
+    w = F.col("n_words").cast("double")
+    s = F.col("n_sentences").cast("double")
+    y = F.col("n_syllables").cast("double")
+    asl = w / s
+    asw = y / w
+    return d.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        r6(asl).alias("avg_sentence_len"),
+        r6(asw).alias("avg_syllables_per_word"),
+        r6(
+            F.lit(206.835) - F.lit(1.015) * asl - F.lit(84.6) * asw
+        ).alias("flesch"),
+    )
+
+
+READABILITY_ORACLE = """
+WITH r AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         greatest(CAST(1 AS BIGINT),
+                  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+             AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT)
+             AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE), 6)
+           AS avg_sentence_len,
+       round(CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+           AS avg_syllables_per_word,
+       round(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+             6) AS flesch
+FROM r"""
+
+
+# --- Per-source Jensen–Shannon divergence (round 7) -------------------------
+
+JSD_TOP_V = 100  # token categories (+1 UNK tail bucket) for the JSD fold
+
+
+def source_jsd(documents: DataFrame, top_v: int = JSD_TOP_V) -> DataFrame:
+    """Per-source Jensen–Shannon divergence between the source's token
+    distribution and the REST of the corpus, over the global top-V
+    tokens plus one UNK tail bucket — the symmetric, bounded (≤ ln 2)
+    distribution-shift score a corpus-mix designer reads before
+    up/down-weighting a source.  The multi-category complement of
+    :func:`feature_drift`'s per-feature PSI and q_ks_drift's
+    two-sample CDF gap.
+
+    Category design: categories are the global top-``top_v`` tokens by
+    corpus frequency (ties broken on the token string — both engines
+    rank identically) with the whole Zipf tail collapsed into UNK, the
+    perplexity-cap convention — so the per-source math runs over ≤ V+1
+    exact integer counts no matter how large the corpus vocabulary.
+    Categories a source has NO tokens in contribute in CLOSED FORM:
+    p = 0 collapses the pair term to ½·(gc/t_rest)·ln 2, so the missing
+    mass M = t_all − Σ_present gc adds ½·ln 2·M/t_rest as ONE appended
+    term — no (sources × categories) completion grid exists in the
+    plan, and the convention is shared verbatim with the oracle.
+
+    Determinism: all counts are exact BIGINTs; p, q, and the mixture
+    terms are doubles computed from identical integer operands, and the
+    per-source JSD sum folds in FIXED category-rank order over ONE
+    sorted array (`aggregate` / `list_reduce` with an explicit 0.0
+    seed) with the missing-mass term appended LAST — identical doubles
+    summed in identical order.  The 0·ln 0 limits are handled by
+    explicit guards shared with the oracle.  A single-source corpus has
+    an empty complement (rest total = 0) and emits NULL.
+
+    Plan shape: TWO corpus-sized passes — the (source, token)
+    partial-combinable aggregate feeds both the top-V vocabulary
+    (TakeOrderedAndProject) and the broadcast-join rank collapse (a
+    deliberate two-scan shape, the q_doc_passage_scrub trade: no
+    materialized intermediate, no grid) — then every remaining stage
+    (three stacked window sums, the per-source array fold) runs on the
+    ≤ K_source·(V+1)-row collapsed table.
+
+    cf. reference: extends the surface (corpus-mix drift companion of
+    q_corpus_mix / q_feature_drift; the reference has no text
+    surface)."""
+    toks = documents.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    sc = toks.groupBy("source", "token").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    top = (
+        sc.groupBy("token")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .orderBy(F.desc("c"), "token")
+        .limit(top_v)
+        .select(
+            "token",
+            F.row_number()
+            .over(Window.partitionBy(F.lit(0)).orderBy(F.desc("c"), "token"))
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+    scr = (
+        sc.join(F.broadcast(top), "token", "left")
+        .select(
+            "source",
+            F.coalesce(F.col("rank"), F.lit(top_v + 1))
+            .cast("long")
+            .alias("rank"),
+            "c",
+        )
+        .groupBy("source", "rank")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    # scr is <= K_source·(V+1) rows — the three window sums and the
+    # single-partition global total are all over the tiny table
+    enr = scr.select(
+        "source",
+        "rank",
+        F.col("c").alias("cs"),
+        F.sum("c").over(Window.partitionBy("rank")).cast("long").alias("gc"),
+        F.sum("c").over(Window.partitionBy("source"))
+        .cast("long")
+        .alias("ts"),
+        F.sum("c").over(Window.partitionBy()).cast("long").alias("t_all"),
+    )
+    arr = enr.groupBy("source").agg(
+        F.max("ts").alias("ts"),
+        F.max("t_all").alias("t_all"),
+        F.sum("gc").cast("long").alias("present_gc"),
+        F.sort_array(
+            F.collect_list(F.struct("rank", "cs", "gc"))
+        ).alias("xs"),
+    )
+    # p = cs/ts, q = (gc-cs)/(t_all-ts); 0·ln0 := 0 via the guards
+    term = (
+        "(case when s.cs > 0 then 0.5 * (cast(s.cs as double) / ts)"
+        " * ln(2.0 * (cast(s.cs as double) / ts)"
+        "      / (cast(s.cs as double) / ts"
+        "         + cast(s.gc - s.cs as double) / (t_all - ts)))"
+        " else cast(0.0 as double) end)"
+        " + (case when s.gc - s.cs > 0"
+        " then 0.5 * (cast(s.gc - s.cs as double) / (t_all - ts))"
+        " * ln(2.0 * (cast(s.gc - s.cs as double) / (t_all - ts))"
+        "      / (cast(s.cs as double) / ts"
+        "         + cast(s.gc - s.cs as double) / (t_all - ts)))"
+        " else cast(0.0 as double) end)"
+    )
+    fold = F.expr(
+        f"aggregate(xs, cast(0.0 as double), (a, s) -> a + ({term}))"
+    )
+    # categories this source never emits: p = 0 exactly, so their summed
+    # contribution is ½·ln2·(missing mass)/t_rest — appended as one term
+    missing = F.expr(
+        "case when t_all - present_gc > 0"
+        " then 0.5 * ln(2.0)"
+        "      * (cast(t_all - present_gc as double) / (t_all - ts))"
+        " else cast(0.0 as double) end"
+    )
+    c = arr.select(
+        "source",
+        F.col("ts").alias("n_tokens"),
+        (F.col("t_all") - F.col("ts")).cast("long").alias("n_rest"),
+        F.when(F.col("t_all") > F.col("ts"), fold + missing).alias(
+            "jsd_raw"
+        ),
+    )
+    return c.select(
+        "source",
+        "n_tokens",
+        "n_rest",
+        r6(F.col("jsd_raw")).alias("jsd_nats"),
+        r6(F.col("jsd_raw") / F.lit(math.log(2.0))).alias("jsd_norm"),
+    )
+
+
+def _source_jsd_oracle(top_v: int = JSD_TOP_V) -> str:
+    term = (
+        "(CASE WHEN s.cs > 0 THEN 0.5 * (CAST(s.cs AS DOUBLE) / ts)"
+        " * ln(2.0 * (CAST(s.cs AS DOUBLE) / ts)"
+        "      / (CAST(s.cs AS DOUBLE) / ts"
+        "         + CAST(s.gc - s.cs AS DOUBLE) / (t_all - ts)))"
+        " ELSE CAST(0.0 AS DOUBLE) END)"
+        " + (CASE WHEN s.gc - s.cs > 0"
+        " THEN 0.5 * (CAST(s.gc - s.cs AS DOUBLE) / (t_all - ts))"
+        " * ln(2.0 * (CAST(s.gc - s.cs AS DOUBLE) / (t_all - ts))"
+        "      / (CAST(s.cs AS DOUBLE) / ts"
+        "         + CAST(s.gc - s.cs AS DOUBLE) / (t_all - ts)))"
+        " ELSE CAST(0.0 AS DOUBLE) END)"
+    )
+    jsd = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform(xs, s -> {term})), (a, b) -> a + b)"
+        " + CASE WHEN t_all - present_gc > 0"
+        " THEN 0.5 * ln(2.0)"
+        "      * (CAST(t_all - present_gc AS DOUBLE) / (t_all - ts))"
+        " ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    return f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+js_sc AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2
+),
+js_top AS (
+  SELECT token,
+         CAST(row_number() OVER (ORDER BY c DESC, token) AS BIGINT) AS rank
+  FROM (SELECT token, CAST(sum(c) AS BIGINT) AS c FROM js_sc GROUP BY 1)
+  ORDER BY c DESC, token LIMIT {top_v}
+),
+js_scr AS (
+  SELECT s.source,
+         CAST(coalesce(t.rank, {top_v + 1}) AS BIGINT) AS rank,
+         CAST(sum(s.c) AS BIGINT) AS c
+  FROM js_sc s LEFT JOIN js_top t USING (token)
+  GROUP BY 1, 2
+),
+js_enr AS (
+  SELECT source, rank, c AS cs,
+         CAST(sum(c) OVER (PARTITION BY rank) AS BIGINT) AS gc,
+         CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS ts,
+         CAST(sum(c) OVER () AS BIGINT) AS t_all
+  FROM js_scr
+),
+js_arr AS (
+  SELECT source, max(ts) AS ts, max(t_all) AS t_all,
+         CAST(sum(gc) AS BIGINT) AS present_gc,
+         list({{'rank': rank, 'cs': cs, 'gc': gc}} ORDER BY rank) AS xs
+  FROM js_enr GROUP BY source
+)
+SELECT source,
+       ts AS n_tokens,
+       CAST(t_all - ts AS BIGINT) AS n_rest,
+       CASE WHEN t_all > ts THEN round({jsd}, 6) END AS jsd_nats,
+       CASE WHEN t_all > ts THEN round(({jsd}) / ln(2.0), 6) END AS jsd_norm
+FROM js_arr"""
+
+
+SOURCE_JSD_ORACLE = _source_jsd_oracle()

@@ -562,6 +562,29 @@ SHUFFLE_BUDGETS = {
     "q_ks_drift": 5,
     # map-only run-length HOF — zero corpus-grain shuffles
     "q_doc_entropy": 0,
+    # dedup (1) + the K-row span aggregate (broadcast back, 2 with its
+    # partial) + the (symbol, bin) aggregate + the symbol window over
+    # <= K·n_bins rows
+    "q_volume_profile": 5,
+    # three regexp_extract_all passes per row — zero shuffles
+    "q_doc_readability": 0,
+    # bars (2) + the one symbol sort carrying the lag; the K-row count
+    # aggregate rides the window's hash partitioning
+    "q_runs_test": 3,
+    # bars (2) + ONE symbol sort shared by the prefix sum, both running
+    # extrema, and the full-partition moment windows; the K-row summary
+    # aggregate rides the same partitioning
+    "q_cusum": 3,
+    # dedup (1) + the (symbol, day, hour) aggregate + the (symbol, day)
+    # roll-up — calendar-bounded after the first aggregate
+    "q_hhi": 3,
+    # bars (2) + the one symbol sort under WindowGroupLimit; the K-row
+    # array fold rides the window's partitioning
+    "q_hill_tail": 3,
+    # (source, token) aggregate (1, corpus-sized) + the top-V aggregate
+    # + the (source, rank) collapse + the rank/source/global window
+    # chain over the <= K·(V+1)-row table
+    "q_doc_jsd": 5,
 }
 
 

@@ -2087,9 +2087,12 @@ _gini_strategy = st.lists(
 )
 
 
-def _unique_trades(batch):
+def _unique_qty_trades(batch):
     """One row per (symbol, trade_id) — the dedup output grain the
-    operators consume — keeping the lexicographically-last tuple."""
+    operators consume — keeping the lexicographically-last tuple.
+    (Named distinctly from the module-level ``_unique_trades`` six-tuple
+    helper above: an earlier revision shadowed it and broke the
+    kyle/roll property tests.)"""
     from fractions import Fraction
 
     d = {}
@@ -2117,7 +2120,7 @@ def test_gini_matches_naive_reference(spark, batch):
         gini_concentration,
     )
 
-    trades = _unique_trades(batch)
+    trades = _unique_qty_trades(batch)
     got = {
         r.symbol: (r.n_trades, r.total_qty, r.gini)
         for r in gini_concentration(_trades_qty_df(spark, trades)).collect()
@@ -2148,7 +2151,7 @@ def test_ks_drift_matches_naive_reference(spark, batch):
 
     from bitcoin_datapipeline_spark.operators.aggregates import ks_split_drift
 
-    trades = _unique_trades(batch)
+    trades = _unique_qty_trades(batch)
     got = {
         r.symbol: (r.n_a, r.n_b, r.ks_stat, r.ks_scaled)
         for r in ks_split_drift(_trades_qty_df(spark, trades)).collect()
@@ -2278,5 +2281,477 @@ def test_token_entropy_matches_naive(spark, docs):
             len(c),
             _spark_round6(h),
             _spark_round6(h / math.log(float(n))) if n > 1 else None,
+        )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# twelfth wave vs naive references: volume-at-price profile (broadcast span
+# + exact decimal bin volumes) and the Flesch readability regex counts.
+
+_vp_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["BTC", "ETH"]),                 # symbol
+        st.integers(min_value=1, max_value=40),          # trade_id
+        st.integers(min_value=1, max_value=99_999),      # price cents
+        st.integers(min_value=1, max_value=50_000),      # qty in 1e-4 units
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(batch=_vp_strategy)
+@_settings
+def test_volume_profile_matches_naive(spark, batch):
+    import math
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        VP_BINS,
+        volume_profile,
+    )
+
+    uniq = {}
+    for s, tid, pc, q4 in sorted(batch):
+        uniq[(s, tid)] = (Fraction(pc, 100), Fraction(q4, 10_000))
+    rows = [
+        Row(symbol=s, trade_id=tid, price=float(p), qty=float(q))
+        for (s, tid), (p, q) in sorted(uniq.items())
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, trade_id long, price double, qty double"
+    )
+    got = {
+        (r.symbol, r.bin): (r.n_trades, r.bin_volume, r.volume_share, r.is_poc)
+        for r in volume_profile(df).collect()
+    }
+    per_sym = defaultdict(list)
+    for (s, _tid), (p, q) in uniq.items():
+        per_sym[s].append((float(p), q))
+    want = {}
+    for s, rs in per_sym.items():
+        lo, hi = min(p for p, _ in rs), max(p for p, _ in rs)
+        bins = defaultdict(lambda: [Fraction(0), 0])
+        for p, q in rs:
+            b = (
+                min(math.floor((p - lo) / (hi - lo) * float(VP_BINS)),
+                    VP_BINS - 1)
+                if hi > lo
+                else 0
+            )
+            bins[b][0] += q
+            bins[b][1] += 1
+        tot = sum(v for v, _ in bins.values())
+        vmax = max(v for v, _ in bins.values())
+        for b, (v, n) in bins.items():
+            want[(s, b)] = (
+                n,
+                _spark_round6(float(v)),
+                _spark_round6(float(v) / float(tot)),
+                v == vmax,
+            )
+    assert got == want
+
+
+_rd_words = st.sampled_from(
+    ["aa", "Bb.", "cc", "d!x", "ee?", "..", "xyz", "?!", "oO"]
+)
+_rd_docs_strategy = st.lists(
+    st.lists(_rd_words, min_size=0, max_size=12), min_size=1, max_size=8
+)
+
+
+@given(docs=_rd_docs_strategy)
+@_settings
+def test_readability_matches_naive(spark, docs):
+    import re
+
+    from bitcoin_datapipeline_spark.operators.text import readability
+
+    rows = [Row(doc_id=i, text=" ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (
+            r.n_words,
+            r.n_sentences,
+            r.n_syllables,
+            r.avg_sentence_len,
+            r.avg_syllables_per_word,
+            r.flesch,
+        )
+        for r in readability(df).collect()
+    }
+    want = {}
+    for i, ws in enumerate(docs):
+        text = " ".join(ws)
+        w = len(text.split(" "))
+        s = max(1, len(re.findall(r"[.!?]+", text)))
+        y = len(re.findall(r"[aeiou]+", text.lower()))
+        asl, asw = w / float(s), y / float(w)
+        want[i] = (
+            w,
+            s,
+            y,
+            _spark_round6(asl),
+            _spark_round6(asw),
+            _spark_round6(206.835 - 1.015 * asl - 84.6 * asw),
+        )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# thirteenth wave vs naive references: the Wald–Wolfowitz runs test, the
+# CUSUM prefix-sum closed form, and the hourly-concentration HHI.
+
+_rt_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["BTC", "ETH"]),                 # symbol
+        st.integers(min_value=0, max_value=60),          # bar bucket
+        st.integers(min_value=-30, max_value=30),        # price_change 1e-1
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(batch=_rt_strategy)
+@_settings
+def test_runs_test_matches_naive(spark, batch):
+    import math
+    from collections import defaultdict
+
+    from bitcoin_datapipeline_spark.operators.aggregates import runs_test
+
+    uniq = {}
+    for s, b, d1 in sorted(batch):
+        uniq[(s, b)] = d1 / 10.0
+    rows = [
+        Row(symbol=s, bucket=b, price_change=p)
+        for (s, b), p in sorted(uniq.items())
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, bucket long, price_change double"
+    )
+    got = {
+        r.symbol: (r.n_pos, r.n_neg, r.n_runs, r.z_runs)
+        for r in runs_test(df).collect()
+    }
+    per_sym = defaultdict(list)
+    for (s, b), p in sorted(uniq.items()):
+        if p != 0:
+            per_sym[s].append(1 if p > 0 else -1)
+    want = {}
+    for s, signs in per_sym.items():
+        n1 = sum(1 for x in signs if x == 1)
+        n2 = len(signs) - n1
+        runs = 1 + sum(
+            1 for a, b2 in zip(signs, signs[1:]) if a != b2
+        ) if signs else 0
+        z = None
+        if n1 > 0 and n2 > 0 and n1 + n2 > 1:
+            n = n1 + n2
+            two_nn = 2 * n1 * n2
+            mu = two_nn / n + 1.0
+            var = (two_nn * (two_nn - n)) / (n * n * (n - 1))
+            z = _spark_round6((runs - mu) / math.sqrt(var))
+        want[s] = (n1, n2, runs, z)
+    # symbols whose every bar is zero-change drop out of the sign stream
+    # entirely on both sides (per_sym never sees them; Spark filters them
+    # before the groupBy), so the dict compare is exact as-is
+    assert got == want
+
+
+_cu_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["BTC", "ETH"]),                 # symbol
+        st.integers(min_value=0, max_value=40),          # bar bucket
+        st.integers(min_value=-50_000, max_value=50_000),  # Δ in 1e-6
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(batch=_cu_strategy)
+@_settings
+def test_cusum_matches_naive(spark, batch):
+    import math
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        CUSUM_H_SIGMA,
+        cusum_levels,
+    )
+
+    uniq = {}
+    for s, b, d6 in sorted(batch):
+        uniq[(s, b)] = Fraction(d6, 10**6)
+    rows = [
+        Row(symbol=s, bucket=b, price_change=float(x))
+        for (s, b), x in sorted(uniq.items())
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, bucket long, price_change double"
+    )
+    got = {
+        r.symbol: (
+            r.n_bars,
+            r.h_threshold,
+            r.max_s_up,
+            r.max_s_dn,
+            r.n_breach_up,
+            r.n_breach_dn,
+            r.first_breach_up,
+            r.first_breach_dn,
+        )
+        for r in cusum_levels(df).collect()
+    }
+    per_sym = defaultdict(list)
+    for (s, b), x in sorted(uniq.items()):
+        per_sym[s].append((b, x))
+    want = {}
+    for s, xs in per_sym.items():
+        n = len(xs)
+        sx = sum(x for _, x in xs)
+        sxx = sum(x * x for _, x in xs)
+        var = (n * float(sxx) - float(sx) * float(sx)) / (n * n)
+        h = CUSUM_H_SIGMA * math.sqrt(max(var, 0.0))
+        p = Fraction(0)
+        pmin = pmax = Fraction(0)
+        su_max = sd_max = Fraction(0)
+        nbu = nbd = 0
+        fbu = fbd = None
+        first = True
+        for b, x in xs:
+            p += x
+            if first:
+                pmin = pmax = p
+                first = False
+            else:
+                pmin, pmax = min(pmin, p), max(pmax, p)
+            su, sd = p - pmin, pmax - p
+            su_max, sd_max = max(su_max, su), max(sd_max, sd)
+            if float(su) > h:
+                nbu += 1
+                fbu = b if fbu is None else fbu
+            if float(sd) > h:
+                nbd += 1
+                fbd = b if fbd is None else fbd
+        want[s] = (
+            n,
+            _spark_round6(h),
+            _spark_round6(float(su_max)),
+            _spark_round6(float(sd_max)),
+            nbu,
+            nbd,
+            fbu,
+            fbd,
+        )
+    assert got == want
+
+
+_hh_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["BTC", "ETH"]),                 # symbol
+        st.integers(min_value=0, max_value=3),           # day
+        st.integers(min_value=0, max_value=23),          # hour of day
+        st.integers(min_value=1, max_value=50_000),      # qty in 1e-4
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(batch=_hh_strategy)
+@_settings
+def test_hhi_matches_naive(spark, batch):
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        hhi_concentration,
+    )
+
+    rows = []
+    per_hour = defaultdict(lambda: Fraction(0))
+    for i, (s, day, hod, q4) in enumerate(sorted(batch)):
+        ts = day * 86_400_000 + hod * 3_600_000 + (i % 60) * 1000
+        rows.append(Row(symbol=s, event_ts=ts, qty=q4 / 10_000.0))
+        per_hour[(s, day, day * 24 + hod)] += Fraction(q4, 10_000)
+    df = spark.createDataFrame(
+        rows, "symbol string, event_ts long, qty double"
+    )
+    got = {
+        (r.symbol, r.day): (
+            r.n_hours,
+            r.total_qty,
+            r.hhi,
+            r.hhi_norm,
+        )
+        for r in hhi_concentration(df).collect()
+    }
+    per_day = defaultdict(list)
+    for (s, day, _h), v in per_hour.items():
+        per_day[(s, day)].append(v)
+    want = {}
+    for (s, day), vols in per_day.items():
+        n = len(vols)
+        tot = sum(vols)
+        ssq = sum(v * v for v in vols)
+        hhi = float(ssq) / (float(tot) * float(tot))
+        want[(s, day)] = (
+            n,
+            _spark_round6(float(tot)),
+            _spark_round6(hhi),
+            _spark_round6((hhi - 1.0 / n) / (1.0 - 1.0 / n)) if n > 1 else None,
+        )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# fourteenth wave vs naive references: the Hill tail-index fold and the
+# per-source Jensen–Shannon divergence (top-V + UNK categories).
+
+_hl_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["BTC", "ETH"]),                 # symbol
+        st.integers(min_value=0, max_value=60),          # bar bucket
+        st.integers(min_value=-900, max_value=900),      # price_change 1e-2
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(batch=_hl_strategy)
+@_settings
+def test_hill_tail_matches_naive(spark, batch):
+    import math
+    from collections import defaultdict
+
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        HILL_K,
+        hill_tail,
+    )
+
+    uniq = {}
+    for s, b, d2 in sorted(batch):
+        uniq[(s, b)] = d2 / 100.0
+    rows = [
+        Row(symbol=s, bucket=b, price_change=p)
+        for (s, b), p in sorted(uniq.items())
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, bucket long, price_change double"
+    )
+    got = {
+        r.symbol: (r.n_tail, r.x_threshold, r.hill_alpha, r.mean_ln_excess)
+        for r in hill_tail(df).collect()
+    }
+    per_sym = defaultdict(list)
+    for (s, b), p in uniq.items():
+        if p != 0:
+            per_sym[s].append((abs(p), b))
+    want = {}
+    for s, xs in per_sym.items():
+        xs.sort(key=lambda t: (-t[0], t[1]))
+        top = xs[: HILL_K + 1]
+        n_top = len(top)
+        thr = top[-1][0]
+        a = 0.0
+        for x, _b in top[: n_top - 1]:
+            a = a + math.log(x / thr)
+        n_tail = n_top - 1
+        ok = n_tail >= 2 and a > 0
+        want[s] = (
+            n_tail,
+            _spark_round6(thr),
+            _spark_round6(n_tail / a) if ok else None,
+            _spark_round6(a / n_tail) if ok else None,
+        )
+    assert got == want
+
+
+_jsd_words = st.sampled_from(
+    ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+)
+_jsd_docs_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2", "s3"]),             # source
+        st.lists(_jsd_words, min_size=1, max_size=10),   # tokens
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(docs=_jsd_docs_strategy)
+@_settings
+def test_source_jsd_matches_naive(spark, docs):
+    import math
+    from collections import defaultdict
+
+    from bitcoin_datapipeline_spark.operators.text import source_jsd
+
+    V = 3  # small cap so the UNK tail bucket is actually exercised
+    rows = [
+        Row(doc_id=i, source=s, text=" ".join(ws))
+        for i, (s, ws) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    got = {
+        r.source: (r.n_tokens, r.n_rest, r.jsd_nats, r.jsd_norm)
+        for r in source_jsd(df, top_v=V).collect()
+    }
+    sc = defaultdict(int)
+    for _i, (s, ws) in enumerate(docs):
+        for w in ws:
+            sc[(s, w)] += 1
+    gt = defaultdict(int)
+    for (s, w), c in sc.items():
+        gt[w] += c
+    top = sorted(gt.items(), key=lambda t: (-t[1], t[0]))[:V]
+    rank = {w: i for i, (w, _c) in enumerate(top, start=1)}
+    scr = defaultdict(int)
+    for (s, w), c in sc.items():
+        scr[(s, rank.get(w, V + 1))] += c
+    srcs = defaultdict(int)
+    gc = defaultdict(int)
+    for (s, r), c in scr.items():
+        srcs[s] += c
+        gc[r] += c
+    t_all = sum(gc.values())
+    want = {}
+    for s, ts in srcs.items():
+        tr = t_all - ts
+        if tr == 0:
+            want[s] = (ts, 0, None, None)
+            continue
+        # fold over the source's PRESENT categories in rank order, then
+        # the closed-form missing-mass term appended last (p = 0 cats)
+        present = sorted(r for (s2, r) in scr if s2 == s)
+        a = 0.0
+        present_gc = 0
+        for r in present:
+            cs = scr[(s, r)]
+            cr = gc[r] - cs
+            present_gc += gc[r]
+            p = cs / ts
+            qq = cr / tr
+            t1 = 0.5 * p * math.log(2.0 * p / (p + qq)) if cs > 0 else 0.0
+            t2 = 0.5 * qq * math.log(2.0 * qq / (p + qq)) if cr > 0 else 0.0
+            a = a + (t1 + t2)
+        m = t_all - present_gc
+        a = a + (0.5 * math.log(2.0) * (m / tr) if m > 0 else 0.0)
+        want[s] = (
+            ts,
+            tr,
+            _spark_round6(a),
+            _spark_round6(a / math.log(2.0)),
         )
     assert got == want
