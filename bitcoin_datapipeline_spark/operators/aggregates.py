@@ -3307,14 +3307,17 @@ def runs_test(bars: DataFrame) -> DataFrame:
         (n * n * (n - F.lit(1))).cast("double")
     )
     z = (F.col("n_runs").cast("double") - mu) / F.sqrt(var)
+    # σ² > 0 ⟺ 2n₊n₋ > n (given n₊,n₋ > 0); the n₊ = n₋ = 1 tape has
+    # exactly one possible run count, σ = 0, and z undefined — the
+    # `when` is lazy per branch, so the z division never evaluates there
+    # (ANSI mode would raise DIVIDE_BY_ZERO otherwise)
     return g.select(
         "symbol",
         "n_pos",
         "n_neg",
         "n_runs",
         F.when(
-            (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
-            & (F.col("n_pos") + F.col("n_neg") > 1),
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0) & (two_nn > n),
             r6(z),
         ).alias("z_runs"),
     )
@@ -3347,7 +3350,7 @@ rt_m AS (
   FROM rt_g
 )
 SELECT symbol, n_pos, n_neg, n_runs,
-       CASE WHEN n_pos > 0 AND n_neg > 0 AND n_pos + n_neg > 1
+       CASE WHEN n_pos > 0 AND n_neg > 0 AND two_nn > n
             THEN round((CAST(n_runs AS DOUBLE)
                         - (CAST(two_nn AS DOUBLE) / CAST(n AS DOUBLE) + 1.0))
                        / sqrt(CAST(two_nn * (two_nn - n) AS DOUBLE)

@@ -2450,9 +2450,11 @@ def test_runs_test_matches_naive(spark, batch):
             1 for a, b2 in zip(signs, signs[1:]) if a != b2
         ) if signs else 0
         z = None
-        if n1 > 0 and n2 > 0 and n1 + n2 > 1:
-            n = n1 + n2
-            two_nn = 2 * n1 * n2
+        n = n1 + n2
+        two_nn = 2 * n1 * n2
+        # σ² > 0 needs 2n₊n₋ > n: the n₊ = n₋ = 1 tape has exactly one
+        # possible run count and an undefined z (the ANSI guard case)
+        if n1 > 0 and n2 > 0 and two_nn > n:
             mu = two_nn / n + 1.0
             var = (two_nn * (two_nn - n)) / (n * n * (n - 1))
             z = _spark_round6((runs - mu) / math.sqrt(var))
