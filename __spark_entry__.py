@@ -1640,6 +1640,35 @@ def q_doc_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.source_jsd(table(spark, sf_dir, "documents"))
 
 
+# round 7: historical VaR + expected shortfall per symbol — pinned
+# exact-percentile convention, decimal-exact tail mean
+@q(
+    "q_var_es",
+    OD.with_ctes(OD.BARS_1M_CTE + aggregates.VAR_ES_ORACLE_BODY, body=""),
+)
+def q_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.var_es(pipeline.bars_pipeline(spark, sf_dir))
+
+
+# round 7: corpus term burstiness (cf/df, Church–Gale) over the top-V
+# vocabulary — within-document clumping vs pure frequency
+@q("q_doc_burstiness", text.BURSTINESS_ORACLE)
+def q_doc_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.term_burstiness(table(spark, sf_dir, "documents"))
+
+
+# round 7: per-bar CUSUM path with a fixed offline-calibrated threshold
+# — the production-monitor form; replay twin of streaming/cusum.py
+@q(
+    "q_cusum_path",
+    OD.with_ctes(
+        OD.BARS_1M_CTE + aggregates.CUSUM_PATH_ORACLE_BODY, body=""
+    ),
+)
+def q_cusum_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.cusum_path(pipeline.bars_pipeline(spark, sf_dir))
+
+
 # round 7: market-model realized beta per symbol vs the cross-sectional
 # market-move index (decimal-exact regression, NULL on flat markets)
 @q(

@@ -158,6 +158,13 @@ HEADLINE = [
     # passes, closed-form missing-mass term, K·(V+1)-bounded fold)
     "q_hill_tail",
     "q_doc_jsd",
+    # round 7 (fifteenth wave): historical VaR + expected shortfall
+    # (pinned exact-percentile + decimal tail mean, one extra scan),
+    # Church–Gale term burstiness (one aggregate carries cf AND df),
+    # and the fixed-threshold CUSUM path (live-monitor replay form)
+    "q_var_es",
+    "q_doc_burstiness",
+    "q_cusum_path",
 ]
 
 
@@ -245,6 +252,9 @@ FAMILIES: dict[str, list[str]] = {
         # two-scan shape) then K·(V+1)-bounded windows — its decade row
         # should track 2× the token-explode scan
         "q_doc_jsd",
+        # r7 fifteenth wave: the countDistinct partial-expand — its
+        # decade row bounds the (token, doc_id) expansion cost
+        "q_doc_burstiness",
     ],
     # q_returns_1s_full_span is the PRODUCTION grid convention: the
     # declared query runs a 12 h slice (GRID_SLICE_S, a test-size
@@ -317,6 +327,10 @@ FAMILIES: dict[str, list[str]] = {
         # (k+1)·partitions rows regardless of tape size; its decade row
         # proves the group-limit pushdown holds at scale
         "q_hill_tail",
+        # r7 fifteenth wave: the exact-percentile aggregate is the one
+        # stage that doesn't partial-combine — its decade row is the
+        # evidence the approx knob exists for
+        "q_var_es",
     ],
 }
 SCALE_DIRS = ["/root/testdata/sf0.1", ".scale_data/sf1"]

@@ -3715,3 +3715,193 @@ SELECT symbol, n_tail,
             THEN round(lsum / CAST(n_tail AS DOUBLE), 6) END
            AS mean_ln_excess
 FROM hl_s"""
+
+
+VAR_ALPHA = 0.05  # left-tail level for historical VaR / expected shortfall
+
+
+def var_es(
+    bars: DataFrame,
+    alpha: float = VAR_ALPHA,
+    approx: bool = False,
+    accuracy: int = PCTL_ACCURACY,
+) -> DataFrame:
+    """Historical Value-at-Risk and Expected Shortfall per symbol over
+    bar returns (``price_change_pct``): VaR_α is the empirical α-quantile
+    of the return distribution, ES_α the mean of the returns at or below
+    it — the coherent tail-risk pair a risk desk quotes, and the
+    downstream consumer of :func:`hill_tail`'s "does the tail even have
+    a mean" diagnostic.
+
+    Determinism: returns are the shared 6-dp bar column; VaR comes from
+    the engine's pinned exact-``percentile`` convention (== DuckDB
+    ``quantile_cont``, the q_latency_percentiles parity); the tail
+    membership compare (ret ≤ VaR) runs on identical doubles; the tail
+    mean is an exact DECIMAL(18,6)-grid sum divided by an exact count.
+    Symbols with an empty tail (impossible — the quantile is attained —
+    but guarded anyway) emit NULL ES.
+
+    Plan shape: the winsorize_volumes shape — ONE per-symbol percentile
+    aggregate broadcast back onto the bar scan, tail filter BEFORE the
+    partial-combinable tail aggregate (only tail rows shuffle).  Exact
+    percentiles don't partial-combine; ``approx=True`` swaps in the
+    mergeable `percentile_approx` sketch for the 100 TB path (the
+    latency_percentiles knob).
+
+    cf. reference: extends the surface (tail-risk companion of
+    q_hill_tail / q_drawdown)."""
+    r = bars.select("symbol", F.col("price_change_pct").alias("ret"))
+    q = r.groupBy("symbol").agg(
+        F.count("*").cast("long").alias("n_bars"),
+        _pctl("ret", alpha, approx, accuracy).alias("var_a"),
+    )
+    # ONE more bar scan carries the tail membership as conditional
+    # aggregates against the broadcast K-row quantile table — no second
+    # branch, no K-row re-join back (a first cut left-joined a separate
+    # tail aggregate and re-derived the bars lineage three times)
+    tail_ret = F.when(F.col("ret") <= F.col("var_a"), F.col("ret"))
+    out = (
+        r.join(F.broadcast(q), "symbol")
+        .groupBy("symbol")
+        .agg(
+            F.max("n_bars").alias("n_bars"),
+            F.max("var_a").alias("var_a"),
+            F.count(tail_ret).cast("long").alias("n_tail"),
+            F.sum(tail_ret.cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .alias("tail_sum"),
+        )
+    )
+    es = F.col("tail_sum").cast("double") / F.col("n_tail").cast("double")
+    return out.select(
+        "symbol",
+        "n_bars",
+        "n_tail",
+        r6(F.col("var_a")).alias("var_alpha"),
+        F.when(F.col("n_tail") > 0, r6(es)).alias("es_alpha"),
+    )
+
+
+VAR_ES_ORACLE_BODY = f"""
+,ve_r AS (
+  SELECT symbol, price_change_pct AS ret FROM bars
+),
+ve_q AS (
+  SELECT symbol,
+         CAST(count(*) AS BIGINT) AS n_bars,
+         quantile_cont(ret, {VAR_ALPHA!r}) AS var_a
+  FROM ve_r GROUP BY symbol
+),
+ve_t AS (
+  SELECT r.symbol,
+         CAST(count(*) AS BIGINT) AS n_tail,
+         CAST(sum(CAST(r.ret AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS tail_sum
+  FROM ve_r r JOIN ve_q q ON r.symbol = q.symbol
+  WHERE r.ret <= q.var_a
+  GROUP BY r.symbol
+)
+SELECT q.symbol, q.n_bars,
+       CAST(coalesce(t.n_tail, 0) AS BIGINT) AS n_tail,
+       round(q.var_a, 6) AS var_alpha,
+       CASE WHEN t.n_tail > 0
+            THEN round(CAST(t.tail_sum AS DOUBLE)
+                       / CAST(t.n_tail AS DOUBLE), 6) END AS es_alpha
+FROM ve_q q LEFT JOIN ve_t t ON q.symbol = t.symbol"""
+
+
+CUSUM_H_ABS = 0.5  # fixed absolute breach threshold for the path form
+
+
+def cusum_path(bars: DataFrame, h_abs: float = CUSUM_H_ABS) -> DataFrame:
+    """Per-bar CUSUM path with a FIXED absolute threshold — the form a
+    production monitor actually runs: ``h`` is calibrated offline (the
+    :func:`cusum_levels` σ-based audit is the calibration study) and the
+    live statistics S⁺/S⁻ plus running breach counts are maintained
+    incrementally.  This batch form is the replay twin the streaming
+    processor (streaming/cusum.py) is property-tested against.
+
+    Same closed form as :func:`cusum_levels` (prefix sum − running min /
+    running max − prefix sum), same DECIMAL(38,6)-exact state, same ONE
+    partitionBy(symbol) sort for every window; the threshold compare is
+    exact-decimal-cast-double vs an identical literal, and the running
+    breach counts are integer window sums on the same sort.
+
+    cf. reference: extends the surface (the live-monitor form of
+    q_cusum)."""
+    xd = F.col("price_change").cast("decimal(18,6)")
+    b = bars.select("symbol", "bucket", xd.alias("x"))
+    wo = Window.partitionBy("symbol").orderBy("bucket")
+    wcum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p = F.sum("x").over(wcum).cast("decimal(38,6)")
+    c = b.select("symbol", "bucket", p.alias("p"))
+    c = c.select(
+        "symbol",
+        "bucket",
+        (F.col("p") - F.min("p").over(wcum)).alias("s_up"),
+        (F.max("p").over(wcum) - F.col("p")).alias("s_dn"),
+    )
+    h = F.lit(float(h_abs))
+    flagged = c.select(
+        "symbol",
+        "bucket",
+        "s_up",
+        "s_dn",
+        (F.col("s_up").cast("double") > h).alias("breach_up"),
+        (F.col("s_dn").cast("double") > h).alias("breach_dn"),
+    )
+    return flagged.select(
+        "symbol",
+        "bucket",
+        r6(F.col("s_up").cast("double")).alias("s_up"),
+        r6(F.col("s_dn").cast("double")).alias("s_dn"),
+        "breach_up",
+        "breach_dn",
+        F.sum(F.when(F.col("breach_up"), 1).otherwise(0))
+        .over(wcum)
+        .cast("long")
+        .alias("n_breach_up_cum"),
+        F.sum(F.when(F.col("breach_dn"), 1).otherwise(0))
+        .over(wcum)
+        .cast("long")
+        .alias("n_breach_dn_cum"),
+    )
+
+
+CUSUM_PATH_ORACLE_BODY = f"""
+,cp_b AS (
+  SELECT symbol, bucket, CAST(price_change AS DECIMAL(18,6)) AS x
+  FROM bars
+),
+cp_c AS (
+  SELECT symbol, bucket,
+         CAST(sum(x) OVER w AS DECIMAL(38,6)) AS p
+  FROM cp_b
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cp_s AS (
+  SELECT symbol, bucket,
+         p - min(p) OVER w AS s_up,
+         max(p) OVER w - p AS s_dn
+  FROM cp_c
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cp_f AS (
+  SELECT symbol, bucket, s_up, s_dn,
+         CAST(s_up AS DOUBLE) > {CUSUM_H_ABS!r} AS breach_up,
+         CAST(s_dn AS DOUBLE) > {CUSUM_H_ABS!r} AS breach_dn
+  FROM cp_s
+)
+SELECT symbol, bucket,
+       round(CAST(s_up AS DOUBLE), 6) AS s_up,
+       round(CAST(s_dn AS DOUBLE), 6) AS s_dn,
+       breach_up, breach_dn,
+       CAST(sum(CASE WHEN breach_up THEN 1 ELSE 0 END) OVER w AS BIGINT)
+           AS n_breach_up_cum,
+       CAST(sum(CASE WHEN breach_dn THEN 1 ELSE 0 END) OVER w AS BIGINT)
+           AS n_breach_dn_cum
+FROM cp_f
+WINDOW w AS (PARTITION BY symbol ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""

@@ -4375,3 +4375,79 @@ FROM js_arr"""
 
 
 SOURCE_JSD_ORACLE = _source_jsd_oracle()
+
+
+# --- Term burstiness (round 7) ----------------------------------------------
+
+BURST_TOP_V = 40  # vocabulary rows reported by the burstiness table
+
+
+def term_burstiness(documents: DataFrame, top_v: int = BURST_TOP_V) -> DataFrame:
+    """Corpus term burstiness for the top-``top_v`` tokens: collection
+    frequency (total occurrences), document frequency (documents
+    containing the token), their ratio cf/df (Church–Gale burstiness —
+    1.0 means a token never repeats within a document, high values mean
+    it clumps), and the corpus share of each token's documents.  The
+    within-document clumping complement of :func:`vocab_report`'s pure
+    frequency table — a stopword and a topical term can share cf while
+    sitting at opposite burstiness.
+
+    Determinism: cf, df, and n_docs are exact BIGINTs (two-phase
+    partial-combinable count / countDistinct); the two ratios divide
+    identical integers.  Top-V ties break on the token string, the
+    engine-wide rank convention.
+
+    Plan shape: one (token) aggregate over the exploded corpus carrying
+    BOTH counts (countDistinct partial-expands to (token, doc_id) then
+    combines — no separate scan), a broadcast 1-row doc count, top-V via
+    TakeOrderedAndProject, and the rank window over V survivors.
+
+    cf. reference: extends the surface (vocabulary-statistics companion
+    of q_vocab / q_doc_zipf; the reference has no text surface)."""
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    g = toks.groupBy("token").agg(
+        F.count("*").cast("long").alias("cf"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    )
+    nd = documents.groupBy().agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    topv = g.orderBy(F.desc("cf"), "token").limit(top_v)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cf"), "token")
+    return topv.join(F.broadcast(nd)).select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "token",
+        "cf",
+        "df",
+        r6(F.col("cf").cast("double") / F.col("df").cast("double")).alias(
+            "burstiness"
+        ),
+        r6(F.col("df").cast("double") / F.col("n_docs").cast("double")).alias(
+            "doc_share"
+        ),
+    )
+
+
+BURSTINESS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+bt_g AS (
+  SELECT token,
+         CAST(count(*) AS BIGINT) AS cf,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY token
+),
+bt_n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+bt_top AS (
+  SELECT token, cf, df,
+         CAST(row_number() OVER (ORDER BY cf DESC, token) AS BIGINT) AS rank
+  FROM bt_g ORDER BY cf DESC, token LIMIT {BURST_TOP_V}
+)
+SELECT t.rank, t.token, t.cf, t.df,
+       round(CAST(t.cf AS DOUBLE) / CAST(t.df AS DOUBLE), 6) AS burstiness,
+       round(CAST(t.df AS DOUBLE) / CAST(n.n_docs AS DOUBLE), 6)
+           AS doc_share
+FROM bt_top t, bt_n n"""

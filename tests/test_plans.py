@@ -585,6 +585,15 @@ SHUFFLE_BUDGETS = {
     # + the (source, rank) collapse + the rank/source/global window
     # chain over the <= K·(V+1)-row table
     "q_doc_jsd": 5,
+    # bars (2) twice — the percentile branch and the tail-scan branch
+    # are separate lineages by design — + the percentile aggregate +
+    # the conditional tail aggregate
+    "q_var_es": 6,
+    # the (token) aggregate with countDistinct partial-expand (2 for
+    # the two-phase distinct) + the 1-row doc count
+    "q_doc_burstiness": 3,
+    # bars (2) + ONE symbol sort shared by every path window
+    "q_cusum_path": 3,
 }
 
 

@@ -2757,3 +2757,163 @@ def test_source_jsd_matches_naive(spark, docs):
             _spark_round6(a / math.log(2.0)),
         )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# fifteenth wave: streaming CUSUM twin vs the batch path form, plus the
+# VaR/ES and term-burstiness naive references.
+
+_cu_path_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["BTC", "ETH"]),                 # symbol
+        st.integers(min_value=0, max_value=40),          # bar bucket
+        st.integers(min_value=-800_000, max_value=800_000),  # Δ in 1e-6
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(batch=_cu_path_strategy, n_chunks=st.integers(min_value=1, max_value=4))
+@_settings
+def test_stream_cusum_processor_matches_batch(spark, batch, n_chunks):
+    """The streaming CUSUM processor, driven with arbitrary micro-batch
+    boundaries over an ordered bar tape, emits exactly the batch
+    cusum_path rows — every statistic, flag, and running count."""
+    from bitcoin_datapipeline_spark.operators.aggregates import cusum_path
+    from bitcoin_datapipeline_spark.streaming.cusum import (
+        make_cusum_processor,
+    )
+
+    uniq = {}
+    for s, b, d6 in sorted(batch):
+        uniq[(s, b)] = d6 / 10**6
+    recs = [
+        Row(symbol=s, bucket=b, price_change=x)
+        for (s, b), x in sorted(uniq.items())
+    ]
+    H = 0.5
+    fn = make_cusum_processor(h_abs=H)
+    emitted = _drive_processor(
+        fn, recs, ["bucket", "price_change"], n_chunks
+    )
+    got = {(e.symbol, e.bucket): e for e in emitted}
+    df = spark.createDataFrame(
+        recs, "symbol string, bucket long, price_change double"
+    )
+    want = {(r.symbol, r.bucket): r for r in cusum_path(df, h_abs=H).collect()}
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert g.s_up == w.s_up and g.s_dn == w.s_dn
+        assert g.breach_up == w.breach_up and g.breach_dn == w.breach_dn
+        assert g.n_breach_up_cum == w.n_breach_up_cum
+        assert g.n_breach_dn_cum == w.n_breach_dn_cum
+        assert g.late_dropped == 0
+
+
+_ve_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["BTC", "ETH"]),                 # symbol
+        st.integers(min_value=0, max_value=60),          # bar bucket
+        st.integers(min_value=-50_000, max_value=50_000),  # ret in 1e-6
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(batch=_ve_strategy)
+@_settings
+def test_var_es_matches_naive(spark, batch):
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        VAR_ALPHA,
+        var_es,
+    )
+
+    uniq = {}
+    for s, b, d6 in sorted(batch):
+        uniq[(s, b)] = d6 / 10**6
+    rows = [
+        Row(symbol=s, bucket=b, price_change_pct=x)
+        for (s, b), x in sorted(uniq.items())
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, bucket long, price_change_pct double"
+    )
+    got = {
+        r.symbol: (r.n_bars, r.n_tail, r.var_alpha, r.es_alpha)
+        for r in var_es(df).collect()
+    }
+    per_sym = defaultdict(list)
+    for (s, _b), x in uniq.items():
+        per_sym[s].append(x)
+    want = {}
+    for s, xs in per_sym.items():
+        xs.sort()
+        n = len(xs)
+        # exact interpolating percentile: pos = alpha*(n-1), symmetric lerp
+        pos = VAR_ALPHA * (n - 1)
+        lo = int(pos)
+        frac = pos - lo
+        v = xs[lo] if frac == 0 else xs[lo] + (xs[lo + 1] - xs[lo]) * frac
+        tail = [x for x in xs if x <= v]
+        es = None
+        if tail:
+            sm = sum(Fraction(round(x * 10**6), 10**6) for x in tail)
+            es = _spark_round6(float(sm) / len(tail))
+        want[s] = (
+            n,
+            len(tail),
+            _spark_round6(v),
+            es,
+        )
+    assert got == want
+
+
+_bt_docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+        min_size=1,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=_bt_docs_strategy)
+@_settings
+def test_term_burstiness_matches_naive(spark, docs):
+    from collections import defaultdict
+
+    from bitcoin_datapipeline_spark.operators.text import term_burstiness
+
+    rows = [Row(doc_id=i, text=" ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.token: (r.rank, r.cf, r.df, r.burstiness, r.doc_share)
+        for r in term_burstiness(df, top_v=4).collect()
+    }
+    cf = defaultdict(int)
+    dfreq = defaultdict(set)
+    for i, ws in enumerate(docs):
+        for w in ws:
+            cf[w] += 1
+            dfreq[w].add(i)
+    n_docs = len(docs)
+    top = sorted(cf.items(), key=lambda t: (-t[1], t[0]))[:4]
+    want = {}
+    for rank, (w, c) in enumerate(top, start=1):
+        d = len(dfreq[w])
+        want[w] = (
+            rank,
+            c,
+            d,
+            _spark_round6(c / d),
+            _spark_round6(d / n_docs),
+        )
+    assert got == want
