@@ -1669,6 +1669,34 @@ def q_cusum_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.cusum_path(pipeline.bars_pipeline(spark, sf_dir))
 
 
+# round 7: round-increment price clustering (Harris 1991) — map-only
+# cent snap + one per-symbol aggregate, exact integer modulus tests
+@q(
+    "q_price_clustering",
+    OD.with_ctes(
+        OD.DEDUP_TRADES_CTE + aggregates.PRICE_CLUSTERING_ORACLE_BODY,
+        body="",
+    ),
+)
+def q_price_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return aggregates.price_clustering(
+        dedup.dedup_trades(normalize.valid_trades(ev))
+    )
+
+
+# round 7: daily VWAP/TWAP execution benchmarks + close slippage in bps
+# — one calendar-bounded (symbol, day) aggregate
+@q(
+    "q_vwap_slippage",
+    OD.with_ctes(
+        OD.BARS_1M_CTE + aggregates.VWAP_SLIPPAGE_ORACLE_BODY, body=""
+    ),
+)
+def q_vwap_slippage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.vwap_slippage(pipeline.bars_pipeline(spark, sf_dir))
+
+
 # round 7: market-model realized beta per symbol vs the cross-sectional
 # market-move index (decimal-exact regression, NULL on flat markets)
 @q(
@@ -1774,6 +1802,13 @@ def q_embed_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q_embed_ann_lsh", similarity.ANN_LSH_ORACLE)
 def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh(table(spark, sf_dir, "embeddings"))
+
+
+# round 7: per-query recall audit of the LSH index vs exact top-1 —
+# the eval harness as a first-class query
+@q("q_embed_recall_lsh", similarity.ANN_RECALL_ORACLE)
+def q_embed_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_recall_lsh(table(spark, sf_dir, "embeddings"))
 
 
 @q("q_embed_ann_lsh_multi", similarity.ANN_LSH_MULTI_ORACLE)

@@ -165,6 +165,13 @@ HEADLINE = [
     "q_var_es",
     "q_doc_burstiness",
     "q_cusum_path",
+    # round 7 (sixteenth wave): the ANN recall audit (exact top-1 via a
+    # broadcast map-only scan + max(struct) — no window), Harris
+    # round-increment price clustering (map-only cent snap), and the
+    # daily VWAP/TWAP slippage scorecard (calendar-bounded aggregate)
+    "q_embed_recall_lsh",
+    "q_price_clustering",
+    "q_vwap_slippage",
 ]
 
 

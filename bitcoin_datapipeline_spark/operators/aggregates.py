@@ -3905,3 +3905,157 @@ SELECT symbol, bucket,
 FROM cp_f
 WINDOW w AS (PARTITION BY symbol ORDER BY bucket
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+
+def price_clustering(dedup_trades: DataFrame) -> DataFrame:
+    """Round-increment price clustering per symbol (Harris 1991): the
+    share of trades printing on dime / quarter / dollar boundaries vs
+    the uniform-tick expectation — real markets cluster on round
+    increments, and the clustering ratio is a liveness check on a feed
+    (a synthetic or stale tape shows ratio ≈ 1).
+
+    Conventions (shared with the oracle): the price is snapped to cents
+    via floor(price·100 + 0.5) — round-half-up on the positive domain,
+    identical IEEE arithmetic in both engines (the validation filter
+    guarantees price > 0) — and a boundary hit is a modulus test on the
+    exact integer cents.
+
+    Determinism: all counts are exact BIGINTs; shares and ratios divide
+    identical integers.
+
+    Plan shape: map-only cent snap → one partial-combinable per-symbol
+    aggregate.  Zero joins, zero windows.
+
+    cf. reference: extends the surface (feed-liveness companion of
+    q_source_consistency)."""
+    cents = F.floor(F.col("price") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    t = dedup_trades.select("symbol", cents.alias("cents"))
+    g = t.groupBy("symbol").agg(
+        F.count("*").cast("long").alias("n_trades"),
+        F.sum(F.when(F.col("cents") % 10 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dime"),
+        F.sum(F.when(F.col("cents") % 25 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_quarter"),
+        F.sum(F.when(F.col("cents") % 100 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dollar"),
+    )
+    n = F.col("n_trades").cast("double")
+    return g.select(
+        "symbol",
+        "n_trades",
+        "n_dime",
+        "n_quarter",
+        "n_dollar",
+        r6(F.col("n_dime") / n).alias("share_dime"),
+        r6(F.col("n_quarter") / n).alias("share_quarter"),
+        r6(F.col("n_dollar") / n).alias("share_dollar"),
+        # clustering ratio: observed share / uniform-tick expectation
+        r6(F.col("n_dime") / n / F.lit(0.1)).alias("ratio_dime"),
+        r6(F.col("n_quarter") / n / F.lit(0.04)).alias("ratio_quarter"),
+        r6(F.col("n_dollar") / n / F.lit(0.01)).alias("ratio_dollar"),
+    )
+
+
+PRICE_CLUSTERING_ORACLE_BODY = """
+,pc_t AS (
+  SELECT symbol,
+         CAST(floor(price * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM dedup_trades
+),
+pc_g AS (
+  SELECT symbol,
+         CAST(count(*) AS BIGINT) AS n_trades,
+         CAST(sum(CASE WHEN cents % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dime,
+         CAST(sum(CASE WHEN cents % 25 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quarter,
+         CAST(sum(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dollar
+  FROM pc_t GROUP BY symbol
+)
+SELECT symbol, n_trades, n_dime, n_quarter, n_dollar,
+       round(n_dime / CAST(n_trades AS DOUBLE), 6) AS share_dime,
+       round(n_quarter / CAST(n_trades AS DOUBLE), 6) AS share_quarter,
+       round(n_dollar / CAST(n_trades AS DOUBLE), 6) AS share_dollar,
+       round(n_dime / CAST(n_trades AS DOUBLE) / 0.1, 6) AS ratio_dime,
+       round(n_quarter / CAST(n_trades AS DOUBLE) / 0.04, 6)
+           AS ratio_quarter,
+       round(n_dollar / CAST(n_trades AS DOUBLE) / 0.01, 6) AS ratio_dollar
+FROM pc_g"""
+
+
+def vwap_slippage(bars: DataFrame) -> DataFrame:
+    """Daily execution benchmarks per (symbol, day): the day's VWAP
+    (exact notional/volume), TWAP (mean of bar closes), closing price,
+    and the slippage of close vs both benchmarks in basis points — the
+    scorecard an execution desk grades its fills against, computed from
+    the same bars the VWAP-scheduler curve (q_intraday_profile) rides.
+
+    Determinism: notional/volume/close are the shared 6-dp bar columns;
+    the daily sums run on DECIMAL(18,6) (exact), the benchmark divisions
+    and bps expressions evaluate identical doubles; the closing price is
+    max_by(close, bucket) with a unique bucket key.  Zero-volume days
+    are impossible post-validation (every bar has volume > 0).
+
+    Plan shape: one calendar-bounded (symbol, day) partial-combinable
+    aggregate over the bar table.
+
+    cf. reference: extends the surface (execution-benchmark companion
+    of q_intraday_profile)."""
+    d = bars.groupBy(
+        "symbol",
+        F.expr("bucket div 1440").cast("long").alias("day"),
+    ).agg(
+        F.count("*").cast("long").alias("n_bars"),
+        F.sum(F.col("notional").cast("decimal(18,6)"))
+        .cast("decimal(38,6)")
+        .alias("snot"),
+        F.sum(F.col("volume").cast("decimal(18,6)"))
+        .cast("decimal(38,6)")
+        .alias("svol"),
+        F.sum(F.col("close").cast("decimal(18,6)"))
+        .cast("decimal(38,6)")
+        .alias("sclose"),
+        F.expr("max_by(close, bucket)").alias("close_day"),
+    )
+    vwap = F.col("snot").cast("double") / F.col("svol").cast("double")
+    twap = F.col("sclose").cast("double") / F.col("n_bars").cast("double")
+    return d.select(
+        "symbol",
+        "day",
+        "n_bars",
+        r6(vwap).alias("vwap_day"),
+        r6(twap).alias("twap_day"),
+        r6(F.col("close_day")).alias("close_day"),
+        r6((F.col("close_day") - vwap) / vwap * F.lit(10000.0)).alias(
+            "close_vs_vwap_bps"
+        ),
+        r6((twap - vwap) / vwap * F.lit(10000.0)).alias("twap_vs_vwap_bps"),
+    )
+
+
+VWAP_SLIPPAGE_ORACLE_BODY = """
+,vs_d AS (
+  SELECT symbol, bucket // 1440 AS day,
+         CAST(count(*) AS BIGINT) AS n_bars,
+         CAST(sum(CAST(notional AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS snot,
+         CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS svol,
+         CAST(sum(CAST(close AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sclose,
+         arg_max(close, bucket) AS close_day
+  FROM bars GROUP BY 1, 2
+)
+SELECT symbol, day, n_bars,
+       round(CAST(snot AS DOUBLE) / CAST(svol AS DOUBLE), 6) AS vwap_day,
+       round(CAST(sclose AS DOUBLE) / CAST(n_bars AS DOUBLE), 6) AS twap_day,
+       round(close_day, 6) AS close_day,
+       round((close_day - CAST(snot AS DOUBLE) / CAST(svol AS DOUBLE))
+             / (CAST(snot AS DOUBLE) / CAST(svol AS DOUBLE)) * 10000.0, 6)
+           AS close_vs_vwap_bps,
+       round((CAST(sclose AS DOUBLE) / CAST(n_bars AS DOUBLE)
+              - CAST(snot AS DOUBLE) / CAST(svol AS DOUBLE))
+             / (CAST(snot AS DOUBLE) / CAST(svol AS DOUBLE)) * 10000.0, 6)
+           AS twap_vs_vwap_bps
+FROM vs_d"""

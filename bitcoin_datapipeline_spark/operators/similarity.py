@@ -1971,3 +1971,134 @@ WHERE rank <= {KNN_K}"""
 
 PQ_CODES_ORACLE = _pq_codes_oracle()
 ANN_IVFPQ_ORACLE = _ivfpq_oracle()
+
+
+# --- ANN recall audit (round 7) ----------------------------------------------
+
+
+def ann_recall_lsh(embeddings: DataFrame) -> DataFrame:
+    """Recall audit for the sign-bucket LSH index: per LSH query, the
+    EXACT top-1 neighbor (brute force, same rounded-cosine + lowest-id
+    tiebreak as :func:`knn`) next to the LSH answer, with a hit flag and
+    the cosine gap — the eval harness that turns "the index seems fine"
+    into a measured per-query number.  tests/test_similarity_recall.py
+    gates aggregate recall; this is the same measurement as a FIRST-CLASS
+    query a user can run on their own corpus before trusting the index.
+
+    Determinism: cosines are the engine-rounded 6-dp HOF dot products;
+    the exact side's argmax is max(struct(cosine, −neighbor_id)) — the
+    (cosine DESC, neighbor_id ASC) convention every ANN operator shares —
+    so both engines pick identical winners; the hit flag and gap compare
+    identical doubles.  Queries whose LSH bucket is a singleton (no
+    candidates) keep the exact row with NULL LSH columns and hit=false.
+
+    Plan shape: the exact side broadcasts the K-query table against ONE
+    map-only corpus scan and reduces via a partial-combinable
+    max(struct) aggregate — no window, no corpus shuffle (contrast
+    :func:`knn`, whose top-k needs the rank window); the LSH side is the
+    declared ann_lsh plan; the final join is K-row vs K-row.
+
+    cf. reference: extends the surface (no ANN in the reference; the
+    recall-eval discipline follows the spark.ml/FAISS convention of
+    auditing an index against exact search on a query subset)."""
+    e = with_norm(embeddings)
+    q = e.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("emb_q"),
+        F.col("norm").alias("norm_q"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_c"),
+        F.col("norm").alias("norm_c"),
+    )
+    cos6 = r6(_dot("emb_q", "emb_c") / (F.col("norm_q") * F.col("norm_c")))
+    exact = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cos6)
+        .groupBy("query_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cosine"), (-F.col("neighbor_id")).alias("negid")
+                )
+            ).alias("best"),
+            F.count("*").cast("long").alias("n_candidates"),
+        )
+        .select(
+            "query_id",
+            (-F.col("best.negid")).cast("long").alias("exact_neighbor"),
+            F.col("best.cosine").alias("exact_cosine"),
+            "n_candidates",
+        )
+    )
+    lsh = ann_lsh(embeddings).select(
+        "query_id",
+        F.col("neighbor_id").cast("long").alias("lsh_neighbor"),
+        F.col("cosine").alias("lsh_cosine"),
+    )
+    out = exact.join(lsh, "query_id", "left")
+    return out.select(
+        "query_id",
+        "n_candidates",
+        "exact_neighbor",
+        r6(F.col("exact_cosine")).alias("exact_cosine"),
+        "lsh_neighbor",
+        r6(F.col("lsh_cosine")).alias("lsh_cosine"),
+        F.coalesce(
+            F.col("lsh_neighbor") == F.col("exact_neighbor"), F.lit(False)
+        ).alias("hit"),
+        r6(F.col("exact_cosine") - F.col("lsh_cosine")).alias("cosine_gap"),
+    )
+
+
+ANN_RECALL_ORACLE = f"""
+WITH ar_ex AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6)
+             AS cosine
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id % {ANN_QUERY_MOD} = 0 AND q.vec_id != c.vec_id
+),
+ar_best AS (
+  SELECT query_id,
+         CAST(neighbor_id AS BIGINT) AS exact_neighbor,
+         cosine AS exact_cosine,
+         CAST(n_candidates AS BIGINT) AS n_candidates
+  FROM (
+    SELECT *,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rn,
+           count(*) OVER (PARTITION BY query_id) AS n_candidates
+    FROM ar_ex
+  ) WHERE rn = 1
+),
+ar_e AS (
+  SELECT vec_id, embedding, {_SIGN_SQL} AS bucket FROM embeddings
+),
+ar_lj AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6)
+             AS cosine
+  FROM ar_e q JOIN ar_e c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+  WHERE q.vec_id % {ANN_QUERY_MOD} = 0
+),
+ar_lsh AS (
+  SELECT query_id,
+         CAST(neighbor_id AS BIGINT) AS lsh_neighbor,
+         cosine AS lsh_cosine
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM ar_lj
+  ) WHERE rn = 1
+)
+SELECT b.query_id, b.n_candidates, b.exact_neighbor,
+       round(b.exact_cosine, 6) AS exact_cosine,
+       l.lsh_neighbor,
+       round(l.lsh_cosine, 6) AS lsh_cosine,
+       coalesce(l.lsh_neighbor = b.exact_neighbor, false) AS hit,
+       round(b.exact_cosine - l.lsh_cosine, 6) AS cosine_gap
+FROM ar_best b LEFT JOIN ar_lsh l ON b.query_id = l.query_id"""

@@ -594,6 +594,14 @@ SHUFFLE_BUDGETS = {
     "q_doc_burstiness": 3,
     # bars (2) + ONE symbol sort shared by every path window
     "q_cusum_path": 3,
+    # the exact side's K-query max(struct) aggregate + the LSH side's
+    # bucket join feeding its rank window; the corpus scan is map-only
+    # against the broadcast query set
+    "q_embed_recall_lsh": 2,
+    # dedup (1) + the per-symbol count aggregate — map-only cent snap
+    "q_price_clustering": 2,
+    # dedup (1) + bars (1) + the calendar-bounded (symbol, day) roll-up
+    "q_vwap_slippage": 3,
 }
 
 

@@ -2917,3 +2917,228 @@ def test_term_burstiness_matches_naive(spark, docs):
             _spark_round6(d / n_docs),
         )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# sixteenth wave vs naive references: the ANN recall audit, round-increment
+# price clustering, and the daily VWAP/TWAP slippage scorecard.
+
+_ar_strategy = st.lists(
+    st.lists(
+        st.integers(min_value=-5, max_value=5), min_size=8, max_size=8
+    ),
+    min_size=2,
+    max_size=30,
+)
+
+
+@given(vecs=_ar_strategy)
+@_settings
+def test_ann_recall_lsh_matches_naive(spark, vecs):
+    import math
+
+    from bitcoin_datapipeline_spark.operators.similarity import (
+        ANN_QUERY_MOD,
+        LSH_DIMS,
+        ann_recall_lsh,
+    )
+
+    # spread ids so several land on the % ANN_QUERY_MOD == 0 query set,
+    # and skip zero vectors (norm 0 divides); floats are exact integers
+    vecs = [v for v in vecs if any(x != 0 for x in v)]
+    if len(vecs) < 2:
+        return
+    ids = [i * (ANN_QUERY_MOD // 2) for i in range(len(vecs))]
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in v], label="l")
+        for i, v in zip(ids, vecs)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    got = {
+        r.query_id: (
+            r.n_candidates,
+            r.exact_neighbor,
+            r.exact_cosine,
+            r.lsh_neighbor,
+            r.lsh_cosine,
+            r.hit,
+            r.cosine_gap,
+        )
+        for r in ann_recall_lsh(df).collect()
+    }
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    def norm(a):
+        acc = 0.0
+        for x in a:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
+    def bucket(v):
+        return "".join("1" if float(x) >= 0 else "0" for x in v[:LSH_DIMS])
+
+    emb = {i: v for i, v in zip(ids, vecs)}
+    want = {}
+    for qid in ids:
+        if qid % ANN_QUERY_MOD != 0:
+            continue
+        cands = [
+            (
+                _spark_round6(
+                    dot(emb[qid], emb[c]) / (norm(emb[qid]) * norm(emb[c]))
+                ),
+                c,
+            )
+            for c in ids
+            if c != qid
+        ]
+        best = max(cands, key=lambda t: (t[0], -t[1]))
+        lcands = [
+            (cos, c) for cos, c in cands if bucket(emb[c]) == bucket(emb[qid])
+        ]
+        if lcands:
+            lbest = max(lcands, key=lambda t: (t[0], -t[1]))
+            lnb, lcos = lbest[1], lbest[0]
+        else:
+            lnb, lcos = None, None
+        want[qid] = (
+            len(cands),
+            best[1],
+            _spark_round6(best[0]),
+            lnb,
+            _spark_round6(lcos) if lcos is not None else None,
+            lnb == best[1],
+            _spark_round6(best[0] - lcos) if lcos is not None else None,
+        )
+    assert got == want
+
+
+_pcl_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["BTC", "ETH"]),                 # symbol
+        st.integers(min_value=1, max_value=40),          # trade_id
+        st.integers(min_value=1, max_value=30_000),      # price cents
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(batch=_pcl_strategy)
+@_settings
+def test_price_clustering_matches_naive(spark, batch):
+    import math
+    from collections import defaultdict
+
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        price_clustering,
+    )
+
+    uniq = {}
+    for s, tid, pc in sorted(batch):
+        uniq[(s, tid)] = pc
+    rows = [
+        Row(symbol=s, trade_id=tid, price=pc / 100.0)
+        for (s, tid), pc in sorted(uniq.items())
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, trade_id long, price double"
+    )
+    got = {
+        r.symbol: (
+            r.n_trades, r.n_dime, r.n_quarter, r.n_dollar,
+            r.share_dime, r.share_quarter, r.share_dollar,
+            r.ratio_dime, r.ratio_quarter, r.ratio_dollar,
+        )
+        for r in price_clustering(df).collect()
+    }
+    per_sym = defaultdict(list)
+    for (s, _tid), pc in uniq.items():
+        per_sym[s].append(math.floor((pc / 100.0) * 100.0 + 0.5))
+    want = {}
+    for s, cs in per_sym.items():
+        n = len(cs)
+        nd = sum(1 for c in cs if c % 10 == 0)
+        nq = sum(1 for c in cs if c % 25 == 0)
+        nu = sum(1 for c in cs if c % 100 == 0)
+        want[s] = (
+            n, nd, nq, nu,
+            _spark_round6(nd / n), _spark_round6(nq / n),
+            _spark_round6(nu / n),
+            _spark_round6(nd / n / 0.1), _spark_round6(nq / n / 0.04),
+            _spark_round6(nu / n / 0.01),
+        )
+    assert got == want
+
+
+_vsl_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["BTC", "ETH"]),                 # symbol
+        st.integers(min_value=0, max_value=2000),        # bar bucket
+        st.integers(min_value=1, max_value=9_000_000),   # close 1e-6
+        st.integers(min_value=1, max_value=5_000_000),   # volume 1e-6
+        st.integers(min_value=1, max_value=9_000_000),   # notional 1e-6
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(batch=_vsl_strategy)
+@_settings
+def test_vwap_slippage_matches_naive(spark, batch):
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from bitcoin_datapipeline_spark.operators.aggregates import vwap_slippage
+
+    uniq = {}
+    for s, b, c6, v6, n6 in sorted(batch):
+        uniq[(s, b)] = (
+            Fraction(c6, 10**6), Fraction(v6, 10**6), Fraction(n6, 10**6)
+        )
+    rows = [
+        Row(symbol=s, bucket=b, close=float(c), volume=float(v),
+            notional=float(n))
+        for (s, b), (c, v, n) in sorted(uniq.items())
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "symbol string, bucket long, close double, volume double,"
+        " notional double",
+    )
+    got = {
+        (r.symbol, r.day): (
+            r.n_bars, r.vwap_day, r.twap_day, r.close_day,
+            r.close_vs_vwap_bps, r.twap_vs_vwap_bps,
+        )
+        for r in vwap_slippage(df).collect()
+    }
+    per_day = defaultdict(list)
+    for (s, b), (c, v, n) in uniq.items():
+        per_day[(s, b // 1440)].append((b, c, v, n))
+    want = {}
+    for (s, day), bars in per_day.items():
+        nb = len(bars)
+        snot = sum(n for _b, _c, _v, n in bars)
+        svol = sum(v for _b, _c, v, _n in bars)
+        sclose = sum(c for _b, c, _v, _n in bars)
+        close_day = max(bars, key=lambda t: t[0])[1]
+        vwap = float(snot) / float(svol)
+        twap = float(sclose) / nb
+        want[(s, day)] = (
+            nb,
+            _spark_round6(vwap),
+            _spark_round6(twap),
+            _spark_round6(float(close_day)),
+            _spark_round6((float(close_day) - vwap) / vwap * 10000.0),
+            _spark_round6((twap - vwap) / vwap * 10000.0),
+        )
+    assert got == want
