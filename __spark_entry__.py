@@ -1697,6 +1697,25 @@ def q_vwap_slippage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.vwap_slippage(pipeline.bars_pipeline(spark, sf_dir))
 
 
+# round 7: Kaufman efficiency ratio per (symbol, day) — trend vs chop,
+# decimal-exact path length on one (symbol, day) sort
+@q(
+    "q_efficiency_ratio",
+    OD.with_ctes(
+        OD.BARS_1M_CTE + aggregates.EFFICIENCY_RATIO_ORACLE_BODY, body=""
+    ),
+)
+def q_efficiency_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.efficiency_ratio(pipeline.bars_pipeline(spark, sf_dir))
+
+
+# round 7: per-source document-length outlier gate — the per-domain
+# [p01, p99] band, winsorize-shaped broadcast
+@q("q_doc_length_outliers", text.LENGTH_OUTLIERS_ORACLE)
+def q_doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.length_outliers(table(spark, sf_dir, "documents"))
+
+
 # round 7: market-model realized beta per symbol vs the cross-sectional
 # market-move index (decimal-exact regression, NULL on flat markets)
 @q(

@@ -172,6 +172,11 @@ HEADLINE = [
     "q_embed_recall_lsh",
     "q_price_clustering",
     "q_vwap_slippage",
+    # round 7 (seventeenth wave): Kaufman efficiency ratio (trend vs
+    # chop, one (symbol, day) sort) and the per-source length-outlier
+    # gate (per-domain [p01, p99] band, winsorize-shaped broadcast)
+    "q_efficiency_ratio",
+    "q_doc_length_outliers",
 ]
 
 
@@ -229,6 +234,11 @@ FAMILIES: dict[str, list[str]] = {
         # stay queries x pool by construction)
         "q_embed_pq",
         "q_embed_ann_ivfpq",
+        # r7 sixteenth wave: the recall audit's exact side is a
+        # broadcast map-only scan + max(struct) aggregate — its decade
+        # row bounds the queries×corpus brute-force term (queries stay
+        # a fixed % mod sample, so growth tracks the corpus scan)
+        "q_embed_recall_lsh",
     ],
     # corpus-wide vocab aggregate feeding a broadcast probability join;
     # the capped twin (top-V + UNK tail bucket, r6) is the bounded-
@@ -338,6 +348,10 @@ FAMILIES: dict[str, list[str]] = {
         # stage that doesn't partial-combine — its decade row is the
         # evidence the approx knob exists for
         "q_var_es",
+        # r7 sixteenth wave: map-only cent snap (trade-grain linearity
+        # control) and the calendar-bounded daily scorecard
+        "q_price_clustering",
+        "q_vwap_slippage",
     ],
 }
 SCALE_DIRS = ["/root/testdata/sf0.1", ".scale_data/sf1"]

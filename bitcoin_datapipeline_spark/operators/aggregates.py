@@ -4059,3 +4059,86 @@ SELECT symbol, day, n_bars,
              / (CAST(snot AS DOUBLE) / CAST(svol AS DOUBLE)) * 10000.0, 6)
            AS twap_vs_vwap_bps
 FROM vs_d"""
+
+
+def efficiency_ratio(bars: DataFrame) -> DataFrame:
+    """Kaufman efficiency ratio per (symbol, day): |net close-to-close
+    move| / Σ|bar-to-bar close moves| — 1.0 is a straight-line trend,
+    → 0 is pure chop.  The regime classifier an adaptive-window control
+    (KAMA-style) keys on, and the day-grain complement of
+    :func:`runs_test`'s sign-sequence view.
+
+    Determinism: closes are the shared 6-dp bar column; Δcloses come
+    from one lag on the (symbol, day) sort and are summed as exact
+    DECIMAL(38,6) absolutes; the net move is last−first via
+    min_by/max_by on the unique bucket key.  Flat days (zero path
+    length) emit NULL ER.
+
+    Plan shape: bars → ONE partitionBy(symbol, day) sort carrying the
+    lag → the calendar-bounded (symbol, day) aggregate rides the same
+    partitioning.
+
+    cf. reference: extends the surface (trend-regime companion of
+    q_runs_test / q_variance_ratio)."""
+    b = bars.select(
+        "symbol",
+        F.expr("bucket div 1440").cast("long").alias("day"),
+        "bucket",
+        F.col("close").cast("decimal(18,6)").alias("c"),
+    )
+    w = Window.partitionBy("symbol", "day").orderBy("bucket")
+    d = b.select(
+        "symbol",
+        "day",
+        "bucket",
+        "c",
+        (F.col("c") - F.lag("c").over(w)).alias("dc"),
+    )
+    g = d.groupBy("symbol", "day").agg(
+        F.count("*").cast("long").alias("n_bars"),
+        F.expr("min_by(c, bucket)").alias("first_close"),
+        F.expr("max_by(c, bucket)").alias("last_close"),
+        F.sum(F.abs(F.col("dc")).cast("decimal(38,6)"))
+        .cast("decimal(38,6)")
+        .alias("path_len"),
+    )
+    net = F.abs(F.col("last_close") - F.col("first_close"))
+    er = net.cast("double") / F.col("path_len").cast("double")
+    return g.select(
+        "symbol",
+        "day",
+        "n_bars",
+        r6(net.cast("double")).alias("net_move"),
+        r6(F.col("path_len").cast("double")).alias("path_length"),
+        F.when(F.col("path_len") > 0, r6(er)).alias("efficiency_ratio"),
+    )
+
+
+EFFICIENCY_RATIO_ORACLE_BODY = """
+,er_b AS (
+  SELECT symbol, bucket // 1440 AS day, bucket,
+         CAST(close AS DECIMAL(18,6)) AS c
+  FROM bars
+),
+er_d AS (
+  SELECT symbol, day, bucket, c,
+         c - lag(c) OVER (PARTITION BY symbol, day ORDER BY bucket) AS dc
+  FROM er_b
+),
+er_g AS (
+  SELECT symbol, day,
+         CAST(count(*) AS BIGINT) AS n_bars,
+         arg_min(c, bucket) AS first_close,
+         arg_max(c, bucket) AS last_close,
+         CAST(sum(CAST(abs(dc) AS DECIMAL(38,6))) AS DECIMAL(38,6))
+             AS path_len
+  FROM er_d GROUP BY 1, 2
+)
+SELECT symbol, day, n_bars,
+       round(CAST(abs(last_close - first_close) AS DOUBLE), 6) AS net_move,
+       round(CAST(path_len AS DOUBLE), 6) AS path_length,
+       CASE WHEN path_len > 0
+            THEN round(CAST(abs(last_close - first_close) AS DOUBLE)
+                       / CAST(path_len AS DOUBLE), 6) END
+           AS efficiency_ratio
+FROM er_g"""

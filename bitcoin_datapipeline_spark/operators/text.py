@@ -4451,3 +4451,76 @@ SELECT t.rank, t.token, t.cf, t.df,
        round(CAST(t.df AS DOUBLE) / CAST(n.n_docs AS DOUBLE), 6)
            AS doc_share
 FROM bt_top t, bt_n n"""
+
+
+# --- Per-source length-outlier gate (round 7) --------------------------------
+
+LEN_OUT_LO = 0.01
+LEN_OUT_HI = 0.99
+
+
+def length_outliers(
+    documents: DataFrame,
+    lo: float = LEN_OUT_LO,
+    hi: float = LEN_OUT_HI,
+) -> DataFrame:
+    """Per-source document-length outlier gate: flag documents whose
+    whitespace token count falls outside their OWN source's [p01, p99]
+    band — the per-domain form of a global length filter (a code dump
+    and a news wire have different "normal", so one global band either
+    over-prunes or under-prunes; the same argument as the per-domain
+    quality gate q_doc_domain_gate, applied to length).
+
+    Determinism: token counts are exact integers; the band comes from
+    the engine's pinned exact-``percentile`` convention (== DuckDB
+    ``quantile_cont``), and the outlier compares run integer-vs-double
+    on identical operands.
+
+    Plan shape: the winsorize shape — one per-source percentile
+    aggregate (K_source rows) broadcast back onto the map-only counted
+    scan.  No window, no corpus shuffle beyond the K-row aggregate.
+
+    cf. reference: extends the surface (per-domain gate family:
+    q_doc_domain_gate for quality, this for length)."""
+    d = documents.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    bounds = d.groupBy("source").agg(
+        F.expr(f"percentile(n_tokens, {lo})").alias("p_lo"),
+        F.expr(f"percentile(n_tokens, {hi})").alias("p_hi"),
+        F.count("*").cast("long").alias("n_docs_src"),
+    )
+    j = d.join(F.broadcast(bounds), "source")
+    return j.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "n_docs_src",
+        r6(F.col("p_lo")).alias("p_lo"),
+        r6(F.col("p_hi")).alias("p_hi"),
+        (F.col("n_tokens") < F.col("p_lo")).alias("too_short"),
+        (F.col("n_tokens") > F.col("p_hi")).alias("too_long"),
+    )
+
+
+LENGTH_OUTLIERS_ORACLE = f"""
+WITH lo_d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+lo_b AS (
+  SELECT source,
+         quantile_cont(n_tokens, {LEN_OUT_LO!r}) AS p_lo,
+         quantile_cont(n_tokens, {LEN_OUT_HI!r}) AS p_hi,
+         CAST(count(*) AS BIGINT) AS n_docs_src
+  FROM lo_d GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_tokens, b.n_docs_src,
+       round(b.p_lo, 6) AS p_lo,
+       round(b.p_hi, 6) AS p_hi,
+       d.n_tokens < b.p_lo AS too_short,
+       d.n_tokens > b.p_hi AS too_long
+FROM lo_d d JOIN lo_b b ON d.source = b.source"""

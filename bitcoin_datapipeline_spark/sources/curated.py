@@ -114,3 +114,15 @@ def read_avro(spark, path: str) -> DataFrame:
             if not _is_source_not_found(e):
                 raise
     raise RuntimeError(_AVRO_HINT) from last
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write an ORC table — the third columnar at-rest format next to
+    parquet (the lake default) and Avro (the reference's schema format);
+    ORC ships in Spark core, no extra package."""
+    df.write.format("orc").mode(mode).save(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    """Read an ORC table back into a DataFrame."""
+    return spark.read.format("orc").load(path)

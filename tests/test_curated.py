@@ -80,3 +80,19 @@ def test_avro_roundtrip(spark, tmp_path):
     back = curated.read_avro(spark, path)
     assert back.schema == df.schema
     assert back.collect() == df.collect()
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC round trip — values and schema survive (format breadth:
+    parquet is the lake default, Avro the reference's at-rest schema,
+    ORC the third columnar option, built into Spark core)."""
+    df = spark.createDataFrame(
+        [("BTCUSDT", 1700000000000, 45230.5, 0.25, True)],
+        "symbol string, event_ts long, price double, qty double,"
+        " is_buyer_maker boolean",
+    )
+    path = str(tmp_path / "orc_roundtrip")
+    curated.write_orc(df, path)
+    back = curated.read_orc(spark, path)
+    assert back.schema == df.schema
+    assert back.collect() == df.collect()

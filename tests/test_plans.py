@@ -602,6 +602,12 @@ SHUFFLE_BUDGETS = {
     "q_price_clustering": 2,
     # dedup (1) + bars (1) + the calendar-bounded (symbol, day) roll-up
     "q_vwap_slippage": 3,
+    # bars (2) + the one (symbol, day) sort; the day aggregate rides
+    # the window's partitioning
+    "q_efficiency_ratio": 3,
+    # the K_source percentile aggregate — the counted scan is map-only
+    # and joins the broadcast band back
+    "q_doc_length_outliers": 1,
 }
 
 

@@ -3142,3 +3142,124 @@ def test_vwap_slippage_matches_naive(spark, batch):
             _spark_round6((twap - vwap) / vwap * 10000.0),
         )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# seventeenth wave vs naive references: the Kaufman efficiency ratio and
+# the per-source length-outlier gate.
+
+_er_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["BTC", "ETH"]),                 # symbol
+        st.integers(min_value=0, max_value=3000),        # bar bucket
+        st.integers(min_value=1, max_value=9_000_000),   # close 1e-6
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(batch=_er_strategy)
+@_settings
+def test_efficiency_ratio_matches_naive(spark, batch):
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        efficiency_ratio,
+    )
+
+    uniq = {}
+    for s, b, c6 in sorted(batch):
+        uniq[(s, b)] = Fraction(c6, 10**6)
+    rows = [
+        Row(symbol=s, bucket=b, close=float(c))
+        for (s, b), c in sorted(uniq.items())
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, bucket long, close double"
+    )
+    got = {
+        (r.symbol, r.day): (
+            r.n_bars, r.net_move, r.path_length, r.efficiency_ratio
+        )
+        for r in efficiency_ratio(df).collect()
+    }
+    per_day = defaultdict(list)
+    for (s, b), c in sorted(uniq.items()):
+        per_day[(s, b // 1440)].append((b, c))
+    want = {}
+    for (s, day), bars in per_day.items():
+        bars.sort()
+        n = len(bars)
+        net = abs(bars[-1][1] - bars[0][1])
+        path = sum(
+            abs(b2[1] - b1[1]) for b1, b2 in zip(bars, bars[1:])
+        ) if n > 1 else None
+        want[(s, day)] = (
+            n,
+            _spark_round6(float(net)),
+            _spark_round6(float(path)) if path is not None else None,
+            _spark_round6(float(net) / float(path))
+            if path is not None and path > 0
+            else None,
+        )
+    assert got == want
+
+
+_lo_docs_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2"]),                   # source
+        st.integers(min_value=1, max_value=30),          # n tokens
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(docs=_lo_docs_strategy)
+@_settings
+def test_length_outliers_matches_naive(spark, docs):
+    from collections import defaultdict
+
+    from bitcoin_datapipeline_spark.operators.text import (
+        LEN_OUT_HI,
+        LEN_OUT_LO,
+        length_outliers,
+    )
+
+    rows = [
+        Row(doc_id=i, source=s, text=" ".join(["w"] * n))
+        for i, (s, n) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    got = {
+        r.doc_id: (
+            r.source, r.n_tokens, r.n_docs_src, r.p_lo, r.p_hi,
+            r.too_short, r.too_long,
+        )
+        for r in length_outliers(df).collect()
+    }
+
+    def pctl(xs, p):
+        xs = sorted(xs)
+        pos = p * (len(xs) - 1)
+        lo = int(pos)
+        frac = pos - lo
+        return xs[lo] if frac == 0 else xs[lo] + (xs[lo + 1] - xs[lo]) * frac
+
+    per_src = defaultdict(list)
+    for _i, (s, n) in enumerate(docs):
+        per_src[s].append(n)
+    want = {}
+    for i, (s, n) in enumerate(docs):
+        xs = per_src[s]
+        plo, phi = pctl(xs, LEN_OUT_LO), pctl(xs, LEN_OUT_HI)
+        want[i] = (
+            s, n, len(xs),
+            _spark_round6(float(plo)), _spark_round6(float(phi)),
+            n < plo, n > phi,
+        )
+    assert got == want
