@@ -1830,6 +1830,17 @@ def q_embed_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_recall_lsh(table(spark, sf_dir, "embeddings"))
 
 
+# round 7: metadata-filtered vector search (the RAG retrieval pattern)
+# — predicate pushed to the documents scan, broadcast candidate prune
+# BEFORE scoring, top-k under WindowGroupLimit
+@q("q_embed_filtered_search", similarity.FILTERED_SEARCH_ORACLE)
+def q_embed_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.filtered_search(
+        table(spark, sf_dir, "embeddings"),
+        table(spark, sf_dir, "documents"),
+    )
+
+
 @q("q_embed_ann_lsh_multi", similarity.ANN_LSH_MULTI_ORACLE)
 def q_embed_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_multi(table(spark, sf_dir, "embeddings"))

@@ -177,6 +177,11 @@ HEADLINE = [
     # gate (per-domain [p01, p99] band, winsorize-shaped broadcast)
     "q_efficiency_ratio",
     "q_doc_length_outliers",
+    # round 7 (eighteenth wave): metadata-filtered vector search — the
+    # RAG retrieval composition (predicate pushed to the documents
+    # scan, broadcast candidate prune before scoring, top-k under
+    # WindowGroupLimit)
+    "q_embed_filtered_search",
 ]
 
 

@@ -2102,3 +2102,106 @@ SELECT b.query_id, b.n_candidates, b.exact_neighbor,
        coalesce(l.lsh_neighbor = b.exact_neighbor, false) AS hit,
        round(b.exact_cosine - l.lsh_cosine, 6) AS cosine_gap
 FROM ar_best b LEFT JOIN ar_lsh l ON b.query_id = l.query_id"""
+
+
+# --- Filtered vector search (round 7) ----------------------------------------
+
+FILTER_SEARCH_K = 3
+FILTER_MIN_CHARS = 200
+
+
+def filtered_search(
+    embeddings: DataFrame,
+    documents: DataFrame,
+    k: int = FILTER_SEARCH_K,
+    min_chars: int = FILTER_MIN_CHARS,
+    lang: str = "en",
+) -> DataFrame:
+    """Metadata-filtered vector search — the retrieval pattern every
+    RAG/doc-search stack runs: top-k nearest neighbors per query among
+    ONLY the documents passing a metadata predicate (here
+    ``lang = 'en' AND n_chars >= min_chars``), with the surviving
+    neighbors' metadata joined into the result.  The composition the
+    tables were designed for (vec_id ≡ doc_id).
+
+    Determinism: cosines are the engine-rounded 6-dp HOF dot products;
+    the top-k rank is the (cosine DESC, neighbor_id ASC) convention.
+    The predicate filters CANDIDATES only — queries are the standard
+    ``% ANN_QUERY_MOD`` subset regardless of their own metadata, so a
+    non-English query still retrieves from the English corpus.
+
+    Plan shape: the metadata predicate lives on the documents SCAN
+    (PushedFilters — at 100 TB the filter prunes parquet row groups
+    before a single dot product runs); the filtered doc-id set joins the
+    embedding side as a broadcast hash join BEFORE scoring; queries
+    broadcast; the per-query top-k runs under WindowGroupLimit.  Against
+    a selective predicate the scored candidate set is filter-selectivity
+    × corpus, never the corpus squared.
+
+    cf. reference: extends the surface (the retrieval composition of
+    q_embed_knn + the documents metadata; no ANN in the reference)."""
+    cand_ids = documents.filter(
+        (F.col("lang") == lang) & (F.col("n_chars") >= min_chars)
+    ).select(
+        F.col("doc_id").alias("neighbor_id"),
+        F.col("source").alias("neighbor_source"),
+        F.col("n_chars").cast("long").alias("neighbor_chars"),
+    )
+    e = with_norm(embeddings)
+    q = e.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("emb_q"),
+        F.col("norm").alias("norm_q"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_c"),
+        F.col("norm").alias("norm_c"),
+    ).join(F.broadcast(cand_ids), "neighbor_id")
+    j = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    cos6 = r6(_dot("emb_q", "emb_c") / (F.col("norm_q") * F.col("norm_c")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        j.withColumn("cosine", cos6)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("neighbor_id").cast("long").alias("neighbor_id"),
+            "cosine",
+            "neighbor_source",
+            "neighbor_chars",
+        )
+    )
+
+
+FILTERED_SEARCH_ORACLE = f"""
+WITH fs_cand AS (
+  SELECT doc_id AS neighbor_id, source AS neighbor_source,
+         CAST(n_chars AS BIGINT) AS neighbor_chars
+  FROM documents
+  WHERE lang = 'en' AND n_chars >= {FILTER_MIN_CHARS}
+),
+fs_j AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6)
+             AS cosine,
+         d.neighbor_source, d.neighbor_chars
+  FROM embeddings q
+  JOIN embeddings c ON q.vec_id % {ANN_QUERY_MOD} = 0
+                   AND q.vec_id != c.vec_id
+  JOIN fs_cand d ON c.vec_id = d.neighbor_id
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id, cosine,
+       neighbor_source, neighbor_chars
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM fs_j
+)
+WHERE rank <= {FILTER_SEARCH_K}"""

@@ -608,6 +608,9 @@ SHUFFLE_BUDGETS = {
     # the K_source percentile aggregate — the counted scan is map-only
     # and joins the broadcast band back
     "q_doc_length_outliers": 1,
+    # the per-query top-k rank window (under WindowGroupLimit); the
+    # candidate prune and the query set both broadcast
+    "q_embed_filtered_search": 1,
 }
 
 
@@ -671,3 +674,19 @@ def test_bm25_plan_shape(spark, sf01):
     # the only hash exchanges allowed are the stats aggregate + the
     # per-query window — never a (doc_id, term) posting aggregate
     assert "CartesianProduct" not in plan
+
+
+def test_filtered_search_pushes_predicate_to_doc_scan(spark, sf01):
+    """The RAG retrieval composition: the metadata predicate must reach
+    the documents parquet scan (row-group pruning at 100 TB), the
+    candidate prune must broadcast, and the per-query top-k must run
+    under WindowGroupLimit."""
+    import __spark_entry__ as E
+
+    plan = _plan(spark, E.queries()["q_embed_filtered_search"](spark, sf01))
+    assert re.search(
+        r"PushedFilters: \[[^\]]*EqualTo\(lang,en\)"
+        r"[^\]]*GreaterThanOrEqual\(n_chars,200\)", plan
+    ), "the metadata predicate must reach the documents scan"
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan

@@ -3263,3 +3263,99 @@ def test_length_outliers_matches_naive(spark, docs):
             n < plo, n > phi,
         )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# eighteenth wave vs a naive reference: metadata-filtered vector search.
+
+_fs_strategy = st.lists(
+    st.tuples(
+        st.lists(st.integers(min_value=-5, max_value=5),
+                 min_size=8, max_size=8),                # embedding
+        st.sampled_from(["en", "de"]),                   # lang
+        st.integers(min_value=50, max_value=400),        # n_chars
+    ),
+    min_size=2,
+    max_size=25,
+)
+
+
+@given(items=_fs_strategy)
+@_settings
+def test_filtered_search_matches_naive(spark, items):
+    import math
+
+    from bitcoin_datapipeline_spark.operators.similarity import (
+        ANN_QUERY_MOD,
+        FILTER_MIN_CHARS,
+        FILTER_SEARCH_K,
+        filtered_search,
+    )
+
+    items = [(v, lg, nc) for v, lg, nc in items if any(x != 0 for x in v)]
+    if len(items) < 2:
+        return
+    ids = [i * (ANN_QUERY_MOD // 2) for i in range(len(items))]
+    emb_rows = [
+        Row(vec_id=i, embedding=[float(x) for x in v], label="l")
+        for i, (v, _lg, _nc) in zip(ids, items)
+    ]
+    doc_rows = [
+        Row(doc_id=i, text="t", lang=lg, source=f"s{i % 3}", n_chars=nc)
+        for i, (_v, lg, nc) in zip(ids, items)
+    ]
+    edf = spark.createDataFrame(
+        emb_rows, "vec_id long, embedding array<float>, label string"
+    )
+    ddf = spark.createDataFrame(
+        doc_rows,
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    got = {
+        (r.query_id, r.rank): (
+            r.neighbor_id, r.cosine, r.neighbor_source, r.neighbor_chars
+        )
+        for r in filtered_search(edf, ddf).collect()
+    }
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    def norm(a):
+        acc = 0.0
+        for x in a:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
+    emb = {i: v for i, (v, _lg, _nc) in zip(ids, items)}
+    meta = {i: (lg, nc) for i, (_v, lg, nc) in zip(ids, items)}
+    cand = [
+        i for i in ids
+        if meta[i][0] == "en" and meta[i][1] >= FILTER_MIN_CHARS
+    ]
+    want = {}
+    for qid in ids:
+        if qid % ANN_QUERY_MOD != 0:
+            continue
+        scored = sorted(
+            (
+                (
+                    _spark_round6(
+                        dot(emb[qid], emb[c])
+                        / (norm(emb[qid]) * norm(emb[c]))
+                    ),
+                    c,
+                )
+                for c in cand
+                if c != qid
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (cos, c) in enumerate(
+            scored[:FILTER_SEARCH_K], start=1
+        ):
+            want[(qid, rank)] = (c, cos, f"s{c % 3}", meta[c][1])
+    assert got == want
