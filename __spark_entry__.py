@@ -1841,6 +1841,13 @@ def q_embed_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# round 7: recall audit for the OR-amplified multi-table LSH — the
+# single-table vs multi-table recall gap as a queryable number
+@q("q_embed_recall_lsh_multi", similarity.ANN_RECALL_MULTI_ORACLE)
+def q_embed_recall_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_recall_lsh_multi(table(spark, sf_dir, "embeddings"))
+
+
 @q("q_embed_ann_lsh_multi", similarity.ANN_LSH_MULTI_ORACLE)
 def q_embed_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_multi(table(spark, sf_dir, "embeddings"))

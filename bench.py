@@ -182,6 +182,9 @@ HEADLINE = [
     # scan, broadcast candidate prune before scoring, top-k under
     # WindowGroupLimit)
     "q_embed_filtered_search",
+    # round 7 (nineteenth wave): the multi-table LSH recall audit —
+    # the single- vs multi-table recall gap as a queryable number
+    "q_embed_recall_lsh_multi",
 ]
 
 

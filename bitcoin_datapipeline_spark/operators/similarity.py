@@ -2205,3 +2205,144 @@ FROM (
   FROM fs_j
 )
 WHERE rank <= {FILTER_SEARCH_K}"""
+
+
+def ann_recall_lsh_multi(
+    embeddings: DataFrame, n_tables: int = LSH_TABLES
+) -> DataFrame:
+    """Recall audit for the OR-amplified multi-table LSH index — the
+    :func:`ann_recall_lsh` measurement applied to :func:`ann_lsh_multi`,
+    so the single-table vs multi-table recall gap (the reason the
+    amplified form exists) is itself a queryable number: run both audits
+    and diff the hit rates.
+
+    Same determinism contract as ann_recall_lsh (engine-rounded cosines,
+    max(struct) argmax, NULL columns + hit=false for queries the index
+    returns nothing for); same plan shape on the exact side (broadcast
+    queries, map-only corpus scan, partial-combinable argmax aggregate);
+    the index side is the declared ann_lsh_multi plan.
+
+    cf. reference: extends the surface (eval-harness family)."""
+    e = with_norm(embeddings)
+    q = e.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("emb_q"),
+        F.col("norm").alias("norm_q"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_c"),
+        F.col("norm").alias("norm_c"),
+    )
+    cos6 = r6(_dot("emb_q", "emb_c") / (F.col("norm_q") * F.col("norm_c")))
+    exact = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cos6)
+        .groupBy("query_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cosine"), (-F.col("neighbor_id")).alias("negid")
+                )
+            ).alias("best"),
+        )
+        .select(
+            "query_id",
+            (-F.col("best.negid")).cast("long").alias("exact_neighbor"),
+            F.col("best.cosine").alias("exact_cosine"),
+        )
+    )
+    idx = ann_lsh_multi(embeddings, n_tables).select(
+        "query_id",
+        F.col("neighbor_id").cast("long").alias("lsh_neighbor"),
+        "n_tables_matched",
+        F.col("cosine").alias("lsh_cosine"),
+    )
+    out = exact.join(idx, "query_id", "left")
+    return out.select(
+        "query_id",
+        "exact_neighbor",
+        r6(F.col("exact_cosine")).alias("exact_cosine"),
+        "lsh_neighbor",
+        F.coalesce(F.col("n_tables_matched"), F.lit(0))
+        .cast("long")
+        .alias("n_tables_matched"),
+        r6(F.col("lsh_cosine")).alias("lsh_cosine"),
+        F.coalesce(
+            F.col("lsh_neighbor") == F.col("exact_neighbor"), F.lit(False)
+        ).alias("hit"),
+        r6(F.col("exact_cosine") - F.col("lsh_cosine")).alias("cosine_gap"),
+    )
+
+
+def _ann_recall_multi_oracle() -> str:
+    def sign_sql(t: int) -> str:
+        return " || ".join(
+            f"(CASE WHEN CAST(embedding[{t * LSH_DIMS + i + 1}] AS DOUBLE)"
+            " >= 0 THEN '1' ELSE '0' END)"
+            for i in range(LSH_DIMS)
+        )
+
+    tables = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, {sign_sql(t)} AS bucket FROM embeddings"
+        for t in range(LSH_TABLES)
+    )
+    return f"""
+WITH arm_ex AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6)
+             AS cosine
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id % {ANN_QUERY_MOD} = 0 AND q.vec_id != c.vec_id
+),
+arm_best AS (
+  SELECT query_id,
+         CAST(neighbor_id AS BIGINT) AS exact_neighbor,
+         cosine AS exact_cosine
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM arm_ex
+  ) WHERE rn = 1
+),
+arm_tb AS ({tables}),
+arm_cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(count(*) AS BIGINT) AS n_tables_matched
+  FROM arm_tb q JOIN arm_tb c ON q.t = c.t AND q.bucket = c.bucket
+                             AND q.vec_id != c.vec_id
+  WHERE q.vec_id % {ANN_QUERY_MOD} = 0
+  GROUP BY 1, 2
+),
+arm_idx AS (
+  SELECT query_id,
+         CAST(neighbor_id AS BIGINT) AS lsh_neighbor,
+         n_tables_matched,
+         cosine AS lsh_cosine
+  FROM (
+    SELECT cand.query_id, cand.neighbor_id, cand.n_tables_matched,
+           round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                        CAST(ne.embedding AS DOUBLE[])), 6)
+               AS cosine,
+           row_number() OVER (PARTITION BY cand.query_id
+                              ORDER BY round(list_cosine_similarity(
+                                  CAST(qe.embedding AS DOUBLE[]),
+                                  CAST(ne.embedding AS DOUBLE[])), 6) DESC,
+                              cand.neighbor_id) AS rn
+    FROM arm_cand cand
+    JOIN embeddings qe ON qe.vec_id = cand.query_id
+    JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
+  ) WHERE rn = 1
+)
+SELECT b.query_id, b.exact_neighbor,
+       round(b.exact_cosine, 6) AS exact_cosine,
+       i.lsh_neighbor,
+       CAST(coalesce(i.n_tables_matched, 0) AS BIGINT) AS n_tables_matched,
+       round(i.lsh_cosine, 6) AS lsh_cosine,
+       coalesce(i.lsh_neighbor = b.exact_neighbor, false) AS hit,
+       round(b.exact_cosine - i.lsh_cosine, 6) AS cosine_gap
+FROM arm_best b LEFT JOIN arm_idx i ON b.query_id = i.query_id"""
+
+
+ANN_RECALL_MULTI_ORACLE = _ann_recall_multi_oracle()

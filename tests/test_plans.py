@@ -611,6 +611,10 @@ SHUFFLE_BUDGETS = {
     # the per-query top-k rank window (under WindowGroupLimit); the
     # candidate prune and the query set both broadcast
     "q_embed_filtered_search": 1,
+    # the exact side's max(struct) aggregate + the multi-table side's
+    # (query, neighbor) candidate dedup aggregate feeding its rank
+    # window
+    "q_embed_recall_lsh_multi": 3,
 }
 
 

@@ -3359,3 +3359,103 @@ def test_filtered_search_matches_naive(spark, items):
         ):
             want[(qid, rank)] = (c, cos, f"s{c % 3}", meta[c][1])
     assert got == want
+
+
+_arm_strategy = st.lists(
+    st.lists(
+        st.integers(min_value=-5, max_value=5), min_size=24, max_size=24
+    ),
+    min_size=2,
+    max_size=20,
+)
+
+
+@given(vecs=_arm_strategy)
+@_settings
+def test_ann_recall_lsh_multi_matches_naive(spark, vecs):
+    import math
+
+    from bitcoin_datapipeline_spark.operators.similarity import (
+        ANN_QUERY_MOD,
+        LSH_DIMS,
+        LSH_TABLES,
+        ann_recall_lsh_multi,
+    )
+
+    vecs = [v for v in vecs if any(x != 0 for x in v)]
+    if len(vecs) < 2:
+        return
+    ids = [i * (ANN_QUERY_MOD // 2) for i in range(len(vecs))]
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in v], label="l")
+        for i, v in zip(ids, vecs)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    got = {
+        r.query_id: (
+            r.exact_neighbor, r.exact_cosine, r.lsh_neighbor,
+            r.n_tables_matched, r.lsh_cosine, r.hit, r.cosine_gap,
+        )
+        for r in ann_recall_lsh_multi(df).collect()
+    }
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    def norm(a):
+        acc = 0.0
+        for x in a:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
+    def buckets(v):
+        return [
+            "".join(
+                "1" if float(x) >= 0 else "0"
+                for x in v[t * LSH_DIMS:(t + 1) * LSH_DIMS]
+            )
+            for t in range(LSH_TABLES)
+        ]
+
+    emb = {i: v for i, v in zip(ids, vecs)}
+    want = {}
+    for qid in ids:
+        if qid % ANN_QUERY_MOD != 0:
+            continue
+        cands = [
+            (
+                _spark_round6(
+                    dot(emb[qid], emb[c]) / (norm(emb[qid]) * norm(emb[c]))
+                ),
+                c,
+            )
+            for c in ids
+            if c != qid
+        ]
+        best = max(cands, key=lambda t: (t[0], -t[1]))
+        qb = buckets(emb[qid])
+        matched = {
+            c: sum(1 for t in range(LSH_TABLES) if buckets(emb[c])[t] == qb[t])
+            for _cos, c in cands
+        }
+        lcands = [(cos, c) for cos, c in cands if matched[c] > 0]
+        if lcands:
+            lbest = max(lcands, key=lambda t: (t[0], -t[1]))
+            lnb, lcos, ntm = lbest[1], lbest[0], matched[lbest[1]]
+        else:
+            lnb, lcos, ntm = None, None, 0
+        want[qid] = (
+            best[1],
+            _spark_round6(best[0]),
+            lnb,
+            ntm,
+            _spark_round6(lcos) if lcos is not None else None,
+            lnb == best[1],
+            _spark_round6(best[0] - lcos) if lcos is not None else None,
+        )
+    assert got == want
