@@ -1848,6 +1848,16 @@ def q_embed_recall_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_recall_lsh_multi(table(spark, sf_dir, "embeddings"))
 
 
+# round 7: training-data governance audit over the gold set — class
+# balance by split, feature NULL rates, mean |label| in one table
+@q(
+    "q_gold_label_balance",
+    OD.with_ctes(OD.BARS_1M_CTE, body=gold.GOLD_BALANCE_ORACLE_BODY),
+)
+def q_gold_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.gold_label_balance(spark, sf_dir)
+
+
 @q("q_embed_ann_lsh_multi", similarity.ANN_LSH_MULTI_ORACLE)
 def q_embed_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_multi(table(spark, sf_dir, "embeddings"))

@@ -185,6 +185,9 @@ HEADLINE = [
     # round 7 (nineteenth wave): the multi-table LSH recall audit —
     # the single- vs multi-table recall gap as a queryable number
     "q_embed_recall_lsh_multi",
+    # round 7 (twentieth wave): the pre-training governance audit over
+    # the gold set (class balance by split, feature NULL rates)
+    "q_gold_label_balance",
 ]
 
 

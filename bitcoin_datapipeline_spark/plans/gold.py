@@ -828,3 +828,101 @@ SELECT joined.*,
             WHEN feature_ts <= lo + floor((hi - lo) * 0.85) THEN 'val'
             ELSE 'test' END AS split
 FROM joined CROSS JOIN rng"""
+
+
+def gold_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data governance audit over the gold training set: per
+    (split, symbol) — row count, direction-class counts and shares,
+    feature NULL rates (the lag features are legitimately NULL at each
+    symbol's head; anything beyond that is a pipeline bug), and the mean
+    absolute label.  The pre-training checklist an ML pipeline runs
+    before fitting anything: class imbalance, split sizes, and
+    missingness in ONE table.
+
+    Determinism: every count is an exact BIGINT; shares divide exact
+    integers; the mean |label| sums the 6-dp-rounded label column as
+    exact DECIMAL(18,6) before one double division.
+
+    Plan shape: the declared gold plan (bars → one symbol sort →
+    broadcast split boundary) + ONE calendar-bounded (split, symbol)
+    aggregate on top.
+
+    cf. reference: extends the surface (the audit consumer of the
+    trainer's dataset; the reference trains without one)."""
+    g = gold_training_set(spark, sf_dir)
+    c = g.groupBy("split", "symbol").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("direction") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_up"),
+        F.sum(F.when(F.col("direction") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_down"),
+        F.sum(F.when(F.col("direction") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flat"),
+        F.sum(F.when(F.col("ret_1").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_ret_1"),
+        F.sum(F.when(F.col("ret_5").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_ret_5"),
+        F.sum(F.when(F.col("volatility_10").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_volatility_10"),
+        F.sum(F.abs(F.col("return_10")).cast("decimal(18,6)"))
+        .cast("decimal(38,6)")
+        .alias("sabs"),
+    )
+    n = F.col("n_rows").cast("double")
+    return c.select(
+        "split",
+        "symbol",
+        "n_rows",
+        "n_up",
+        "n_down",
+        "n_flat",
+        r6(F.col("n_up") / n).alias("share_up"),
+        r6(F.col("n_down") / n).alias("share_down"),
+        r6(F.col("n_flat") / n).alias("share_flat"),
+        "null_ret_1",
+        "null_ret_5",
+        "null_volatility_10",
+        r6(F.col("sabs").cast("double") / n).alias("mean_abs_return_10"),
+    )
+
+
+# wrap the gold oracle's final SELECT as one more CTE, then aggregate —
+# the audit's oracle IS the declared gold oracle plus a GROUP BY
+_GOLD_CTES, _GOLD_FINAL = GOLD_ORACLE_BODY.rsplit("\nSELECT ", 1)
+GOLD_BALANCE_ORACLE_BODY = (
+    _GOLD_CTES
+    + ",\ngold_rows AS (SELECT "
+    + _GOLD_FINAL
+    + """)
+SELECT split, symbol,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN direction = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_up,
+       CAST(sum(CASE WHEN direction = -1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_down,
+       CAST(sum(CASE WHEN direction = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_flat,
+       round(sum(CASE WHEN direction = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS share_up,
+       round(sum(CASE WHEN direction = -1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS share_down,
+       round(sum(CASE WHEN direction = 0 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS share_flat,
+       CAST(sum(CASE WHEN ret_1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_ret_1,
+       CAST(sum(CASE WHEN ret_5 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_ret_5,
+       CAST(sum(CASE WHEN volatility_10 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_volatility_10,
+       round(CAST(CAST(sum(CAST(abs(return_10) AS DECIMAL(18,6)))
+                       AS DECIMAL(38,6)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS mean_abs_return_10
+FROM gold_rows
+GROUP BY split, symbol"""
+)

@@ -615,6 +615,9 @@ SHUFFLE_BUDGETS = {
     # (query, neighbor) candidate dedup aggregate feeding its rank
     # window
     "q_embed_recall_lsh_multi": 3,
+    # the declared gold plan (7, its own budget) — the audit aggregate
+    # rides the gold output's partitioning
+    "q_gold_label_balance": 7,
 }
 
 
