@@ -2855,11 +2855,17 @@ def test_var_es_matches_naive(spark, batch):
     for s, xs in per_sym.items():
         xs.sort()
         n = len(xs)
-        # exact interpolating percentile: pos = alpha*(n-1), symmetric lerp
+        # exact interpolating percentile: pos = alpha*(n-1); the engines'
+        # pinned SYMMETRIC lerp is lo*(1-d) + hi*d — NOT lo + (hi-lo)*d,
+        # which differs in the last ulp (hypothesis found the case)
         pos = VAR_ALPHA * (n - 1)
         lo = int(pos)
         frac = pos - lo
-        v = xs[lo] if frac == 0 else xs[lo] + (xs[lo + 1] - xs[lo]) * frac
+        v = (
+            xs[lo]
+            if frac == 0
+            else xs[lo] * (1 - frac) + xs[lo + 1] * frac
+        )
         tail = [x for x in xs if x <= v]
         es = None
         if tail:
@@ -3244,11 +3250,16 @@ def test_length_outliers_matches_naive(spark, docs):
     }
 
     def pctl(xs, p):
+        # the engines' pinned SYMMETRIC lerp: lo*(1-d) + hi*d
         xs = sorted(xs)
         pos = p * (len(xs) - 1)
         lo = int(pos)
         frac = pos - lo
-        return xs[lo] if frac == 0 else xs[lo] + (xs[lo + 1] - xs[lo]) * frac
+        return (
+            xs[lo]
+            if frac == 0
+            else xs[lo] * (1 - frac) + xs[lo + 1] * frac
+        )
 
     per_src = defaultdict(list)
     for _i, (s, n) in enumerate(docs):
