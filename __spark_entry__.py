@@ -1858,6 +1858,18 @@ def q_gold_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold.gold_label_balance(spark, sf_dir)
 
 
+# round 7: bar-grain completeness audit per (symbol, day) — the
+# backfill job's first question, span-bounded like fano
+@q(
+    "q_bar_completeness",
+    OD.with_ctes(
+        OD.BARS_1M_CTE + aggregates.BAR_COMPLETENESS_ORACLE_BODY, body=""
+    ),
+)
+def q_bar_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.bar_completeness(pipeline.bars_pipeline(spark, sf_dir))
+
+
 @q("q_embed_ann_lsh_multi", similarity.ANN_LSH_MULTI_ORACLE)
 def q_embed_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_multi(table(spark, sf_dir, "embeddings"))

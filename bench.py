@@ -188,6 +188,9 @@ HEADLINE = [
     # round 7 (twentieth wave): the pre-training governance audit over
     # the gold set (class balance by split, feature NULL rates)
     "q_gold_label_balance",
+    # round 7 (twenty-first wave): the bar-grain completeness audit
+    # (span-bounded missing-minute rate per symbol-day)
+    "q_bar_completeness",
 ]
 
 

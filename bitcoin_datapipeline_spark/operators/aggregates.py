@@ -4142,3 +4142,61 @@ SELECT symbol, day, n_bars,
                        / CAST(path_len AS DOUBLE), 6) END
            AS efficiency_ratio
 FROM er_g"""
+
+
+def bar_completeness(bars: DataFrame) -> DataFrame:
+    """Bar-grain data-completeness audit per (symbol, day): observed bar
+    count vs the day's active minute span, the missing-minute count, and
+    the completeness ratio — the bar-grain twin of
+    :func:`trade_gap_report` (that one measures inter-TRADE gaps in ms;
+    this one answers "which symbol-days have holes in the bar series",
+    the first question a backfill job asks).
+
+    Conventions (shared with the oracle): the span is max−min bucket + 1
+    WITHIN the day — a symbol listed mid-day is not penalized for
+    minutes before its first print (the fano_factor span discipline).
+
+    Determinism: every column is exact integer arithmetic except the one
+    ratio of exact integers.
+
+    Plan shape: one calendar-bounded (symbol, day) partial-combinable
+    aggregate.  Zero windows, zero joins.
+
+    cf. reference: extends the surface (data-quality family:
+    q_gap_report at trade grain, this at bar grain)."""
+    g = bars.groupBy(
+        "symbol",
+        F.expr("bucket div 1440").cast("long").alias("day"),
+    ).agg(
+        F.count("*").cast("long").alias("n_bars"),
+        F.min("bucket").cast("long").alias("first_bucket"),
+        F.max("bucket").cast("long").alias("last_bucket"),
+    )
+    span = F.col("last_bucket") - F.col("first_bucket") + F.lit(1)
+    return g.select(
+        "symbol",
+        "day",
+        "n_bars",
+        "first_bucket",
+        "last_bucket",
+        span.cast("long").alias("active_span"),
+        (span - F.col("n_bars")).cast("long").alias("missing_bars"),
+        r6(F.col("n_bars") / span.cast("double")).alias("completeness"),
+    )
+
+
+BAR_COMPLETENESS_ORACLE_BODY = """
+,bc_g AS (
+  SELECT symbol, bucket // 1440 AS day,
+         CAST(count(*) AS BIGINT) AS n_bars,
+         CAST(min(bucket) AS BIGINT) AS first_bucket,
+         CAST(max(bucket) AS BIGINT) AS last_bucket
+  FROM bars GROUP BY 1, 2
+)
+SELECT symbol, day, n_bars, first_bucket, last_bucket,
+       CAST(last_bucket - first_bucket + 1 AS BIGINT) AS active_span,
+       CAST(last_bucket - first_bucket + 1 - n_bars AS BIGINT)
+           AS missing_bars,
+       round(n_bars / CAST(last_bucket - first_bucket + 1 AS DOUBLE), 6)
+           AS completeness
+FROM bc_g"""

@@ -618,6 +618,8 @@ SHUFFLE_BUDGETS = {
     # the declared gold plan (7, its own budget) — the audit aggregate
     # rides the gold output's partitioning
     "q_gold_label_balance": 7,
+    # bars (2) + the calendar-bounded (symbol, day) aggregate
+    "q_bar_completeness": 3,
 }
 
 
