@@ -1870,6 +1870,13 @@ def q_bar_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.bar_completeness(pipeline.bars_pipeline(spark, sf_dir))
 
 
+# round 7: exact-duplicate embedding audit — group by the vector
+# itself, no hashing convention to align
+@q("q_embed_dup_vectors", similarity.DUP_VECTORS_ORACLE)
+def q_embed_dup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.duplicate_vectors(table(spark, sf_dir, "embeddings"))
+
+
 @q("q_embed_ann_lsh_multi", similarity.ANN_LSH_MULTI_ORACLE)
 def q_embed_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_multi(table(spark, sf_dir, "embeddings"))

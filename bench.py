@@ -191,6 +191,9 @@ HEADLINE = [
     # round 7 (twenty-first wave): the bar-grain completeness audit
     # (span-bounded missing-minute rate per symbol-day)
     "q_bar_completeness",
+    # round 7 (twenty-second wave): the exact-duplicate embedding audit
+    # (group by the vector itself — embedding hygiene before any ANN)
+    "q_embed_dup_vectors",
 ]
 
 

@@ -2346,3 +2346,52 @@ FROM arm_best b LEFT JOIN arm_idx i ON b.query_id = i.query_id"""
 
 
 ANN_RECALL_MULTI_ORACLE = _ann_recall_multi_oracle()
+
+
+def duplicate_vectors(embeddings: DataFrame) -> DataFrame:
+    """Exact-duplicate embedding audit: group BY THE VECTOR ITSELF and
+    report every group that occurs more than once — the cheap first pass
+    of embedding hygiene (a retried encoder batch or a collapsed model
+    silently writes byte-identical vectors under different ids, which
+    then distort every ANN/SemDeDup measurement downstream; SemDeDup
+    finds near-dups, this finds the exact ones in one aggregate).
+
+    Determinism: both engines read the same parquet floats and group on
+    byte equality — no hashing convention to align, no float arithmetic
+    at all; the group stats are exact integers over deterministic ids.
+
+    Plan shape: ONE hash aggregate keyed on the vector (the exact-dedup
+    hash-groupBy pattern with the array as the key — shuffle payload is
+    one (vector, partial-count) row per group per input partition), then
+    a count>1 filter.  At 100 TB the vector key is wide (d floats) but
+    the aggregate output is bounded by the DISTINCT vector count, and a
+    production variant keys on md5(vector bytes) to shrink the shuffle
+    key — same plan shape, documented trade.
+
+    cf. reference: extends the surface (exact-dup family applied to the
+    embeddings table; no embedding ops in the reference)."""
+    g = embeddings.groupBy("embedding").agg(
+        F.count("*").cast("long").alias("n_dups"),
+        F.min("vec_id").cast("long").alias("rep_vec_id"),
+        F.max("vec_id").cast("long").alias("max_vec_id"),
+        F.countDistinct("label").cast("long").alias("n_labels"),
+    )
+    return g.filter(F.col("n_dups") > 1).select(
+        "rep_vec_id",
+        "max_vec_id",
+        "n_dups",
+        "n_labels",
+    )
+
+
+DUP_VECTORS_ORACLE = """
+WITH dv_g AS (
+  SELECT embedding,
+         CAST(count(*) AS BIGINT) AS n_dups,
+         CAST(min(vec_id) AS BIGINT) AS rep_vec_id,
+         CAST(max(vec_id) AS BIGINT) AS max_vec_id,
+         CAST(count(DISTINCT label) AS BIGINT) AS n_labels
+  FROM embeddings GROUP BY embedding
+)
+SELECT rep_vec_id, max_vec_id, n_dups, n_labels
+FROM dv_g WHERE n_dups > 1"""

@@ -620,6 +620,9 @@ SHUFFLE_BUDGETS = {
     "q_gold_label_balance": 7,
     # bars (2) + the calendar-bounded (symbol, day) aggregate
     "q_bar_completeness": 3,
+    # ONE vector-keyed hash aggregate (two exchanges with its partial
+    # pair under AQE counting) — the exact-dedup pattern on embeddings
+    "q_embed_dup_vectors": 2,
 }
 
 

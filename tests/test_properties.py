@@ -3470,3 +3470,56 @@ def test_ann_recall_lsh_multi_matches_naive(spark, vecs):
             _spark_round6(best[0] - lcos) if lcos is not None else None,
         )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# twenty-second wave vs a naive reference: the exact-duplicate embedding
+# audit (the synthetic corpus has no duplicate vectors, so the declared
+# query's oracle pass is a 0-row check — this test INJECTS duplicates).
+
+_dv_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),           # vector template id
+        st.sampled_from(["a", "b"]),                     # label
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(items=_dv_strategy)
+@_settings
+def test_duplicate_vectors_matches_naive(spark, items):
+    from collections import defaultdict
+
+    from bitcoin_datapipeline_spark.operators.similarity import (
+        duplicate_vectors,
+    )
+
+    # template t expands to a deterministic vector; repeated templates
+    # are byte-identical duplicates under distinct vec_ids
+    rows = [
+        Row(
+            vec_id=i,
+            embedding=[float(t), float(t * 2 + 1), -float(t)],
+            label=lab,
+        )
+        for i, (t, lab) in enumerate(items)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    got = {
+        r.rep_vec_id: (r.max_vec_id, r.n_dups, r.n_labels)
+        for r in duplicate_vectors(df).collect()
+    }
+    groups = defaultdict(list)
+    for i, (t, lab) in enumerate(items):
+        groups[t].append((i, lab))
+    want = {}
+    for _t, members in groups.items():
+        if len(members) > 1:
+            ids = [i for i, _lab in members]
+            labs = {lab for _i, lab in members}
+            want[min(ids)] = (max(ids), len(ids), len(labs))
+    assert got == want
