@@ -1877,6 +1877,24 @@ def q_embed_dup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.duplicate_vectors(table(spark, sf_dir, "embeddings"))
 
 
+# round 7: prevailing-quote staleness at trade times — the feed-health
+# audit behind every effective-spread number
+@q(
+    "q_quote_staleness",
+    OD.with_ctes(
+        OD.DEDUP_TRADES_CTE,
+        OD.BBA_CTE + aggregates.QUOTE_STALENESS_ORACLE_BODY,
+        body="",
+    ),
+)
+def q_quote_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return aggregates.quote_staleness(
+        dedup.dedup_trades(normalize.valid_trades(events)),
+        normalize.bba(events),
+    )
+
+
 @q("q_embed_ann_lsh_multi", similarity.ANN_LSH_MULTI_ORACLE)
 def q_embed_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_multi(table(spark, sf_dir, "embeddings"))

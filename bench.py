@@ -194,6 +194,10 @@ HEADLINE = [
     # round 7 (twenty-second wave): the exact-duplicate embedding audit
     # (group by the vector itself — embedding hygiene before any ANN)
     "q_embed_dup_vectors",
+    # round 7 (twenty-third wave): prevailing-quote staleness at trade
+    # times (single-sort union-LOCF running max — the feed-health audit
+    # behind every effective-spread number)
+    "q_quote_staleness",
 ]
 
 

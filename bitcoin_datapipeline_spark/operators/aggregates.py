@@ -4200,3 +4200,129 @@ SELECT symbol, day, n_bars, first_bucket, last_bucket,
        round(n_bars / CAST(last_bucket - first_bucket + 1 AS DOUBLE), 6)
            AS completeness
 FROM bc_g"""
+
+
+QUOTE_STALE_MS = 5_000  # staleness breach threshold (ms)
+
+
+def quote_staleness(
+    trades: DataFrame, bba: DataFrame, stale_ms: int = QUOTE_STALE_MS
+) -> DataFrame:
+    """Prevailing-quote staleness at trade times per symbol: for every
+    trade, the age of the latest quote STRICTLY before it (the
+    :func:`effective_spread` matching convention), summarized as
+    p50/p90/max staleness plus the count and share of trades priced off
+    a quote older than ``stale_ms`` — the market-data-quality audit that
+    says whether effective-spread numbers can be trusted (a spread
+    against a 30-second-old quote measures the feed, not the market).
+
+    Unlike the value-carrying as-of match, staleness needs only the MAX
+    prevailing quote timestamp, which is tie-order-insensitive — the
+    union-LOCF scan carries one running max(quote_ts), no
+    lexicographic-max struct required.
+
+    Determinism: staleness is exact integer ms; the percentiles use the
+    engine's pinned exact-``percentile`` convention; trades before any
+    quote are counted (``n_unmatched``), not silently dropped.
+
+    Plan shape: ONE partitionBy(symbol) sort over the quote+trade union
+    (the effective_spread single-sort discipline) → a K-row summary
+    aggregate riding the same partitioning.
+
+    cf. reference: extends the surface (market-data-quality companion
+    of q_gap_report / q_effective_spread; staleness thresholds follow
+    the reference's feed-health monitoring intent)."""
+    q = bba.select(
+        "symbol",
+        (F.col("event_ts") + F.lit(1)).cast("long").alias("sort_ts"),
+        F.lit(0).alias("is_q"),
+        F.col("event_ts").cast("long").alias("qts"),
+        F.lit(None).cast("long").alias("tts"),
+    )
+    t = trades.select(
+        "symbol",
+        F.col("event_ts").cast("long").alias("sort_ts"),
+        F.lit(1).alias("is_q"),
+        F.lit(None).cast("long").alias("qts"),
+        F.col("event_ts").cast("long").alias("tts"),
+    )
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("sort_ts", "is_q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = q.unionByName(t).select(
+        "symbol", "is_q", "tts", F.max("qts").over(w).alias("last_q")
+    )
+    tr = u.filter(F.col("is_q") == 1).select(
+        "symbol",
+        (F.col("tts") - F.col("last_q")).cast("long").alias("stale"),
+    )
+    g = tr.groupBy("symbol").agg(
+        F.count("*").cast("long").alias("n_trades"),
+        F.sum(F.when(F.col("stale").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unmatched"),
+        F.expr("percentile(stale, 0.5)").alias("p50_raw"),
+        F.expr("percentile(stale, 0.9)").alias("p90_raw"),
+        F.max("stale").cast("long").alias("max_stale_ms"),
+        F.sum(F.when(F.col("stale") > stale_ms, 1).otherwise(0))
+        .cast("long")
+        .alias("n_stale"),
+    )
+    matched = (F.col("n_trades") - F.col("n_unmatched")).cast("double")
+    return g.select(
+        "symbol",
+        "n_trades",
+        "n_unmatched",
+        r6(F.col("p50_raw")).alias("p50_stale_ms"),
+        r6(F.col("p90_raw")).alias("p90_stale_ms"),
+        "max_stale_ms",
+        "n_stale",
+        F.when(
+            matched > 0, r6(F.col("n_stale") / matched)
+        ).alias("stale_share"),
+    )
+
+
+QUOTE_STALENESS_ORACLE_BODY = f"""
+,qs_u AS (
+  SELECT symbol, event_ts + 1 AS sort_ts, 0 AS is_q,
+         CAST(event_ts AS BIGINT) AS qts, CAST(NULL AS BIGINT) AS tts
+  FROM bba
+  UNION ALL
+  SELECT symbol, event_ts, 1, CAST(NULL AS BIGINT),
+         CAST(event_ts AS BIGINT)
+  FROM dedup_trades
+),
+qs_l AS (
+  SELECT symbol, is_q, tts,
+         max(qts) OVER (PARTITION BY symbol ORDER BY sort_ts, is_q
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_q
+  FROM qs_u
+),
+qs_t AS (
+  SELECT symbol, CAST(tts - last_q AS BIGINT) AS stale
+  FROM qs_l WHERE is_q = 1
+),
+qs_g AS (
+  SELECT symbol,
+         CAST(count(*) AS BIGINT) AS n_trades,
+         CAST(sum(CASE WHEN stale IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unmatched,
+         quantile_cont(stale, 0.5) AS p50_raw,
+         quantile_cont(stale, 0.9) AS p90_raw,
+         CAST(max(stale) AS BIGINT) AS max_stale_ms,
+         CAST(sum(CASE WHEN stale > {QUOTE_STALE_MS} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_stale
+  FROM qs_t GROUP BY symbol
+)
+SELECT symbol, n_trades, n_unmatched,
+       round(p50_raw, 6) AS p50_stale_ms,
+       round(p90_raw, 6) AS p90_stale_ms,
+       max_stale_ms, n_stale,
+       CASE WHEN n_trades - n_unmatched > 0
+            THEN round(n_stale / CAST(n_trades - n_unmatched AS DOUBLE), 6)
+       END AS stale_share
+FROM qs_g"""

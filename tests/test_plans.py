@@ -623,6 +623,9 @@ SHUFFLE_BUDGETS = {
     # ONE vector-keyed hash aggregate (two exchanges with its partial
     # pair under AQE counting) — the exact-dedup pattern on embeddings
     "q_embed_dup_vectors": 2,
+    # dedup (1) + the ONE symbol sort over the quote+trade union; the
+    # K-row summary rides the same partitioning
+    "q_quote_staleness": 2,
 }
 
 

@@ -3523,3 +3523,94 @@ def test_duplicate_vectors_matches_naive(spark, items):
             labs = {lab for _i, lab in members}
             want[min(ids)] = (max(ids), len(ids), len(labs))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# twenty-third wave vs a naive reference: prevailing-quote staleness.
+
+_qs_strategy = st.tuples(
+    st.lists(                                            # trades
+        st.tuples(st.sampled_from(["BTC", "ETH"]),
+                  st.integers(min_value=0, max_value=200_000)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.lists(                                            # quotes
+        st.tuples(st.sampled_from(["BTC", "ETH"]),
+                  st.integers(min_value=0, max_value=200_000)),
+        min_size=0,
+        max_size=30,
+    ),
+)
+
+
+@given(tape=_qs_strategy)
+@_settings
+def test_quote_staleness_matches_naive(spark, tape):
+    from collections import defaultdict
+
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        QUOTE_STALE_MS,
+        quote_staleness,
+    )
+
+    trades_in, quotes_in = tape
+    t_rows = [
+        Row(symbol=s, event_ts=ts) for s, ts in sorted(set(trades_in))
+    ]
+    q_rows = [
+        Row(symbol=s, event_ts=ts, bid_px=1.0, ask_px=2.0)
+        for s, ts in sorted(set(quotes_in))
+    ]
+    tdf = spark.createDataFrame(t_rows, "symbol string, event_ts long")
+    qdf = spark.createDataFrame(
+        q_rows, "symbol string, event_ts long, bid_px double, ask_px double"
+    )
+    got = {
+        r.symbol: (
+            r.n_trades, r.n_unmatched, r.p50_stale_ms, r.p90_stale_ms,
+            r.max_stale_ms, r.n_stale, r.stale_share,
+        )
+        for r in quote_staleness(tdf, qdf).collect()
+    }
+
+    def pctl(xs, p):
+        xs = sorted(xs)
+        pos = p * (len(xs) - 1)
+        lo = int(pos)
+        frac = pos - lo
+        v = xs[lo] if frac == 0 else xs[lo] * (1 - frac) + xs[lo + 1] * frac
+        return _spark_round6(float(v))
+
+    per_sym_t = defaultdict(list)
+    for s, ts in set(trades_in):
+        per_sym_t[s].append(ts)
+    per_sym_q = defaultdict(list)
+    for s, ts in set(quotes_in):
+        per_sym_q[s].append(ts)
+    want = {}
+    for s, tss in per_sym_t.items():
+        stales = []
+        unmatched = 0
+        for ts in tss:
+            prev = [q for q in per_sym_q[s] if q < ts]
+            if prev:
+                stales.append(ts - max(prev))
+            else:
+                unmatched += 1
+        n = len(tss)
+        matched = n - unmatched
+        want[s] = (
+            n,
+            unmatched,
+            pctl(stales, 0.5) if stales else None,
+            pctl(stales, 0.9) if stales else None,
+            max(stales) if stales else None,
+            sum(1 for x in stales if x > QUOTE_STALE_MS),
+            _spark_round6(
+                sum(1 for x in stales if x > QUOTE_STALE_MS) / matched
+            )
+            if matched > 0
+            else None,
+        )
+    assert got == want
