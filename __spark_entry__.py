@@ -1895,6 +1895,20 @@ def q_quote_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# round 7: intraday volatility seasonality — the |move| twin of the
+# VWAP-scheduler volume curve, decimal-exact end to end
+@q(
+    "q_intraday_volatility",
+    OD.with_ctes(
+        OD.BARS_1M_CTE + aggregates.INTRADAY_VOL_ORACLE_BODY, body=""
+    ),
+)
+def q_intraday_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.intraday_volatility_profile(
+        pipeline.bars_pipeline(spark, sf_dir)
+    )
+
+
 @q("q_embed_ann_lsh_multi", similarity.ANN_LSH_MULTI_ORACLE)
 def q_embed_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_multi(table(spark, sf_dir, "embeddings"))

@@ -198,6 +198,9 @@ HEADLINE = [
     # times (single-sort union-LOCF running max — the feed-health audit
     # behind every effective-spread number)
     "q_quote_staleness",
+    # round 7 (twenty-fourth wave): intraday volatility seasonality —
+    # the |move| twin of the VWAP-scheduler volume curve
+    "q_intraday_volatility",
 ]
 
 

@@ -4326,3 +4326,73 @@ SELECT symbol, n_trades, n_unmatched,
             THEN round(n_stale / CAST(n_trades - n_unmatched AS DOUBLE), 6)
        END AS stale_share
 FROM qs_g"""
+
+
+def intraday_volatility_profile(bars: DataFrame) -> DataFrame:
+    """Intraday volatility seasonality per (symbol, hour-of-day): the
+    total and per-day-average absolute close-to-open bar movement in
+    each clock hour — the |move| twin of
+    :func:`intraday_volume_profile`'s volume curve (volume says WHEN it
+    trades, this says when it MOVES; the two diverge around scheduled
+    events, which is exactly what a scheduler wants flagged).
+
+    Determinism: |price_change| sits on the 6-dp bar grid, so the hour
+    sums are exact DECIMAL(38,6) end to end and the per-day average is
+    ONE division of exact operands — no mean-of-double-shares anywhere.
+
+    Plan shape: bars → one (symbol, day, hod) partial-combinable
+    aggregate → one (symbol, hod) roll-up to K·24 rows.  No windows.
+
+    cf. reference: extends the surface (volatility companion of
+    q_intraday_profile)."""
+    hb = bars.groupBy(
+        "symbol",
+        F.expr("(bucket * 60000) div 86400000").cast("long").alias("day"),
+        F.expr("(bucket * 60000) % 86400000 div 3600000")
+        .cast("int")
+        .alias("hod"),
+    ).agg(
+        F.sum(F.abs(F.col("price_change")).cast("decimal(18,6)"))
+        .cast("decimal(38,6)")
+        .alias("abs_move"),
+        F.count("*").cast("long").alias("n_bars_h"),
+    )
+    g = hb.groupBy("symbol", "hod").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("abs_move").cast("decimal(38,6)").alias("tot_move"),
+        F.sum("n_bars_h").cast("long").alias("n_bars"),
+    )
+    return g.select(
+        "symbol",
+        "hod",
+        "n_days",
+        "n_bars",
+        r6(F.col("tot_move").cast("double")).alias("total_abs_move"),
+        r6(
+            F.col("tot_move").cast("double") / F.col("n_days").cast("double")
+        ).alias("avg_abs_move_per_day"),
+    )
+
+
+INTRADAY_VOL_ORACLE_BODY = """
+,ivv_h AS (
+  SELECT symbol,
+         (bucket * 60000) // 86400000 AS day,
+         CAST((bucket * 60000) % 86400000 // 3600000 AS INT) AS hod,
+         CAST(sum(CAST(abs(price_change) AS DECIMAL(18,6)))
+              AS DECIMAL(38,6)) AS abs_move,
+         CAST(count(*) AS BIGINT) AS n_bars_h
+  FROM bars GROUP BY 1, 2, 3
+),
+ivv_g AS (
+  SELECT symbol, hod,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(abs_move) AS DECIMAL(38,6)) AS tot_move,
+         CAST(sum(n_bars_h) AS BIGINT) AS n_bars
+  FROM ivv_h GROUP BY 1, 2
+)
+SELECT symbol, hod, n_days, n_bars,
+       round(CAST(tot_move AS DOUBLE), 6) AS total_abs_move,
+       round(CAST(tot_move AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+           AS avg_abs_move_per_day
+FROM ivv_g"""

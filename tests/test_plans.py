@@ -626,6 +626,8 @@ SHUFFLE_BUDGETS = {
     # dedup (1) + the ONE symbol sort over the quote+trade union; the
     # K-row summary rides the same partitioning
     "q_quote_staleness": 2,
+    # bars (2) + the (symbol, day, hod) aggregate + the K·24-row roll-up
+    "q_intraday_volatility": 4,
 }
 
 

@@ -3614,3 +3614,67 @@ def test_quote_staleness_matches_naive(spark, tape):
             else None,
         )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# twenty-fourth wave vs a naive reference: the intraday volatility profile.
+
+_iv_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["BTC", "ETH"]),                 # symbol
+        st.integers(min_value=0, max_value=4320),        # bar bucket (3 days)
+        st.integers(min_value=-500_000, max_value=500_000),  # Δ in 1e-6
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(batch=_iv_strategy)
+@_settings
+def test_intraday_volatility_matches_naive(spark, batch):
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        intraday_volatility_profile,
+    )
+
+    uniq = {}
+    for s, b, d6 in sorted(batch):
+        uniq[(s, b)] = Fraction(d6, 10**6)
+    rows = [
+        Row(symbol=s, bucket=b, price_change=float(x))
+        for (s, b), x in sorted(uniq.items())
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, bucket long, price_change double"
+    )
+    got = {
+        (r.symbol, r.hod): (
+            r.n_days, r.n_bars, r.total_abs_move, r.avg_abs_move_per_day
+        )
+        for r in intraday_volatility_profile(df).collect()
+    }
+    per_dh = defaultdict(lambda: [Fraction(0), 0])
+    for (s, b), x in uniq.items():
+        ms = b * 60_000
+        day, hod = ms // 86_400_000, (ms % 86_400_000) // 3_600_000
+        acc = per_dh[(s, day, hod)]
+        acc[0] += abs(x)
+        acc[1] += 1
+    per_h = defaultdict(lambda: [0, Fraction(0), 0])
+    for (s, _day, hod), (mv, nb) in per_dh.items():
+        acc = per_h[(s, hod)]
+        acc[0] += 1
+        acc[1] += mv
+        acc[2] += nb
+    want = {}
+    for (s, hod), (nd, mv, nb) in per_h.items():
+        want[(s, hod)] = (
+            nd,
+            nb,
+            _spark_round6(float(mv)),
+            _spark_round6(float(mv) / nd),
+        )
+    assert got == want
