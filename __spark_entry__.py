@@ -1895,6 +1895,13 @@ def q_quote_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# round 7: the one-row corpus datasheet — document/source/language
+# counts, token totals, vocabulary size, exact-duplicate share
+@q("q_doc_datasheet", text.CORPUS_DATASHEET_ORACLE)
+def q_doc_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.corpus_datasheet(table(spark, sf_dir, "documents"))
+
+
 # round 7: intraday volatility seasonality — the |move| twin of the
 # VWAP-scheduler volume curve, decimal-exact end to end
 @q(

@@ -201,6 +201,9 @@ HEADLINE = [
     # round 7 (twenty-fourth wave): intraday volatility seasonality —
     # the |move| twin of the VWAP-scheduler volume curve
     "q_intraday_volatility",
+    # round 7 (twenty-fifth wave): the one-row corpus datasheet
+    # (counts, totals, vocabulary, exact-duplicate share)
+    "q_doc_datasheet",
 ]
 
 

@@ -4524,3 +4524,99 @@ SELECT d.doc_id, d.source, d.n_tokens, b.n_docs_src,
        d.n_tokens < b.p_lo AS too_short,
        d.n_tokens > b.p_hi AS too_long
 FROM lo_d d JOIN lo_b b ON d.source = b.source"""
+
+
+# --- Corpus datasheet (round 7) -----------------------------------------------
+
+
+def corpus_datasheet(documents: DataFrame) -> DataFrame:
+    """The one-row corpus datasheet ("Datasheets for Datasets",
+    Gebru et al. 2021): document/source/language counts, token and
+    character totals, mean document length, vocabulary size, and the
+    exact-duplicate share — the header block of a corpus card, as one
+    query instead of six.
+
+    Determinism: every statistic is an exact integer (counts,
+    countDistinct over tokens / md5(text)) except the two means, each
+    ONE division of exact operands.
+
+    Plan shape: one doc-grain aggregate for the counts (map-only
+    per-row token/char counts feeding partial-combinable sums;
+    countDistinct over source/lang/md5 partial-expands then combines)
+    plus one token-explode aggregate for the vocabulary — the two
+    corpus-sized passes a datasheet fundamentally needs (per-doc stats
+    and global vocabulary are different grains).
+
+    cf. reference: extends the surface (the corpus card's header; the
+    reference has no text surface)."""
+    d = documents.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5(F.col("text")).alias("h"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_toks"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    base = d.groupBy().agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("h").cast("long").alias("n_distinct_texts"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    vocab = (
+        documents.select(
+            F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .groupBy()
+        .agg(F.countDistinct("token").cast("long").alias("vocab_size"))
+    )
+    j = base.crossJoin(F.broadcast(vocab))
+    nd = F.col("n_docs").cast("double")
+    return j.select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "total_tokens",
+        "total_chars",
+        "vocab_size",
+        r6(F.col("total_tokens") / nd).alias("mean_tokens_per_doc"),
+        r6(F.col("total_chars") / nd).alias("mean_chars_per_doc"),
+        (F.col("n_docs") - F.col("n_distinct_texts"))
+        .cast("long")
+        .alias("n_exact_dups"),
+        r6(
+            (F.col("n_docs") - F.col("n_distinct_texts")).cast("double") / nd
+        ).alias("exact_dup_share"),
+    )
+
+
+CORPUS_DATASHEET_ORACLE = """
+WITH cd_d AS (
+  SELECT doc_id, source, lang, md5(text) AS h,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+),
+cd_b AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_texts,
+         CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM cd_d
+),
+cd_v AS (
+  SELECT CAST(count(DISTINCT token) AS BIGINT) AS vocab_size
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+)
+SELECT n_docs, n_sources, n_langs, total_tokens, total_chars, vocab_size,
+       round(total_tokens / CAST(n_docs AS DOUBLE), 6)
+           AS mean_tokens_per_doc,
+       round(total_chars / CAST(n_docs AS DOUBLE), 6) AS mean_chars_per_doc,
+       CAST(n_docs - n_distinct_texts AS BIGINT) AS n_exact_dups,
+       round((n_docs - n_distinct_texts) / CAST(n_docs AS DOUBLE), 6)
+           AS exact_dup_share
+FROM cd_b, cd_v"""

@@ -628,6 +628,9 @@ SHUFFLE_BUDGETS = {
     "q_quote_staleness": 2,
     # bars (2) + the (symbol, day, hod) aggregate + the K·24-row roll-up
     "q_intraday_volatility": 4,
+    # the doc-grain count aggregate (countDistinct partial-expand) +
+    # the vocabulary countDistinct — the two grains a datasheet needs
+    "q_doc_datasheet": 4,
 }
 
 

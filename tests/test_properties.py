@@ -3678,3 +3678,57 @@ def test_intraday_volatility_matches_naive(spark, batch):
             _spark_round6(float(mv) / nd),
         )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# twenty-fifth wave vs a naive reference: the one-row corpus datasheet
+# (including injected exact duplicates).
+
+_cd_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2", "s3"]),             # source
+        st.sampled_from(["en", "de"]),                   # lang
+        st.integers(min_value=0, max_value=4),           # text template
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(docs=_cd_strategy)
+@_settings
+def test_corpus_datasheet_matches_naive(spark, docs):
+    from bitcoin_datapipeline_spark.operators.text import corpus_datasheet
+
+    texts = ["aa bb", "aa", "cc dd ee", "ff", "aa bb cc"]
+    rows = [
+        Row(doc_id=i, source=s, lang=lg, text=texts[t])
+        for i, (s, lg, t) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    )
+    r = corpus_datasheet(df).collect()[0]
+    n = len(docs)
+    toks = [texts[t].split(" ") for _s, _lg, t in docs]
+    total_tokens = sum(len(ts) for ts in toks)
+    total_chars = sum(len(texts[t]) for _s, _lg, t in docs)
+    vocab = {w for ts in toks for w in ts}
+    distinct_texts = {texts[t] for _s, _lg, t in docs}
+    dups = n - len(distinct_texts)
+    assert (
+        r.n_docs, r.n_sources, r.n_langs, r.total_tokens, r.total_chars,
+        r.vocab_size, r.mean_tokens_per_doc, r.mean_chars_per_doc,
+        r.n_exact_dups, r.exact_dup_share,
+    ) == (
+        n,
+        len({s for s, _lg, _t in docs}),
+        len({lg for _s, lg, _t in docs}),
+        total_tokens,
+        total_chars,
+        len(vocab),
+        _spark_round6(total_tokens / n),
+        _spark_round6(total_chars / n),
+        dups,
+        _spark_round6(dups / n),
+    )
