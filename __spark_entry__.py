@@ -1902,6 +1902,22 @@ def q_doc_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.corpus_datasheet(table(spark, sf_dir, "documents"))
 
 
+# round 7: the per-symbol market datasheet — coverage, volume, price
+# range, mean trade size in one aggregate (the tape twin of the above)
+@q(
+    "q_symbol_datasheet",
+    OD.with_ctes(
+        OD.DEDUP_TRADES_CTE + aggregates.SYMBOL_DATASHEET_ORACLE_BODY,
+        body="",
+    ),
+)
+def q_symbol_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return aggregates.symbol_datasheet(
+        dedup.dedup_trades(normalize.valid_trades(ev))
+    )
+
+
 # round 7: intraday volatility seasonality — the |move| twin of the
 # VWAP-scheduler volume curve, decimal-exact end to end
 @q(

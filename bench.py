@@ -204,6 +204,9 @@ HEADLINE = [
     # round 7 (twenty-fifth wave): the one-row corpus datasheet
     # (counts, totals, vocabulary, exact-duplicate share)
     "q_doc_datasheet",
+    # round 7 (twenty-sixth wave): the per-symbol market datasheet —
+    # coverage, volume, price range in one aggregate (the tape twin)
+    "q_symbol_datasheet",
 ]
 
 

@@ -4396,3 +4396,76 @@ SELECT symbol, hod, n_days, n_bars,
        round(CAST(tot_move AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
            AS avg_abs_move_per_day
 FROM ivv_g"""
+
+
+def symbol_datasheet(dedup_trades: DataFrame) -> DataFrame:
+    """Per-symbol market datasheet — the one-row-per-symbol header block
+    a data consumer reads before anything else (the market twin of the
+    corpus datasheet): coverage (first/last trade, active days), volume
+    (trades, quantity, notional), price range, and mean trade size.
+
+    Determinism: timestamps and counts are exact integers; quantity and
+    notional are exact DECIMAL sums on the engine grids (the VPIN / bars
+    conventions); min/max prices are order-free; the one mean divides
+    exact operands.
+
+    Plan shape: ONE partial-combinable per-symbol aggregate over the
+    dedup scan.  Zero windows, zero joins.
+
+    cf. reference: extends the surface (datasheet family:
+    q_doc_datasheet for the corpus, this for the tape)."""
+    g = dedup_trades.groupBy("symbol").agg(
+        F.count("*").cast("long").alias("n_trades"),
+        F.min("event_ts").cast("long").alias("first_ts"),
+        F.max("event_ts").cast("long").alias("last_ts"),
+        F.countDistinct(F.expr("event_ts div 86400000"))
+        .cast("long")
+        .alias("n_active_days"),
+        F.sum(F.col("qty").cast("decimal(20,4)"))
+        .cast("decimal(38,4)")
+        .alias("tot_qty"),
+        F.sum((F.col("price") * F.col("qty")).cast("decimal(20,4)"))
+        .cast("decimal(38,4)")
+        .alias("tot_notional"),
+        F.min("price").alias("min_price"),
+        F.max("price").alias("max_price"),
+    )
+    return g.select(
+        "symbol",
+        "n_trades",
+        "first_ts",
+        "last_ts",
+        "n_active_days",
+        r6(F.col("tot_qty").cast("double")).alias("total_qty"),
+        r6(F.col("tot_notional").cast("double")).alias("total_notional"),
+        r6(F.col("min_price")).alias("min_price"),
+        r6(F.col("max_price")).alias("max_price"),
+        r6(
+            F.col("tot_qty").cast("double") / F.col("n_trades").cast("double")
+        ).alias("mean_trade_qty"),
+    )
+
+
+SYMBOL_DATASHEET_ORACLE_BODY = """
+,sd_g AS (
+  SELECT symbol,
+         CAST(count(*) AS BIGINT) AS n_trades,
+         CAST(min(event_ts) AS BIGINT) AS first_ts,
+         CAST(max(event_ts) AS BIGINT) AS last_ts,
+         CAST(count(DISTINCT event_ts // 86400000) AS BIGINT)
+             AS n_active_days,
+         CAST(sum(CAST(qty AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS tot_qty,
+         CAST(sum(CAST(price * qty AS DECIMAL(20,4))) AS DECIMAL(38,4))
+             AS tot_notional,
+         min(price) AS min_price,
+         max(price) AS max_price
+  FROM dedup_trades GROUP BY symbol
+)
+SELECT symbol, n_trades, first_ts, last_ts, n_active_days,
+       round(CAST(tot_qty AS DOUBLE), 6) AS total_qty,
+       round(CAST(tot_notional AS DOUBLE), 6) AS total_notional,
+       round(min_price, 6) AS min_price,
+       round(max_price, 6) AS max_price,
+       round(CAST(tot_qty AS DOUBLE) / CAST(n_trades AS DOUBLE), 6)
+           AS mean_trade_qty
+FROM sd_g"""

@@ -631,6 +631,9 @@ SHUFFLE_BUDGETS = {
     # the doc-grain count aggregate (countDistinct partial-expand) +
     # the vocabulary countDistinct — the two grains a datasheet needs
     "q_doc_datasheet": 4,
+    # dedup (1) + the one per-symbol aggregate (countDistinct
+    # partial-expand over active days)
+    "q_symbol_datasheet": 3,
 }
 
 

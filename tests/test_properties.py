@@ -3732,3 +3732,63 @@ def test_corpus_datasheet_matches_naive(spark, docs):
         dups,
         _spark_round6(dups / n),
     )
+
+
+@given(batch=_gini_strategy)
+@_settings
+def test_symbol_datasheet_matches_naive(spark, batch):
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        symbol_datasheet,
+    )
+
+    # qty stays a WHOLE number and price sits on the binary-exact 1/4
+    # grid, so price*qty is exactly representable AND on the 1e-4
+    # decimal grid — the engine's DECIMAL(20,4) notional cast is then
+    # lossless and the Fraction reference is exact (an off-grid product
+    # would be quantized by the cast, which the naive can't replicate
+    # without re-implementing double->decimal HALF_UP)
+    uniq = {}
+    for s, tid, ts, q4 in sorted(batch):
+        uniq[(s, tid)] = (ts, Fraction(q4))
+    rows = [
+        Row(symbol=s, trade_id=tid, event_ts=ts,
+            price=float(tid) + 0.25, qty=float(q))
+        for (s, tid), (ts, q) in sorted(uniq.items())
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "symbol string, trade_id long, event_ts long, price double,"
+        " qty double",
+    )
+    got = {
+        r.symbol: (
+            r.n_trades, r.first_ts, r.last_ts, r.n_active_days,
+            r.total_qty, r.total_notional, r.min_price, r.max_price,
+            r.mean_trade_qty,
+        )
+        for r in symbol_datasheet(df).collect()
+    }
+    per_sym = defaultdict(list)
+    for (s, tid), (ts, q) in uniq.items():
+        # price = tid + 0.25 sits on the 1e-2 grid; price*qty on 1e-6
+        per_sym[s].append((ts, Fraction(4 * tid + 1, 4), q))
+    want = {}
+    for s, rs in per_sym.items():
+        n = len(rs)
+        tq = sum(q for _ts, _p, q in rs)
+        tn = sum(p * q for _ts, p, q in rs)
+        want[s] = (
+            n,
+            min(ts for ts, _p, _q in rs),
+            max(ts for ts, _p, _q in rs),
+            len({ts // 86_400_000 for ts, _p, _q in rs}),
+            _spark_round6(float(tq)),
+            _spark_round6(float(tn)),
+            _spark_round6(float(min(p for _ts, p, _q in rs))),
+            _spark_round6(float(max(p for _ts, p, _q in rs))),
+            _spark_round6(float(tq) / n),
+        )
+    assert got == want
