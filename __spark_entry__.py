@@ -2661,15 +2661,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate checks the FIRST 50 entries of queries().
 # Registration order above is thematic; this list orders queries by driver-
-# evidence AGE (oldest first) so each round's 50-slot window refreshes the
-# stalest rows.  After r6 every query's latest driver row is r4 (42
-# queries), r5 (50), or r6 (50).  Round 7 declared 16 NEW queries (not
-# listed here -> they sort first and take the first 16 slots); the
-# remaining 34 slots refresh the oldest r4-era rows below, leaving 8
-# r4-era rows for the r8 window.  Queries not listed are NEW and sort
-# first — see _driver_order.
+# evidence AGE so each round's 50-slot window refreshes the stalest rows.
+# Round 7 declared >50 new queries, so 9 of them never entered any window
+# (VERDICT r7 item 3) — those nine are pinned FIRST here so the r8 window
+# closes the evidence hole; then the r4-era leftovers, then r5/r6/r7 rows.
+# Queries not listed are NEW this round and sort before everything — keep
+# new-query count per round <= 41 so the pinned nine stay inside the window.
 _DRIVER_PRIORITY: list[str] = [
-    # 42 whose last driver row is CORRECTNESS_r04
+    # 9 — never driver-checked (pinned first)
+    "q_bar_completeness",
+    "q_doc_datasheet",
+    "q_embed_ann_ivfpq",
+    "q_embed_dup_vectors",
+    "q_embed_pq",
+    "q_gold_label_balance",
+    "q_intraday_volatility",
+    "q_quote_staleness",
+    "q_symbol_datasheet",
+    # 42 — last driver row CORRECTNESS_r04
     "q_daily_summary",
     "q_decimal_cast",
     "q_decontaminate_ngram",
@@ -2712,7 +2721,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_volatility_estimators",
     "q_volume_shipping",
     "q_waiting_suppliers",
-    # 50 whose last driver row is CORRECTNESS_r05
+    # 50 — last driver row CORRECTNESS_r05
     "q_anti_processed",
     "q_asof_price",
     "q_corpus_mix",
@@ -2763,7 +2772,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q_union_sources",
     "q_vpin",
     "q_winsorize",
-    # 50 whose last driver row is CORRECTNESS_r06
+    # 50 — last driver row CORRECTNESS_r06
     "q_bars_1m",
     "q_bba_features",
     "q_categorize",
@@ -2814,6 +2823,57 @@ _DRIVER_PRIORITY: list[str] = [
     "q_tfidf",
     "q_time_split",
     "q_vocab",
+    # 50 — last driver row CORRECTNESS_r07
+    "q_acf",
+    "q_amihud",
+    "q_cusum",
+    "q_cusum_path",
+    "q_depth_slope",
+    "q_doc_bm25",
+    "q_doc_burstiness",
+    "q_doc_cms",
+    "q_doc_entropy",
+    "q_doc_hll",
+    "q_doc_jaccard_hist",
+    "q_doc_jsd",
+    "q_doc_length_outliers",
+    "q_doc_minhash_calibration",
+    "q_doc_readability",
+    "q_doc_source_overlap",
+    "q_doc_split_leakage",
+    "q_doc_split_repair",
+    "q_doc_zipf",
+    "q_drawdown",
+    "q_effective_spread",
+    "q_efficiency_ratio",
+    "q_embed_filtered_search",
+    "q_embed_recall_lsh",
+    "q_embed_recall_lsh_multi",
+    "q_fano",
+    "q_gap_report",
+    "q_gini",
+    "q_hhi",
+    "q_hill_tail",
+    "q_hurst",
+    "q_intraday_profile",
+    "q_ks_drift",
+    "q_leadlag_xcorr",
+    "q_microprice",
+    "q_ofi",
+    "q_price_clustering",
+    "q_quote_trade_ratio",
+    "q_rank_surface",
+    "q_realized_beta",
+    "q_realized_spread",
+    "q_realized_var",
+    "q_runs_test",
+    "q_spearman",
+    "q_trade_runs",
+    "q_twa_spread",
+    "q_var_es",
+    "q_variance_ratio",
+    "q_volume_profile",
+    "q_vwap_slippage",
 ]
 
 

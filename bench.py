@@ -629,36 +629,57 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # The driver captures only the TAIL of stdout; in round 5 the single
-    # line carrying both medians and per-query spread outgrew that buffer
-    # and truncated its own front, leaving BENCH_r05.json unparseable.
-    # Emission contract since r6: the per-query min/max spread goes to a
-    # sidecar file (and a preceding stdout line for humans), and the LAST
-    # line printed is the compact headline JSON — medians only — so the
-    # tail capture always sees a complete object.
+    # The driver captures only the TAIL of stdout.  Round 5: the line
+    # carrying medians + spread outgrew that buffer (BENCH_r05 unparseable).
+    # Round 7: the medians dict alone outgrew it at 86 queries (BENCH_r07
+    # "parsed": null).  Emission contract since r8: per-query detail
+    # (medians AND spread) goes to sidecar files + preceding stdout lines
+    # for humans; the LAST line is an O(1)-sized headline whose size does
+    # NOT grow with the query surface, asserted < 1 KB so surface growth
+    # can never re-break the driver parse a third time.
+    here = os.path.dirname(os.path.abspath(__file__))
     spread_payload = {"metric": "headline_suite_spread", "spread": spread}
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_SPREAD_LOCAL.json"),
-            "w",
-        ) as f:
-            json.dump(spread_payload, f)
-    except OSError:
-        pass  # read-only checkout: the stdout line below still carries it
+    medians_payload = {
+        "metric": "headline_suite_medians",
+        "value": total,
+        "unit": "sec",
+        "stat": "median_of_3_after_warmup",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    for fname, payload in (
+        ("BENCH_SPREAD_LOCAL.json", spread_payload),
+        ("BENCH_LOCAL_LATEST.json", medians_payload),
+    ):
+        try:
+            with open(os.path.join(here, fname), "w") as f:
+                json.dump(payload, f)
+        except OSError:
+            pass  # read-only checkout: the stdout lines below still carry it
     print(json.dumps(spread_payload))
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "stat": "median_of_3_after_warmup",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    print(json.dumps(medians_payload))
+    print(final_headline_line(total, len(timings), medians_payload["sf"]))
+
+
+def final_headline_line(total: float, n_queries: int, sf) -> str:
+    """The LAST stdout line of a bench run — the only one the driver's
+    tail capture is guaranteed to see whole.  Must stay O(1)-sized (no
+    per-query dicts); the assertion makes the third recurrence of the
+    r5/r7 truncation bug impossible."""
+    line = json.dumps(
+        {
+            "metric": "headline_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "stat": "median_of_3_after_warmup",
+            "n_queries": n_queries,
+            "sf": sf,
+        }
     )
+    assert len(line) < 1024, (
+        f"final bench line must stay O(1)-sized, got {len(line)} bytes"
+    )
+    return line
 
 
 if __name__ == "__main__":

@@ -2033,7 +2033,7 @@ def variance_ratio(bars: DataFrame, q: int = VR_HORIZON) -> DataFrame:
         "n_short",
         "n_long",
         F.when(ok, r6(var1)).alias("var_1"),
-        F.when(ok, r6(varq)).alias(f"var_q"),
+        F.when(ok, r6(varq)).alias("var_q"),
         F.when(ok, r6(varq / (q * var1))).alias("variance_ratio"),
     )
 

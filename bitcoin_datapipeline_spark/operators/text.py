@@ -263,6 +263,26 @@ shd AS (
   FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 )"""
 
+# hot-shingle-capped twin of _SHINGLES_SQL: replicates _cap_hot_shingles
+# (drop shingles with doc frequency above MINHASH_HOT_SHINGLE_DF before
+# any self-join) so DuckDB oracles match the capped production path —
+# the q_doc_jaccard_hist pattern, reused by the split-governance oracles.
+_SHINGLES_CAPPED_SQL = """
+shd0 AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(toks[i:i+2], ' ')
+                 for i in generate_series(1, len(toks) - 2)]) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+hot AS (
+  SELECT shingle FROM shd0 GROUP BY shingle
+  HAVING count(*) > {cap}
+),
+shd AS (
+  SELECT doc_id, shingle FROM shd0
+  WHERE shingle NOT IN (SELECT shingle FROM hot)
+)"""
+
 
 def _cap_hot_shingles(shd: DataFrame, max_shingle_df: int) -> DataFrame:
     """Stopword-shingle blowup guard: drop shingles whose doc frequency
@@ -2919,7 +2939,9 @@ FROM t LEFT JOIN per_doc p USING (doc_id)"""
 
 
 def split_leakage(
-    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_shingle_df: int | None = MINHASH_HOT_SHINGLE_DF,
 ) -> DataFrame:
     """Cross-split NEAR-dup leakage audit — the check a pipeline runs
     after splitting: :func:`doc_hash_split` is leakage-safe under EXACT
@@ -2932,14 +2954,20 @@ def split_leakage(
     or re-bucket them.
 
     Plan shape: the pair generation is :func:`ngram_jaccard_pairs`'
-    shingle-blocked self-join (never n²; at 100 TB add the hot-shingle
-    cap there); the split assignment is the map-only hash over the
-    documents scan, joined to the threshold-filtered (small) pair side
-    on doc_id.  No new shuffle class beyond the jaccard pass itself.
+    shingle-blocked self-join (never n²) with the hot-shingle cap
+    ENGAGED by default (``max_shingle_df=MINHASH_HOT_SHINGLE_DF``,
+    :func:`_cap_hot_shingles`): this IS the governance query a pipeline
+    runs at 100 TB, so the stopword-shingle d² blowup guard cannot be
+    opt-in here.  Pass ``max_shingle_df=None`` for the exact-semantics
+    uncapped pass (agrees with capped whenever no shingle exceeds the
+    cap — property-tested).  The split assignment is the map-only hash
+    over the documents scan, joined to the threshold-filtered (small)
+    pair side on doc_id.  No new shuffle class beyond the jaccard pass
+    itself.
 
     cf. reference: extends the surface (composes the engine's own split
     + near-dup operators; no reference counterpart)."""
-    pairs = ngram_jaccard_pairs(documents, threshold)
+    pairs = ngram_jaccard_pairs(documents, threshold, max_shingle_df)
     splits = doc_hash_split(documents).select("doc_id", "split")
     sa = splits.select(
         F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
@@ -2958,7 +2986,7 @@ def split_leakage(
 
 
 SPLIT_LEAKAGE_ORACLE = f"""
-WITH {_SHINGLES_SQL},
+WITH {_SHINGLES_CAPPED_SQL.format(cap=MINHASH_HOT_SHINGLE_DF)},
 sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
@@ -3089,7 +3117,9 @@ JOIN sizes y ON source_b = y.source"""
 
 
 def split_repair(
-    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_shingle_df: int | None = MINHASH_HOT_SHINGLE_DF,
 ) -> DataFrame:
     """Leakage-closure split repair — the fix for what
     :func:`split_leakage` reports: re-bucket every near-dup CLUSTER onto a
@@ -3103,7 +3133,11 @@ def split_repair(
     docs whose assignment changed, with (component, from_split, to_split).
 
     Plan shape: pair generation is the :func:`ngram_jaccard_pairs`
-    shingle-blocked join; the closure is :func:`dedup_components`'
+    shingle-blocked join with the hot-shingle cap ENGAGED by default
+    (``max_shingle_df=MINHASH_HOT_SHINGLE_DF`` — same rationale as
+    :func:`split_leakage`: the at-scale governance query must carry the
+    d² guard; ``None`` restores exact semantics); the closure is
+    :func:`dedup_components`'
     O(log d) star contraction over the PAIR GRAPH only (docs in no pair
     never enter); split assignment is the map-only content hash joined
     back on doc_id/component.  At 100 TB every stage is the dedup
@@ -3114,7 +3148,9 @@ def split_repair(
 
     cf. reference: extends the surface (composes the engine's own
     near-dup + split + components operators; no reference counterpart)."""
-    pairs = ngram_jaccard_pairs(documents, threshold).select("doc_a", "doc_b")
+    pairs = ngram_jaccard_pairs(documents, threshold, max_shingle_df).select(
+        "doc_a", "doc_b"
+    )
     comps = dedup_components(documents, pairs=pairs)
     splits = doc_hash_split(documents).select("doc_id", "split")
     labeled = comps.select("doc_id", "component").join(splits, "doc_id")
@@ -3140,7 +3176,7 @@ def split_repair(
 # recursive-CTE twin: jaccard pair generation (the near-dup oracle chain),
 # reachability closure, min-label components, canonical-member split
 SPLIT_REPAIR_ORACLE = f"""
-WITH RECURSIVE {_SHINGLES_SQL},
+WITH RECURSIVE {_SHINGLES_CAPPED_SQL.format(cap=MINHASH_HOT_SHINGLE_DF)},
 sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
 cpairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared

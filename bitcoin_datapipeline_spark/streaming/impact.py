@@ -867,7 +867,7 @@ VR_STATE_SCHEMA = T.StructType(
 )
 
 
-def _vr_solve(n1, sx_u, sxx_u, nq, sq_u, sqq_u):
+def _vr_solve(n1, sx_u, sxx_u, nq, sq_u, sqq_u, q=None):
     sx = float(Fraction(sx_u, 10**4))
     sxx = float(Fraction(sxx_u, 10**8))
     if n1 > 0:
@@ -882,12 +882,14 @@ def _vr_solve(n1, sx_u, sxx_u, nq, sq_u, sqq_u):
         varq = None
     if not (n1 > 0 and nq > 0 and var1 > 0):
         return None, None, None
-    from bitcoin_datapipeline_spark.operators.aggregates import VR_HORIZON
+    if q is None:
+        from bitcoin_datapipeline_spark.operators.aggregates import VR_HORIZON
 
+        q = VR_HORIZON
     return (
         _round6(var1),
         _round6(varq),
-        _round6(varq / (VR_HORIZON * var1)),
+        _round6(varq / (q * var1)),
     )
 
 
@@ -960,7 +962,7 @@ def make_vr_processor(
                     sq_u += qs
                     sqq_u += qs * qs
                     ring = ring[1:]
-                v1, vq, vr = _vr_solve(n1, sx_u, sxx_u, nq, sq_u, sqq_u)
+                v1, vq, vr = _vr_solve(n1, sx_u, sxx_u, nq, sq_u, sqq_u, q)
                 rows.append(
                     (symbol, int(cur_b), int(n1), int(nq), v1, vq, vr,
                      int(n_late))

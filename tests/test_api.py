@@ -57,3 +57,24 @@ def test_run_by_name(spark, sf_dir):
 def test_run_unknown_query_lists_available(spark, sf_dir):
     with pytest.raises(KeyError, match="q_bars_1m"):
         api.run(spark, "q_nope", sf_dir)
+
+
+def test_bench_final_line_is_o1_sized():
+    """Regression guard for the r5/r7 driver-parse failures: the LAST
+    stdout line of bench.py must not grow with the query surface.  It
+    carries no per-query dict and stays under 1 KB regardless of how
+    many headline queries exist."""
+    import json as _json
+
+    import bench
+
+    line = bench.final_headline_line(68.879, len(bench.HEADLINE), 0.1)
+    assert len(line) < 1024
+    parsed = _json.loads(line)
+    assert parsed["metric"] == "headline_suite_seconds"
+    assert "queries" not in parsed
+    assert "spread" not in parsed
+    assert parsed["n_queries"] == len(bench.HEADLINE)
+    # even at an absurd future surface the line stays fixed-size
+    line2 = bench.final_headline_line(12345.678, 100000, 1.0)
+    assert len(line2) < 1024

@@ -483,7 +483,10 @@ SHUFFLE_BUDGETS = {
     "q_doc_perplexity_capped": 7,
     "q_ofi": 1,
     "q_amihud": 3,
-    "q_doc_split_leakage": 3,
+    # cap-engaged since r8 (VERDICT r7 item 2): df-cap aggregate +
+    # semi-join legs around the shingle-blocked self-join, same static
+    # shape as q_doc_jaccard_hist; AQE reuses the shared scan at runtime
+    "q_doc_split_leakage": 7,
     # static plan count; at runtime AQE ReuseExchange collapses the
     # corpus-scale legs to one (see operators/text.source_overlap)
     "q_doc_source_overlap": 6,

@@ -1847,6 +1847,43 @@ def test_stream_vr_processor_matches_batch(spark, batch, n_chunks):
         )
 
 
+def test_stream_vr_processor_honors_non_default_q(spark):
+    """ADVICE r7: _vr_solve used to normalize by the module constant
+    VR_HORIZON even when make_vr_processor was built with q != VR_HORIZON,
+    silently dividing the ratio by the wrong horizon.  Pin the final
+    emission of a q=3 processor to the batch variance_ratio(bars, q=3)."""
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        VR_HORIZON,
+        variance_ratio,
+    )
+    from bitcoin_datapipeline_spark.streaming.impact import (
+        make_vr_processor,
+    )
+
+    q = 3
+    assert q != VR_HORIZON, "test must exercise a NON-default horizon"
+    # one trade per minute bucket; prices vary so var_1 > 0
+    prices = [100.0, 101.5, 100.2, 103.7, 102.1, 104.9, 103.3, 106.0]
+    recs = [
+        Row(symbol="BTC", event_ts=i * 60_000 + 1, trade_id=i, price=p)
+        for i, p in enumerate(prices)
+    ]
+    emitted = _drive_processor(
+        make_vr_processor(q=q),
+        recs,
+        ["event_ts", "trade_id", "price"],
+        1,
+    )
+    assert emitted, "enough buckets must close to emit"
+    e = emitted[-1]
+    bars = [("BTC", i, p) for i, p in enumerate(prices) if i <= e.bucket]
+    [w] = variance_ratio(_bars_df(spark, bars), q=q).collect()
+    assert e.var_q is not None and e.variance_ratio is not None
+    assert (
+        e.n_short, e.n_long, e.var_1, e.var_q, e.variance_ratio
+    ) == (w.n_short, w.n_long, w.var_1, w.var_q, w.variance_ratio)
+
+
 def _naive_beta(bars):
     from collections import defaultdict
     from fractions import Fraction
