@@ -1012,3 +1012,164 @@ def stream_variance_ratio(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming TWA-spread twin (round 8) ------------------------------------
+
+TWA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("n_intervals", T.LongType()),
+        T.StructField("quoted_ms", T.LongType()),
+        T.StructField("twa_spread_bps", T.DoubleType()),
+        T.StructField("late_dropped", T.LongType()),
+    ]
+)
+
+TWA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("frontier_ts", T.LongType()),
+        T.StructField("frontier_ing", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+        T.StructField("pend_ts", T.ArrayType(T.LongType())),
+        T.StructField("pend_ing", T.ArrayType(T.LongType())),
+        T.StructField("pend_bid", T.ArrayType(T.DoubleType())),
+        T.StructField("pend_ask", T.ArrayType(T.DoubleType())),
+        T.StructField("pend_bs", T.ArrayType(T.DoubleType())),
+        T.StructField("pend_as", T.ArrayType(T.DoubleType())),
+        # last folded quote: its start ts and its (double) spread in bps
+        T.StructField("lq_ts", T.LongType()),
+        T.StructField("lq_spread", T.DoubleType()),
+        # the one still-open minute bucket's partial sums
+        T.StructField("cur_bucket", T.LongType()),
+        T.StructField("cur_n", T.LongType()),
+        T.StructField("cur_w", T.LongType()),
+        T.StructField("cur_sw", T.DoubleType()),
+    ]
+)
+
+
+def make_twa_processor(allowed_lateness_s: int = 0):
+    """Streaming time-weighted quoted spread — live twin of
+    :func:`~..operators.aggregates.twa_spread` (the TAQ lifetime-weighted
+    convention): each quote's spread is weighted by how long it stood,
+    pro-rated across the minute buckets it spans.
+
+    The interval a quote opens is CLOSED by the next quote, and quote
+    coverage is contiguous per symbol, so at most ONE minute bucket is
+    ever open: folding a quote at ``ts`` closes the previous quote's
+    interval, credits each spanned bucket with its exact integer-ms
+    overlap, and finalizes every bucket strictly below ``ts div 60000``
+    — one append-final row per closed bucket, equal to the batch row
+    (property-tested).  O(1) state per symbol: the last quote's (ts,
+    spread) and the open bucket's (n, Σms, Σspread·ms).
+
+    Exactness: weights are exact integer milliseconds; the spread and
+    the weighted sum accumulate as doubles in the SAME deterministic
+    quote order as the batch window sort (event_ts, ingest_ts, bid_px,
+    ask_px, bid_sz, ask_sz — the full merge_fold pool key), so
+    duplicate-instant quotes reproduce the batch zero-lifetime tie rule:
+    the instant's lexicographically-last quote carries the time.
+
+    cf. reference: extends the surface (live form of the engine's own
+    batch TWA extension; the reference's BBA features are
+    arrival-weighted, `feature_builder.py:220-225`)."""
+    late_ms = allowed_lateness_s * 1000
+
+    def fn(key, pdfs, state: GroupState):
+        symbol = key[0]
+        cols = ["event_ts", "ingest_ts", "bid_px", "ask_px",
+                "bid_sz", "ask_sz"]
+        chunks = [pdf[cols] for pdf in pdfs if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame(
+                [], columns=[f.name for f in TWA_OUTPUT_SCHEMA.fields]
+            )
+            return
+        ev = pd.concat(chunks, ignore_index=True)
+        if state.exists:
+            (f_ts, f_ing, n_late, p_ts, p_ing, p_b, p_a, p_bs, p_as,
+             lq_ts, lq_spread, cur_b, cur_n, cur_w, cur_sw) = state.get
+            pend = list(zip(p_ts, p_ing, p_b, p_a, p_bs, p_as))
+        else:
+            f_ts = f_ing = _NO_FRONTIER
+            n_late = 0
+            pend = []
+            lq_ts, lq_spread = None, 0.0
+            cur_b, cur_n, cur_w, cur_sw = None, 0, 0, 0.0
+
+        new = (
+            (int(ts), int(ing), float(b), float(a), float(bs), float(asz))
+            for ts, ing, b, a, bs, asz in zip(
+                ev["event_ts"], ev["ingest_ts"], ev["bid_px"],
+                ev["ask_px"], ev["bid_sz"], ev["ask_sz"],
+            )
+        )
+        fold, pend, (f_ts, f_ing), late_inc = merge_fold(
+            new, pend, (f_ts, f_ing), late_ms
+        )
+        n_late += late_inc
+
+        rows = []
+
+        def emit():
+            rows.append((
+                symbol, int(cur_b), int(cur_n), int(cur_w),
+                _round6(cur_sw / cur_w), int(n_late),
+            ))
+
+        for ts, _ing, b, a, _bs, _asz in fold:
+            if lq_ts is not None and ts > lq_ts:
+                # close interval [lq_ts, ts) at the standing spread
+                for bkt in range(lq_ts // 60000, (ts - 1) // 60000 + 1):
+                    if cur_b is None:
+                        cur_b = bkt
+                    elif bkt != cur_b:
+                        emit()
+                        cur_b, cur_n, cur_w, cur_sw = bkt, 0, 0, 0.0
+                    ov = (min(ts, (bkt + 1) * 60000)
+                          - max(lq_ts, bkt * 60000))
+                    cur_n += 1
+                    cur_w += ov
+                    cur_sw += lq_spread * ov
+                # buckets strictly below the new quote's bucket are final
+                if cur_b is not None and cur_b < ts // 60000:
+                    emit()
+                    cur_b, cur_n, cur_w, cur_sw = None, 0, 0, 0.0
+            # duplicate-instant quotes: zero lifetime, the later quote in
+            # fold order (the batch lexicographic-max tie rule) replaces
+            lq_ts = ts
+            lq_spread = (a - b) / ((b + a) / 2.0) * 10000.0
+
+        state.update((
+            int(f_ts), int(f_ing), int(n_late),
+            [t[0] for t in pend], [t[1] for t in pend],
+            [t[2] for t in pend], [t[3] for t in pend],
+            [t[4] for t in pend], [t[5] for t in pend],
+            int(lq_ts) if lq_ts is not None else None,
+            float(lq_spread),
+            int(cur_b) if cur_b is not None else None,
+            int(cur_n), int(cur_w), float(cur_sw),
+        ))
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in TWA_OUTPUT_SCHEMA.fields]
+        )
+
+    return fn
+
+
+def stream_twa_spread(
+    quotes: DataFrame, allowed_lateness_s: int = 0
+) -> DataFrame:
+    """Live time-weighted quoted spread: one append-final row per closed
+    (symbol, minute) bucket over a quote stream carrying (symbol,
+    event_ts, ingest_ts, bid_px, ask_px, bid_sz, ask_sz), equal to the
+    batch `twa_spread` row for that bucket (property-tested)."""
+    return quotes.groupBy("symbol").applyInPandasWithState(
+        make_twa_processor(allowed_lateness_s),
+        outputStructType=TWA_OUTPUT_SCHEMA,
+        stateStructType=TWA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

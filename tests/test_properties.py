@@ -3829,3 +3829,73 @@ def test_symbol_datasheet_matches_naive(spark, batch):
             _spark_round6(float(tq) / n),
         )
     assert got == want
+
+
+# quote-only tape for the streaming TWA-spread twin: duplicated event_ts
+# values exercise the zero-lifetime tie rule; ingest_ts is the enumeration
+# index so the batch sort prefix is unique
+twa_quote_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["BTC", "ETH"]),              # symbol
+        st.integers(min_value=0, max_value=400_000),  # event_ts (~7 buckets)
+        st.integers(min_value=100, max_value=199),    # bid cents
+        st.integers(min_value=200, max_value=299),    # ask cents
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+@given(batch=twa_quote_strategy, n_chunks=st.integers(min_value=1, max_value=4))
+@_settings
+def test_stream_twa_processor_matches_batch(spark, batch, n_chunks):
+    """The streaming TWA-spread processor, driven with arbitrary
+    micro-batch boundaries over an ordered quote tape, emits exactly one
+    row per FINALIZED minute bucket (every bucket strictly below the last
+    folded quote's bucket), equal to the batch twa_spread row — the last
+    quote's own bucket stays open awaiting more coverage."""
+    from bitcoin_datapipeline_spark.operators.aggregates import twa_spread
+    from bitcoin_datapipeline_spark.streaming.impact import (
+        make_twa_processor,
+    )
+
+    ordered = sorted(batch, key=lambda t: t[1])
+    recs = [
+        Row(symbol=s, event_ts=ts, ingest_ts=i,
+            bid_px=b / 100.0, ask_px=a / 100.0, bid_sz=1.0, ask_sz=1.0)
+        for i, (s, ts, b, a) in enumerate(ordered)
+    ]
+    emitted = _drive_processor(
+        make_twa_processor(),
+        recs,
+        ["event_ts", "ingest_ts", "bid_px", "ask_px", "bid_sz", "ask_sz"],
+        n_chunks,
+    )
+
+    schema = (
+        "symbol string, event_ts long, ingest_ts long, bid_px double,"
+        " ask_px double, bid_sz double, ask_sz double"
+    )
+    bba = spark.createDataFrame(recs, schema)
+    want = {(r.symbol, r.bucket): r for r in twa_spread(bba).collect()}
+    last_bucket = {}
+    for r in recs:
+        last_bucket[r.symbol] = max(
+            last_bucket.get(r.symbol, -1), r.event_ts // 60_000
+        )
+    got = {}
+    for e in emitted:
+        assert e.late_dropped == 0
+        got[(e.symbol, e.bucket)] = e
+        w = want[(e.symbol, e.bucket)]
+        assert (e.n_intervals, e.quoted_ms, e.twa_spread_bps) == (
+            w.n_intervals, w.quoted_ms, w.twa_spread_bps
+        ), (e, w)
+    # completeness: every batch bucket strictly below the symbol's last
+    # quote bucket must have been emitted (nothing held back or dropped)
+    for key_sb, w in want.items():
+        s, b = key_sb
+        if b < last_bucket[s]:
+            assert key_sb in got, (key_sb, w)
+        else:
+            assert key_sb not in got  # still open

@@ -1276,3 +1276,70 @@ def test_stream_roll_bounded_lateness_reorders_across_batches(spark):
     assert (final.n_pairs, final.serial_cov, final.roll_spread) == (
         w.n_pairs, w.serial_cov, w.roll_spread,
     )
+
+
+def test_stream_twa_spread_real_stream_matches_batch(spark, tmp_path):
+    """Streaming TWA spread through a REAL availableNow stream: the open
+    quote interval (and its partially-filled minute bucket) survives
+    checkpointed micro-batches, a multi-minute quote lifetime is
+    pro-rated across every bucket it spans, and each finalized bucket's
+    row equals the batch twa_spread row."""
+    from bitcoin_datapipeline_spark.operators.aggregates import twa_spread
+    from bitcoin_datapipeline_spark.streaming.impact import stream_twa_spread
+
+    schema = (
+        "symbol string, event_ts long, ingest_ts long, bid_px double,"
+        " ask_px double, bid_sz double, ask_sz double"
+    )
+    # quote 1 stands from 10s to 130s — spanning buckets 0,1,2 and the
+    # micro-batch split; quote 2 closes it; quote 3 finalizes bucket 2
+    batch1 = [("A", 10_000, 1, 100.0, 101.0, 1.0, 1.0)]
+    batch2 = [
+        ("A", 130_000, 2, 100.5, 101.5, 1.0, 1.0),
+        ("A", 185_000, 3, 100.2, 101.2, 1.0, 1.0),  # bucket 3 opens
+    ]
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def run_once(rows, part):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / part)
+        )
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).option("recursiveFileLookup", "true").parquet(str(src))
+        q = (
+            stream_twa_spread(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once(batch1, "p1")
+    run_once(batch2, "p2")
+
+    got = {r.bucket: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {0, 1, 2}  # bucket 3 still open
+    want = {
+        r.bucket: r
+        for r in twa_spread(
+            spark.createDataFrame(batch1 + batch2, schema)
+        ).collect()
+    }
+    for b in (0, 1, 2):
+        g, w = got[b], want[b]
+        assert (g.n_intervals, g.quoted_ms, g.twa_spread_bps) == (
+            w.n_intervals, w.quoted_ms, w.twa_spread_bps
+        ), (g, w)
+        assert g.late_dropped == 0
+    # coverage arithmetic is the pro-rated overlap, not arrival counts
+    assert got[0].quoted_ms == 50_000    # 10s → 60s
+    assert got[1].quoted_ms == 60_000    # full minute under quote 1
+    assert got[2].quoted_ms == 60_000    # 10s of q1 + 50s of q2
+    assert got[2].n_intervals == 2
