@@ -2651,6 +2651,45 @@ def q_resample_bars_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.resample_bars(pipeline.bars_pipeline(spark, sf_dir))
 
 
+# round 8: multi-horizon trade markouts — the adverse-selection curve
+# (ONE union-LOCF scan carries all horizons: quotes once, trade identity
+# once per horizon with shifted sort keys)
+@q(
+    "q_markout",
+    OD.with_ctes(
+        OD.DEDUP_TRADES_CTE,
+        OD.BBA_CTE + aggregates.MARKOUT_ORACLE_BODY,
+        body="",
+    ),
+)
+def q_markout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return aggregates.markout(
+        dedup.dedup_trades(normalize.valid_trades(events)),
+        normalize.bba(events),
+    )
+
+
+# round 8: CCNet-style per-lang perplexity terciles — the bucketing step
+# the LM-quality family feeds (head/middle/tail keep/drop decision)
+@q("q_doc_ccnet_buckets", text.CCNET_BUCKETS_ORACLE)
+def q_doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.ccnet_buckets(table(spark, sf_dir, "documents"))
+
+
+# round 8: distinct-n diversity per source — the repetitiveness gauge
+# (one scan, one (source, n) aggregate with exact count-distinct)
+@q("q_doc_ngram_diversity", text.NGRAM_DIVERSITY_ORACLE)
+def q_doc_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.ngram_diversity(table(spark, sf_dir, "documents"))
+
+
+# round 8: lang-label vs lang-ID confusion audit — label trust calibration
+@q("q_doc_lang_confusion", text.LANG_CONFUSION_ORACLE)
+def q_doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_confusion(table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract surface
 # ---------------------------------------------------------------------------

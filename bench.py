@@ -207,6 +207,18 @@ HEADLINE = [
     # round 7 (twenty-sixth wave): the per-symbol market datasheet —
     # coverage, volume, price range in one aggregate (the tape twin)
     "q_symbol_datasheet",
+    # round 8: multi-horizon markouts — ONE union-LOCF sort carries all
+    # horizons (quotes once, trade identity once per horizon)
+    "q_markout",
+    # round 8: CCNet perplexity terciles (per-lang ntile over the
+    # unigram-LM scoring pass)
+    "q_doc_ccnet_buckets",
+    # round 8: distinct-n diversity per source (one scan, one
+    # (source, n) aggregate with exact count-distinct)
+    "q_doc_ngram_diversity",
+    # round 8: lang-label vs lang-ID confusion audit (map-only
+    # prediction + a cells x labels aggregate)
+    "q_doc_lang_confusion",
 ]
 
 

@@ -4469,3 +4469,182 @@ SELECT symbol, n_trades, first_ts, last_ts, n_active_days,
        round(CAST(tot_qty AS DOUBLE) / CAST(n_trades AS DOUBLE), 6)
            AS mean_trade_qty
 FROM sd_g"""
+
+
+# --- round 8: multi-horizon trade markouts ---------------------------------
+
+MARKOUT_HORIZONS_MS = (1_000, 10_000, 60_000)
+
+
+def markout(
+    trades: DataFrame,
+    bba: DataFrame,
+    horizons_ms: tuple[int, ...] = MARKOUT_HORIZONS_MS,
+) -> DataFrame:
+    """Multi-horizon trade markouts per (symbol, minute) — the
+    adverse-selection CURVE that :func:`realized_spread` samples at one
+    point: for each horizon h, the signed prevailing-mid move after the
+    trade, ``markout_h = 2·d·(m_{t+h} − m_t) / m_t · 1e4`` (d = +1
+    buyer-initiated).  A markout that keeps climbing across horizons is
+    informed flow; one that mean-reverts is bid-ask bounce — the curve,
+    not any single point, is what an execution desk reads.
+
+    Plan shape: ONE union-LOCF as-of scan for ALL horizons — quotes
+    enter the symbol sort once, the distinct trade identity enters
+    len(horizons)+1 times (h = 0 is the trade instant) with sort key
+    event_ts + h, so the scan costs Q + T·(H+1) rows in one sort instead
+    of H+1 separate scans; a bounded pivot (one row per trade, H+1 mid
+    columns) and one partial-combinable minute aggregate finish.  Trades
+    before the first quote drop symmetrically from every horizon (a mid
+    at t implies a mid at t+h, so null handling is one filter).
+
+    cf. reference: extends the surface (Huang–Stoll horizon
+    generalization; complements :func:`realized_spread`)."""
+    hs = [0] + sorted(horizons_ms)
+    tid = trades.select("symbol", "event_ts", "price").distinct()
+    sides = trades.select(
+        "symbol", "event_ts", "price", "is_buyer_maker"
+    ).distinct()
+    q = bba.select(
+        "symbol",
+        (F.col("event_ts") + F.lit(1)).cast("long").alias("sort_ts"),
+        F.lit(0).alias("is_q"),
+        "ingest_ts",
+        "bid_px",
+        "ask_px",
+        "bid_sz",
+        "ask_sz",
+        F.lit(None).cast("long").alias("h"),
+        F.lit(None).cast("long").alias("event_ts"),
+        F.lit(None).cast("double").alias("price"),
+    )
+    t = tid.select(
+        "symbol",
+        F.explode(F.array(*[F.lit(h) for h in hs])).alias("h"),
+        "event_ts",
+        "price",
+    ).select(
+        "symbol",
+        (F.col("event_ts") + F.col("h")).cast("long").alias("sort_ts"),
+        F.lit(1).alias("is_q"),
+        F.lit(0).cast("long").alias("ingest_ts"),
+        F.lit(None).cast("double").alias("bid_px"),
+        F.lit(None).cast("double").alias("ask_px"),
+        F.lit(None).cast("double").alias("bid_sz"),
+        F.lit(None).cast("double").alias("ask_sz"),
+        F.col("h").cast("long").alias("h"),
+        "event_ts",
+        "price",
+    )
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy(
+            "sort_ts", "is_q", "ingest_ts", "bid_px", "ask_px",
+            "bid_sz", "ask_sz",
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    quote = F.when(
+        F.col("is_q") == 0,
+        F.struct(F.col("bid_px").alias("b"), F.col("ask_px").alias("a")),
+    )
+    matched = (
+        q.unionByName(t)
+        .withColumn("pq", F.last(quote, ignorenulls=True).over(w))
+        .filter((F.col("is_q") == 1) & F.col("pq").isNotNull())
+        .select(
+            "symbol",
+            "event_ts",
+            "price",
+            "h",
+            ((F.col("pq.b") + F.col("pq.a")) / 2.0).alias("mid"),
+        )
+    )
+    mids = matched.groupBy("symbol", "event_ts", "price").agg(
+        *[
+            F.max(F.when(F.col("h") == h, F.col("mid"))).alias(f"mid_{h}")
+            for h in hs
+        ]
+    ).filter(F.col("mid_0").isNotNull())
+    m = sides.join(mids, ["symbol", "event_ts", "price"])
+    d = F.when(F.col("is_buyer_maker"), F.lit(-1.0)).otherwise(F.lit(1.0))
+    return m.groupBy(
+        "symbol",
+        F.expr("event_ts div 60000").cast("long").alias("bucket"),
+    ).agg(
+        F.count("*").cast("long").alias("n_trades"),
+        *[
+            r6(
+                F.avg(
+                    2.0 * d * (F.col(f"mid_{h}") - F.col("mid_0"))
+                    / F.col("mid_0") * 10000.0
+                )
+            ).alias(f"markout_{h // 1000}s_bps")
+            for h in hs[1:]
+        ],
+    )
+
+
+# oracle body after DEDUP_TRADES_CTE + BBA_CTE: one ASOF join per horizon
+# over the same shifted-sort-key convention as the Spark single-sort scan
+MARKOUT_ORACLE_BODY = f"""
+,quotes AS (
+  SELECT symbol, event_ts + 1 AS avail_ts,
+         max({{'i': ingest_ts, 'b': bid_px, 'a': ask_px,
+              'bs': bid_sz, 'asz': ask_sz}}) AS s
+  FROM bba GROUP BY 1, 2
+),
+t0 AS (
+  SELECT DISTINCT symbol, event_ts, price, is_buyer_maker
+  FROM dedup_trades
+),
+tid AS (SELECT DISTINCT symbol, event_ts, price FROM t0),
+mk_m0 AS (
+  SELECT t.symbol, t.event_ts, t.price,
+         (struct_extract(q.s, 'b') + struct_extract(q.s, 'a')) / 2.0 AS mid
+  FROM tid t
+  ASOF JOIN quotes q ON t.symbol = q.symbol AND t.event_ts >= q.avail_ts
+),
+mk_s1 AS (SELECT symbol, event_ts, price,
+                 event_ts + {MARKOUT_HORIZONS_MS[0]} AS sts FROM tid),
+mk_m1 AS (
+  SELECT t.symbol, t.event_ts, t.price,
+         (struct_extract(q.s, 'b') + struct_extract(q.s, 'a')) / 2.0 AS mid
+  FROM mk_s1 t
+  ASOF JOIN quotes q ON t.symbol = q.symbol AND t.sts >= q.avail_ts
+),
+mk_s2 AS (SELECT symbol, event_ts, price,
+                 event_ts + {MARKOUT_HORIZONS_MS[1]} AS sts FROM tid),
+mk_m2 AS (
+  SELECT t.symbol, t.event_ts, t.price,
+         (struct_extract(q.s, 'b') + struct_extract(q.s, 'a')) / 2.0 AS mid
+  FROM mk_s2 t
+  ASOF JOIN quotes q ON t.symbol = q.symbol AND t.sts >= q.avail_ts
+),
+mk_s3 AS (SELECT symbol, event_ts, price,
+                 event_ts + {MARKOUT_HORIZONS_MS[2]} AS sts FROM tid),
+mk_m3 AS (
+  SELECT t.symbol, t.event_ts, t.price,
+         (struct_extract(q.s, 'b') + struct_extract(q.s, 'a')) / 2.0 AS mid
+  FROM mk_s3 t
+  ASOF JOIN quotes q ON t.symbol = q.symbol AND t.sts >= q.avail_ts
+),
+mk AS (
+  SELECT t.symbol, t.event_ts,
+         CASE WHEN t.is_buyer_maker THEN -1.0 ELSE 1.0 END AS d,
+         m0.mid AS mid_0, m1.mid AS mid_1, m2.mid AS mid_2, m3.mid AS mid_3
+  FROM t0 t
+  JOIN mk_m0 m0 USING (symbol, event_ts, price)
+  JOIN mk_m1 m1 USING (symbol, event_ts, price)
+  JOIN mk_m2 m2 USING (symbol, event_ts, price)
+  JOIN mk_m3 m3 USING (symbol, event_ts, price)
+)
+SELECT symbol, event_ts // 60000 AS bucket,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       round(avg(2.0 * d * (mid_1 - mid_0) / mid_0 * 10000.0), 6)
+           AS markout_{MARKOUT_HORIZONS_MS[0] // 1000}s_bps,
+       round(avg(2.0 * d * (mid_2 - mid_0) / mid_0 * 10000.0), 6)
+           AS markout_{MARKOUT_HORIZONS_MS[1] // 1000}s_bps,
+       round(avg(2.0 * d * (mid_3 - mid_0) / mid_0 * 10000.0), 6)
+           AS markout_{MARKOUT_HORIZONS_MS[2] // 1000}s_bps
+FROM mk GROUP BY 1, 2"""

@@ -4656,3 +4656,184 @@ SELECT n_docs, n_sources, n_langs, total_tokens, total_chars, vocab_size,
        round((n_docs - n_distinct_texts) / CAST(n_docs AS DOUBLE), 6)
            AS exact_dup_share
 FROM cd_b, cd_v"""
+
+
+# --- round 8: CCNet perplexity buckets, distinct-n diversity, lang audit ---
+
+CCNET_BUCKETS = 3
+_CCNET_NAMES = ("head", "middle", "tail")
+
+
+def ccnet_buckets(documents: DataFrame) -> DataFrame:
+    """CCNet-style perplexity bucketing — the step AFTER
+    :func:`unigram_logloss` in the CCNet/LLaMA pipeline: within each
+    language, rank documents by LM perplexity and split into
+    head/middle/tail terciles; training corpora keep head+middle and
+    drop (or down-weight) the tail.  Output per document: its ppl, the
+    tercile index, and the bucket name.
+
+    Exactness: ``ntile`` is pure rank arithmetic over the deterministic
+    (ppl, doc_id) order — no floating-point cut-point comparison to
+    drift across engines (the 6-dp ppl ties break on doc_id).
+
+    Plan shape: the scoring pass is :func:`unigram_logloss` (one token
+    explode, broadcast vocab probs, one per-doc aggregate); the tercile
+    is ONE per-lang sort.  At 100 TB exact per-lang ntile means a
+    full sort per language partition — production swaps it for
+    approx-percentile CUT POINTS broadcast back (the
+    `q_latency_percentiles` exact/approx knob precedent); the exact form
+    is the oracle-parity contract here.
+
+    cf. reference: extends the surface (Wenzek et al. 2020 CCNet
+    bucketing; no reference counterpart)."""
+    scored = unigram_logloss(documents).join(
+        documents.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy("ppl", "doc_id")
+    tile = F.ntile(CCNET_BUCKETS).over(w)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "ppl",
+        tile.cast("int").alias("tercile"),
+        F.element_at(
+            F.array(*[F.lit(n) for n in _CCNET_NAMES]), tile
+        ).alias("bucket"),
+    )
+
+
+CCNET_BUCKETS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+probs AS (
+  SELECT token, cnt * 1.0 / (SELECT sum(cnt) FROM vocab) AS p FROM vocab
+),
+ppl AS (
+  SELECT doc_id, round(exp(-avg(ln(p))), 6) AS ppl
+  FROM toks JOIN probs USING (token)
+  GROUP BY doc_id
+),
+tiled AS (
+  SELECT d.doc_id, d.lang, p.ppl,
+         CAST(ntile(3) OVER (PARTITION BY d.lang
+                             ORDER BY p.ppl, d.doc_id) AS INTEGER) AS tercile
+  FROM documents d JOIN ppl p USING (doc_id)
+)
+SELECT doc_id, lang, ppl, tercile,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM tiled"""
+
+
+def ngram_diversity(documents: DataFrame) -> DataFrame:
+    """Distinct-n diversity per source (Li et al. 2016): for n = 1, 2, 3,
+    the share of n-gram OCCURRENCES that are distinct — the standard
+    repetitiveness / template-collapse gauge a curation pipeline reads
+    per source before weighting (low distinct-2 = boilerplate mill).
+
+    Plan shape: ONE corpus scan builds all three gram levels per row
+    (let-bound token array, the :func:`_shingles` idiom), flattens them
+    into (n, gram) structs, and explodes once; one (source, n)-keyed
+    aggregate with an exact count-distinct finishes.  The distinct
+    expansion is the same (key, gram)-grain partial the burstiness
+    query already measures at scale.
+
+    cf. reference: extends the surface (no reference counterpart)."""
+    grams = F.expr(
+        "transform(array(split(text, ' ')), toks -> "
+        " concat("
+        "  transform(toks, g -> struct(1 AS n, g AS gram)),"
+        "  CASE WHEN size(toks) >= 2 THEN"
+        "   transform(sequence(0, size(toks) - 2), i ->"
+        "    struct(2 AS n, concat_ws(' ', element_at(toks, i + 1),"
+        "           element_at(toks, i + 2)) AS gram))"
+        "  ELSE array() END,"
+        "  CASE WHEN size(toks) >= 3 THEN"
+        "   transform(sequence(0, size(toks) - 3), i ->"
+        "    struct(3 AS n, concat_ws(' ', element_at(toks, i + 1),"
+        "           element_at(toks, i + 2), element_at(toks, i + 3))"
+        "           AS gram))"
+        "  ELSE array() END))[0]"
+    )
+    g = documents.select("source", F.explode(grams).alias("g")).select(
+        "source", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
+    )
+    return g.groupBy("source", "n").agg(
+        F.count("*").cast("long").alias("total_ngrams"),
+        F.countDistinct("gram").cast("long").alias("distinct_ngrams"),
+        r6(F.countDistinct("gram") / F.count("*")).alias("distinct_ratio"),
+    )
+
+
+NGRAM_DIVERSITY_ORACLE = """
+WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT source, 1 AS n, unnest(toks) AS gram FROM t
+  UNION ALL
+  SELECT source, 2 AS n,
+         unnest([array_to_string(toks[i:i+1], ' ')
+                 for i in generate_series(1, len(toks) - 1)]) AS gram
+  FROM t
+  UNION ALL
+  SELECT source, 3 AS n,
+         unnest([array_to_string(toks[i:i+2], ' ')
+                 for i in generate_series(1, len(toks) - 2)]) AS gram
+  FROM t
+)
+SELECT source, n,
+       CAST(count(*) AS BIGINT) AS total_ngrams,
+       CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+       round(count(DISTINCT gram) * 1.0 / count(*), 6) AS distinct_ratio
+FROM g GROUP BY source, n"""
+
+
+def lang_confusion(documents: DataFrame) -> DataFrame:
+    """Language-ID confusion audit: declared ``lang`` label vs
+    :func:`lang_id`'s prediction, per (label, prediction) cell — counts
+    and the within-label share.  The calibration table a pipeline reads
+    before trusting either side (a label column whose 'en' rows predict
+    'unknown' 40% of the time is mislabeled upstream, or the classifier
+    threshold is off for that slice).
+
+    Plan shape: the per-doc prediction is map-only over the documents
+    scan; one (lang, predicted)-keyed aggregate (≤ labels × predictions
+    rows) plus a label-total broadcast join-back for the share.
+
+    cf. reference: extends the surface (no reference counterpart)."""
+    pred = lang_id(documents).select("doc_id", "lang", "predicted_lang")
+    cells = pred.groupBy("lang", "predicted_lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    totals = pred.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_label")
+    )
+    return cells.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "predicted_lang",
+        "n_docs",
+        "n_label",
+        r6(F.col("n_docs") / F.col("n_label")).alias("share_of_label"),
+    )
+
+
+LANG_CONFUSION_ORACLE = f"""
+WITH t AS (SELECT *, string_split(text, ' ') AS toks FROM documents),
+pred AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(list_filter(toks, x -> x IN {_STOP_SQL})) * 1.0
+                   / len(toks) >= 0.05
+              THEN 'en' ELSE 'unknown' END AS predicted_lang
+  FROM t
+),
+cells AS (
+  SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY lang, predicted_lang
+),
+totals AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_label FROM pred GROUP BY lang
+)
+SELECT c.lang, c.predicted_lang, c.n_docs, t.n_label,
+       round(c.n_docs * 1.0 / t.n_label, 6) AS share_of_label
+FROM cells c JOIN totals t USING (lang)"""

@@ -89,3 +89,59 @@ def test_roll_spread_bounce_and_trend(spark):
     assert out["A"].roll_spread == 1.885618
     # B: constant +1 dps -> cov 0 -> NULL spread
     assert out["B"].serial_cov == 0.0 and out["B"].roll_spread is None
+
+
+def test_markout_horizon_curve_hand_computed(spark):
+    """One buy at 100.5 with mids stepping 100 -> 101 -> 102 -> 104 at
+    the three horizon boundaries: markouts are 2*(mid_h - mid_0)/mid_0
+    in bps, the prevailing quote is the STRICTLY-before one at each
+    shifted instant, and a trade before any quote drops from every
+    horizon symmetrically."""
+    from pyspark.sql import Row
+
+    from bitcoin_datapipeline_spark.operators.aggregates import markout
+
+    def q(sym, ts, ing, b, a):
+        return Row(symbol=sym, event_ts=ts, ingest_ts=ing,
+                   bid_px=float(b), ask_px=float(a),
+                   bid_sz=1.0, ask_sz=1.0)
+
+    def t(sym, ts, ing, price, maker):
+        return Row(symbol=sym, event_ts=ts, ingest_ts=ing,
+                   price=float(price), is_buyer_maker=maker)
+
+    # trade at ts=10_000; horizons land at 11_000 / 20_000 / 70_000
+    quotes = [
+        q("A", 9_000, 1, 99.5, 100.5),     # mid_0 = 100
+        q("A", 10_500, 2, 100.5, 101.5),   # mid at +1s = 101
+        q("A", 15_000, 3, 101.5, 102.5),   # mid at +10s = 102
+        q("A", 60_000, 4, 103.5, 104.5),   # mid at +60s = 104
+    ]
+    trades = [
+        t("A", 10_000, 1, 100.5, False),   # buyer-initiated: d = +1
+        t("A", 1_000, 2, 99.0, False),     # before any quote: dropped
+    ]
+    out = markout(
+        spark.createDataFrame(trades), spark.createDataFrame(quotes)
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.symbol, r.bucket, r.n_trades) == ("A", 0, 1)
+    assert r.markout_1s_bps == 200.0     # 2*(101-100)/100*1e4
+    assert r.markout_10s_bps == 400.0
+    assert r.markout_60s_bps == 800.0
+    # seller-initiated flips the sign
+    sell = markout(
+        spark.createDataFrame([t("A", 10_000, 1, 100.5, True)]),
+        spark.createDataFrame(quotes),
+    ).collect()[0]
+    assert sell.markout_1s_bps == -200.0
+    # quote available exactly AT the horizon instant is included
+    # (avail_ts = event_ts + 1 <= t + h)
+    edge = markout(
+        spark.createDataFrame([t("A", 10_000, 1, 100.5, False)]),
+        spark.createDataFrame(
+            [q("A", 9_000, 1, 99.5, 100.5), q("A", 10_999, 2, 109.5, 110.5)]
+        ),
+    ).collect()[0]
+    assert edge.markout_1s_bps == 2000.0  # mid 110 visible at +1s exactly

@@ -1011,3 +1011,85 @@ def test_decode_features_real_png_codec_end_to_end(spark):
     st = decode_stub(b1, "png", fake=False)
     assert st == {"byte_mean": sum(px1) / len(px1), "byte_min": 0,
                   "byte_max": 255}
+
+
+def test_ngram_diversity_exact_counts(spark):
+    """distinct-n over a hand-computable corpus: doc repetition lowers
+    distinct-1/2/3 exactly as counted by hand."""
+    from bitcoin_datapipeline_spark.operators.text import ngram_diversity
+
+    d = spark.createDataFrame(
+        [
+            _doc(1, "a b a b", source="rep"),      # 1-grams: a,b,a,b
+            _doc(2, "x y z", source="div"),
+        ]
+    )
+    out = {(r.source, r.n): r for r in ngram_diversity(d).collect()}
+    # rep: 4 unigrams 2 distinct; 3 bigrams ("a b","b a","a b") 2 distinct;
+    #      2 trigrams ("a b a","b a b") 2 distinct
+    assert (out[("rep", 1)].total_ngrams, out[("rep", 1)].distinct_ngrams) == (4, 2)
+    assert (out[("rep", 2)].total_ngrams, out[("rep", 2)].distinct_ngrams) == (3, 2)
+    assert (out[("rep", 3)].total_ngrams, out[("rep", 3)].distinct_ngrams) == (2, 2)
+    assert out[("rep", 1)].distinct_ratio == 0.5
+    # div: everything distinct; a 3-token doc has exactly one trigram
+    assert (out[("div", 1)].total_ngrams, out[("div", 1)].distinct_ratio) == (3, 1.0)
+    assert (out[("div", 3)].total_ngrams, out[("div", 3)].distinct_ngrams) == (1, 1)
+    # a doc shorter than n contributes no n-grams (no sequence(1,0) trap)
+    tiny = spark.createDataFrame([_doc(9, "solo", source="t")])
+    got = {(r.source, r.n) for r in ngram_diversity(tiny).collect()}
+    assert got == {("t", 1)}
+
+
+def test_ccnet_buckets_rank_semantics(spark):
+    """Terciles are per-lang rank arithmetic over (ppl, doc_id): the
+    lowest-perplexity third is 'head', ntile's uneven split puts the
+    extra row in the first bucket, and each lang tiles independently."""
+    from bitcoin_datapipeline_spark.operators.text import ccnet_buckets
+
+    # lang en: 4 docs with strictly increasing ppl by construction —
+    # doc 1 repeats the corpus-dominant token (low nll), doc 4 is all
+    # rare tokens
+    docs = [
+        _doc(1, "t t t t t t t t"),
+        _doc(2, "t t t t u1 u2"),
+        _doc(3, "t t u3 u4 u5 u6"),
+        _doc(4, "u7 u8 u9 u10"),
+        _doc(5, "t t t v1", lang="de"),
+        _doc(6, "v2 v3 v4 v5", lang="de"),
+    ]
+    d = spark.createDataFrame(docs)
+    out = {r.doc_id: r for r in ccnet_buckets(d).collect()}
+    en = sorted(
+        (r for r in out.values() if r.lang == "en"), key=lambda r: r.ppl
+    )
+    assert [r.doc_id for r in en] == [1, 2, 3, 4]
+    # ntile(3) over 4 rows -> sizes 2,1,1
+    assert [r.bucket for r in en] == ["head", "head", "middle", "tail"]
+    de = sorted(
+        (r for r in out.values() if r.lang == "de"), key=lambda r: r.ppl
+    )
+    assert [r.bucket for r in de] == ["head", "middle"]  # 2 rows -> 1,1
+
+
+def test_lang_confusion_counts_and_shares(spark):
+    """Confusion cells: stopword-free docs predict 'unknown'; shares are
+    within-label fractions summing to 1 per label."""
+    from bitcoin_datapipeline_spark.operators.text import lang_confusion
+
+    d = spark.createDataFrame(
+        [
+            _doc(1, "the cat sat on the mat"),      # en, predicts en
+            _doc(2, "qqq www eee rrr"),             # en label, unknown pred
+            _doc(3, "zzz yyy xxx", lang="fr"),      # fr, unknown pred
+        ]
+    )
+    out = {(r.lang, r.predicted_lang): r for r in lang_confusion(d).collect()}
+    assert out[("en", "en")].n_docs == 1
+    assert out[("en", "unknown")].n_docs == 1
+    assert out[("en", "en")].share_of_label == 0.5
+    assert out[("fr", "unknown")].n_docs == 1
+    assert out[("fr", "unknown")].share_of_label == 1.0
+    for lang in ("en", "fr"):
+        assert sum(
+            r.share_of_label for k, r in out.items() if k[0] == lang
+        ) == 1.0

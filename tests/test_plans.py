@@ -487,6 +487,17 @@ SHUFFLE_BUDGETS = {
     # semi-join legs around the shingle-blocked self-join, same static
     # shape as q_doc_jaccard_hist; AQE reuses the shared scan at runtime
     "q_doc_split_leakage": 7,
+    # r8: ONE symbol-sort LOCF exchange for ALL horizons + the trade-
+    # identity dedup legs (AQE reuses the shared dedup scan at runtime)
+    "q_markout": 5,
+    # r8: scoring pass (explode + vocab agg + per-doc agg) + the lang
+    # join-back + one per-lang ntile sort
+    "q_doc_ccnet_buckets": 5,
+    # r8: one (source, n) aggregate; the exact count-distinct partial
+    # expansion is the second exchange (the burstiness shape)
+    "q_doc_ngram_diversity": 2,
+    # r8: cells aggregate + label-totals aggregate (broadcast join-back)
+    "q_doc_lang_confusion": 2,
     # static plan count; at runtime AQE ReuseExchange collapses the
     # corpus-scale legs to one (see operators/text.source_overlap)
     "q_doc_source_overlap": 6,
