@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import r6
+from .. import oracle_defs as _OD
 
 def _buy():
     return F.when(~F.col("is_buyer_maker"), F.col("qty")).otherwise(F.lit(0.0))
@@ -326,8 +327,13 @@ PCTL_ACCURACY = 10_000
 
 
 def _pctl(col: str, p: float, approx: bool, accuracy: int):
-    """Exact `percentile` (== DuckDB quantile_cont, the oracle contract) or
-    the mergeable `percentile_approx` sketch for the 100 TB path."""
+    """Exact `percentile` or the mergeable `percentile_approx` sketch for
+    the 100 TB path.  Cross-engine note: DuckDB quantile_cont matches
+    Spark's exact percentile only up to a last-ulp difference when the
+    two bracketing values are EQUAL (Spark shortcuts, DuckDB lerps) —
+    harmless for r6-rounded outputs, fatal for membership compares;
+    oracles that compare against the unrounded quantile replicate
+    Spark's branch structure via oracle_defs.spark_percentile_sql."""
     if approx:
         return F.percentile_approx(col, p, accuracy)
     return F.expr(f"percentile({col}, {p})")
@@ -816,9 +822,10 @@ def winsorize_volumes(
     volumes are clipped into [p01, p99] and the clip is flagged so the
     mass of affected rows stays auditable.
 
-    The percentile bounds come from ONE per-symbol aggregate (Spark
-    ``percentile`` == DuckDB ``quantile_cont``, the parity
-    q_latency_percentiles already exercises) broadcast back onto the rows —
+    The percentile bounds come from ONE per-symbol aggregate broadcast
+    back onto the rows (the DuckDB twin replicates Spark's exact
+    percentile branch structure — see oracle_defs.spark_percentile_sql —
+    because the unrounded bounds feed the clip compares) —
     no window, no per-row sort.  ``approx=True`` swaps the bound estimate
     to the mergeable `percentile_approx` sketch (see latency_percentiles)
     — at 100 TB the clip bounds don't need interpolated exactness."""
@@ -841,11 +848,16 @@ def winsorize_volumes(
 
 
 WINSORIZE_ORACLE_BODY = f"""
-,bounds AS (
-  SELECT symbol,
-         quantile_cont(volume, {WINSOR_LO}) AS p_lo,
-         quantile_cont(volume, {WINSOR_HI}) AS p_hi
+,wz_l AS (
+  SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+         list(volume ORDER BY volume) AS vs
   FROM bars GROUP BY symbol
+),
+bounds AS (
+  SELECT symbol,
+         {_OD.spark_percentile_sql(WINSOR_LO)} AS p_lo,
+         {_OD.spark_percentile_sql(WINSOR_HI)} AS p_hi
+  FROM wz_l
 )
 SELECT b.symbol, b.bucket,
        round(b.volume, 6) AS volume,
@@ -3734,12 +3746,15 @@ def var_es(
     a mean" diagnostic.
 
     Determinism: returns are the shared 6-dp bar column; VaR comes from
-    the engine's pinned exact-``percentile`` convention (== DuckDB
-    ``quantile_cont``, the q_latency_percentiles parity); the tail
-    membership compare (ret ≤ VaR) runs on identical doubles; the tail
-    mean is an exact DECIMAL(18,6)-grid sum divided by an exact count.
-    Symbols with an empty tail (impossible — the quantile is attained —
-    but guarded anyway) emit NULL ES.
+    Spark's exact ``percentile``, whose equal-bracketing-values shortcut
+    the DuckDB twin replicates bit-for-bit via
+    ``oracle_defs.spark_percentile_sql`` (plain quantile_cont lerps
+    x·(1−d) + x·d one ulp off x on ties, flipping the tail compare —
+    found by hypothesis, round 8); the tail membership compare
+    (ret ≤ VaR) then runs on identical doubles, and the tail mean is an
+    exact DECIMAL(18,6)-grid sum divided by an exact count.  Symbols
+    with an empty tail (possible only when alpha interpolates strictly
+    below every value) emit NULL ES.
 
     Plan shape: the winsorize_volumes shape — ONE per-symbol percentile
     aggregate broadcast back onto the bar scan, tail filter BEFORE the
@@ -3786,11 +3801,15 @@ VAR_ES_ORACLE_BODY = f"""
 ,ve_r AS (
   SELECT symbol, price_change_pct AS ret FROM bars
 ),
-ve_q AS (
-  SELECT symbol,
-         CAST(count(*) AS BIGINT) AS n_bars,
-         quantile_cont(ret, {VAR_ALPHA!r}) AS var_a
+ve_l AS (
+  SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+         list(ret ORDER BY ret) AS vs
   FROM ve_r GROUP BY symbol
+),
+ve_q AS (
+  SELECT symbol, n AS n_bars,
+         {_OD.spark_percentile_sql(VAR_ALPHA)} AS var_a
+  FROM ve_l
 ),
 ve_t AS (
   SELECT r.symbol,

@@ -2395,3 +2395,59 @@ WITH dv_g AS (
 )
 SELECT rep_vec_id, max_vec_id, n_dups, n_labels
 FROM dv_g WHERE n_dups > 1"""
+
+
+# --- round 8: embedding norm hygiene audit ---------------------------------
+
+
+def norm_audit(embeddings: DataFrame) -> DataFrame:
+    """Per-label embedding NORM audit — the first-line encoder health
+    check before any similarity work: a label whose vectors suddenly
+    carry tiny (or zero) norms is a truncated/collapsed encoder batch,
+    and zero-norm vectors silently break every cosine downstream
+    (0/0 NaNs).  Reports per label: count, mean/std of the L2 norm,
+    min/max norm, and the zero-norm count.
+
+    Exactness: norms are the engine-shared sequential fold (Spark
+    ``aggregate`` == DuckDB ``list_sum`` element order); the std uses
+    the explicit sqrt(max(0, E[n²] − E[n]²)) moment form on BOTH sides
+    (never the engines' internal stddev, whose accumulation orders
+    differ).
+
+    Plan shape: map-only norm + ONE label-keyed partial-combining
+    aggregate — the cheapest possible full-corpus pass.
+
+    cf. reference: extends the surface (no embedding ops in the
+    reference)."""
+    e = with_norm(embeddings)
+    e1 = F.avg("norm")
+    e2 = F.avg(F.col("norm") * F.col("norm"))
+    return e.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        r6(e1).alias("mean_norm"),
+        r6(F.sqrt(F.greatest(F.lit(0.0), e2 - e1 * e1))).alias("std_norm"),
+        r6(F.min("norm")).alias("min_norm"),
+        r6(F.max("norm")).alias("max_norm"),
+        F.sum(F.when(F.col("norm") == 0.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero_norm"),
+    )
+
+
+NORM_AUDIT_ORACLE = """
+WITH n AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(nrm), 6) AS mean_norm,
+       round(sqrt(greatest(0.0, avg(nrm * nrm) - avg(nrm) * avg(nrm))), 6)
+           AS std_norm,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm,
+       CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_norm
+FROM n GROUP BY label"""

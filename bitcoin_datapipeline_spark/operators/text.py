@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import r6
+from .. import oracle_defs as _OD
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
@@ -4508,9 +4509,12 @@ def length_outliers(
     quality gate q_doc_domain_gate, applied to length).
 
     Determinism: token counts are exact integers; the band comes from
-    the engine's pinned exact-``percentile`` convention (== DuckDB
-    ``quantile_cont``), and the outlier compares run integer-vs-double
-    on identical operands.
+    Spark's exact ``percentile``, replicated bit-for-bit in the DuckDB
+    twin via ``oracle_defs.spark_percentile_sql`` — integer counts tie
+    constantly, and plain quantile_cont lerps x·(1−d) + x·d one ulp off
+    x on ties, which would flip the n_tokens < p_lo compare (the
+    round-8 cross-engine finding) — so the outlier compares run
+    integer-vs-double on identical operands.
 
     Plan shape: the winsorize shape — one per-source percentile
     aggregate (K_source rows) broadcast back onto the map-only counted
@@ -4547,12 +4551,17 @@ WITH lo_d AS (
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
   FROM documents
 ),
+lo_l AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         list(n_tokens ORDER BY n_tokens) AS vs
+  FROM lo_d GROUP BY source
+),
 lo_b AS (
   SELECT source,
-         quantile_cont(n_tokens, {LEN_OUT_LO!r}) AS p_lo,
-         quantile_cont(n_tokens, {LEN_OUT_HI!r}) AS p_hi,
-         CAST(count(*) AS BIGINT) AS n_docs_src
-  FROM lo_d GROUP BY source
+         {_OD.spark_percentile_sql(LEN_OUT_LO)} AS p_lo,
+         {_OD.spark_percentile_sql(LEN_OUT_HI)} AS p_hi,
+         n AS n_docs_src
+  FROM lo_l
 )
 SELECT d.doc_id, d.source, d.n_tokens, b.n_docs_src,
        round(b.p_lo, 6) AS p_lo,

@@ -12,10 +12,40 @@ DuckDB specifics used deliberately:
   post-1970 so floor == trunc).
 - integer ``//`` (DuckDB) == ``div`` (Spark) on BIGINT.
 - ``arg_min/arg_max`` == Spark ``min_by/max_by``.
-- ``quantile_cont`` == Spark ``percentile`` (exact interpolating).
+- ``quantile_cont`` == Spark ``percentile`` (exact interpolating) ONLY up
+  to a last-ulp difference when the two bracketing values are EQUAL:
+  Spark (Percentile.scala `getPercentile`) shortcuts to the exact value
+  when lowerKey == higherKey, DuckDB always lerps (x*(1-d) + x*d can land
+  one ulp off x).  Harmless for r6-ROUNDED outputs; fatal when the
+  unrounded quantile feeds a MEMBERSHIP COMPARE (ret <= VaR, volume <
+  p_lo, n_tokens < p_lo) — a tie at the quantile flips row counts.
+  Found by hypothesis (test_var_es_matches_naive, round 8).  Oracles
+  whose quantile feeds a compare use :func:`spark_percentile_sql`,
+  which replicates Spark's exact branch structure.
 """
 
 from __future__ import annotations
+
+
+def spark_percentile_sql(p: float, vs: str = "vs", n: str = "n") -> str:
+    """DuckDB expression computing EXACTLY Spark's exact `percentile`
+    over a pre-sorted list column ``vs`` (built with
+    ``list(x ORDER BY x)``) of length ``n`` — bit-identical, including
+    the two no-interpolation shortcuts Spark takes (integral position;
+    equal bracketing values) and the exact coefficient/product/sum
+    shapes of its lerp `(higher-pos)*lo + (pos-lower)*hi`."""
+    # CAST the probability literal: DuckDB parses bare 0.9 as DECIMAL and
+    # would compute the position in exact decimal arithmetic, diverging
+    # from Spark's double multiply in the last ulp
+    pos = f"(CAST({p!r} AS DOUBLE) * ({n} - 1))"
+    flo = f"floor({pos})"
+    lo_v = f"{vs}[CAST({flo} AS BIGINT) + 1]"
+    hi_v = f"{vs}[CAST({flo} AS BIGINT) + 2]"
+    return (
+        f"CASE WHEN {flo} = ceil({pos}) THEN {lo_v} "
+        f"WHEN {lo_v} = {hi_v} THEN {lo_v} "
+        f"ELSE ({flo} + 1 - {pos}) * {lo_v} + ({pos} - {flo}) * {hi_v} END"
+    )
 
 TS_MIN_MS = 1577836800000
 TS_MAX_MS = 1893456000000

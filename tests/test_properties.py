@@ -2892,17 +2892,21 @@ def test_var_es_matches_naive(spark, batch):
     for s, xs in per_sym.items():
         xs.sort()
         n = len(xs)
-        # exact interpolating percentile: pos = alpha*(n-1); the engines'
-        # pinned SYMMETRIC lerp is lo*(1-d) + hi*d — NOT lo + (hi-lo)*d,
-        # which differs in the last ulp (hypothesis found the case)
+        # exact interpolating percentile: pos = alpha*(n-1).  The pinned
+        # convention is Spark's Percentile.getPercentile, replicated in
+        # the DuckDB oracles by oracle_defs.spark_percentile_sql:
+        # symmetric lerp lo*(1-d) + hi*d — NOT lo + (hi-lo)*d, which
+        # differs in the last ulp — PLUS the equal-keys shortcut (when
+        # the two bracketing values tie, return the value exactly; the
+        # lerp x*(1-d) + x*d can land one ulp off x and flip the
+        # ret <= VaR tail membership — hypothesis found both cases)
         pos = VAR_ALPHA * (n - 1)
         lo = int(pos)
         frac = pos - lo
-        v = (
-            xs[lo]
-            if frac == 0
-            else xs[lo] * (1 - frac) + xs[lo + 1] * frac
-        )
+        if frac == 0 or xs[lo] == xs[lo + 1]:
+            v = xs[lo]
+        else:
+            v = xs[lo] * (1 - frac) + xs[lo + 1] * frac
         tail = [x for x in xs if x <= v]
         es = None
         if tail:
@@ -3899,3 +3903,49 @@ def test_stream_twa_processor_matches_batch(spark, batch, n_chunks):
             assert key_sb in got, (key_sb, w)
         else:
             assert key_sb not in got  # still open
+
+
+def test_spark_percentile_sql_bit_exact(spark):
+    """oracle_defs.spark_percentile_sql must reproduce Spark's exact
+    `percentile` BIT-FOR-BIT — including the two no-interpolation
+    shortcuts (integral position; equal bracketing values) and the
+    double-typed position arithmetic (a bare DECIMAL probability literal
+    in DuckDB computes the position exactly and diverges in the last
+    ulp).  These are the adversarial shapes hypothesis found in round 8:
+    tied values at the quantile flipped VaR tail membership, and integer
+    token counts would flip the length-outlier band compares."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from bitcoin_datapipeline_spark.oracle_defs import spark_percentile_sql
+
+    cases = [
+        # (values, p) — ties at the quantile (the VaR flip)
+        ([-7.9e-05, -7.9e-05, 0.0, 1e-06, 2e-06], 0.05),
+        # tie where symmetric lerp overshoots upward
+        ([7.0, 7.0, 9.0, 11.0], 0.25),
+        # integer counts, interpolated between equal ints (length band)
+        ([5.0, 5.0, 5.0, 8.0, 13.0], 0.25),
+        # plain interpolation (both engines lerp — position typing case)
+        ([-7.9e-05, -7.9e-05, 2.5, 0.0], 0.9),
+        ([-7.9e-05, -7.9e-05, 0.0017, -7.9e-05, 2.5, 0.0, -7.9e-05], 0.99),
+        # integral position
+        ([1.5, 2.5, 3.5, 4.5, 5.5], 0.5),
+        # single element
+        ([42.0], 0.37),
+        # two elements, every regime
+        ([1.0, 2.0], 0.5),
+        ([3.0, 3.0], 0.5),
+    ]
+    con = duckdb.connect()
+    for vals, p in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        sp = df.agg(F.expr(f"percentile(v, {p!r})")).collect()[0][0]
+        dq = con.execute(
+            f"SELECT {spark_percentile_sql(p)} FROM "
+            "(SELECT list(v ORDER BY v) AS vs, count(*) AS n"
+            " FROM (SELECT unnest(?) AS v))",
+            [vals],
+        ).fetchone()[0]
+        assert sp == dq, (vals, p, repr(sp), repr(dq))
