@@ -2690,6 +2690,20 @@ def q_doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_confusion(table(spark, sf_dir, "documents"))
 
 
+# round 8: embedding norm hygiene audit — encoder health before any
+# similarity work (map-only norm + one label-keyed aggregate)
+@q("q_embed_norm_audit", similarity.NORM_AUDIT_ORACLE)
+def q_embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.norm_audit(table(spark, sf_dir, "embeddings"))
+
+
+# round 8: template-mill detection — per-source opening-prefix
+# concentration (the boilerplate shape near-dup passes are weakest on)
+@q("q_doc_template_detect", text.TEMPLATE_DETECT_ORACLE)
+def q_doc_template_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.template_detect(table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract surface
 # ---------------------------------------------------------------------------

@@ -219,6 +219,11 @@ HEADLINE = [
     # round 8: lang-label vs lang-ID confusion audit (map-only
     # prediction + a cells x labels aggregate)
     "q_doc_lang_confusion",
+    # round 8: embedding norm hygiene (map-only norm + label aggregate)
+    "q_embed_norm_audit",
+    # round 8: template-mill prefix concentration (two aggregates on
+    # the (source, prefix) key, no explode)
+    "q_doc_template_detect",
 ]
 
 

@@ -4846,3 +4846,86 @@ totals AS (
 SELECT c.lang, c.predicted_lang, c.n_docs, t.n_label,
        round(c.n_docs * 1.0 / t.n_label, 6) AS share_of_label
 FROM cells c JOIN totals t USING (lang)"""
+
+
+TEMPLATE_PREFIX_TOKENS = 3
+TEMPLATE_SHARE_THRESHOLD = 0.10
+
+
+def template_detect(
+    documents: DataFrame,
+    prefix_tokens: int = TEMPLATE_PREFIX_TOKENS,
+    share_threshold: float = TEMPLATE_SHARE_THRESHOLD,
+) -> DataFrame:
+    """Template-mill detection per source: group documents by their
+    first-N-token prefix and report, per source, how concentrated the
+    prefix distribution is — a source where one opening boilerplate
+    ("Welcome to our store Buy now") covers >10% of documents is a
+    generated-template mill, the shape near-dup passes are weakest
+    against (bodies differ, only the frame repeats).  Reports per
+    source: distinct prefix count, the max single-prefix share, the
+    document count living in above-threshold prefix groups, and its
+    share.
+
+    Determinism: shares divide exact integers; the threshold compare is
+    the same integer-ratio double on both engines.
+
+    Plan shape: ONE (source, prefix) aggregate + a source-total
+    broadcast join-back + one per-source aggregate — no explode (the
+    prefix is a map-side substring), no self-join; cost tracks the scan.
+
+    cf. reference: extends the surface (no reference counterpart)."""
+    pfx = F.concat_ws(
+        " ", F.slice(F.split(F.col("text"), " "), 1, prefix_tokens)
+    )
+    g = documents.select("source", pfx.alias("prefix")).groupBy(
+        "source", "prefix"
+    ).agg(F.count("*").cast("long").alias("n_p"))
+    tot = g.groupBy("source").agg(
+        F.sum("n_p").cast("long").alias("n_docs_src")
+    )
+    j = g.join(F.broadcast(tot), "source")
+    share = F.col("n_p") / F.col("n_docs_src")
+    templated = share >= F.lit(share_threshold)
+    return j.groupBy("source").agg(
+        F.max("n_docs_src").alias("n_docs"),
+        F.count("*").cast("long").alias("n_prefixes"),
+        r6(F.max(share)).alias("max_prefix_share"),
+        F.sum(F.when(templated, F.col("n_p")).otherwise(0))
+        .cast("long")
+        .alias("n_template_docs"),
+        r6(
+            F.sum(F.when(templated, F.col("n_p")).otherwise(0))
+            / F.max("n_docs_src")
+        ).alias("template_share"),
+    )
+
+
+TEMPLATE_DETECT_ORACLE = f"""
+WITH td_p AS (
+  SELECT source,
+         array_to_string(string_split(text, ' ')[1:{TEMPLATE_PREFIX_TOKENS}],
+                         ' ') AS prefix
+  FROM documents
+),
+td_g AS (
+  SELECT source, prefix, CAST(count(*) AS BIGINT) AS n_p
+  FROM td_p GROUP BY source, prefix
+),
+td_t AS (
+  SELECT source, CAST(sum(n_p) AS BIGINT) AS n_docs_src
+  FROM td_g GROUP BY source
+)
+SELECT g.source,
+       max(t.n_docs_src) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_prefixes,
+       round(max(g.n_p * 1.0 / t.n_docs_src), 6) AS max_prefix_share,
+       CAST(sum(CASE WHEN g.n_p * 1.0 / t.n_docs_src
+                          >= {TEMPLATE_SHARE_THRESHOLD!r}
+                     THEN g.n_p ELSE 0 END) AS BIGINT) AS n_template_docs,
+       round(sum(CASE WHEN g.n_p * 1.0 / t.n_docs_src
+                           >= {TEMPLATE_SHARE_THRESHOLD!r}
+                      THEN g.n_p ELSE 0 END) * 1.0 / max(t.n_docs_src), 6)
+           AS template_share
+FROM td_g g JOIN td_t t USING (source)
+GROUP BY g.source"""

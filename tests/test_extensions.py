@@ -1093,3 +1093,61 @@ def test_lang_confusion_counts_and_shares(spark):
         assert sum(
             r.share_of_label for k, r in out.items() if k[0] == lang
         ) == 1.0
+
+
+def test_template_detect_flags_boilerplate_source(spark):
+    """A source where one opening prefix covers >=10% of docs reports it;
+    a diverse source reports zero templated docs."""
+    from bitcoin_datapipeline_spark.operators.text import template_detect
+
+    mill = [
+        _doc(i, f"welcome to our store item{i} buy now", source="mill")
+        for i in range(8)
+    ] + [_doc(100 + i, f"unique{i} opener{i} words{i} x", source="mill")
+         for i in range(12)]  # 12 singleton prefixes, each 1/20 < 0.1
+    diverse = [
+        _doc(200 + i, f"a{i} b{i} c{i} body text", source="div")
+        for i in range(10)
+    ]
+    out = {r.source: r for r in
+           template_detect(spark.createDataFrame(mill + diverse)).collect()}
+    m = out["mill"]
+    assert (m.n_docs, m.n_prefixes) == (20, 13)
+    assert m.max_prefix_share == 0.4
+    assert m.n_template_docs == 8 and m.template_share == 0.4
+    d = out["div"]
+    assert d.n_prefixes == 10
+    assert d.n_template_docs == 10  # each prefix is exactly 10% — at the
+    assert d.max_prefix_share == 0.1  # >= threshold boundary by design
+    # below threshold: 11 distinct prefixes -> share < 0.1 each
+    sub = [
+        _doc(300 + i, f"p{i} q{i} r{i} body", source="sub") for i in range(11)
+    ]
+    s = template_detect(spark.createDataFrame(sub)).collect()[0]
+    assert s.n_template_docs == 0 and s.template_share == 0.0
+
+
+def test_norm_audit_flags_zero_and_scaled_vectors(spark):
+    """Zero-norm vectors are counted; mean/std over a hand-computable
+    label group match the explicit moment formulas."""
+    from pyspark.sql import Row
+
+    from bitcoin_datapipeline_spark.operators.similarity import norm_audit
+
+    e = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[3.0, 4.0], label=0),    # norm 5
+            Row(vec_id=2, embedding=[6.0, 8.0], label=0),    # norm 10
+            Row(vec_id=3, embedding=[0.0, 0.0], label=0),    # zero norm
+            Row(vec_id=4, embedding=[1.0, 0.0], label=1),
+        ]
+    )
+    out = {r.label: r for r in norm_audit(e).collect()}
+    a = out[0]
+    assert a.n_vecs == 3 and a.n_zero_norm == 1
+    assert a.mean_norm == 5.0
+    # std = sqrt(E[n^2] - E[n]^2) = sqrt(125/3 - 25)
+    assert a.std_norm == round((125 / 3 - 25) ** 0.5, 6)
+    assert (a.min_norm, a.max_norm) == (0.0, 10.0)
+    b = out[1]
+    assert (b.n_vecs, b.mean_norm, b.std_norm, b.n_zero_norm) == (1, 1.0, 0.0, 0)

@@ -498,6 +498,11 @@ SHUFFLE_BUDGETS = {
     "q_doc_ngram_diversity": 2,
     # r8: cells aggregate + label-totals aggregate (broadcast join-back)
     "q_doc_lang_confusion": 2,
+    # r8: map-only norm + ONE label aggregate — the cheapest full pass
+    "q_embed_norm_audit": 1,
+    # r8: (source, prefix) aggregate + totals + final source aggregate
+    # (static count; AQE reuses the shared scan at runtime)
+    "q_doc_template_detect": 4,
     # static plan count; at runtime AQE ReuseExchange collapses the
     # corpus-scale legs to one (see operators/text.source_overlap)
     "q_doc_source_overlap": 6,
