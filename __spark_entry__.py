@@ -2690,6 +2690,25 @@ def q_doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_confusion(table(spark, sf_dir, "documents"))
 
 
+# round 8: candlestick pattern frequencies per (symbol, day) — one
+# symbol sort for the lags + one day aggregate
+@q(
+    "q_candle_patterns",
+    OD.with_ctes(
+        OD.BARS_1M_CTE + aggregates.CANDLE_PATTERNS_ORACLE_BODY, body=""
+    ),
+)
+def q_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.candle_patterns(pipeline.bars_pipeline(spark, sf_dir))
+
+
+# round 8: per-IVF-cell assignment-cosine outliers — the dirty-vector
+# detector riding the SAME trained quantizer as the ANN index
+@q("q_embed_cell_outliers", similarity.CELL_OUTLIERS_ORACLE)
+def q_embed_cell_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cell_outliers(table(spark, sf_dir, "embeddings"))
+
+
 # round 8: embedding norm hygiene audit — encoder health before any
 # similarity work (map-only norm + one label-keyed aggregate)
 @q("q_embed_norm_audit", similarity.NORM_AUDIT_ORACLE)

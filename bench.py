@@ -224,6 +224,12 @@ HEADLINE = [
     # round 8: template-mill prefix concentration (two aggregates on
     # the (source, prefix) key, no explode)
     "q_doc_template_detect",
+    # round 8: candlestick pattern frequencies (bars agg + one symbol
+    # sort for the lags + the day aggregate)
+    "q_candle_patterns",
+    # round 8: per-IVF-cell assignment-cosine outliers (shared cached
+    # quantizer + map-only scoring + K-row aggregates)
+    "q_embed_cell_outliers",
 ]
 
 

@@ -4667,3 +4667,124 @@ SELECT symbol, event_ts // 60000 AS bucket,
        round(avg(2.0 * d * (mid_3 - mid_0) / mid_0 * 10000.0), 6)
            AS markout_{MARKOUT_HORIZONS_MS[2] // 1000}s_bps
 FROM mk GROUP BY 1, 2"""
+
+
+# --- round 8: candlestick pattern counts ------------------------------------
+
+DOJI_BODY_FRAC = 0.1  # body <= 10% of range
+
+
+def candle_patterns(bars: DataFrame) -> DataFrame:
+    """Candlestick pattern counts per (symbol, day) over the 1-minute
+    bars — the classical-TA feature block a signal library extracts
+    before model training: doji (open≈close inside a real range),
+    hammer (long lower shadow, capped upper shadow), and bullish/bearish
+    engulfing (current body swallows the previous OBSERVED bar's body,
+    opposite direction).  Counts, not signals: the per-day pattern
+    frequency is the regime feature.
+
+    Pattern definitions (deterministic double compares on the shared
+    bar columns): with body = |close − open|, range = high − low,
+      doji    := range > 0 AND body <= 0.1·range
+      hammer  := range > 0 AND (least(o,c) − low) >= 2·body
+                 AND (high − greatest(o,c)) <= body
+      bullish engulfing := prev bearish AND current bullish
+                 AND open <= prev_close AND close >= prev_open
+      bearish engulfing := mirror
+    Flat bars (range = 0 — single-trade minutes) are excluded from
+    doji/hammer by the range guard and counted in ``n_flat``.
+
+    Plan shape: ONE partitionBy(symbol) sort for the two lags, then one
+    partial-combinable (symbol, day) aggregate.
+
+    cf. reference: extends the surface (no reference counterpart)."""
+    wl = Window.partitionBy("symbol").orderBy("bucket")
+    body = F.abs(F.col("close") - F.col("open"))
+    rng = F.col("high") - F.col("low")
+    lower = F.least(F.col("open"), F.col("close")) - F.col("low")
+    upper = F.col("high") - F.greatest(F.col("open"), F.col("close"))
+    p_o = F.lag("open").over(wl)
+    p_c = F.lag("close").over(wl)
+    doji = (rng > 0) & (body <= F.lit(DOJI_BODY_FRAC) * rng)
+    hammer = (rng > 0) & (lower >= 2.0 * body) & (upper <= body)
+    bull = (
+        p_c.isNotNull()
+        & (p_c < p_o)
+        & (F.col("close") > F.col("open"))
+        & (F.col("open") <= p_c)
+        & (F.col("close") >= p_o)
+    )
+    bear = (
+        p_c.isNotNull()
+        & (p_c > p_o)
+        & (F.col("close") < F.col("open"))
+        & (F.col("open") >= p_c)
+        & (F.col("close") <= p_o)
+    )
+
+    def cnt(cond, name):
+        return (
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+        )
+
+    return (
+        bars.select(
+            "symbol",
+            "bucket",
+            "open",
+            "high",
+            "low",
+            "close",
+            doji.alias("is_doji"),
+            hammer.alias("is_hammer"),
+            bull.alias("is_bull"),
+            bear.alias("is_bear"),
+            (rng == 0).alias("is_flat"),
+        )
+        .groupBy(
+            "symbol",
+            F.expr("bucket div 1440").cast("long").alias("day"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_bars"),
+            cnt(F.col("is_flat"), "n_flat"),
+            cnt(F.col("is_doji"), "n_doji"),
+            cnt(F.col("is_hammer"), "n_hammer"),
+            cnt(F.col("is_bull"), "n_bull_engulf"),
+            cnt(F.col("is_bear"), "n_bear_engulf"),
+        )
+    )
+
+
+CANDLE_PATTERNS_ORACLE_BODY = f"""
+,cp AS (
+  SELECT symbol, bucket, open, high, low, close,
+         lag(open) OVER (PARTITION BY symbol ORDER BY bucket) AS p_o,
+         lag(close) OVER (PARTITION BY symbol ORDER BY bucket) AS p_c
+  FROM bars
+),
+cp_f AS (
+  SELECT symbol, bucket // 1440 AS day,
+         high - low AS rng,
+         abs(close - open) AS body,
+         least(open, close) - low AS lower,
+         high - greatest(open, close) AS upper,
+         p_o, p_c, open, close
+  FROM cp
+)
+SELECT symbol, day,
+       CAST(count(*) AS BIGINT) AS n_bars,
+       CAST(sum(CASE WHEN rng = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flat,
+       CAST(sum(CASE WHEN rng > 0
+                      AND body <= CAST({DOJI_BODY_FRAC!r} AS DOUBLE) * rng
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_doji,
+       CAST(sum(CASE WHEN rng > 0 AND lower >= 2.0 * body
+                      AND upper <= body
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hammer,
+       CAST(sum(CASE WHEN p_c IS NOT NULL AND p_c < p_o AND close > open
+                      AND open <= p_c AND close >= p_o
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bull_engulf,
+       CAST(sum(CASE WHEN p_c IS NOT NULL AND p_c > p_o AND close < open
+                      AND open >= p_c AND close <= p_o
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bear_engulf
+FROM cp_f GROUP BY symbol, day"""

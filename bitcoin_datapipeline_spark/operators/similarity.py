@@ -2451,3 +2451,134 @@ SELECT label,
        CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_zero_norm
 FROM n GROUP BY label"""
+
+
+# --- round 8: per-cell assignment-cosine outliers ---------------------------
+
+CELL_OUTLIER_Z = 2.0
+
+
+def cell_outliers(
+    embeddings: DataFrame,
+    train_mod: int = IVF_TRAIN_MOD,
+    k: int = IVF_K,
+    z: float = CELL_OUTLIER_Z,
+) -> DataFrame:
+    """Per-IVF-cell assignment-quality audit: every vector's cosine to
+    its OWN (nearest) centroid, aggregated per cell into mean/std, with
+    vectors more than z standard deviations below their cell mean
+    counted as outliers — the mislabeled/corrupt-embedding detector that
+    runs off the SAME trained quantizer the ANN index uses (a cell whose
+    outlier count spikes is where dirty vectors hide, and where IVF
+    recall quietly degrades first).
+
+    Exactness: per-vector cosines are the 6-dp assignment sync points
+    the IVF family already pins cross-engine; cell std uses the explicit
+    moment form; the outlier threshold is ROUNDED to 6 dp before the
+    membership compare, so both engines compare identical grid doubles.
+
+    Plan shape: quantizer training is the shared cached
+    :func:`_train_quantizer` (bounded driver-side collects — the
+    spark.ml pattern); scoring is map-only against the broadcast model;
+    then one K-row cell aggregate and one broadcast join-back for the
+    outlier count.  Output is K rows.
+
+    cf. reference: extends the surface (no embedding ops in the
+    reference)."""
+    embeddings = _spread(embeddings)
+    e = with_norm(embeddings)
+    cents = _train_quantizer(embeddings, train_mod, k)
+    e = e.join(
+        F.broadcast(_centroid_frame(embeddings.sparkSession, cents))
+    )
+    best = F.array_max(_centroid_scores())
+    a = e.select(
+        (-best["negc"]).cast("long").alias("c"),
+        best["c_cos"].alias("cos_own"),
+    )
+    m = F.avg("cos_own")
+    e2 = F.avg(F.col("cos_own") * F.col("cos_own"))
+    std = F.sqrt(F.greatest(F.lit(0.0), e2 - m * m))
+    stats = a.groupBy("c").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        r6(m).alias("mean_cos"),
+        r6(std).alias("std_cos"),
+        r6(m - F.lit(z) * std).alias("outlier_thr"),
+    )
+    return (
+        a.join(F.broadcast(stats), "c")
+        .groupBy("c")
+        .agg(
+            F.max("n_vecs").alias("n_vecs"),
+            F.max("mean_cos").alias("mean_cos"),
+            F.max("std_cos").alias("std_cos"),
+            F.max("outlier_thr").alias("outlier_thr"),
+            F.sum(
+                F.when(F.col("cos_own") < F.col("outlier_thr"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            r6(F.min("cos_own")).alias("min_cos"),
+        )
+        .select(
+            F.col("c").cast("int").alias("cell"),
+            "n_vecs",
+            "mean_cos",
+            "std_cos",
+            "outlier_thr",
+            "n_outliers",
+            "min_cos",
+        )
+    )
+
+
+def _cell_outliers_oracle(
+    train_mod: int = IVF_TRAIN_MOD, k: int = IVF_K, z: float = CELL_OUTLIER_Z
+) -> str:
+    """DuckDB twin: replayed quantizer training, own-centroid cosine per
+    vector, explicit-moment cell stats, rounded threshold compare."""
+    ctes, final = _ivf_train_ctes(train_mod, k)
+    ctes.append(
+        f"""own AS (
+  SELECT vec_id, c, ccos FROM (
+    SELECT e.vec_id, c.c,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        c.centroid), 6) AS ccos,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                   c.centroid), 6) DESC,
+                      c.c) AS rn
+    FROM embeddings e CROSS JOIN {final} c)
+  WHERE rn = 1
+)"""
+    )
+    ctes.append(
+        f"""cellthr AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS n_vecs,
+         round(avg(ccos), 6) AS mean_cos,
+         round(sqrt(greatest(0.0, avg(ccos * ccos) - avg(ccos) * avg(ccos))),
+               6) AS std_cos,
+         round(avg(ccos) - CAST({z!r} AS DOUBLE)
+               * sqrt(greatest(0.0, avg(ccos * ccos)
+                               - avg(ccos) * avg(ccos))), 6) AS outlier_thr
+  FROM own GROUP BY c
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT CAST(o.c AS INTEGER) AS cell,
+       max(t.n_vecs) AS n_vecs,
+       max(t.mean_cos) AS mean_cos,
+       max(t.std_cos) AS std_cos,
+       max(t.outlier_thr) AS outlier_thr,
+       CAST(sum(CASE WHEN o.ccos < t.outlier_thr THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       round(min(o.ccos), 6) AS min_cos
+FROM own o JOIN cellthr t USING (c)
+GROUP BY o.c"""
+    )
+
+
+CELL_OUTLIERS_ORACLE = _cell_outliers_oracle()

@@ -145,3 +145,42 @@ def test_markout_horizon_curve_hand_computed(spark):
         ),
     ).collect()[0]
     assert edge.markout_1s_bps == 2000.0  # mid 110 visible at +1s exactly
+
+
+def test_candle_patterns_hand_built(spark):
+    """Each pattern fires on a hand-built bar and nowhere else: doji
+    (small body in a real range), hammer (long lower shadow), bullish
+    and bearish engulfing (current body swallows the previous observed
+    bar's opposite-direction body), with flat bars excluded by the
+    range guard."""
+    from pyspark.sql import Row
+
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        candle_patterns,
+    )
+
+    def bar(sym, bucket, o, h, l, c):
+        return Row(symbol=sym, bucket=bucket, open=float(o), high=float(h),
+                   low=float(l), close=float(c))
+
+    rows = [
+        bar("A", 0, 100.0, 110.0, 90.0, 101.0),   # doji: body 1 <= 2
+        bar("A", 1, 100.0, 103.0, 90.0, 103.0),   # hammer only: body 3 >
+                                                  # 0.1*13, lower 10 >= 6
+        bar("A", 2, 105.0, 106.0, 99.0, 101.0),   # bearish bar (setup;
+                                                  # close > bar-1 open so
+                                                  # it doesn't engulf it)
+        bar("A", 3, 99.0, 107.0, 98.0, 106.0),    # bull engulf of bar 2
+        bar("A", 4, 107.0, 108.0, 96.0, 97.0),    # bear engulf of bar 3
+        bar("A", 5, 50.0, 50.0, 50.0, 50.0),      # flat: excluded
+    ]
+    out = candle_patterns(spark.createDataFrame(rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.symbol, r.day, r.n_bars, r.n_flat) == ("A", 0, 6, 1)
+    assert r.n_doji == 1
+    # bar 1 is a hammer (lower 10 >= 2*1, upper 0 <= 1); bar 3's lower
+    # shadow is 1 < 2*7 so engulfing bars don't double-count as hammers
+    assert r.n_hammer == 1
+    assert r.n_bull_engulf == 1
+    assert r.n_bear_engulf == 1

@@ -1151,3 +1151,43 @@ def test_norm_audit_flags_zero_and_scaled_vectors(spark):
     assert (a.min_norm, a.max_norm) == (0.0, 10.0)
     b = out[1]
     assert (b.n_vecs, b.mean_norm, b.std_norm, b.n_zero_norm) == (1, 1.0, 0.0, 0)
+
+
+def test_cell_outliers_invariants_and_planted_outlier(spark, sf_dir):
+    """Structural invariants over the real corpus (cells partition the
+    corpus, thresholds sit z stds below the mean, outliers are below the
+    rounded threshold by construction), plus a planted-outlier check on
+    a crafted corpus: one vector pointing away from its dense cluster is
+    the cell's outlier."""
+    from pyspark.sql import Row
+
+    from bitcoin_datapipeline_spark.operators.similarity import (
+        IVF_K,
+        cell_outliers,
+    )
+    from bitcoin_datapipeline_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = cell_outliers(emb).collect()
+    assert 0 < len(out) <= IVF_K
+    assert sum(r.n_vecs for r in out) == emb.count()
+    for r in out:
+        assert r.n_outliers <= r.n_vecs
+        assert r.outlier_thr <= r.mean_cos
+        if r.n_outliers == 0:
+            assert r.min_cos >= r.outlier_thr
+
+    # planted outlier: 39 IDENTICAL vectors (all seeds coincide, so the
+    # whole corpus collapses into one cell — a z-score can only exceed 2
+    # when the cell is big enough: max z in an n-cell is (n-1)/sqrt(n))
+    # plus one anti-aligned vector pulled into that cell; dense ids
+    # 0..39 keep the quantizer's seed-by-rank contract
+    rows = [
+        Row(vec_id=i, embedding=[1.0, 0.0, 0.0, 0.0], label=0)
+        for i in range(39)
+    ] + [Row(vec_id=39, embedding=[-1.0, 1.0, 0.0, 0.0], label=0)]
+    crafted = spark.createDataFrame(rows)
+    cells = {r.cell: r for r in cell_outliers(crafted, train_mod=1).collect()}
+    assert sum(r.n_vecs for r in cells.values()) == 40
+    flagged = sum(r.n_outliers for r in cells.values())
+    assert flagged == 1  # exactly the anti-aligned vector

@@ -500,6 +500,12 @@ SHUFFLE_BUDGETS = {
     "q_doc_lang_confusion": 2,
     # r8: map-only norm + ONE label aggregate — the cheapest full pass
     "q_embed_norm_audit": 1,
+    # r8: bars agg + one symbol sort for the lags + the day aggregate
+    "q_candle_patterns": 3,
+    # r8: map-only scoring against the broadcast quantizer + the K-row
+    # cell aggregates and their broadcast join-back (static count; the
+    # two scoring legs share one scan at runtime via ReuseExchange)
+    "q_embed_cell_outliers": 6,
     # r8: (source, prefix) aggregate + totals + final source aggregate
     # (static count; AQE reuses the shared scan at runtime)
     "q_doc_template_detect": 4,
