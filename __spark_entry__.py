@@ -2690,6 +2690,29 @@ def q_doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_confusion(table(spark, sf_dir, "documents"))
 
 
+# round 8: classical TA block over the bars — RSI (Cutler SMA form,
+# exact decimal window sums), Bollinger breach scorecard, stochastic %K/%D
+@q("q_rsi", OD.with_ctes(OD.BARS_1M_CTE + windows.RSI_ORACLE_BODY, body=""))
+def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.rsi(pipeline.bars_pipeline(spark, sf_dir))
+
+
+@q(
+    "q_bollinger_breach",
+    OD.with_ctes(OD.BARS_1M_CTE + windows.BOLLINGER_ORACLE_BODY, body=""),
+)
+def q_bollinger_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.bollinger_breach(pipeline.bars_pipeline(spark, sf_dir))
+
+
+@q(
+    "q_stochastic_k",
+    OD.with_ctes(OD.BARS_1M_CTE + windows.STOCHASTIC_ORACLE_BODY, body=""),
+)
+def q_stochastic_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.stochastic_k(pipeline.bars_pipeline(spark, sf_dir))
+
+
 # round 8: candlestick pattern frequencies per (symbol, day) — one
 # symbol sort for the lags + one day aggregate
 @q(

@@ -230,6 +230,12 @@ HEADLINE = [
     # round 8: per-IVF-cell assignment-cosine outliers (shared cached
     # quantizer + map-only scoring + K-row aggregates)
     "q_embed_cell_outliers",
+    # round 8: classical-TA block — each rides the bars agg + ONE symbol
+    # sort (RSI decimal rolling sums; Bollinger second-moment decimal
+    # sums + day agg; stochastic extremes + the %D decimal window)
+    "q_rsi",
+    "q_bollinger_breach",
+    "q_stochastic_k",
 ]
 
 

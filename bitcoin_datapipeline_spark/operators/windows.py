@@ -664,3 +664,256 @@ SELECT CAST(day AS BIGINT) AS day, symbol,
        CAST(ntile({RANK_NTILES}) OVER w AS INT) AS quartile
 FROM rs
 WINDOW w AS (PARTITION BY day ORDER BY notional_day DESC, symbol)"""
+
+
+# --- round 8: classical TA features (exact-decimal window discipline) -------
+
+RSI_PERIOD = 14
+BOLL_PERIOD = 20
+BOLL_K = 2.0
+STOCH_PERIOD = 14
+
+
+def rsi(bars: DataFrame, period: int = RSI_PERIOD) -> DataFrame:
+    """Relative Strength Index per bar, SMA (Cutler) convention:
+    RSI = 100·Σgains / (Σgains + Σlosses) over the trailing ``period``
+    close-to-close changes — algebraically identical to
+    100 − 100/(1 + avg_gain/avg_loss) but with ONE division, so the
+    zero-loss branch needs no special case (both-zero windows emit
+    NULL).  Wilder's recursive smoothing is deliberately not used: it is
+    an infinite-memory EWMA (not SQL-window expressible) and Cutler's
+    SMA form is the standard batch-replay convention.
+
+    Exactness: Δclose is an exact DECIMAL(18,6) grid difference; the
+    window sums are exact decimal; the single division runs on identical
+    doubles in both engines.  Rows emit only when the window holds a
+    full ``period`` deltas (the standard warm-up gate).
+
+    Plan shape: ONE partitionBy(symbol) sort carries the lag and both
+    rolling sums.
+
+    cf. reference: extends the surface (classical-TA block over the
+    engine's own bars; no reference counterpart)."""
+    wl = Window.partitionBy("symbol").orderBy("bucket")
+    dc = F.col("close").cast("decimal(18,6)") - F.lag(
+        F.col("close").cast("decimal(18,6)")
+    ).over(wl)
+    d = bars.select("symbol", "bucket", dc.alias("dc")).filter(
+        F.col("dc").isNotNull()
+    )
+    wr = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket")
+        .rowsBetween(-(period - 1), 0)
+    )
+    gain = F.when(F.col("dc") > 0, F.col("dc")).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    loss = F.when(F.col("dc") < 0, -F.col("dc")).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    g = F.sum(gain).over(wr).cast("double")
+    l = F.sum(loss).over(wr).cast("double")
+    n_in = F.count("dc").over(wr)
+    return (
+        d.select(
+            "symbol",
+            "bucket",
+            n_in.alias("n_in"),
+            g.alias("g"),
+            l.alias("l"),
+        )
+        .filter(F.col("n_in") == period)
+        .select(
+            "symbol",
+            "bucket",
+            F.when(
+                F.col("g") + F.col("l") > 0.0,
+                r6(100.0 * F.col("g") / (F.col("g") + F.col("l"))),
+            ).alias("rsi"),
+        )
+    )
+
+
+RSI_ORACLE_BODY = f"""
+,rsi_d AS (
+  SELECT symbol, bucket,
+         CAST(close AS DECIMAL(18,6))
+           - lag(CAST(close AS DECIMAL(18,6))) OVER (
+               PARTITION BY symbol ORDER BY bucket) AS dc
+  FROM bars
+),
+rsi_w AS (
+  SELECT symbol, bucket,
+         count(dc) OVER w AS n_in,
+         CAST(sum(CASE WHEN dc > 0 THEN dc
+                       ELSE CAST(0 AS DECIMAL(18,6)) END) OVER w
+              AS DOUBLE) AS g,
+         CAST(sum(CASE WHEN dc < 0 THEN -dc
+                       ELSE CAST(0 AS DECIMAL(18,6)) END) OVER w
+              AS DOUBLE) AS l
+  FROM rsi_d WHERE dc IS NOT NULL
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket
+               ROWS BETWEEN {RSI_PERIOD - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, bucket,
+       CASE WHEN g + l > 0.0 THEN round(100.0 * g / (g + l), 6) END AS rsi
+FROM rsi_w WHERE n_in = {RSI_PERIOD}"""
+
+
+def bollinger_breach(
+    bars: DataFrame, period: int = BOLL_PERIOD, k: float = BOLL_K
+) -> DataFrame:
+    """Bollinger-band breach scorecard per (symbol, day): over the
+    trailing ``period``-bar close window, count closes above
+    mean + k·std and below mean − k·std, plus the mean relative
+    bandwidth — the volatility-regime feature a TA block extracts (band
+    walks = trends, squeezes = breakout setups).
+
+    Exactness: the window mean and second moment come from exact
+    DECIMAL(18,6)/(38,12) sums (close and close² live on the 1e-6 /
+    1e-12 grids), so both engines derive band edges from identical
+    doubles and the breach compares cannot drift — the
+    ``rolling_stats`` decimal-window policy extended to second moments.
+
+    Plan shape: ONE partitionBy(symbol) sort for the rolling sums, one
+    (symbol, day) aggregate.
+
+    cf. reference: extends the surface (no reference counterpart)."""
+    wr = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket")
+        .rowsBetween(-(period - 1), 0)
+    )
+    cd = F.col("close").cast("decimal(18,6)")
+    s1 = F.sum(cd).over(wr).cast("double")
+    s2 = F.sum((cd * cd).cast("decimal(38,12)")).over(wr).cast("double")
+    n_in = F.count("close").over(wr)
+    mean = s1 / n_in
+    var = F.greatest(F.lit(0.0), s2 / n_in - mean * mean)
+    std = F.sqrt(var)
+    upper = mean + F.lit(k) * std
+    lower = mean - F.lit(k) * std
+    e = bars.select(
+        "symbol",
+        "bucket",
+        "close",
+        n_in.alias("n_in"),
+        upper.alias("upper"),
+        lower.alias("lower"),
+        (2.0 * F.lit(k) * std / mean).alias("bw"),
+    ).filter(F.col("n_in") == period)
+    return e.groupBy(
+        "symbol", F.expr("bucket div 1440").cast("long").alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.sum(F.when(F.col("close") > F.col("upper"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_upper_breach"),
+        F.sum(F.when(F.col("close") < F.col("lower"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lower_breach"),
+        r6(F.avg("bw")).alias("mean_bandwidth"),
+    )
+
+
+BOLLINGER_ORACLE_BODY = f"""
+,bb_w AS (
+  SELECT symbol, bucket, close,
+         count(close) OVER w AS n_in,
+         CAST(sum(CAST(close AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+         CAST(sum(CAST(CAST(close AS DECIMAL(18,6))
+                       * CAST(close AS DECIMAL(18,6)) AS DECIMAL(38,12)))
+              OVER w AS DOUBLE) AS s2
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket
+               ROWS BETWEEN {BOLL_PERIOD - 1} PRECEDING AND CURRENT ROW)
+),
+bb_e AS (
+  SELECT symbol, bucket // 1440 AS day, close,
+         s1 / n_in AS mean,
+         sqrt(greatest(0.0, s2 / n_in - (s1 / n_in) * (s1 / n_in))) AS std
+  FROM bb_w WHERE n_in = {BOLL_PERIOD}
+)
+SELECT symbol, day,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(CASE WHEN close > mean + CAST({BOLL_K!r} AS DOUBLE) * std
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_upper_breach,
+       CAST(sum(CASE WHEN close < mean - CAST({BOLL_K!r} AS DOUBLE) * std
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_lower_breach,
+       round(avg(2.0 * CAST({BOLL_K!r} AS DOUBLE) * std / mean), 6)
+           AS mean_bandwidth
+FROM bb_e GROUP BY symbol, day"""
+
+
+def stochastic_k(bars: DataFrame, period: int = STOCH_PERIOD) -> DataFrame:
+    """Stochastic oscillator per bar: %K = 100·(close − LL)/(HH − LL)
+    over the trailing ``period`` bars' high/low extremes, and %D = the
+    3-bar SMA of %K.  HH/LL are exact max/min (no accumulation), so %K
+    is deterministic by construction; %D sums the 6-dp-rounded %K on the
+    DECIMAL grid before its one division — the only way a 3-term double
+    average is bit-identical across engines.
+
+    Flat windows (HH = LL) emit NULL %K and drop out of %D's average
+    (count only non-null %K — both engines' avg-over-window semantics).
+
+    Plan shape: ONE partitionBy(symbol) sort carries both extremes and
+    the %D window.
+
+    cf. reference: extends the surface (no reference counterpart)."""
+    wr = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket")
+        .rowsBetween(-(period - 1), 0)
+    )
+    hh = F.max("high").over(wr)
+    ll = F.min("low").over(wr)
+    n_in = F.count("close").over(wr)
+    k_raw = F.when(
+        hh > ll, r6(100.0 * (F.col("close") - ll) / (hh - ll))
+    )
+    e = bars.select(
+        "symbol",
+        "bucket",
+        n_in.alias("n_in"),
+        k_raw.alias("k_pct"),
+    ).filter(F.col("n_in") == period)
+    wd = (
+        Window.partitionBy("symbol").orderBy("bucket").rowsBetween(-2, 0)
+    )
+    d_pct = (
+        F.sum(F.col("k_pct").cast("decimal(18,6)")).over(wd).cast("double")
+        / F.count("k_pct").over(wd)
+    )
+    return e.select(
+        "symbol",
+        "bucket",
+        "k_pct",
+        F.when(F.count("k_pct").over(wd) > 0, r6(d_pct)).alias("d_pct"),
+    )
+
+
+STOCHASTIC_ORACLE_BODY = f"""
+,st_w AS (
+  SELECT symbol, bucket, close,
+         count(close) OVER w AS n_in,
+         max(high) OVER w AS hh,
+         min(low) OVER w AS ll
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket
+               ROWS BETWEEN {STOCH_PERIOD - 1} PRECEDING AND CURRENT ROW)
+),
+st_k AS (
+  SELECT symbol, bucket,
+         CASE WHEN hh > ll
+              THEN round(100.0 * (close - ll) / (hh - ll), 6) END AS k_pct
+  FROM st_w WHERE n_in = {STOCH_PERIOD}
+)
+SELECT symbol, bucket, k_pct,
+       CASE WHEN count(k_pct) OVER d > 0
+            THEN round(CAST(sum(CAST(k_pct AS DECIMAL(18,6))) OVER d
+                            AS DOUBLE) / count(k_pct) OVER d, 6)
+       END AS d_pct
+FROM st_k
+WINDOW d AS (PARTITION BY symbol ORDER BY bucket
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"""

@@ -506,6 +506,10 @@ SHUFFLE_BUDGETS = {
     # cell aggregates and their broadcast join-back (static count; the
     # two scoring legs share one scan at runtime via ReuseExchange)
     "q_embed_cell_outliers": 6,
+    # r8 TA block: bars agg (2) + the one symbol sort each
+    "q_rsi": 3,
+    "q_bollinger_breach": 3,
+    "q_stochastic_k": 3,
     # r8: (source, prefix) aggregate + totals + final source aggregate
     # (static count; AQE reuses the shared scan at runtime)
     "q_doc_template_detect": 4,

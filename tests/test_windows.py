@@ -119,3 +119,81 @@ def test_gap_detect_threshold(spark):
     out = gap_detect(spark.createDataFrame(rows)).collect()
     assert len(out) == 1
     assert out[0].gap_ms == 3 * h and out[0].gap_seconds == 3 * 3600.0
+
+
+def test_rsi_bounds_and_hand_values(spark):
+    """All-up windows read 100, all-down 0, a 50/50 split reads by the
+    gain share; warm-up rows (fewer than `period` deltas) don't emit."""
+    from pyspark.sql import Row
+
+    from bitcoin_datapipeline_spark.operators.windows import rsi
+
+    def bars(sym, closes):
+        return [Row(symbol=sym, bucket=i, close=float(c))
+                for i, c in enumerate(closes)]
+
+    up = bars("UP", [100 + i for i in range(16)])        # 15 deltas, all +1
+    down = bars("DN", [100 - i for i in range(16)])
+    # 14 deltas: +2 x7 then -1 x7 -> gains 14, losses 7 -> rsi 66.666667
+    mixed = bars("MX", [100, 102, 104, 106, 108, 110, 112, 114,
+                        113, 112, 111, 110, 109, 108, 107])
+    out = rsi(spark.createDataFrame(up + down + mixed, 
+              "symbol string, bucket long, close double"), period=14)
+    rows = {(r.symbol, r.bucket): r.rsi for r in out.collect()}
+    # first emission needs 14 deltas -> bucket >= 14
+    assert ("UP", 13) not in rows
+    assert rows[("UP", 14)] == 100.0 and rows[("UP", 15)] == 100.0
+    assert rows[("DN", 14)] == 0.0
+    assert rows[("MX", 14)] == round(100 * 14 / 21, 6)
+
+
+def test_bollinger_breach_flat_and_spike(spark):
+    """Constant closes give zero bandwidth and no breaches; one spike
+    above the +2-sigma band is counted exactly once."""
+    from pyspark.sql import Row
+
+    from bitcoin_datapipeline_spark.operators.windows import (
+        bollinger_breach,
+    )
+
+    flat = [Row(symbol="F", bucket=i, close=100.0) for i in range(25)]
+    spik = [Row(symbol="S", bucket=i,
+                close=100.0 + (1.0 if i % 2 else -1.0)) for i in range(24)]
+    spik.append(Row(symbol="S", bucket=24, close=150.0))
+    out = {r.symbol: r for r in bollinger_breach(
+        spark.createDataFrame(flat + spik,
+                              "symbol string, bucket long, close double")
+    ).collect()}
+    f = out["F"]
+    assert (f.n_eval, f.n_upper_breach, f.n_lower_breach) == (6, 0, 0)
+    assert f.mean_bandwidth == 0.0
+    s = out["S"]
+    assert s.n_upper_breach == 1 and s.n_lower_breach == 0
+
+
+def test_stochastic_k_extremes_and_flat_null(spark):
+    """Close at the window high reads %K=100, at the low 0; a flat
+    window (HH == LL) emits NULL %K and drops out of %D."""
+    from pyspark.sql import Row
+
+    from bitcoin_datapipeline_spark.operators.windows import stochastic_k
+
+    rows = [
+        Row(symbol="A", bucket=i, high=float(100 + i), low=float(90 + i),
+            close=float(100 + i))
+        for i in range(14)
+    ]
+    # bucket 13: close == HH -> 100
+    flat = [Row(symbol="B", bucket=i, high=50.0, low=50.0, close=50.0)
+            for i in range(14)]
+    out = {(r.symbol, r.bucket): r for r in stochastic_k(
+        spark.createDataFrame(
+            rows + flat,
+            "symbol string, bucket long, high double, low double,"
+            " close double",
+        )
+    ).collect()}
+    a = out[("A", 13)]
+    assert a.k_pct == 100.0 and a.d_pct == 100.0
+    b = out[("B", 13)]
+    assert b.k_pct is None and b.d_pct is None
