@@ -2690,6 +2690,27 @@ def q_doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_confusion(table(spark, sf_dir, "documents"))
 
 
+# round 8: ATR / OBV — the TA block's volatility unit and
+# volume-confirmation line, same one-symbol-sort decimal discipline
+@q("q_atr", OD.with_ctes(OD.BARS_1M_CTE + windows.ATR_ORACLE_BODY, body=""))
+def q_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.atr(pipeline.bars_pipeline(spark, sf_dir))
+
+
+@q("q_obv", OD.with_ctes(OD.BARS_1M_CTE + windows.OBV_ORACLE_BODY, body=""))
+def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.obv(pipeline.bars_pipeline(spark, sf_dir))
+
+
+# round 8: repeat-customer purchase cadence — windowed retention over
+# orders (one custkey sort, aggregate rides the same partitioning)
+@q("q_repeat_purchase", relational.REPEAT_PURCHASE_ORACLE)
+def q_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.repeat_purchase_intervals(
+        table(spark, sf_dir, "orders")
+    )
+
+
 # round 8: classical TA block over the bars — RSI (Cutler SMA form,
 # exact decimal window sums), Bollinger breach scorecard, stochastic %K/%D
 @q("q_rsi", OD.with_ctes(OD.BARS_1M_CTE + windows.RSI_ORACLE_BODY, body=""))

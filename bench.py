@@ -236,6 +236,11 @@ HEADLINE = [
     "q_rsi",
     "q_bollinger_breach",
     "q_stochastic_k",
+    "q_atr",
+    "q_obv",
+    # round 8: windowed retention over orders (one custkey sort, the
+    # aggregate rides the same partitioning)
+    "q_repeat_purchase",
 ]
 
 

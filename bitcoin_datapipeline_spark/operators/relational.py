@@ -725,3 +725,74 @@ FROM rev CROSS JOIN totals
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 WHERE rev * 20 * n_suppliers > 21 * total"""
+
+
+def repeat_purchase_intervals(orders: DataFrame) -> DataFrame:
+    """Repeat-customer purchase cadence: per customer with ≥2 orders,
+    the count, mean/max gap in days between consecutive orders (by
+    order date, keyed deterministic on o_orderkey for same-day ties),
+    and lifetime spend — the retention/LTV substrate a growth dashboard
+    aggregates (here kept at customer grain so the cadence joins back
+    to segments).
+
+    Exactness: gaps are exact integer datediff days; the mean divides
+    an exact integer sum; spend is an exact DECIMAL(18,2)-grid sum.
+
+    Plan shape: ONE partitionBy(custkey) sort for the lag, one
+    per-customer aggregate riding the same partitioning (no second
+    exchange).
+
+    cf. reference: extends the surface (TPC-H-style windowed retention;
+    no reference counterpart)."""
+    wl = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(
+        F.col("o_orderdate"), F.lag("o_orderdate").over(wl)
+    )
+    g = orders.select(
+        "o_custkey",
+        "o_totalprice",
+        gap.alias("gap_days"),
+    )
+    return (
+        g.groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.count("gap_days").cast("long").alias("n_gaps"),
+            F.sum("gap_days").cast("long").alias("sum_gap_days"),
+            F.max("gap_days").cast("long").alias("max_gap_days"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("lifetime_spend"),
+        )
+        .filter(F.col("n_orders") >= 2)
+        .select(
+            "o_custkey",
+            "n_orders",
+            r6(F.col("sum_gap_days") / F.col("n_gaps")).alias(
+                "mean_gap_days"
+            ),
+            "max_gap_days",
+            r6(F.col("lifetime_spend")).alias("lifetime_spend"),
+        )
+    )
+
+
+REPEAT_PURCHASE_ORACLE = """
+WITH rp AS (
+  SELECT o_custkey, o_totalprice,
+         datediff('day',
+                  lag(o_orderdate) OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(gap_days) * 1.0 / count(gap_days), 6) AS mean_gap_days,
+       CAST(max(gap_days) AS BIGINT) AS max_gap_days,
+       round(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(38,2)) AS DOUBLE), 6) AS lifetime_spend
+FROM rp
+GROUP BY o_custkey
+HAVING count(*) >= 2"""

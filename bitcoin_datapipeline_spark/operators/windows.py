@@ -917,3 +917,136 @@ SELECT symbol, bucket, k_pct,
 FROM st_k
 WINDOW d AS (PARTITION BY symbol ORDER BY bucket
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"""
+
+
+ATR_PERIOD = 14
+
+
+def atr(bars: DataFrame, period: int = ATR_PERIOD) -> DataFrame:
+    """Average True Range per bar (SMA convention, same rationale as
+    :func:`rsi`): TR = max(high − low, |high − prev_close|,
+    |low − prev_close|), ATR = the trailing ``period``-bar mean — the
+    volatility unit position-sizing rules quote ("risk 1 ATR").  Also
+    emits the normalized ATR (ATR / close, the cross-symbol comparable).
+
+    Exactness: every TR operand is an exact DECIMAL(18,6) grid
+    difference, the max of decimals is exact, the rolling sum is exact
+    decimal; the two divisions run on identical doubles.  The FIRST bar's
+    TR is its own range, per Wilder — both engines' ``greatest`` skips
+    the NULL prev-close legs.  Warm-up rows (fewer than ``period`` TRs)
+    don't emit.
+
+    Plan shape: ONE partitionBy(symbol) sort carries the prev-close lag
+    and the rolling sum.
+
+    cf. reference: extends the surface (no reference counterpart)."""
+    wl = Window.partitionBy("symbol").orderBy("bucket")
+    h = F.col("high").cast("decimal(18,6)")
+    l = F.col("low").cast("decimal(18,6)")
+    pc = F.lag(F.col("close").cast("decimal(18,6)")).over(wl)
+    tr = F.greatest(h - l, F.abs(h - pc), F.abs(l - pc))
+    d = bars.select(
+        "symbol", "bucket", "close", tr.alias("tr")
+    ).filter(F.col("tr").isNotNull())
+    wr = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket")
+        .rowsBetween(-(period - 1), 0)
+    )
+    s = F.sum("tr").over(wr).cast("double")
+    n_in = F.count("tr").over(wr)
+    av = s / n_in
+    return (
+        d.select(
+            "symbol",
+            "bucket",
+            "close",
+            n_in.alias("n_in"),
+            av.alias("av"),
+        )
+        .filter(F.col("n_in") == period)
+        .select(
+            "symbol",
+            "bucket",
+            r6(F.col("av")).alias("atr"),
+            r6(F.col("av") / F.col("close")).alias("atr_norm"),
+        )
+    )
+
+
+ATR_ORACLE_BODY = f"""
+,atr_d AS (
+  -- DuckDB's greatest() promotes DECIMAL args to DOUBLE; the re-cast
+  -- recovers the exact 1e-6 grid value (6-dp values round-trip through
+  -- double losslessly), keeping the window sum exact like Spark's
+  -- decimal greatest
+  SELECT symbol, bucket, close,
+         CAST(greatest(
+                CAST(high AS DECIMAL(18,6)) - CAST(low AS DECIMAL(18,6)),
+                abs(CAST(high AS DECIMAL(18,6)) - pc),
+                abs(CAST(low AS DECIMAL(18,6)) - pc))
+              AS DECIMAL(19,6)) AS tr
+  FROM (SELECT *, lag(CAST(close AS DECIMAL(18,6))) OVER (
+            PARTITION BY symbol ORDER BY bucket) AS pc
+        FROM bars)
+),
+atr_w AS (
+  SELECT symbol, bucket, close,
+         count(tr) OVER w AS n_in,
+         CAST(sum(tr) OVER w AS DOUBLE) AS s
+  FROM atr_d WHERE tr IS NOT NULL
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket
+               ROWS BETWEEN {ATR_PERIOD - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, bucket,
+       round(s / n_in, 6) AS atr,
+       round(s / n_in / close, 6) AS atr_norm
+FROM atr_w WHERE n_in = {ATR_PERIOD}"""
+
+
+def obv(bars: DataFrame) -> DataFrame:
+    """On-Balance Volume per bar: the running sum of signed bar volume
+    (+volume on an up close, −volume on a down close, unchanged on a
+    flat close) — the classical volume-confirmation line (price up on
+    rising OBV = confirmed trend; divergence = distribution).
+
+    Exactness: volumes live on an exact decimal grid and the close
+    comparison is a lag of identical doubles, so the cumulative sum is
+    an exact DECIMAL(38,6) prefix sum — the CUSUM-family discipline.
+
+    Plan shape: ONE partitionBy(symbol) sort carries the lag and the
+    cumulative sum.
+
+    cf. reference: extends the surface (no reference counterpart)."""
+    wl = Window.partitionBy("symbol").orderBy("bucket")
+    wc = wl.rowsBetween(Window.unboundedPreceding, 0)
+    pc = F.lag("close").over(wl)
+    signed = (
+        F.when(pc.isNull() | (F.col("close") == pc), F.lit(0).cast("decimal(18,6)"))
+        .when(F.col("close") > pc, F.col("volume").cast("decimal(18,6)"))
+        .otherwise(-F.col("volume").cast("decimal(18,6)"))
+    )
+    return bars.select(
+        "symbol",
+        "bucket",
+        r6(F.col("volume")).alias("volume"),
+        F.sum(signed).over(wc).cast("decimal(38,6)").cast("double").alias("obv"),
+    ).select("symbol", "bucket", "volume", r6(F.col("obv")).alias("obv"))
+
+
+OBV_ORACLE_BODY = """
+,obv_d AS (
+  SELECT symbol, bucket, volume,
+         CASE WHEN pc IS NULL OR close = pc THEN CAST(0 AS DECIMAL(18,6))
+              WHEN close > pc THEN CAST(volume AS DECIMAL(18,6))
+              ELSE -CAST(volume AS DECIMAL(18,6)) END AS signed_v
+  FROM (SELECT *, lag(close) OVER (
+            PARTITION BY symbol ORDER BY bucket) AS pc
+        FROM bars)
+)
+SELECT symbol, bucket, round(volume, 6) AS volume,
+       round(CAST(CAST(sum(signed_v) OVER (
+           PARTITION BY symbol ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DECIMAL(38,6)) AS DOUBLE), 6) AS obv
+FROM obv_d"""

@@ -510,6 +510,10 @@ SHUFFLE_BUDGETS = {
     "q_rsi": 3,
     "q_bollinger_breach": 3,
     "q_stochastic_k": 3,
+    "q_atr": 3,
+    "q_obv": 3,
+    # r8: ONE custkey sort; the aggregate rides the same partitioning
+    "q_repeat_purchase": 1,
     # r8: (source, prefix) aggregate + totals + final source aggregate
     # (static count; AQE reuses the shared scan at runtime)
     "q_doc_template_detect": 4,

@@ -234,3 +234,37 @@ def test_compaction_hits_target_and_is_idempotent(spark, tmp_path):
     # idempotent second sweep
     stats2 = compact.compact_tree(spark, root, target_bytes=target)
     assert not stats2[0]["rewritten"]
+
+
+def test_repeat_purchase_intervals_hand_built(spark):
+    """Gap arithmetic on exact datediff days; single-order customers
+    drop; lifetime spend is the exact 2-dp sum."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from bitcoin_datapipeline_spark.operators.relational import (
+        repeat_purchase_intervals,
+    )
+
+    def o(key, cust, day, price):
+        return Row(o_orderkey=key, o_custkey=cust,
+                   o_orderdate=dt.datetime(2024, 1, day),
+                   o_totalprice=float(price))
+
+    orders = [
+        o(1, 7, 1, 100.10), o(2, 7, 4, 200.20), o(3, 7, 10, 50.05),
+        o(4, 9, 2, 999.99),                       # single order: dropped
+        o(5, 8, 5, 10.0), o(6, 8, 5, 20.0),       # same-day pair: gap 0
+    ]
+    out = {r.o_custkey: r for r in repeat_purchase_intervals(
+        spark.createDataFrame(orders)
+    ).collect()}
+    assert set(out) == {7, 8}
+    c7 = out[7]
+    assert c7.n_orders == 3
+    assert c7.mean_gap_days == round((3 + 6) / 2, 6)
+    assert c7.max_gap_days == 6
+    assert c7.lifetime_spend == 350.35
+    c8 = out[8]
+    assert (c8.mean_gap_days, c8.max_gap_days) == (0.0, 0)

@@ -197,3 +197,52 @@ def test_stochastic_k_extremes_and_flat_null(spark):
     assert a.k_pct == 100.0 and a.d_pct == 100.0
     b = out[("B", 13)]
     assert b.k_pct is None and b.d_pct is None
+
+
+def test_atr_hand_values_and_gap_rule(spark):
+    """TR picks the max of the three legs (a gap-up bar's TR comes from
+    |high − prev_close|, not its own range); warm-up rows don't emit."""
+    from pyspark.sql import Row
+
+    from bitcoin_datapipeline_spark.operators.windows import atr
+
+    rows = [
+        Row(symbol="A", bucket=i, high=101.0, low=99.0, close=100.0)
+        for i in range(14)
+    ]
+    # bar 14 gaps up: range 2 but |high - prev_close| = 10
+    rows.append(Row(symbol="A", bucket=14, high=110.0, low=108.0,
+                    close=109.0))
+    out = {r.bucket: r for r in atr(
+        spark.createDataFrame(
+            rows, "symbol string, bucket long, high double, low double,"
+            " close double")
+    ).collect()}
+    # Wilder convention: the FIRST bar's TR is its own range (greatest
+    # ignores the NULL prev-close legs in both engines), so bucket 13
+    # already has 14 TRs; bucket 12 is still warm-up
+    assert 12 not in out
+    assert out[13].atr == 2.0
+    assert out[14].atr == round((13 * 2.0 + 10.0) / 14, 6)
+    assert out[14].atr_norm == round((13 * 2.0 + 10.0) / 14 / 109.0, 6)
+
+
+def test_obv_cumulative_signed_volume(spark):
+    """OBV adds volume on up closes, subtracts on down, holds on flat,
+    starting at zero on each symbol's first bar."""
+    from pyspark.sql import Row
+
+    from bitcoin_datapipeline_spark.operators.windows import obv
+
+    rows = [
+        Row(symbol="A", bucket=0, close=100.0, volume=5.0),
+        Row(symbol="A", bucket=1, close=101.0, volume=3.0),   # up: +3
+        Row(symbol="A", bucket=2, close=100.5, volume=2.0),   # down: -2
+        Row(symbol="A", bucket=3, close=100.5, volume=9.0),   # flat: hold
+        Row(symbol="A", bucket=4, close=102.0, volume=4.0),   # up: +4
+    ]
+    out = {r.bucket: r.obv for r in obv(
+        spark.createDataFrame(
+            rows, "symbol string, bucket long, close double, volume double")
+    ).collect()}
+    assert out == {0: 0.0, 1: 3.0, 2: 1.0, 3: 1.0, 4: 5.0}
