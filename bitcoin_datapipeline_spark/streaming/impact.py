@@ -1173,3 +1173,148 @@ def stream_twa_spread(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming RSI twin (round 8) -------------------------------------------
+
+RSI_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("rsi", T.DoubleType()),
+        T.StructField("late_dropped", T.LongType()),
+    ]
+)
+
+RSI_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("frontier_ts", T.LongType()),
+        T.StructField("frontier_tid", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+        T.StructField("pend_ts", T.ArrayType(T.LongType())),
+        T.StructField("pend_tid", T.ArrayType(T.LongType())),
+        T.StructField("pend_price", T.ArrayType(T.LongType())),
+        T.StructField("cur_bucket", T.LongType()),
+        T.StructField("cur_close", T.LongType()),
+        T.StructField("prev_close", T.LongType()),
+        # last `period` Δcloses, newest last (1e-4 units)
+        T.StructField("dc_ring", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def make_rsi_processor(
+    bucket_ms: int = 60_000,
+    period: int = None,
+    allowed_lateness_s: int = 0,
+):
+    """Live RSI — the streaming twin of operators/windows.rsi (Cutler
+    SMA form, one division).  O(period) per-symbol state: the open
+    bucket's running close and a ring of the last ``period`` bar
+    Δcloses.  Each closed bucket appends its Δclose and, once the ring
+    is full, emits 100·Σgains/(Σgains+Σlosses) over exact integer
+    1e-4-grid sums — rows per closed bucket EQUAL the batch operator
+    over bars restricted to closed buckets (property-tested; the batch
+    warm-up gate maps to the ring-full condition, and a both-zero
+    window emits NULL in both forms)."""
+    from bitcoin_datapipeline_spark.operators.windows import RSI_PERIOD
+
+    if period is None:
+        period = RSI_PERIOD
+    late_ms = allowed_lateness_s * 1000
+
+    def fn(key, pdfs, state: GroupState):
+        symbol = key[0]
+        chunks = [
+            pdf[["event_ts", "trade_id", "price"]] for pdf in pdfs if len(pdf)
+        ]
+        if not chunks:
+            yield pd.DataFrame(
+                [], columns=[f.name for f in RSI_OUTPUT_SCHEMA.fields]
+            )
+            return
+        ev = pd.concat(chunks, ignore_index=True)
+        if state.exists:
+            (f_ts, f_tid, n_late, p_ts, p_tid, p_pr,
+             cur_b, cur_close, prev_close, ring) = state.get
+            pend = list(zip(p_ts, p_tid, p_pr))
+            ring = list(ring)
+        else:
+            f_ts = f_tid = _NO_FRONTIER
+            n_late = 0
+            pend = []
+            cur_b = cur_close = prev_close = None
+            ring = []
+
+        new = (
+            (int(ts), int(tid), int(round(float(p) * UNITS)))
+            for ts, tid, p in zip(ev["event_ts"], ev["trade_id"], ev["price"])
+        )
+        fold, pend, (f_ts, f_tid), late_inc = merge_fold(
+            new, pend, (f_ts, f_tid), late_ms
+        )
+        n_late += late_inc
+
+        rows = []
+
+        def close_bucket():
+            nonlocal prev_close, ring
+            if prev_close is not None:
+                ring.append(cur_close - prev_close)
+                if len(ring) > period:
+                    ring = ring[1:]
+                if len(ring) == period:
+                    # exact integer sums -> the SAME doubles the batch
+                    # decimal-sum casts produce (Fraction = correctly
+                    # rounded decimal->double, the _vr_solve pattern)
+                    g = float(Fraction(sum(d for d in ring if d > 0), UNITS))
+                    l = float(Fraction(-sum(d for d in ring if d < 0), UNITS))
+                    rsi_v = (
+                        _round6(100.0 * g / (g + l)) if g + l > 0.0 else None
+                    )
+                    rows.append((symbol, int(cur_b), rsi_v, int(n_late)))
+            prev_close = cur_close
+
+        for ts, tid, p_u in fold:
+            b = ts // bucket_ms
+            if cur_b is None:
+                cur_b = b
+            elif b != cur_b:
+                close_bucket()
+                cur_b = b
+            cur_close = p_u
+
+        state.update((
+            int(f_ts), int(f_tid), int(n_late),
+            [t[0] for t in pend], [t[1] for t in pend],
+            [t[2] for t in pend],
+            int(cur_b) if cur_b is not None else None,
+            int(cur_close) if cur_close is not None else None,
+            int(prev_close) if prev_close is not None else None,
+            [int(x) for x in ring],
+        ))
+        out = pd.DataFrame(
+            rows, columns=[f.name for f in RSI_OUTPUT_SCHEMA.fields]
+        )
+        out["rsi"] = out["rsi"].astype(object).where(pd.notna(out["rsi"]), None)
+        yield out
+
+    return fn
+
+
+def stream_rsi(
+    trades: DataFrame,
+    bucket_ms: int = 60_000,
+    period: int = None,
+    allowed_lateness_s: int = 0,
+) -> DataFrame:
+    """Live RSI: one append-final row per closed minute bucket once the
+    Δclose ring holds a full ``period``, equal to the batch
+    windows.rsi row for that bucket (property-tested)."""
+    return trades.groupBy("symbol").applyInPandasWithState(
+        make_rsi_processor(bucket_ms, period, allowed_lateness_s),
+        outputStructType=RSI_OUTPUT_SCHEMA,
+        stateStructType=RSI_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -3949,3 +3949,51 @@ def test_spark_percentile_sql_bit_exact(spark):
             [vals],
         ).fetchone()[0]
         assert sp == dq, (vals, p, repr(sp), repr(dq))
+
+
+@given(batch=trade_strategy, n_chunks=st.integers(min_value=1, max_value=4))
+@_settings
+def test_stream_rsi_processor_matches_batch(spark, batch, n_chunks):
+    """The streaming RSI processor emits, for every closed minute bucket
+    once its Δclose ring is full, exactly the batch windows.rsi row over
+    bars restricted to the buckets closed so far — including the NULL on
+    a both-zero window and the period warm-up gate."""
+    from bitcoin_datapipeline_spark.operators.windows import rsi
+    from bitcoin_datapipeline_spark.streaming.impact import (
+        make_rsi_processor,
+    )
+
+    period = 3  # small period so hypothesis-sized tapes emit
+    ordered = sorted(batch, key=lambda t: t[1])
+    recs = [
+        Row(symbol=s, event_ts=ts, trade_id=i, price=c / 100.0)
+        for i, (s, ts, _tid, c, q, m) in enumerate(ordered)
+    ]
+    emitted = _drive_processor(
+        make_rsi_processor(period=period),
+        recs,
+        ["event_ts", "trade_id", "price"],
+        n_chunks,
+    )
+    closes = {}
+    for r in recs:
+        closes[(r.symbol, r.event_ts // 60_000)] = r.price
+    last_bucket = {}
+    for s, b in closes:
+        last_bucket[s] = max(last_bucket.get(s, -1), b)
+    got = {}
+    for e in emitted:
+        assert e.late_dropped == 0
+        got[(e.symbol, e.bucket)] = e.rsi
+    # batch over CLOSED buckets only (the stream's last bucket is open)
+    bars = [
+        (s, b, c) for (s, b), c in closes.items() if b < last_bucket[s]
+    ]
+    if bars:
+        want = {
+            (r.symbol, r.bucket): r.rsi
+            for r in rsi(_bars_df(spark, bars), period=period).collect()
+        }
+    else:
+        want = {}
+    assert got == want
