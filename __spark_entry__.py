@@ -2690,6 +2690,20 @@ def q_doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_confusion(table(spark, sf_dir, "documents"))
 
 
+# round 8: kNN label-homophily audit — embedding-quality probe for
+# classifier data over the exact kNN graph
+@q("q_embed_knn_label_agreement", similarity.KNN_LABEL_AGREEMENT_ORACLE)
+def q_embed_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.knn_label_agreement(table(spark, sf_dir, "embeddings"))
+
+
+# round 8: cohort-retention matrix over orders (first-order-month
+# cohorts x month offsets; pure integer month arithmetic)
+@q("q_cohort_retention", relational.COHORT_RETENTION_ORACLE)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.cohort_retention(table(spark, sf_dir, "orders"))
+
+
 # round 8: ATR / OBV — the TA block's volatility unit and
 # volume-confirmation line, same one-symbol-sort decimal discipline
 @q("q_atr", OD.with_ctes(OD.BARS_1M_CTE + windows.ATR_ORACLE_BODY, body=""))

@@ -241,6 +241,12 @@ HEADLINE = [
     # round 8: windowed retention over orders (one custkey sort, the
     # aggregate rides the same partitioning)
     "q_repeat_purchase",
+    # round 8: kNN label-homophily audit (knn scoring pass + broadcast
+    # label lookups + one #labels-row aggregate)
+    "q_embed_knn_label_agreement",
+    # round 8: cohort-retention matrix (first-order aggregate broadcast
+    # back + (cohort, offset) count-distinct + cohort-size join)
+    "q_cohort_retention",
 ]
 
 

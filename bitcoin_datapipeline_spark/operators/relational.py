@@ -796,3 +796,76 @@ SELECT o_custkey,
 FROM rp
 GROUP BY o_custkey
 HAVING count(*) >= 2"""
+
+
+def cohort_retention(orders: DataFrame, max_months: int = 6) -> DataFrame:
+    """Classic cohort-retention matrix over orders: customers grouped by
+    their FIRST order month (the cohort), then for each month offset
+    0..``max_months`` the count and share of the cohort that ordered
+    again in that month — the activation/retention table every growth
+    dashboard opens with.
+
+    Determinism: cohort and offset are exact integer month arithmetic
+    (months_between on first-of-month truncations is integral);
+    shares divide exact counts.
+
+    Plan shape: one per-customer min-date aggregate (broadcast back —
+    customer count is the small side vs the order fact), one
+    (cohort, offset) count-distinct aggregate, one cohort-size
+    broadcast join.  No window needed.
+
+    cf. reference: extends the surface (no reference counterpart)."""
+    first = orders.groupBy("o_custkey").agg(
+        F.trunc(F.min("o_orderdate"), "month").alias("cohort_month")
+    )
+    j = orders.join(F.broadcast(first), "o_custkey").select(
+        "o_custkey",
+        F.date_format("cohort_month", "yyyy-MM").alias("cohort"),
+        F.months_between(
+            F.trunc(F.col("o_orderdate"), "month"), F.col("cohort_month")
+        )
+        .cast("int")
+        .alias("offset"),
+    ).filter(F.col("offset") <= max_months)
+    active = j.groupBy("cohort", "offset").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_active")
+    )
+    size = j.filter(F.col("offset") == 0).groupBy("cohort").agg(
+        F.countDistinct("o_custkey").cast("long").alias("cohort_size")
+    )
+    return active.join(F.broadcast(size), "cohort").select(
+        "cohort",
+        "offset",
+        "cohort_size",
+        "n_active",
+        r6(F.col("n_active") / F.col("cohort_size")).alias("retention"),
+    )
+
+
+COHORT_RETENTION_ORACLE = """
+WITH cr_first AS (
+  SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort_month
+  FROM orders GROUP BY o_custkey
+),
+cr_j AS (
+  SELECT o.o_custkey,
+         strftime(f.cohort_month, '%Y-%m') AS cohort,
+         CAST(datediff('month', f.cohort_month,
+                       date_trunc('month', o.o_orderdate)) AS INTEGER)
+             AS "offset"
+  FROM orders o JOIN cr_first f USING (o_custkey)
+  WHERE datediff('month', f.cohort_month,
+                 date_trunc('month', o.o_orderdate)) <= {max_months}
+),
+cr_a AS (
+  SELECT cohort, "offset",
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active
+  FROM cr_j GROUP BY cohort, "offset"
+),
+cr_s AS (
+  SELECT cohort, CAST(count(DISTINCT o_custkey) AS BIGINT) AS cohort_size
+  FROM cr_j WHERE "offset" = 0 GROUP BY cohort
+)
+SELECT a.cohort, a."offset" AS offset, s.cohort_size, a.n_active,
+       round(a.n_active * 1.0 / s.cohort_size, 6) AS retention
+FROM cr_a a JOIN cr_s s USING (cohort)""".replace("{max_months}", "6")

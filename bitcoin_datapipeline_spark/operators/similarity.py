@@ -2582,3 +2582,86 @@ GROUP BY o.c"""
 
 
 CELL_OUTLIERS_ORACLE = _cell_outliers_oracle()
+
+
+def knn_label_agreement(
+    embeddings: DataFrame,
+    n_queries: int = KNN_QUERIES,
+    k: int = KNN_K,
+) -> DataFrame:
+    """Label-homophily audit over the exact kNN graph: per query label,
+    the share of retrieved neighbors (all ranks ≤ k, and rank-1 alone)
+    that carry the SAME label — the standard embedding-quality probe for
+    classifier training data (homophily near chance means the embedding
+    does not separate the classes; a single label far below the others
+    means its slice is mislabeled or under-trained).
+
+    Plan shape: :func:`knn`'s one scoring pass and rank window, then a
+    broadcast label lookup on both sides and one ≤#labels-row aggregate.
+    Exactness: pure integer counts over the deterministic kNN ranking.
+
+    cf. reference: extends the surface (no embedding ops in the
+    reference)."""
+    nn = knn(embeddings, n_queries, k)
+    lab = embeddings.select("vec_id", "label")
+    ql = lab.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    cl = lab.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+    )
+    j = nn.join(F.broadcast(ql), "query_id").join(
+        F.broadcast(cl), "neighbor_id"
+    )
+    agree = (F.col("q_label") == F.col("n_label")).cast("int")
+    return j.groupBy(F.col("q_label").alias("label")).agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(agree).cast("long").alias("n_agree"),
+        r6(F.sum(agree) / F.count("*")).alias("agreement"),
+        F.sum(F.when(F.col("rank") == 1, agree)).cast("long").alias(
+            "n_agree_top1"
+        ),
+        r6(
+            F.sum(F.when(F.col("rank") == 1, agree))
+            / F.sum(F.when(F.col("rank") == 1, 1).otherwise(0))
+        ).alias("agreement_top1"),
+    )
+
+
+KNN_LABEL_AGREEMENT_ORACLE = f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6)
+             AS cosine
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < {KNN_QUERIES} AND a.vec_id != b.vec_id
+),
+nn AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored)
+  WHERE rank <= {KNN_K}
+),
+lj AS (
+  SELECT n.query_id, n.rank,
+         ql.label AS q_label,
+         CASE WHEN ql.label = cl.label THEN 1 ELSE 0 END AS agree
+  FROM nn n
+  JOIN embeddings ql ON ql.vec_id = n.query_id
+  JOIN embeddings cl ON cl.vec_id = n.neighbor_id
+)
+SELECT q_label AS label,
+       CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(agree) AS BIGINT) AS n_agree,
+       round(sum(agree) * 1.0 / count(*), 6) AS agreement,
+       CAST(sum(CASE WHEN rank = 1 THEN agree END) AS BIGINT)
+           AS n_agree_top1,
+       round(sum(CASE WHEN rank = 1 THEN agree END) * 1.0
+             / sum(CASE WHEN rank = 1 THEN 1 ELSE 0 END), 6)
+           AS agreement_top1
+FROM lj GROUP BY q_label"""

@@ -1191,3 +1191,39 @@ def test_cell_outliers_invariants_and_planted_outlier(spark, sf_dir):
     assert sum(r.n_vecs for r in cells.values()) == 40
     flagged = sum(r.n_outliers for r in cells.values())
     assert flagged == 1  # exactly the anti-aligned vector
+
+
+def test_knn_label_agreement_separable_clusters(spark):
+    """Two well-separated label clusters: every neighbor of a query
+    shares its label -> agreement 1.0 for both labels; a planted
+    mislabeled vector drags only its own label's row down."""
+    from pyspark.sql import Row
+
+    from bitcoin_datapipeline_spark.operators.similarity import (
+        knn_label_agreement,
+    )
+
+    # labels 0 (+e1 cluster, ids 0..9) and 1 (+e2 cluster, ids 10..19)
+    rows = [
+        Row(vec_id=i, embedding=[1.0, 0.001 * i, 0.0], label=0)
+        for i in range(10)
+    ] + [
+        Row(vec_id=10 + i, embedding=[0.001 * i, 1.0, 0.0], label=1)
+        for i in range(10)
+    ]
+    e = spark.createDataFrame(rows)
+    out = {r.label: r for r in
+           knn_label_agreement(e, n_queries=20, k=3).collect()}
+    assert out[0].agreement == 1.0 and out[1].agreement == 1.0
+    assert out[0].agreement_top1 == 1.0
+    assert out[0].n_queries == 10 and out[0].n_pairs == 30
+
+    # flip one label-0 vector's label to 1: its neighbors stay in the
+    # e1 cluster, so label-1's agreement drops below 1
+    rows2 = list(rows)
+    rows2[5] = Row(vec_id=5, embedding=[1.0, 0.005, 0.0], label=1)
+    out2 = {r.label: r for r in
+            knn_label_agreement(spark.createDataFrame(rows2),
+                                n_queries=20, k=3).collect()}
+    assert out2[1].agreement < 1.0
+    assert out2[0].agreement < 1.0  # label-0 queries now hit the impostor

@@ -514,6 +514,11 @@ SHUFFLE_BUDGETS = {
     "q_obv": 3,
     # r8: ONE custkey sort; the aggregate rides the same partitioning
     "q_repeat_purchase": 1,
+    # r8: knn's rank window + the labels aggregate (broadcast lookups)
+    "q_embed_knn_label_agreement": 2,
+    # r8: first-order agg + two count-distinct partial expansions +
+    # cohort-size join-back (static count; AQE reuses the shared scan)
+    "q_cohort_retention": 6,
     # r8: (source, prefix) aggregate + totals + final source aggregate
     # (static count; AQE reuses the shared scan at runtime)
     "q_doc_template_detect": 4,

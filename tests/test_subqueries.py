@@ -268,3 +268,39 @@ def test_repeat_purchase_intervals_hand_built(spark):
     assert c7.lifetime_spend == 350.35
     c8 = out[8]
     assert (c8.mean_gap_days, c8.max_gap_days) == (0.0, 0)
+
+
+def test_cohort_retention_hand_built(spark):
+    """Two cohorts with hand-countable comeback months; retention at
+    offset 0 is 1.0 by construction and customers count once per month
+    however many orders they place."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from bitcoin_datapipeline_spark.operators.relational import (
+        cohort_retention,
+    )
+
+    def o(key, cust, y, m, d):
+        return Row(o_orderkey=key, o_custkey=cust,
+                   o_orderdate=dt.datetime(y, m, d), o_totalprice=1.0)
+
+    orders = [
+        # cohort 2024-01: customers 1, 2; cust 1 returns in Feb (twice)
+        o(1, 1, 2024, 1, 5), o(2, 2, 2024, 1, 20),
+        o(3, 1, 2024, 2, 3), o(4, 1, 2024, 2, 28),
+        # cust 2 returns in March
+        o(5, 2, 2024, 3, 1),
+        # cohort 2024-02: customer 3, never returns
+        o(6, 3, 2024, 2, 14),
+    ]
+    out = {(r.cohort, r.offset): r for r in
+           cohort_retention(spark.createDataFrame(orders)).collect()}
+    jan = out[("2024-01", 0)]
+    assert (jan.cohort_size, jan.n_active, jan.retention) == (2, 2, 1.0)
+    assert out[("2024-01", 1)].n_active == 1      # cust 1, counted once
+    assert out[("2024-01", 1)].retention == 0.5
+    assert out[("2024-01", 2)].n_active == 1      # cust 2 in March
+    assert ("2024-02", 1) not in out              # cohort 3 never returns
+    assert out[("2024-02", 0)].cohort_size == 1
