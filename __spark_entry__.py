@@ -2690,6 +2690,22 @@ def q_doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_confusion(table(spark, sf_dir, "documents"))
 
 
+# round 8: Gopher quality-rule battery (Rae et al. 2021) — map-only
+# per-doc rule verdicts, complementary to q_doc_quality_filter's C4 set
+@q("q_doc_gopher_rules", text.GOPHER_RULES_ORACLE)
+def q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.gopher_rules(table(spark, sf_dir, "documents"))
+
+
+# round 8: revenue-concentration Pareto per market segment — the skew
+# signal for customer-partitioned joins
+@q("q_customer_pareto", relational.CUSTOMER_PARETO_ORACLE)
+def q_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.customer_pareto(
+        table(spark, sf_dir, "orders"), table(spark, sf_dir, "customer")
+    )
+
+
 # round 8: kNN label-homophily audit — embedding-quality probe for
 # classifier data over the exact kNN graph
 @q("q_embed_knn_label_agreement", similarity.KNN_LABEL_AGREEMENT_ORACLE)

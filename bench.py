@@ -247,6 +247,11 @@ HEADLINE = [
     # round 8: cohort-retention matrix (first-order aggregate broadcast
     # back + (cohort, offset) count-distinct + cohort-size join)
     "q_cohort_retention",
+    # round 8: Gopher rule battery (map-only, zero shuffles — the
+    # linearity control row of the quality family)
+    "q_doc_gopher_rules",
+    # round 8: segment revenue Pareto (spend agg + one segment sort)
+    "q_customer_pareto",
 ]
 
 

@@ -869,3 +869,105 @@ cr_s AS (
 SELECT a.cohort, a."offset" AS offset, s.cohort_size, a.n_active,
        round(a.n_active * 1.0 / s.cohort_size, 6) AS retention
 FROM cr_a a JOIN cr_s s USING (cohort)""".replace("{max_months}", "6")
+
+
+def customer_pareto(
+    orders: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Revenue-concentration (Pareto) report per market segment: rank
+    each segment's customers by lifetime spend, and report what share
+    of segment revenue its top customer and top decile capture — the
+    80/20 check a revenue dashboard opens with, and the skew signal
+    that warns which segment keys would hot-spot a customer-partitioned
+    join.
+
+    Determinism: spends are exact DECIMAL(18,2) sums; ranks break ties
+    on custkey; the decile cut is integer ceil arithmetic; shares
+    divide exact decimals cast to double once.
+
+    Plan shape: one per-customer spend aggregate, a broadcast segment
+    lookup, ONE per-segment sort (rank + running sum ride it), one
+    K_segment-row aggregate.
+
+    cf. reference: extends the surface (no reference counterpart)."""
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("spend")
+    )
+    seg = customer.select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = spend.join(F.broadcast(seg), "o_custkey")
+    wl = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("spend"), "o_custkey"
+    )
+    wc = wl.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = j.select(
+        "c_mktsegment",
+        "spend",
+        F.row_number().over(wl).alias("rnk"),
+        F.sum("spend").over(wc).cast("decimal(38,2)").alias("cum_spend"),
+        F.count("*")
+        .over(Window.partitionBy("c_mktsegment"))
+        .alias("n_seg"),
+    )
+    g = ranked.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("spend").cast("decimal(38,2)").alias("total"),
+        F.max(F.when(F.col("rnk") == 1, F.col("spend"))).alias("top1"),
+        F.max(
+            F.when(
+                F.col("rnk") == F.ceil(F.col("n_seg") / 10.0),
+                F.col("cum_spend"),
+            )
+        ).alias("decile_cum"),
+    )
+    return g.select(
+        F.col("c_mktsegment").alias("segment"),
+        "n_customers",
+        r6(F.col("total").cast("double")).alias("total_revenue"),
+        r6(F.col("top1").cast("double") / F.col("total").cast("double")).alias(
+            "top1_share"
+        ),
+        r6(
+            F.col("decile_cum").cast("double")
+            / F.col("total").cast("double")
+        ).alias("top_decile_share"),
+    )
+
+
+CUSTOMER_PARETO_ORACLE = """
+WITH cp_s AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+             AS spend
+  FROM orders GROUP BY o_custkey
+),
+cp_j AS (
+  SELECT c.c_mktsegment, s.spend, s.o_custkey
+  FROM cp_s s JOIN customer c ON s.o_custkey = c.c_custkey
+),
+cp_r AS (
+  SELECT c_mktsegment, spend,
+         row_number() OVER w AS rnk,
+         CAST(sum(spend) OVER (PARTITION BY c_mktsegment
+             ORDER BY spend DESC, o_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DECIMAL(38,2)) AS cum_spend,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n_seg
+  FROM cp_j
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend DESC, o_custkey)
+)
+SELECT c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(CAST(sum(spend) AS DECIMAL(38,2)) AS DOUBLE), 6)
+           AS total_revenue,
+       round(CAST(max(CASE WHEN rnk = 1 THEN spend END) AS DOUBLE)
+             / CAST(CAST(sum(spend) AS DECIMAL(38,2)) AS DOUBLE), 6)
+           AS top1_share,
+       round(CAST(max(CASE WHEN rnk = CAST(ceil(n_seg / 10.0) AS BIGINT)
+                           THEN cum_spend END) AS DOUBLE)
+             / CAST(CAST(sum(spend) AS DECIMAL(38,2)) AS DOUBLE), 6)
+           AS top_decile_share
+FROM cp_r GROUP BY c_mktsegment"""

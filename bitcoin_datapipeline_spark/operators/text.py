@@ -4929,3 +4929,105 @@ SELECT g.source,
            AS template_share
 FROM td_g g JOIN td_t t USING (source)
 GROUP BY g.source"""
+
+
+# --- round 8: Gopher quality rules -------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.10
+GOPHER_MIN_ALPHA_WORD_SHARE = 0.80
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_rules(documents: DataFrame) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021, table A1 —
+    the subset meaningful on single-line corpora): word-count bounds,
+    mean-word-length band [3, 10], symbol-to-word ratio ≤ 0.1 (tokens
+    containing non-alphanumeric characters), ≥ 80% of words containing
+    an alphabetic character, and ≥ 2 stopword hits (the "has real
+    English function words" proxy).  Per-document rule verdicts plus
+    the conjunction — auditable like :func:`quality_filter` (which
+    carries the complementary C4-style ratio rules; a pipeline runs
+    both batteries and diffs the kill sets).
+
+    Determinism: every ratio divides exact integers; band compares run
+    integer-vs-double on identical operands.
+
+    Plan shape: map-only — one documents scan, zero shuffles.
+
+    cf. reference: extends the surface (Gopher rule battery; no
+    reference counterpart)."""
+    t = _tokens()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tok = F.size(t)
+    sum_len = F.length("text") - n_tok + 1  # chars minus separators
+    n_symbol = F.size(
+        F.filter(t, lambda x: x.rlike("[^a-zA-Z0-9]"))
+    )
+    n_alpha = F.size(F.filter(t, lambda x: x.rlike("[a-zA-Z]")))
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
+    mean_len = sum_len / n_tok
+    pass_words = (n_tok >= GOPHER_MIN_WORDS) & (n_tok <= GOPHER_MAX_WORDS)
+    pass_mwl = (mean_len >= GOPHER_MIN_MEAN_WORD_LEN) & (
+        mean_len <= GOPHER_MAX_MEAN_WORD_LEN
+    )
+    pass_sym = (n_symbol / n_tok) <= GOPHER_MAX_SYMBOL_RATIO
+    pass_alpha = (n_alpha / n_tok) >= GOPHER_MIN_ALPHA_WORD_SHARE
+    pass_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    return documents.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_words"),
+        r6(mean_len).alias("mean_word_len"),
+        r6(n_symbol / n_tok).alias("symbol_ratio"),
+        r6(n_alpha / n_tok).alias("alpha_word_share"),
+        n_stop.cast("long").alias("n_stopwords"),
+        pass_words.alias("pass_word_count"),
+        pass_mwl.alias("pass_mean_word_len"),
+        pass_sym.alias("pass_symbol_ratio"),
+        pass_alpha.alias("pass_alpha_share"),
+        pass_stop.alias("pass_stopwords"),
+        (pass_words & pass_mwl & pass_sym & pass_alpha & pass_stop).alias(
+            "keep"
+        ),
+    )
+
+
+GOPHER_RULES_ORACLE = f"""
+WITH t AS (SELECT *, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         length(text) - len(toks) + 1 AS sum_len,
+         len(list_filter(toks, x -> regexp_matches(x, '[^a-zA-Z0-9]')))
+             AS n_symbol,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+             AS n_alpha,
+         len(list_filter(toks, x -> x IN {_STOP_SQL})) AS n_stop
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_words,
+       round(sum_len * 1.0 / n_tok, 6) AS mean_word_len,
+       round(n_symbol * 1.0 / n_tok, 6) AS symbol_ratio,
+       round(n_alpha * 1.0 / n_tok, 6) AS alpha_word_share,
+       CAST(n_stop AS BIGINT) AS n_stopwords,
+       n_tok >= {GOPHER_MIN_WORDS} AND n_tok <= {GOPHER_MAX_WORDS}
+           AS pass_word_count,
+       sum_len * 1.0 / n_tok >= {GOPHER_MIN_MEAN_WORD_LEN!r}
+           AND sum_len * 1.0 / n_tok <= {GOPHER_MAX_MEAN_WORD_LEN!r}
+           AS pass_mean_word_len,
+       n_symbol * 1.0 / n_tok <= {GOPHER_MAX_SYMBOL_RATIO!r}
+           AS pass_symbol_ratio,
+       n_alpha * 1.0 / n_tok >= {GOPHER_MIN_ALPHA_WORD_SHARE!r}
+           AS pass_alpha_share,
+       n_stop >= {GOPHER_MIN_STOPWORDS} AS pass_stopwords,
+       (n_tok >= {GOPHER_MIN_WORDS} AND n_tok <= {GOPHER_MAX_WORDS})
+           AND (sum_len * 1.0 / n_tok >= {GOPHER_MIN_MEAN_WORD_LEN!r}
+                AND sum_len * 1.0 / n_tok <= {GOPHER_MAX_MEAN_WORD_LEN!r})
+           AND n_symbol * 1.0 / n_tok <= {GOPHER_MAX_SYMBOL_RATIO!r}
+           AND n_alpha * 1.0 / n_tok >= {GOPHER_MIN_ALPHA_WORD_SHARE!r}
+           AND n_stop >= {GOPHER_MIN_STOPWORDS} AS keep
+FROM g"""

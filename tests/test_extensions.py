@@ -1227,3 +1227,33 @@ def test_knn_label_agreement_separable_clusters(spark):
                                 n_queries=20, k=3).collect()}
     assert out2[1].agreement < 1.0
     assert out2[0].agreement < 1.0  # label-0 queries now hit the impostor
+
+
+def test_gopher_rules_hand_built(spark):
+    """Each Gopher rule fires on a crafted violator and the keep flag is
+    the conjunction."""
+    from bitcoin_datapipeline_spark.operators.text import gopher_rules
+
+    good = " ".join(
+        ["the", "and"] + [f"word{i:02d}" for i in range(60)]
+    )  # 62 words, mean len ~6, stopwords 2, all alphanumeric
+    short = "the and tiny doc"                       # word count < 50
+    longwords = " ".join(["the", "and"] + ["x" * 40] * 60)  # mean len > 10
+    symbols = " ".join(
+        ["the", "and"] + [f"w{i}" for i in range(50)] + ["$$$"] * 10
+    )  # symbol ratio 10/62 > 0.1
+    nostop = " ".join([f"w{i}" for i in range(60)])  # stopwords 0
+    d = spark.createDataFrame(
+        [
+            _doc(1, good), _doc(2, short), _doc(3, longwords),
+            _doc(4, symbols), _doc(5, nostop),
+        ]
+    )
+    out = {r.doc_id: r for r in gopher_rules(d).collect()}
+    assert out[1].keep
+    assert not out[2].pass_word_count and not out[2].keep
+    assert not out[3].pass_mean_word_len and not out[3].keep
+    assert not out[4].pass_symbol_ratio and not out[4].keep
+    assert out[4].symbol_ratio == round(10 / 62, 6)
+    assert not out[5].pass_stopwords and not out[5].keep
+    assert out[1].n_stopwords == 2 and out[1].pass_stopwords

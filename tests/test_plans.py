@@ -519,6 +519,11 @@ SHUFFLE_BUDGETS = {
     # r8: first-order agg + two count-distinct partial expansions +
     # cohort-size join-back (static count; AQE reuses the shared scan)
     "q_cohort_retention": 6,
+    # r8: map-only rule battery — ZERO shuffles
+    "q_doc_gopher_rules": 0,
+    # r8: per-customer spend agg + ONE segment sort (the final K-row
+    # aggregate rides the sort's partitioning)
+    "q_customer_pareto": 2,
     # r8: (source, prefix) aggregate + totals + final source aggregate
     # (static count; AQE reuses the shared scan at runtime)
     "q_doc_template_detect": 4,

@@ -304,3 +304,39 @@ def test_cohort_retention_hand_built(spark):
     assert out[("2024-01", 2)].n_active == 1      # cust 2 in March
     assert ("2024-02", 1) not in out              # cohort 3 never returns
     assert out[("2024-02", 0)].cohort_size == 1
+
+
+def test_customer_pareto_hand_built(spark):
+    """One whale and nine minnows in one segment: top-1 share is the
+    whale's fraction and the top decile (ceil(10/10) = rank 1) equals
+    it; a two-customer segment's decile is also its top customer."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from bitcoin_datapipeline_spark.operators.relational import (
+        customer_pareto,
+    )
+
+    orders = [
+        Row(o_orderkey=i, o_custkey=c, o_orderdate=dt.datetime(2024, 1, 1),
+            o_totalprice=float(p))
+        for i, (c, p) in enumerate(
+            [(1, 910.0)] + [(k, 10.0) for k in range(2, 11)]  # seg A
+            + [(20, 75.0), (21, 25.0)]                        # seg B
+        )
+    ]
+    cust = [
+        Row(c_custkey=c, c_name=f"c{c}", c_nationkey=0, c_acctbal=0.0,
+            c_mktsegment=("A" if c < 20 else "B"))
+        for c in list(range(1, 11)) + [20, 21]
+    ]
+    out = {r.segment: r for r in customer_pareto(
+        spark.createDataFrame(orders), spark.createDataFrame(cust)
+    ).collect()}
+    a = out["A"]
+    assert (a.n_customers, a.total_revenue) == (10, 1000.0)
+    assert a.top1_share == 0.91 and a.top_decile_share == 0.91
+    b = out["B"]
+    assert b.top1_share == 0.75
+    assert b.top_decile_share == 0.75  # ceil(2/10) = rank 1
