@@ -2690,6 +2690,13 @@ def q_doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_confusion(table(spark, sf_dir, "documents"))
 
 
+# round 8: MACD(12,26,9) — the TA family's momentum crossover block
+# (truncated normalized EWMAs via the grid_ewma fold idiom)
+@q("q_macd", OD.with_ctes(OD.BARS_1M_CTE + windows.MACD_ORACLE_BODY, body=""))
+def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.macd(pipeline.bars_pipeline(spark, sf_dir))
+
+
 # round 8: Gopher quality-rule battery (Rae et al. 2021) — map-only
 # per-doc rule verdicts, complementary to q_doc_quality_filter's C4 set
 @q("q_doc_gopher_rules", text.GOPHER_RULES_ORACLE)

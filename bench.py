@@ -252,6 +252,9 @@ HEADLINE = [
     "q_doc_gopher_rules",
     # round 8: segment revenue Pareto (spend agg + one segment sort)
     "q_customer_pareto",
+    # round 8: MACD crossover block (truncated-EWMA folds, one symbol
+    # sort for both window levels)
+    "q_macd",
 ]
 
 

@@ -1050,3 +1050,140 @@ SELECT symbol, bucket, round(volume, 6) AS volume,
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS DECIMAL(38,6)) AS DOUBLE), 6) AS obv
 FROM obv_d"""
+
+
+MACD_FAST = 12
+MACD_SLOW = 26
+MACD_SIGNAL = 9
+MACD_WINDOW = 64        # truncation for the fast/slow EMAs
+MACD_SIGNAL_WINDOW = 32  # truncation for the signal EMA over macd
+
+
+def _trunc_ewma(col: str, span: int, window: int, order: str = "bucket"):
+    """Truncated NORMALIZED EWMA over the trailing ``window`` rows — the
+    grid_ewma idiom: collect_list over the frame (deterministic element
+    order), reverse so element 0 is the current row, one JVM fold.
+    alpha = 2/(span+1), the pandas/TA convention."""
+    alpha = 2.0 / (span + 1)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy(order)
+        .rowsBetween(-(window - 1), 0)
+    )
+    arr = F.reverse(F.collect_list(col).over(w))
+    decay = F.lit(1.0 - alpha)
+    num = F.aggregate(
+        F.transform(arr, lambda x, i: x * F.pow(decay, i.cast("double"))),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    den = F.aggregate(
+        F.transform(arr, lambda x, i: F.pow(decay, i.cast("double"))),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    return num / den, F.size(arr)
+
+
+def macd(bars: DataFrame) -> DataFrame:
+    """MACD(12, 26, 9) per bar over closes — the momentum crossover
+    block completing the TA family: macd = EMA12 − EMA26, signal = EMA9
+    of the macd line, histogram = macd − signal, plus a crossover flag
+    (sign of the histogram vs the previous bar's).
+
+    EMAs are the TRUNCATED normalized form (the grid_ewma idiom:
+    deterministic collect_list fold, identical in both engines — the
+    cross-engine contract is "same truncated definition", not an
+    approximation claim; tail mass at the 64/32-row truncations is <1%
+    of the weight).  The signal EMA folds over the macd COLUMN, which
+    both engines compute identically, so the second-level fold is
+    deterministic too.
+
+    Plan shape: every window rides ONE partitionBy(symbol) sort.
+
+    cf. reference: extends the surface (no reference counterpart)."""
+    e12, _ = _trunc_ewma("close", MACD_FAST, MACD_WINDOW)
+    e26, n_in = _trunc_ewma("close", MACD_SLOW, MACD_WINDOW)
+    m = bars.select(
+        "symbol",
+        "bucket",
+        "close",
+        (e12 - e26).alias("macd_raw"),
+        n_in.cast("long").alias("n_in_window"),
+    )
+    sig, _ = _trunc_ewma("macd_raw", MACD_SIGNAL, MACD_SIGNAL_WINDOW)
+    m2 = m.select(
+        "symbol",
+        "bucket",
+        "close",
+        "macd_raw",
+        sig.alias("sig_raw"),
+        "n_in_window",
+    )
+    # crossover reads the ROUNDED histogram sign: the raw EMA difference
+    # of a flat series is +/-1e-13 fold noise whose sign is meaningless
+    # (and would flap the flag); the 6-dp value is what a user sees
+    hist = r6(F.col("macd_raw") - F.col("sig_raw"))
+    wl = Window.partitionBy("symbol").orderBy("bucket")
+    prev_hist = F.lag(hist).over(wl)
+    cross = F.when(
+        prev_hist.isNotNull() & ((hist > 0) != (prev_hist > 0)), True
+    ).otherwise(F.when(prev_hist.isNotNull(), False))
+    return m2.select(
+        "symbol",
+        "bucket",
+        r6(F.col("macd_raw")).alias("macd"),
+        r6(F.col("sig_raw")).alias("signal"),
+        hist.alias("histogram"),
+        cross.alias("crossover"),
+        "n_in_window",
+    )
+
+
+MACD_ORACLE_BODY = f"""
+,mc_a AS (
+  SELECT symbol, bucket, close,
+         list(close) OVER (PARTITION BY symbol ORDER BY bucket
+             ROWS BETWEEN {MACD_WINDOW - 1} PRECEDING AND CURRENT ROW) AS arr
+  FROM bars
+),
+mc_m AS (
+  SELECT symbol, bucket, close,
+         CAST(len(arr) AS BIGINT) AS n_in_window,
+         list_sum(list_transform(list_reverse(arr),
+             (x, i) -> x * pow({1.0 - 2.0 / (MACD_FAST + 1)!r}, i - 1)))
+           / list_sum(list_transform(list_reverse(arr),
+             (x, i) -> pow({1.0 - 2.0 / (MACD_FAST + 1)!r}, i - 1)))
+         - list_sum(list_transform(list_reverse(arr),
+             (x, i) -> x * pow({1.0 - 2.0 / (MACD_SLOW + 1)!r}, i - 1)))
+           / list_sum(list_transform(list_reverse(arr),
+             (x, i) -> pow({1.0 - 2.0 / (MACD_SLOW + 1)!r}, i - 1)))
+         AS macd_raw
+  FROM mc_a
+),
+mc_s AS (
+  SELECT symbol, bucket, macd_raw, n_in_window,
+         list(macd_raw) OVER (PARTITION BY symbol ORDER BY bucket
+             ROWS BETWEEN {MACD_SIGNAL_WINDOW - 1} PRECEDING
+             AND CURRENT ROW) AS sarr
+  FROM mc_m
+),
+mc_f AS (
+  SELECT symbol, bucket, macd_raw, n_in_window,
+         list_sum(list_transform(list_reverse(sarr),
+             (x, i) -> x * pow({1.0 - 2.0 / (MACD_SIGNAL + 1)!r}, i - 1)))
+           / list_sum(list_transform(list_reverse(sarr),
+             (x, i) -> pow({1.0 - 2.0 / (MACD_SIGNAL + 1)!r}, i - 1)))
+         AS sig_raw
+  FROM mc_s
+)
+SELECT symbol, bucket,
+       round(macd_raw, 6) AS macd,
+       round(sig_raw, 6) AS signal,
+       h AS histogram,
+       CASE WHEN ph IS NULL THEN NULL
+            ELSE (h > 0) != (ph > 0) END AS crossover,
+       n_in_window
+FROM (SELECT *, lag(h) OVER (
+          PARTITION BY symbol ORDER BY bucket) AS ph
+      FROM (SELECT *, round(macd_raw - sig_raw, 6) AS h FROM mc_f))"""

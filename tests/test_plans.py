@@ -524,6 +524,8 @@ SHUFFLE_BUDGETS = {
     # r8: per-customer spend agg + ONE segment sort (the final K-row
     # aggregate rides the sort's partitioning)
     "q_customer_pareto": 2,
+    # r8: bars agg (2) + the one symbol sort all three window levels ride
+    "q_macd": 3,
     # r8: (source, prefix) aggregate + totals + final source aggregate
     # (static count; AQE reuses the shared scan at runtime)
     "q_doc_template_detect": 4,

@@ -246,3 +246,36 @@ def test_obv_cumulative_signed_volume(spark):
             rows, "symbol string, bucket long, close double, volume double")
     ).collect()}
     assert out == {0: 0.0, 1: 3.0, 2: 1.0, 3: 1.0, 4: 5.0}
+
+
+def test_macd_constant_and_trend(spark):
+    """Constant closes give macd = signal = histogram = 0; a monotone
+    uptrend gives a positive macd (fast EMA above slow); the crossover
+    flag fires exactly when the histogram changes sign."""
+    from pyspark.sql import Row
+
+    from bitcoin_datapipeline_spark.operators.windows import macd
+
+    flat = [Row(symbol="F", bucket=i, close=100.0) for i in range(40)]
+    up = [Row(symbol="U", bucket=i, close=100.0 + i) for i in range(40)]
+    # V-shape: downtrend then uptrend -> histogram must cross sign
+    vee = [Row(symbol="V", bucket=i, close=float(100 - i)) for i in range(20)]
+    vee += [Row(symbol="V", bucket=20 + i, close=float(80 + 2 * i))
+            for i in range(20)]
+    out = macd(spark.createDataFrame(
+        flat + up + vee, "symbol string, bucket long, close double"
+    )).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.symbol, {})[r.bucket] = r
+    f = by["F"]
+    assert all(r.macd == 0.0 and r.signal == 0.0 and r.histogram == 0.0
+               for r in f.values())
+    assert f[0].crossover is None          # no previous histogram
+    assert f[5].crossover is False         # 0 -> 0: no sign change
+    u = by["U"]
+    assert u[39].macd > 0                  # fast EMA above slow in a trend
+    v = by["V"]
+    assert any(r.crossover for r in v.values()), "V-shape must cross"
+    # n_in_window grows to the truncation cap
+    assert u[39].n_in_window == 40
