@@ -2690,6 +2690,13 @@ def q_doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_confusion(table(spark, sf_dir, "documents"))
 
 
+# round 8: SCD2 dimension-history builder — the CDC -> warehouse
+# pattern (gaps-and-islands collapse to validity intervals)
+@q("q_scd2_history", relational.SCD2_HISTORY_ORACLE)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.scd2_history(table(spark, sf_dir, "orders"))
+
+
 # round 8: MACD(12,26,9) — the TA family's momentum crossover block
 # (truncated normalized EWMAs via the grid_ewma fold idiom)
 @q("q_macd", OD.with_ctes(OD.BARS_1M_CTE + windows.MACD_ORACLE_BODY, body=""))

@@ -255,6 +255,9 @@ HEADLINE = [
     # round 8: MACD crossover block (truncated-EWMA folds, one symbol
     # sort for both window levels)
     "q_macd",
+    # round 8: SCD2 dimension history (ONE custkey sort carries the
+    # change lag, island id, and island lead)
+    "q_scd2_history",
 ]
 
 

@@ -971,3 +971,86 @@ SELECT c_mktsegment AS segment,
              / CAST(CAST(sum(spend) AS DECIMAL(38,2)) AS DOUBLE), 6)
            AS top_decile_share
 FROM cp_r GROUP BY c_mktsegment"""
+
+
+def scd2_history(orders: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension type-2 history builder — the CDC →
+    warehouse-dimension pattern: treat each customer's order stream as
+    an attribute update log (here ``o_orderpriority``), collapse
+    CONSECUTIVE equal values into one validity interval
+    (gaps-and-islands: change-flag lag + running island id), and emit
+    per (customer, island): the attribute value, valid_from (first
+    observation), valid_to (the next island's valid_from — the standard
+    exclusive upper bound), is_current, and how many updates the island
+    absorbed.  This is how a MERGE-less lakehouse derives dimension
+    history from an append-only log.
+
+    Determinism: islands key on exact (o_orderdate, o_orderkey) order;
+    all outputs are values, dates, and integer counts.
+
+    Plan shape: ONE partitionBy(custkey) sort carries the change lag,
+    the running island id, and the island lead — the island aggregate
+    rides the same partitioning.
+
+    cf. reference: extends the surface (warehouse-modeling pattern; no
+    reference counterpart)."""
+    wl = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = (
+        F.lag("o_orderpriority").over(wl).isNull()
+        | (F.lag("o_orderpriority").over(wl) != F.col("o_orderpriority"))
+    ).cast("int")
+    wc = wl.rowsBetween(Window.unboundedPreceding, 0)
+    islands = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderpriority",
+        F.sum(chg).over(wc).alias("island"),
+    )
+    g = islands.groupBy("o_custkey", "island").agg(
+        F.min("o_orderdate").alias("valid_from"),
+        F.max("o_orderpriority").alias("priority"),
+        F.count("*").cast("long").alias("n_updates"),
+    )
+    wi = Window.partitionBy("o_custkey").orderBy("island")
+    return g.select(
+        "o_custkey",
+        F.col("island").cast("long").alias("version"),
+        "priority",
+        "valid_from",
+        F.lead("valid_from").over(wi).alias("valid_to"),
+        F.lead("valid_from").over(wi).isNull().alias("is_current"),
+        "n_updates",
+    )
+
+
+SCD2_HISTORY_ORACLE = """
+WITH sc_c AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+         CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                OR lag(o_orderpriority) OVER w != o_orderpriority
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+sc_i AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority,
+         sum(chg) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM sc_c
+),
+sc_g AS (
+  SELECT o_custkey, island,
+         min(o_orderdate) AS valid_from,
+         max(o_orderpriority) AS priority,
+         CAST(count(*) AS BIGINT) AS n_updates
+  FROM sc_i GROUP BY o_custkey, island
+)
+SELECT o_custkey,
+       CAST(island AS BIGINT) AS version,
+       priority, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       lead(valid_from) OVER w2 IS NULL AS is_current,
+       n_updates
+FROM sc_g
+WINDOW w2 AS (PARTITION BY o_custkey ORDER BY island)"""

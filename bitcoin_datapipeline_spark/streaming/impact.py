@@ -1318,3 +1318,155 @@ def stream_rsi(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming ATR twin (round 8) -------------------------------------------
+
+ATR_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("atr", T.DoubleType()),
+        T.StructField("atr_norm", T.DoubleType()),
+        T.StructField("late_dropped", T.LongType()),
+    ]
+)
+
+ATR_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("frontier_ts", T.LongType()),
+        T.StructField("frontier_tid", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+        T.StructField("pend_ts", T.ArrayType(T.LongType())),
+        T.StructField("pend_tid", T.ArrayType(T.LongType())),
+        T.StructField("pend_price", T.ArrayType(T.LongType())),
+        T.StructField("cur_bucket", T.LongType()),
+        # open bucket's running OHLC in 1e-4 units (TR needs high/low)
+        T.StructField("cur_high", T.LongType()),
+        T.StructField("cur_low", T.LongType()),
+        T.StructField("cur_close", T.LongType()),
+        T.StructField("prev_close", T.LongType()),
+        # last `period` true ranges, newest last (1e-4 units)
+        T.StructField("tr_ring", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def make_atr_processor(
+    bucket_ms: int = 60_000,
+    period: int = None,
+    allowed_lateness_s: int = 0,
+):
+    """Live ATR — the streaming twin of operators/windows.atr: the open
+    bucket accumulates high/low/close, each bucket close computes
+    TR = max(h−l, |h−prev_c|, |l−prev_c|) in exact 1e-4 integers
+    (Wilder's first-bar convention: no prev close → TR = h−l), and once
+    the ring holds ``period`` TRs every close emits ATR = ring-mean and
+    ATR/close — rows per closed bucket EQUAL the batch operator over
+    bars restricted to closed buckets (property-tested)."""
+    from bitcoin_datapipeline_spark.operators.windows import ATR_PERIOD
+
+    if period is None:
+        period = ATR_PERIOD
+    late_ms = allowed_lateness_s * 1000
+
+    def fn(key, pdfs, state: GroupState):
+        symbol = key[0]
+        chunks = [
+            pdf[["event_ts", "trade_id", "price"]] for pdf in pdfs if len(pdf)
+        ]
+        if not chunks:
+            yield pd.DataFrame(
+                [], columns=[f.name for f in ATR_OUTPUT_SCHEMA.fields]
+            )
+            return
+        ev = pd.concat(chunks, ignore_index=True)
+        if state.exists:
+            (f_ts, f_tid, n_late, p_ts, p_tid, p_pr,
+             cur_b, cur_h, cur_l, cur_c, prev_c, ring) = state.get
+            pend = list(zip(p_ts, p_tid, p_pr))
+            ring = list(ring)
+        else:
+            f_ts = f_tid = _NO_FRONTIER
+            n_late = 0
+            pend = []
+            cur_b = cur_h = cur_l = cur_c = prev_c = None
+            ring = []
+
+        new = (
+            (int(ts), int(tid), int(round(float(p) * UNITS)))
+            for ts, tid, p in zip(ev["event_ts"], ev["trade_id"], ev["price"])
+        )
+        fold, pend, (f_ts, f_tid), late_inc = merge_fold(
+            new, pend, (f_ts, f_tid), late_ms
+        )
+        n_late += late_inc
+
+        rows = []
+
+        def close_bucket():
+            nonlocal prev_c, ring
+            if prev_c is None:
+                tr = cur_h - cur_l
+            else:
+                tr = max(cur_h - cur_l, abs(cur_h - prev_c),
+                         abs(cur_l - prev_c))
+            ring.append(tr)
+            if len(ring) > period:
+                ring = ring[1:]
+            if len(ring) == period:
+                # batch: av = double(decimal sum)/n; r6(av), r6(av/close)
+                s = float(Fraction(sum(ring), UNITS))
+                av = s / period
+                close_d = float(Fraction(cur_c, UNITS))
+                rows.append((
+                    symbol, int(cur_b), _round6(av),
+                    _round6(av / close_d), int(n_late),
+                ))
+            prev_c = cur_c
+
+        for ts, tid, p_u in fold:
+            b = ts // bucket_ms
+            if cur_b is None:
+                cur_b, cur_h, cur_l = b, p_u, p_u
+            elif b != cur_b:
+                close_bucket()
+                cur_b, cur_h, cur_l = b, p_u, p_u
+            cur_h = max(cur_h, p_u)
+            cur_l = min(cur_l, p_u)
+            cur_c = p_u
+
+        state.update((
+            int(f_ts), int(f_tid), int(n_late),
+            [t[0] for t in pend], [t[1] for t in pend],
+            [t[2] for t in pend],
+            int(cur_b) if cur_b is not None else None,
+            int(cur_h) if cur_h is not None else None,
+            int(cur_l) if cur_l is not None else None,
+            int(cur_c) if cur_c is not None else None,
+            int(prev_c) if prev_c is not None else None,
+            [int(x) for x in ring],
+        ))
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in ATR_OUTPUT_SCHEMA.fields]
+        )
+
+    return fn
+
+
+def stream_atr(
+    trades: DataFrame,
+    bucket_ms: int = 60_000,
+    period: int = None,
+    allowed_lateness_s: int = 0,
+) -> DataFrame:
+    """Live ATR: one append-final row per closed minute bucket once the
+    TR ring is full, equal to the batch windows.atr row
+    (property-tested)."""
+    return trades.groupBy("symbol").applyInPandasWithState(
+        make_atr_processor(bucket_ms, period, allowed_lateness_s),
+        outputStructType=ATR_OUTPUT_SCHEMA,
+        stateStructType=ATR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -526,6 +526,8 @@ SHUFFLE_BUDGETS = {
     "q_customer_pareto": 2,
     # r8: bars agg (2) + the one symbol sort all three window levels ride
     "q_macd": 3,
+    # r8: ONE custkey sort; islands, aggregate, and lead all ride it
+    "q_scd2_history": 1,
     # r8: (source, prefix) aggregate + totals + final source aggregate
     # (static count; AQE reuses the shared scan at runtime)
     "q_doc_template_detect": 4,

@@ -3997,3 +3997,60 @@ def test_stream_rsi_processor_matches_batch(spark, batch, n_chunks):
     else:
         want = {}
     assert got == want
+
+
+@given(batch=trade_strategy, n_chunks=st.integers(min_value=1, max_value=4))
+@_settings
+def test_stream_atr_processor_matches_batch(spark, batch, n_chunks):
+    """The streaming ATR processor emits, per closed minute bucket once
+    the TR ring is full, exactly the batch windows.atr row over OHLC
+    bars built from the buckets closed so far — including Wilder's
+    first-bar TR convention."""
+    from bitcoin_datapipeline_spark.operators.windows import atr
+    from bitcoin_datapipeline_spark.streaming.impact import (
+        make_atr_processor,
+    )
+
+    period = 3
+    ordered = sorted(batch, key=lambda t: t[1])
+    recs = [
+        Row(symbol=s, event_ts=ts, trade_id=i, price=c / 100.0)
+        for i, (s, ts, _tid, c, q, m) in enumerate(ordered)
+    ]
+    emitted = _drive_processor(
+        make_atr_processor(period=period),
+        recs,
+        ["event_ts", "trade_id", "price"],
+        n_chunks,
+    )
+    # per (symbol, bucket) OHLC from the tape (close = last by fold order)
+    ohlc = {}
+    for r in recs:
+        k = (r.symbol, r.event_ts // 60_000)
+        if k not in ohlc:
+            ohlc[k] = [r.price, r.price, r.price]   # high, low, close
+        ohlc[k][0] = max(ohlc[k][0], r.price)
+        ohlc[k][1] = min(ohlc[k][1], r.price)
+        ohlc[k][2] = r.price
+    last_bucket = {}
+    for s, b in ohlc:
+        last_bucket[s] = max(last_bucket.get(s, -1), b)
+    bars = [
+        Row(symbol=s, bucket=b, high=v[0], low=v[1], close=v[2])
+        for (s, b), v in ohlc.items() if b < last_bucket[s]
+    ]
+    want = {}
+    if bars:
+        df = spark.createDataFrame(
+            bars, "symbol string, bucket long, high double, low double,"
+            " close double"
+        )
+        want = {
+            (r.symbol, r.bucket): (r.atr, r.atr_norm)
+            for r in atr(df, period=period).collect()
+        }
+    got = {}
+    for e in emitted:
+        assert e.late_dropped == 0
+        got[(e.symbol, e.bucket)] = (e.atr, e.atr_norm)
+    assert got == want

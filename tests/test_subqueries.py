@@ -340,3 +340,43 @@ def test_customer_pareto_hand_built(spark):
     b = out["B"]
     assert b.top1_share == 0.75
     assert b.top_decile_share == 0.75  # ceil(2/10) = rank 1
+
+
+def test_scd2_history_hand_built(spark):
+    """Consecutive equal priorities collapse into one version; a change
+    opens a new version whose valid_from closes the previous one; the
+    last version is current with NULL valid_to; same-day ties resolve
+    on orderkey."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from bitcoin_datapipeline_spark.operators.relational import scd2_history
+
+    def o(key, cust, day, prio):
+        return Row(o_orderkey=key, o_custkey=cust,
+                   o_orderdate=dt.datetime(2024, 1, day),
+                   o_orderpriority=prio)
+
+    orders = [
+        o(1, 7, 1, "HIGH"), o(2, 7, 3, "HIGH"),     # island 1: 2 updates
+        o(3, 7, 5, "LOW"),                          # island 2
+        o(4, 7, 9, "HIGH"),                         # island 3 (re-change)
+        # same-day tie: key 5 then 6 -> LOW first, HIGH second
+        o(5, 8, 2, "LOW"), o(6, 8, 2, "HIGH"),
+    ]
+    out = {(r.o_custkey, r.version): r for r in scd2_history(
+        spark.createDataFrame(orders)
+    ).collect()}
+    c7v1 = out[(7, 1)]
+    assert (c7v1.priority, c7v1.n_updates) == ("HIGH", 2)
+    assert c7v1.valid_from == dt.datetime(2024, 1, 1)
+    assert c7v1.valid_to == dt.datetime(2024, 1, 5)
+    assert c7v1.is_current is False
+    assert out[(7, 2)].priority == "LOW"
+    c7v3 = out[(7, 3)]
+    assert c7v3.is_current is True and c7v3.valid_to is None
+    # coverage is contiguous: each valid_to equals the next valid_from
+    assert out[(7, 2)].valid_to == c7v3.valid_from
+    # same-day tie on orderkey: LOW (key 5) is version 1, HIGH current
+    assert out[(8, 1)].priority == "LOW" and out[(8, 2)].is_current is True
