@@ -2690,6 +2690,21 @@ def q_doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_confusion(table(spark, sf_dir, "documents"))
 
 
+# round 8: order-flow sign autocorrelation — the long-memory diagnostic
+# (exact BIGINT moments over the ±1 sign series, trade grain)
+@q(
+    "q_sign_acf",
+    OD.with_ctes(
+        OD.DEDUP_TRADES_CTE + aggregates.SIGN_ACF_ORACLE_BODY, body=""
+    ),
+)
+def q_sign_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return aggregates.sign_acf(
+        dedup.dedup_trades(normalize.valid_trades(events))
+    )
+
+
 # round 8: SCD2 dimension-history builder — the CDC -> warehouse
 # pattern (gaps-and-islands collapse to validity intervals)
 @q("q_scd2_history", relational.SCD2_HISTORY_ORACLE)

@@ -258,6 +258,9 @@ HEADLINE = [
     # round 8: SCD2 dimension history (ONE custkey sort carries the
     # change lag, island id, and island lead)
     "q_scd2_history",
+    # round 8: order-flow sign ACF (one trade-grain symbol sort, stack
+    # fan-out, exact BIGINT moments)
+    "q_sign_acf",
 ]
 
 

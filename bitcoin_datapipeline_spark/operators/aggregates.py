@@ -4788,3 +4788,107 @@ SELECT symbol, day,
                       AND open >= p_c AND close <= p_o
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_bear_engulf
 FROM cp_f GROUP BY symbol, day"""
+
+
+# --- round 8: order-flow sign autocorrelation -------------------------------
+
+SIGN_ACF_MAX_LAG = 5
+
+
+def sign_acf(trades: DataFrame, max_lag: int = SIGN_ACF_MAX_LAG) -> DataFrame:
+    """Autocorrelation of trade SIGNS at lags 1..max_lag per symbol —
+    the "long memory of order flow" diagnostic (Bouchaud et al.): sign
+    ACF decays slowly on real tapes because large parents split into
+    child orders, and its decay rate is the input to propagator-model
+    impact estimates.  Complements :func:`trade_runs` (run lengths are
+    the same persistence viewed as islands) and
+    :func:`acf_price_changes` (price-change ACF at bar grain; this is
+    TRADE grain on the ±1 sign series).
+
+    Determinism: signs are exact ±1 integers, so every Pearson moment
+    is an exact BIGINT sum — no decimal casts needed; the correlation
+    arithmetic sees bit-identical operands.  Degenerate margins emit
+    NULL.
+
+    Plan shape: the :func:`acf_price_changes` shape at trade grain —
+    sign and its lagged copies ride ONE partitionBy(symbol) sort,
+    `stack` fans out max_lag× map-side, one partial-combinable
+    (symbol, lag) aggregate.
+
+    cf. reference: extends the surface (no serial-dependence
+    diagnostics in the reference)."""
+    wl = Window.partitionBy("symbol").orderBy("event_ts", "trade_id")
+    sign = F.when(F.col("is_buyer_maker"), -1).otherwise(1)
+    b = trades.select("symbol", "event_ts", "trade_id", sign.alias("s"))
+    lag_cols = [
+        F.lag("s", k).over(wl).alias(f"s_l{k}") for k in range(1, max_lag + 1)
+    ]
+    stacked = b.select("symbol", "s", *lag_cols).select(
+        "symbol",
+        "s",
+        F.expr(
+            "stack({n}, {args}) AS (lag, s_lag)".format(
+                n=max_lag,
+                args=", ".join(f"{k}, s_l{k}" for k in range(1, max_lag + 1)),
+            )
+        ),
+    ).filter(F.col("s_lag").isNotNull())
+    g = stacked.groupBy("symbol", "lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("s").cast("long").alias("sx"),
+        F.sum("s_lag").cast("long").alias("sy"),
+        F.sum(F.col("s") * F.col("s_lag")).cast("long").alias("sxy"),
+        # s^2 == 1, so sxx == syy == n — kept explicit for the formula
+    )
+    n = F.col("n_pairs").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    varx = n * n - sx * sx  # n*sxx with sxx = n
+    vary = n * n - sy * sy
+    corr = (n * F.col("sxy").cast("double") - sx * sy) / F.sqrt(varx * vary)
+    return g.select(
+        "symbol",
+        F.col("lag").cast("int").alias("lag"),
+        "n_pairs",
+        F.when((varx > 0) & (vary > 0), r6(corr)).alias("sign_acf"),
+    )
+
+
+SIGN_ACF_ORACLE_BODY = f"""
+,sa_s AS (
+  SELECT symbol, event_ts, trade_id,
+         CASE WHEN is_buyer_maker THEN -1 ELSE 1 END AS s
+  FROM dedup_trades
+),
+sa_l AS (
+  SELECT symbol, s,
+         {", ".join(f"lag(s, {k}) OVER w AS s_l{k}"
+                    for k in range(1, SIGN_ACF_MAX_LAG + 1))}
+  FROM sa_s
+  WINDOW w AS (PARTITION BY symbol ORDER BY event_ts, trade_id)
+),
+sa_u AS (
+  {" UNION ALL ".join(
+      f"SELECT symbol, {k} AS lag, s, s_l{k} AS s_lag FROM sa_l "
+      f"WHERE s_l{k} IS NOT NULL"
+      for k in range(1, SIGN_ACF_MAX_LAG + 1))}
+),
+sa_g AS (
+  SELECT symbol, lag,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(s) AS BIGINT) AS sx,
+         CAST(sum(s_lag) AS BIGINT) AS sy,
+         CAST(sum(s * s_lag) AS BIGINT) AS sxy
+  FROM sa_u GROUP BY symbol, lag
+)
+SELECT symbol, CAST(lag AS INTEGER) AS lag, n_pairs,
+       CASE WHEN CAST(n_pairs AS DOUBLE) * n_pairs - CAST(sx AS DOUBLE) * sx > 0
+             AND CAST(n_pairs AS DOUBLE) * n_pairs - CAST(sy AS DOUBLE) * sy > 0
+            THEN round((CAST(n_pairs AS DOUBLE) * sxy
+                        - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n_pairs AS DOUBLE) * n_pairs
+                         - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n_pairs AS DOUBLE) * n_pairs
+                           - CAST(sy AS DOUBLE) * sy)), 6)
+       END AS sign_acf
+FROM sa_g"""

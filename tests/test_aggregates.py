@@ -184,3 +184,27 @@ def test_candle_patterns_hand_built(spark):
     assert r.n_hammer == 1
     assert r.n_bull_engulf == 1
     assert r.n_bear_engulf == 1
+
+
+def test_sign_acf_alternating_and_persistent(spark):
+    """A strictly alternating tape has sign ACF -1 at odd lags and +1 at
+    even lags; an all-buy tape has zero sign variance -> NULL."""
+    from pyspark.sql import Row
+
+    from bitcoin_datapipeline_spark.operators.aggregates import sign_acf
+
+    def t(sym, i, maker):
+        return Row(symbol=sym, event_ts=i * 1000, trade_id=i,
+                   is_buyer_maker=maker)
+
+    alt = [t("ALT", i, i % 2 == 0) for i in range(40)]
+    allbuy = [t("BUY", i, False) for i in range(40)]
+    out = {(r.symbol, r.lag): r for r in sign_acf(
+        spark.createDataFrame(alt + allbuy)
+    ).collect()}
+    assert out[("ALT", 1)].sign_acf == -1.0
+    assert out[("ALT", 2)].sign_acf == 1.0
+    assert out[("ALT", 3)].sign_acf == -1.0
+    assert out[("ALT", 1)].n_pairs == 39
+    for k in range(1, 6):
+        assert out[("BUY", k)].sign_acf is None  # zero variance margin

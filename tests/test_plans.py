@@ -528,6 +528,9 @@ SHUFFLE_BUDGETS = {
     "q_macd": 3,
     # r8: ONE custkey sort; islands, aggregate, and lead all ride it
     "q_scd2_history": 1,
+    # r8: dedup windows + the one trade-grain symbol sort + (symbol,
+    # lag) aggregate (static count; shared dedup scan reused at runtime)
+    "q_sign_acf": 2,
     # r8: (source, prefix) aggregate + totals + final source aggregate
     # (static count; AQE reuses the shared scan at runtime)
     "q_doc_template_detect": 4,

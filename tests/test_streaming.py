@@ -1343,3 +1343,62 @@ def test_stream_twa_spread_real_stream_matches_batch(spark, tmp_path):
     assert got[1].quoted_ms == 60_000    # full minute under quote 1
     assert got[2].quoted_ms == 60_000    # 10s of q1 + 50s of q2
     assert got[2].n_intervals == 2
+
+
+def test_stream_rsi_real_stream_ring_survives_checkpoint(spark, tmp_path):
+    """Streaming RSI through a REAL availableNow stream: the Δclose ring
+    array survives checkpointed micro-batches (the warm-up spans the
+    batch split), and each full-ring bucket close emits the batch
+    windows.rsi value."""
+    from bitcoin_datapipeline_spark.operators.windows import rsi
+    from bitcoin_datapipeline_spark.streaming.impact import stream_rsi
+
+    schema = "symbol string, event_ts long, trade_id long, price double"
+    # closes per minute: 100, 101, 103, 102, 105, 104 -> deltas
+    # +1, +2, -1, +3, -1; with period=3 the ring fills at bucket 3
+    closes = [100.0, 101.0, 103.0, 102.0, 105.0, 104.0]
+    rows = [
+        ("A", i * 60_000 + 1, i, c) for i, c in enumerate(closes)
+    ]
+    batch1, batch2 = rows[:3], rows[3:]
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def run_once(part_rows, part):
+        spark.createDataFrame(part_rows, schema).coalesce(1).write.parquet(
+            str(src / part)
+        )
+        q = (
+            stream_rsi(
+                spark.readStream.schema(
+                    spark.createDataFrame([], schema).schema
+                ).option("recursiveFileLookup", "true").parquet(str(src)),
+                period=3,
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once(batch1, "p1")
+    run_once(batch2, "p2")
+
+    got = {r.bucket: r.rsi for r in spark.read.parquet(out).collect()}
+    assert set(got) == {3, 4}  # buckets 0-2 warm up; bucket 5 still open
+    bars = [("A", i, c) for i, c in enumerate(closes[:5])]
+    want = {
+        r.bucket: r.rsi
+        for r in rsi(
+            spark.createDataFrame(
+                bars, "symbol string, bucket long, close double"
+            ),
+            period=3,
+        ).collect()
+    }
+    assert got == want
