@@ -112,6 +112,17 @@ def register_views(
         "kyle_lambda": aggregates.kyle_lambda(pipeline.trades_clean(spark, sf_dir)),
         "vpin": aggregates.vpin(pipeline.trades_clean(spark, sf_dir)),
         "roll_spread": aggregates.roll_spread(pipeline.trades_clean(spark, sf_dir)),
+        # round-8 classical-TA surface over the bars
+        "rsi_14": windows.rsi(pipeline.bars_pipeline(spark, sf_dir)),
+        "atr_14": windows.atr(pipeline.bars_pipeline(spark, sf_dir)),
+        "macd_12_26_9": windows.macd(pipeline.bars_pipeline(spark, sf_dir)),
+        "bollinger_daily": windows.bollinger_breach(
+            pipeline.bars_pipeline(spark, sf_dir)
+        ),
+        # round-8 execution-quality surface
+        "markout": aggregates.markout(
+            pipeline.trades_clean(spark, sf_dir), normalize.bba(ev)
+        ),
     }
     for name, df in derived.items():
         df.createOrReplaceTempView(name)

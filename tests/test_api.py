@@ -78,3 +78,19 @@ def test_bench_final_line_is_o1_sized():
     # even at an absurd future surface the line stays fixed-size
     line2 = bench.final_headline_line(12345.678, 100000, 1.0)
     assert len(line2) < 1024
+
+
+def test_round8_ta_views_queryable(spark, sf_dir):
+    """The round-8 TA and execution-quality views register and answer
+    SQL — a macd/rsi join at bar grain and a markout read."""
+    names = api.register_views(spark, sf_dir)
+    for v in ("rsi_14", "atr_14", "macd_12_26_9", "bollinger_daily",
+              "markout"):
+        assert v in names
+    row = spark.sql(
+        """SELECT count(*) AS n
+           FROM rsi_14 r JOIN macd_12_26_9 m
+             USING (symbol, bucket)"""
+    ).collect()[0]
+    assert row.n > 0
+    assert spark.sql("SELECT count(*) AS n FROM markout").collect()[0].n > 0
