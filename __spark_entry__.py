@@ -2690,6 +2690,20 @@ def q_doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_confusion(table(spark, sf_dir, "documents"))
 
 
+# round 8: quality-filter ensemble confusion (C4 battery vs Gopher
+# battery — the pre-ensembling diagnostic)
+@q("q_doc_filter_confusion", text.FILTER_CONFUSION_ORACLE)
+def q_doc_filter_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.filter_confusion(table(spark, sf_dir, "documents"))
+
+
+# round 8: week-over-week revenue growth per priority class (engine-
+# stable Monday-truncated week key; exact decimal weekly sums)
+@q("q_weekly_revenue_growth", relational.WEEKLY_REVENUE_GROWTH_ORACLE)
+def q_weekly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.weekly_revenue_growth(table(spark, sf_dir, "orders"))
+
+
 # round 8: order-flow sign autocorrelation — the long-memory diagnostic
 # (exact BIGINT moments over the ±1 sign series, trade grain)
 @q(

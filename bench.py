@@ -261,6 +261,11 @@ HEADLINE = [
     # round 8: order-flow sign ACF (one trade-grain symbol sort, stack
     # fan-out, exact BIGINT moments)
     "q_sign_acf",
+    # round 8: filter-ensemble confusion (two map-only batteries over
+    # one scan, <=4-row aggregate)
+    "q_doc_filter_confusion",
+    # round 8: WoW revenue growth (one calendar aggregate + K-row lag)
+    "q_weekly_revenue_growth",
 ]
 
 

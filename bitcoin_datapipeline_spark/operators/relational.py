@@ -1054,3 +1054,70 @@ SELECT o_custkey,
        n_updates
 FROM sc_g
 WINDOW w2 AS (PARTITION BY o_custkey ORDER BY island)"""
+
+
+def weekly_revenue_growth(orders: DataFrame) -> DataFrame:
+    """Week-over-week revenue growth per order priority class: weekly
+    exact-decimal revenue, the previous OBSERVED week's revenue, and
+    the WoW growth rate — the time-series trend view every revenue
+    dashboard draws, expressed as one calendar aggregate + one lag.
+
+    Week key: ISO year-week from date_trunc('week') — both engines
+    truncate to the same Monday, so the key is engine-stable (unlike
+    weekofyear, whose year-boundary conventions differ).
+
+    Determinism: revenue is an exact DECIMAL(18,2) sum; growth divides
+    the exact sums cast to double once.
+
+    Plan shape: one (priority, week) aggregate, one priority-keyed lag
+    window over ≤ priorities × weeks rows.
+
+    cf. reference: extends the surface (no reference counterpart)."""
+    wk = F.date_format(
+        F.date_trunc("week", F.col("o_orderdate")), "yyyy-MM-dd"
+    )
+    g = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"), wk.alias("week_start")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("rev"),
+    )
+    wl = Window.partitionBy("priority").orderBy("week_start")
+    prev = F.lag("rev").over(wl)
+    return g.select(
+        "priority",
+        "week_start",
+        "n_orders",
+        r6(F.col("rev").cast("double")).alias("revenue"),
+        r6(prev.cast("double")).alias("prev_revenue"),
+        F.when(
+            prev.isNotNull() & (prev != 0),
+            r6(
+                (F.col("rev").cast("double") - prev.cast("double"))
+                / prev.cast("double")
+            ),
+        ).alias("wow_growth"),
+    )
+
+
+WEEKLY_REVENUE_GROWTH_ORACLE = """
+WITH wr_g AS (
+  SELECT o_orderpriority AS priority,
+         strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+             AS rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT priority, week_start, n_orders,
+       round(CAST(rev AS DOUBLE), 6) AS revenue,
+       round(CAST(lag(rev) OVER w AS DOUBLE), 6) AS prev_revenue,
+       CASE WHEN lag(rev) OVER w IS NOT NULL AND lag(rev) OVER w != 0
+            THEN round((CAST(rev AS DOUBLE)
+                        - CAST(lag(rev) OVER w AS DOUBLE))
+                       / CAST(lag(rev) OVER w AS DOUBLE), 6)
+       END AS wow_growth
+FROM wr_g
+WINDOW w AS (PARTITION BY priority ORDER BY week_start)"""

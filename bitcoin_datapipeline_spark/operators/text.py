@@ -5031,3 +5031,74 @@ SELECT doc_id,
            AND n_alpha * 1.0 / n_tok >= {GOPHER_MIN_ALPHA_WORD_SHARE!r}
            AND n_stop >= {GOPHER_MIN_STOPWORDS} AS keep
 FROM g"""
+
+
+def filter_confusion(documents: DataFrame) -> DataFrame:
+    """Quality-filter ensemble audit: the confusion matrix between the
+    C4-style ratio battery (:func:`quality_filter`) and the Gopher rule
+    battery (:func:`gopher_rules`) — per (keep_c4, keep_gopher) cell,
+    document count and corpus share.  The standard pre-ensembling
+    diagnostic: a large disagree cell means the batteries measure
+    different failure modes (keep the union or intersect deliberately);
+    near-perfect agreement means one battery is redundant.
+
+    Plan shape: both batteries are map-only over ONE documents scan;
+    one ≤4-row aggregate plus a 1-row total broadcast for the share.
+
+    cf. reference: extends the surface (filter-ensemble governance; no
+    reference counterpart)."""
+    c4 = quality_filter(documents).select(
+        "doc_id", F.col("keep").alias("keep_c4")
+    )
+    gp = gopher_rules(documents).select(
+        "doc_id", F.col("keep").alias("keep_gopher")
+    )
+    j = c4.join(gp, "doc_id")
+    cells = j.groupBy("keep_c4", "keep_gopher").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    total = j.groupBy().agg(F.count("*").alias("n_total"))
+    return cells.join(F.broadcast(total)).select(
+        "keep_c4",
+        "keep_gopher",
+        "n_docs",
+        r6(F.col("n_docs") / F.col("n_total")).alias("share"),
+    )
+
+
+FILTER_CONFUSION_ORACLE = f"""
+WITH t AS (SELECT *, string_split(text, ' ') AS toks FROM documents),
+fc_c4 AS (
+  SELECT doc_id,
+         len(toks) >= {QF_MIN_TOKENS}
+           AND len(list_filter(toks, x -> x IN {_STOP_SQL})) * 1.0
+               / len(toks) <= {QF_MAX_STOPWORD_RATIO}
+           AND len(list_distinct(toks)) * 1.0 / len(toks) >= {QF_MIN_TTR}
+             AS keep_c4
+  FROM t
+),
+fc_gp AS (
+  SELECT doc_id,
+         (len(toks) >= {GOPHER_MIN_WORDS}
+          AND len(toks) <= {GOPHER_MAX_WORDS})
+           AND ((length(text) - len(toks) + 1) * 1.0 / len(toks)
+                    >= {GOPHER_MIN_MEAN_WORD_LEN!r}
+                AND (length(text) - len(toks) + 1) * 1.0 / len(toks)
+                    <= {GOPHER_MAX_MEAN_WORD_LEN!r})
+           AND len(list_filter(toks, x -> regexp_matches(x, '[^a-zA-Z0-9]')))
+               * 1.0 / len(toks) <= {GOPHER_MAX_SYMBOL_RATIO!r}
+           AND len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+               * 1.0 / len(toks) >= {GOPHER_MIN_ALPHA_WORD_SHARE!r}
+           AND len(list_filter(toks, x -> x IN {_STOP_SQL}))
+               >= {GOPHER_MIN_STOPWORDS}
+             AS keep_gopher
+  FROM t
+),
+fc_j AS (
+  SELECT c.keep_c4, g.keep_gopher
+  FROM fc_c4 c JOIN fc_gp g USING (doc_id)
+)
+SELECT keep_c4, keep_gopher,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(count(*) * 1.0 / (SELECT count(*) FROM fc_j), 6) AS share
+FROM fc_j GROUP BY keep_c4, keep_gopher"""

@@ -1257,3 +1257,28 @@ def test_gopher_rules_hand_built(spark):
     assert out[4].symbol_ratio == round(10 / 62, 6)
     assert not out[5].pass_stopwords and not out[5].keep
     assert out[1].n_stopwords == 2 and out[1].pass_stopwords
+
+
+def test_filter_confusion_cells_sum_to_one(spark):
+    """Cells partition the corpus (shares sum to 1) and a crafted
+    disagree doc (passes C4's ratios, fails Gopher's word-count floor)
+    lands in the (True, False) cell."""
+    from bitcoin_datapipeline_spark.operators.text import filter_confusion
+
+    # 35 tokens: passes C4 (>=30) but fails Gopher (<50)
+    disagree = " ".join(["the", "and"] + [f"w{i}" for i in range(33)])
+    # 60 tokens with stopwords and mean word length in [3, 10]: passes both
+    both = " ".join(["the", "and"] + [f"word{i:02d}" for i in range(58)])
+    # tiny: fails both
+    tiny = "the a"
+    d = spark.createDataFrame(
+        [_doc(1, disagree), _doc(2, both), _doc(3, tiny)]
+    )
+    out = {(r.keep_c4, r.keep_gopher): r for r in
+           filter_confusion(d).collect()}
+    assert out[(True, False)].n_docs == 1
+    assert out[(True, True)].n_docs == 1
+    assert out[(False, False)].n_docs == 1
+    # shares are 6-dp rounded (1/3 thrice) — sum within one grid step
+    assert abs(sum(r.share for r in out.values()) - 1.0) <= 3e-6
+    assert sum(r.n_docs for r in out.values()) == 3

@@ -531,6 +531,10 @@ SHUFFLE_BUDGETS = {
     # r8: dedup windows + the one trade-grain symbol sort + (symbol,
     # lag) aggregate (static count; shared dedup scan reused at runtime)
     "q_sign_acf": 2,
+    # r8: doc_id join of the two map-only batteries + the cells agg
+    "q_doc_filter_confusion": 2,
+    # r8: (priority, week) aggregate + the K-row lag window
+    "q_weekly_revenue_growth": 2,
     # r8: (source, prefix) aggregate + totals + final source aggregate
     # (static count; AQE reuses the shared scan at runtime)
     "q_doc_template_detect": 4,

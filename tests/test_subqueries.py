@@ -380,3 +380,35 @@ def test_scd2_history_hand_built(spark):
     assert out[(7, 2)].valid_to == c7v3.valid_from
     # same-day tie on orderkey: LOW (key 5) is version 1, HIGH current
     assert out[(8, 1)].priority == "LOW" and out[(8, 2)].is_current is True
+
+
+def test_weekly_revenue_growth_hand_built(spark):
+    """Weeks truncate to Mondays; the first observed week has NULL
+    growth; growth divides the exact weekly sums."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from bitcoin_datapipeline_spark.operators.relational import (
+        weekly_revenue_growth,
+    )
+
+    def o(key, day, price, prio="HIGH"):
+        return Row(o_orderkey=key, o_custkey=1,
+                   o_orderdate=dt.datetime(2024, 1, day),
+                   o_totalprice=float(price), o_orderpriority=prio)
+
+    # 2024-01-01 is a Monday; week 1: days 1-7, week 2: days 8-14
+    orders = [
+        o(1, 2, 100.0), o(2, 5, 100.0),    # week of Jan 1: 200
+        o(3, 9, 300.0),                    # week of Jan 8: 300 -> +50%
+        o(4, 16, 150.0),                   # week of Jan 15: 150 -> -50%
+    ]
+    out = {r.week_start: r for r in weekly_revenue_growth(
+        spark.createDataFrame(orders)
+    ).collect()}
+    assert out["2024-01-01"].revenue == 200.0
+    assert out["2024-01-01"].wow_growth is None
+    assert out["2024-01-08"].wow_growth == 0.5
+    assert out["2024-01-15"].wow_growth == -0.5
+    assert out["2024-01-15"].prev_revenue == 300.0
