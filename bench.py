@@ -361,6 +361,11 @@ FAMILIES: dict[str, list[str]] = {
         # r7 fifteenth wave: the countDistinct partial-expand — its
         # decade row bounds the (token, doc_id) expansion cost
         "q_doc_burstiness",
+        # r8: the (source, n, gram) count-distinct expansion — three
+        # gram levels in one scan; its decade row bounds that expansion
+        "q_doc_ngram_diversity",
+        # r8: zero-shuffle map-only rule battery (linearity control)
+        "q_doc_gopher_rules",
     ],
     # q_returns_1s_full_span is the PRODUCTION grid convention: the
     # declared query runs a 12 h slice (GRID_SLICE_S, a test-size
