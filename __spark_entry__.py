@@ -2690,6 +2690,13 @@ def q_doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_confusion(table(spark, sf_dir, "documents"))
 
 
+# round 8: IVF recall audit — completes the per-query recall matrix
+# (LSH single/multi + IVF) as first-class queries
+@q("q_embed_recall_ivf", similarity.ANN_RECALL_IVF_ORACLE)
+def q_embed_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_recall_ivf(table(spark, sf_dir, "embeddings"))
+
+
 # round 8: quality-filter ensemble confusion (C4 battery vs Gopher
 # battery — the pre-ensembling diagnostic)
 @q("q_doc_filter_confusion", text.FILTER_CONFUSION_ORACLE)

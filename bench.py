@@ -266,6 +266,9 @@ HEADLINE = [
     "q_doc_filter_confusion",
     # round 8: WoW revenue growth (one calendar aggregate + K-row lag)
     "q_weekly_revenue_growth",
+    # round 8: IVF recall audit (exact side broadcast map-only scan +
+    # the declared ann_ivf plan at rank 1)
+    "q_embed_recall_ivf",
 ]
 
 

@@ -767,15 +767,14 @@ def _ivf_train_ctes(
     return ctes, f"cents{IVF_ITERS}"
 
 
-def _ivf_oracle(
+def _ivf_search_ctes(
     train_mod: int = IVF_TRAIN_MOD,
     k: int = IVF_K,
     nprobe: int = IVF_NPROBE,
     query_mod: int = IVF_NPROBE_QUERY_MOD,
-) -> str:
-    """Unrolled DuckDB twin of ann_ivf: trained centroids from
-    :func:`_ivf_train_ctes`, then full-corpus posting assignment and the
-    nprobe search."""
+) -> list[str]:
+    """Training cascade + posting/probe/join/rank CTEs, ending with
+    ``ivf_ranked`` — shared by the ANN oracle and the recall audit."""
     ctes, final = _ivf_train_ctes(train_mod, k)
     ctes.append(
         f"""posting AS (
@@ -811,17 +810,34 @@ def _ivf_oracle(
   JOIN embeddings ne ON ne.vec_id = po.neighbor_id
 )"""
     )
+    ctes.append(
+        """ivf_ranked AS (
+  SELECT query_id, rank, neighbor_id, c, cosine FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM j)
+)"""
+    )
+    return ctes
+
+
+def _ivf_oracle(
+    train_mod: int = IVF_TRAIN_MOD,
+    k: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+    query_mod: int = IVF_NPROBE_QUERY_MOD,
+) -> str:
+    """Unrolled DuckDB twin of ann_ivf: trained centroids from
+    :func:`_ivf_train_ctes`, then full-corpus posting assignment and the
+    nprobe search."""
+    ctes = _ivf_search_ctes(train_mod, k, nprobe, query_mod)
     return (
         "WITH "
         + ",\n".join(ctes)
         + f"""
 SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
        CAST(c AS INTEGER) AS probe_c, cosine
-FROM (
-  SELECT *, row_number() OVER (
-      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-  FROM j
-)
+FROM ivf_ranked
 WHERE rank <= {KNN_K}"""
     )
 
@@ -2665,3 +2681,117 @@ SELECT q_label AS label,
              / sum(CASE WHEN rank = 1 THEN 1 ELSE 0 END), 6)
            AS agreement_top1
 FROM lj GROUP BY q_label"""
+
+
+def ann_recall_ivf(embeddings: DataFrame) -> DataFrame:
+    """Recall audit for the IVF index — the :func:`ann_recall_lsh`
+    measurement pointed at the coarse-quantizer index: per IVF query,
+    the EXACT top-1 neighbor next to the IVF answer, hit flag, cosine
+    gap.  Completes the recall matrix (LSH single/multi + IVF) as
+    first-class queries; tests/test_similarity_recall.py gates the
+    aggregates, this exposes the per-query rows.
+
+    Plan shape: the exact side is the broadcast map-only scan +
+    max(struct) aggregate (no window); the IVF side is the declared
+    ann_ivf plan filtered to rank 1; the final join is K-row vs K-row.
+
+    cf. reference: extends the surface (no ANN in the reference)."""
+    e = with_norm(embeddings)
+    q = e.filter(F.col("vec_id") % IVF_NPROBE_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("emb_q"),
+        F.col("norm").alias("norm_q"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_c"),
+        F.col("norm").alias("norm_c"),
+    )
+    cos6 = r6(_dot("emb_q", "emb_c") / (F.col("norm_q") * F.col("norm_c")))
+    exact = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cos6)
+        .groupBy("query_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cosine"), (-F.col("neighbor_id")).alias("negid")
+                )
+            ).alias("best"),
+        )
+        .select(
+            "query_id",
+            (-F.col("best.negid")).cast("long").alias("exact_neighbor"),
+            F.col("best.cosine").alias("exact_cosine"),
+        )
+    )
+    ivf = (
+        ann_ivf(embeddings)
+        .filter(F.col("rank") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_id").cast("long").alias("ivf_neighbor"),
+            F.col("cosine").alias("ivf_cosine"),
+        )
+    )
+    out = exact.join(ivf, "query_id", "left")
+    return out.select(
+        "query_id",
+        "exact_neighbor",
+        r6(F.col("exact_cosine")).alias("exact_cosine"),
+        "ivf_neighbor",
+        r6(F.col("ivf_cosine")).alias("ivf_cosine"),
+        F.coalesce(
+            F.col("ivf_neighbor") == F.col("exact_neighbor"), F.lit(False)
+        ).alias("hit"),
+        r6(F.col("exact_cosine") - F.col("ivf_cosine")).alias("cosine_gap"),
+    )
+
+
+def _ivf_recall_oracle() -> str:
+    ctes = _ivf_search_ctes()
+    ctes.append(
+        f"""air_ex AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6)
+             AS cosine
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id % {IVF_NPROBE_QUERY_MOD} = 0 AND q.vec_id != c.vec_id
+)"""
+    )
+    ctes.append(
+        """air_best AS (
+  SELECT query_id,
+         CAST(neighbor_id AS BIGINT) AS exact_neighbor,
+         cosine AS exact_cosine
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM air_ex
+  ) WHERE rn = 1
+)"""
+    )
+    ctes.append(
+        """air_ivf AS (
+  SELECT query_id,
+         CAST(neighbor_id AS BIGINT) AS ivf_neighbor,
+         cosine AS ivf_cosine
+  FROM ivf_ranked WHERE rank = 1
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT b.query_id, b.exact_neighbor,
+       round(b.exact_cosine, 6) AS exact_cosine,
+       i.ivf_neighbor,
+       round(i.ivf_cosine, 6) AS ivf_cosine,
+       coalesce(i.ivf_neighbor = b.exact_neighbor, FALSE) AS hit,
+       round(b.exact_cosine - i.ivf_cosine, 6) AS cosine_gap
+FROM air_best b LEFT JOIN air_ivf i USING (query_id)"""
+    )
+
+
+ANN_RECALL_IVF_ORACLE = _ivf_recall_oracle()

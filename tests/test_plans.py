@@ -535,6 +535,9 @@ SHUFFLE_BUDGETS = {
     "q_doc_filter_confusion": 2,
     # r8: (priority, week) aggregate + the K-row lag window
     "q_weekly_revenue_growth": 2,
+    # r8: exact-side max(struct) aggregate + ann_ivf's posting join and
+    # rank window + the K-row recall join
+    "q_embed_recall_ivf": 5,
     # r8: (source, prefix) aggregate + totals + final source aggregate
     # (static count; AQE reuses the shared scan at runtime)
     "q_doc_template_detect": 4,
