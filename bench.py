@@ -449,6 +449,14 @@ FAMILIES: dict[str, list[str]] = {
         # control) and the calendar-bounded daily scorecard
         "q_price_clustering",
         "q_vwap_slippage",
+        # r8: ONE multi-horizon union-LOCF sort — its decade row bounds
+        # the Q + T·(H+1) single-sort claim
+        "q_markout",
+        # r8: trade-grain stack fan-out (max_lag× map-side) on one sort
+        "q_sign_acf",
+        # r8: bar-grain TA control rows — decimal window sums, one sort
+        "q_rsi",
+        "q_bollinger_breach",
     ],
 }
 SCALE_DIRS = ["/root/testdata/sf0.1", ".scale_data/sf1"]
