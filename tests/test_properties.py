@@ -3291,16 +3291,19 @@ def test_length_outliers_matches_naive(spark, docs):
     }
 
     def pctl(xs, p):
-        # the engines' pinned SYMMETRIC lerp: lo*(1-d) + hi*d
+        # the pinned convention = Spark's Percentile.getPercentile
+        # (replicated in the oracle by oracle_defs.spark_percentile_sql):
+        # symmetric lerp lo*(1-d) + hi*d PLUS the equal-keys shortcut —
+        # equal bracketing values return exactly, never x*(1-d) + x*d
+        # (one ulp off x; integer token counts tie constantly, and the
+        # unrounded band feeds the too_short/too_long compares)
         xs = sorted(xs)
         pos = p * (len(xs) - 1)
         lo = int(pos)
         frac = pos - lo
-        return (
-            xs[lo]
-            if frac == 0
-            else xs[lo] * (1 - frac) + xs[lo + 1] * frac
-        )
+        if frac == 0 or xs[lo] == xs[lo + 1]:
+            return xs[lo]
+        return xs[lo] * (1 - frac) + xs[lo + 1] * frac
 
     per_src = defaultdict(list)
     for _i, (s, n) in enumerate(docs):
@@ -3616,11 +3619,17 @@ def test_quote_staleness_matches_naive(spark, tape):
     }
 
     def pctl(xs, p):
+        # Spark convention: symmetric lerp + the equal-keys shortcut
+        # (output here is rounded, so the shortcut only matters for
+        # uniformity with the other naive references)
         xs = sorted(xs)
         pos = p * (len(xs) - 1)
         lo = int(pos)
         frac = pos - lo
-        v = xs[lo] if frac == 0 else xs[lo] * (1 - frac) + xs[lo + 1] * frac
+        if frac == 0 or xs[lo] == xs[lo + 1]:
+            v = xs[lo]
+        else:
+            v = xs[lo] * (1 - frac) + xs[lo + 1] * frac
         return _spark_round6(float(v))
 
     per_sym_t = defaultdict(list)
