@@ -1470,3 +1470,442 @@ def stream_atr(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming MACD twin (round 8) ------------------------------------------
+
+MACD_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("macd", T.DoubleType()),
+        T.StructField("signal", T.DoubleType()),
+        T.StructField("histogram", T.DoubleType()),
+        T.StructField("crossover", T.BooleanType()),
+        T.StructField("n_in_window", T.LongType()),
+        T.StructField("late_dropped", T.LongType()),
+    ]
+)
+
+MACD_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("frontier_ts", T.LongType()),
+        T.StructField("frontier_tid", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+        T.StructField("pend_ts", T.ArrayType(T.LongType())),
+        T.StructField("pend_tid", T.ArrayType(T.LongType())),
+        T.StructField("pend_price", T.ArrayType(T.LongType())),
+        T.StructField("cur_bucket", T.LongType()),
+        T.StructField("cur_close", T.LongType()),
+        # last MACD_WINDOW bar closes, newest last (1e-4 units)
+        T.StructField("close_ring", T.ArrayType(T.LongType())),
+        # last MACD_SIGNAL_WINDOW macd values, newest last (doubles —
+        # the batch signal EMA folds over the double macd column)
+        T.StructField("macd_ring", T.ArrayType(T.DoubleType())),
+        T.StructField("prev_hist", T.DoubleType()),
+    ]
+)
+
+
+def _trunc_ewma_py(values, span: int):
+    """The batch _trunc_ewma fold replayed in Python: element 0 is the
+    NEWEST value; same weight expressions, same left-to-right IEEE adds
+    — bit-identical to Spark's `aggregate` over the reversed
+    collect_list."""
+    alpha = 2.0 / (span + 1)
+    decay = 1.0 - alpha
+    num = 0.0
+    den = 0.0
+    for i, x in enumerate(values):
+        w = decay ** float(i)
+        num = num + x * w
+        den = den + w
+    return num / den
+
+
+def make_macd_processor(
+    bucket_ms: int = 60_000,
+    allowed_lateness_s: int = 0,
+):
+    """Live MACD(12, 26, 9) — the streaming twin of
+    operators/windows.macd: per closed minute bucket, the truncated
+    normalized EMAs fold over a ring of the last MACD_WINDOW closes
+    (Fraction-exact integer->double conversion, then the SAME
+    left-to-right weighted fold as the batch collect_list aggregate),
+    the signal EMA folds over the ring of macd doubles both forms
+    compute identically, and the crossover flag reads the ROUNDED
+    histogram sign — rows per closed bucket EQUAL the batch operator
+    over bars restricted to closed buckets (property-tested)."""
+    from bitcoin_datapipeline_spark.operators.windows import (
+        MACD_FAST,
+        MACD_SIGNAL,
+        MACD_SIGNAL_WINDOW,
+        MACD_SLOW,
+        MACD_WINDOW,
+    )
+
+    late_ms = allowed_lateness_s * 1000
+
+    def fn(key, pdfs, state: GroupState):
+        symbol = key[0]
+        chunks = [
+            pdf[["event_ts", "trade_id", "price"]] for pdf in pdfs if len(pdf)
+        ]
+        if not chunks:
+            yield pd.DataFrame(
+                [], columns=[f.name for f in MACD_OUTPUT_SCHEMA.fields]
+            )
+            return
+        ev = pd.concat(chunks, ignore_index=True)
+        if state.exists:
+            (f_ts, f_tid, n_late, p_ts, p_tid, p_pr,
+             cur_b, cur_c, c_ring, m_ring, prev_hist) = state.get
+            pend = list(zip(p_ts, p_tid, p_pr))
+            c_ring = list(c_ring)
+            m_ring = list(m_ring)
+        else:
+            f_ts = f_tid = _NO_FRONTIER
+            n_late = 0
+            pend = []
+            cur_b = cur_c = None
+            c_ring = []
+            m_ring = []
+            prev_hist = None
+
+        new = (
+            (int(ts), int(tid), int(round(float(p) * UNITS)))
+            for ts, tid, p in zip(ev["event_ts"], ev["trade_id"], ev["price"])
+        )
+        fold, pend, (f_ts, f_tid), late_inc = merge_fold(
+            new, pend, (f_ts, f_tid), late_ms
+        )
+        n_late += late_inc
+
+        rows = []
+
+        def close_bucket():
+            nonlocal c_ring, m_ring, prev_hist
+            c_ring.append(cur_c)
+            if len(c_ring) > MACD_WINDOW:
+                c_ring = c_ring[1:]
+            # newest-first doubles, exactly the batch reversed list
+            vals = [float(Fraction(c, UNITS)) for c in reversed(c_ring)]
+            macd_raw = (
+                _trunc_ewma_py(vals, MACD_FAST)
+                - _trunc_ewma_py(vals, MACD_SLOW)
+            )
+            m_ring.append(macd_raw)
+            if len(m_ring) > MACD_SIGNAL_WINDOW:
+                m_ring = m_ring[1:]
+            sig_raw = _trunc_ewma_py(list(reversed(m_ring)), MACD_SIGNAL)
+            hist = _round6(macd_raw - sig_raw)
+            if prev_hist is None:
+                cross = None
+            else:
+                cross = (hist > 0) != (prev_hist > 0)
+            rows.append((
+                symbol, int(cur_b), _round6(macd_raw), _round6(sig_raw),
+                hist, cross, len(c_ring), int(n_late),
+            ))
+            prev_hist = hist
+
+        for ts, tid, p_u in fold:
+            b = ts // bucket_ms
+            if cur_b is None:
+                cur_b = b
+            elif b != cur_b:
+                close_bucket()
+                cur_b = b
+            cur_c = p_u
+
+        state.update((
+            int(f_ts), int(f_tid), int(n_late),
+            [t[0] for t in pend], [t[1] for t in pend],
+            [t[2] for t in pend],
+            int(cur_b) if cur_b is not None else None,
+            int(cur_c) if cur_c is not None else None,
+            [int(x) for x in c_ring],
+            [float(x) for x in m_ring],
+            prev_hist,
+        ))
+        out = pd.DataFrame(
+            rows, columns=[f.name for f in MACD_OUTPUT_SCHEMA.fields]
+        )
+        out["crossover"] = (
+            out["crossover"].astype(object).where(
+                pd.notna(out["crossover"]), None
+            )
+        )
+        yield out
+
+    return fn
+
+
+def stream_macd(
+    trades: DataFrame,
+    bucket_ms: int = 60_000,
+    allowed_lateness_s: int = 0,
+) -> DataFrame:
+    """Live MACD: one append-final row per closed minute bucket, equal
+    to the batch windows.macd row (property-tested)."""
+    return trades.groupBy("symbol").applyInPandasWithState(
+        make_macd_processor(bucket_ms, allowed_lateness_s),
+        outputStructType=MACD_OUTPUT_SCHEMA,
+        stateStructType=MACD_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- streaming markout twin (round 8) ---------------------------------------
+
+MARKOUT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("n_trades", T.LongType()),
+        T.StructField("markout_1s_bps", T.DoubleType()),
+        T.StructField("markout_10s_bps", T.DoubleType()),
+        T.StructField("markout_60s_bps", T.DoubleType()),
+        T.StructField("late_dropped", T.LongType()),
+    ]
+)
+
+MARKOUT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("frontier_ts", T.LongType()),
+        T.StructField("frontier_k2", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+        # disorder pool (merged events)
+        T.StructField("pend_ts", T.ArrayType(T.LongType())),
+        T.StructField("pend_k2", T.ArrayType(T.LongType())),
+        T.StructField("pend_bid", T.ArrayType(T.LongType())),
+        T.StructField("pend_ask", T.ArrayType(T.LongType())),
+        T.StructField("pend_px", T.ArrayType(T.LongType())),
+        T.StructField("pend_mk", T.ArrayType(T.BooleanType())),
+        # LOCF quote history (avail_ts ascending)
+        T.StructField("q_avail", T.ArrayType(T.LongType())),
+        T.StructField("q_bid", T.ArrayType(T.LongType())),
+        T.StructField("q_ask", T.ArrayType(T.LongType())),
+        # trades awaiting horizon mids
+        T.StructField("t_ts", T.ArrayType(T.LongType())),
+        T.StructField("t_px", T.ArrayType(T.LongType())),
+        T.StructField("t_mk", T.ArrayType(T.BooleanType())),
+        T.StructField("t_mid0", T.ArrayType(T.DoubleType())),
+        T.StructField("t_mo", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        # identity dedup per un-emitted bucket
+        T.StructField("seen_key", T.ArrayType(T.StringType())),
+        # bucket accumulators
+        T.StructField("bk_id", T.ArrayType(T.LongType())),
+        T.StructField("bk_n", T.ArrayType(T.LongType())),
+        T.StructField("bk_s", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ]
+)
+
+
+def make_markout_processor(allowed_lateness_s: int = 0):
+    """Live multi-horizon markouts — the streaming twin of
+    operators/aggregates.markout, and the family's only DELAYED-emission
+    processor: a trade's markout at horizon h is unknown until the fold
+    frontier passes t + h, so trades wait in state with their mid_0 and
+    progressively-filled horizon mids, buckets accumulate finalized
+    markouts in trade order, and a (symbol, minute) row emits once the
+    frontier clears bucket_end + max(horizon) — equal to the batch
+    operator over the tape up to that point (property-tested).
+
+    State per symbol: the bounded-lateness pool, the quote history
+    needed for pending lookups (pruned to the oldest pending target,
+    keeping its LOCF candidate — O(quotes per max-horizon window)),
+    pending trades (O(trades per max-horizon window)), the per-bucket
+    identity-dedup set (the batch distinct on (ts, price, maker)), and
+    the un-emitted bucket sums.
+
+    Exactness: mids convert from exact integer units via Fraction (the
+    batch double (bid+ask)/2); markout arithmetic is the same float
+    expression; sums accumulate in trade order (the espread precedent —
+    batch group-avg fold order agrees at the 6-dp grain).
+
+    ``allowed_lateness_s`` must stay at or below the max horizon: the
+    emission rule assumes a pooled trade cannot belong to a bucket whose
+    finalization point the frontier has already passed."""
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        MARKOUT_HORIZONS_MS,
+    )
+
+    hs = sorted(MARKOUT_HORIZONS_MS)
+    max_h = hs[-1]
+    late_ms = allowed_lateness_s * 1000
+    if late_ms > max_h:
+        raise ValueError(
+            "markout processor: allowed_lateness must be <= max horizon "
+            f"({max_h} ms) for the emission rule to be safe"
+        )
+
+    def fn(key, pdfs, state: GroupState):
+        symbol = key[0]
+        cols = ["kind", "event_ts", "ingest_ts", "bid_px", "ask_px",
+                "price", "is_buyer_maker"]
+        chunks = [pdf[cols] for pdf in pdfs if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame(
+                [], columns=[f.name for f in MARKOUT_OUTPUT_SCHEMA.fields]
+            )
+            return
+        ev = pd.concat(chunks, ignore_index=True)
+        if state.exists:
+            (f_ts, f_k2, n_late, p_ts, p_k2, p_b, p_a, p_px, p_mk,
+             q_avail, q_bid, q_ask, t_ts, t_px, t_mk, t_mid0, t_mo,
+             seen_key, bk_id, bk_n, bk_s) = state.get
+            pend = list(zip(p_ts, p_k2, p_b, p_a, p_px, p_mk))
+            q_hist = list(zip(q_avail, q_bid, q_ask))
+            trades = [
+                [ts, px, mk, m0, list(mo)]
+                for ts, px, mk, m0, mo in zip(t_ts, t_px, t_mk, t_mid0, t_mo)
+            ]
+            seen = set(seen_key)
+            buckets = {
+                b: [n, list(s)] for b, n, s in zip(bk_id, bk_n, bk_s)
+            }
+        else:
+            f_ts = f_k2 = _NO_FRONTIER
+            n_late = 0
+            pend = []
+            q_hist = []
+            trades = []
+            seen = set()
+            buckets = {}
+
+        def tuples():
+            for k, ts, ing, b, a, px, mk in zip(
+                ev["kind"], ev["event_ts"], ev["ingest_ts"], ev["bid_px"],
+                ev["ask_px"], ev["price"], ev["is_buyer_maker"],
+            ):
+                if int(k) == 0:
+                    yield (int(ts) + 1, int(ing),
+                           int(round(float(b) * UNITS)),
+                           int(round(float(a) * UNITS)), -1, False)
+                else:
+                    yield (int(ts), _ISQ_SHIFT + int(ing), -1, -1,
+                           int(round(float(px) * UNITS)), bool(mk))
+
+        fold, pend, (f_ts, f_k2), late_inc = merge_fold(
+            tuples(), pend, (f_ts, f_k2), late_ms
+        )
+        n_late += late_inc
+
+        def mid_at(x):
+            """Prevailing mid at instant x: last quote with avail <= x
+            (None before the first quote) — the batch LOCF value."""
+            lo, hi = 0, len(q_hist)
+            while lo < hi:
+                m = (lo + hi) // 2
+                if q_hist[m][0] <= x:
+                    lo = m + 1
+                else:
+                    hi = m
+            if lo == 0:
+                return None
+            _, b_u, a_u = q_hist[lo - 1]
+            return (float(Fraction(b_u, UNITS))
+                    + float(Fraction(a_u, UNITS))) / 2.0
+
+        def finalize(upto):
+            """Fill every pending horizon whose target < upto; move
+            fully-finalized trades into their bucket sums (trade
+            order)."""
+            keep = []
+            for tr in trades:
+                ts, px, mk, m0, mo = tr
+                while len(mo) < len(hs) and ts + hs[len(mo)] < upto:
+                    mh = mid_at(ts + hs[len(mo)])
+                    d = -1.0 if mk else 1.0
+                    mo.append(2.0 * d * (mh - m0) / m0 * 10000.0)
+                if len(mo) == len(hs):
+                    b = ts // 60000
+                    acc = buckets.setdefault(b, [0, [0.0] * len(hs)])
+                    acc[0] += 1
+                    for i, v in enumerate(mo):
+                        acc[1][i] = acc[1][i] + v
+                else:
+                    keep.append(tr)
+            trades[:] = keep
+
+        for s_ts, k2, b_u, a_u, px_u, mk in fold:
+            finalize(s_ts)
+            if k2 < _ISQ_SHIFT:  # quote
+                q_hist.append((s_ts, b_u, a_u))
+            else:  # trade
+                ident = f"{s_ts}:{px_u}:{int(mk)}"
+                if ident in seen:
+                    continue
+                m0 = mid_at(s_ts)
+                if m0 is None:
+                    continue  # before any quote: drops from every horizon
+                seen.add(ident)
+                trades.append([s_ts, px_u, mk, m0, []])
+        finalize(f_ts)
+
+        rows = []
+        for b in sorted(buckets):
+            if f_ts >= (b + 1) * 60000 + max_h:
+                n, sums = buckets.pop(b)
+                rows.append((
+                    symbol, int(b), int(n),
+                    _round6(sums[0] / n), _round6(sums[1] / n),
+                    _round6(sums[2] / n), int(n_late),
+                ))
+                # identity keys of an emitted bucket can never recur
+                # (the frontier is past the bucket)
+                seen = {
+                    k for k in seen if int(k.split(":")[0]) // 60000 != b
+                }
+
+        # prune quote history: keep everything a pending lookup can
+        # still need (the oldest pending target's LOCF candidate onward)
+        if trades:
+            min_target = min(t[0] + hs[len(t[4])] for t in trades)
+            cut = 0
+            for i, (av, _b, _a) in enumerate(q_hist):
+                if av <= min_target:
+                    cut = i
+            q_hist = q_hist[cut:]
+        elif q_hist:
+            q_hist = q_hist[-1:]
+
+        state.update((
+            int(f_ts), int(f_k2), int(n_late),
+            [t[0] for t in pend], [t[1] for t in pend],
+            [t[2] for t in pend], [t[3] for t in pend],
+            [t[4] for t in pend], [t[5] for t in pend],
+            [q[0] for q in q_hist], [q[1] for q in q_hist],
+            [q[2] for q in q_hist],
+            [t[0] for t in trades], [t[1] for t in trades],
+            [t[2] for t in trades], [t[3] for t in trades],
+            [[float(v) for v in t[4]] for t in trades],
+            sorted(seen),
+            sorted(buckets),
+            [buckets[b][0] for b in sorted(buckets)],
+            [[float(v) for v in buckets[b][1]] for b in sorted(buckets)],
+        ))
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in MARKOUT_OUTPUT_SCHEMA.fields]
+        )
+
+    return fn
+
+
+def stream_markout(
+    merged: DataFrame, allowed_lateness_s: int = 0
+) -> DataFrame:
+    """Live adverse-selection curve: one append-final row per (symbol,
+    minute) bucket once the frontier clears bucket_end + max horizon,
+    equal to the batch `markout` row (property-tested).  Input carries
+    (symbol, kind 0=quote/1=trade, event_ts, ingest_ts, bid_px, ask_px,
+    price, is_buyer_maker)."""
+    return merged.groupBy("symbol").applyInPandasWithState(
+        make_markout_processor(allowed_lateness_s),
+        outputStructType=MARKOUT_OUTPUT_SCHEMA,
+        stateStructType=MARKOUT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -4063,3 +4063,138 @@ def test_stream_atr_processor_matches_batch(spark, batch, n_chunks):
         assert e.late_dropped == 0
         got[(e.symbol, e.bucket)] = (e.atr, e.atr_norm)
     assert got == want
+
+
+@given(batch=trade_strategy, n_chunks=st.integers(min_value=1, max_value=4))
+@_settings
+def test_stream_macd_processor_matches_batch(spark, batch, n_chunks):
+    """The streaming MACD processor emits per closed minute bucket
+    exactly the batch windows.macd row over bars restricted to closed
+    buckets — the truncated-EWMA folds replayed bit-for-bit (Fraction
+    integer->double closes, same left-to-right weighted adds), the
+    signal ring of shared macd doubles, and the rounded-histogram
+    crossover flag."""
+    from bitcoin_datapipeline_spark.operators.windows import macd
+    from bitcoin_datapipeline_spark.streaming.impact import (
+        make_macd_processor,
+    )
+
+    ordered = sorted(batch, key=lambda t: t[1])
+    recs = [
+        Row(symbol=s, event_ts=ts, trade_id=i, price=c / 100.0)
+        for i, (s, ts, _tid, c, q, m) in enumerate(ordered)
+    ]
+    emitted = _drive_processor(
+        make_macd_processor(),
+        recs,
+        ["event_ts", "trade_id", "price"],
+        n_chunks,
+    )
+    closes = {}
+    for r in recs:
+        closes[(r.symbol, r.event_ts // 60_000)] = r.price
+    last_bucket = {}
+    for s, b in closes:
+        last_bucket[s] = max(last_bucket.get(s, -1), b)
+    bars = [
+        (s, b, c) for (s, b), c in closes.items() if b < last_bucket[s]
+    ]
+    want = {}
+    if bars:
+        want = {
+            (r.symbol, r.bucket): (
+                r.macd, r.signal, r.histogram, r.crossover, r.n_in_window
+            )
+            for r in macd(_bars_df(spark, bars)).collect()
+        }
+    got = {}
+    for e in emitted:
+        assert e.late_dropped == 0
+        got[(e.symbol, e.bucket)] = (
+            e.macd, e.signal, e.histogram, e.crossover, e.n_in_window
+        )
+    assert got == want
+
+
+@given(batch=mixed_strategy, n_chunks=st.integers(min_value=1, max_value=4))
+@_settings
+def test_stream_markout_processor_matches_batch(spark, batch, n_chunks):
+    """The streaming markout processor — the family's delayed-emission
+    twin — emits a (symbol, bucket) row once the frontier clears
+    bucket_end + max horizon, equal to the batch markout row over the
+    full tape (quotes beyond a trade's horizons cannot change its
+    mids, so the restriction is exact): identity dedup, the
+    before-first-quote drop, and the quote-at-the-horizon-boundary
+    convention included."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        MARKOUT_HORIZONS_MS,
+        markout,
+    )
+    from bitcoin_datapipeline_spark.streaming.impact import (
+        make_markout_processor,
+    )
+
+    max_h = max(MARKOUT_HORIZONS_MS)
+    ordered = sorted(batch, key=lambda t: t[1])
+    recs = [
+        Row(symbol=s, kind=int(is_t), event_ts=ts, ingest_ts=i,
+            bid_px=None if is_t else b / 100.0,
+            ask_px=None if is_t else a / 100.0,
+            price=b / 100.0 if is_t else None,
+            is_buyer_maker=bool(a % 2) if is_t else None)
+        for i, (s, ts, is_t, b, a) in enumerate(ordered)
+    ]
+    emitted = _drive_processor(
+        make_markout_processor(),
+        recs,
+        ["kind", "event_ts", "ingest_ts", "bid_px", "ask_px", "price",
+         "is_buyer_maker"],
+        n_chunks,
+    )
+
+    schema = (
+        "symbol string, kind int, event_ts long, ingest_ts long,"
+        " bid_px double, ask_px double, price double,"
+        " is_buyer_maker boolean"
+    )
+    df = spark.createDataFrame(recs, schema)
+    trades = df.filter("kind = 1").select(
+        "symbol", "event_ts", "price", "is_buyer_maker"
+    )
+    quotes = df.filter("kind = 0").select(
+        "symbol", "event_ts",
+        F.lit(0).cast("long").alias("ingest_ts"),
+        "bid_px", "ask_px",
+        F.lit(1.0).alias("bid_sz"), F.lit(1.0).alias("ask_sz"),
+    )
+    want = {
+        (r.symbol, r.bucket): (
+            r.n_trades, r.markout_1s_bps, r.markout_10s_bps,
+            r.markout_60s_bps,
+        )
+        for r in markout(trades, quotes).collect()
+    }
+    # per symbol, the final frontier = max event sort key
+    frontier = {}
+    for r in recs:
+        s_ts = r.event_ts if r.kind == 1 else r.event_ts + 1
+        frontier[r.symbol] = max(frontier.get(r.symbol, -1), s_ts)
+    got = {}
+    for e in emitted:
+        assert e.late_dropped == 0
+        got[(e.symbol, e.bucket)] = (
+            e.n_trades, e.markout_1s_bps, e.markout_10s_bps,
+            e.markout_60s_bps,
+        )
+        assert got[(e.symbol, e.bucket)] == want[(e.symbol, e.bucket)], (
+            e, want[(e.symbol, e.bucket)],
+        )
+    # completeness: every batch bucket the frontier cleared must have
+    # been emitted
+    for (s, b), w in want.items():
+        if frontier[s] >= (b + 1) * 60_000 + max_h:
+            assert (s, b) in got, ((s, b), w)
+        else:
+            assert (s, b) not in got
