@@ -1402,3 +1402,85 @@ def test_stream_rsi_real_stream_ring_survives_checkpoint(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_markout_real_stream_delayed_emission(spark, tmp_path):
+    """Streaming markout through a REAL availableNow stream: the
+    delayed-emission state (pending trades with nested horizon-mid
+    arrays, quote history, bucket sums) survives checkpointed
+    micro-batches — the trade folds in batch one, its horizons finalize
+    and the bucket emits only in batch two when the frontier clears
+    bucket_end + 60 s."""
+    from bitcoin_datapipeline_spark.operators.aggregates import markout
+    from bitcoin_datapipeline_spark.streaming.impact import stream_markout
+
+    schema = (
+        "symbol string, kind int, event_ts long, ingest_ts long,"
+        " bid_px double, ask_px double, price double,"
+        " is_buyer_maker boolean"
+    )
+
+    def q(ts, ing, b, a):
+        return ("A", 0, ts, ing, float(b), float(a), None, None)
+
+    def t(ts, ing, px, mk):
+        return ("A", 1, ts, ing, None, None, float(px), mk)
+
+    # trade at 10s (bucket 0); horizon mids at 11s / 20s / 70s; the
+    # emission gate needs frontier >= 60_000 + 60_000
+    batch1 = [
+        q(9_000, 1, 99.5, 100.5),
+        t(10_000, 2, 100.5, False),
+        q(10_500, 3, 100.5, 101.5),   # mid at +1s
+    ]
+    batch2 = [
+        q(15_000, 4, 101.5, 102.5),   # mid at +10s
+        q(60_000, 5, 103.5, 104.5),   # mid at +60s
+        q(125_000, 6, 103.5, 104.5),  # pushes the frontier past the gate
+    ]
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def run_once(rows, part):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / part)
+        )
+        s = (
+            stream_markout(
+                spark.readStream.schema(
+                    spark.createDataFrame([], schema).schema
+                ).option("recursiveFileLookup", "true").parquet(str(src))
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        s.awaitTermination(120)
+
+    run_once(batch1, "p1")
+    assert spark.read.parquet(out).count() == 0  # nothing finalized yet
+    run_once(batch2, "p2")
+
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1
+    g = got[0]
+    df = spark.createDataFrame(batch1 + batch2, schema)
+    w = markout(
+        df.filter("kind = 1").select(
+            "symbol", "event_ts", "price", "is_buyer_maker"
+        ),
+        df.filter("kind = 0").selectExpr(
+            "symbol", "event_ts", "CAST(0 AS LONG) AS ingest_ts",
+            "bid_px", "ask_px", "1.0 AS bid_sz", "1.0 AS ask_sz",
+        ),
+    ).collect()[0]
+    assert (g.bucket, g.n_trades) == (w.bucket, w.n_trades) == (0, 1)
+    assert (g.markout_1s_bps, g.markout_10s_bps, g.markout_60s_bps) == (
+        w.markout_1s_bps, w.markout_10s_bps, w.markout_60s_bps
+    )
+    assert g.markout_1s_bps == 200.0  # mid 100 -> 101 on a buy
