@@ -2690,6 +2690,20 @@ def q_doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_confusion(table(spark, sf_dir, "documents"))
 
 
+# round 8: LSH band-bucket balance — the index's own skew diagnostic
+# (implied candidate pairs = the quantity that goes quadratic)
+@q("q_doc_lsh_bucket_balance", text.LSH_BUCKET_BALANCE_ORACLE)
+def q_doc_lsh_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lsh_bucket_balance(table(spark, sf_dir, "documents"))
+
+
+# round 8: shingle doc-frequency profile — the MINHASH_HOT_SHINGLE_DF
+# calibration table (integer bit-length buckets, no floating log2)
+@q("q_doc_shingle_df_profile", text.SHINGLE_DF_PROFILE_ORACLE)
+def q_doc_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.shingle_df_profile(table(spark, sf_dir, "documents"))
+
+
 # round 8: IVF recall audit — completes the per-query recall matrix
 # (LSH single/multi + IVF) as first-class queries
 @q("q_embed_recall_ivf", similarity.ANN_RECALL_IVF_ORACLE)

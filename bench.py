@@ -269,6 +269,10 @@ HEADLINE = [
     # round 8: IVF recall audit (exact side broadcast map-only scan +
     # the declared ann_ivf plan at rank 1)
     "q_embed_recall_ivf",
+    # round 8: LSH bucket balance + shingle-DF profile — the dedup
+    # infrastructure's own skew/cap-calibration diagnostics
+    "q_doc_lsh_bucket_balance",
+    "q_doc_shingle_df_profile",
 ]
 
 

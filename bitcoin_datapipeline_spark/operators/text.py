@@ -5102,3 +5102,143 @@ SELECT keep_c4, keep_gopher,
        CAST(count(*) AS BIGINT) AS n_docs,
        round(count(*) * 1.0 / (SELECT count(*) FROM fc_j), 6) AS share
 FROM fc_j GROUP BY keep_c4, keep_gopher"""
+
+
+def lsh_bucket_balance(documents: DataFrame) -> DataFrame:
+    """LSH band-bucket balance audit — the index's own skew diagnostic:
+    per band, the bucket count, max and mean bucket size, the share of
+    docs in the single largest bucket, and the IMPLIED CANDIDATE PAIRS
+    Σ size·(size−1)/2 — the exact quantity that makes the band join
+    quadratic when a bucket goes hot.  Run it before trusting the LSH
+    pass on a new corpus: a band whose candidate count dwarfs the others
+    means degenerate signatures (boilerplate-heavy shingle space), and
+    the hot-shingle cap is the fix this table justifies.
+
+    Plan shape: the ONE sigs aggregate every LSH consumer shares, the
+    band fan-out, a (band, band_hash) count, then a ≤n_bands-row
+    aggregate.  All counts exact integers.
+
+    cf. reference: extends the surface (the LSH family's self-audit; no
+    reference counterpart)."""
+    sigs = _minhash_sigs(documents)
+    bands = _band_frame(sigs)
+    bsz = bands.groupBy("band", "band_hash").agg(
+        F.count("*").alias("sz")
+    )
+    return bsz.groupBy("band").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.max("sz").cast("long").alias("max_bucket"),
+        r6(F.sum("sz") / F.count("*")).alias("mean_bucket"),
+        r6(F.max("sz") / F.sum("sz")).alias("top_bucket_share"),
+        F.sum(F.col("sz") * (F.col("sz") - 1) / 2)
+        .cast("long")
+        .alias("candidate_pairs"),
+    )
+
+
+LSH_BUCKET_BALANCE_ORACLE = f"""
+WITH docs_sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        for i in generate_series(1, len(toks) - 2)]) AS shs
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 3
+),
+sigs AS (
+  SELECT doc_id, shs, len(shs) AS n,
+         {_SIG_SQL}
+  FROM docs_sh
+),
+bands AS ({_BAND_SQL}),
+bb AS (
+  SELECT band, band_hash, CAST(count(*) AS BIGINT) AS sz
+  FROM bands GROUP BY band, band_hash
+)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(sz) AS BIGINT) AS n_docs,
+       CAST(max(sz) AS BIGINT) AS max_bucket,
+       round(sum(sz) * 1.0 / count(*), 6) AS mean_bucket,
+       round(max(sz) * 1.0 / sum(sz), 6) AS top_bucket_share,
+       CAST(sum(sz * (sz - 1) / 2) AS BIGINT) AS candidate_pairs
+FROM bb GROUP BY band"""
+
+
+def shingle_df_profile(documents: DataFrame) -> DataFrame:
+    """Shingle doc-frequency profile — the measurement behind
+    MINHASH_HOT_SHINGLE_DF: a log2-bucketed histogram of how many
+    documents each 3-gram shingle appears in, with posting-mass shares.
+    The quadratic risk of every shingle-blocked join is Σ df² — this
+    table shows where that mass sits, and whether the cap actually has
+    anything to cut on a given corpus (the synthetic fixture's flat
+    profile is why the uncapped decade rows looked fine in r7 — now
+    measurable instead of assumed).
+
+    Bucket key: the integer bit-length of df minus one (== floor(log2)
+    computed WITHOUT floating log2, whose boundary rounding differs
+    across engines).
+
+    Plan shape: the shingle explode + ONE (shingle) count + one
+    ≤64-row histogram aggregate + a 1-row total broadcast.
+
+    cf. reference: extends the surface (cap-calibration diagnostic; no
+    reference counterpart)."""
+    shd = _shingles(documents)
+    df_ = shd.groupBy("shingle").agg(F.count("*").alias("df"))
+    bucket = (F.length(F.conv(F.col("df"), 10, 2)) - 1).cast("int")
+    b = df_.select(
+        bucket.alias("df_bucket"),
+        F.col("df"),
+        (F.col("df") * F.col("df")).alias("df_sq"),
+    )
+    g = b.groupBy("df_bucket").agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum("df").cast("long").alias("n_postings"),
+        F.sum("df_sq").cast("long").alias("join_rows"),
+        F.min("df").cast("long").alias("min_df"),
+        F.max("df").cast("long").alias("max_df"),
+    )
+    tot = g.groupBy().agg(F.sum("n_postings").alias("total_postings"))
+    return g.join(F.broadcast(tot)).select(
+        "df_bucket",
+        "n_shingles",
+        "n_postings",
+        "join_rows",
+        "min_df",
+        "max_df",
+        r6(F.col("n_postings") / F.col("total_postings")).alias(
+            "postings_share"
+        ),
+    )
+
+
+SHINGLE_DF_PROFILE_ORACLE = """
+WITH sp_sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(toks[i:i+2], ' ')
+                 for i in generate_series(1, len(toks) - 2)]) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+sp_df AS (
+  SELECT shingle, CAST(count(*) AS BIGINT) AS df
+  FROM sp_sh GROUP BY shingle
+),
+sp_b AS (
+  SELECT CAST(length(printf('%b', df)) - 1 AS INTEGER) AS df_bucket,
+         df, df * df AS df_sq
+  FROM sp_df
+),
+sp_g AS (
+  SELECT df_bucket,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(df) AS BIGINT) AS n_postings,
+         CAST(sum(df_sq) AS BIGINT) AS join_rows,
+         CAST(min(df) AS BIGINT) AS min_df,
+         CAST(max(df) AS BIGINT) AS max_df
+  FROM sp_b GROUP BY df_bucket
+)
+SELECT df_bucket, n_shingles, n_postings, join_rows, min_df, max_df,
+       round(n_postings * 1.0 / (SELECT sum(n_postings) FROM sp_g), 6)
+           AS postings_share
+FROM sp_g"""

@@ -1282,3 +1282,46 @@ def test_filter_confusion_cells_sum_to_one(spark):
     # shares are 6-dp rounded (1/3 thrice) — sum within one grid step
     assert abs(sum(r.share for r in out.values()) - 1.0) <= 3e-6
     assert sum(r.n_docs for r in out.values()) == 3
+
+
+def test_shingle_df_profile_buckets_and_join_rows(spark):
+    """df values land in integer bit-length buckets (no floating log2),
+    join_rows is the exact sum of df², and postings shares sum to 1
+    within the rounding grid."""
+    from bitcoin_datapipeline_spark.operators.text import shingle_df_profile
+
+    # shingle "a b c" in 5 docs (bucket 2), "x y z" in 1 doc (bucket 0)
+    docs = [_doc(i, "a b c") for i in range(5)] + [_doc(9, "x y z")]
+    out = {r.df_bucket: r for r in shingle_df_profile(
+        spark.createDataFrame(docs)
+    ).collect()}
+    assert out[2].n_shingles == 1 and out[2].min_df == out[2].max_df == 5
+    assert out[2].join_rows == 25
+    assert out[0].n_shingles == 1 and out[0].n_postings == 1
+    assert out[2].postings_share == round(5 / 6, 6)
+    # boundary: df = 4 must land in bucket 2 (bit_length(4) - 1), the
+    # case floating log2 can misround
+    docs4 = [_doc(i, "p q r") for i in range(4)]
+    b4 = shingle_df_profile(spark.createDataFrame(docs4)).collect()
+    assert len(b4) == 1 and b4[0].df_bucket == 2
+
+
+def test_lsh_bucket_balance_planted_hot_bucket(spark):
+    """Identical docs share every band bucket: candidate_pairs counts
+    C(n,2) per band, and top_bucket_share reflects the hot bucket."""
+    from bitcoin_datapipeline_spark.operators.text import (
+        MINHASH_BANDS,
+        lsh_bucket_balance,
+    )
+
+    same = [_doc(i, "a b c d e f g h") for i in range(4)]
+    other = [_doc(10 + i, f"u{i} v{i} w{i} x{i} y{i}") for i in range(3)]
+    out = {r.band: r for r in lsh_bucket_balance(
+        spark.createDataFrame(same + other)
+    ).collect()}
+    assert set(out) == set(range(MINHASH_BANDS))
+    for b, r in out.items():
+        assert r.n_docs == 7
+        assert r.max_bucket == 4          # the identical quartet
+        assert r.candidate_pairs >= 6     # C(4,2), plus any collisions
+        assert r.top_bucket_share == round(4 / 7, 6)

@@ -538,6 +538,11 @@ SHUFFLE_BUDGETS = {
     # r8: exact-side max(struct) aggregate + ann_ivf's posting join and
     # rank window + the K-row recall join
     "q_embed_recall_ivf": 5,
+    # r8: sigs aggregate + band fan-out + (band, hash) count + the
+    # n_bands-row aggregate (static; shared sigs scan reused at runtime)
+    "q_doc_lsh_bucket_balance": 6,
+    # r8: shingle df aggregate + the 64-row histogram + 1-row total
+    "q_doc_shingle_df_profile": 5,
     # r8: (source, prefix) aggregate + totals + final source aggregate
     # (static count; AQE reuses the shared scan at runtime)
     "q_doc_template_detect": 4,
