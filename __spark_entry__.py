@@ -2690,6 +2690,19 @@ def q_doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_confusion(table(spark, sf_dir, "documents"))
 
 
+# round 8: per-label effective dimensionality (participation ratio
+# over rounded per-dim variances — the anisotropy-collapse detector)
+@q("q_embed_dim_stats", similarity.DIM_STATS_ORACLE)
+def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.dim_stats(table(spark, sf_dir, "embeddings"))
+
+
+# round 8: tokenizer budget-planning view per (lang, source)
+@q("q_doc_tokenizer_compression", text.TOKENIZER_COMPRESSION_ORACLE)
+def q_doc_tokenizer_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tokenizer_compression(table(spark, sf_dir, "documents"))
+
+
 # round 8: LSH band-bucket balance — the index's own skew diagnostic
 # (implied candidate pairs = the quantity that goes quadratic)
 @q("q_doc_lsh_bucket_balance", text.LSH_BUCKET_BALANCE_ORACLE)

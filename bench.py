@@ -273,6 +273,9 @@ HEADLINE = [
     # infrastructure's own skew/cap-calibration diagnostics
     "q_doc_lsh_bucket_balance",
     "q_doc_shingle_df_profile",
+    # round 8: effective dimensionality + the tokenizer budget view
+    "q_embed_dim_stats",
+    "q_doc_tokenizer_compression",
 ]
 
 

@@ -2795,3 +2795,83 @@ FROM air_best b LEFT JOIN air_ivf i USING (query_id)"""
 
 
 ANN_RECALL_IVF_ORACLE = _ivf_recall_oracle()
+
+
+def dim_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-label embedding DIMENSION statistics: per-dimension variances
+    (explicit-moment form, 6-dp rounded) reduced to the trace, the top
+    dimension's variance share, and the PARTICIPATION RATIO
+    (Σv)²/Σv² — the cheap effective-dimensionality proxy (PR ≈ d for
+    isotropic embeddings, PR ≈ 1 when one axis carries everything —
+    the anisotropy collapse that silently breaks cosine retrieval).
+
+    Exactness: per-dim moments are engine aggregates over identical
+    doubles; each dimension's variance is ROUNDED to 6 dp before the
+    trace/share/PR arithmetic, so the derived statistics are pure
+    functions of cross-engine-identical values (the IVF centroid
+    rounding discipline).
+
+    Plan shape: one posexplode + ONE (label, dim) aggregate
+    (labels × d rows) + a labels-row reduction.
+
+    cf. reference: extends the surface (no embedding ops in the
+    reference)."""
+    e = embeddings.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).select("label", "dim", F.col("x").cast("double").alias("x"))
+    m = e.groupBy("label", "dim").agg(
+        F.count("*").alias("n"),
+        F.avg("x").alias("e1"),
+        F.avg(F.col("x") * F.col("x")).alias("e2"),
+    )
+    v = m.select(
+        "label",
+        "dim",
+        r6(
+            F.greatest(
+                F.lit(0.0), F.col("e2") - F.col("e1") * F.col("e1")
+            )
+        ).alias("var6"),
+    )
+    g = v.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_dims"),
+        F.sum("var6").alias("trace"),
+        F.max("var6").alias("top_var"),
+        F.sum(F.col("var6") * F.col("var6")).alias("sum_sq"),
+    )
+    return g.select(
+        "label",
+        "n_dims",
+        r6(F.col("trace")).alias("trace"),
+        r6(F.col("top_var") / F.col("trace")).alias("top_dim_share"),
+        r6(
+            F.col("trace") * F.col("trace") / F.col("sum_sq")
+        ).alias("participation_ratio"),
+    )
+
+
+DIM_STATS_ORACLE = """
+WITH ds_e AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+ds_m AS (
+  SELECT label, dim,
+         round(greatest(0.0, avg(x * x) - avg(x) * avg(x)), 6) AS var6
+  FROM ds_e GROUP BY label, dim
+),
+ds_g AS (
+  SELECT label,
+         CAST(count(*) AS BIGINT) AS n_dims,
+         sum(var6) AS trace,
+         max(var6) AS top_var,
+         sum(var6 * var6) AS sum_sq
+  FROM ds_m GROUP BY label
+)
+SELECT label, n_dims,
+       round(trace, 6) AS trace,
+       round(top_var / trace, 6) AS top_dim_share,
+       round(trace * trace / sum_sq, 6) AS participation_ratio
+FROM ds_g"""

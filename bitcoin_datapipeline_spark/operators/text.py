@@ -5242,3 +5242,52 @@ SELECT df_bucket, n_shingles, n_postings, join_rows, min_df, max_df,
        round(n_postings * 1.0 / (SELECT sum(n_postings) FROM sp_g), 6)
            AS postings_share
 FROM sp_g"""
+
+
+def tokenizer_compression(documents: DataFrame) -> DataFrame:
+    """Tokenizer budget-planning view per (lang, source): total
+    characters, whitespace tokens, BPE-ish regex tokens, and the two
+    compression ratios (chars per token both ways) — the table a
+    pre-training budget is costed from (token counts per slice decide
+    epoch mixing long before any model runs).
+
+    Exactness: totals are exact integer sums; ratios divide exact
+    integers.
+
+    Plan shape: map-only counting + ONE (lang, source) aggregate.
+
+    cf. reference: extends the surface (the per-slice planning
+    aggregate over :func:`token_count`'s per-doc signals)."""
+    t = _tokens()
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0)
+    d = documents.select(
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("chars"),
+        F.size(t).cast("long").alias("ws"),
+        F.size(bpe).cast("long").alias("rx"),
+    )
+    return d.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("chars").cast("long").alias("total_chars"),
+        F.sum("ws").cast("long").alias("ws_tokens"),
+        F.sum("rx").cast("long").alias("regex_tokens"),
+        r6(F.sum("chars") / F.sum("ws")).alias("chars_per_ws_token"),
+        r6(F.sum("chars") / F.sum("rx")).alias("chars_per_regex_token"),
+    )
+
+
+TOKENIZER_COMPRESSION_ORACLE = f"""
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS BIGINT)
+           AS regex_tokens,
+       round(sum(length(text)) * 1.0
+             / sum(len(string_split(text, ' '))), 6) AS chars_per_ws_token,
+       round(sum(length(text)) * 1.0
+             / sum(len(regexp_extract_all(text, '{TOKEN_REGEX}'))), 6)
+           AS chars_per_regex_token
+FROM documents
+GROUP BY lang, source"""

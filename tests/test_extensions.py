@@ -1325,3 +1325,33 @@ def test_lsh_bucket_balance_planted_hot_bucket(spark):
         assert r.max_bucket == 4          # the identical quartet
         assert r.candidate_pairs >= 6     # C(4,2), plus any collisions
         assert r.top_bucket_share == round(4 / 7, 6)
+
+
+def test_dim_stats_isotropic_vs_collapsed(spark):
+    """An isotropic label reads participation ratio ~ d; a label whose
+    variance lives on one axis reads PR ~ 1 and top share ~ 1."""
+    from pyspark.sql import Row
+
+    from bitcoin_datapipeline_spark.operators.similarity import dim_stats
+
+    iso = [
+        Row(vec_id=i, embedding=[float((i >> b) % 2) for b in range(4)],
+            label=0)
+        for i in range(16)
+    ]  # each dim is an independent fair coin: variance 0.25 everywhere
+    flat = [
+        Row(vec_id=100 + i, embedding=[float(i % 2), 5.0, 5.0, 5.0],
+            label=1)
+        for i in range(8)
+    ]  # only dim 0 varies
+    out = {r.label: r for r in dim_stats(
+        spark.createDataFrame(iso + flat)
+    ).collect()}
+    a = out[0]
+    assert a.n_dims == 4
+    assert a.trace == 1.0                       # 4 x 0.25
+    assert a.participation_ratio == 4.0
+    assert a.top_dim_share == 0.25
+    b = out[1]
+    assert b.participation_ratio == 1.0
+    assert b.top_dim_share == 1.0

@@ -543,6 +543,10 @@ SHUFFLE_BUDGETS = {
     "q_doc_lsh_bucket_balance": 6,
     # r8: shingle df aggregate + the 64-row histogram + 1-row total
     "q_doc_shingle_df_profile": 5,
+    # r8: posexplode + (label, dim) aggregate + labels-row reduction
+    "q_embed_dim_stats": 2,
+    # r8: map-only counting + ONE (lang, source) aggregate
+    "q_doc_tokenizer_compression": 1,
     # r8: (source, prefix) aggregate + totals + final source aggregate
     # (static count; AQE reuses the shared scan at runtime)
     "q_doc_template_detect": 4,
