@@ -2690,6 +2690,16 @@ def q_doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_confusion(table(spark, sf_dir, "documents"))
 
 
+# round 8: univariate gold feature screen — |corr| with the label per
+# candidate feature, over the SAME declared gold plan the trainer uses
+@q(
+    "q_gold_feature_screen",
+    OD.with_ctes(OD.BARS_1M_CTE, body=gold.GOLD_SCREEN_ORACLE_BODY),
+)
+def q_gold_feature_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.gold_feature_screen(spark, sf_dir)
+
+
 # round 8: per-label effective dimensionality (participation ratio
 # over rounded per-dim variances — the anisotropy-collapse detector)
 @q("q_embed_dim_stats", similarity.DIM_STATS_ORACLE)

@@ -276,6 +276,9 @@ HEADLINE = [
     # round 8: effective dimensionality + the tokenizer budget view
     "q_embed_dim_stats",
     "q_doc_tokenizer_compression",
+    # round 8: univariate gold feature screen (gold subtree + stack
+    # fan-out + one feature-keyed aggregate)
+    "q_gold_feature_screen",
 ]
 
 

@@ -926,3 +926,107 @@ SELECT split, symbol,
 FROM gold_rows
 GROUP BY split, symbol"""
 )
+
+
+GOLD_SCREEN_FEATURES = (
+    "ret_1",
+    "ret_5",
+    "volatility_10",
+    "volume",
+    "volume_imbalance",
+    "trade_count",
+    "hour_sin",
+    "hour_cos",
+)
+
+
+def gold_feature_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Univariate feature screen over the gold training set: for every
+    candidate feature, the Pearson correlation with the ``return_10``
+    label and the usable-pair count — the first table an ML pipeline
+    reads before fitting anything (a feature whose |corr| sits at noise
+    level is a drop candidate; one that suddenly jumps between rounds is
+    leakage).  Uses the SAME declared gold plan the trainer consumes.
+
+    Plan shape: the gold subtree once, a map-side `stack` fan-out
+    (n_features× — a constant), one (feature)-keyed partial-combinable
+    aggregate.  Engine `corr` == DuckDB `corr` at the 6-dp grain (the
+    q_corr parity).
+
+    cf. reference: extends the surface (the audit consumer of the
+    trainer's dataset; the reference trains without one)."""
+    g = gold_training_set(spark, sf_dir)
+    stack_args = ", ".join(
+        f"'{f}', CAST({f} AS DOUBLE)" for f in GOLD_SCREEN_FEATURES
+    )
+    s = g.select(
+        F.col("return_10").alias("y"),
+        F.expr(
+            f"stack({len(GOLD_SCREEN_FEATURES)}, {stack_args}) "
+            "AS (feature, x)"
+        ),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    g2 = s.groupBy("feature").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        varx * vary
+    )
+    # explicit moments + a zero-variance guard: ANSI-mode F.corr raises
+    # DIVIDE_BY_ZERO on a constant feature (tiny-SF gold slices hit it);
+    # DuckDB's corr returns NULL there — the guard pins NULL on both sides
+    return g2.select(
+        "feature",
+        "n_pairs",
+        F.when((varx > 0) & (vary > 0), r6(corr)).alias("corr_with_label"),
+        F.when((varx > 0) & (vary > 0), r6(F.abs(corr))).alias("abs_corr"),
+    )
+
+
+# the gold oracle's final SELECT wrapped as gold_rows (the
+# GOLD_BALANCE pattern), then one UNION ALL fan-out + corr per feature
+GOLD_SCREEN_ORACLE_BODY = (
+    _GOLD_CTES
+    + ",\ngold_rows AS (SELECT "
+    + _GOLD_FINAL
+    + """),
+screen AS (
+"""
+    + "\n  UNION ALL\n".join(
+        f"  SELECT '{f}' AS feature, CAST({f} AS DOUBLE) AS x,"
+        f" return_10 AS y FROM gold_rows"
+        for f in GOLD_SCREEN_FEATURES
+    )
+    + """
+)
+SELECT feature, n_pairs,
+       CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx > 0
+             AND CAST(n_pairs AS DOUBLE) * syy - sy * sy > 0
+            THEN round((CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+                 / sqrt((CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(n_pairs AS DOUBLE) * syy - sy * sy)), 6)
+       END AS corr_with_label,
+       CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx > 0
+             AND CAST(n_pairs AS DOUBLE) * syy - sy * sy > 0
+            THEN round(abs((CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+                 / sqrt((CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(n_pairs AS DOUBLE) * syy - sy * sy))), 6)
+       END AS abs_corr
+FROM (
+  SELECT feature,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM screen
+  WHERE x IS NOT NULL AND y IS NOT NULL
+  GROUP BY feature
+)"""
+)

@@ -547,6 +547,8 @@ SHUFFLE_BUDGETS = {
     "q_embed_dim_stats": 2,
     # r8: map-only counting + ONE (lang, source) aggregate
     "q_doc_tokenizer_compression": 1,
+    # r8: the declared gold subtree (7) + the one feature aggregate
+    "q_gold_feature_screen": 8,
     # r8: (source, prefix) aggregate + totals + final source aggregate
     # (static count; AQE reuses the shared scan at runtime)
     "q_doc_template_detect": 4,
