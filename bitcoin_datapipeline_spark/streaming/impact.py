@@ -1909,3 +1909,177 @@ def stream_markout(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming stochastic-oscillator twin (round 8) --------------------------
+
+STOCH_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("k_pct", T.DoubleType()),
+        T.StructField("d_pct", T.DoubleType()),
+        T.StructField("late_dropped", T.LongType()),
+    ]
+)
+
+STOCH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("frontier_ts", T.LongType()),
+        T.StructField("frontier_tid", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+        T.StructField("pend_ts", T.ArrayType(T.LongType())),
+        T.StructField("pend_tid", T.ArrayType(T.LongType())),
+        T.StructField("pend_price", T.ArrayType(T.LongType())),
+        T.StructField("cur_bucket", T.LongType()),
+        T.StructField("cur_high", T.LongType()),
+        T.StructField("cur_low", T.LongType()),
+        T.StructField("cur_close", T.LongType()),
+        # last `period` closed bars' (high, low), newest last (1e-4)
+        T.StructField("hi_ring", T.ArrayType(T.LongType())),
+        T.StructField("lo_ring", T.ArrayType(T.LongType())),
+        # last 3 emitted %K values in 1e-6 grid units (NULL for flat
+        # windows — they occupy a ring slot but not the %D average)
+        T.StructField("k_ring", T.ArrayType(T.LongType())),
+    ]
+)
+
+_STOCH_NULL = -(1 << 62)  # flat-window %K sentinel inside the long ring
+
+
+def make_stoch_processor(
+    bucket_ms: int = 60_000,
+    period: int = None,
+    allowed_lateness_s: int = 0,
+):
+    """Live stochastic oscillator — the streaming twin of
+    operators/windows.stochastic_k: the open bucket accumulates
+    high/low/close in exact 1e-4 integers, closed bars push (high, low)
+    into an O(period) ring, and once full every close emits
+    %K = 100·(close − LL)/(HH − LL) (NULL on a flat window) plus
+    %D = the 3-bar decimal-grid mean of the ROUNDED %K (the batch
+    DECIMAL(18,6) window sum replayed on the integer grid) — rows per
+    closed bucket EQUAL the batch operator over OHLC bars restricted to
+    closed buckets (property-tested)."""
+    from bitcoin_datapipeline_spark.operators.windows import STOCH_PERIOD
+
+    if period is None:
+        period = STOCH_PERIOD
+    late_ms = allowed_lateness_s * 1000
+
+    def fn(key, pdfs, state: GroupState):
+        symbol = key[0]
+        chunks = [
+            pdf[["event_ts", "trade_id", "price"]] for pdf in pdfs if len(pdf)
+        ]
+        if not chunks:
+            yield pd.DataFrame(
+                [], columns=[f.name for f in STOCH_OUTPUT_SCHEMA.fields]
+            )
+            return
+        ev = pd.concat(chunks, ignore_index=True)
+        if state.exists:
+            (f_ts, f_tid, n_late, p_ts, p_tid, p_pr,
+             cur_b, cur_h, cur_l, cur_c, hi_ring, lo_ring, k_ring) = state.get
+            pend = list(zip(p_ts, p_tid, p_pr))
+            hi_ring, lo_ring, k_ring = (
+                list(hi_ring), list(lo_ring), list(k_ring)
+            )
+        else:
+            f_ts = f_tid = _NO_FRONTIER
+            n_late = 0
+            pend = []
+            cur_b = cur_h = cur_l = cur_c = None
+            hi_ring, lo_ring, k_ring = [], [], []
+
+        new = (
+            (int(ts), int(tid), int(round(float(p) * UNITS)))
+            for ts, tid, p in zip(ev["event_ts"], ev["trade_id"], ev["price"])
+        )
+        fold, pend, (f_ts, f_tid), late_inc = merge_fold(
+            new, pend, (f_ts, f_tid), late_ms
+        )
+        n_late += late_inc
+
+        rows = []
+
+        def close_bucket():
+            nonlocal hi_ring, lo_ring, k_ring
+            hi_ring.append(cur_h)
+            lo_ring.append(cur_l)
+            if len(hi_ring) > period:
+                hi_ring, lo_ring = hi_ring[1:], lo_ring[1:]
+            if len(hi_ring) < period:
+                return
+            hh, ll = max(hi_ring), min(lo_ring)
+            if hh > ll:
+                # the SAME doubles as the batch bar columns
+                k = _round6(
+                    100.0
+                    * (float(Fraction(cur_c, UNITS))
+                       - float(Fraction(ll, UNITS)))
+                    / (float(Fraction(hh, UNITS))
+                       - float(Fraction(ll, UNITS)))
+                )
+                k_ring.append(int(round(k * 10**6)))
+            else:
+                k = None
+                k_ring.append(_STOCH_NULL)
+            if len(k_ring) > 3:
+                k_ring = k_ring[1:]
+            vals = [u for u in k_ring if u != _STOCH_NULL]
+            if vals:
+                d = float(Fraction(sum(vals), 10**6)) / len(vals)
+                d = _round6(d)
+            else:
+                d = None
+            rows.append((symbol, int(cur_b), k, d, int(n_late)))
+
+        for ts, tid, p_u in fold:
+            b = ts // bucket_ms
+            if cur_b is None:
+                cur_b, cur_h, cur_l = b, p_u, p_u
+            elif b != cur_b:
+                close_bucket()
+                cur_b, cur_h, cur_l = b, p_u, p_u
+            cur_h = max(cur_h, p_u)
+            cur_l = min(cur_l, p_u)
+            cur_c = p_u
+
+        state.update((
+            int(f_ts), int(f_tid), int(n_late),
+            [t[0] for t in pend], [t[1] for t in pend],
+            [t[2] for t in pend],
+            int(cur_b) if cur_b is not None else None,
+            int(cur_h) if cur_h is not None else None,
+            int(cur_l) if cur_l is not None else None,
+            int(cur_c) if cur_c is not None else None,
+            [int(x) for x in hi_ring], [int(x) for x in lo_ring],
+            [int(x) for x in k_ring],
+        ))
+        out = pd.DataFrame(
+            rows, columns=[f.name for f in STOCH_OUTPUT_SCHEMA.fields]
+        )
+        for c in ("k_pct", "d_pct"):
+            out[c] = out[c].astype(object).where(pd.notna(out[c]), None)
+        yield out
+
+    return fn
+
+
+def stream_stochastic(
+    trades: DataFrame,
+    bucket_ms: int = 60_000,
+    period: int = None,
+    allowed_lateness_s: int = 0,
+) -> DataFrame:
+    """Live stochastic %K/%D: one append-final row per closed minute
+    bucket once the extremes ring is full, equal to the batch
+    windows.stochastic_k row (property-tested)."""
+    return trades.groupBy("symbol").applyInPandasWithState(
+        make_stoch_processor(bucket_ms, period, allowed_lateness_s),
+        outputStructType=STOCH_OUTPUT_SCHEMA,
+        stateStructType=STOCH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

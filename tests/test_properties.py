@@ -4198,3 +4198,59 @@ def test_stream_markout_processor_matches_batch(spark, batch, n_chunks):
             assert (s, b) in got, ((s, b), w)
         else:
             assert (s, b) not in got
+
+
+@given(batch=trade_strategy, n_chunks=st.integers(min_value=1, max_value=4))
+@_settings
+def test_stream_stoch_processor_matches_batch(spark, batch, n_chunks):
+    """The streaming stochastic processor emits per closed bucket, once
+    the extremes ring holds a full period, exactly the batch
+    windows.stochastic_k row over OHLC bars from closed buckets — flat
+    windows emit NULL %K and occupy (but don't enter) the %D ring."""
+    from bitcoin_datapipeline_spark.operators.windows import stochastic_k
+    from bitcoin_datapipeline_spark.streaming.impact import (
+        make_stoch_processor,
+    )
+
+    period = 3
+    ordered = sorted(batch, key=lambda t: t[1])
+    recs = [
+        Row(symbol=s, event_ts=ts, trade_id=i, price=c / 100.0)
+        for i, (s, ts, _tid, c, q, m) in enumerate(ordered)
+    ]
+    emitted = _drive_processor(
+        make_stoch_processor(period=period),
+        recs,
+        ["event_ts", "trade_id", "price"],
+        n_chunks,
+    )
+    ohlc = {}
+    for r in recs:
+        k = (r.symbol, r.event_ts // 60_000)
+        if k not in ohlc:
+            ohlc[k] = [r.price, r.price, r.price]
+        ohlc[k][0] = max(ohlc[k][0], r.price)
+        ohlc[k][1] = min(ohlc[k][1], r.price)
+        ohlc[k][2] = r.price
+    last_bucket = {}
+    for s, b in ohlc:
+        last_bucket[s] = max(last_bucket.get(s, -1), b)
+    bars = [
+        Row(symbol=s, bucket=b, high=v[0], low=v[1], close=v[2])
+        for (s, b), v in ohlc.items() if b < last_bucket[s]
+    ]
+    want = {}
+    if bars:
+        df = spark.createDataFrame(
+            bars, "symbol string, bucket long, high double, low double,"
+            " close double"
+        )
+        want = {
+            (r.symbol, r.bucket): (r.k_pct, r.d_pct)
+            for r in stochastic_k(df, period=period).collect()
+        }
+    got = {}
+    for e in emitted:
+        assert e.late_dropped == 0
+        got[(e.symbol, e.bucket)] = (e.k_pct, e.d_pct)
+    assert got == want
