@@ -4254,3 +4254,262 @@ def test_stream_stoch_processor_matches_batch(spark, batch, n_chunks):
         assert e.late_dropped == 0
         got[(e.symbol, e.bucket)] = (e.k_pct, e.d_pct)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-8 batch operators vs naive references
+
+
+_tmpl_docs = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2"]),
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+                 min_size=1, max_size=6),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(docs=_tmpl_docs)
+@_settings
+def test_template_detect_matches_naive(spark, docs):
+    from collections import Counter, defaultdict
+
+    from bitcoin_datapipeline_spark.operators.text import (
+        TEMPLATE_SHARE_THRESHOLD,
+        template_detect,
+    )
+
+    rows = [
+        Row(doc_id=i, text=" ".join(ws), lang="en", source=s,
+            n_chars=len(" ".join(ws)))
+        for i, (s, ws) in enumerate(docs)
+    ]
+    got = {r.source: r for r in template_detect(
+        spark.createDataFrame(rows)
+    ).collect()}
+    per_src = defaultdict(list)
+    for s, ws in docs:
+        per_src[s].append(" ".join(ws[:3]))
+    for s, pfx in per_src.items():
+        c = Counter(pfx)
+        total = len(pfx)
+        tmpl = sum(n for n in c.values()
+                   if n / total >= TEMPLATE_SHARE_THRESHOLD)
+        r = got[s]
+        assert r.n_docs == total
+        assert r.n_prefixes == len(c)
+        assert r.max_prefix_share == _spark_round6(max(c.values()) / total)
+        assert r.n_template_docs == tmpl
+        assert r.template_share == _spark_round6(tmpl / total)
+
+
+_scd_orders = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),          # custkey
+        st.integers(min_value=1, max_value=28),         # day
+        st.sampled_from(["HI", "LO"]),                  # priority
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(orders=_scd_orders)
+@_settings
+def test_scd2_history_matches_naive(spark, orders):
+    import datetime as dt
+    from collections import defaultdict
+
+    from bitcoin_datapipeline_spark.operators.relational import scd2_history
+
+    rows = [
+        Row(o_orderkey=i, o_custkey=c, o_orderdate=dt.datetime(2024, 1, d),
+            o_orderpriority=p)
+        for i, (c, d, p) in enumerate(orders)
+    ]
+    got = {(r.o_custkey, r.version): r for r in scd2_history(
+        spark.createDataFrame(rows)
+    ).collect()}
+
+    per_cust = defaultdict(list)
+    for i, (c, d, p) in enumerate(orders):
+        per_cust[c].append((dt.datetime(2024, 1, d), i, p))
+    want_keys = set()
+    for c, seq in per_cust.items():
+        seq.sort()
+        islands = []
+        for date, _key, prio in seq:
+            if not islands or islands[-1][0] != prio:
+                islands.append([prio, date, 1])
+            else:
+                islands[-1][2] += 1
+        for v, (prio, vfrom, n) in enumerate(islands, start=1):
+            r = got[(c, v)]
+            want_keys.add((c, v))
+            assert r.priority == prio
+            assert r.valid_from == vfrom
+            assert r.n_updates == n
+            if v < len(islands):
+                assert r.valid_to == islands[v][1]  # next island's start
+                assert r.is_current is False
+            else:
+                assert r.valid_to is None and r.is_current is True
+    assert set(got) == want_keys
+
+
+_pareto_orders = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=12),          # custkey
+        st.integers(min_value=1, max_value=10_000),      # cents
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(orders=_pareto_orders)
+@_settings
+def test_customer_pareto_matches_naive(spark, orders):
+    import datetime as dt
+    import math
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from bitcoin_datapipeline_spark.operators.relational import (
+        customer_pareto,
+    )
+
+    rows = [
+        Row(o_orderkey=i, o_custkey=c, o_orderdate=dt.datetime(2024, 1, 1),
+            o_totalprice=cents / 100.0)
+        for i, (c, cents) in enumerate(orders)
+    ]
+    custs = sorted({c for c, _ in orders})
+    cust_rows = [
+        Row(c_custkey=c, c_name=f"c{c}", c_nationkey=0, c_acctbal=0.0,
+            c_mktsegment="A" if c <= 6 else "B")
+        for c in custs
+    ]
+    got = {r.segment: r for r in customer_pareto(
+        spark.createDataFrame(rows), spark.createDataFrame(cust_rows)
+    ).collect()}
+
+    spend = defaultdict(lambda: Fraction(0))
+    for c, cents in orders:
+        spend[c] += Fraction(cents, 100)
+    seg = defaultdict(list)
+    for c, v in spend.items():
+        seg["A" if c <= 6 else "B"].append((v, c))
+    for s, entries in seg.items():
+        entries.sort(key=lambda t: (-t[0], t[1]))
+        total = sum(v for v, _ in entries)
+        decile_rank = math.ceil(len(entries) / 10)
+        cum = sum(v for v, _ in entries[:decile_rank])
+        r = got[s]
+        assert r.n_customers == len(entries)
+        assert r.total_revenue == _spark_round6(float(total))
+        assert r.top1_share == _spark_round6(
+            float(entries[0][0]) / float(total)
+        )
+        assert r.top_decile_share == _spark_round6(
+            float(cum) / float(total)
+        )
+
+
+_cohort_orders = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),           # custkey
+        st.integers(min_value=1, max_value=6),           # month
+        st.integers(min_value=1, max_value=28),          # day
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(orders=_cohort_orders)
+@_settings
+def test_cohort_retention_matches_naive(spark, orders):
+    import datetime as dt
+    from collections import defaultdict
+
+    from bitcoin_datapipeline_spark.operators.relational import (
+        cohort_retention,
+    )
+
+    rows = [
+        Row(o_orderkey=i, o_custkey=c, o_orderdate=dt.datetime(2024, m, d),
+            o_totalprice=1.0)
+        for i, (c, m, d) in enumerate(orders)
+    ]
+    got = {(r.cohort, r.offset): r for r in cohort_retention(
+        spark.createDataFrame(rows)
+    ).collect()}
+
+    first_m = {}
+    for c, m, _d in orders:
+        first_m[c] = min(first_m.get(c, 13), m)
+    active = defaultdict(set)
+    for c, m, _d in orders:
+        off = m - first_m[c]
+        if off <= 6:
+            active[(f"2024-{first_m[c]:02d}", off)].add(c)
+    size = {
+        coh: len(cs) for (coh, off), cs in active.items() if off == 0
+    }
+    want_keys = set(active)
+    assert set(got) == want_keys
+    for (coh, off), cs in active.items():
+        r = got[(coh, off)]
+        assert r.n_active == len(cs)
+        assert r.cohort_size == size[coh]
+        assert r.retention == _spark_round6(len(cs) / size[coh])
+
+
+_ngd_docs = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2"]),
+        st.lists(st.sampled_from(["aa", "bb", "cc"]),
+                 min_size=1, max_size=7),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(docs=_ngd_docs)
+@_settings
+def test_ngram_diversity_matches_naive(spark, docs):
+    from collections import defaultdict
+
+    from bitcoin_datapipeline_spark.operators.text import ngram_diversity
+
+    rows = [
+        Row(doc_id=i, text=" ".join(ws), lang="en", source=s,
+            n_chars=len(" ".join(ws)))
+        for i, (s, ws) in enumerate(docs)
+    ]
+    got = {(r.source, r.n): r for r in ngram_diversity(
+        spark.createDataFrame(rows)
+    ).collect()}
+
+    want_keys = set()
+    agg = defaultdict(lambda: [0, set()])
+    for s, ws in docs:
+        for n in (1, 2, 3):
+            grams = [
+                " ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)
+            ]
+            if grams:
+                a = agg[(s, n)]
+                a[0] += len(grams)
+                a[1].update(grams)
+    for k, (total, distinct) in agg.items():
+        want_keys.add(k)
+        r = got[k]
+        assert r.total_ngrams == total
+        assert r.distinct_ngrams == len(distinct)
+        assert r.distinct_ratio == _spark_round6(len(distinct) / total)
+    assert set(got) == want_keys
