@@ -4513,3 +4513,61 @@ def test_ngram_diversity_matches_naive(spark, docs):
         assert r.distinct_ngrams == len(distinct)
         assert r.distinct_ratio == _spark_round6(len(distinct) / total)
     assert set(got) == want_keys
+
+
+_gopher_docs = st.lists(
+    st.lists(
+        st.sampled_from(["the", "and", "word", "x1", "$$", "longwordhere",
+                         "a" * 12]),
+        min_size=1,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(docs=_gopher_docs)
+@_settings
+def test_gopher_rules_matches_naive(spark, docs):
+    from bitcoin_datapipeline_spark.operators.text import (
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_WORD_SHARE,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        STOPWORDS,
+        gopher_rules,
+    )
+
+    rows = [
+        Row(doc_id=i, text=" ".join(ws), lang="en", source="s",
+            n_chars=len(" ".join(ws)))
+        for i, ws in enumerate(docs)
+    ]
+    got = {r.doc_id: r for r in gopher_rules(
+        spark.createDataFrame(rows)
+    ).collect()}
+    for i, ws in enumerate(docs):
+        n = len(ws)
+        sum_len = sum(len(w) for w in ws)
+        n_sym = sum(1 for w in ws if any(not c.isalnum() for c in w))
+        n_alpha = sum(1 for w in ws if any(c.isalpha() for c in w))
+        n_stop = sum(1 for w in ws if w in STOPWORDS)
+        mwl = sum_len / n
+        r = got[i]
+        assert r.n_words == n
+        assert r.mean_word_len == _spark_round6(mwl)
+        assert r.symbol_ratio == _spark_round6(n_sym / n)
+        assert r.alpha_word_share == _spark_round6(n_alpha / n)
+        assert r.n_stopwords == n_stop
+        keep = (
+            GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS
+            and GOPHER_MIN_MEAN_WORD_LEN <= mwl <= GOPHER_MAX_MEAN_WORD_LEN
+            and n_sym / n <= GOPHER_MAX_SYMBOL_RATIO
+            and n_alpha / n >= GOPHER_MIN_ALPHA_WORD_SHARE
+            and n_stop >= GOPHER_MIN_STOPWORDS
+        )
+        assert r.keep == keep, (i, ws)
