@@ -2894,36 +2894,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate checks the FIRST 50 entries of queries().
 # Registration order above is thematic; this list orders queries by driver-
-# evidence AGE so each round's 50-slot window refreshes the stalest rows.
-# Round 7 declared >50 new queries, so 9 of them never entered any window
-# (VERDICT r7 item 3) — those nine are pinned FIRST here so the r8 window
-# closes the evidence hole; then the r4-era leftovers, then r5/r6/r7 rows.
-# Queries not listed are NEW this round and sort before everything — keep
-# new-query count per round <= 41 so the pinned nine stay inside the window.
+# evidence AGE (computed from the union of CORRECTNESS_r01..r08 artifacts)
+# so each round's 50-slot window refreshes the stalest rows.  After r8,
+# 30 queries' newest driver row is r4 and 50 are r5 — the r9 window should
+# cover all 30 r4-era rows plus the oldest 20 of the r5 block.  Queries not
+# listed are NEW this round and sort before everything — keep new-query
+# count per round <= 20 so every r4-era row stays inside the window.
 _DRIVER_PRIORITY: list[str] = [
-    # 9 — never driver-checked (pinned first)
-    "q_bar_completeness",
-    "q_doc_datasheet",
-    "q_embed_ann_ivfpq",
-    "q_embed_dup_vectors",
-    "q_embed_pq",
-    "q_gold_label_balance",
-    "q_intraday_volatility",
-    "q_quote_staleness",
-    "q_symbol_datasheet",
-    # 42 — last driver row CORRECTNESS_r04
-    "q_daily_summary",
-    "q_decimal_cast",
-    "q_decontaminate_ngram",
-    "q_dedup_sink_stats",
-    "q_dedup_trades",
-    "q_depth_features",
-    "q_derived_time",
-    "q_doc_dsir_weights",
-    "q_doc_incremental_dedup",
-    "q_doc_pack",
-    "q_doc_perplexity",
-    "q_doc_perplexity_bigram",
+    # 30 — last driver row CORRECTNESS_r04
     "q_doc_quality",
     "q_embed_cosine_pairs",
     "q_embed_knn",
@@ -3107,6 +3085,57 @@ _DRIVER_PRIORITY: list[str] = [
     "q_variance_ratio",
     "q_volume_profile",
     "q_vwap_slippage",
+    # 50 — last driver row CORRECTNESS_r08
+    "q_atr",
+    "q_bar_completeness",
+    "q_bollinger_breach",
+    "q_candle_patterns",
+    "q_cohort_retention",
+    "q_customer_pareto",
+    "q_daily_summary",
+    "q_decimal_cast",
+    "q_decontaminate_ngram",
+    "q_dedup_sink_stats",
+    "q_dedup_trades",
+    "q_depth_features",
+    "q_derived_time",
+    "q_doc_ccnet_buckets",
+    "q_doc_datasheet",
+    "q_doc_dsir_weights",
+    "q_doc_filter_confusion",
+    "q_doc_gopher_rules",
+    "q_doc_incremental_dedup",
+    "q_doc_lang_confusion",
+    "q_doc_lsh_bucket_balance",
+    "q_doc_ngram_diversity",
+    "q_doc_pack",
+    "q_doc_perplexity",
+    "q_doc_perplexity_bigram",
+    "q_doc_shingle_df_profile",
+    "q_doc_template_detect",
+    "q_doc_tokenizer_compression",
+    "q_embed_ann_ivfpq",
+    "q_embed_cell_outliers",
+    "q_embed_dim_stats",
+    "q_embed_dup_vectors",
+    "q_embed_knn_label_agreement",
+    "q_embed_norm_audit",
+    "q_embed_pq",
+    "q_embed_recall_ivf",
+    "q_gold_feature_screen",
+    "q_gold_label_balance",
+    "q_intraday_volatility",
+    "q_macd",
+    "q_markout",
+    "q_obv",
+    "q_quote_staleness",
+    "q_repeat_purchase",
+    "q_rsi",
+    "q_scd2_history",
+    "q_sign_acf",
+    "q_stochastic_k",
+    "q_symbol_datasheet",
+    "q_weekly_revenue_growth",
 ]
 
 
