@@ -27,7 +27,30 @@ workload scales the way a real 10x corpus would:
   verbatim copies would grow threshold-pair volume quadratically.  ANN
   cost stays row-count-bound either way.
 
+Round 9 additions:
+
+- ``--tpch`` also replicates the seven decision-support tables with
+  FK-consistent key strides (customer/supplier/part/orders/lineitem get
+  shifted keys per replica; region/nation are copied verbatim — real
+  catalogs grow facts, not the country list).  With it, the output dir is
+  a FULL 10-table sf1 that `tools/check_oracle.py --sf .scale_data/sf1`
+  can sweep — the sf1 CORRECTNESS evidence the r8 verdict asked for.
+  Values are replicated exactly (only keys shift): any query whose result
+  then diverges between Spark and DuckDB was relying on tie-breaking that
+  a real 10x catalog would also break — a determinism bug worth finding.
+- ``--skew`` writes an EVENTS-ONLY dataset where one symbol carries ~90 %
+  of rows (``event_id % 100 < 90`` → event_type 'hot', constant across
+  replicas; the residue keeps the original 5 types, suffixed per replica).
+  The modulo-100 rule slices every event_id residue class mod 2/10/100
+  uniformly, so the planted duplicate-id rate, maker mix, and source mix
+  inside the hot symbol match the balanced corpus.  Build the pair
+  ``--skew --replicas 1 --out .scale_data/skew0.1`` and
+  ``--skew --replicas 10 --out .scale_data/skew1``: the hot symbol grows
+  90k→900k rows in ONE per-symbol sort partition — the decade row for the
+  window/LOCF families under the worst single-key growth mode.
+
 Usage:  python tools/make_scale_data.py [--out .scale_data/sf1] [--replicas 10]
+                                        [--tpch] [--skew]
 """
 
 from __future__ import annotations
@@ -43,6 +66,12 @@ from pyspark.sql import functions as F  # noqa: E402
 SRC = "/root/testdata/sf0.1"
 EVENT_ID_STRIDE = 1_000_000_000  # multiple of 100/250/10/2 → patterns preserved
 DOC_ID_STRIDE = 10_000_000
+# TPC-H key strides (well above the sf0.1 max of each key space; FK pairs
+# shift by the SAME stride so every join edge stays replica-internal)
+CUST_STRIDE = 1_000_000
+SUPP_STRIDE = 1_000_000
+PART_STRIDE = 1_000_000
+ORDER_STRIDE = 100_000_000
 
 
 def main() -> None:
@@ -50,16 +79,34 @@ def main() -> None:
     ap.add_argument("--out", default=".scale_data/sf1")
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--src", default=SRC)
+    ap.add_argument("--tpch", action="store_true",
+                    help="also replicate the 7 decision-support tables")
+    ap.add_argument("--skew", action="store_true",
+                    help="events-only: ~90%% of rows on one hot symbol")
     args = ap.parse_args()
 
     from bitcoin_datapipeline_spark.session import get_spark
     from bitcoin_datapipeline_spark.tables import table
 
     spark = get_spark("make-scale-data")
+    # Keep TIMESTAMP columns physically INT64 TIMESTAMP(MICROS) like the
+    # driver's testdata — the engine's forced-Long events read needs a
+    # plain INT64 page, and the DuckDB oracle views need real TIMESTAMPs
+    # (epoch_ms(ts)); INT96 output would break both.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     out = os.path.abspath(args.out)
     os.makedirs(out, exist_ok=True)
 
-    ev = table(spark, args.src, "events")  # ts forced to raw int64 epoch-us
+    # events replicas keep ts as TIMESTAMP (raw parquet read, NOT the
+    # engine's forced-Long table() view) so the output schema is
+    # column-for-column identical to /root/testdata — required for the
+    # sf1 oracle sweep where DuckDB reads the same files.
+    ev = spark.read.parquet(os.path.join(args.src, "events.parquet"))
+
+    if args.skew:
+        _build_skew_events(spark, ev, out, args.replicas)
+        print("events", spark.read.parquet(f"{out}/events.parquet").count())
+        return
     ev_reps = [
         ev.select(
             (F.col("event_id") + F.lit(k * EVENT_ID_STRIDE)).alias("event_id"),
@@ -138,8 +185,90 @@ def main() -> None:
         f"{out}/embeddings.parquet"
     )
 
-    for t in ("events", "documents", "embeddings"):
+    if args.tpch:
+        _build_tpch(spark, args.src, out, args.replicas)
+
+    tables = ["events", "documents", "embeddings"] + (
+        "region nation customer supplier part orders lineitem".split()
+        if args.tpch
+        else []
+    )
+    for t in tables:
         print(t, spark.read.parquet(f"{out}/{t}.parquet").count())
+
+
+def _build_skew_events(spark, ev, out: str, replicas: int) -> None:
+    """~90/10 hot-key events: event_id%100<90 → symbol 'hot' (SAME name in
+    every replica, so the hot key's per-symbol sort partition grows with
+    the data); the 10% residue keeps the original 5 types (suffixed per
+    replica like the balanced generator).  event_id strides preserve the
+    planted modulo patterns inside both populations."""
+    hot = F.col("event_id") % 100 < 90
+    reps = [
+        ev.select(
+            (F.col("event_id") + F.lit(k * EVENT_ID_STRIDE)).alias("event_id"),
+            "ts",
+            "user_id",
+            F.when(hot, F.lit("hot"))
+            .otherwise(
+                F.col("event_type")
+                if k == 0
+                else F.concat(F.col("event_type"), F.lit(f"_{k}"))
+            )
+            .alias("event_type"),
+            "value",
+            "props",
+        )
+        for k in range(replicas)
+    ]
+    _union(reps).repartition(32).write.mode("overwrite").parquet(
+        f"{out}/events.parquet"
+    )
+
+
+def _build_tpch(spark, src: str, out: str, replicas: int) -> None:
+    """Replicate the decision-support tables with FK-consistent strides.
+    Dims region/nation copy verbatim (their key spaces are the fixed
+    geography); every fact/medium-dim key shifts by k·stride with the SAME
+    stride on both ends of each FK edge, so replica k is a self-contained
+    catalog shard — joins never cross replicas, per-key group sizes stay
+    constant, global aggregates scale linearly.  Value columns replicate
+    exactly: a query whose Spark/DuckDB answers then diverge was relying
+    on tie-breaking (under-determined ORDER BY / top-k) that real growth
+    would also break."""
+    for t in ("region", "nation"):
+        spark.read.parquet(os.path.join(src, f"{t}.parquet")).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{t}.parquet")
+
+    shifted = {
+        "customer": [("c_custkey", CUST_STRIDE)],
+        "supplier": [("s_suppkey", SUPP_STRIDE)],
+        "part": [("p_partkey", PART_STRIDE)],
+        "orders": [("o_orderkey", ORDER_STRIDE), ("o_custkey", CUST_STRIDE)],
+        "lineitem": [
+            ("l_orderkey", ORDER_STRIDE),
+            ("l_partkey", PART_STRIDE),
+            ("l_suppkey", SUPP_STRIDE),
+        ],
+    }
+    for t, keys in shifted.items():
+        df = spark.read.parquet(os.path.join(src, f"{t}.parquet"))
+        strides = dict(keys)
+        reps = [
+            df.select(
+                *[
+                    (F.col(c) + F.lit(k * strides[c])).alias(c)
+                    if c in strides
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+            for k in range(replicas)
+        ]
+        _union(reps).repartition(32).write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
 
 
 def _flip_signs(k: int, dims: int) -> list[float]:
