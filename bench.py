@@ -471,6 +471,26 @@ FAMILIES: dict[str, list[str]] = {
 }
 SCALE_DIRS = ["/root/testdata/sf0.1", ".scale_data/sf1"]
 
+# Key-skew decade evidence (VERDICT r8 item 1): every balanced decade row
+# runs on a corpus whose 5→50 symbols stay roughly equal-sized, so the
+# per-symbol window sorts never see a hot key.  The skew pair
+# (tools/make_scale_data.py --skew) puts ~90% of events on ONE symbol at
+# both scales — the hot key's sort partition grows 90k→900k rows across
+# the decade, the worst single-key growth mode for the window/LOCF
+# families (their `Window.partitionBy("symbol")` sorts cannot split a
+# key).  The queries below are the sort-heaviest per-symbol plans; bars
+# rides a partial-combining groupBy and acts as the skew-immune control.
+SKEW_QUERIES = [
+    "q_rolling_stats_5m",   # 5-minute sliding window over bars
+    "q_returns_1s",         # LOCF grid + k-second returns
+    "q_labels_10s",         # forward labels on the 10 s grid
+    "q_markout",            # union-LOCF multi-horizon sort
+    "q_effective_spread",   # strictly-before as-of quote match
+    "q_twa_spread",         # time-weighted quote window
+    "q_bars_1m",            # control: partial-combining groupBy
+]
+SKEW_DIRS = [".scale_data/skew0.1", ".scale_data/skew1"]
+
 
 def _median3(run) -> dict:
     """One un-billed warm-up run (codegen compilation, footer caching),
@@ -683,6 +703,67 @@ def families_main(family_arg: str, convention: str = "bench") -> None:
     )
 
 
+def skew_main() -> None:
+    """Key-skew scale evidence: time SKEW_QUERIES on the balanced decade
+    pair AND the 90%-one-symbol skew pair in one session, and report both
+    growth maps plus their ratio.  A skew/balanced growth ratio ~1 means
+    the plan's decade cost is insensitive to how the rows distribute over
+    symbols — i.e. the per-symbol sorts absorb a 10x hot key no worse
+    than 10x balanced data (local[32] sorts are O(n log n) per partition;
+    the skew cost is lost parallelism, visible only when the hot key
+    dominates wall-clock)."""
+    import __spark_entry__ as entry
+    from bitcoin_datapipeline_spark.session import get_spark
+    from bitcoin_datapipeline_spark.tables import table
+
+    spark = get_spark("bench-skew")
+    qs = entry.queries()
+    dirs = SCALE_DIRS + SKEW_DIRS
+    per_dir: dict[str, dict] = {}
+    for d in dirs:
+        if not os.path.isdir(d):
+            raise SystemExit(
+                f"{d} missing — run tools/make_scale_data.py "
+                "(--tpch for sf1, --skew for the skew pair) first"
+            )
+        table(spark, d, "events").count()  # warm footers
+        label = os.path.basename(d.rstrip("/"))
+        if label.startswith("sf0.1") or d.startswith("/root/testdata"):
+            label = "sf0.1"
+        per_dir[label] = _time_queries(spark, qs, SKEW_QUERIES, d)
+    bal_lo, bal_hi = per_dir["sf0.1"], per_dir["sf1"]
+    sk_lo, sk_hi = per_dir["skew0.1"], per_dir["skew1"]
+
+    def _growth(lo, hi):
+        return {
+            n: round(hi[n]["sec"] / lo[n]["sec"], 2) if lo[n]["sec"] > 0 else None
+            for n in SKEW_QUERIES
+        }
+
+    bal_g, sk_g = _growth(bal_lo, bal_hi), _growth(sk_lo, sk_hi)
+    print(
+        json.dumps(
+            {
+                "metric": "key_skew_scale_seconds",
+                "unit": "sec",
+                "queries": SKEW_QUERIES,
+                "runs_per_query": 3,
+                "hot_symbol_share": 0.9,
+                "dirs": per_dir,
+                "balanced_growth": bal_g,
+                "skew_growth": sk_g,
+                "skew_vs_balanced_growth": {
+                    n: round(sk_g[n] / bal_g[n], 2)
+                    if bal_g[n] and sk_g[n]
+                    else None
+                    for n in SKEW_QUERIES
+                },
+                "data_decade": 10.0,
+            }
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -788,11 +869,13 @@ if __name__ == "__main__":
                 f"--families {','.join(FAMILIES)}"
             )
         families_main(argv[1], convention)
+    elif argv and argv[0] == "--skew":
+        skew_main()
     elif argv:
         raise SystemExit(
             f"unknown arguments {argv}; usage: bench.py "
             "[--families dedup,ann,grid,gold,quality] "
-            "[--convention bench|production]"
+            "[--convention bench|production] [--skew]"
         )
     else:
         main()

@@ -58,6 +58,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--json", default=None,
+                    help="also write per-query results to this JSON file")
     args = ap.parse_args()
 
     import __spark_entry__ as entry
@@ -75,6 +77,16 @@ def main() -> int:
     only = set(args.only.split(",")) if args.only else None
 
     n_pass = n_fail = n_rows_only = 0
+    results: dict[str, dict] = {}
+
+    def record(name, status, dt, rows=None, detail=None):
+        results[name] = {
+            "status": status,
+            "sec": round(dt, 1),
+            "rows": rows,
+            "detail": detail,
+        }
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -92,16 +104,20 @@ def main() -> int:
             release_components(frame)
         except Exception:
             print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
+            record(name, "fail", time.time() - t0, detail="spark raised")
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"rows-only {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            dt = time.time() - t0
+            print(f"rows-only {name}: {len(sdf)} rows ({dt:.1f}s)")
+            record(name, "rows_only", dt, rows=len(sdf))
             n_rows_only += 1
             continue
         try:
             ddf = con.sql(oracles[name]).df()
         except Exception:
             print(f"FAIL {name}: duckdb raised\n{traceback.format_exc()}")
+            record(name, "fail", time.time() - t0, detail="duckdb raised")
             n_fail += 1
             continue
 
@@ -110,9 +126,11 @@ def main() -> int:
         dt = time.time() - t0
         if sn != dn:
             print(f"FAIL {name}: rows spark={sn} duck={dn} ({dt:.1f}s)")
+            record(name, "fail", dt, rows=sn, detail=f"rows spark={sn} duck={dn}")
             n_fail += 1
         elif scols != dcols:
             print(f"FAIL {name}: cols spark={scols} duck={dcols} ({dt:.1f}s)")
+            record(name, "fail", dt, rows=sn, detail="column-set mismatch")
             n_fail += 1
         elif srows != drows:
             bad = sum(1 for a, b in zip(srows, drows) if a != b)
@@ -121,12 +139,29 @@ def main() -> int:
                 if a != b:
                     print(f"  spark: {a}\n  duck : {b}")
                     break
+            record(name, "fail", dt, rows=sn, detail=f"{bad}/{sn} row mismatches")
             n_fail += 1
         else:
             print(f"PASS {name}: {sn} rows, {len(scols)} cols ({dt:.1f}s)")
+            record(name, "pass", dt, rows=sn)
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as fh:
+            json.dump(
+                {
+                    "sf": args.sf,
+                    "pass": n_pass,
+                    "fail": n_fail,
+                    "rows_only": n_rows_only,
+                    "queries": results,
+                },
+                fh,
+                indent=1,
+            )
     return 1 if n_fail else 0
 
 
