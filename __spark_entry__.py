@@ -914,6 +914,27 @@ def q_effective_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# round 9: hot-key-safe effective spread — the (symbol, day-slice) sorted
+# as-of scan with carry-in boundary repair; SAME oracle as the single-sort
+# form (the slicing is a pure physical rewrite, proven per-sweep).
+# Registered because the r9 skew decade row showed the single-sort plan at
+# 5.08x/decade when one symbol carries 90% of the tape (vs 1.09x balanced).
+@q(
+    "q_effective_spread_sliced",
+    OD.with_ctes(
+        OD.DEDUP_TRADES_CTE,
+        OD.BBA_CTE + aggregates.EFFECTIVE_SPREAD_ORACLE_BODY,
+        body="",
+    ),
+)
+def q_effective_spread_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return aggregates.effective_spread_sliced(
+        dedup.dedup_trades(normalize.valid_trades(events)),
+        normalize.bba(events),
+    )
+
+
 # round 7: realized variance vs bipower variation (BNS jump decomposition)
 # per symbol-day over the 1-minute bars
 @q(
@@ -952,6 +973,21 @@ def q_realized_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_twa_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.twa_spread(normalize.bba(table(spark, sf_dir, "events")))
+
+
+# round 9: hot-key-safe TWA spread — per-(symbol, day-slice) lifetime lead
+# with next-slice-first boundary repair; SAME oracle as the single-sort
+# form.  Registered for the same skew decade evidence as
+# q_effective_spread_sliced (single-sort form measured 4.54x/decade skew
+# vs 1.10x balanced).
+@q(
+    "q_twa_spread_sliced",
+    OD.with_ctes(OD.BBA_CTE + aggregates.TWA_SPREAD_ORACLE_BODY, body=""),
+)
+def q_twa_spread_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.twa_spread_sliced(
+        normalize.bba(table(spark, sf_dir, "events"))
+    )
 
 
 # round 7: Stoikov microprice premium (imbalance-weighted fair value) —

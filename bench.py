@@ -488,6 +488,11 @@ SKEW_QUERIES = [
     "q_effective_spread",   # strictly-before as-of quote match
     "q_twa_spread",         # time-weighted quote window
     "q_bars_1m",            # control: partial-combining groupBy
+    # r9: the hot-key-safe rewrites registered after the first skew run
+    # showed the two single-sort forms at 5.08x/4.54x skew decades — the
+    # sliced rows prove the mitigation holds under the same skew
+    "q_effective_spread_sliced",
+    "q_twa_spread_sliced",
 ]
 SKEW_DIRS = [".scale_data/skew0.1", ".scale_data/skew1"]
 

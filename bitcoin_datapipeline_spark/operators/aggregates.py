@@ -1369,7 +1369,21 @@ def effective_spread(trades: DataFrame, bba: DataFrame) -> DataFrame:
     cf. reference: extends the surface (the reference derives quoted
     spread/mid on the BBA stream alone, `feature_builder.py:220-225`; it
     never prices trades against prevailing quotes)."""
-    m = asof_quote_match(trades, bba)
+    return _effective_spread_agg(asof_quote_match(trades, bba))
+
+
+def effective_spread_sliced(
+    trades: DataFrame, bba: DataFrame, slice_ms: int = None
+) -> DataFrame:
+    """Hot-key-safe :func:`effective_spread` — identical output (same
+    DuckDB oracle), built on :func:`asof_quote_match_sliced` so one
+    dominant symbol cannot serialize the as-of sort.  See that function's
+    docstring for the carry-in repair that makes the slicing exact."""
+    kw = {} if slice_ms is None else {"slice_ms": slice_ms}
+    return _effective_spread_agg(asof_quote_match_sliced(trades, bba, **kw))
+
+
+def _effective_spread_agg(m: DataFrame) -> DataFrame:
     mid = (F.col("bid_px") + F.col("ask_px")) / 2.0
     eff = 2.0 * F.abs(F.col("price") - mid) / mid * 10000.0
     quoted = (F.col("ask_px") - F.col("bid_px")) / mid * 10000.0
@@ -1392,6 +1406,29 @@ def asof_quote_match(trades: DataFrame, bba: DataFrame) -> DataFrame:
     bid/ask of the latest quote strictly BEFORE it — single symbol-sort
     union-LOCF scan, lexicographic-max tie resolution, trades before any
     quote dropped.  Output: (symbol, event_ts, price, bid_px, ask_px)."""
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy(*_ASOF_ORDER)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        _asof_union(trades, bba)
+        .withColumn("pq", F.last(_asof_quote_struct(), ignorenulls=True).over(w))
+        .filter((F.col("is_q") == 1) & F.col("pq").isNotNull())
+        .select(
+            "symbol",
+            "event_ts",
+            "price",
+            F.col("pq.b").alias("bid_px"),
+            F.col("pq.a").alias("ask_px"),
+        )
+    )
+
+
+def _asof_union(trades: DataFrame, bba: DataFrame) -> DataFrame:
+    """The quotes+trades sort frame shared by :func:`asof_quote_match` and
+    its time-sliced twin: quotes become available at event_ts+1 (is_q=0
+    sorts before a trade at the same availability instant)."""
     q = bba.select(
         "symbol",
         (F.col("event_ts") + F.lit(1)).cast("long").alias("sort_ts"),
@@ -1416,18 +1453,85 @@ def asof_quote_match(trades: DataFrame, bba: DataFrame) -> DataFrame:
         "event_ts",
         "price",
     )
-    w = (
-        Window.partitionBy("symbol")
-        .orderBy("sort_ts", "is_q", "ingest_ts", "bid_px", "ask_px", "bid_sz", "ask_sz")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    quote = F.when(
+    return q.unionByName(t)
+
+
+_ASOF_ORDER = [
+    "sort_ts", "is_q", "ingest_ts", "bid_px", "ask_px", "bid_sz", "ask_sz",
+]
+
+# one calendar day: the hot-key slice grain (SKEW_SLICE_MS below); any
+# width yields identical results — it only sets the parallelism of the
+# hot symbol's sort (partitions = symbols x occupied slices)
+SKEW_SLICE_MS = 86_400_000
+
+
+def _asof_quote_struct():
+    return F.when(
         F.col("is_q") == 0,
         F.struct(F.col("bid_px").alias("b"), F.col("ask_px").alias("a")),
     )
+
+
+def asof_quote_match_sliced(
+    trades: DataFrame, bba: DataFrame, slice_ms: int = SKEW_SLICE_MS
+) -> DataFrame:
+    """Hot-key-safe :func:`asof_quote_match`: identical rows, but the LOCF
+    scan sorts on (symbol, time-slice) instead of (symbol), so a symbol
+    that carries 90 % of the tape still spreads over ~span/slice_ms sort
+    partitions — ``Window.partitionBy("symbol")`` cannot split a key, and
+    the measured skew decade row for the single-sort form is 5.08x/decade
+    vs 1.09x balanced (BENCH_SCALE_r09.json `skew`).
+
+    Boundary repair (what makes it a pure physical rewrite): a trade
+    before any quote IN ITS SLICE must see the newest quote of an earlier
+    slice.  Per (symbol, slice) the carry-out quote (the LOCF value at
+    slice end = lexicographic max over the slice's quotes in sort order)
+    is a ONE-ROW summary; a prefix-LOCF window over that tiny frame
+    (symbols x occupied slices rows) yields each slice's carry-in, which a
+    broadcast join patches into the slice-local nulls.  Two extra
+    shuffles, both over key-count-sized frames — O(rows) work unchanged."""
+    u = _asof_union(trades, bba).withColumn(
+        "slice", F.expr(f"sort_ts div {slice_ms}").cast("long")
+    )
+    wl = (
+        Window.partitionBy("symbol", "slice")
+        .orderBy(*_ASOF_ORDER)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = u.withColumn(
+        "pq_local", F.last(_asof_quote_struct(), ignorenulls=True).over(wl)
+    )
+
+    # carry-out per (symbol, slice): the sort-order-last QUOTE of the slice
+    # (max_by over the quote rows' sort tuple — is_q is constant 0 there)
+    qsum = (
+        u.filter(F.col("is_q") == 0)
+        .groupBy("symbol", "slice")
+        .agg(
+            F.max_by(
+                F.struct(F.col("bid_px").alias("b"), F.col("ask_px").alias("a")),
+                F.struct("sort_ts", "ingest_ts", "bid_px", "ask_px", "bid_sz", "ask_sz"),
+            ).alias("carry_out")
+        )
+    )
+    # carry-in per every OCCUPIED (symbol, slice): newest carry_out of any
+    # strictly earlier slice — a prefix-LOCF over the tiny summary frame
+    slices = u.select("symbol", "slice").distinct()
+    wc = (
+        Window.partitionBy("symbol")
+        .orderBy("slice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        slices.join(qsum, ["symbol", "slice"], "left")
+        .withColumn("carry_in", F.last("carry_out", ignorenulls=True).over(wc))
+        .select("symbol", "slice", "carry_in")
+    )
+
     return (
-        q.unionByName(t)
-        .withColumn("pq", F.last(quote, ignorenulls=True).over(w))
+        local.join(F.broadcast(carry), ["symbol", "slice"], "left")
+        .withColumn("pq", F.coalesce(F.col("pq_local"), F.col("carry_in")))
         .filter((F.col("is_q") == 1) & F.col("pq").isNotNull())
         .select(
             "symbol",
@@ -1798,6 +1902,59 @@ def twa_spread(bba: DataFrame) -> DataFrame:
         "ask_px",
         F.lead("event_ts").over(wl).alias("next_ts"),
     ).filter(F.col("next_ts").isNotNull() & (F.col("next_ts") > F.col("event_ts")))
+    return _twa_spread_agg(q)
+
+
+def twa_spread_sliced(bba: DataFrame, slice_ms: int = SKEW_SLICE_MS) -> DataFrame:
+    """Hot-key-safe :func:`twa_spread` — identical output (same DuckDB
+    oracle), with the lifetime lead computed per (symbol, time-slice) so a
+    dominant symbol spreads over ~span/slice_ms sort partitions (measured
+    single-sort skew decade row: 4.54x vs 1.10x balanced —
+    BENCH_SCALE_r09.json `skew`).
+
+    Boundary repair: the sort-order-last quote of a slice has no local
+    lead; its true successor is the FIRST quote of the next occupied
+    slice, whose event_ts is that slice's min(event_ts) (event_ts leads
+    the sort order and slices are event_ts ranges).  A lead over the
+    per-(symbol, slice) min-summary (symbols x occupied slices rows)
+    supplies it via a broadcast join; the final quote of the final slice
+    stays NULL and drops — the same right-open stream-end convention as
+    the single-sort form."""
+    q0 = bba.withColumn("slice", F.expr(f"event_ts div {slice_ms}").cast("long"))
+    wl = Window.partitionBy("symbol", "slice").orderBy(
+        "event_ts", "ingest_ts", "bid_px", "ask_px", "bid_sz", "ask_sz"
+    )
+    local = q0.select(
+        "symbol",
+        "slice",
+        "event_ts",
+        "bid_px",
+        "ask_px",
+        F.lead("event_ts").over(wl).alias("next_local"),
+    )
+    nxt = (
+        q0.groupBy("symbol", "slice")
+        .agg(F.min("event_ts").alias("first_ts"))
+        .withColumn(
+            "next_slice_first",
+            F.lead("first_ts").over(Window.partitionBy("symbol").orderBy("slice")),
+        )
+        .select("symbol", "slice", "next_slice_first")
+    )
+    q = (
+        local.join(F.broadcast(nxt), ["symbol", "slice"], "left")
+        .withColumn(
+            "next_ts", F.coalesce(F.col("next_local"), F.col("next_slice_first"))
+        )
+        .filter(F.col("next_ts").isNotNull() & (F.col("next_ts") > F.col("event_ts")))
+        .select("symbol", "event_ts", "bid_px", "ask_px", "next_ts")
+    )
+    return _twa_spread_agg(q)
+
+
+def _twa_spread_agg(q: DataFrame) -> DataFrame:
+    """(symbol, event_ts, bid_px, ask_px, next_ts) intervals → minute
+    TWA aggregate (the :func:`twa_spread` explode + weighting stage)."""
     spread_bps = (
         (F.col("ask_px") - F.col("bid_px"))
         / ((F.col("bid_px") + F.col("ask_px")) / 2.0)

@@ -1062,6 +1062,84 @@ def test_asof_quote_match_matches_naive(spark, quotes, trades):
     assert got == sorted(want)
 
 
+@given(quotes=quote_strategy, trades=qtrade_strategy)
+@_settings
+def test_asof_quote_match_sliced_equals_single_sort(spark, quotes, trades):
+    """VERDICT r9 skew work: the (symbol, time-slice)-sorted as-of scan
+    with carry-in boundary repair is a PURE PHYSICAL REWRITE — identical
+    rows to the single-sort form on every random tape.  slice_ms=7 over
+    the 0..50 ts domain forces ~8 slices, so most matches cross at least
+    one boundary (the repair path, not the local path, carries the test)."""
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        asof_quote_match,
+        asof_quote_match_sliced,
+    )
+
+    qrows = [
+        Row(symbol=s, event_ts=ts, ingest_ts=ts + di, bid_px=b / 100.0,
+            ask_px=a / 100.0, bid_sz=float(bs), ask_sz=float(asz))
+        for s, ts, di, b, a, bs, asz in quotes
+    ]
+    trows = [
+        Row(symbol=s, event_ts=ts, ingest_ts=ts, price=p / 100.0)
+        for s, ts, p in trades
+    ]
+    qdf = spark.createDataFrame(
+        qrows or [],
+        "symbol string, event_ts long, ingest_ts long, bid_px double,"
+        " ask_px double, bid_sz double, ask_sz double",
+    )
+    tdf = spark.createDataFrame(
+        trows,
+        "symbol string, event_ts long, ingest_ts long, price double",
+    )
+    key = lambda r: (r.symbol, r.event_ts, r.price, r.bid_px, r.ask_px)  # noqa: E731
+    single = sorted(key(r) for r in asof_quote_match(tdf, qdf).collect())
+    sliced = sorted(
+        key(r) for r in asof_quote_match_sliced(tdf, qdf, slice_ms=7).collect()
+    )
+    assert sliced == single
+
+
+@given(quotes=quote_strategy)
+@_settings
+def test_twa_spread_sliced_equals_single_sort(spark, quotes):
+    """Sliced TWA spread == single-sort TWA spread on every random quote
+    tape (slice_ms=7 → lifetimes routinely span slice boundaries, so the
+    next-slice-first repair is exercised).  Counts and integer millisecond
+    weights compare exactly; the weighted average is the same set of
+    (spread, weight) terms summed in potentially different order — 6-dp
+    rounded on both sides, compared at 1e-6."""
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        twa_spread,
+        twa_spread_sliced,
+    )
+
+    qrows = [
+        Row(symbol=s, event_ts=ts, ingest_ts=ts + di, bid_px=b / 100.0,
+            ask_px=a / 100.0, bid_sz=float(bs), ask_sz=float(asz))
+        for s, ts, di, b, a, bs, asz in quotes
+    ]
+    qdf = spark.createDataFrame(
+        qrows or [],
+        "symbol string, event_ts long, ingest_ts long, bid_px double,"
+        " ask_px double, bid_sz double, ask_sz double",
+    )
+    single = {
+        (r.symbol, r.bucket): (r.n_intervals, r.quoted_ms, r.twa_spread_bps)
+        for r in twa_spread(qdf).collect()
+    }
+    sliced = {
+        (r.symbol, r.bucket): (r.n_intervals, r.quoted_ms, r.twa_spread_bps)
+        for r in twa_spread_sliced(qdf, slice_ms=7).collect()
+    }
+    assert sliced.keys() == single.keys()
+    for k, (n, ms, bps) in single.items():
+        ns, mss, bpss = sliced[k]
+        assert (ns, mss) == (n, ms), (k, sliced[k], single[k])
+        assert abs(bpss - bps) <= 1e-6, (k, sliced[k], single[k])
+
+
 # realized variance / bipower variation vs a naive float reference: the
 # engine's per-(symbol, day) sums fold window-sorted rows in bucket order
 # inside one partition (window partitioning pins group locality; partial
