@@ -151,6 +151,23 @@ def q_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew.salted_counts(normalize.valid_trades(table(spark, sf_dir, "events")))
 
+
+# round 9: keyspace skew gauge — top-key share / HHI / entropy of the
+# symbol distribution, the condition under which the per-symbol sort
+# families go serial (measured: 4.5-5.1x skew decades for the single-sort
+# as-of/TWA forms).  The engine measures its own partitioning risk, the
+# q_doc_lsh_bucket_balance pattern on the market side.
+@q(
+    "q_key_skew_profile",
+    OD.with_ctes(
+        OD.VALID_TRADES_CTE + skew.KEYSPACE_PROFILE_ORACLE_BODY, body=""
+    ),
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return skew.keyspace_profile(
+        normalize.valid_trades(table(spark, sf_dir, "events"))
+    )
+
 # Data-contract profiling (ingestion health pass)
 @q(
     "q_profile_trades",

@@ -15,7 +15,7 @@ mod salt, never ``rand()``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import r6
@@ -54,3 +54,54 @@ SELECT symbol,
        round(CAST(sum(CAST(qty AS DECIMAL(20,8))) AS DOUBLE), 6) AS volume
 FROM valid_trades
 GROUP BY symbol"""
+
+
+def keyspace_profile(df: DataFrame, key: str = "symbol") -> DataFrame:
+    """One-row distribution profile of a partitioning keyspace — the
+    skew gauge for the per-key sort families (the r9 skew decade rows
+    showed single-sort as-of/TWA plans at 4.5-5.1x/decade when one key
+    carries 90% of rows vs ~1.1x balanced; this measures exactly that
+    condition so a pipeline can switch to the `_sliced` rewrites or
+    `salted_counts` BEFORE the straggler, the same engine-measures-its-
+    own-risk pattern as text.lsh_bucket_balance):
+
+        top1_share    max key share (the straggler bound: one sort
+                      partition gets this fraction of the work)
+        hhi           Σ share² — effective keyspace = 1/hhi partitions
+        entropy       Shannon entropy (nats) of the key distribution
+
+    Plan shape: one partial-combining groupBy to K key rows, then a
+    global window + aggregate over those K rows only (bounded by the
+    keyspace size, the text.py:vocab global-window precedent — never
+    over raw rows).  Count arithmetic stays on exact-integer-valued
+    doubles (counts ≪ 2^53), so both engines see identical shares."""
+    per = df.groupBy(key).agg(F.count("*").cast("double").alias("n"))
+    # global window over K key rows — bounded by keyspace cardinality
+    s = F.sum("n").over(Window.partitionBy())
+    shares = per.select(
+        "n", (F.col("n") / s).alias("share"), s.alias("s")
+    )
+    return shares.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_key_rows"),
+        r6(F.max("share")).alias("top1_share"),
+        r6(F.sum(F.col("share") * F.col("share"))).alias("hhi"),
+        r6(-F.sum(F.col("share") * F.log(F.col("share")))).alias("entropy"),
+    )
+
+
+KEYSPACE_PROFILE_ORACLE_BODY = """
+,per AS (
+  SELECT symbol, CAST(count(*) AS DOUBLE) AS n
+  FROM valid_trades GROUP BY 1
+),
+tot AS (SELECT sum(n) AS s FROM per)
+SELECT CAST(count(*) AS BIGINT)  AS n_keys,
+       CAST(sum(n) AS BIGINT)   AS n_rows,
+       CAST(max(n) AS BIGINT)   AS max_key_rows,
+       round(max(n / s), 6)     AS top1_share,
+       round(sum((n / s) * (n / s)), 6) AS hhi,
+       round(-sum((n / s) * ln(n / s)), 6) AS entropy
+FROM per, tot
+GROUP BY s"""
