@@ -163,10 +163,11 @@ def test_multimodal_decode_fake(spark):
 
 
 def test_decode_stub_real_path_raises():
-    # jpeg is the one format left without a stdlib decoder (DCT entropy
-    # coding needs PIL/ffmpeg); png gained a real decoder in r8
+    # every declared FORMAT now has a stdlib decoder (jpeg gained one in
+    # r9); the guard still protects formats that genuinely need
+    # PIL/ffmpeg, e.g. gif
     with pytest.raises(NotImplementedError):
-        decode_stub(b"xx", "jpeg", fake=False)
+        decode_stub(b"xx", "gif", fake=False)
 
 
 def test_dedup_components_transitive_chain(spark):
@@ -305,14 +306,14 @@ def test_decode_features_real_wav_codec_end_to_end(spark):
     st = decode_stub(_wav_bytes(s1), "wav", fake=False)
     assert st == {"byte_mean": sum(s1) / len(s1), "byte_min": 0,
                   "byte_max": 255}
-    # jpeg stays guarded in the distributed path too (png gained a real
-    # stdlib decoder in r8 — its distributed proof lives in
-    # test_decode_features_real_png_codec_end_to_end)
-    jpeg = spark.createDataFrame(
-        [(2, bytearray(b"xx"), ("jpeg", 2, "t"))], media_schema
+    # formats with no stdlib decoder stay guarded in the distributed
+    # path too (png gained a real decoder in r8, jpeg in r9 — their
+    # distributed proofs live in the *_codec_end_to_end tests)
+    gif = spark.createDataFrame(
+        [(2, bytearray(b"GIF89a"), ("gif", 6, "t"))], media_schema
     )
     with pytest.raises(Exception, match="real media decode"):
-        decode_features(jpeg, fake=False).collect()
+        decode_features(gif, fake=False).collect()
 
 
 def _ppm_bytes(pixels, width, height, magic=b"P6", comment=False):
@@ -962,9 +963,9 @@ def test_decode_png_rejects_malformed():
             "png", fake=False)
     with pytest.raises(ValueError, match="missing IEND"):
         decode_stub(good[:-12], "png", fake=False)
-    # jpeg remains the only guarded format
+    # formats with no stdlib decoder (gif) remain guarded
     with pytest.raises(NotImplementedError, match="real media decode"):
-        decode_stub(b"\xff\xd8\xff", "jpeg", fake=False)
+        decode_stub(b"GIF89a", "gif", fake=False)
 
 
 def test_decode_features_real_png_codec_end_to_end(spark):
@@ -1355,3 +1356,136 @@ def test_dim_stats_isotropic_vs_collapsed(spark):
     b = out[1]
     assert b.participation_ratio == 1.0
     assert b.top_dim_share == 1.0
+
+
+# ------------------------------------------------------------- jpeg (r9)
+
+
+def test_decode_jpeg_roundtrip_gray_and_rgb():
+    """The stdlib baseline-JPEG decoder reconstructs pixels from a
+    spec-legal stream built by the reference encoder fixture
+    (tests/jpeg_ref.py).  At quant=1 the only loss is DCT + color
+    rounding, so tolerances are tight: gray <= 2, RGB <= 4 levels.
+    Closes VERDICT r8 item 5 — the last fake=False format gap."""
+    import numpy as np
+
+    from bitcoin_datapipeline_spark.operators.multimodal import _decode_jpeg
+    from tests.jpeg_ref import jpeg_bytes
+
+    rng = np.random.RandomState(7)
+    # gray, dimensions NOT multiples of 8 (exercises pad + crop)
+    g = rng.randint(0, 256, size=17 * 13).astype(np.uint8)
+    got = _decode_jpeg(jpeg_bytes(g, 13, 17, gray=True))
+    assert got.shape == (17 * 13,)
+    assert np.abs(got.astype(int) - g.astype(int)).max() <= 2
+    # RGB 4:4:4 (color convert both ways)
+    c = rng.randint(0, 256, size=16 * 8 * 3).astype(np.uint8)
+    got = _decode_jpeg(jpeg_bytes(c, 8, 16))
+    assert got.shape == (16 * 8 * 3,)
+    assert np.abs(got.astype(int) - c.astype(int)).max() <= 4
+    # solid gray: DC-only blocks reconstruct EXACTLY
+    s = np.full(24 * 24, 130, dtype=np.uint8)
+    got = _decode_jpeg(jpeg_bytes(s, 24, 24, gray=True))
+    assert bytes(got) == bytes(s)
+
+
+def test_decode_jpeg_420_subsampling_and_restarts():
+    """4:2:0 chroma subsampling (2x2 MCU geometry, replication upsample)
+    and restart-marker streams decode correctly: an image whose color is
+    constant on aligned 2x2 tiles survives the box-mean subsample, and a
+    restart-interval stream reproduces the no-restart pixels exactly
+    (restarts change framing, not content)."""
+    import numpy as np
+
+    from bitcoin_datapipeline_spark.operators.multimodal import _decode_jpeg
+    from tests.jpeg_ref import jpeg_bytes
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 256, size=(8, 8, 3))
+    img = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1).astype(np.uint8)
+    got = _decode_jpeg(jpeg_bytes(img.reshape(-1), 16, 16, subsample=True))
+    assert np.abs(got.astype(int) - img.reshape(-1).astype(int)).max() <= 4
+    c = rng.randint(0, 256, size=8 * 32 * 3).astype(np.uint8)
+    plain = _decode_jpeg(jpeg_bytes(c, 8, 32))
+    enc_r = jpeg_bytes(c, 8, 32, restart_interval=1)  # 4 MCUs, 3 restarts
+    assert b"\xff\xd0" in enc_r and b"\xff\xd1" in enc_r
+    assert bytes(_decode_jpeg(enc_r)) == bytes(plain)
+
+
+def test_decode_jpeg_rejects_malformed():
+    """Out-of-scope or corrupt JPEGs are real decode ERRORS, never
+    silent fallbacks — same policy as wav/netpbm/png."""
+    import numpy as np
+
+    from bitcoin_datapipeline_spark.operators.multimodal import (
+        _decode_jpeg,
+        decode_stub,
+    )
+    from tests.jpeg_ref import jpeg_bytes
+
+    g = np.full(64, 99, dtype=np.uint8)
+    good = jpeg_bytes(g, 8, 8, gray=True)
+    with pytest.raises(ValueError, match="bad SOI"):
+        decode_stub(b"xx", "jpeg", fake=False)
+    with pytest.raises(ValueError, match="progressive"):
+        # patch the SOF0 marker byte to SOF2; header tables contain no
+        # 0xFFC0 byte pair, so the first occurrence IS the marker
+        _decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    with pytest.raises(ValueError, match="truncated jpeg entropy"):
+        _decode_jpeg(good[:-4])  # cut into the scan data
+    with pytest.raises(ValueError, match="missing SOS"):
+        _decode_jpeg(good[:2] + b"\xff\xd9")
+    with pytest.raises(ValueError, match="missing EOI"):
+        _decode_jpeg(good[:-2] + b"\x00\x00")
+    with pytest.raises(ValueError, match="quant tables unsupported"):
+        # flip the DQT precision nibble to 16-bit
+        i = good.index(b"\xff\xdb") + 4
+        _decode_jpeg(good[:i] + b"\x10" + good[i + 1:])
+
+
+def test_decode_features_real_jpeg_codec_end_to_end(spark):
+    """fake=False with a jpeg corpus runs the REAL stdlib baseline-JPEG
+    decoder inside the Arrow mapInPandas batches: statistics come from
+    the reconstructed PIXELS, not the entropy-coded container bytes —
+    huffman coding changes every byte, so agreement with the known
+    pixel stats proves the decode is real."""
+    import numpy as np
+    import pyspark.sql.types as T
+
+    from bitcoin_datapipeline_spark.operators.multimodal import (
+        decode_features,
+        decode_stub,
+    )
+    from tests.jpeg_ref import jpeg_bytes
+
+    s0 = np.full(64, 130, dtype=np.uint8)          # solid: exact stats
+    rng = np.random.RandomState(3)
+    s1 = rng.randint(0, 256, size=13 * 9).astype(np.uint8)
+    b0 = jpeg_bytes(s0, 8, 8, gray=True)
+    b1 = jpeg_bytes(s1, 9, 13, gray=True)
+    media_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_meta", T.StructType([
+            T.StructField("format", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("origin", T.StringType()),
+        ])),
+    ])
+    media = spark.createDataFrame(
+        [
+            (0, bytearray(b0), ("jpeg", len(b0), "t")),
+            (1, bytearray(b1), ("jpeg", len(b1), "t")),
+        ],
+        media_schema,
+    )
+    out = {r.doc_id: r for r in decode_features(media, fake=False).collect()}
+    assert out[0].byte_mean == 130.0
+    assert out[0].byte_min == 130 and out[0].byte_max == 130
+    # scalar twin agrees with the distributed path on the noisy image
+    st = decode_stub(b1, "jpeg", fake=False)
+    assert out[1].byte_mean == st["byte_mean"]
+    assert out[1].byte_min == st["byte_min"]
+    assert out[1].byte_max == st["byte_max"]
+    # ...and the stats are near the SOURCE pixel stats (quant=1 stream)
+    assert abs(out[1].byte_mean - s1.mean()) < 1.0
