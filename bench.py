@@ -93,6 +93,12 @@ HEADLINE = [
     # time-weighted quoted spread (interval->bucket explode)
     "q_realized_spread",
     "q_twa_spread",
+    # round 9: hot-key-safe sliced rewrites of the two single-sort spread
+    # plans (skew decade 4.5x -> <2x) and the keyspace skew gauge that
+    # tells an operator when to prefer them
+    "q_effective_spread_sliced",
+    "q_twa_spread_sliced",
+    "q_key_skew_profile",
     # round 7 (sixth wave): Broder estimator calibration over the LSH
     # candidate set
     "q_doc_minhash_calibration",

@@ -569,6 +569,14 @@ SHUFFLE_BUDGETS = {
     "q_realized_spread": 8,
     # the bucket aggregate rides the lead's symbol sort partitioning
     "q_twa_spread": 1,
+    # r9 sliced rewrites: skew-immunity costs two bounded extra legs —
+    # the (symbol, slice) sort replaces the symbol sort, plus the
+    # per-slice carry summary aggregate and its broadcast join-back
+    # (counts are the static plan; AQE reuses the shared scans)
+    "q_effective_spread_sliced": 7,
+    "q_twa_spread_sliced": 4,
+    # r9: one partial-combining key aggregate + the K-row global stats
+    "q_key_skew_profile": 2,
     # band-union legs + both signature lookups over the one sigs
     # aggregate (ReusedExchange collapses them at runtime)
     "q_doc_minhash_calibration": 11,
