@@ -69,7 +69,11 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(args.sf, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written table: a DIRECTORY of part files (the
+            # .scale_data sets) — DuckDB needs the glob form
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs = entry.queries()
