@@ -1545,13 +1545,20 @@ def asof_quote_match_sliced(
 
 # oracle body appended after DEDUP_TRADES_CTE + BBA_CTE: quote ties at one
 # availability instant collapse to the lexicographic max tuple (the Spark
-# sort's last row), then a DuckDB ASOF join replays the LOCF scan
+# sort's last row) via a window dedup — NOT max(STRUCT), whose DuckDB 1.0
+# hash-aggregate state explodes past the memory limit at ~1M groups
+# (measured: OOM at sf1, 2.3 s as a window) — then a DuckDB ASOF join
+# replays the LOCF scan
 EFFECTIVE_SPREAD_ORACLE_BODY = """
 ,quotes AS (
-  SELECT symbol, event_ts + 1 AS avail_ts,
-         max({'i': ingest_ts, 'b': bid_px, 'a': ask_px,
-              'bs': bid_sz, 'asz': ask_sz}) AS s
-  FROM bba GROUP BY 1, 2
+  SELECT symbol, avail_ts,
+         {'i': ingest_ts, 'b': bid_px, 'a': ask_px,
+          'bs': bid_sz, 'asz': ask_sz} AS s
+  FROM (SELECT symbol, event_ts + 1 AS avail_ts, ingest_ts,
+               bid_px, ask_px, bid_sz, ask_sz FROM bba)
+  QUALIFY row_number() OVER (PARTITION BY symbol, avail_ts
+      ORDER BY ingest_ts DESC, bid_px DESC, ask_px DESC,
+               bid_sz DESC, ask_sz DESC) = 1
 ),
 matched AS (
   SELECT t.symbol, t.event_ts, t.price,
@@ -1822,13 +1829,18 @@ def realized_spread(
 
 
 # oracle body after DEDUP_TRADES_CTE + BBA_CTE: two ASOF joins (trade
-# instant and the +delta horizon), same distinct-collapsed trade identity
+# instant and the +delta horizon), same distinct-collapsed trade identity;
+# quote-tie collapse is the window dedup (see EFFECTIVE_SPREAD note)
 REALIZED_SPREAD_ORACLE_BODY = f"""
 ,quotes AS (
-  SELECT symbol, event_ts + 1 AS avail_ts,
-         max({{'i': ingest_ts, 'b': bid_px, 'a': ask_px,
-              'bs': bid_sz, 'asz': ask_sz}}) AS s
-  FROM bba GROUP BY 1, 2
+  SELECT symbol, avail_ts,
+         {{'i': ingest_ts, 'b': bid_px, 'a': ask_px,
+          'bs': bid_sz, 'asz': ask_sz}} AS s
+  FROM (SELECT symbol, event_ts + 1 AS avail_ts, ingest_ts,
+               bid_px, ask_px, bid_sz, ask_sz FROM bba)
+  QUALIFY row_number() OVER (PARTITION BY symbol, avail_ts
+      ORDER BY ingest_ts DESC, bid_px DESC, ask_px DESC,
+               bid_sz DESC, ask_sz DESC) = 1
 ),
 t0 AS (
   SELECT DISTINCT symbol, event_ts, price, is_buyer_maker
@@ -4762,13 +4774,18 @@ def markout(
 
 
 # oracle body after DEDUP_TRADES_CTE + BBA_CTE: one ASOF join per horizon
-# over the same shifted-sort-key convention as the Spark single-sort scan
+# over the same shifted-sort-key convention as the Spark single-sort scan;
+# quote-tie collapse is the window dedup (see EFFECTIVE_SPREAD note)
 MARKOUT_ORACLE_BODY = f"""
 ,quotes AS (
-  SELECT symbol, event_ts + 1 AS avail_ts,
-         max({{'i': ingest_ts, 'b': bid_px, 'a': ask_px,
-              'bs': bid_sz, 'asz': ask_sz}}) AS s
-  FROM bba GROUP BY 1, 2
+  SELECT symbol, avail_ts,
+         {{'i': ingest_ts, 'b': bid_px, 'a': ask_px,
+          'bs': bid_sz, 'asz': ask_sz}} AS s
+  FROM (SELECT symbol, event_ts + 1 AS avail_ts, ingest_ts,
+               bid_px, ask_px, bid_sz, ask_sz FROM bba)
+  QUALIFY row_number() OVER (PARTITION BY symbol, avail_ts
+      ORDER BY ingest_ts DESC, bid_px DESC, ask_px DESC,
+               bid_sz DESC, ask_sz DESC) = 1
 ),
 t0 AS (
   SELECT DISTINCT symbol, event_ts, price, is_buyer_maker

@@ -67,6 +67,12 @@ def main() -> int:
 
     spark = get_spark("check_oracle")
     con = duckdb.connect()
+    # large-SF sweeps: cap the oracle engine and give it a spill dir so a
+    # memory-hungry oracle plan degrades to disk instead of an OOM kill
+    # taking the whole sweep down (observed with max(STRUCT) aggregates
+    # at sf1 before they were rewritten to window dedups)
+    con.sql("SET memory_limit='48GB'")
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = os.path.join(args.sf, f"{t}.parquet")
         if os.path.isdir(p):
