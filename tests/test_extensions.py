@@ -1489,3 +1489,40 @@ def test_decode_features_real_jpeg_codec_end_to_end(spark):
     assert out[1].byte_max == st["byte_max"]
     # ...and the stats are near the SOURCE pixel stats (quant=1 stream)
     assert abs(out[1].byte_mean - s1.mean()) < 1.0
+
+
+def test_decode_jpeg_roundtrip_property():
+    """Property sweep over the codec's geometry space: random content at
+    random dimensions (1..25 px per side, including the 1-pixel and
+    single-row/column degenerate shapes), gray and RGB, with and without
+    4:2:0 and restart intervals — every stream decodes within the
+    quant=1 tolerance.  Deterministic seeds, no Spark session needed."""
+    import numpy as np
+
+    from bitcoin_datapipeline_spark.operators.multimodal import _decode_jpeg
+    from tests.jpeg_ref import jpeg_bytes
+
+    rng = np.random.RandomState(99)
+    for trial in range(12):
+        w = int(rng.randint(1, 26))
+        h = int(rng.randint(1, 26))
+        gray = bool(rng.randint(0, 2))
+        ri = int(rng.choice([0, 0, 1, 3]))
+        n = w * h * (1 if gray else 3)
+        px = rng.randint(0, 256, size=n).astype(np.uint8)
+        enc = jpeg_bytes(px, w, h, gray=gray, restart_interval=ri)
+        got = _decode_jpeg(enc)
+        assert got.shape == (n,), (w, h, gray, ri)
+        tol = 2 if gray else 4
+        diff = np.abs(got.astype(int) - px.astype(int)).max()
+        assert diff <= tol, (w, h, gray, ri, diff)
+    # 4:2:0 on even dims with 2x2-aligned chroma
+    for trial in range(4):
+        bw, bh = int(rng.randint(1, 9)), int(rng.randint(1, 9))
+        base = rng.randint(0, 256, size=(bh, bw, 3))
+        img = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+        px = img.astype(np.uint8).reshape(-1)
+        enc = jpeg_bytes(px, 2 * bw, 2 * bh, subsample=True,
+                         restart_interval=int(rng.choice([0, 2])))
+        got = _decode_jpeg(enc)
+        assert np.abs(got.astype(int) - px.astype(int)).max() <= 4, (bw, bh)
