@@ -3203,8 +3203,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # Rewrite round(x, 6) to Spark-compatible string-based rounding — see
-    # oracle_defs.spark_round_compat for why raw DuckDB round() diverges.
+    # Rewrite round(x, 6) to Spark-compatible string-based rounding, and
+    # DECIMAL-sum→DOUBLE casts through a VARCHAR hop (DuckDB's direct
+    # decimal→double cast is not correctly rounded past 2^53 unscaled) —
+    # see oracle_defs.spark_round_compat / decimal_double_compat.
     return {
-        n: OD.spark_round_compat(ORACLES[n]) for n in _driver_order(list(ORACLES))
+        n: OD.decimal_double_compat(OD.spark_round_compat(ORACLES[n]))
+        for n in _driver_order(list(ORACLES))
     }

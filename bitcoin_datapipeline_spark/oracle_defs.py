@@ -270,3 +270,49 @@ def spark_round_compat(sql: str) -> str:
         )
         i = k + 1
     return "".join(out)
+
+
+def decimal_double_compat(sql: str) -> str:
+    """Rewrite every ``CAST(sum(...) AS DOUBLE)`` in a DuckDB oracle to
+    ``CAST(CAST(sum(...) AS VARCHAR) AS DOUBLE)``.
+
+    DuckDB 1.0 converts DECIMAL→DOUBLE by dividing the (up to int128)
+    unscaled value in double arithmetic, which is NOT correctly rounded
+    once the unscaled value exceeds 2^53 — a DECIMAL(38,8) money sum at
+    sf1 magnitude (~2e10 → unscaled ~2e18) lands one ulp off Spark's
+    correctly-rounded BigDecimal cast (first seen: q_pricing_summary
+    sum_disc_price, 19711023059.593 vs ...593002).  The VARCHAR hop is
+    exact both ways: DECIMAL→VARCHAR prints the exact decimal digits and
+    VARCHAR→DOUBLE parses correctly rounded; for a DOUBLE-typed sum the
+    hop is the shortest-repr round-trip, i.e. a no-op.  Applied at
+    ``oracle_sql()`` export time, like spark_round_compat; driver-scale
+    (sf0.01) results are unchanged — unscaled sums there sit below 2^53.
+    """
+    out: list[str] = []
+    i = 0
+    token = "CAST(sum("
+    suffix = " AS DOUBLE"
+    while True:
+        j = sql.find(token, i)
+        if j == -1:
+            out.append(sql[i:])
+            break
+        # find the close paren of this CAST( by depth-walking from its (
+        k = j + len("CAST(")
+        depth = 1
+        while depth:
+            c = sql[k]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            k += 1
+        body = sql[j + len("CAST("):k - 1]  # "sum(...) AS DOUBLE" or other
+        if body.endswith(suffix):
+            inner = body[: -len(suffix)]
+            out.append(sql[i:j])
+            out.append(f"CAST(CAST({inner} AS VARCHAR) AS DOUBLE)")
+        else:  # e.g. AS BIGINT / AS DECIMAL casts: leave untouched
+            out.append(sql[i:k])
+        i = k
+    return "".join(out)

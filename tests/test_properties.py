@@ -4649,3 +4649,39 @@ def test_gopher_rules_matches_naive(spark, docs):
             and n_stop >= GOPHER_MIN_STOPWORDS
         )
         assert r.keep == keep, (i, ws)
+
+
+def test_decimal_double_compat_correctly_rounds_big_sums():
+    """Third cross-engine finding of the oracle program (r9, caught by the
+    sf1 sweep): DuckDB 1.0 casts DECIMAL→DOUBLE by dividing the unscaled
+    int128 in double arithmetic, which stops being correctly rounded past
+    2^53 — a sf1-magnitude money sum lands one ulp off Spark's BigDecimal
+    cast.  oracle_defs.decimal_double_compat rewrites CAST(sum(..) AS
+    DOUBLE) through a VARCHAR hop; pin (a) the rewrite itself, (b) that
+    the hop IS correctly rounded where the direct cast may not be, and
+    (c) that the hop is a no-op for DOUBLE-typed sums."""
+    import duckdb
+
+    from bitcoin_datapipeline_spark.oracle_defs import decimal_double_compat
+
+    # (a) textual rewrite: sum-to-DOUBLE casts get the hop, others don't
+    sql = ("SELECT CAST(sum(CAST(q AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS a, "
+           "CAST(sum(n) AS BIGINT) AS b FROM t")
+    got = decimal_double_compat(sql)
+    assert "CAST(CAST(sum(CAST(q AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)" in got
+    assert "CAST(sum(n) AS BIGINT)" in got
+    assert decimal_double_compat(got).count("AS VARCHAR") == 1, "idempotent-ish"
+
+    con = duckdb.connect()
+    # (b) a decimal whose unscaled value exceeds 2^53: the exact double is
+    # what Python computes from the exact integer ratio
+    dec = "19711023059.59300177"  # unscaled 1971102305959300177 > 2^53
+    exact = 1971102305959300177 / (10 ** 8)  # float division of exact ints
+    hop = con.sql(
+        f"SELECT CAST(CAST(CAST('{dec}' AS DECIMAL(38,8)) AS VARCHAR) AS DOUBLE)"
+    ).fetchone()[0]
+    assert hop == exact
+    # (c) DOUBLE round-trip is the identity (shortest-repr printing)
+    for v in (0.1, 1e300, -7.25, 123456789.123456):
+        rt = con.sql(f"SELECT CAST(CAST({v!r}::DOUBLE AS VARCHAR) AS DOUBLE)").fetchone()[0]
+        assert rt == v
