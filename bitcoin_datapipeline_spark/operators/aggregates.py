@@ -2127,9 +2127,9 @@ acf_g AS (
          CAST(count(*) AS BIGINT) AS n_pairs,
          CAST(sum(dp) AS DOUBLE) AS sx,
          CAST(sum(dp_lag) AS DOUBLE) AS sy,
-         CAST(sum(CAST(dp * dp_lag AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
-         CAST(sum(CAST(dp * dp AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
-         CAST(sum(CAST(dp_lag * dp_lag AS DECIMAL(38,12))) AS DOUBLE) AS syy
+         CAST(sum(CAST(CAST(dp AS DECIMAL(19,6)) * CAST(dp_lag AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(CAST(dp AS DECIMAL(19,6)) * CAST(dp AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(CAST(dp_lag AS DECIMAL(19,6)) * CAST(dp_lag AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS syy
   FROM acf_lagged
   WHERE dp IS NOT NULL AND dp_lag IS NOT NULL
   GROUP BY symbol, lag
@@ -2240,12 +2240,12 @@ vr_g AS (
   SELECT symbol,
          CAST(count(dp) AS BIGINT) AS n_short,
          CAST(sum(dp) AS DOUBLE) AS sx,
-         CAST(sum(CAST(dp * dp AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(CAST(dp AS DECIMAL(19,6)) * CAST(dp AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
          CAST(sum(CASE WHEN q_n = {VR_HORIZON} THEN 1 ELSE 0 END) AS BIGINT)
              AS n_long,
          CAST(sum(CASE WHEN q_n = {VR_HORIZON} THEN qsum END) AS DOUBLE) AS sq,
          CAST(sum(CASE WHEN q_n = {VR_HORIZON}
-                       THEN CAST(qsum * qsum AS DECIMAL(38,12)) END) AS DOUBLE)
+                       THEN CAST(CAST(qsum AS DECIMAL(19,6)) * CAST(qsum AS DECIMAL(19,6)) AS DECIMAL(38,12)) END) AS DOUBLE)
              AS sqq
   FROM vr_q
   GROUP BY symbol
@@ -2384,9 +2384,9 @@ xc_g AS (
          CAST(count(*) AS BIGINT) AS n_pairs,
          CAST(sum(dp_a) AS DOUBLE) AS sx,
          CAST(sum(dp_b) AS DOUBLE) AS sy,
-         CAST(sum(CAST(dp_a * dp_b AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
-         CAST(sum(CAST(dp_a * dp_a AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
-         CAST(sum(CAST(dp_b * dp_b AS DECIMAL(38,12))) AS DOUBLE) AS syy
+         CAST(sum(CAST(CAST(dp_a AS DECIMAL(19,6)) * CAST(dp_b AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(CAST(dp_a AS DECIMAL(19,6)) * CAST(dp_a AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(CAST(dp_b AS DECIMAL(19,6)) * CAST(dp_b AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS syy
   FROM xc_pairs
   GROUP BY 1, 2, 3
 )
@@ -2734,9 +2734,9 @@ rb_g AS (
          CAST(count(*) AS BIGINT) AS n_minutes,
          CAST(sum(r.dp) AS DOUBLE) AS sy,
          CAST(sum(m.dm) AS DOUBLE) AS sx,
-         CAST(sum(CAST(m.dm * r.dp AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
-         CAST(sum(CAST(m.dm * m.dm AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
-         CAST(sum(CAST(r.dp * r.dp AS DECIMAL(38,12))) AS DOUBLE) AS syy
+         CAST(sum(CAST(CAST(m.dm AS DECIMAL(19,6)) * CAST(r.dp AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(CAST(m.dm AS DECIMAL(19,6)) * CAST(m.dm AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(CAST(r.dp AS DECIMAL(19,6)) * CAST(r.dp AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS syy
   FROM rb r JOIN rb_mkt m ON r.bucket = m.bucket
   GROUP BY r.symbol
 )
@@ -2930,7 +2930,7 @@ def _hurst_oracle() -> str:
             f" CAST(sum(CASE WHEN qn_{q_} = {q_} THEN qs_{q_} END) AS DOUBLE)"
             f" AS s_{q_},"
             f" CAST(sum(CASE WHEN qn_{q_} = {q_} THEN"
-            f" CAST(qs_{q_} * qs_{q_} AS DECIMAL(38,12)) END) AS DOUBLE)"
+            f" CAST(CAST(qs_{q_} AS DECIMAL(19,6)) * CAST(qs_{q_} AS DECIMAL(19,6)) AS DECIMAL(38,12)) END) AS DOUBLE)"
             f" AS ss_{q_}"
         )
     vexprs = {
@@ -3665,7 +3665,7 @@ cu_c AS (
          CAST(sum(x) OVER w AS DECIMAL(38,6)) AS p,
          CAST(count(*) OVER ws AS BIGINT) AS n_bars,
          CAST(sum(x) OVER ws AS DECIMAL(38,6)) AS sx,
-         CAST(sum(CAST(x * x AS DECIMAL(38,12))) OVER ws AS DECIMAL(38,12))
+         CAST(sum(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)) AS DECIMAL(38,12))) OVER ws AS DECIMAL(38,12))
              AS sxx
   FROM cu_b
   WINDOW w AS (PARTITION BY symbol ORDER BY bucket

@@ -822,8 +822,8 @@ BOLLINGER_ORACLE_BODY = f"""
   SELECT symbol, bucket, close,
          count(close) OVER w AS n_in,
          CAST(sum(CAST(close AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
-         CAST(sum(CAST(CAST(close AS DECIMAL(18,6))
-                       * CAST(close AS DECIMAL(18,6)) AS DECIMAL(38,12)))
+         CAST(sum(CAST(CAST(close AS DECIMAL(19,6))
+                       * CAST(close AS DECIMAL(19,6)) AS DECIMAL(38,12)))
               OVER w AS DOUBLE) AS s2
   FROM bars
   WINDOW w AS (PARTITION BY symbol ORDER BY bucket
