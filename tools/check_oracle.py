@@ -27,6 +27,78 @@ TABLES = (
 ).split()
 
 
+def _fast_capable(df):
+    """True when every column has a vectorizable canonical form (numeric,
+    bool, datetime, or pure-string object) — lists/Decimals/bytes fall
+    back to the reference per-cell path."""
+    import pandas as pd
+
+    for c in df.columns:
+        s = df[c]
+        if (pd.api.types.is_float_dtype(s) or pd.api.types.is_integer_dtype(s)
+                or pd.api.types.is_bool_dtype(s)
+                or pd.api.types.is_datetime64_any_dtype(s)):
+            continue
+        if s.dtype == object:
+            kind = pd.api.types.infer_dtype(s, skipna=True)
+            # kinds whose cells the reference path tags "v|str(cell)" —
+            # floats are excluded (they'd tag "f|"), so str() is exact
+            if kind in ("string", "empty", "boolean", "integer"):
+                continue
+        return False
+    return True
+
+
+def normalize_frame_fast(df):
+    """Vectorized twin of normalize_frame for fast-capable frames: each
+    cell becomes a type-tagged STRING ('N' null, 'f|<shortest-repr of the
+    6-dp-rounded double>', 'v|<str>>') — the same equivalence classes as
+    the reference tuples (both engines' float outputs are already
+    6-dp-rounded by the r6 policy, so round-then-shortest-repr equality
+    coincides with the reference's round-then-float equality; signed zero
+    is normalized).  Rows are joined on the \\x1f unit separator and
+    sorted as flat numpy strings — any deterministic total order yields
+    the same multiset-equality verdict.  Per-cell Python is gone: the sf1
+    grid queries (2.1M rows x 21 cols) drop from ~300 s to seconds."""
+    import numpy as np
+    import pandas as pd
+
+    cols = sorted(df.columns)
+    parts = []
+    for c in cols:
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            v = np.round(s.to_numpy(dtype="float64"), 6)
+            v = np.where(v == 0.0, 0.0, v)  # -0.0 == 0.0 in the reference
+            col = np.char.add("f|", v.astype("U32"))
+            col = np.where(np.isnan(s.to_numpy(dtype="float64")), "N", col)
+        elif pd.api.types.is_bool_dtype(s) or pd.api.types.is_integer_dtype(s):
+            if s.isna().any():  # nullable Int64/boolean dtypes
+                col = np.where(
+                    s.isna().to_numpy(), "N",
+                    np.char.add("v|", s.astype(object).astype(str).to_numpy(dtype="U")),
+                )
+            else:
+                col = np.char.add("v|", s.to_numpy().astype("U"))
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            # pd .astype(str) prints pd.Timestamp text — unit-independent
+            col = np.where(
+                s.isna().to_numpy(), "N",
+                np.char.add("v|", s.astype(str).to_numpy(dtype="U")),
+            )
+        else:  # pure-string object column (checked by _fast_capable)
+            mask = s.isna().to_numpy()
+            vals = s.fillna("").astype(str).to_numpy(dtype="U")
+            col = np.where(mask, "N", np.char.add("v|", vals))
+        parts.append(col.astype("U"))
+    if not parts:
+        return len(df), cols, []
+    rows = parts[0]
+    for p in parts[1:]:
+        rows = np.char.add(np.char.add(rows, "\x1f"), p)
+    return len(df), cols, np.sort(rows).tolist()
+
+
 def normalize_frame(df):
     """pandas DataFrame → (nrows, sorted cols, canonical sorted rows)."""
     import pandas as pd  # noqa: F401
@@ -131,8 +203,15 @@ def main() -> int:
             n_fail += 1
             continue
 
-        sn, scols, srows = normalize_frame(sdf)
-        dn, dcols, drows = normalize_frame(ddf)
+        # vectorized canonical compare when both frames allow it (the
+        # reference per-cell path remains for list/Decimal columns and is
+        # A/B-verified equivalent by tools/ab_normalize.py)
+        if _fast_capable(sdf) and _fast_capable(ddf):
+            sn, scols, srows = normalize_frame_fast(sdf)
+            dn, dcols, drows = normalize_frame_fast(ddf)
+        else:
+            sn, scols, srows = normalize_frame(sdf)
+            dn, dcols, drows = normalize_frame(ddf)
         dt = time.time() - t0
         if sn != dn:
             print(f"FAIL {name}: rows spark={sn} duck={dn} ({dt:.1f}s)")
