@@ -2723,6 +2723,27 @@ def q_markout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# round 9: hot-key-safe markout — the (symbol, day-slice) sorted
+# multi-horizon union-LOCF with carry-in boundary repair; SAME oracle as
+# the single-sort form (pure physical rewrite, proven per-sweep).
+# Registered because the r9 skew decade row showed the single-sort plan at
+# 2.64x/decade when one symbol carries 90% of the tape (vs 2.13x balanced).
+@q(
+    "q_markout_sliced",
+    OD.with_ctes(
+        OD.DEDUP_TRADES_CTE,
+        OD.BBA_CTE + aggregates.MARKOUT_ORACLE_BODY,
+        body="",
+    ),
+)
+def q_markout_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return aggregates.markout_sliced(
+        dedup.dedup_trades(normalize.valid_trades(events)),
+        normalize.bba(events),
+    )
+
+
 # round 8: CCNet-style per-lang perplexity terciles — the bucketing step
 # the LM-quality family feeds (head/middle/tail keep/drop decision)
 @q("q_doc_ccnet_buckets", text.CCNET_BUCKETS_ORACLE)

@@ -98,6 +98,7 @@ HEADLINE = [
     # tells an operator when to prefer them
     "q_effective_spread_sliced",
     "q_twa_spread_sliced",
+    "q_markout_sliced",
     "q_key_skew_profile",
     # round 7 (sixth wave): Broder estimator calibration over the LSH
     # candidate set
@@ -499,6 +500,7 @@ SKEW_QUERIES = [
     # sliced rows prove the mitigation holds under the same skew
     "q_effective_spread_sliced",
     "q_twa_spread_sliced",
+    "q_markout_sliced",
 ]
 SKEW_DIRS = [".scale_data/skew0.1", ".scale_data/skew1"]
 
@@ -775,6 +777,151 @@ def skew_main() -> None:
     )
 
 
+# Streaming-twin throughput set: one representative per state-machine
+# class.  "trades" inputs read the sf0.1 valid-trade tape; "merged"
+# inputs read the quote+trade union the as-of processors consume.
+STREAM_PROCESSORS = [
+    # (name, input kind, builder(module stream df) -> streaming df)
+    ("stream_dedup", "trades"),            # watermarked keyed dedup
+    ("stream_bars_1m", "trades"),          # tumbling window aggregate
+    ("stream_sliding_stats", "trades"),    # sliding window aggregate
+    ("stream_locf_grid", "trades"),        # custom stateful LOCF grid
+    ("stream_vpin", "trades"),             # volume-clock stateful fold
+    ("stream_rsi", "trades"),              # ring-buffer TA state
+    ("stream_effective_spread", "merged"), # as-of quote-match state
+    ("stream_markout", "merged"),          # delayed-emission state
+]
+STREAM_INPUT_FILES = 16      # tape written as N files ...
+STREAM_FILES_PER_TRIGGER = 4  # ... -> ceil(N/F) checkpointed micro-batches
+
+
+def streaming_main() -> None:
+    """Streaming-twin throughput at sf0.1: drive each processor through a
+    REAL checkpointed availableNow stream (maxFilesPerTrigger splits the
+    tape into micro-batches, so state persists across batch boundaries —
+    the cost a resident streaming job actually pays), noop sink, and
+    report input rows/sec.  Single timed pass per processor after one
+    warm-up stream absorbs codegen/session startup; throughput at this
+    magnitude separates processor classes by ~10x, far outside the
+    machine-noise band that motivates median-of-3 in the batch bench."""
+    import shutil
+    import tempfile
+
+    from bitcoin_datapipeline_spark.session import get_spark
+    from bitcoin_datapipeline_spark.tables import table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench-streaming")
+
+    from pyspark.sql import functions as F
+
+    from bitcoin_datapipeline_spark.functions.normalize import bba, valid_trades
+    from bitcoin_datapipeline_spark.streaming import grid as sgrid
+    from bitcoin_datapipeline_spark.streaming import impact, ops, vpin
+
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        ev = table(spark, sf_dir, "events")
+        trades_b = valid_trades(ev)
+        quotes_b = bba(ev)
+        merged_b = quotes_b.select(
+            "symbol",
+            F.lit(0).alias("kind"),
+            "event_ts",
+            "ingest_ts",
+            "bid_px",
+            "ask_px",
+            "bid_sz",
+            "ask_sz",
+            F.lit(None).cast("double").alias("price"),
+            F.lit(None).cast("boolean").alias("is_buyer_maker"),
+        ).unionByName(
+            trades_b.select(
+                "symbol",
+                F.lit(1).alias("kind"),
+                "event_ts",
+                "ingest_ts",
+                "price",
+                "is_buyer_maker",
+            ),
+            allowMissingColumns=True,
+        )
+        dirs, rows_in, schemas = {}, {}, {}
+        for kind, df in (("trades", trades_b), ("merged", merged_b)):
+            d = os.path.join(work, kind)
+            df.repartition(STREAM_INPUT_FILES).write.parquet(d)
+            dirs[kind], rows_in[kind] = d, spark.read.parquet(d).count()
+            schemas[kind] = spark.read.parquet(d).schema
+
+        builders = {
+            "stream_dedup": ops.stream_dedup,
+            "stream_bars_1m": ops.stream_bars_1m,
+            "stream_sliding_stats": ops.stream_sliding_stats,
+            "stream_locf_grid": sgrid.stream_locf_grid,
+            "stream_vpin": vpin.stream_vpin,
+            "stream_rsi": impact.stream_rsi,
+            "stream_effective_spread": impact.stream_effective_spread,
+            "stream_markout": impact.stream_markout,
+        }
+
+        def drive(name: str, kind: str, tag: str) -> dict:
+            src = (
+                spark.readStream.schema(schemas[kind])
+                .option("maxFilesPerTrigger", STREAM_FILES_PER_TRIGGER)
+                .parquet(dirs[kind])
+            )
+            ckpt = os.path.join(work, f"ckpt_{tag}")
+            t0 = time.monotonic()
+            q = (
+                builders[name](src)
+                .writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            sec = time.monotonic() - t0
+            prog = q.recentProgress
+            n_in = sum(int(p["numInputRows"]) for p in prog)
+            out = sum(
+                int(s.get("numRowsUpdated", 0) or 0)
+                for p in prog
+                for s in p.get("stateOperators", [])
+            )
+            batches = sum(1 for p in prog if int(p["numInputRows"]) > 0)
+            return {
+                "sec": round(sec, 3),
+                "rows_in": n_in,
+                "rows_per_sec": round(n_in / sec) if sec > 0 else None,
+                "batches": batches,
+                "state_rows_updated": out,
+            }
+
+        drive("stream_bars_1m", "trades", "warmup")  # un-billed warm-up
+        results = {
+            name: drive(name, kind, name)
+            for name, kind in STREAM_PROCESSORS
+        }
+        print(
+            json.dumps(
+                {
+                    "metric": "streaming_twin_throughput",
+                    "unit": "rows_per_sec",
+                    "sf": float(
+                        os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+                        or 0.1
+                    ),
+                    "input_rows": rows_in,
+                    "input_files": STREAM_INPUT_FILES,
+                    "max_files_per_trigger": STREAM_FILES_PER_TRIGGER,
+                    "processors": results,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -882,11 +1029,13 @@ if __name__ == "__main__":
         families_main(argv[1], convention)
     elif argv and argv[0] == "--skew":
         skew_main()
+    elif argv and argv[0] == "--streaming":
+        streaming_main()
     elif argv:
         raise SystemExit(
             f"unknown arguments {argv}; usage: bench.py "
             "[--families dedup,ann,grid,gold,quality] "
-            "[--convention bench|production] [--skew]"
+            "[--convention bench|production] [--skew] [--streaming]"
         )
     else:
         main()

@@ -4689,10 +4689,105 @@ def markout(
     cf. reference: extends the surface (Huang–Stoll horizon
     generalization; complements :func:`realized_spread`)."""
     hs = [0] + sorted(horizons_ms)
-    tid = trades.select("symbol", "event_ts", "price").distinct()
     sides = trades.select(
         "symbol", "event_ts", "price", "is_buyer_maker"
     ).distinct()
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy(*_ASOF_ORDER)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        _markout_union(trades, bba, hs)
+        .withColumn("pq", F.last(_asof_quote_struct(), ignorenulls=True).over(w))
+        .filter((F.col("is_q") == 1) & F.col("pq").isNotNull())
+        .select(
+            "symbol",
+            "event_ts",
+            "price",
+            "h",
+            ((F.col("pq.b") + F.col("pq.a")) / 2.0).alias("mid"),
+        )
+    )
+    return _markout_finish(matched, sides, hs)
+
+
+def markout_sliced(
+    trades: DataFrame,
+    bba: DataFrame,
+    horizons_ms: tuple[int, ...] = MARKOUT_HORIZONS_MS,
+    slice_ms: int = SKEW_SLICE_MS,
+) -> DataFrame:
+    """Hot-key-safe :func:`markout` — identical rows (same DuckDB oracle),
+    but the union-LOCF scan sorts on (symbol, time-slice) instead of
+    (symbol), the :func:`asof_quote_match_sliced` physical rewrite applied
+    to the multi-horizon union: one dominant symbol spreads over
+    ~span/slice_ms sort partitions instead of serializing the whole
+    Q + T·(H+1)-row scan (the single-sort form measured 2.64x/decade under
+    the 90%-one-symbol tape vs 2.13x balanced, BENCH_SCALE_r09.json
+    `skew`).  Boundary repair is the same per-(symbol, slice) carry-out
+    quote summary + prefix-LOCF carry-in broadcast; horizon probes landing
+    in a quote-empty slice pick up the newest earlier slice's quote
+    exactly as the single sort would."""
+    hs = [0] + sorted(horizons_ms)
+    sides = trades.select(
+        "symbol", "event_ts", "price", "is_buyer_maker"
+    ).distinct()
+    u = _markout_union(trades, bba, hs).withColumn(
+        "slice", F.expr(f"sort_ts div {slice_ms}").cast("long")
+    )
+    wl = (
+        Window.partitionBy("symbol", "slice")
+        .orderBy(*_ASOF_ORDER)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = u.withColumn(
+        "pq_local", F.last(_asof_quote_struct(), ignorenulls=True).over(wl)
+    )
+    qsum = (
+        u.filter(F.col("is_q") == 0)
+        .groupBy("symbol", "slice")
+        .agg(
+            F.max_by(
+                F.struct(F.col("bid_px").alias("b"), F.col("ask_px").alias("a")),
+                F.struct(
+                    "sort_ts", "ingest_ts", "bid_px", "ask_px", "bid_sz", "ask_sz"
+                ),
+            ).alias("carry_out")
+        )
+    )
+    slices = u.select("symbol", "slice").distinct()
+    wc = (
+        Window.partitionBy("symbol")
+        .orderBy("slice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        slices.join(qsum, ["symbol", "slice"], "left")
+        .withColumn("carry_in", F.last("carry_out", ignorenulls=True).over(wc))
+        .select("symbol", "slice", "carry_in")
+    )
+    matched = (
+        local.join(F.broadcast(carry), ["symbol", "slice"], "left")
+        .withColumn("pq", F.coalesce(F.col("pq_local"), F.col("carry_in")))
+        .filter((F.col("is_q") == 1) & F.col("pq").isNotNull())
+        .select(
+            "symbol",
+            "event_ts",
+            "price",
+            "h",
+            ((F.col("pq.b") + F.col("pq.a")) / 2.0).alias("mid"),
+        )
+    )
+    return _markout_finish(matched, sides, hs)
+
+
+def _markout_union(trades: DataFrame, bba: DataFrame, hs: list) -> DataFrame:
+    """The quotes + horizon-probe sort frame shared by :func:`markout` and
+    its time-sliced twin: quotes available at event_ts+1 (is_q=0 sorts
+    before a probe at the same instant); the distinct trade identity
+    enters len(hs) times with sort key event_ts + h."""
+    tid = trades.select("symbol", "event_ts", "price").distinct()
     q = bba.select(
         "symbol",
         (F.col("event_ts") + F.lit(1)).cast("long").alias("sort_ts"),
@@ -4724,30 +4819,13 @@ def markout(
         "event_ts",
         "price",
     )
-    w = (
-        Window.partitionBy("symbol")
-        .orderBy(
-            "sort_ts", "is_q", "ingest_ts", "bid_px", "ask_px",
-            "bid_sz", "ask_sz",
-        )
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    quote = F.when(
-        F.col("is_q") == 0,
-        F.struct(F.col("bid_px").alias("b"), F.col("ask_px").alias("a")),
-    )
-    matched = (
-        q.unionByName(t)
-        .withColumn("pq", F.last(quote, ignorenulls=True).over(w))
-        .filter((F.col("is_q") == 1) & F.col("pq").isNotNull())
-        .select(
-            "symbol",
-            "event_ts",
-            "price",
-            "h",
-            ((F.col("pq.b") + F.col("pq.a")) / 2.0).alias("mid"),
-        )
-    )
+    return q.unionByName(t)
+
+
+def _markout_finish(matched: DataFrame, sides: DataFrame, hs: list) -> DataFrame:
+    """Markout pivot + minute aggregate shared by both sort forms: one row
+    per trade with len(hs) mid columns (bounded pivot), then one
+    partial-combinable aggregate to (symbol, minute)."""
     mids = matched.groupBy("symbol", "event_ts", "price").agg(
         *[
             F.max(F.when(F.col("h") == h, F.col("mid"))).alias(f"mid_{h}")

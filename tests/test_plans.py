@@ -575,6 +575,11 @@ SHUFFLE_BUDGETS = {
     # (counts are the static plan; AQE reuses the shared scans)
     "q_effective_spread_sliced": 7,
     "q_twa_spread_sliced": 4,
+    # r9: sliced markout — the multi-horizon union subtree appears in
+    # three legs (local LOCF, carry summary, occupied-slice frame), each
+    # re-deriving the trade dedup in the STATIC plan; AQE ReusedExchange
+    # collapses the shared scans at runtime (the q_markout pattern x3)
+    "q_markout_sliced": 12,
     # r9: one partial-combining key aggregate + the K-row global stats
     "q_key_skew_profile": 2,
     # band-union legs + both signature lookups over the one sigs

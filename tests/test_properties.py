@@ -1140,6 +1140,61 @@ def test_twa_spread_sliced_equals_single_sort(spark, quotes):
         assert abs(bpss - bps) <= 1e-6, (k, sliced[k], single[k])
 
 
+@given(quotes=quote_strategy, trades=qtrade_strategy)
+@_settings
+def test_markout_sliced_equals_single_sort(spark, quotes, trades):
+    """Sliced markout == single-sort markout on every random tape —
+    the r9 carry-in repair applied to the multi-horizon union.  slice_ms=7
+    over the 0..50 ts domain forces boundary crossings for the h=0 and
+    h=13 probes; the h=1000 probes land far past every quote, in slices
+    with NO local quote at all, so they resolve entirely through the
+    carry-in path (the hardest repair case).  is_buyer_maker is derived
+    deterministically from the tuple so both forms see identical trades."""
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        markout,
+        markout_sliced,
+    )
+
+    qrows = [
+        Row(symbol=s, event_ts=ts, ingest_ts=ts + di, bid_px=b / 100.0,
+            ask_px=a / 100.0, bid_sz=float(bs), ask_sz=float(asz))
+        for s, ts, di, b, a, bs, asz in quotes
+    ]
+    trows = [
+        Row(symbol=s, event_ts=ts, ingest_ts=ts, price=p / 100.0,
+            is_buyer_maker=bool((ts + p) % 2))
+        for s, ts, p in trades
+    ]
+    qdf = spark.createDataFrame(
+        qrows or [],
+        "symbol string, event_ts long, ingest_ts long, bid_px double,"
+        " ask_px double, bid_sz double, ask_sz double",
+    )
+    tdf = spark.createDataFrame(
+        trows,
+        "symbol string, event_ts long, ingest_ts long, price double,"
+        " is_buyer_maker boolean",
+    )
+    hs = (13, 1_000)
+    single = {
+        (r.symbol, r.bucket): tuple(r)[2:]
+        for r in markout(tdf, qdf, horizons_ms=hs).collect()
+    }
+    sliced = {
+        (r.symbol, r.bucket): tuple(r)[2:]
+        for r in markout_sliced(tdf, qdf, horizons_ms=hs, slice_ms=7).collect()
+    }
+    assert sliced.keys() == single.keys()
+    for k, vals in single.items():
+        got = sliced[k]
+        assert got[0] == vals[0], (k, got, vals)  # n_trades exact
+        for gv, wv in zip(got[1:], vals[1:]):
+            if gv is None or wv is None:
+                assert gv == wv, (k, got, vals)
+            else:
+                assert abs(gv - wv) <= 1e-6, (k, got, vals)
+
+
 # realized variance / bipower variation vs a naive float reference: the
 # engine's per-(symbol, day) sums fold window-sorted rows in bucket order
 # inside one partition (window partitioning pins group locality; partial
