@@ -786,6 +786,7 @@ STREAM_PROCESSORS = [
     ("stream_bars_1m", "trades"),          # tumbling window aggregate
     ("stream_sliding_stats", "trades"),    # sliding window aggregate
     ("stream_locf_grid", "trades"),        # custom stateful LOCF grid
+    ("stream_grid_returns", "trades"),     # LOCF grid + horizon returns
     ("stream_vpin", "trades"),             # volume-clock stateful fold
     ("stream_rsi", "trades"),              # ring-buffer TA state
     ("stream_effective_spread", "merged"), # as-of quote-match state
@@ -858,6 +859,7 @@ def streaming_main() -> None:
             "stream_bars_1m": ops.stream_bars_1m,
             "stream_sliding_stats": ops.stream_sliding_stats,
             "stream_locf_grid": sgrid.stream_locf_grid,
+            "stream_grid_returns": sgrid.stream_grid_returns,
             "stream_vpin": vpin.stream_vpin,
             "stream_rsi": impact.stream_rsi,
             "stream_effective_spread": impact.stream_effective_spread,
@@ -883,7 +885,11 @@ def streaming_main() -> None:
             sec = time.monotonic() - t0
             prog = q.recentProgress
             n_in = sum(int(p["numInputRows"]) for p in prog)
-            out = sum(
+            n_out = sum(
+                int((p.get("sink") or {}).get("numOutputRows", 0) or 0)
+                for p in prog
+            )
+            upd = sum(
                 int(s.get("numRowsUpdated", 0) or 0)
                 for p in prog
                 for s in p.get("stateOperators", [])
@@ -893,8 +899,9 @@ def streaming_main() -> None:
                 "sec": round(sec, 3),
                 "rows_in": n_in,
                 "rows_per_sec": round(n_in / sec) if sec > 0 else None,
+                "rows_out": n_out,
                 "batches": batches,
-                "state_rows_updated": out,
+                "state_rows_updated": upd,
             }
 
         drive("stream_bars_1m", "trades", "warmup")  # un-billed warm-up
