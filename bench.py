@@ -796,7 +796,7 @@ STREAM_INPUT_FILES = 16      # tape written as N files ...
 STREAM_FILES_PER_TRIGGER = 4  # ... -> ceil(N/F) checkpointed micro-batches
 
 
-def streaming_main() -> None:
+def streaming_main(provider: str = "hdfs") -> None:
     """Streaming-twin throughput at sf0.1: drive each processor through a
     REAL checkpointed availableNow stream (maxFilesPerTrigger splits the
     tape into micro-batches, so state persists across batch boundaries —
@@ -813,6 +813,15 @@ def streaming_main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench-streaming")
+    if provider == "rocksdb":
+        # the state store a 100 TB streaming job actually runs: state
+        # spills to local disk instead of executor heap, so per-key state
+        # is bounded by SSD, not memory (provider is read per query start)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
 
     from pyspark.sql import functions as F
 
@@ -921,6 +930,7 @@ def streaming_main() -> None:
                     "input_rows": rows_in,
                     "input_files": STREAM_INPUT_FILES,
                     "max_files_per_trigger": STREAM_FILES_PER_TRIGGER,
+                    "state_store": provider,
                     "processors": results,
                 }
             )
@@ -1037,7 +1047,10 @@ if __name__ == "__main__":
     elif argv and argv[0] == "--skew":
         skew_main()
     elif argv and argv[0] == "--streaming":
-        streaming_main()
+        provider = argv[1] if len(argv) > 1 else "hdfs"
+        if provider not in ("hdfs", "rocksdb"):
+            raise SystemExit("--streaming takes 'hdfs' (default) or 'rocksdb'")
+        streaming_main(provider)
     elif argv:
         raise SystemExit(
             f"unknown arguments {argv}; usage: bench.py "
