@@ -781,7 +781,7 @@ def skew_main() -> None:
 # class.  "trades" inputs read the sf0.1 valid-trade tape; "merged"
 # inputs read the quote+trade union the as-of processors consume.
 STREAM_PROCESSORS = [
-    # (name, input kind, builder(module stream df) -> streaming df)
+    # (name, input kind) — builders are mapped by name in streaming_main
     ("stream_dedup", "trades"),            # watermarked keyed dedup
     ("stream_bars_1m", "trades"),          # tumbling window aggregate
     ("stream_sliding_stats", "trades"),    # sliding window aggregate
@@ -794,6 +794,16 @@ STREAM_PROCESSORS = [
 ]
 STREAM_INPUT_FILES = 16      # tape written as N files ...
 STREAM_FILES_PER_TRIGGER = 4  # ... -> ceil(N/F) checkpointed micro-batches
+
+
+def _sf_label(sf_dir: str):
+    """'…/sf0.1' -> 0.1; any non-'sf<number>' dir falls back to its raw
+    basename instead of crashing the report after the benches already ran."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.removeprefix("sf"))
+    except ValueError:
+        return base
 
 
 def streaming_main(provider: str = "hdfs") -> None:
@@ -923,10 +933,7 @@ def streaming_main(provider: str = "hdfs") -> None:
                 {
                     "metric": "streaming_twin_throughput",
                     "unit": "rows_per_sec",
-                    "sf": float(
-                        os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
-                        or 0.1
-                    ),
+                    "sf": _sf_label(sf_dir),
                     "input_rows": rows_in,
                     "input_files": STREAM_INPUT_FILES,
                     "max_files_per_trigger": STREAM_FILES_PER_TRIGGER,

@@ -1491,9 +1491,26 @@ def asof_quote_match_sliced(
     (symbols x occupied slices rows) yields each slice's carry-in, which a
     broadcast join patches into the slice-local nulls.  Two extra
     shuffles, both over key-count-sized frames — O(rows) work unchanged."""
-    u = _asof_union(trades, bba).withColumn(
-        "slice", F.expr(f"sort_ts div {slice_ms}").cast("long")
+    return _sliced_locf_resolve(_asof_union(trades, bba), slice_ms).select(
+        "symbol",
+        "event_ts",
+        "price",
+        F.col("pq.b").alias("bid_px"),
+        F.col("pq.a").alias("ask_px"),
     )
+
+
+def _sliced_locf_resolve(u: DataFrame, slice_ms: int) -> DataFrame:
+    """The (symbol, time-slice) LOCF + carry-in boundary repair shared by
+    every sliced rewrite (:func:`asof_quote_match_sliced`,
+    :func:`markout_sliced`): slice the union frame on sort_ts, LOCF the
+    prevailing quote WITHIN each (symbol, slice), summarize each slice's
+    carry-out quote to one row, prefix-LOCF those summaries to each
+    slice's carry-in, and broadcast-patch the slice-local nulls.  Returns
+    the probe rows (is_q = 1) that resolved a quote, with every input
+    column plus the resolved ``pq`` struct — callers select their own
+    output shape."""
+    u = u.withColumn("slice", F.expr(f"sort_ts div {slice_ms}").cast("long"))
     wl = (
         Window.partitionBy("symbol", "slice")
         .orderBy(*_ASOF_ORDER)
@@ -1533,13 +1550,6 @@ def asof_quote_match_sliced(
         local.join(F.broadcast(carry), ["symbol", "slice"], "left")
         .withColumn("pq", F.coalesce(F.col("pq_local"), F.col("carry_in")))
         .filter((F.col("is_q") == 1) & F.col("pq").isNotNull())
-        .select(
-            "symbol",
-            "event_ts",
-            "price",
-            F.col("pq.b").alias("bid_px"),
-            F.col("pq.a").alias("ask_px"),
-        )
     )
 
 
@@ -4733,51 +4743,14 @@ def markout_sliced(
     sides = trades.select(
         "symbol", "event_ts", "price", "is_buyer_maker"
     ).distinct()
-    u = _markout_union(trades, bba, hs).withColumn(
-        "slice", F.expr(f"sort_ts div {slice_ms}").cast("long")
-    )
-    wl = (
-        Window.partitionBy("symbol", "slice")
-        .orderBy(*_ASOF_ORDER)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    local = u.withColumn(
-        "pq_local", F.last(_asof_quote_struct(), ignorenulls=True).over(wl)
-    )
-    qsum = (
-        u.filter(F.col("is_q") == 0)
-        .groupBy("symbol", "slice")
-        .agg(
-            F.max_by(
-                F.struct(F.col("bid_px").alias("b"), F.col("ask_px").alias("a")),
-                F.struct(
-                    "sort_ts", "ingest_ts", "bid_px", "ask_px", "bid_sz", "ask_sz"
-                ),
-            ).alias("carry_out")
-        )
-    )
-    slices = u.select("symbol", "slice").distinct()
-    wc = (
-        Window.partitionBy("symbol")
-        .orderBy("slice")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    carry = (
-        slices.join(qsum, ["symbol", "slice"], "left")
-        .withColumn("carry_in", F.last("carry_out", ignorenulls=True).over(wc))
-        .select("symbol", "slice", "carry_in")
-    )
-    matched = (
-        local.join(F.broadcast(carry), ["symbol", "slice"], "left")
-        .withColumn("pq", F.coalesce(F.col("pq_local"), F.col("carry_in")))
-        .filter((F.col("is_q") == 1) & F.col("pq").isNotNull())
-        .select(
-            "symbol",
-            "event_ts",
-            "price",
-            "h",
-            ((F.col("pq.b") + F.col("pq.a")) / 2.0).alias("mid"),
-        )
+    matched = _sliced_locf_resolve(
+        _markout_union(trades, bba, hs), slice_ms
+    ).select(
+        "symbol",
+        "event_ts",
+        "price",
+        "h",
+        ((F.col("pq.b") + F.col("pq.a")) / 2.0).alias("mid"),
     )
     return _markout_finish(matched, sides, hs)
 

@@ -78,9 +78,7 @@ def keyspace_profile(df: DataFrame, key: str = "symbol") -> DataFrame:
     per = df.groupBy(key).agg(F.count("*").cast("double").alias("n"))
     # global window over K key rows — bounded by keyspace cardinality
     s = F.sum("n").over(Window.partitionBy())
-    shares = per.select(
-        "n", (F.col("n") / s).alias("share"), s.alias("s")
-    )
+    shares = per.select("n", (F.col("n") / s).alias("share"))
     return shares.agg(
         F.count("*").cast("long").alias("n_keys"),
         F.sum("n").cast("long").alias("n_rows"),
@@ -88,6 +86,10 @@ def keyspace_profile(df: DataFrame, key: str = "symbol") -> DataFrame:
         r6(F.max("share")).alias("top1_share"),
         r6(F.sum(F.col("share") * F.col("share"))).alias("hhi"),
         r6(-F.sum(F.col("share") * F.log(F.col("share")))).alias("entropy"),
+    ).filter(
+        # empty input: the global agg would emit one all-null row where
+        # the oracle's GROUP BY s emits zero — agree on zero rows
+        F.col("n_keys") > 0
     )
 
 

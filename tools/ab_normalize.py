@@ -19,11 +19,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import duckdb  # noqa: E402
-
 from tools.check_oracle import (  # noqa: E402
-    TABLES,
     _fast_capable,
+    connect_oracle,
     normalize_frame,
     normalize_frame_fast,
 )
@@ -39,15 +37,7 @@ def main() -> int:
     from bitcoin_datapipeline_spark.session import get_spark
 
     spark = get_spark("ab_normalize")
-    con = duckdb.connect()
-    con.sql("SET memory_limit='48GB'")
-    con.sql("SET temp_directory='/tmp/duckdb_spill'")
-    for t in TABLES:
-        p = os.path.join(args.sf, f"{t}.parquet")
-        if os.path.isdir(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
-        elif os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    con = connect_oracle(args.sf)
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
@@ -61,16 +51,15 @@ def main() -> int:
         t0 = time.time()
         sdf = fn(spark, args.sf).toPandas()
         ddf = con.sql(oracles[name]).df()
-        slow = (
-            normalize_frame(sdf)[0] == normalize_frame(ddf)[0],
-            normalize_frame(sdf)[1] == normalize_frame(ddf)[1],
-            normalize_frame(sdf)[2] == normalize_frame(ddf)[2],
-        )
+        # eligibility BEFORE the expensive reference canonicalization —
+        # fallback queries never use the slow verdict
         if not (_fast_capable(sdf) and _fast_capable(ddf)):
             n_fallback += 1
             print(f"fallback {name}: fast path ineligible "
                   f"({time.time() - t0:.1f}s)")
             continue
+        sn, dn = normalize_frame(sdf), normalize_frame(ddf)
+        slow = (sn[0] == dn[0], sn[1] == dn[1], sn[2] == dn[2])
         sf_, df_ = normalize_frame_fast(sdf), normalize_frame_fast(ddf)
         fast = (sf_[0] == df_[0], sf_[1] == df_[1], sf_[2] == df_[2])
         if slow == fast:

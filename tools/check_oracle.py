@@ -59,9 +59,25 @@ def normalize_frame_fast(df):
     is normalized).  Rows are joined on the \\x1f unit separator and
     sorted as flat numpy strings — any deterministic total order yields
     the same multiset-equality verdict.  Per-cell Python is gone: the sf1
-    grid queries (2.1M rows x 21 cols) drop from ~300 s to seconds."""
+    grid queries (2.1M rows x 21 cols) drop from ~300 s to seconds.
+
+    Injectivity of the joined encoding: every 'v'-tagged cell is LENGTH-
+    PREFIXED ('v<len>|<payload>'), so a payload containing the \\x1f
+    separator cannot shift cell boundaries (decode left-to-right: 'N'
+    and 'f|…' end at the next separator — their alphabets exclude \\x1f —
+    and a 'v' cell's extent is given by its length prefix).  Without the
+    prefix, ('a\\x1fb', 'c') and ('a', 'b\\x1fc') would join identically —
+    a false PASS in the correctness gate.  The prefix applies to ALL
+    v-cells (ints included) so int 5 and string '5' stay EQUAL, matching
+    the reference path's ('v', str(cell)) equivalence classes."""
     import numpy as np
     import pandas as pd
+
+    def vtag(vals):
+        lens = np.char.str_len(vals).astype("U")
+        return np.char.add(
+            np.char.add(np.char.add("v", lens), "|"), vals
+        )
 
     cols = sorted(df.columns)
     parts = []
@@ -76,20 +92,20 @@ def normalize_frame_fast(df):
             if s.isna().any():  # nullable Int64/boolean dtypes
                 col = np.where(
                     s.isna().to_numpy(), "N",
-                    np.char.add("v|", s.astype(object).astype(str).to_numpy(dtype="U")),
+                    vtag(s.astype(object).astype(str).to_numpy(dtype="U")),
                 )
             else:
-                col = np.char.add("v|", s.to_numpy().astype("U"))
+                col = vtag(s.to_numpy().astype("U"))
         elif pd.api.types.is_datetime64_any_dtype(s):
             # pd .astype(str) prints pd.Timestamp text — unit-independent
             col = np.where(
                 s.isna().to_numpy(), "N",
-                np.char.add("v|", s.astype(str).to_numpy(dtype="U")),
+                vtag(s.astype(str).to_numpy(dtype="U")),
             )
         else:  # pure-string object column (checked by _fast_capable)
             mask = s.isna().to_numpy()
             vals = s.fillna("").astype(str).to_numpy(dtype="U")
-            col = np.where(mask, "N", np.char.add("v|", vals))
+            col = np.where(mask, "N", vtag(vals))
         parts.append(col.astype("U"))
     if not parts:
         return len(df), cols, []
@@ -126,6 +142,29 @@ def normalize_frame(df):
     return len(df), cols, rows
 
 
+def connect_oracle(sf_dir: str):
+    """DuckDB session configured the way every oracle consumer needs it —
+    shared by this checker and tools/ab_normalize.py so the audit tool
+    cannot drift onto differently-configured views.
+
+    Large-SF sweeps: cap the oracle engine and give it a spill dir so a
+    memory-hungry oracle plan degrades to disk instead of an OOM kill
+    taking the whole sweep down (observed with max(STRUCT) aggregates
+    at sf1 before they were rewritten to window dedups).  Spark-written
+    tables are DIRECTORIES of part files (the .scale_data sets) — DuckDB
+    needs the glob form for those."""
+    con = duckdb.connect()
+    con.sql("SET memory_limit='48GB'")
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -138,21 +177,7 @@ def main() -> int:
     from bitcoin_datapipeline_spark.session import get_spark
 
     spark = get_spark("check_oracle")
-    con = duckdb.connect()
-    # large-SF sweeps: cap the oracle engine and give it a spill dir so a
-    # memory-hungry oracle plan degrades to disk instead of an OOM kill
-    # taking the whole sweep down (observed with max(STRUCT) aggregates
-    # at sf1 before they were rewritten to window dedups)
-    con.sql("SET memory_limit='48GB'")
-    con.sql("SET temp_directory='/tmp/duckdb_spill'")
-    for t in TABLES:
-        p = os.path.join(args.sf, f"{t}.parquet")
-        if os.path.isdir(p):
-            # Spark-written table: a DIRECTORY of part files (the
-            # .scale_data sets) — DuckDB needs the glob form
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
-        elif os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    con = connect_oracle(args.sf)
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
