@@ -789,6 +789,8 @@ STREAM_PROCESSORS = [
     ("stream_grid_returns", "trades"),     # LOCF grid + horizon returns
     ("stream_vpin", "trades"),             # volume-clock stateful fold
     ("stream_rsi", "trades"),              # ring-buffer TA state
+    ("stream_obv", "trades"),              # O(1) signed-prefix TA state
+    ("stream_bollinger", "trades"),        # ring + day-scorecard state
     ("stream_effective_spread", "merged"), # as-of quote-match state
     ("stream_markout", "merged"),          # delayed-emission state
 ]
@@ -881,6 +883,8 @@ def streaming_main(provider: str = "hdfs") -> None:
             "stream_grid_returns": sgrid.stream_grid_returns,
             "stream_vpin": vpin.stream_vpin,
             "stream_rsi": impact.stream_rsi,
+            "stream_obv": impact.stream_obv,
+            "stream_bollinger": impact.stream_bollinger,
             "stream_effective_spread": impact.stream_effective_spread,
             "stream_markout": impact.stream_markout,
         }

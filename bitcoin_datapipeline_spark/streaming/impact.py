@@ -2083,3 +2083,329 @@ def stream_stochastic(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+OBV_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("volume", T.DoubleType()),
+        T.StructField("obv", T.DoubleType()),
+        T.StructField("late_dropped", T.LongType()),
+    ]
+)
+
+OBV_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("frontier_ts", T.LongType()),
+        T.StructField("frontier_tid", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+        T.StructField("pend_ts", T.ArrayType(T.LongType())),
+        T.StructField("pend_tid", T.ArrayType(T.LongType())),
+        T.StructField("pend_price", T.ArrayType(T.LongType())),
+        T.StructField("pend_qty", T.ArrayType(T.LongType())),
+        T.StructField("cur_bucket", T.LongType()),
+        T.StructField("cur_close", T.LongType()),
+        T.StructField("cur_vol", T.LongType()),
+        T.StructField("prev_close", T.LongType()),
+        # running signed-volume sum in 1e-4 units (exact integer)
+        T.StructField("obv_units", T.LongType()),
+    ]
+)
+
+
+def make_obv_processor(
+    bucket_ms: int = 60_000,
+    allowed_lateness_s: int = 0,
+):
+    """Live On-Balance Volume — the streaming twin of
+    operators/windows.obv.  O(1) per-symbol state: the open bucket's
+    running (close, volume) partials, the previous bar close, and the
+    running signed-volume prefix sum — all on exact integer 1e-4 grids
+    (the qty/price grid, FIXTURES.md), so every emitted row EQUALS the
+    batch operator's DECIMAL prefix sum over bars restricted to closed
+    buckets (property-tested).  Disorder discipline: merge_fold
+    bounded-lateness pool, hard-late drop-and-count."""
+    late_ms = allowed_lateness_s * 1000
+
+    def fn(key, pdfs, state: GroupState):
+        symbol = key[0]
+        chunks = [
+            pdf[["event_ts", "trade_id", "price", "qty"]]
+            for pdf in pdfs
+            if len(pdf)
+        ]
+        if not chunks:
+            yield pd.DataFrame(
+                [], columns=[f.name for f in OBV_OUTPUT_SCHEMA.fields]
+            )
+            return
+        ev = pd.concat(chunks, ignore_index=True)
+        if state.exists:
+            (f_ts, f_tid, n_late, p_ts, p_tid, p_pr, p_q,
+             cur_b, cur_close, cur_vol, prev_close, obv_u) = state.get
+            pend = list(zip(p_ts, p_tid, p_pr, p_q))
+        else:
+            f_ts = f_tid = _NO_FRONTIER
+            n_late = 0
+            pend = []
+            cur_b = cur_close = prev_close = None
+            cur_vol = obv_u = 0
+
+        new = (
+            (int(ts), int(tid), int(round(float(p) * UNITS)),
+             int(round(float(q) * UNITS)))
+            for ts, tid, p, q in zip(
+                ev["event_ts"], ev["trade_id"], ev["price"], ev["qty"]
+            )
+        )
+        fold, pend, (f_ts, f_tid), late_inc = merge_fold(
+            new, pend, (f_ts, f_tid), late_ms
+        )
+        n_late += late_inc
+
+        rows = []
+
+        def close_bucket():
+            nonlocal prev_close, obv_u
+            if prev_close is None or cur_close == prev_close:
+                signed = 0
+            elif cur_close > prev_close:
+                signed = cur_vol
+            else:
+                signed = -cur_vol
+            obv_u += signed
+            rows.append((
+                symbol,
+                int(cur_b),
+                float(Fraction(cur_vol, UNITS)),
+                float(Fraction(obv_u, UNITS)),
+                int(n_late),
+            ))
+            prev_close = cur_close
+
+        for ts, tid, p_u, q_u in fold:
+            b = ts // bucket_ms
+            if cur_b is None:
+                cur_b = b
+            elif b != cur_b:
+                close_bucket()
+                cur_b = b
+                cur_vol = 0
+            cur_close = p_u
+            cur_vol += q_u
+
+        state.update((
+            int(f_ts), int(f_tid), int(n_late),
+            [t[0] for t in pend], [t[1] for t in pend],
+            [t[2] for t in pend], [t[3] for t in pend],
+            int(cur_b) if cur_b is not None else None,
+            int(cur_close) if cur_close is not None else None,
+            int(cur_vol),
+            int(prev_close) if prev_close is not None else None,
+            int(obv_u),
+        ))
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in OBV_OUTPUT_SCHEMA.fields]
+        )
+
+    return fn
+
+
+def stream_obv(
+    trades: DataFrame,
+    bucket_ms: int = 60_000,
+    allowed_lateness_s: int = 0,
+) -> DataFrame:
+    """Live OBV: one append-final row per closed minute bucket, equal to
+    the batch windows.obv row for that bar (property-tested)."""
+    return trades.groupBy("symbol").applyInPandasWithState(
+        make_obv_processor(bucket_ms, allowed_lateness_s),
+        outputStructType=OBV_OUTPUT_SCHEMA,
+        stateStructType=OBV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+BOLL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("day", T.LongType()),
+        T.StructField("n_eval", T.LongType()),
+        T.StructField("n_upper_breach", T.LongType()),
+        T.StructField("n_lower_breach", T.LongType()),
+        T.StructField("mean_bandwidth", T.DoubleType()),
+        T.StructField("late_dropped", T.LongType()),
+    ]
+)
+
+BOLL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("frontier_ts", T.LongType()),
+        T.StructField("frontier_tid", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+        T.StructField("pend_ts", T.ArrayType(T.LongType())),
+        T.StructField("pend_tid", T.ArrayType(T.LongType())),
+        T.StructField("pend_price", T.ArrayType(T.LongType())),
+        T.StructField("cur_bucket", T.LongType()),
+        T.StructField("cur_close", T.LongType()),
+        # last `period` closed-bar closes, newest last (1e-4 units)
+        T.StructField("close_ring", T.ArrayType(T.LongType())),
+        # open day's running scorecard
+        T.StructField("cur_day", T.LongType()),
+        T.StructField("day_n", T.LongType()),
+        T.StructField("day_up", T.LongType()),
+        T.StructField("day_lo", T.LongType()),
+        T.StructField("day_bw_sum", T.DoubleType()),
+    ]
+)
+
+
+def make_boll_processor(
+    bucket_ms: int = 60_000,
+    period: int = None,
+    k: float = None,
+    allowed_lateness_s: int = 0,
+):
+    """Live Bollinger-breach scorecard — the streaming twin of
+    operators/windows.bollinger_breach.  O(period) per-symbol state:
+    the open bucket's running close, a ring of the last ``period``
+    closed-bar closes, and the open DAY's running scorecard.  Per
+    closed bucket with a full ring, the band edges derive from exact
+    integer 1e-4/1e-8 moment sums converted Fraction-exactly — the
+    SAME doubles the batch DECIMAL(18,6)/(38,12) window sums cast to —
+    so the breach compares cannot drift.  A day emits when a bucket of
+    a LATER day closes (closed-periods-only, the markout convention);
+    the open day never emits.  Batch-equality property-tested with the
+    day restriction; mean_bandwidth compared at 1e-6 (double summation
+    order differs across engines below the 6-dp rounding)."""
+    from bitcoin_datapipeline_spark.operators.windows import (
+        BOLL_K,
+        BOLL_PERIOD,
+    )
+
+    if period is None:
+        period = BOLL_PERIOD
+    if k is None:
+        k = BOLL_K
+    late_ms = allowed_lateness_s * 1000
+    buckets_per_day = 86_400_000 // bucket_ms
+
+    def fn(key, pdfs, state: GroupState):
+        symbol = key[0]
+        chunks = [
+            pdf[["event_ts", "trade_id", "price"]] for pdf in pdfs if len(pdf)
+        ]
+        if not chunks:
+            yield pd.DataFrame(
+                [], columns=[f.name for f in BOLL_OUTPUT_SCHEMA.fields]
+            )
+            return
+        ev = pd.concat(chunks, ignore_index=True)
+        if state.exists:
+            (f_ts, f_tid, n_late, p_ts, p_tid, p_pr,
+             cur_b, cur_close, ring,
+             cur_day, day_n, day_up, day_lo, day_bw) = state.get
+            pend = list(zip(p_ts, p_tid, p_pr))
+            ring = list(ring)
+        else:
+            f_ts = f_tid = _NO_FRONTIER
+            n_late = 0
+            pend = []
+            cur_b = cur_close = cur_day = None
+            ring = []
+            day_n = day_up = day_lo = 0
+            day_bw = 0.0
+
+        new = (
+            (int(ts), int(tid), int(round(float(p) * UNITS)))
+            for ts, tid, p in zip(ev["event_ts"], ev["trade_id"], ev["price"])
+        )
+        fold, pend, (f_ts, f_tid), late_inc = merge_fold(
+            new, pend, (f_ts, f_tid), late_ms
+        )
+        n_late += late_inc
+
+        rows = []
+
+        def emit_day():
+            nonlocal day_n, day_up, day_lo, day_bw
+            if day_n > 0:
+                rows.append((
+                    symbol, int(cur_day), int(day_n), int(day_up),
+                    int(day_lo), _round6(day_bw / day_n), int(n_late),
+                ))
+            day_n = day_up = day_lo = 0
+            day_bw = 0.0
+
+        def close_bucket():
+            nonlocal ring, cur_day, day_n, day_up, day_lo, day_bw
+            day = cur_b // buckets_per_day
+            if cur_day is None:
+                cur_day = day
+            elif day != cur_day:
+                emit_day()
+                cur_day = day
+            ring.append(cur_close)
+            if len(ring) > period:
+                ring = ring[1:]
+            if len(ring) == period:
+                # exact moment sums -> the batch decimal-cast doubles
+                s1 = float(Fraction(sum(ring), UNITS))
+                s2 = float(Fraction(sum(c * c for c in ring), UNITS * UNITS))
+                mean = s1 / period
+                var = max(0.0, s2 / period - mean * mean)
+                std = var ** 0.5
+                close = float(Fraction(cur_close, UNITS))
+                day_n += 1
+                if close > mean + k * std:
+                    day_up += 1
+                if close < mean - k * std:
+                    day_lo += 1
+                day_bw += 2.0 * k * std / mean
+
+        for ts, tid, p_u in fold:
+            b = ts // bucket_ms
+            if cur_b is None:
+                cur_b = b
+            elif b != cur_b:
+                close_bucket()
+                cur_b = b
+            cur_close = p_u
+
+        state.update((
+            int(f_ts), int(f_tid), int(n_late),
+            [t[0] for t in pend], [t[1] for t in pend],
+            [t[2] for t in pend],
+            int(cur_b) if cur_b is not None else None,
+            int(cur_close) if cur_close is not None else None,
+            [int(x) for x in ring],
+            int(cur_day) if cur_day is not None else None,
+            int(day_n), int(day_up), int(day_lo), float(day_bw),
+        ))
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in BOLL_OUTPUT_SCHEMA.fields]
+        )
+
+    return fn
+
+
+def stream_bollinger(
+    trades: DataFrame,
+    bucket_ms: int = 60_000,
+    period: int = None,
+    k: float = None,
+    allowed_lateness_s: int = 0,
+) -> DataFrame:
+    """Live Bollinger-breach scorecard: one append-final row per closed
+    (symbol, day) once a later day's bucket closes, equal to the batch
+    windows.bollinger_breach row over bars restricted to closed buckets
+    and completed days (property-tested)."""
+    return trades.groupBy("symbol").applyInPandasWithState(
+        make_boll_processor(bucket_ms, period, k, allowed_lateness_s),
+        outputStructType=BOLL_OUTPUT_SCHEMA,
+        stateStructType=BOLL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

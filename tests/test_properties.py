@@ -4389,6 +4389,139 @@ def test_stream_stoch_processor_matches_batch(spark, batch, n_chunks):
     assert got == want
 
 
+@given(batch=trade_strategy, n_chunks=st.integers(min_value=1, max_value=4))
+@_settings
+def test_stream_obv_processor_matches_batch(spark, batch, n_chunks):
+    """The streaming OBV processor emits per closed minute bucket exactly
+    the batch windows.obv row over (close, volume) bars from the buckets
+    closed so far — the signed-volume prefix sum on the exact integer
+    1e-4 grid, including the zero on the symbol's first bar and on flat
+    closes."""
+    from bitcoin_datapipeline_spark.operators.windows import obv
+    from bitcoin_datapipeline_spark.streaming.impact import (
+        make_obv_processor,
+    )
+
+    ordered = sorted(batch, key=lambda t: t[1])
+    recs = [
+        Row(symbol=s, event_ts=ts, trade_id=i, price=c / 100.0,
+            qty=float(q))
+        for i, (s, ts, _tid, c, q, m) in enumerate(ordered)
+    ]
+    emitted = _drive_processor(
+        make_obv_processor(),
+        recs,
+        ["event_ts", "trade_id", "price", "qty"],
+        n_chunks,
+    )
+    bars = {}
+    for r in recs:
+        k = (r.symbol, r.event_ts // 60_000)
+        if k not in bars:
+            bars[k] = [r.price, 0.0]
+        bars[k][0] = r.price        # close = last in fold order
+        bars[k][1] += r.qty
+    last_bucket = {}
+    for s, b in bars:
+        last_bucket[s] = max(last_bucket.get(s, -1), b)
+    closed = [
+        (s, b, c, v) for (s, b), (c, v) in bars.items()
+        if b < last_bucket[s]
+    ]
+    if closed:
+        df = spark.createDataFrame(
+            [Row(symbol=s, bucket=b, close=c, volume=v)
+             for s, b, c, v in closed],
+            "symbol string, bucket long, close double, volume double",
+        )
+        want = {
+            (r.symbol, r.bucket): (r.volume, r.obv)
+            for r in obv(df).collect()
+        }
+    else:
+        want = {}
+    got = {}
+    for e in emitted:
+        assert e.late_dropped == 0
+        got[(e.symbol, e.bucket)] = (e.volume, e.obv)
+    assert got == want
+
+
+_boll_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["BTC", "ETH"]),
+        # ~2.3 days of minute buckets so the DAY grain actually closes
+        st.integers(min_value=0, max_value=200_000_000),
+        st.integers(min_value=1, max_value=99999),    # price cents
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(batch=_boll_strategy, n_chunks=st.integers(min_value=1, max_value=4))
+@_settings
+def test_stream_bollinger_processor_matches_batch(spark, batch, n_chunks):
+    """The streaming Bollinger processor emits one scorecard row per
+    COMPLETED (symbol, day) — a day completes when a later day's bucket
+    closes — equal to the batch windows.bollinger_breach row over bars
+    restricted to closed buckets; counts exact, mean_bandwidth at 1e-6
+    (cross-engine double-summation order under the 6-dp rounding)."""
+    from bitcoin_datapipeline_spark.operators.windows import (
+        bollinger_breach,
+    )
+    from bitcoin_datapipeline_spark.streaming.impact import (
+        make_boll_processor,
+    )
+
+    period = 3
+    ordered = sorted(batch, key=lambda t: t[1])
+    recs = [
+        Row(symbol=s, event_ts=ts, trade_id=i, price=c / 100.0)
+        for i, (s, ts, c) in enumerate(ordered)
+    ]
+    emitted = _drive_processor(
+        make_boll_processor(period=period),
+        recs,
+        ["event_ts", "trade_id", "price"],
+        n_chunks,
+    )
+    closes = {}
+    for r in recs:
+        closes[(r.symbol, r.event_ts // 60_000)] = r.price
+    last_bucket = {}
+    for s, b in closes:
+        last_bucket[s] = max(last_bucket.get(s, -1), b)
+    closed = [(s, b, c) for (s, b), c in closes.items()
+              if b < last_bucket[s]]
+    # a day is COMPLETE once any closed bucket of a later day exists
+    last_closed_day = {}
+    for s, b, _c in closed:
+        last_closed_day[s] = max(last_closed_day.get(s, -1), b // 1440)
+    want = {}
+    if closed:
+        for r in bollinger_breach(
+            _bars_df(spark, closed), period=period
+        ).collect():
+            if r.day < last_closed_day[r.symbol]:
+                want[(r.symbol, r.day)] = (
+                    r.n_eval, r.n_upper_breach, r.n_lower_breach,
+                    r.mean_bandwidth,
+                )
+    got = {}
+    for e in emitted:
+        assert e.late_dropped == 0
+        got[(e.symbol, e.day)] = (
+            e.n_eval, e.n_upper_breach, e.n_lower_breach,
+            e.mean_bandwidth,
+        )
+    assert got.keys() == want.keys()
+    for key2, (n, up, lo, bw) in want.items():
+        gn, gup, glo, gbw = got[key2]
+        assert (gn, gup, glo) == (n, up, lo), (key2, got[key2], want[key2])
+        assert abs(gbw - bw) <= 1e-6, (key2, got[key2], want[key2])
+
+
 # ---------------------------------------------------------------------------
 # round-8 batch operators vs naive references
 

@@ -1404,6 +1404,133 @@ def test_stream_rsi_real_stream_ring_survives_checkpoint(spark, tmp_path):
     assert got == want
 
 
+def test_stream_obv_real_stream_prefix_survives_checkpoint(spark, tmp_path):
+    """Streaming OBV through a REAL availableNow stream: the signed-volume
+    prefix sum and prev-close state survive checkpointed micro-batches,
+    and every closed bucket emits the batch windows.obv row."""
+    from bitcoin_datapipeline_spark.operators.windows import obv
+    from bitcoin_datapipeline_spark.streaming.impact import stream_obv
+
+    schema = (
+        "symbol string, event_ts long, trade_id long, price double,"
+        " qty double"
+    )
+    # per-minute (close, qty): up, up, down, flat, up — OBV flips sign
+    bars_in = [(100.0, 2.0), (101.0, 3.0), (99.0, 5.0),
+               (99.0, 7.0), (102.0, 1.0), (50.0, 9.0)]
+    rows = [
+        ("A", i * 60_000 + 1, i, c, q) for i, (c, q) in enumerate(bars_in)
+    ]
+    batch1, batch2 = rows[:3], rows[3:]
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def run_once(part_rows, part):
+        spark.createDataFrame(part_rows, schema).coalesce(1).write.parquet(
+            str(src / part)
+        )
+        q = (
+            stream_obv(
+                spark.readStream.schema(
+                    spark.createDataFrame([], schema).schema
+                ).option("recursiveFileLookup", "true").parquet(str(src))
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once(batch1, "p1")
+    run_once(batch2, "p2")
+
+    got = {r.bucket: (r.volume, r.obv)
+           for r in spark.read.parquet(out).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}  # bucket 5 still open
+    closed = [("A", i, c, q) for i, (c, q) in enumerate(bars_in[:5])]
+    want = {
+        r.bucket: (r.volume, r.obv)
+        for r in obv(
+            spark.createDataFrame(
+                closed,
+                "symbol string, bucket long, close double, volume double",
+            )
+        ).collect()
+    }
+    assert got == want
+
+
+def test_stream_bollinger_real_stream_day_survives_checkpoint(
+    spark, tmp_path
+):
+    """Streaming Bollinger through a REAL availableNow stream: the close
+    ring AND the open day's scorecard partials survive checkpointed
+    micro-batches (the batch split lands mid-day), and the completed day
+    emits the batch windows.bollinger_breach row."""
+    from bitcoin_datapipeline_spark.operators.windows import (
+        bollinger_breach,
+    )
+    from bitcoin_datapipeline_spark.streaming.impact import stream_bollinger
+
+    schema = "symbol string, event_ts long, trade_id long, price double"
+    # day 0: buckets 0-4 (ring of 3 fills at bucket 2 -> 3 evals);
+    # day 1: bucket 1440 CLOSES (bucket 1441 arrives) -> day 0 emits;
+    # bucket 1441 and day 1 stay open
+    closes = [100.0, 150.0, 50.0, 200.0, 10.0]
+    rows = [("A", i * 60_000 + 1, i, c) for i, c in enumerate(closes)]
+    rows.append(("A", 1440 * 60_000 + 1, 9, 120.0))
+    rows.append(("A", 1441 * 60_000 + 1, 10, 121.0))
+    batch1, batch2 = rows[:3], rows[3:]
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def run_once(part_rows, part):
+        spark.createDataFrame(part_rows, schema).coalesce(1).write.parquet(
+            str(src / part)
+        )
+        q = (
+            stream_bollinger(
+                spark.readStream.schema(
+                    spark.createDataFrame([], schema).schema
+                ).option("recursiveFileLookup", "true").parquet(str(src)),
+                period=3,
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once(batch1, "p1")
+    run_once(batch2, "p2")
+
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1 and got[0].day == 0
+    closed = [("A", i, c) for i, c in enumerate(closes)]
+    want = bollinger_breach(
+        spark.createDataFrame(
+            closed, "symbol string, bucket long, close double"
+        ),
+        period=3,
+    ).collect()
+    assert len(want) == 1
+    g, w = got[0], want[0]
+    assert (g.n_eval, g.n_upper_breach, g.n_lower_breach) == (
+        w.n_eval, w.n_upper_breach, w.n_lower_breach
+    )
+    assert abs(g.mean_bandwidth - w.mean_bandwidth) <= 1e-6
+
+
 def test_stream_markout_real_stream_delayed_emission(spark, tmp_path):
     """Streaming markout through a REAL availableNow stream: the
     delayed-emission state (pending trades with nested horizon-mid
