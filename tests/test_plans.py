@@ -718,6 +718,155 @@ SHUFFLE_BUDGETS = {
 }
 
 
+# r9 second pass: the same guard extended to EVERY registered query —
+# measured static exchange counts (sf0.001, AQE initial plan, same
+# counting as SHUFFLE_BUDGETS).  The outliers are static-plan counts
+# whose shared scans AQE ReusedExchange collapses at runtime (the
+# q_markout_sliced precedent): q_feature_drift 22 (per-feature moment
+# legs over one gold subtree), q_doc_minhash_dedup_capped 20,
+# q_gold_training_set_1s 19, q_dedup_funnel 14 (per-stage counts over
+# one dedup scan).
+NON_HEADLINE_SHUFFLE_BUDGETS = {
+    "q_anti_processed": 0,
+    "q_bba_features": 1,
+    "q_categorize": 0,
+    "q_corpus_mix": 3,
+    "q_corpus_resample": 3,
+    "q_corr": 1,
+    "q_counts": 1,
+    "q_counts_salted": 2,
+    "q_cube_sales": 1,
+    "q_customer_distribution": 2,
+    "q_decimal_cast": 0,
+    "q_decimal_string_format": 0,
+    "q_dedup_components": 2,
+    "q_dedup_funnel": 14,
+    "q_dedup_sink_stats": 2,
+    "q_depth_features": 1,
+    "q_derived_lag": 1,
+    "q_derived_time": 0,
+    "q_disjunctive_parts": 1,
+    "q_distinct_counts": 2,
+    "q_doc_bloom_gate": 3,
+    "q_doc_chunks": 0,
+    "q_doc_decontaminate": 1,
+    "q_doc_dsir_weights": 7,
+    "q_doc_exact_dedup": 1,
+    "q_doc_fingerprint": 0,
+    "q_doc_hash_split": 0,
+    "q_doc_minhash_dedup_capped": 20,
+    "q_doc_pack": 1,
+    "q_doc_perplexity_bigram": 5,
+    "q_doc_perplexity_bigram_capped": 11,
+    "q_doc_quality": 0,
+    "q_doc_quality_filter": 0,
+    "q_doc_repetition": 2,
+    "q_doc_sample": 0,
+    "q_doc_scrub": 0,
+    "q_doc_split_repair": 4,
+    "q_doc_stats": 0,
+    "q_doc_substring_dup": 3,
+    "q_doc_winnow": 0,
+    "q_doc_winnow_pairs": 1,
+    "q_embed_ann_lsh": 1,
+    "q_embed_ann_lsh_multi": 2,
+    "q_embed_cluster_stats": 7,
+    "q_embed_cosine_pairs": 0,
+    "q_embed_prune_prototypes": 3,
+    "q_embed_quantize": 0,
+    "q_embed_random_projection": 0,
+    "q_feature_drift": 22,
+    "q_feature_label_join": 5,
+    "q_funnel": 2,
+    "q_gap_detect": 1,
+    "q_gold_training_set_1s": 19,
+    "q_gold_vector_1s": 6,
+    "q_grid_ewma": 4,
+    "q_group_compare": 2,
+    "q_health_rollup": 3,
+    "q_higher_moments": 3,
+    "q_interval_join": 2,
+    "q_kline_parse": 0,
+    "q_kyle_lambda": 3,
+    "q_labels_10s": 4,
+    "q_lang_id": 0,
+    "q_large_orders": 1,
+    "q_late_shipments": 1,
+    "q_latest_per_key": 1,
+    "q_lee_ready": 3,
+    "q_market_share": 1,
+    "q_max_ts": 1,
+    "q_min_cost_supplier": 1,
+    "q_momentum": 3,
+    "q_multimodal_decode": 1,
+    "q_multimodal_frames": 0,
+    "q_multimodal_meta": 0,
+    "q_multimodal_resize": 1,
+    "q_ngram_jaccard": 3,
+    "q_normalize_trades": 0,
+    "q_order_priority": 1,
+    "q_orderbook_replay": 3,
+    "q_pair_correlation": 10,
+    "q_parts_supplier_counts": 2,
+    "q_pivot_orderstatus": 1,
+    "q_product_profit": 1,
+    "q_profile_trades": 2,
+    "q_promo_revenue": 1,
+    "q_resample_bars_1h": 3,
+    "q_return_outliers": 3,
+    "q_returned_customers": 1,
+    "q_returns": 3,
+    "q_roll_spread": 2,
+    "q_rolling_volatility": 3,
+    "q_rollup_sales": 1,
+    "q_sales_opportunity": 2,
+    "q_semi_processed": 0,
+    "q_session_stats": 1,
+    "q_sessionize": 1,
+    "q_simhash": 1,
+    "q_small_qty_revenue": 2,
+    "q_source_consistency": 1,
+    "q_supplier_above_avg": 3,
+    "q_tfidf": 5,
+    "q_time_split": 4,
+    "q_token_count": 0,
+    "q_topk_recent": 1,
+    "q_union_sources": 2,
+    "q_unpivot_metrics": 1,
+    "q_validate_filter": 0,
+    "q_vocab": 3,
+    "q_volatility_estimators": 3,
+    "q_volume_shipping": 1,
+    "q_winsorize": 5,
+}
+
+
+def test_every_query_has_a_shuffle_budget_and_stays_in_it(spark, sf01):
+    """EVERY registered query — headline or not — has a pinned static
+    shuffle budget and stays within it, so adding a query without a
+    budget (or a refactor that quietly adds an exchange anywhere in the
+    234-query surface) fails loudly here instead of surfacing as a
+    wall-clock regression at scale."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    all_budgets = {**SHUFFLE_BUDGETS, **NON_HEADLINE_SHUFFLE_BUDGETS}
+    assert set(all_budgets) == set(qs), (
+        set(all_budgets) ^ set(qs)
+    )
+    over = {}
+    for name, budget in NON_HEADLINE_SHUFFLE_BUDGETS.items():
+        p = _plan(spark, qs[name](spark, sf01), mode="simple")
+        n = (
+            p.count("Exchange hashpartitioning")
+            + p.count("Exchange rangepartitioning")
+            + p.count("Exchange SinglePartition")
+        )
+        if n > budget:
+            over[name] = (n, budget)
+    assert not over, f"shuffle budget exceeded: {over}"
+
+
 def test_headline_shuffle_budgets(spark, sf01):
     """Every headline query's shuffle count stays within its recorded
     budget (see SHUFFLE_BUDGETS)."""
