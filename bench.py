@@ -791,6 +791,9 @@ STREAM_PROCESSORS = [
     ("stream_rsi", "trades"),              # ring-buffer TA state
     ("stream_obv", "trades"),              # O(1) signed-prefix TA state
     ("stream_bollinger", "trades"),        # ring + day-scorecard state
+    ("stream_momentum", "trades"),         # O(1) nested-lag state
+    ("stream_drawdown", "trades"),         # O(1) running-summary state
+    ("stream_candle_patterns", "trades"),  # OHLC + day-scorecard state
     ("stream_effective_spread", "merged"), # as-of quote-match state
     ("stream_markout", "merged"),          # delayed-emission state
 ]
@@ -885,6 +888,9 @@ def streaming_main(provider: str = "hdfs") -> None:
             "stream_rsi": impact.stream_rsi,
             "stream_obv": impact.stream_obv,
             "stream_bollinger": impact.stream_bollinger,
+            "stream_momentum": impact.stream_momentum,
+            "stream_drawdown": impact.stream_drawdown,
+            "stream_candle_patterns": impact.stream_candle_patterns,
             "stream_effective_spread": impact.stream_effective_spread,
             "stream_markout": impact.stream_markout,
         }

@@ -2409,3 +2409,495 @@ def stream_bollinger(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+MOM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("close", T.DoubleType()),
+        T.StructField("momentum", T.DoubleType()),
+        T.StructField("acceleration", T.DoubleType()),
+        T.StructField("volume_trend", T.DoubleType()),
+        T.StructField("late_dropped", T.LongType()),
+    ]
+)
+
+MOM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("frontier_ts", T.LongType()),
+        T.StructField("frontier_tid", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+        T.StructField("pend_ts", T.ArrayType(T.LongType())),
+        T.StructField("pend_tid", T.ArrayType(T.LongType())),
+        T.StructField("pend_price", T.ArrayType(T.LongType())),
+        T.StructField("pend_qty", T.ArrayType(T.LongType())),
+        T.StructField("cur_bucket", T.LongType()),
+        T.StructField("cur_close", T.LongType()),
+        T.StructField("cur_vol", T.LongType()),
+        T.StructField("prev_close", T.LongType()),
+        T.StructField("prev_mom", T.LongType()),
+        T.StructField("prev_vol", T.LongType()),
+    ]
+)
+
+
+def make_momentum_processor(
+    bucket_ms: int = 60_000,
+    allowed_lateness_s: int = 0,
+):
+    """Live momentum / acceleration / volume trend — the streaming twin
+    of operators/windows.momentum (nested lags of first differences).
+    O(1) per-symbol state: open-bucket (close, volume) partials plus the
+    previous bar's close, momentum, and volume — all integer 1e-4 units,
+    so the emitted differences are the batch DECIMAL-exact values
+    (property-tested; the first bar's NULL momentum and the second
+    bar's NULL acceleration included)."""
+    late_ms = allowed_lateness_s * 1000
+
+    def fn(key, pdfs, state: GroupState):
+        symbol = key[0]
+        chunks = [
+            pdf[["event_ts", "trade_id", "price", "qty"]]
+            for pdf in pdfs
+            if len(pdf)
+        ]
+        if not chunks:
+            yield pd.DataFrame(
+                [], columns=[f.name for f in MOM_OUTPUT_SCHEMA.fields]
+            )
+            return
+        ev = pd.concat(chunks, ignore_index=True)
+        if state.exists:
+            (f_ts, f_tid, n_late, p_ts, p_tid, p_pr, p_q,
+             cur_b, cur_close, cur_vol,
+             prev_close, prev_mom, prev_vol) = state.get
+            pend = list(zip(p_ts, p_tid, p_pr, p_q))
+        else:
+            f_ts = f_tid = _NO_FRONTIER
+            n_late = 0
+            pend = []
+            cur_b = cur_close = prev_close = prev_mom = prev_vol = None
+            cur_vol = 0
+
+        new = (
+            (int(ts), int(tid), int(round(float(p) * UNITS)),
+             int(round(float(q) * UNITS)))
+            for ts, tid, p, q in zip(
+                ev["event_ts"], ev["trade_id"], ev["price"], ev["qty"]
+            )
+        )
+        fold, pend, (f_ts, f_tid), late_inc = merge_fold(
+            new, pend, (f_ts, f_tid), late_ms
+        )
+        n_late += late_inc
+
+        rows = []
+
+        def close_bucket():
+            nonlocal prev_close, prev_mom, prev_vol
+            mom = None if prev_close is None else cur_close - prev_close
+            accel = (
+                None if mom is None or prev_mom is None else mom - prev_mom
+            )
+            vt = None if prev_vol is None else cur_vol - prev_vol
+            rows.append((
+                symbol,
+                int(cur_b),
+                float(Fraction(cur_close, UNITS)),
+                None if mom is None else float(Fraction(mom, UNITS)),
+                None if accel is None else float(Fraction(accel, UNITS)),
+                None if vt is None else float(Fraction(vt, UNITS)),
+                int(n_late),
+            ))
+            prev_close, prev_mom, prev_vol = cur_close, mom, cur_vol
+
+        for ts, tid, p_u, q_u in fold:
+            b = ts // bucket_ms
+            if cur_b is None:
+                cur_b = b
+            elif b != cur_b:
+                close_bucket()
+                cur_b = b
+                cur_vol = 0
+            cur_close = p_u
+            cur_vol += q_u
+
+        state.update((
+            int(f_ts), int(f_tid), int(n_late),
+            [t[0] for t in pend], [t[1] for t in pend],
+            [t[2] for t in pend], [t[3] for t in pend],
+            int(cur_b) if cur_b is not None else None,
+            int(cur_close) if cur_close is not None else None,
+            int(cur_vol),
+            int(prev_close) if prev_close is not None else None,
+            int(prev_mom) if prev_mom is not None else None,
+            int(prev_vol) if prev_vol is not None else None,
+        ))
+        out = pd.DataFrame(
+            rows, columns=[f.name for f in MOM_OUTPUT_SCHEMA.fields]
+        )
+        for c in ("momentum", "acceleration", "volume_trend"):
+            out[c] = out[c].astype(object).where(pd.notna(out[c]), None)
+        yield out
+
+    return fn
+
+
+def stream_momentum(
+    trades: DataFrame,
+    bucket_ms: int = 60_000,
+    allowed_lateness_s: int = 0,
+) -> DataFrame:
+    """Live momentum/acceleration/volume-trend: one append-final row per
+    closed minute bucket, equal to the batch windows.momentum row
+    (property-tested)."""
+    return trades.groupBy("symbol").applyInPandasWithState(
+        make_momentum_processor(bucket_ms, allowed_lateness_s),
+        outputStructType=MOM_OUTPUT_SCHEMA,
+        stateStructType=MOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+DD_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("n_bars", T.LongType()),
+        T.StructField("max_drawdown", T.DoubleType()),
+        T.StructField("trough_bucket", T.LongType()),
+        T.StructField("peak_close", T.DoubleType()),
+        T.StructField("trough_close", T.DoubleType()),
+        T.StructField("late_dropped", T.LongType()),
+    ]
+)
+
+DD_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("frontier_ts", T.LongType()),
+        T.StructField("frontier_tid", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+        T.StructField("pend_ts", T.ArrayType(T.LongType())),
+        T.StructField("pend_tid", T.ArrayType(T.LongType())),
+        T.StructField("pend_price", T.ArrayType(T.LongType())),
+        T.StructField("cur_bucket", T.LongType()),
+        T.StructField("cur_close", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("n_bars", T.LongType()),
+        T.StructField("worst_dd", T.DoubleType()),
+        T.StructField("worst_bucket", T.LongType()),
+        T.StructField("worst_peak", T.LongType()),
+        T.StructField("worst_close", T.LongType()),
+    ]
+)
+
+
+def make_drawdown_processor(
+    bucket_ms: int = 60_000,
+    allowed_lateness_s: int = 0,
+):
+    """Live maximum drawdown — the streaming twin of
+    operators/windows.drawdown, emitted as a RUNNING summary: after
+    every closed bucket, one row equal to the batch operator over the
+    bars closed so far (the kyle/roll prefix-emission convention).
+    O(1) per-symbol state: running integer peak, bar count, and the
+    worst (dd, bucket, peak, close) tuple, compared with the SAME
+    doubles the batch close/peak − 1.0 derives (Fraction-exact unit
+    conversion, Python tuple order = the batch struct-min order since
+    bucket is unique per symbol)."""
+    late_ms = allowed_lateness_s * 1000
+
+    def fn(key, pdfs, state: GroupState):
+        symbol = key[0]
+        chunks = [
+            pdf[["event_ts", "trade_id", "price"]] for pdf in pdfs if len(pdf)
+        ]
+        if not chunks:
+            yield pd.DataFrame(
+                [], columns=[f.name for f in DD_OUTPUT_SCHEMA.fields]
+            )
+            return
+        ev = pd.concat(chunks, ignore_index=True)
+        if state.exists:
+            (f_ts, f_tid, n_late, p_ts, p_tid, p_pr,
+             cur_b, cur_close, peak, n_bars,
+             w_dd, w_b, w_peak, w_close) = state.get
+            pend = list(zip(p_ts, p_tid, p_pr))
+        else:
+            f_ts = f_tid = _NO_FRONTIER
+            n_late = 0
+            pend = []
+            cur_b = cur_close = peak = None
+            n_bars = 0
+            w_dd = w_b = w_peak = w_close = None
+
+        new = (
+            (int(ts), int(tid), int(round(float(p) * UNITS)))
+            for ts, tid, p in zip(ev["event_ts"], ev["trade_id"], ev["price"])
+        )
+        fold, pend, (f_ts, f_tid), late_inc = merge_fold(
+            new, pend, (f_ts, f_tid), late_ms
+        )
+        n_late += late_inc
+
+        rows = []
+
+        def close_bucket():
+            nonlocal peak, n_bars, w_dd, w_b, w_peak, w_close
+            peak = cur_close if peak is None else max(peak, cur_close)
+            n_bars += 1
+            close_d = float(Fraction(cur_close, UNITS))
+            peak_d = float(Fraction(peak, UNITS))
+            dd = close_d / peak_d - 1.0
+            cand = (dd, int(cur_b), peak, cur_close)
+            if w_dd is None or cand < (w_dd, w_b, w_peak, w_close):
+                w_dd, w_b, w_peak, w_close = cand
+            rows.append((
+                symbol,
+                int(cur_b),
+                int(n_bars),
+                _round6(w_dd),
+                int(w_b),
+                _round6(float(Fraction(w_peak, UNITS))),
+                _round6(float(Fraction(w_close, UNITS))),
+                int(n_late),
+            ))
+
+        for ts, tid, p_u in fold:
+            b = ts // bucket_ms
+            if cur_b is None:
+                cur_b = b
+            elif b != cur_b:
+                close_bucket()
+                cur_b = b
+            cur_close = p_u
+
+        state.update((
+            int(f_ts), int(f_tid), int(n_late),
+            [t[0] for t in pend], [t[1] for t in pend],
+            [t[2] for t in pend],
+            int(cur_b) if cur_b is not None else None,
+            int(cur_close) if cur_close is not None else None,
+            int(peak) if peak is not None else None,
+            int(n_bars),
+            float(w_dd) if w_dd is not None else None,
+            int(w_b) if w_b is not None else None,
+            int(w_peak) if w_peak is not None else None,
+            int(w_close) if w_close is not None else None,
+        ))
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in DD_OUTPUT_SCHEMA.fields]
+        )
+
+    return fn
+
+
+def stream_drawdown(
+    trades: DataFrame,
+    bucket_ms: int = 60_000,
+    allowed_lateness_s: int = 0,
+) -> DataFrame:
+    """Live running max-drawdown summary: one append row per closed
+    bucket, equal to the batch windows.drawdown over the bars closed so
+    far (property-tested)."""
+    return trades.groupBy("symbol").applyInPandasWithState(
+        make_drawdown_processor(bucket_ms, allowed_lateness_s),
+        outputStructType=DD_OUTPUT_SCHEMA,
+        stateStructType=DD_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+CANDLE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("day", T.LongType()),
+        T.StructField("n_bars", T.LongType()),
+        T.StructField("n_flat", T.LongType()),
+        T.StructField("n_doji", T.LongType()),
+        T.StructField("n_hammer", T.LongType()),
+        T.StructField("n_bull_engulf", T.LongType()),
+        T.StructField("n_bear_engulf", T.LongType()),
+        T.StructField("late_dropped", T.LongType()),
+    ]
+)
+
+CANDLE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("frontier_ts", T.LongType()),
+        T.StructField("frontier_tid", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+        T.StructField("pend_ts", T.ArrayType(T.LongType())),
+        T.StructField("pend_tid", T.ArrayType(T.LongType())),
+        T.StructField("pend_price", T.ArrayType(T.LongType())),
+        T.StructField("cur_bucket", T.LongType()),
+        T.StructField("cur_o", T.LongType()),
+        T.StructField("cur_h", T.LongType()),
+        T.StructField("cur_l", T.LongType()),
+        T.StructField("cur_c", T.LongType()),
+        T.StructField("prev_open", T.LongType()),
+        T.StructField("prev_close", T.LongType()),
+        T.StructField("cur_day", T.LongType()),
+        T.StructField("day_bars", T.LongType()),
+        T.StructField("day_flat", T.LongType()),
+        T.StructField("day_doji", T.LongType()),
+        T.StructField("day_hammer", T.LongType()),
+        T.StructField("day_bull", T.LongType()),
+        T.StructField("day_bear", T.LongType()),
+    ]
+)
+
+
+def make_candle_processor(
+    bucket_ms: int = 60_000,
+    allowed_lateness_s: int = 0,
+):
+    """Live candlestick-pattern scorecard — the streaming twin of
+    operators/aggregates.candle_patterns.  O(1) per-symbol state: the
+    open bucket's OHLC partials, the previous CLOSED bar's (open,
+    close), and the open day's six counters.  Pattern predicates
+    replicate the batch DOUBLE compares exactly (Fraction-exact unit
+    conversion then the same IEEE arithmetic, including the inexact
+    0.1 doji fraction); a day emits when a later day's bucket closes
+    (the bollinger closed-periods convention)."""
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        DOJI_BODY_FRAC,
+    )
+
+    late_ms = allowed_lateness_s * 1000
+    buckets_per_day = 86_400_000 // bucket_ms
+
+    def fn(key, pdfs, state: GroupState):
+        symbol = key[0]
+        chunks = [
+            pdf[["event_ts", "trade_id", "price"]] for pdf in pdfs if len(pdf)
+        ]
+        if not chunks:
+            yield pd.DataFrame(
+                [], columns=[f.name for f in CANDLE_OUTPUT_SCHEMA.fields]
+            )
+            return
+        ev = pd.concat(chunks, ignore_index=True)
+        if state.exists:
+            (f_ts, f_tid, n_late, p_ts, p_tid, p_pr,
+             cur_b, cur_o, cur_h, cur_l, cur_c,
+             prev_o, prev_c, cur_day,
+             d_bars, d_flat, d_doji, d_hammer, d_bull, d_bear) = state.get
+            pend = list(zip(p_ts, p_tid, p_pr))
+        else:
+            f_ts = f_tid = _NO_FRONTIER
+            n_late = 0
+            pend = []
+            cur_b = cur_o = cur_h = cur_l = cur_c = None
+            prev_o = prev_c = cur_day = None
+            d_bars = d_flat = d_doji = d_hammer = d_bull = d_bear = 0
+
+        new = (
+            (int(ts), int(tid), int(round(float(p) * UNITS)))
+            for ts, tid, p in zip(ev["event_ts"], ev["trade_id"], ev["price"])
+        )
+        fold, pend, (f_ts, f_tid), late_inc = merge_fold(
+            new, pend, (f_ts, f_tid), late_ms
+        )
+        n_late += late_inc
+
+        rows = []
+
+        def emit_day():
+            nonlocal d_bars, d_flat, d_doji, d_hammer, d_bull, d_bear
+            if d_bars > 0:
+                rows.append((
+                    symbol, int(cur_day), int(d_bars), int(d_flat),
+                    int(d_doji), int(d_hammer), int(d_bull), int(d_bear),
+                    int(n_late),
+                ))
+            d_bars = d_flat = d_doji = d_hammer = d_bull = d_bear = 0
+
+        def close_bucket():
+            nonlocal prev_o, prev_c, cur_day
+            nonlocal d_bars, d_flat, d_doji, d_hammer, d_bull, d_bear
+            day = cur_b // buckets_per_day
+            if cur_day is None:
+                cur_day = day
+            elif day != cur_day:
+                emit_day()
+                cur_day = day
+            o = float(Fraction(cur_o, UNITS))
+            h = float(Fraction(cur_h, UNITS))
+            l = float(Fraction(cur_l, UNITS))  # noqa: E741
+            c = float(Fraction(cur_c, UNITS))
+            body = abs(c - o)
+            rng = h - l
+            lower = min(o, c) - l
+            upper = h - max(o, c)
+            d_bars += 1
+            if rng == 0.0:
+                d_flat += 1
+            if rng > 0.0 and body <= DOJI_BODY_FRAC * rng:
+                d_doji += 1
+            if rng > 0.0 and lower >= 2.0 * body and upper <= body:
+                d_hammer += 1
+            if prev_c is not None:
+                po = float(Fraction(prev_o, UNITS))
+                pc = float(Fraction(prev_c, UNITS))
+                if pc < po and c > o and o <= pc and c >= po:
+                    d_bull += 1
+                if pc > po and c < o and o >= pc and c <= po:
+                    d_bear += 1
+            prev_o, prev_c = cur_o, cur_c
+
+        for ts, tid, p_u in fold:
+            b = ts // bucket_ms
+            if cur_b is None:
+                cur_b = b
+                cur_o = cur_h = cur_l = p_u
+            elif b != cur_b:
+                close_bucket()
+                cur_b = b
+                cur_o = cur_h = cur_l = p_u
+            else:
+                cur_h = max(cur_h, p_u)
+                cur_l = min(cur_l, p_u)
+            cur_c = p_u
+
+        state.update((
+            int(f_ts), int(f_tid), int(n_late),
+            [t[0] for t in pend], [t[1] for t in pend],
+            [t[2] for t in pend],
+            int(cur_b) if cur_b is not None else None,
+            int(cur_o) if cur_o is not None else None,
+            int(cur_h) if cur_h is not None else None,
+            int(cur_l) if cur_l is not None else None,
+            int(cur_c) if cur_c is not None else None,
+            int(prev_o) if prev_o is not None else None,
+            int(prev_c) if prev_c is not None else None,
+            int(cur_day) if cur_day is not None else None,
+            int(d_bars), int(d_flat), int(d_doji),
+            int(d_hammer), int(d_bull), int(d_bear),
+        ))
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in CANDLE_OUTPUT_SCHEMA.fields]
+        )
+
+    return fn
+
+
+def stream_candle_patterns(
+    trades: DataFrame,
+    bucket_ms: int = 60_000,
+    allowed_lateness_s: int = 0,
+) -> DataFrame:
+    """Live candlestick-pattern scorecard: one append-final row per
+    completed (symbol, day), equal to the batch
+    aggregates.candle_patterns row over bars restricted to closed
+    buckets (property-tested)."""
+    return trades.groupBy("symbol").applyInPandasWithState(
+        make_candle_processor(bucket_ms, allowed_lateness_s),
+        outputStructType=CANDLE_OUTPUT_SCHEMA,
+        stateStructType=CANDLE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -4522,6 +4522,173 @@ def test_stream_bollinger_processor_matches_batch(spark, batch, n_chunks):
         assert abs(gbw - bw) <= 1e-6, (key2, got[key2], want[key2])
 
 
+@given(batch=trade_strategy, n_chunks=st.integers(min_value=1, max_value=4))
+@_settings
+def test_stream_momentum_processor_matches_batch(spark, batch, n_chunks):
+    """The streaming momentum processor emits per closed minute bucket
+    exactly the batch windows.momentum row over (close, volume) bars
+    from the buckets closed so far — including the first bar's NULL
+    momentum and the second bar's NULL acceleration."""
+    from bitcoin_datapipeline_spark.operators.windows import momentum
+    from bitcoin_datapipeline_spark.streaming.impact import (
+        make_momentum_processor,
+    )
+
+    ordered = sorted(batch, key=lambda t: t[1])
+    recs = [
+        Row(symbol=s, event_ts=ts, trade_id=i, price=c / 100.0,
+            qty=float(q))
+        for i, (s, ts, _tid, c, q, m) in enumerate(ordered)
+    ]
+    emitted = _drive_processor(
+        make_momentum_processor(),
+        recs,
+        ["event_ts", "trade_id", "price", "qty"],
+        n_chunks,
+    )
+    bars = {}
+    for r in recs:
+        k = (r.symbol, r.event_ts // 60_000)
+        if k not in bars:
+            bars[k] = [r.price, 0.0]
+        bars[k][0] = r.price
+        bars[k][1] += r.qty
+    last_bucket = {}
+    for s, b in bars:
+        last_bucket[s] = max(last_bucket.get(s, -1), b)
+    closed = [(s, b, c, v) for (s, b), (c, v) in bars.items()
+              if b < last_bucket[s]]
+    want = {}
+    if closed:
+        df = spark.createDataFrame(
+            [Row(symbol=s, bucket=b, close=c, volume=v)
+             for s, b, c, v in closed],
+            "symbol string, bucket long, close double, volume double",
+        )
+        want = {
+            (r.symbol, r.bucket): (r.close, r.momentum, r.acceleration,
+                                   r.volume_trend)
+            for r in momentum(df).collect()
+        }
+    got = {}
+    for e in emitted:
+        assert e.late_dropped == 0
+        got[(e.symbol, e.bucket)] = (e.close, e.momentum, e.acceleration,
+                                     e.volume_trend)
+    assert got == want
+
+
+@given(batch=trade_strategy, n_chunks=st.integers(min_value=1, max_value=4))
+@_settings
+def test_stream_drawdown_processor_matches_batch(spark, batch, n_chunks):
+    """The streaming drawdown processor emits after EVERY closed bucket
+    the exact batch windows.drawdown summary over the bars closed so
+    far — running peak, struct-min trough with earliest-bucket
+    tiebreak, and 6-dp rounding."""
+    from bitcoin_datapipeline_spark.operators.windows import drawdown
+    from bitcoin_datapipeline_spark.streaming.impact import (
+        make_drawdown_processor,
+    )
+
+    ordered = sorted(batch, key=lambda t: t[1])
+    recs = [
+        Row(symbol=s, event_ts=ts, trade_id=i, price=c / 100.0)
+        for i, (s, ts, _tid, c, q, m) in enumerate(ordered)
+    ]
+    emitted = _drive_processor(
+        make_drawdown_processor(),
+        recs,
+        ["event_ts", "trade_id", "price"],
+        n_chunks,
+    )
+    closes = {}
+    for r in recs:
+        closes[(r.symbol, r.event_ts // 60_000)] = r.price
+    by_symbol = {}
+    for (s, b), c in sorted(closes.items()):
+        by_symbol.setdefault(s, []).append((b, c))
+    for e in emitted:
+        assert e.late_dropped == 0
+        prefix = [
+            (e.symbol, b, c) for b, c in by_symbol[e.symbol]
+            if b <= e.bucket
+        ]
+        w = drawdown(_bars_df(spark, prefix)).collect()
+        assert len(w) == 1
+        w = w[0]
+        assert (e.n_bars, e.max_drawdown, e.trough_bucket,
+                e.peak_close, e.trough_close) == (
+            w.n_bars, w.max_drawdown, w.trough_bucket,
+            w.peak_close, w.trough_close,
+        ), (e, w)
+
+
+@given(batch=_boll_strategy, n_chunks=st.integers(min_value=1, max_value=4))
+@_settings
+def test_stream_candle_processor_matches_batch(spark, batch, n_chunks):
+    """The streaming candle processor emits one scorecard row per
+    COMPLETED (symbol, day), equal to the batch
+    aggregates.candle_patterns row over OHLC bars from closed buckets —
+    all six counters exact (the predicates are replicated IEEE double
+    compares, 0.1 doji fraction included)."""
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        candle_patterns,
+    )
+    from bitcoin_datapipeline_spark.streaming.impact import (
+        make_candle_processor,
+    )
+
+    ordered = sorted(batch, key=lambda t: t[1])
+    recs = [
+        Row(symbol=s, event_ts=ts, trade_id=i, price=c / 100.0)
+        for i, (s, ts, c) in enumerate(ordered)
+    ]
+    emitted = _drive_processor(
+        make_candle_processor(),
+        recs,
+        ["event_ts", "trade_id", "price"],
+        n_chunks,
+    )
+    ohlc = {}
+    for r in recs:
+        k = (r.symbol, r.event_ts // 60_000)
+        if k not in ohlc:
+            ohlc[k] = [r.price, r.price, r.price, r.price]
+        ohlc[k][1] = max(ohlc[k][1], r.price)
+        ohlc[k][2] = min(ohlc[k][2], r.price)
+        ohlc[k][3] = r.price
+    last_bucket = {}
+    for s, b in ohlc:
+        last_bucket[s] = max(last_bucket.get(s, -1), b)
+    closed = [(s, b, *v) for (s, b), v in ohlc.items()
+              if b < last_bucket[s]]
+    last_closed_day = {}
+    for s, b, *_v in closed:
+        last_closed_day[s] = max(last_closed_day.get(s, -1), b // 1440)
+    want = {}
+    if closed:
+        df = spark.createDataFrame(
+            [Row(symbol=s, bucket=b, open=o, high=h, low=lo, close=c)
+             for s, b, o, h, lo, c in closed],
+            "symbol string, bucket long, open double, high double,"
+            " low double, close double",
+        )
+        for r in candle_patterns(df).collect():
+            if r.day < last_closed_day[r.symbol]:
+                want[(r.symbol, r.day)] = (
+                    r.n_bars, r.n_flat, r.n_doji, r.n_hammer,
+                    r.n_bull_engulf, r.n_bear_engulf,
+                )
+    got = {}
+    for e in emitted:
+        assert e.late_dropped == 0
+        got[(e.symbol, e.day)] = (
+            e.n_bars, e.n_flat, e.n_doji, e.n_hammer,
+            e.n_bull_engulf, e.n_bear_engulf,
+        )
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # round-8 batch operators vs naive references
 

@@ -1531,6 +1531,149 @@ def test_stream_bollinger_real_stream_day_survives_checkpoint(
     assert abs(g.mean_bandwidth - w.mean_bandwidth) <= 1e-6
 
 
+def test_stream_momentum_drawdown_candle_real_stream_roundtrip(
+    spark, tmp_path
+):
+    """The three r9 second-pass TA twins through REAL availableNow
+    streams: each state schema (nested-lag momentum, running-summary
+    drawdown, OHLC + day-scorecard candle) survives a checkpointed
+    batch split, and the emitted rows equal their batch operators."""
+    from bitcoin_datapipeline_spark.operators.windows import (
+        drawdown,
+        momentum,
+    )
+    from bitcoin_datapipeline_spark.streaming.impact import (
+        stream_drawdown,
+        stream_momentum,
+    )
+
+    schema = (
+        "symbol string, event_ts long, trade_id long, price double,"
+        " qty double"
+    )
+    bars_in = [(100.0, 2.0), (104.0, 3.0), (99.0, 5.0), (101.0, 7.0),
+               (97.0, 1.0), (103.0, 9.0)]
+    rows = [
+        ("A", i * 60_000 + 1, i, c, q) for i, (c, q) in enumerate(bars_in)
+    ]
+    batches = [rows[:3], rows[3:]]
+
+    def drive(builder, sub):
+        src = tmp_path / f"src_{sub}"
+        out = str(tmp_path / f"out_{sub}")
+        ckpt = str(tmp_path / f"ckpt_{sub}")
+        src.mkdir()
+        for j, part in enumerate(batches):
+            spark.createDataFrame(part, schema).coalesce(1).write.parquet(
+                str(src / f"p{j}")
+            )
+            q = (
+                builder(
+                    spark.readStream.schema(
+                        spark.createDataFrame([], schema).schema
+                    ).option("recursiveFileLookup", "true").parquet(str(src))
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        return spark.read.parquet(out).collect()
+
+    closed = [("A", i, c, q) for i, (c, q) in enumerate(bars_in[:5])]
+    bars_df = spark.createDataFrame(
+        closed, "symbol string, bucket long, close double, volume double"
+    )
+
+    got_m = {r.bucket: (r.close, r.momentum, r.acceleration, r.volume_trend)
+             for r in drive(stream_momentum, "mom")}
+    want_m = {r.bucket: (r.close, r.momentum, r.acceleration, r.volume_trend)
+              for r in momentum(bars_df).collect()}
+    assert got_m == want_m and set(got_m) == {0, 1, 2, 3, 4}
+
+    got_d = drive(stream_drawdown, "dd")
+    # running summary: the LAST emitted row equals batch over all closed
+    last = max(got_d, key=lambda r: r.bucket)
+    w = drawdown(bars_df).collect()[0]
+    assert (last.n_bars, last.max_drawdown, last.trough_bucket,
+            last.peak_close, last.trough_close) == (
+        w.n_bars, w.max_drawdown, w.trough_bucket,
+        w.peak_close, w.trough_close,
+    )
+
+
+def test_stream_candle_real_stream_day_roundtrip(spark, tmp_path):
+    """Candle twin through a REAL stream at day grain: day-0 OHLC bars
+    straddle the checkpoint split; the day-1 bucket closes in the second
+    run and day 0 emits the batch candle_patterns row."""
+    from bitcoin_datapipeline_spark.operators.aggregates import (
+        candle_patterns,
+    )
+    from bitcoin_datapipeline_spark.streaming.impact import (
+        stream_candle_patterns,
+    )
+
+    schema = "symbol string, event_ts long, trade_id long, price double"
+    # two trades per minute -> real OHLC; bucket 1440 closes via 1441
+    prices = [(100.0, 100.2), (101.0, 99.0), (99.5, 100.5), (98.0, 98.0)]
+    rows = []
+    for i, (p1, p2) in enumerate(prices):
+        rows.append(("A", i * 60_000 + 1, 2 * i, p1))
+        rows.append(("A", i * 60_000 + 2, 2 * i + 1, p2))
+    rows.append(("A", 1440 * 60_000 + 1, 100, 101.0))
+    rows.append(("A", 1441 * 60_000 + 1, 101, 102.0))
+    batches = [rows[:5], rows[5:]]
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    for j, part in enumerate(batches):
+        spark.createDataFrame(part, schema).coalesce(1).write.parquet(
+            str(src / f"p{j}")
+        )
+        q = (
+            stream_candle_patterns(
+                spark.readStream.schema(
+                    spark.createDataFrame([], schema).schema
+                ).option("recursiveFileLookup", "true").parquet(str(src))
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1 and got[0].day == 0
+    ohlc = {}
+    for s, ts, _tid, p in rows[:8]:
+        b = ts // 60_000
+        if b not in ohlc:
+            ohlc[b] = [p, p, p, p]
+        ohlc[b][1] = max(ohlc[b][1], p)
+        ohlc[b][2] = min(ohlc[b][2], p)
+        ohlc[b][3] = p
+    want = candle_patterns(
+        spark.createDataFrame(
+            [("A", b, *v) for b, v in sorted(ohlc.items())],
+            "symbol string, bucket long, open double, high double,"
+            " low double, close double",
+        )
+    ).collect()
+    assert len(want) == 1
+    g, w = got[0], want[0]
+    assert (g.n_bars, g.n_flat, g.n_doji, g.n_hammer, g.n_bull_engulf,
+            g.n_bear_engulf) == (
+        w.n_bars, w.n_flat, w.n_doji, w.n_hammer, w.n_bull_engulf,
+        w.n_bear_engulf,
+    )
+
+
 def test_stream_markout_real_stream_delayed_emission(spark, tmp_path):
     """Streaming markout through a REAL availableNow stream: the
     delayed-emission state (pending trades with nested horizon-mid
