@@ -794,6 +794,7 @@ STREAM_PROCESSORS = [
     ("stream_momentum", "trades"),         # O(1) nested-lag state
     ("stream_drawdown", "trades"),         # O(1) running-summary state
     ("stream_candle_patterns", "trades"),  # OHLC + day-scorecard state
+    ("stream_rolling_volatility", "trades"),  # O(nbars) moment-ring state
     ("stream_effective_spread", "merged"), # as-of quote-match state
     ("stream_markout", "merged"),          # delayed-emission state
 ]
@@ -891,6 +892,7 @@ def streaming_main(provider: str = "hdfs") -> None:
             "stream_momentum": impact.stream_momentum,
             "stream_drawdown": impact.stream_drawdown,
             "stream_candle_patterns": impact.stream_candle_patterns,
+            "stream_rolling_volatility": impact.stream_rolling_volatility,
             "stream_effective_spread": impact.stream_effective_spread,
             "stream_markout": impact.stream_markout,
         }

@@ -2901,3 +2901,152 @@ def stream_candle_patterns(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+RVOL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("close", T.DoubleType()),
+        T.StructField("volatility", T.DoubleType()),
+        T.StructField("n_in_window", T.LongType()),
+        T.StructField("late_dropped", T.LongType()),
+    ]
+)
+
+RVOL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("frontier_ts", T.LongType()),
+        T.StructField("frontier_tid", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+        T.StructField("pend_ts", T.ArrayType(T.LongType())),
+        T.StructField("pend_tid", T.ArrayType(T.LongType())),
+        T.StructField("pend_price", T.ArrayType(T.LongType())),
+        T.StructField("cur_bucket", T.LongType()),
+        T.StructField("cur_close", T.LongType()),
+        # last `nbars` closed-bar closes, newest last (1e-4 units)
+        T.StructField("close_ring", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def make_rolling_vol_processor(
+    bucket_ms: int = 60_000,
+    nbars: int = 10,
+    allowed_lateness_s: int = 0,
+):
+    """Live trailing-window close volatility — the streaming twin of
+    operators/windows.rolling_volatility (W7).  O(nbars) per-symbol
+    state: the open bucket's running close plus a ring of the last
+    ``nbars`` closed-bar closes.  Every closed bucket emits the sample
+    stddev over the ring from EXACT integer moment sums
+    (var = (nΣx² − (Σx)²)/(n(n−1)) as a Fraction, one float sqrt) —
+    within double noise of the batch stddev_samp, far below the 6-dp
+    rounding grain, so rows EQUAL the batch operator over bars
+    restricted to closed buckets (property-tested; the single-bar NULL
+    included)."""
+    late_ms = allowed_lateness_s * 1000
+
+    def fn(key, pdfs, state: GroupState):
+        symbol = key[0]
+        chunks = [
+            pdf[["event_ts", "trade_id", "price"]] for pdf in pdfs if len(pdf)
+        ]
+        if not chunks:
+            yield pd.DataFrame(
+                [], columns=[f.name for f in RVOL_OUTPUT_SCHEMA.fields]
+            )
+            return
+        ev = pd.concat(chunks, ignore_index=True)
+        if state.exists:
+            (f_ts, f_tid, n_late, p_ts, p_tid, p_pr,
+             cur_b, cur_close, ring) = state.get
+            pend = list(zip(p_ts, p_tid, p_pr))
+            ring = list(ring)
+        else:
+            f_ts = f_tid = _NO_FRONTIER
+            n_late = 0
+            pend = []
+            cur_b = cur_close = None
+            ring = []
+
+        new = (
+            (int(ts), int(tid), int(round(float(p) * UNITS)))
+            for ts, tid, p in zip(ev["event_ts"], ev["trade_id"], ev["price"])
+        )
+        fold, pend, (f_ts, f_tid), late_inc = merge_fold(
+            new, pend, (f_ts, f_tid), late_ms
+        )
+        n_late += late_inc
+
+        rows = []
+
+        def close_bucket():
+            nonlocal ring
+            ring.append(cur_close)
+            if len(ring) > nbars:
+                ring = ring[1:]
+            n = len(ring)
+            if n >= 2:
+                sx = sum(ring)
+                sxx = sum(c * c for c in ring)
+                var = Fraction(n * sxx - sx * sx,
+                               n * (n - 1) * UNITS * UNITS)
+                vol = _round6(float(var) ** 0.5)
+            else:
+                vol = None
+            rows.append((
+                symbol,
+                int(cur_b),
+                float(Fraction(cur_close, UNITS)),
+                vol,
+                int(n),
+                int(n_late),
+            ))
+
+        for ts, tid, p_u in fold:
+            b = ts // bucket_ms
+            if cur_b is None:
+                cur_b = b
+            elif b != cur_b:
+                close_bucket()
+                cur_b = b
+            cur_close = p_u
+
+        state.update((
+            int(f_ts), int(f_tid), int(n_late),
+            [t[0] for t in pend], [t[1] for t in pend],
+            [t[2] for t in pend],
+            int(cur_b) if cur_b is not None else None,
+            int(cur_close) if cur_close is not None else None,
+            [int(x) for x in ring],
+        ))
+        out = pd.DataFrame(
+            rows, columns=[f.name for f in RVOL_OUTPUT_SCHEMA.fields]
+        )
+        out["volatility"] = (
+            out["volatility"].astype(object).where(
+                pd.notna(out["volatility"]), None
+            )
+        )
+        yield out
+
+    return fn
+
+
+def stream_rolling_volatility(
+    trades: DataFrame,
+    bucket_ms: int = 60_000,
+    nbars: int = 10,
+    allowed_lateness_s: int = 0,
+) -> DataFrame:
+    """Live trailing-window volatility (W7 twin): one append-final row
+    per closed minute bucket, equal to the batch
+    windows.rolling_volatility row (property-tested)."""
+    return trades.groupBy("symbol").applyInPandasWithState(
+        make_rolling_vol_processor(bucket_ms, nbars, allowed_lateness_s),
+        outputStructType=RVOL_OUTPUT_SCHEMA,
+        stateStructType=RVOL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -4689,6 +4689,56 @@ def test_stream_candle_processor_matches_batch(spark, batch, n_chunks):
     assert got == want
 
 
+@given(batch=trade_strategy, n_chunks=st.integers(min_value=1, max_value=4))
+@_settings
+def test_stream_rolling_vol_processor_matches_batch(spark, batch, n_chunks):
+    """The streaming rolling-volatility processor emits per closed
+    minute bucket exactly the batch windows.rolling_volatility row over
+    bars from the buckets closed so far — sample stddev from exact
+    integer moments vs Spark's stddev_samp, equal under the 6-dp
+    rounding; the single-bar NULL and the sub-full window included."""
+    from bitcoin_datapipeline_spark.operators.windows import (
+        rolling_volatility,
+    )
+    from bitcoin_datapipeline_spark.streaming.impact import (
+        make_rolling_vol_processor,
+    )
+
+    nbars = 3  # small window so hypothesis-sized tapes exercise eviction
+    ordered = sorted(batch, key=lambda t: t[1])
+    recs = [
+        Row(symbol=s, event_ts=ts, trade_id=i, price=c / 100.0)
+        for i, (s, ts, _tid, c, q, m) in enumerate(ordered)
+    ]
+    emitted = _drive_processor(
+        make_rolling_vol_processor(nbars=nbars),
+        recs,
+        ["event_ts", "trade_id", "price"],
+        n_chunks,
+    )
+    closes = {}
+    for r in recs:
+        closes[(r.symbol, r.event_ts // 60_000)] = r.price
+    last_bucket = {}
+    for s, b in closes:
+        last_bucket[s] = max(last_bucket.get(s, -1), b)
+    closed = [(s, b, c) for (s, b), c in closes.items()
+              if b < last_bucket[s]]
+    want = {}
+    if closed:
+        for r in rolling_volatility(
+            _bars_df(spark, closed), nbars=nbars
+        ).collect():
+            want[(r.symbol, r.bucket)] = (
+                r.close, getattr(r, f"volatility_{nbars}"), r.n_in_window
+            )
+    got = {}
+    for e in emitted:
+        assert e.late_dropped == 0
+        got[(e.symbol, e.bucket)] = (e.close, e.volatility, e.n_in_window)
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # round-8 batch operators vs naive references
 
