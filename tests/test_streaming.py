@@ -1603,6 +1603,20 @@ def test_stream_momentum_drawdown_candle_real_stream_roundtrip(
         w.peak_close, w.trough_close,
     )
 
+    from bitcoin_datapipeline_spark.operators.windows import (
+        rolling_volatility,
+    )
+    from bitcoin_datapipeline_spark.streaming.impact import (
+        stream_rolling_volatility,
+    )
+
+    got_v = {r.bucket: (r.close, r.volatility, r.n_in_window)
+             for r in drive(
+                 lambda s: stream_rolling_volatility(s, nbars=3), "rvol")}
+    want_v = {r.bucket: (r.close, r.volatility_3, r.n_in_window)
+              for r in rolling_volatility(bars_df, nbars=3).collect()}
+    assert got_v == want_v and set(got_v) == {0, 1, 2, 3, 4}
+
 
 def test_stream_candle_real_stream_day_roundtrip(spark, tmp_path):
     """Candle twin through a REAL stream at day grain: day-0 OHLC bars
