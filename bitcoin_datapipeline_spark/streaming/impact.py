@@ -30,6 +30,16 @@ buffers bounded disorder so the fold order matches the batch sort;
 hard-late trades behind the folded frontier are dropped AND counted
 (``late_dropped`` on every emitted row).
 
+Structure note (deliberate): every processor in this module repeats the
+same ~45-line scaffold (chunk concat, state unpack/repack into parallel
+pend_* arrays, merge_fold, bucket-close loop) rather than sharing a
+fold-driver abstraction.  The shared DISCIPLINE lives in merge_fold —
+the one piece whose bugs would be correctness bugs; the scaffold is
+kept flat so each processor's state tuple, close logic, and emission
+convention are independently readable and independently property-tested
+against its batch twin, and a change to one state schema can never
+ripple through an abstraction into the other thirteen.
+
 cf. reference: extends the surface (the reference's aggregator computes
 live imbalance, `feature_builder.py:119-123,160-161`; impact/spread
 estimation has no counterpart there — these are the live forms of the

@@ -1531,13 +1531,15 @@ def test_stream_bollinger_real_stream_day_survives_checkpoint(
     assert abs(g.mean_bandwidth - w.mean_bandwidth) <= 1e-6
 
 
-def test_stream_momentum_drawdown_candle_real_stream_roundtrip(
+def test_stream_momentum_drawdown_rvol_real_stream_roundtrip(
     spark, tmp_path
 ):
-    """The three r9 second-pass TA twins through REAL availableNow
-    streams: each state schema (nested-lag momentum, running-summary
-    drawdown, OHLC + day-scorecard candle) survives a checkpointed
-    batch split, and the emitted rows equal their batch operators."""
+    """Three r9 second-pass TA twins through REAL availableNow streams:
+    each state schema (nested-lag momentum, running-summary drawdown,
+    moment-ring rolling volatility) survives a checkpointed batch
+    split, and the emitted rows equal their batch operators.  (The
+    candle twin's day-grain round-trip is the separate
+    test_stream_candle_real_stream_day_roundtrip.)"""
     from bitcoin_datapipeline_spark.operators.windows import (
         drawdown,
         momentum,
