@@ -924,8 +924,11 @@ def q_amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_effective_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 10: the DEFAULT name is skew-adaptive — one bounded gauge
+    # action picks single-sort (balanced tape) or the sliced rewrite
+    # (hot-key tape); both share this oracle (pure physical choice)
     events = table(spark, sf_dir, "events")
-    return aggregates.effective_spread(
+    return aggregates.effective_spread_adaptive(
         dedup.dedup_trades(normalize.valid_trades(events)),
         normalize.bba(events),
     )
@@ -989,7 +992,10 @@ def q_realized_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     OD.with_ctes(OD.BBA_CTE + aggregates.TWA_SPREAD_ORACLE_BODY, body=""),
 )
 def q_twa_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return aggregates.twa_spread(normalize.bba(table(spark, sf_dir, "events")))
+    # round 10: skew-adaptive default (see q_effective_spread)
+    return aggregates.twa_spread_adaptive(
+        normalize.bba(table(spark, sf_dir, "events"))
+    )
 
 
 # round 9: hot-key-safe TWA spread — per-(symbol, day-slice) lifetime lead
@@ -2716,8 +2722,9 @@ def q_resample_bars_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_markout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 10: skew-adaptive default (see q_effective_spread)
     events = table(spark, sf_dir, "events")
-    return aggregates.markout(
+    return aggregates.markout_adaptive(
         dedup.dedup_trades(normalize.valid_trades(events)),
         normalize.bba(events),
     )

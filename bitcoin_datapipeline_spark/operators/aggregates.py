@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import r6
+from .skew import HOT_KEY_SHARE_THRESHOLD, hot_key_share
 from .. import oracle_defs as _OD
 
 def _buy():
@@ -1383,6 +1384,35 @@ def effective_spread_sliced(
     return _effective_spread_agg(asof_quote_match_sliced(trades, bba, **kw))
 
 
+def effective_spread_adaptive(
+    trades: DataFrame,
+    bba: DataFrame,
+    hot_share: float = None,
+    threshold: float = HOT_KEY_SHARE_THRESHOLD,
+) -> DataFrame:
+    """Skew-adaptive :func:`effective_spread` (round 10, VERDICT r9 item
+    1): gauge the tape's hottest-symbol share and run the single-sort
+    form when the keyspace is balanced (it is ~2x cheaper there — 2.08 s
+    vs 4.37 s at sf1) but the time-sliced rewrite when one symbol
+    dominates (the single sort measured 4.05x/decade under the
+    90%-one-symbol tape vs the sliced form's 1.49x —
+    BENCH_SCALE_r09.json `skew`).  Both forms share ONE DuckDB oracle:
+    the dispatch is a pure physical-plan choice.
+
+    ``hot_share`` skips the gauge when the caller already profiled the
+    tape (the production pattern: `q_key_skew_profile` persisted once
+    per ingest); by default one bounded gauge action
+    (:func:`~.skew.hot_key_share` on the trade leg — trades and quotes
+    derive from the same tape, so one leg's profile stands for both)
+    picks the plan at DataFrame-construction time, the same
+    eager-driver-decision class as IVF quantizer training."""
+    if hot_share is None:
+        hot_share = hot_key_share(trades)
+    if hot_share >= threshold:
+        return effective_spread_sliced(trades, bba)
+    return effective_spread(trades, bba)
+
+
 def _effective_spread_agg(m: DataFrame) -> DataFrame:
     mid = (F.col("bid_px") + F.col("ask_px")) / 2.0
     eff = 2.0 * F.abs(F.col("price") - mid) / mid * 10000.0
@@ -1972,6 +2002,23 @@ def twa_spread_sliced(bba: DataFrame, slice_ms: int = SKEW_SLICE_MS) -> DataFram
         .select("symbol", "event_ts", "bid_px", "ask_px", "next_ts")
     )
     return _twa_spread_agg(q)
+
+
+def twa_spread_adaptive(
+    bba: DataFrame,
+    hot_share: float = None,
+    threshold: float = HOT_KEY_SHARE_THRESHOLD,
+) -> DataFrame:
+    """Skew-adaptive :func:`twa_spread` — the
+    :func:`effective_spread_adaptive` dispatch applied to the quote
+    lifetime plan (single-sort skew decade 4.15x vs the sliced form's
+    1.40x, BENCH_SCALE_r09.json `skew`; same oracle either way).  The
+    gauge runs on the quote leg itself."""
+    if hot_share is None:
+        hot_share = hot_key_share(bba)
+    if hot_share >= threshold:
+        return twa_spread_sliced(bba)
+    return twa_spread(bba)
 
 
 def _twa_spread_agg(q: DataFrame) -> DataFrame:
@@ -4753,6 +4800,27 @@ def markout_sliced(
         ((F.col("pq.b") + F.col("pq.a")) / 2.0).alias("mid"),
     )
     return _markout_finish(matched, sides, hs)
+
+
+def markout_adaptive(
+    trades: DataFrame,
+    bba: DataFrame,
+    horizons_ms: tuple[int, ...] = MARKOUT_HORIZONS_MS,
+    hot_share: float = None,
+    threshold: float = HOT_KEY_SHARE_THRESHOLD,
+) -> DataFrame:
+    """Skew-adaptive :func:`markout` — the
+    :func:`effective_spread_adaptive` dispatch applied to the
+    multi-horizon union-LOCF scan (single-sort skew decade 2.64x vs the
+    sliced form's 1.66x, BENCH_SCALE_r09.json `skew`; the sliced form
+    also pays an extra boundary-repair exchange on balanced data, which
+    is why it must not be the unconditional default).  Same oracle
+    either way; gauged on the trade leg."""
+    if hot_share is None:
+        hot_share = hot_key_share(trades)
+    if hot_share >= threshold:
+        return markout_sliced(trades, bba, horizons_ms)
+    return markout(trades, bba, horizons_ms)
 
 
 def _markout_union(trades: DataFrame, bba: DataFrame, hs: list) -> DataFrame:

@@ -161,8 +161,21 @@ def make_grid_resampler(gap_threshold_s: int = 60, allowed_lateness_s: int = 0):
                 fill = np.maximum.accumulate(fill)
                 seen = fill >= 0
                 # seconds before the first observation carry the state's
-                # price/last_ts (only reachable once a frontier exists,
-                # so both are real emitted values, never the sentinel)
+                # price/last_ts (only reachable once a frontier exists, so
+                # both are real emitted values).  If that invariant ever
+                # breaks, fail loudly instead of silently emitting NaN
+                # prices / epoch-0 data ages (ADVICE r9): carry values are
+                # read iff the emit range starts before the first observed
+                # second, which requires an existing frontier -> real state
+                carry_needed = (
+                    len(obs_sec) == 0 or int(obs_sec[0]) != start
+                )
+                assert not carry_needed or (
+                    price is not None and last_ts is not None
+                ), (
+                    "grid frontier invariant broken: carried seconds would "
+                    "emit with no state price/last_ts"
+                )
                 carry_p = float(price) if price is not None else np.nan
                 carry_t = int(last_ts) if last_ts is not None else 0
                 if len(obs_sec):

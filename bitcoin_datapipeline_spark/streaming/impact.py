@@ -2300,6 +2300,14 @@ def make_boll_processor(
     if k is None:
         k = BOLL_K
     late_ms = allowed_lateness_s * 1000
+    # the day-scorecard twins derive the day as cur_b // buckets_per_day,
+    # which equals the batch form's `bucket div 1440` ONLY when bucket_ms
+    # divides a day exactly — a non-divisor width would silently emit
+    # mismatched day rows, so fail loudly instead (ADVICE r9)
+    assert 86_400_000 % bucket_ms == 0, (
+        f"bucket_ms={bucket_ms} must divide 86_400_000 ms: the"
+        " day-scorecard boundary otherwise diverges from the batch twin"
+    )
     buckets_per_day = 86_400_000 // bucket_ms
 
     def fn(key, pdfs, state: GroupState):
@@ -2778,6 +2786,14 @@ def make_candle_processor(
     )
 
     late_ms = allowed_lateness_s * 1000
+    # the day-scorecard twins derive the day as cur_b // buckets_per_day,
+    # which equals the batch form's `bucket div 1440` ONLY when bucket_ms
+    # divides a day exactly — a non-divisor width would silently emit
+    # mismatched day rows, so fail loudly instead (ADVICE r9)
+    assert 86_400_000 % bucket_ms == 0, (
+        f"bucket_ms={bucket_ms} must divide 86_400_000 ms: the"
+        " day-scorecard boundary otherwise diverges from the batch twin"
+    )
     buckets_per_day = 86_400_000 // bucket_ms
 
     def fn(key, pdfs, state: GroupState):
