@@ -2007,6 +2007,17 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf(table(spark, sf_dir, "embeddings"))
 
 
+# round 10: the production-convention IVF row (VERDICT r9 item 5) — fixed
+# 20-query working set, K ~ sqrt(N) centroids, ~15.6 training rows per
+# centroid, nprobe fixed; knobs derive from count(*) in BOTH engines, so
+# one oracle string covers every sf.  This is the headline ANN row; the
+# classic corpus-coupled parameterization above stays registered for the
+# scale artifact's upper-bound axis.
+@q("q_embed_ann_ivf_prod", similarity.ANN_IVF_PROD_ORACLE)
+def q_embed_ann_ivf_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_ivf_prod(table(spark, sf_dir, "embeddings"))
+
+
 # round 7: product-quantization codes + reconstruction quality (the
 # codes-instead-of-floats memory story; training replayed by the oracle)
 @q("q_embed_pq", similarity.PQ_CODES_ORACLE)
@@ -2019,6 +2030,13 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q_embed_ann_ivfpq", similarity.ANN_IVFPQ_ORACLE)
 def q_embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivfpq(table(spark, sf_dir, "embeddings"))
+
+
+# round 10: production-convention IVFADC (see q_embed_ann_ivf_prod; PQ
+# knobs stay fixed — the codebook is corpus-independent by design)
+@q("q_embed_ann_ivfpq_prod", similarity.ANN_IVFPQ_PROD_ORACLE)
+def q_embed_ann_ivfpq_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_ivfpq_prod(table(spark, sf_dir, "embeddings"))
 
 
 # SemDeDup: cluster-then-cosine semantic dedup (the coarse quantizer IS the

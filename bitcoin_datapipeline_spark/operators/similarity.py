@@ -632,6 +632,7 @@ def ann_ivf(
     k: int = IVF_K,
     nprobe: int = IVF_NPROBE,
     query_mod: int = IVF_NPROBE_QUERY_MOD,
+    query_max: int = None,
 ) -> DataFrame:
     """IVF ANN with a real (deterministic, seeded) k-means coarse quantizer
     trained on a SAMPLE, and nprobe > 1.
@@ -662,6 +663,11 @@ def ann_ivf(
     scaled alongside keeps posting-list DEPTH fixed, so candidate volume —
     the search cost — stays ~constant per data decade (the convention
     BENCH_SCALE's production row measures; see SCALING.md).
+    ``query_max`` (r10) overrides it with the scale-FREE probe-set rule
+    ``vec_id < query_max`` — the same fixed query ids at every corpus
+    size, which is what :func:`ann_ivf_prod` registers so the headline
+    row measures production search cost rather than a query set that
+    grows with the benchmark corpus.
 
     NOTE: unlike the rest of the engine's lazily-declared queries, calling
     this function runs the quantizer-training Spark jobs EAGERLY (1 fused
@@ -691,8 +697,13 @@ def ann_ivf(
     # queries probe their nprobe nearest centroids (reverse of the ascending
     # struct sort = cosine desc, centroid id asc — same tiebreak as max)
     nprobe = min(nprobe, len(cents))
+    qpred = (
+        F.col("vec_id") < query_max
+        if query_max is not None
+        else F.col("vec_id") % query_mod == 0
+    )
     probes = (
-        e.filter(F.col("vec_id") % query_mod == 0)
+        e.filter(qpred)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("emb_q"),
@@ -726,11 +737,16 @@ def ann_ivf(
 
 
 def _ivf_train_ctes(
-    train_mod: int = IVF_TRAIN_MOD, k: int = IVF_K
+    train_mod=IVF_TRAIN_MOD, k=IVF_K, knob_ctes: tuple = ()
 ) -> tuple[list[str], str]:
     """DuckDB CTE cascade replaying the quantizer training exactly (same
     mod-filtered sample, seeds, IVF_ITERS Lloyd rounds with the 6-dp
-    rounding sync points).  Returns (ctes, name_of_final_centroid_cte)."""
+    rounding sync points).  Returns (ctes, name_of_final_centroid_cte).
+
+    ``train_mod``/``k`` accept either int literals (the classic fixed-knob
+    oracles — emitted SQL byte-identical to pre-r10) or SQL scalar
+    subquery strings over ``knob_ctes`` (the r10 production-convention
+    oracles, where the knobs derive from count(*) in-query)."""
     assign_tpl = """{name} AS (
   SELECT vec_id, c FROM (
     SELECT e.vec_id, c.c,
@@ -746,7 +762,8 @@ def _ivf_train_ctes(
     FROM pos p JOIN {assign} a USING (vec_id) GROUP BY a.c, p.pos)
   GROUP BY c
 )"""
-    ctes = [
+    k_hi = (k - 1) if isinstance(k, int) else f"({k}) - 1"
+    ctes = list(knob_ctes) + [
         f"tr AS (SELECT * FROM embeddings WHERE vec_id % {train_mod} = 0)",
         """pos AS (
   SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS val,
@@ -756,7 +773,7 @@ def _ivf_train_ctes(
         "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr)",
         f"""cents0 AS (
   SELECT cc.c, CAST(e.embedding AS DOUBLE[]) AS centroid
-  FROM (SELECT unnest(generate_series(0, {k - 1})) AS c) cc
+  FROM (SELECT unnest(generate_series(0, {k_hi})) AS c) cc
   CROSS JOIN nn
   JOIN tr e ON e.vec_id = ((cc.c * {IVF_SEED_STRIDE}) % nn.n) * {train_mod}
 )""",
@@ -768,14 +785,20 @@ def _ivf_train_ctes(
 
 
 def _ivf_search_ctes(
-    train_mod: int = IVF_TRAIN_MOD,
-    k: int = IVF_K,
+    train_mod=IVF_TRAIN_MOD,
+    k=IVF_K,
     nprobe: int = IVF_NPROBE,
     query_mod: int = IVF_NPROBE_QUERY_MOD,
+    query_pred: str = None,
+    knob_ctes: tuple = (),
 ) -> list[str]:
     """Training cascade + posting/probe/join/rank CTEs, ending with
-    ``ivf_ranked`` — shared by the ANN oracle and the recall audit."""
-    ctes, final = _ivf_train_ctes(train_mod, k)
+    ``ivf_ranked`` — shared by the ANN oracle and the recall audit.
+    ``query_pred`` overrides the probe-set predicate (the production
+    oracle's fixed ``e.vec_id < Q`` set vs the classic mod subset)."""
+    if query_pred is None:
+        query_pred = f"e.vec_id % {query_mod} = 0"
+    ctes, final = _ivf_train_ctes(train_mod, k, knob_ctes)
     ctes.append(
         f"""posting AS (
   SELECT vec_id AS neighbor_id, c FROM (
@@ -795,7 +818,7 @@ def _ivf_search_ctes(
              ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                                    c.centroid), 6) DESC, c.c) AS rn
     FROM embeddings e CROSS JOIN {final} c
-    WHERE e.vec_id % {query_mod} = 0)
+    WHERE {query_pred})
   WHERE rn <= {nprobe}
 )"""
     )
@@ -822,15 +845,17 @@ def _ivf_search_ctes(
 
 
 def _ivf_oracle(
-    train_mod: int = IVF_TRAIN_MOD,
-    k: int = IVF_K,
+    train_mod=IVF_TRAIN_MOD,
+    k=IVF_K,
     nprobe: int = IVF_NPROBE,
     query_mod: int = IVF_NPROBE_QUERY_MOD,
+    query_pred: str = None,
+    knob_ctes: tuple = (),
 ) -> str:
     """Unrolled DuckDB twin of ann_ivf: trained centroids from
     :func:`_ivf_train_ctes`, then full-corpus posting assignment and the
     nprobe search."""
-    ctes = _ivf_search_ctes(train_mod, k, nprobe, query_mod)
+    ctes = _ivf_search_ctes(train_mod, k, nprobe, query_mod, query_pred, knob_ctes)
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -843,6 +868,89 @@ WHERE rank <= {KNN_K}"""
 
 
 ANN_IVF_ORACLE = _ivf_oracle()
+
+
+# --- production-convention ANN (round 10, VERDICT r9 item 5) -----------------
+#
+# The classic bench rows couple BOTH the query count (vec_id % 25) and the
+# posting-list depth (fixed K) to the corpus, so candidate volume grows
+# ~100x per data decade — benchmark construction, not production cost (the
+# recurring 17-19x decade-row explanation).  A production job runs a FIXED
+# query working set against an index whose centroid count grows ~sqrt(N)
+# (faiss sizing: K ~ sqrt(N) balances the N·K assignment term against the
+# N/K posting-depth term), with the training sample held at a constant
+# ~15.6 rows per centroid and nprobe fixed.  These knobs derive from
+# count(*) IN-QUERY on both engines — exact IEEE doubles, floor(x+0.5)
+# rounding (no banker's-rounding divergence) — anchored so the sf0.001
+# corpus (n=500) reproduces the classic defaults k=8, train_mod=4.
+PROD_QUERY_MAX = 20      # the fixed probe working set: vec_id < 20, any sf
+PROD_K_BASE = 8.0        # k = max(4, floor(8·sqrt(n/500) + 0.5))
+PROD_N_BASE = 500.0
+PROD_ROWS_PER_CENTROID = 15.625  # = 500/(4·8), exact in binary (125/8)
+
+
+def prod_knobs(n: int) -> tuple[int, int]:
+    """(k, train_mod) for a corpus of ``n`` vectors under the production
+    convention — the Python twin of the oracle's ``knobs2`` CTE (same
+    formula, same IEEE-double op order, same floor(x+0.5) rounding)."""
+    k = max(4, math.floor(PROD_K_BASE * math.sqrt(n / PROD_N_BASE) + 0.5))
+    tm = max(1, math.floor(n / (PROD_ROWS_PER_CENTROID * k) + 0.5))
+    return k, tm
+
+
+_PROD_KNOB_CTES = (
+    f"""knobs AS (
+  SELECT nall,
+         greatest(4, CAST(floor({PROD_K_BASE} * sqrt(nall / {PROD_N_BASE})
+                                + 0.5) AS BIGINT)) AS k
+  FROM (SELECT CAST(count(*) AS DOUBLE) AS nall FROM embeddings)
+)""",
+    f"""knobs2 AS (
+  SELECT nall, k,
+         greatest(1, CAST(floor(nall / ({PROD_ROWS_PER_CENTROID} * k)
+                                + 0.5) AS BIGINT)) AS tm
+  FROM knobs
+)""",
+)
+_PROD_TM_SQL = "(SELECT tm FROM knobs2)"
+_PROD_K_SQL = "SELECT k FROM knobs2"
+_PROD_QUERY_PRED = f"e.vec_id < {PROD_QUERY_MAX}"
+
+
+def ann_ivf_prod(embeddings: DataFrame) -> DataFrame:
+    """:func:`ann_ivf` under the production convention: fixed 20-query
+    working set (``vec_id < 20`` — the same ids at every corpus size),
+    K ~ sqrt(N) centroids, training sample held at ~15.6 rows/centroid,
+    nprobe fixed.  One extra bounded driver action (the corpus count)
+    sizes the knobs — the same eager-decision class as quantizer
+    training, which this call performs anyway.  Search cost per decade is
+    then ~sqrt(10)x (candidates/query = nprobe·N/K ~ sqrt(N)), the row
+    the headline bench SHOULD track (VERDICT r9 item 5) instead of the
+    corpus-coupled classic parameterization (kept for the scale
+    artifact's upper-bound axis)."""
+    k, tm = prod_knobs(embeddings.count())
+    return ann_ivf(
+        embeddings, train_mod=tm, k=k, query_max=PROD_QUERY_MAX
+    )
+
+
+def ann_ivfpq_prod(embeddings: DataFrame) -> DataFrame:
+    """:func:`ann_ivfpq` under the production convention — coarse knobs
+    from :func:`prod_knobs` (shared with :func:`ann_ivf_prod`, so the
+    memoized coarse quantizer serves both), PQ knobs FIXED (the codebook
+    is corpus-independent by design), fixed 20-query working set."""
+    k, tm = prod_knobs(embeddings.count())
+    return ann_ivfpq(
+        embeddings, train_mod=tm, k=k, query_max=PROD_QUERY_MAX
+    )
+
+
+ANN_IVF_PROD_ORACLE = _ivf_oracle(
+    train_mod=_PROD_TM_SQL,
+    k=_PROD_K_SQL,
+    query_pred=_PROD_QUERY_PRED,
+    knob_ctes=_PROD_KNOB_CTES,
+)
 
 
 SEMDEDUP_THRESHOLD = 0.4  # tuned to the isotropic synthetic corpus (max
@@ -1620,6 +1728,7 @@ def ann_ivfpq(
     m_sub: int = IVFPQ_M,
     ks: int = IVFPQ_KS,
     pool: int = ADC_POOL,
+    query_max: int = None,
 ) -> DataFrame:
     """IVF-PQ ANN — the memory-bounded form of :func:`ann_ivf`: the
     inverted index stores CODES (coarse cell + ``m_sub`` codeword ids +
@@ -1674,7 +1783,12 @@ def ann_ivfpq(
     # query side: nprobe probe cells + the ADC lookup table lut[m][j] =
     # dot(query subvector m, codeword (m, j)) — dense j indexing
     nprobe = min(nprobe, len(cents))
-    eq = e.filter(F.col("vec_id") % query_mod == 0).join(
+    qpred = (
+        F.col("vec_id") < query_max
+        if query_max is not None
+        else F.col("vec_id") % query_mod == 0
+    )
+    eq = e.filter(qpred).join(
         F.broadcast(_centroid_frame(spark, cents))
     ).join(F.broadcast(_pq_model_frame(spark, cbs)))
     scores = _centroid_scores()
@@ -1754,7 +1868,7 @@ def ann_ivfpq(
 
 
 def _pq_train_ctes(
-    train_mod: int = IVF_TRAIN_MOD, m_sub: int = PQ_M, ks: int = PQ_KS
+    train_mod=IVF_TRAIN_MOD, m_sub: int = PQ_M, ks: int = PQ_KS
 ) -> tuple[list[str], str]:
     """DuckDB CTE cascade replaying PQ training exactly (same sample,
     per-subspace seeds, PQ_ITERS Lloyd rounds, 6-dp L2² sync points,
@@ -1885,20 +1999,24 @@ GROUP BY e.vec_id, e.embedding"""
 
 
 def _ivfpq_oracle(
-    train_mod: int = IVF_TRAIN_MOD,
-    k: int = IVF_K,
+    train_mod=IVF_TRAIN_MOD,
+    k=IVF_K,
     nprobe: int = IVF_NPROBE,
     query_mod: int = IVF_NPROBE_QUERY_MOD,
     m_sub: int = IVFPQ_M,
     ks: int = IVFPQ_KS,
     pool: int = ADC_POOL,
+    query_pred: str = None,
+    knob_ctes: tuple = (),
 ) -> str:
     """Unrolled DuckDB twin of ann_ivfpq: coarse training
     (:func:`_ivf_train_ctes`), PQ training (:func:`_pq_train_ctes`),
     codes-only posting index, per-(query, m) LUT terms realized as the
     relational join qsub ⋈ neighbor-codes ⋈ codebook, the m-ordered ADC
     fold, the pool cut, and the exact refine."""
-    ctes, cfinal = _ivf_train_ctes(train_mod, k)
+    if query_pred is None:
+        query_pred = f"e.vec_id % {query_mod} = 0"
+    ctes, cfinal = _ivf_train_ctes(train_mod, k, knob_ctes)
     p_ctes, pfinal = _pq_train_ctes(train_mod, m_sub, ks)
     ctes += p_ctes
     ctes += _pq_encode_ctes(pfinal, m_sub)
@@ -1921,7 +2039,7 @@ def _ivfpq_oracle(
              ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                                    c.centroid), 6) DESC, c.c) AS rn
     FROM embeddings e CROSS JOIN {cfinal} c
-    WHERE e.vec_id % {query_mod} = 0)
+    WHERE {query_pred})
   WHERE rn <= {nprobe}
 )"""
     )
@@ -1987,6 +2105,12 @@ WHERE rank <= {KNN_K}"""
 
 PQ_CODES_ORACLE = _pq_codes_oracle()
 ANN_IVFPQ_ORACLE = _ivfpq_oracle()
+ANN_IVFPQ_PROD_ORACLE = _ivfpq_oracle(
+    train_mod=_PROD_TM_SQL,
+    k=_PROD_K_SQL,
+    query_pred=_PROD_QUERY_PRED,
+    knob_ctes=_PROD_KNOB_CTES,
+)
 
 
 # --- ANN recall audit (round 7) ----------------------------------------------

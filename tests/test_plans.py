@@ -468,7 +468,10 @@ SHUFFLE_BUDGETS = {
     "q_top_customers": 2,
     "q_minhash_lsh": 10,
     "q_embed_knn": 1,
-    "q_embed_ann_ivf": 4,
+    # r10: the headline ANN row is the production convention (fixed
+    # 20-query set, sqrt(N) centroids) — same plan shape as the classic
+    # parameterization it replaced, so the budget carries over
+    "q_embed_ann_ivf_prod": 4,
     "q_waiting_suppliers": 2,
     "q_price_deciles": 2,
     "q_semdedup": 7,
@@ -560,8 +563,9 @@ SHUFFLE_BUDGETS = {
     "q_embed_pq": 2,
     # ADC join on the cell key + pool window + the two bounded refine
     # joins and the final rank window — each exchange is bounded by
-    # queries x pool except the posting-side cell join
-    "q_embed_ann_ivfpq": 11,
+    # queries x pool except the posting-side cell join (r10: headline row
+    # moved to the production convention; same plan shape, same budget)
+    "q_embed_ann_ivfpq_prod": 11,
     "q_microprice": 1,
     "q_trade_runs": 2,
     "q_drawdown": 3,
@@ -770,6 +774,10 @@ NON_HEADLINE_SHUFFLE_BUDGETS = {
     "q_doc_winnow_pairs": 1,
     "q_embed_ann_lsh": 1,
     "q_embed_ann_lsh_multi": 2,
+    # r10: the classic corpus-coupled ANN parameterizations, demoted from
+    # the headline to the scale artifact (the _prod rows replaced them)
+    "q_embed_ann_ivf": 4,
+    "q_embed_ann_ivfpq": 11,
     "q_embed_cluster_stats": 7,
     "q_embed_cosine_pairs": 0,
     "q_embed_prune_prototypes": 3,

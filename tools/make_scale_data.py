@@ -83,6 +83,10 @@ def main() -> None:
                     help="also replicate the 7 decision-support tables")
     ap.add_argument("--skew", action="store_true",
                     help="events-only: ~90%% of rows on one hot symbol")
+    ap.add_argument("--events-only", action="store_true",
+                    help="balanced replicas of the events table only "
+                         "(the spread/markout-family input) — the r10 "
+                         "sf10 decade axis needs no other table")
     args = ap.parse_args()
 
     from bitcoin_datapipeline_spark.session import get_spark
@@ -125,6 +129,9 @@ def main() -> None:
     _union(ev_reps).repartition(32).write.mode("overwrite").parquet(
         f"{out}/events.parquet"
     )
+    if args.events_only:
+        print("events", spark.read.parquet(f"{out}/events.parquet").count())
+        return
 
     docs = table(spark, args.src, "documents")
     doc_reps = []
