@@ -926,11 +926,16 @@ def q_amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_effective_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 10: the DEFAULT name is skew-adaptive — one bounded gauge
     # action picks single-sort (balanced tape) or the sliced rewrite
-    # (hot-key tape); both share this oracle (pure physical choice)
+    # (hot-key tape); both share this oracle (pure physical choice).
+    # The gauge runs on the PRE-dedup frame (the planted ~1% dup rate is
+    # symbol-uniform, so the share is identical) — a map-only count-by-key
+    # instead of paying the dedup window twice.
     events = table(spark, sf_dir, "events")
+    vt = normalize.valid_trades(events)
     return aggregates.effective_spread_adaptive(
-        dedup.dedup_trades(normalize.valid_trades(events)),
+        dedup.dedup_trades(vt),
         normalize.bba(events),
+        hot_share=skew.hot_key_share(vt),
     )
 
 
@@ -2740,11 +2745,14 @@ def q_resample_bars_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_markout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # round 10: skew-adaptive default (see q_effective_spread)
+    # round 10: skew-adaptive default (see q_effective_spread — gauge on
+    # the pre-dedup frame, passed through)
     events = table(spark, sf_dir, "events")
+    vt = normalize.valid_trades(events)
     return aggregates.markout_adaptive(
-        dedup.dedup_trades(normalize.valid_trades(events)),
+        dedup.dedup_trades(vt),
         normalize.bba(events),
+        hot_share=skew.hot_key_share(vt),
     )
 
 
@@ -2993,61 +3001,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate checks the FIRST 50 entries of queries().
 # Registration order above is thematic; this list orders queries by driver-
-# evidence AGE (computed from the union of CORRECTNESS_r01..r08 artifacts)
-# so each round's 50-slot window refreshes the stalest rows.  After r8,
-# 30 queries' newest driver row is r4 and 50 are r5 — the r9 window should
-# cover all 30 r4-era rows plus the oldest 20 of the r5 block.  Queries not
-# listed are NEW this round and sort before everything — keep new-query
-# count per round <= 20 so every r4-era row stays inside the window.
+# evidence AGE (recomputed each round from the union of the
+# CORRECTNESS_r01..r09 artifacts) so each round's 50-slot window refreshes
+# the stalest rows.  After r9 every query's newest driver row is r5..r9
+# (34 at r5, 50 each at r6-r9); the r10 window covers the 2 NEW queries
+# (unlisted -> sort first) + all 34 r5-era rows + the oldest 14 of the r6
+# block.  Keep new-query count per round <= 16 so the whole stalest block
+# stays inside the window.
 _DRIVER_PRIORITY: list[str] = [
-    # 30 — last driver row CORRECTNESS_r04
-    "q_doc_quality",
-    "q_embed_cosine_pairs",
-    "q_embed_knn",
-    "q_embed_prune_prototypes",
-    "q_embed_random_projection",
-    "q_group_compare",
-    "q_health_rollup",
-    "q_late_shipments",
-    "q_latency_percentiles",
-    "q_lee_ready",
-    "q_max_ts",
-    "q_min_cost_supplier",
-    "q_minhash_lsh",
-    "q_multimodal_resize",
-    "q_ngram_jaccard",
-    "q_normalize_trades",
-    "q_parts_supplier_counts",
-    "q_price_deciles",
-    "q_product_profit",
-    "q_profile_trades",
-    "q_sales_opportunity",
-    "q_semdedup",
-    "q_simhash",
-    "q_small_qty_revenue",
-    "q_trade_features_1h",
-    "q_unpivot_metrics",
-    "q_validate_filter",
-    "q_volatility_estimators",
-    "q_volume_shipping",
-    "q_waiting_suppliers",
-    # 50 — last driver row CORRECTNESS_r05
-    "q_anti_processed",
-    "q_asof_price",
-    "q_corpus_mix",
-    "q_counts_salted",
-    "q_dedup_components",
-    "q_dedup_funnel",
-    "q_derived_lag",
-    "q_doc_decontaminate",
-    "q_doc_exact_dedup",
-    "q_doc_fingerprint",
-    "q_doc_minhash_dedup_capped",
-    "q_doc_passage_scrub",
-    "q_doc_quality_filter",
-    "q_doc_repetition",
-    "q_doc_scrub",
-    "q_doc_stats",
+    # 34 — last driver row CORRECTNESS_r05
     "q_doc_winnow",
     "q_doc_winnow_pairs",
     "q_embed_ann_lsh",
@@ -3235,6 +3197,57 @@ _DRIVER_PRIORITY: list[str] = [
     "q_stochastic_k",
     "q_symbol_datasheet",
     "q_weekly_revenue_growth",
+    # 50 — last driver row CORRECTNESS_r09
+    "q_anti_processed",
+    "q_asof_price",
+    "q_corpus_mix",
+    "q_counts_salted",
+    "q_dedup_components",
+    "q_dedup_funnel",
+    "q_derived_lag",
+    "q_doc_decontaminate",
+    "q_doc_exact_dedup",
+    "q_doc_fingerprint",
+    "q_doc_minhash_dedup_capped",
+    "q_doc_passage_scrub",
+    "q_doc_quality",
+    "q_doc_quality_filter",
+    "q_doc_repetition",
+    "q_doc_scrub",
+    "q_doc_stats",
+    "q_effective_spread_sliced",
+    "q_embed_cosine_pairs",
+    "q_embed_knn",
+    "q_embed_prune_prototypes",
+    "q_embed_random_projection",
+    "q_group_compare",
+    "q_health_rollup",
+    "q_key_skew_profile",
+    "q_late_shipments",
+    "q_latency_percentiles",
+    "q_lee_ready",
+    "q_markout_sliced",
+    "q_max_ts",
+    "q_min_cost_supplier",
+    "q_minhash_lsh",
+    "q_multimodal_resize",
+    "q_ngram_jaccard",
+    "q_normalize_trades",
+    "q_parts_supplier_counts",
+    "q_price_deciles",
+    "q_product_profit",
+    "q_profile_trades",
+    "q_sales_opportunity",
+    "q_semdedup",
+    "q_simhash",
+    "q_small_qty_revenue",
+    "q_trade_features_1h",
+    "q_twa_spread_sliced",
+    "q_unpivot_metrics",
+    "q_validate_filter",
+    "q_volatility_estimators",
+    "q_volume_shipping",
+    "q_waiting_suppliers",
 ]
 
 
