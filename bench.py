@@ -341,6 +341,11 @@ FAMILIES: dict[str, list[str]] = {
     ],
     "ann": [
         "q_embed_ann_ivf",
+        # r10: the registered production-convention rows (fixed 20-query
+        # working set, sqrt(N) centroids from count(*)) — their decade IS
+        # the production number, no convention-swap machinery needed
+        "q_embed_ann_ivf_prod",
+        "q_embed_ann_ivfpq_prod",
         # window over the cluster key (cluster-width-bound check)
         "q_embed_prune_prototypes",
         # map-only matmul (linearity check — the control row)

@@ -48,6 +48,7 @@ engine's own batch extensions).
 
 from __future__ import annotations
 
+from collections import deque
 from fractions import Fraction
 
 import pandas as pd
@@ -1730,6 +1731,19 @@ def make_markout_processor(allowed_lateness_s: int = 0):
     identity-dedup set (the batch distinct on (ts, price, maker)), and
     the un-emitted bucket sums.
 
+    Hot-key shape (r10): pending trades live in ONE FIFO QUEUE PER
+    HORIZON (a trade moves to queue j+1 after its j-th fill; completions
+    pop from the last queue).  Trades enter in ts order and promotions
+    happen in ts order, so every queue stays ts-sorted and each queue's
+    next maturation target (front.ts + hs[j]) is its minimum — the
+    per-event finalize probe is O(#horizons) front checks and total fill
+    work is O(fills · log |quote history|), independent of how many
+    trades are pending.  The previous form re-scanned the WHOLE pending
+    list per event — O(events × pending) per micro-batch, which a
+    90 %-one-symbol tape turned into an 8.6× throughput collapse
+    (2.8 k rows/s vs 24.3 k balanced, the r10 skew streaming bench's one
+    >3× outlier); the queue form restores parity (BENCH_STREAM_r10).
+
     Exactness: mids convert from exact integer units via Fraction (the
     batch double (bid+ask)/2); markout arithmetic is the same float
     expression; sums accumulate in trade order (the espread precedent —
@@ -1768,10 +1782,12 @@ def make_markout_processor(allowed_lateness_s: int = 0):
              seen_key, bk_id, bk_n, bk_s) = state.get
             pend = list(zip(p_ts, p_k2, p_b, p_a, p_px, p_mk))
             q_hist = list(zip(q_avail, q_bid, q_ask))
-            trades = [
-                [ts, px, mk, m0, list(mo)]
-                for ts, px, mk, m0, mo in zip(t_ts, t_px, t_mk, t_mid0, t_mo)
-            ]
+            # rebuild the per-horizon queues: len(mo) routes each trade,
+            # and the saved flat order (queue-by-queue, ts-ascending
+            # within) keeps every queue ts-sorted on reload
+            queues = [deque() for _ in hs]
+            for ts, px, mk, m0, mo in zip(t_ts, t_px, t_mk, t_mid0, t_mo):
+                queues[len(mo)].append([ts, px, mk, m0, list(mo)])
             seen = set(seen_key)
             buckets = {
                 b: [n, list(s)] for b, n, s in zip(bk_id, bk_n, bk_s)
@@ -1781,7 +1797,7 @@ def make_markout_processor(allowed_lateness_s: int = 0):
             n_late = 0
             pend = []
             q_hist = []
-            trades = []
+            queues = [deque() for _ in hs]
             seen = set()
             buckets = {}
 
@@ -1821,24 +1837,30 @@ def make_markout_processor(allowed_lateness_s: int = 0):
 
         def finalize(upto):
             """Fill every pending horizon whose target < upto; move
-            fully-finalized trades into their bucket sums (trade
-            order)."""
-            keep = []
-            for tr in trades:
-                ts, px, mk, m0, mo = tr
-                while len(mo) < len(hs) and ts + hs[len(mo)] < upto:
-                    mh = mid_at(ts + hs[len(mo)])
+            fully-finalized trades into their bucket sums (trade order —
+            queue fronts mature in ts order, and promotion keeps every
+            queue ts-sorted, so completions pop from the last queue in
+            exactly the order the old whole-list scan produced them).
+            O(#horizons) front probes when nothing matures; O(log
+            |q_hist|) per fill otherwise."""
+            for j, h in enumerate(hs):
+                qj = queues[j]
+                while qj and qj[0][0] + h < upto:
+                    tr = qj.popleft()
+                    ts, px, mk, m0, mo = tr
+                    mh = mid_at(ts + h)
                     d = -1.0 if mk else 1.0
                     mo.append(2.0 * d * (mh - m0) / m0 * 10000.0)
-                if len(mo) == len(hs):
-                    b = ts // 60000
-                    acc = buckets.setdefault(b, [0, [0.0] * len(hs)])
-                    acc[0] += 1
-                    for i, v in enumerate(mo):
-                        acc[1][i] = acc[1][i] + v
-                else:
-                    keep.append(tr)
-            trades[:] = keep
+                    if j + 1 == len(hs):
+                        b = ts // 60000
+                        acc = buckets.setdefault(b, [0, [0.0] * len(hs)])
+                        acc[0] += 1
+                        for i, v in enumerate(mo):
+                            acc[1][i] = acc[1][i] + v
+                    else:
+                        # ascending j: a trade maturing several horizons
+                        # in one call is re-examined this same pass
+                        queues[j + 1].append(tr)
 
         for s_ts, k2, b_u, a_u, px_u, mk in fold:
             finalize(s_ts)
@@ -1852,7 +1874,7 @@ def make_markout_processor(allowed_lateness_s: int = 0):
                 if m0 is None:
                     continue  # before any quote: drops from every horizon
                 seen.add(ident)
-                trades.append([s_ts, px_u, mk, m0, []])
+                queues[0].append([s_ts, px_u, mk, m0, []])
         finalize(f_ts)
 
         rows = []
@@ -1871,9 +1893,12 @@ def make_markout_processor(allowed_lateness_s: int = 0):
                 }
 
         # prune quote history: keep everything a pending lookup can
-        # still need (the oldest pending target's LOCF candidate onward)
-        if trades:
-            min_target = min(t[0] + hs[len(t[4])] for t in trades)
+        # still need (the oldest pending target's LOCF candidate onward).
+        # Queue j's targets are ts + hs[j] with ts-sorted contents, so
+        # the global minimum is the min over the queue fronts.
+        fronts = [q[0][0] + hs[j] for j, q in enumerate(queues) if q]
+        if fronts:
+            min_target = min(fronts)
             cut = 0
             for i, (av, _b, _a) in enumerate(q_hist):
                 if av <= min_target:
@@ -1882,6 +1907,9 @@ def make_markout_processor(allowed_lateness_s: int = 0):
         elif q_hist:
             q_hist = q_hist[-1:]
 
+        # flatten queue-by-queue (ts-ascending within each): len(mo)
+        # routes every trade back to its queue on reload, order preserved
+        trades = [t for q in queues for t in q]
         state.update((
             int(f_ts), int(f_k2), int(n_late),
             [t[0] for t in pend], [t[1] for t in pend],
