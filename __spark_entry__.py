@@ -11,6 +11,7 @@ only wires (spark, sf_dir) → DataFrame callables and their DuckDB twins.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -51,6 +52,23 @@ def q(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+def _tape_hot_share(spark: SparkSession, sf_dir: str) -> float:
+    """Session-cached skew gauge for the events tape (round 11, VERDICT
+    r10 item 4): ONE bounded count-by-key action per events snapshot per
+    session, shared by every skew-adaptive default (`q_effective_spread`,
+    `q_twa_spread`, `q_markout`).  Gauged on the RAW tape with
+    ``key='event_type'`` — every derived leg maps symbol = upper(event_type)
+    over symbol-uniform filters, so the raw share equals each leg's share;
+    and the dispatch is a pure physical choice (both targets oracle-equal
+    under the skew gate), so a borderline mis-gauge can never change an
+    answer."""
+    return skew.hot_key_share_cached(
+        table(spark, sf_dir, "events"),
+        os.path.join(sf_dir, "events.parquet"),
+        key="event_type",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -927,15 +945,13 @@ def q_effective_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 10: the DEFAULT name is skew-adaptive — one bounded gauge
     # action picks single-sort (balanced tape) or the sliced rewrite
     # (hot-key tape); both share this oracle (pure physical choice).
-    # The gauge runs on the PRE-dedup frame (the planted ~1% dup rate is
-    # symbol-uniform, so the share is identical) — a map-only count-by-key
-    # instead of paying the dedup window twice.
+    # round 11: the gauge is session-cached per events snapshot
+    # (_tape_hot_share) — the three adaptive defaults share ONE scan.
     events = table(spark, sf_dir, "events")
-    vt = normalize.valid_trades(events)
     return aggregates.effective_spread_adaptive(
-        dedup.dedup_trades(vt),
+        dedup.dedup_trades(normalize.valid_trades(events)),
         normalize.bba(events),
-        hot_share=skew.hot_key_share(vt),
+        hot_share=_tape_hot_share(spark, sf_dir),
     )
 
 
@@ -997,9 +1013,11 @@ def q_realized_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     OD.with_ctes(OD.BBA_CTE + aggregates.TWA_SPREAD_ORACLE_BODY, body=""),
 )
 def q_twa_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # round 10: skew-adaptive default (see q_effective_spread)
+    # round 10: skew-adaptive default (see q_effective_spread); round 11:
+    # shares the session-cached tape gauge instead of gauging the quote leg
     return aggregates.twa_spread_adaptive(
-        normalize.bba(table(spark, sf_dir, "events"))
+        normalize.bba(table(spark, sf_dir, "events")),
+        hot_share=_tape_hot_share(spark, sf_dir),
     )
 
 
@@ -2745,14 +2763,13 @@ def q_resample_bars_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_markout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # round 10: skew-adaptive default (see q_effective_spread — gauge on
-    # the pre-dedup frame, passed through)
+    # round 10: skew-adaptive default (see q_effective_spread); round 11:
+    # shares the session-cached tape gauge (_tape_hot_share)
     events = table(spark, sf_dir, "events")
-    vt = normalize.valid_trades(events)
     return aggregates.markout_adaptive(
-        dedup.dedup_trades(vt),
+        dedup.dedup_trades(normalize.valid_trades(events)),
         normalize.bba(events),
-        hot_share=skew.hot_key_share(vt),
+        hot_share=_tape_hot_share(spark, sf_dir),
     )
 
 

@@ -1374,7 +1374,7 @@ def effective_spread(trades: DataFrame, bba: DataFrame) -> DataFrame:
 
 
 def effective_spread_sliced(
-    trades: DataFrame, bba: DataFrame, slice_ms: int = None
+    trades: DataFrame, bba: DataFrame, slice_ms: int | None = None
 ) -> DataFrame:
     """Hot-key-safe :func:`effective_spread` — identical output (same
     DuckDB oracle), built on :func:`asof_quote_match_sliced` so one
@@ -1387,7 +1387,7 @@ def effective_spread_sliced(
 def effective_spread_adaptive(
     trades: DataFrame,
     bba: DataFrame,
-    hot_share: float = None,
+    hot_share: float | None = None,
     threshold: float = HOT_KEY_SHARE_THRESHOLD,
 ) -> DataFrame:
     """Skew-adaptive :func:`effective_spread` (round 10, VERDICT r9 item
@@ -2006,7 +2006,7 @@ def twa_spread_sliced(bba: DataFrame, slice_ms: int = SKEW_SLICE_MS) -> DataFram
 
 def twa_spread_adaptive(
     bba: DataFrame,
-    hot_share: float = None,
+    hot_share: float | None = None,
     threshold: float = HOT_KEY_SHARE_THRESHOLD,
 ) -> DataFrame:
     """Skew-adaptive :func:`twa_spread` — the
@@ -4806,7 +4806,7 @@ def markout_adaptive(
     trades: DataFrame,
     bba: DataFrame,
     horizons_ms: tuple[int, ...] = MARKOUT_HORIZONS_MS,
-    hot_share: float = None,
+    hot_share: float | None = None,
     threshold: float = HOT_KEY_SHARE_THRESHOLD,
 ) -> DataFrame:
     """Skew-adaptive :func:`markout` — the

@@ -632,7 +632,7 @@ def ann_ivf(
     k: int = IVF_K,
     nprobe: int = IVF_NPROBE,
     query_mod: int = IVF_NPROBE_QUERY_MOD,
-    query_max: int = None,
+    query_max: int | None = None,
 ) -> DataFrame:
     """IVF ANN with a real (deterministic, seeded) k-means coarse quantizer
     trained on a SAMPLE, and nprobe > 1.
@@ -1728,7 +1728,7 @@ def ann_ivfpq(
     m_sub: int = IVFPQ_M,
     ks: int = IVFPQ_KS,
     pool: int = ADC_POOL,
-    query_max: int = None,
+    query_max: int | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN — the memory-bounded form of :func:`ann_ivf`: the
     inverted index stores CODES (coarse cell + ``m_sub`` codeword ids +

@@ -15,6 +15,8 @@ mod salt, never ``rand()``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -132,6 +134,8 @@ def hot_key_share(df: DataFrame, key: str = "symbol") -> float:
     per query; the adaptive callers accept a precomputed ``hot_share``
     for exactly that reason.  Empty input gauges as 0.0 (no hot key — the
     single-sort form, which emits zero rows either way)."""
+    global _GAUGE_ACTIONS
+    _GAUGE_ACTIONS += 1
     row = (
         df.groupBy(key)
         .agg(F.count("*").alias("n"))
@@ -141,3 +145,65 @@ def hot_key_share(df: DataFrame, key: str = "symbol") -> float:
     if row is None or not row["tot"]:
         return 0.0
     return float(row["mx"]) / float(row["tot"])
+
+
+# --- session gauge cache (round 11, VERDICT r10 item 4) ----------------------
+#
+# The r10 adaptive defaults gauged the tape at every query CONSTRUCTION —
+# three headline queries on one tape paid three identical full scans
+# (~0.5 s each at sf0.1; three extra 100 TB scans at scale).  The tape is an
+# immutable snapshot within a session, so the gauge is a pure function of
+# (table snapshot, key): cache it driver-side, keyed by the table's on-disk
+# identity (path + file count + bytes + max mtime for local paths; the URI
+# string for object stores, whose datasets are immutable-by-convention —
+# same contract as Spark's own relation cache).  N adaptive queries on one
+# tape now gauge ONCE (`tests/test_skew_adaptive.py` pins the action count).
+
+_GAUGE_ACTIONS = 0  # test hook: counts actual gauge scans submitted
+_GAUGE_CACHE: dict[tuple, float] = {}
+
+
+def _snapshot_token(table_path: str) -> tuple:
+    """Cheap identity of a parquet file-or-directory: (path, n_entries,
+    total_bytes, max_mtime_ns).  Remote URIs (``://``) fall back to the
+    path string — immutable-dataset convention."""
+    if "://" in table_path:
+        return (table_path,)
+    try:
+        st = os.stat(table_path)
+    except OSError:
+        return (table_path, "missing")
+    if not os.path.isdir(table_path):
+        return (table_path, 1, st.st_size, st.st_mtime_ns)
+    n = tot = mt = 0
+    for e in os.scandir(table_path):
+        s = e.stat()
+        n += 1
+        tot += s.st_size
+        mt = max(mt, s.st_mtime_ns)
+    return (table_path, n, tot, mt)
+
+
+def hot_key_share_cached(
+    df: DataFrame, table_path: str, key: str = "symbol"
+) -> float:
+    """:func:`hot_key_share`, memoized per (table snapshot, key).
+
+    ``df`` must be the table at ``table_path`` or a key-distribution-
+    preserving derivation of it (the spread/markout callers gauge the raw
+    events tape: its per-symbol event-type mix is uniform, so the raw
+    share stands for the trade and quote legs alike — and a mis-gauge is
+    only ever a PERFORMANCE choice, both dispatch targets being oracle-
+    equal by the skew correctness gate)."""
+    tok = (_snapshot_token(table_path), key)
+    share = _GAUGE_CACHE.get(tok)
+    if share is None:
+        share = hot_key_share(df, key)
+        _GAUGE_CACHE[tok] = share
+    return share
+
+
+def clear_gauge_cache() -> None:
+    """Drop memoized gauges (tests; long-lived sessions re-ingesting a
+    mutated local path get invalidation from the mtime token instead)."""
+    _GAUGE_CACHE.clear()

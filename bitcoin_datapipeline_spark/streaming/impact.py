@@ -385,7 +385,7 @@ OFI_STATE_SCHEMA = T.StructType(
 )
 
 
-def make_ofi_processor(bucket_ms: int = None, allowed_lateness_s: int = 0):
+def make_ofi_processor(bucket_ms: int | None = None, allowed_lateness_s: int = 0):
     """Streaming OFI — live twin of
     :func:`~..operators.aggregates.order_flow_imbalance`: folds BBA
     updates per symbol, accumulates each minute bucket's increment sum
@@ -483,7 +483,7 @@ def make_ofi_processor(bucket_ms: int = None, allowed_lateness_s: int = 0):
 
 def stream_ofi(
     bba: DataFrame,
-    bucket_ms: int = None,
+    bucket_ms: int | None = None,
     allowed_lateness_s: int = 0,
 ) -> DataFrame:
     """Live order-flow imbalance: one append-final row per closed
@@ -906,7 +906,7 @@ def _vr_solve(n1, sx_u, sxx_u, nq, sq_u, sqq_u, q=None):
 
 def make_vr_processor(
     bucket_ms: int = 60_000,
-    q: int = None,
+    q: int | None = None,
     allowed_lateness_s: int = 0,
 ):
     """Live Lo-MacKinlay variance ratio — the streaming twin of
@@ -1216,7 +1216,7 @@ RSI_STATE_SCHEMA = T.StructType(
 
 def make_rsi_processor(
     bucket_ms: int = 60_000,
-    period: int = None,
+    period: int | None = None,
     allowed_lateness_s: int = 0,
 ):
     """Live RSI — the streaming twin of operators/windows.rsi (Cutler
@@ -1316,7 +1316,7 @@ def make_rsi_processor(
 def stream_rsi(
     trades: DataFrame,
     bucket_ms: int = 60_000,
-    period: int = None,
+    period: int | None = None,
     allowed_lateness_s: int = 0,
 ) -> DataFrame:
     """Live RSI: one append-final row per closed minute bucket once the
@@ -1365,7 +1365,7 @@ ATR_STATE_SCHEMA = T.StructType(
 
 def make_atr_processor(
     bucket_ms: int = 60_000,
-    period: int = None,
+    period: int | None = None,
     allowed_lateness_s: int = 0,
 ):
     """Live ATR — the streaming twin of operators/windows.atr: the open
@@ -1468,7 +1468,7 @@ def make_atr_processor(
 def stream_atr(
     trades: DataFrame,
     bucket_ms: int = 60_000,
-    period: int = None,
+    period: int | None = None,
     allowed_lateness_s: int = 0,
 ) -> DataFrame:
     """Live ATR: one append-final row per closed minute bucket once the
@@ -1915,9 +1915,17 @@ def make_markout_processor(allowed_lateness_s: int = 0):
         elif q_hist:
             q_hist = q_hist[-1:]
 
-        # flatten queue-by-queue (ts-ascending within each): len(mo)
-        # routes every trade back to its queue on reload, order preserved
-        trades = [t for q in queues for t in q]
+        # flatten GLOBALLY ts-sorted (round 11, ADVICE r10): len(mo)
+        # routes each trade back to its queue on reload and any
+        # ts-ascending flat order keeps every queue ts-sorted, so the
+        # global sort costs nothing semantically — and it makes the
+        # checkpoint byte-layout match the pre-r10 whole-list format,
+        # keeping ROLLBACK to pre-r10 code exact (the old finalize
+        # accumulated bucket sums in flat-list order; a queue-major
+        # layout could flip 6-dp rounding on that path)
+        trades = sorted(
+            (t for q in queues for t in q), key=lambda t: (t[0], len(t[4]))
+        )
         state.update((
             int(f_ts), int(f_k2), int(n_late),
             [t[0] for t in pend], [t[1] for t in pend],
@@ -1995,7 +2003,7 @@ _STOCH_NULL = -(1 << 62)  # flat-window %K sentinel inside the long ring
 
 def make_stoch_processor(
     bucket_ms: int = 60_000,
-    period: int = None,
+    period: int | None = None,
     allowed_lateness_s: int = 0,
 ):
     """Live stochastic oscillator — the streaming twin of
@@ -2116,7 +2124,7 @@ def make_stoch_processor(
 def stream_stochastic(
     trades: DataFrame,
     bucket_ms: int = 60_000,
-    period: int = None,
+    period: int | None = None,
     allowed_lateness_s: int = 0,
 ) -> DataFrame:
     """Live stochastic %K/%D: one append-final row per closed minute
@@ -2310,8 +2318,8 @@ BOLL_STATE_SCHEMA = T.StructType(
 
 def make_boll_processor(
     bucket_ms: int = 60_000,
-    period: int = None,
-    k: float = None,
+    period: int | None = None,
+    k: float | None = None,
     allowed_lateness_s: int = 0,
 ):
     """Live Bollinger-breach scorecard — the streaming twin of
@@ -2448,8 +2456,8 @@ def make_boll_processor(
 def stream_bollinger(
     trades: DataFrame,
     bucket_ms: int = 60_000,
-    period: int = None,
-    k: float = None,
+    period: int | None = None,
+    k: float | None = None,
     allowed_lateness_s: int = 0,
 ) -> DataFrame:
     """Live Bollinger-breach scorecard: one append-final row per closed

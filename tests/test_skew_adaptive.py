@@ -116,3 +116,70 @@ def test_adaptive_equals_single_sort_on_skewed_tape(spark):
     got = _rows(aggregates.markout_adaptive(t, q))
     want = _rows(aggregates.markout(t, q))
     assert got == want and len(got) > 0
+
+
+# --- round 11: session gauge cache (VERDICT r10 item 4) ----------------------
+
+
+def test_session_gauge_cache_one_action_per_snapshot(spark, sf_dir):
+    """N adaptive-default constructions on one tape snapshot submit exactly
+    ONE gauge scan — the r10 design paid one scan per construction (three
+    extra full-tape scans per headline run; at 100 TB, three extra table
+    scans)."""
+    import __spark_entry__ as entry
+    from bitcoin_datapipeline_spark.operators import skew
+
+    skew.clear_gauge_cache()
+    before = skew._GAUGE_ACTIONS
+    for _ in range(2):
+        entry.QUERIES["q_effective_spread"](spark, sf_dir)
+        entry.QUERIES["q_twa_spread"](spark, sf_dir)
+        entry.QUERIES["q_markout"](spark, sf_dir)
+    assert skew._GAUGE_ACTIONS - before == 1
+    skew.clear_gauge_cache()
+
+
+def test_gauge_cache_invalidates_on_snapshot_change(spark, tmp_path):
+    """The cache key is the on-disk snapshot (path + files + bytes + max
+    mtime): rewriting the table re-gauges; re-reading the same snapshot
+    does not."""
+    from bitcoin_datapipeline_spark.operators import skew
+
+    path = str(tmp_path / "tape.parquet")
+    spark.createDataFrame(
+        [("HOT",)] * 9 + [("A",)], "event_type string"
+    ).write.mode("overwrite").parquet(path)
+    skew.clear_gauge_cache()
+    before = skew._GAUGE_ACTIONS
+    df = spark.read.parquet(path)
+    s1 = skew.hot_key_share_cached(df, path, key="event_type")
+    s2 = skew.hot_key_share_cached(df, path, key="event_type")
+    assert s1 == s2 == pytest.approx(0.9)
+    assert skew._GAUGE_ACTIONS - before == 1
+
+    spark.createDataFrame(
+        [("HOT",)] * 5 + [("A",)] * 5, "event_type string"
+    ).write.mode("overwrite").parquet(path)
+    s3 = skew.hot_key_share_cached(spark.read.parquet(path), path, key="event_type")
+    assert s3 == pytest.approx(0.5)
+    assert skew._GAUGE_ACTIONS - before == 2
+    skew.clear_gauge_cache()
+
+
+def test_raw_tape_share_stands_for_derived_legs(spark, sf_dir):
+    """The entry-level gauge runs on the RAW events tape (event_type);
+    the legs it stands for (valid_trades / bba, symbol) are symbol-uniform
+    filters, so the shares agree to well within dispatch margin."""
+    from bitcoin_datapipeline_spark.functions import normalize
+    from bitcoin_datapipeline_spark.tables import table as t
+
+    events = t(spark, sf_dir, "events")
+    raw = hot_key_share(events, key="event_type")
+    trade_leg = hot_key_share(normalize.valid_trades(events))
+    quote_leg = hot_key_share(normalize.bba(events))
+    assert raw == pytest.approx(trade_leg, abs=0.05)
+    assert raw == pytest.approx(quote_leg, abs=0.05)
+    # and all three land on the same side of the dispatch threshold
+    side = raw >= HOT_KEY_SHARE_THRESHOLD
+    assert (trade_leg >= HOT_KEY_SHARE_THRESHOLD) == side
+    assert (quote_leg >= HOT_KEY_SHARE_THRESHOLD) == side
