@@ -183,3 +183,22 @@ def test_raw_tape_share_stands_for_derived_legs(spark, sf_dir):
     side = raw >= HOT_KEY_SHARE_THRESHOLD
     assert (trade_leg >= HOT_KEY_SHARE_THRESHOLD) == side
     assert (quote_leg >= HOT_KEY_SHARE_THRESHOLD) == side
+
+
+def test_dispatch_is_share_only_no_volume_axis(spark):
+    """Round 11 (VERDICT r10 item 3): the controlled-heap sf10 block
+    (BENCH_SCALE_r11.json) showed the r10 single-sort instability was host
+    saturation (q_twa_spread sf10: 25.6 s median saturated → 6.2 s ± 0.6
+    controlled) and single-sort stays at-or-below sliced cost on balanced
+    tapes at 21.6 M rows.  DECISION: dispatch is a pure function of
+    hot-key share — volume does not enter.  This pins the contract: the
+    same share dispatches identically at any volume."""
+    for scale in (1, 20):
+        bt, bq = _tape(spark, hot_rows=5 * scale, cold_rows_per_sym=5 * scale)
+        assert "carry_in" not in _analyzed(
+            aggregates.effective_spread_adaptive(bt, bq)
+        ), f"balanced tape at scale {scale} must stay single-sort"
+        ht, hq = _tape(spark, hot_rows=90 * scale, cold_rows_per_sym=3 * scale)
+        assert "carry_in" in _analyzed(
+            aggregates.markout_adaptive(ht, hq)
+        ), f"skewed tape at scale {scale} must dispatch sliced"
