@@ -1900,6 +1900,17 @@ def q_embed_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embed_decontaminate(table(spark, sf_dir, "embeddings"))
 
 
+# round 11: production-convention decontamination — FIXED vec_id < 20
+# eval set (a benchmark does not grow with the corpus), linear per
+# decade; the classic %-mod row stays as the corpus-coupled upper-bound
+# scale axis (same promotion as the r10 prod-ANN rows)
+@q("q_embed_decontaminate_prod", similarity.EMBED_DECON_PROD_ORACLE)
+def q_embed_decontaminate_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embed_decontaminate_prod(
+        table(spark, sf_dir, "embeddings")
+    )
+
+
 @q("q_embed_ann_lsh", similarity.ANN_LSH_ORACLE)
 def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh(table(spark, sf_dir, "embeddings"))
@@ -2856,6 +2867,15 @@ def q_doc_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q_embed_recall_ivf", similarity.ANN_RECALL_IVF_ORACLE)
 def q_embed_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_recall_ivf(table(spark, sf_dir, "embeddings"))
+
+
+# round 11: the recall audit under the production convention — fixed
+# 20-query audit set against the prod-parameterized IVF index (the one
+# the headline ANN rows serve); exact side is linear per decade where
+# the classic audit's queries x corpus construction is x100/decade
+@q("q_embed_recall_ivf_prod", similarity.ANN_RECALL_IVF_PROD_ORACLE)
+def q_embed_recall_ivf_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_recall_ivf_prod(table(spark, sf_dir, "embeddings"))
 
 
 # round 8: quality-filter ensemble confusion (C4 battery vs Gopher

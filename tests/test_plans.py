@@ -421,13 +421,16 @@ def test_embed_decontaminate_broadcasts_eval_side(spark, sf01):
     """The eval holdout must broadcast (map-only corpus scan — the
     docstring's no-corpus-shuffle claim): the condition-less join plans
     as BroadcastNestedLoopJoin, never CartesianProduct or a shuffle
-    join, and the threshold filter sits below the best-match aggregate."""
+    join, and the threshold filter sits below the best-match aggregate.
+    Pinned for BOTH parameterizations — the classic %-mod holdout and
+    the r11 production-convention fixed eval set."""
     import __spark_entry__ as E
 
-    plan = _plan(spark, E.queries()["q_embed_decontaminate"](spark, sf01))
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" not in plan
+    for name in ("q_embed_decontaminate", "q_embed_decontaminate_prod"):
+        plan = _plan(spark, E.queries()[name](spark, sf01))
+        assert "BroadcastNestedLoopJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
 
 
 def test_passage_scrub_df_agg_partial_combines(spark, sf01):
@@ -479,7 +482,10 @@ SHUFFLE_BUDGETS = {
     "q_doc_perplexity": 4,
     "q_doc_incremental_dedup": 12,
     "q_doc_passage_scrub": 3,
-    "q_embed_decontaminate": 1,
+    # r11: headline row is the production convention (fixed 20-vector
+    # eval set, linear per decade) — same plan shape as the classic
+    # %-mod row it replaced, so the budget carries over
+    "q_embed_decontaminate_prod": 1,
     "q_vpin": 2,
     "q_doc_domain_gate": 1,
     "q_doc_novelty": 2,
@@ -539,8 +545,9 @@ SHUFFLE_BUDGETS = {
     # r8: (priority, week) aggregate + the K-row lag window
     "q_weekly_revenue_growth": 2,
     # r8: exact-side max(struct) aggregate + ann_ivf's posting join and
-    # rank window + the K-row recall join
-    "q_embed_recall_ivf": 5,
+    # rank window + the K-row recall join (r11: headline row is the
+    # production convention — same plan shape, budget carries over)
+    "q_embed_recall_ivf_prod": 5,
     # r8: sigs aggregate + band fan-out + (band, hash) count + the
     # n_bands-row aggregate (static; shared sigs scan reused at runtime)
     "q_doc_lsh_bucket_balance": 6,
@@ -778,6 +785,13 @@ NON_HEADLINE_SHUFFLE_BUDGETS = {
     # the headline to the scale artifact (the _prod rows replaced them)
     "q_embed_ann_ivf": 4,
     "q_embed_ann_ivfpq": 11,
+    # r11: the classic corpus-coupled decontamination row, demoted from
+    # the headline to the scale artifact (q_embed_decontaminate_prod
+    # replaced it)
+    "q_embed_decontaminate": 1,
+    # r11: the classic corpus-coupled IVF recall audit, demoted from the
+    # headline to the scale artifact (q_embed_recall_ivf_prod replaced it)
+    "q_embed_recall_ivf": 5,
     "q_embed_cluster_stats": 7,
     "q_embed_cosine_pairs": 0,
     "q_embed_prune_prototypes": 3,
@@ -853,7 +867,7 @@ def test_every_query_has_a_shuffle_budget_and_stays_in_it(spark, sf01):
     """EVERY registered query — headline or not — has a pinned static
     shuffle budget and stays within it, so adding a query without a
     budget (or a refactor that quietly adds an exchange anywhere in the
-    236-query surface) fails loudly here instead of surfacing as a
+    238-query surface) fails loudly here instead of surfacing as a
     wall-clock regression at scale."""
     import __spark_entry__ as E
 
