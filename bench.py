@@ -833,6 +833,9 @@ STREAM_PROCESSORS = [
     ("stream_rolling_volatility", "trades"),  # O(nbars) moment-ring state
     ("stream_effective_spread", "merged"), # as-of quote-match state
     ("stream_markout", "merged"),          # delayed-emission state
+    # r11: the embedding ingest near-dup gate — cluster-blocked vector
+    # state (corpus/K wide per key), prod-knob quantizer trained offline
+    ("stream_semdedup", "vectors"),
 ]
 STREAM_INPUT_FILES = 16      # tape written as N files ...
 STREAM_FILES_PER_TRIGGER = 4  # ... -> ceil(N/F) checkpointed micro-batches
@@ -908,12 +911,38 @@ def streaming_main(provider: str = "hdfs") -> None:
             ),
             allowMissingColumns=True,
         )
+        # r11: the vector-ingest tape — range-partitioned on vec_id so
+        # file order approximates the gate's in-order ingest contract
+        # (throughput is order-insensitive; the contract test lives in
+        # tests/test_stream_semdedup.py)
+        vectors_b = table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+
         dirs, rows_in, schemas = {}, {}, {}
         for kind, df in (("trades", trades_b), ("merged", merged_b)):
             d = os.path.join(work, kind)
             df.repartition(STREAM_INPUT_FILES).write.parquet(d)
             dirs[kind], rows_in[kind] = d, spark.read.parquet(d).count()
             schemas[kind] = spark.read.parquet(d).schema
+        d = os.path.join(work, "vectors")
+        vectors_b.repartitionByRange(
+            STREAM_INPUT_FILES, "vec_id"
+        ).write.parquet(d)
+        dirs["vectors"], rows_in["vectors"] = d, spark.read.parquet(d).count()
+        schemas["vectors"] = spark.read.parquet(d).schema
+
+        # offline quantizer fit for the ingest gate (the "fit then
+        # serve" split — training cost is NOT part of the gate's
+        # throughput, exactly like a resident job loading its model)
+        from bitcoin_datapipeline_spark.operators.similarity import (
+            _train_quantizer,
+            prod_knobs,
+        )
+        from bitcoin_datapipeline_spark.streaming import semdedup as ssem
+
+        _k, _tm = prod_knobs(rows_in["vectors"])
+        _cents = _train_quantizer(vectors_b, _tm, _k)
 
         builders = {
             "stream_dedup": ops.stream_dedup,
@@ -931,6 +960,9 @@ def streaming_main(provider: str = "hdfs") -> None:
             "stream_rolling_volatility": impact.stream_rolling_volatility,
             "stream_effective_spread": impact.stream_effective_spread,
             "stream_markout": impact.stream_markout,
+            "stream_semdedup": lambda src: ssem.stream_semdedup(
+                src, _cents
+            ),
         }
 
         def drive(name: str, kind: str, tag: str) -> dict:
