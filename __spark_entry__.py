@@ -2080,6 +2080,14 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup(table(spark, sf_dir, "embeddings"))
 
 
+# SemDeDup threshold-calibration curve: per grid cutoff, the in-cluster
+# pair count and the vectors the keep rule would drop (the table that
+# justifies SEMDEDUP_THRESHOLD — embedding twin of q_doc_minhash_calibration)
+@q("q_embed_semdedup_calibration", similarity.SEMDEDUP_CALIBRATION_ORACLE)
+def q_embed_semdedup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semdedup_calibration(table(spark, sf_dir, "embeddings"))
+
+
 # Johnson-Lindenstrauss random projection: 4x embedding compression with a
 # norm-distortion audit (deterministic md5 sign matrix, map-only)
 @q("q_embed_random_projection", similarity.RANDOM_PROJECTION_ORACLE)

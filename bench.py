@@ -117,6 +117,9 @@ HEADLINE = [
     # round 7 (sixth wave): Broder estimator calibration over the LSH
     # candidate set
     "q_doc_minhash_calibration",
+    # round 11: the embedding-side calibration twin — SemDeDup threshold
+    # sweep over the one cluster-blocked pair pass
+    "q_embed_semdedup_calibration",
     # round 7 (seventh wave): serial-dependence diagnostics over the bar
     # grain — ACF of close-to-close changes and the Lo-MacKinlay
     # variance ratio, both decimal-exact single-sort plans
@@ -348,6 +351,10 @@ FAMILIES: dict[str, list[str]] = {
         # estimator calibration over the band-candidate set (r7: rides
         # the same sigs aggregate + band join as minhash_lsh)
         "q_doc_minhash_calibration",
+        # r11: threshold sweep over the semdedup pair pass (same
+        # cluster-width² risk as q_semdedup; the sweep itself is a
+        # bounded explode — the decade row proves it adds no axis)
+        "q_embed_semdedup_calibration",
     ],
     "ann": [
         "q_embed_ann_ivf",

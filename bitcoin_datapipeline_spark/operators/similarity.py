@@ -1161,6 +1161,179 @@ FROM assignment p LEFT JOIN dups d USING (vec_id)"""
 SEMDEDUP_ORACLE = _semdedup_oracle()
 
 
+# Threshold sweep for the SemDeDup keep rule — spans the isotropic
+# corpus's observed cosine range (max pairwise ≈ 0.55) around the
+# operating point SEMDEDUP_THRESHOLD = 0.4.
+SEMDEDUP_CAL_GRID = (0.25, 0.3, 0.35, 0.4, 0.45, 0.5, 0.55)
+
+
+def semdedup_calibration(
+    embeddings: DataFrame,
+    thresholds: tuple[float, ...] = SEMDEDUP_CAL_GRID,
+    train_mod: int = IVF_TRAIN_MOD,
+    k: int = IVF_K,
+) -> DataFrame:
+    """SemDeDup threshold-calibration curve — the embedding-space twin of
+    the text side's :func:`text.minhash_calibration`: before committing a
+    dedup pass to one cosine cutoff, sweep the candidate grid and report,
+    per threshold, how many in-cluster pairs it would flag and how many
+    corpus vectors it would drop.  This is the table an operator reads to
+    PICK ``SEMDEDUP_THRESHOLD`` (the drop-rate elbow), exactly as the
+    MinHash band calibration justifies the Jaccard cutoff.
+
+    Emits one row per grid threshold: ``(threshold, n_pairs, n_dropped,
+    drop_rate)`` where ``n_pairs`` counts in-cluster smaller-id pairs with
+    6-dp cosine ≥ threshold, ``n_dropped`` counts vectors the
+    :func:`semdedup` keep rule would drop at that threshold (some
+    smaller-id in-cluster neighbor ≥ threshold), and ``drop_rate`` is
+    ``n_dropped`` over the corpus size.
+
+    Plan shape: ONE cluster-blocked pair join (the same quantizer +
+    assignment + in-cluster self-join as :func:`semdedup`, pre-filtered to
+    cosine ≥ min(grid) so the sweep never widens the pair set), exploded
+    |grid|-way and aggregated ONCE — ``n_dropped`` is just
+    ``count(DISTINCT cand_id)`` of the surviving explode rows, so both
+    outputs ride a single grouped aggregate — plus one scalar corpus
+    count broadcast onto the ≤ |grid|-row result.  At 100 TB the sweep
+    costs the SAME pair pass a single-threshold run pays; only the
+    ≤ |grid|·pairs explode rows are extra, so calibrating is never a
+    reason to re-scan.
+
+    cf. reference similarity surface: extends the reference (no embedding
+    dedup there); threshold-sweep discipline per Abbas et al. 2023 §4
+    (SemDeDup sensitivity analysis)."""
+    embeddings = _spread(embeddings)
+    e = with_norm(embeddings)
+    cents = _train_quantizer(embeddings, train_mod, k)
+    e = e.join(F.broadcast(_centroid_frame(embeddings.sparkSession, cents)))
+    best_c = F.array_max(_centroid_scores())
+    assigned = e.select(
+        "vec_id",
+        (-best_c["negc"]).cast("long").alias("c"),
+        "embedding",
+        "norm",
+    )
+    left = assigned.select(
+        F.col("vec_id").alias("keep_id"),
+        "c",
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    right = assigned.select(
+        F.col("vec_id").alias("cand_id"),
+        "c",
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    cos6 = r6(_dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")))
+    tmin = min(thresholds)
+    grid_arr = F.array(*[F.lit(float(t)).cast("double") for t in thresholds])
+    pairs = (
+        left.join(right, ["c"])
+        .filter(F.col("keep_id") < F.col("cand_id"))
+        .withColumn("cosine", cos6)
+        .filter(F.col("cosine") >= tmin)
+        .select("cand_id", "cosine")
+    )
+    grid = (
+        embeddings.sparkSession.range(1)
+        .select(F.explode(grid_arr).alias("threshold"))
+    )
+    agg = (
+        pairs.select(
+            F.explode(grid_arr).alias("threshold"), "cand_id", "cosine"
+        )
+        .filter(F.col("cosine") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.countDistinct("cand_id").cast("long").alias("n_dropped"),
+        )
+    )
+    total = embeddings.agg(F.count("*").cast("long").alias("n_corpus"))
+    return (
+        grid.join(agg, "threshold", "left")
+        .join(F.broadcast(total))
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0).cast("long")).alias("n_pairs"),
+            F.coalesce("n_dropped", F.lit(0).cast("long")).alias(
+                "n_dropped"
+            ),
+            r6(
+                F.coalesce("n_dropped", F.lit(0).cast("long"))
+                / F.col("n_corpus")
+            ).alias("drop_rate"),
+        )
+    )
+
+
+def _semdedup_calibration_oracle(
+    thresholds: tuple[float, ...] = SEMDEDUP_CAL_GRID,
+    train_mod: int = IVF_TRAIN_MOD,
+    k: int = IVF_K,
+) -> str:
+    """DuckDB twin: replayed quantizer training + assignment (shared
+    CTEs), one in-cluster pair pass, FILTER-per-threshold sweep."""
+    ctes, final = _ivf_train_ctes(train_mod, k)
+    tmin = min(thresholds)
+    grid_sql = ", ".join(repr(float(t)) for t in thresholds)
+    ctes.append(
+        f"""assignment AS (
+  SELECT vec_id, c FROM (
+    SELECT e.vec_id, c.c,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                   c.centroid), 6) DESC, c.c) AS rn
+    FROM embeddings e CROSS JOIN {final} c)
+  WHERE rn = 1
+)"""
+    )
+    ctes.append(
+        f"""pairs AS (
+  SELECT b.vec_id AS cand_id,
+         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                      CAST(eb.embedding AS DOUBLE[])), 6)
+             AS cosine
+  FROM assignment a
+  JOIN assignment b ON a.c = b.c AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[])), 6)
+        >= {tmin}
+)"""
+    )
+    ctes.append(
+        f"grid AS (SELECT CAST(unnest([{grid_sql}]) AS DOUBLE) AS threshold)"
+    )
+    ctes.append(
+        """agg AS (
+  SELECT g.threshold,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(DISTINCT p.cand_id) AS BIGINT) AS n_dropped
+  FROM grid g JOIN pairs p ON p.cosine >= g.threshold
+  GROUP BY g.threshold
+)"""
+    )
+    ctes.append("tot AS (SELECT count(*) AS n_corpus FROM embeddings)")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT g.threshold,
+       coalesce(a.n_pairs, 0) AS n_pairs,
+       coalesce(a.n_dropped, 0) AS n_dropped,
+       round(coalesce(a.n_dropped, 0) * 1.0 / t.n_corpus, 6) AS drop_rate
+FROM grid g
+LEFT JOIN agg a USING (threshold)
+CROSS JOIN tot t"""
+    )
+
+
+SEMDEDUP_CALIBRATION_ORACLE = _semdedup_calibration_oracle()
+
+
 PROTO_PRUNE_FRAC = 0.25  # fraction of each cluster dropped as prototypical
 
 

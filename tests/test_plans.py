@@ -596,6 +596,10 @@ SHUFFLE_BUDGETS = {
     # band-union legs + both signature lookups over the one sigs
     # aggregate (ReusedExchange collapses them at runtime)
     "q_doc_minhash_calibration": 11,
+    # r11: one cluster-blocked pair pass + the grid explode aggregate
+    # (distinct adds its expand legs); AQE reuses the shared assignment
+    # scan at runtime — same discipline as the text calibration twin
+    "q_embed_semdedup_calibration": 10,
     # capped pair pass: df-cap aggregate + semi-join legs around the
     # shingle-blocked self-join; AQE reuses the shared scan at runtime
     "q_doc_jaccard_hist": 8,
