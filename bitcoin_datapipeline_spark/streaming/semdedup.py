@@ -117,14 +117,39 @@ def make_semdedup_processor(threshold: float = SEMDEDUP_THRESHOLD):
             "vec_id", kind="mergesort"
         )
 
+        d = len(ev["embedding"].iloc[0])
+        # state → ONE ndarray conversion per batch (converting inside the
+        # per-vector loop is O(width²·d) list→float work per batch — the
+        # difference between a flat and a quadratic per-key cost as the
+        # admitted block grows); batch-local admissions append into a
+        # preallocated buffer, so the loop never re-materializes a list
         if state.exists:
-            ids, flat, norms = state.get
-            ids = list(ids)
-            flat = list(flat)
-            norms = list(norms)
+            ids0, flat0, norms0 = state.get
+            base = np.asarray(flat0, dtype=np.float64).reshape(-1, d)
+            base_ids = np.asarray(ids0, dtype=np.int64)
+            base_norms = np.asarray(norms0, dtype=np.float64)
         else:
-            ids, flat, norms = [], [], []
-        seen = set(ids)
+            base = np.empty((0, d), dtype=np.float64)
+            base_ids = np.empty(0, dtype=np.int64)
+            base_norms = np.empty(0, dtype=np.float64)
+        seen = set(base_ids.tolist())
+        nb = 0  # admitted THIS batch, filling the preallocated tail
+        new_block = np.empty((len(ev), d), dtype=np.float64)
+        new_ids = np.empty(len(ev), dtype=np.int64)
+        new_norms = np.empty(len(ev), dtype=np.float64)
+
+        def judge(raw: np.ndarray, id_arr: np.ndarray, vec_id: int):
+            # only smaller ids can claim this vector (batch rule);
+            # screening band: rounding to 6 dp moves a value by at most
+            # 5e-7, so outside ±1e-6 the raw compare decides; inside the
+            # band use the Spark-identical rounding
+            eligible = id_arr < vec_id
+            hit = (raw >= threshold + 1e-6) & eligible
+            near = (np.abs(raw - threshold) < 1e-6) & eligible & ~hit
+            for j in np.nonzero(near)[0]:
+                if _round6(float(raw[j])) >= threshold:
+                    hit[j] = True
+            return hit
 
         rows = []
         for vec_id, emb_raw, norm in zip(
@@ -133,44 +158,48 @@ def make_semdedup_processor(threshold: float = SEMDEDUP_THRESHOLD):
             vec_id = int(vec_id)
             norm = float(norm)
             emb = np.asarray(emb_raw, dtype=np.float64)
-            d = len(emb)
             dup_of = None
             n_dup = 0
-            if ids:
-                block = np.asarray(flat, dtype=np.float64).reshape(
-                    len(ids), d
+            if len(base):
+                hit = judge(
+                    _pair_cosines(base, base_norms, emb, norm),
+                    base_ids,
+                    vec_id,
                 )
-                id_arr = np.asarray(ids, dtype=np.int64)
-                raw = _pair_cosines(
-                    block, np.asarray(norms, dtype=np.float64), emb, norm
-                )
-                # only smaller ids can claim this vector (batch rule)
-                eligible = id_arr < vec_id
-                # screening band: rounding to 6 dp moves a value by at
-                # most 5e-7, so outside ±1e-6 the raw compare decides;
-                # inside the band use the Spark-identical rounding
-                hit = (raw >= threshold + 1e-6) & eligible
-                near = (
-                    (np.abs(raw - threshold) < 1e-6)
-                    & eligible
-                    & ~hit
-                )
-                for j in np.nonzero(near)[0]:
-                    if _round6(float(raw[j])) >= threshold:
-                        hit[j] = True
                 n_dup = int(hit.sum())
                 if n_dup:
-                    dup_of = int(id_arr[hit].min())
+                    dup_of = int(base_ids[hit].min())
+            if nb:
+                hit = judge(
+                    _pair_cosines(
+                        new_block[:nb], new_norms[:nb], emb, norm
+                    ),
+                    new_ids[:nb],
+                    vec_id,
+                )
+                if hit.any():
+                    n_dup += int(hit.sum())
+                    cand = int(new_ids[:nb][hit].min())
+                    dup_of = cand if dup_of is None else min(dup_of, cand)
             rows.append(
                 (vec_id, cluster, dup_of is None, dup_of, n_dup)
             )
             if vec_id not in seen:  # re-delivery stays idempotent
                 seen.add(vec_id)
-                ids.append(vec_id)
-                flat.extend(float(x) for x in emb)
-                norms.append(norm)
+                new_block[nb] = emb
+                new_ids[nb] = vec_id
+                new_norms[nb] = norm
+                nb += 1
 
-        state.update((ids, flat, norms))
+        state.update(
+            (
+                base_ids.tolist() + new_ids[:nb].tolist(),
+                np.concatenate(
+                    [base.ravel(), new_block[:nb].ravel()]
+                ).tolist(),
+                base_norms.tolist() + new_norms[:nb].tolist(),
+            )
+        )
         yield pd.DataFrame(rows, columns=_OUT_COLS)
 
     return fn
