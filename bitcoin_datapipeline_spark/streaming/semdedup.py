@@ -219,9 +219,15 @@ def stream_semdedup(
     (`similarity._train_quantizer` output — the spark.ml "fit then
     serve" split)."""
     e = with_norm(vectors)
-    e = e.join(
-        F.broadcast(_centroid_frame(vectors.sparkSession, centroids))
-    )
+    # the model frame is stream-static: without a cache the 1-row
+    # collect_list aggregate re-executes every micro-batch (measured
+    # ~30 % of steady-state batch time); cached eagerly it is built once
+    # at stream construction — the fit-then-serve split made literal.
+    # K×dims doubles, so the pinned footprint is a few hundred KB even
+    # at production K; the stream owns it for its lifetime.
+    model = _centroid_frame(vectors.sparkSession, centroids).cache()
+    model.count()
+    e = e.join(F.broadcast(model))
     best = F.array_max(_centroid_scores())
     assigned = e.select(
         "vec_id",
