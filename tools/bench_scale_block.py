@@ -40,7 +40,14 @@ def main() -> None:
     ap.add_argument("--dirs", required=True)
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--out", required=True)
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated query names (default: the six-row "
+        "spread/markout block)",
+    )
     args = ap.parse_args()
+    queries = tuple(args.queries.split(",")) if args.queries else QUERIES
 
     import __spark_entry__ as entry
     from bitcoin_datapipeline_spark.session import get_spark
@@ -60,7 +67,7 @@ def main() -> None:
         label = os.path.basename(d.rstrip("/"))
         table(spark, d, "events").count()  # warm footer/page cache
         block = {}
-        for name in QUERIES:
+        for name in queries:
             qs[name](spark, d).count()  # un-billed codegen warmup
             secs, rows = [], 0
             for _ in range(args.runs):
@@ -81,11 +88,11 @@ def main() -> None:
         a, b = dirs
         out["growth_median"] = {
             q: round(out["dirs"][b][q]["sec"] / out["dirs"][a][q]["sec"], 2)
-            for q in QUERIES
+            for q in queries
         }
         out["growth_min"] = {
             q: round(out["dirs"][b][q]["min"] / out["dirs"][a][q]["min"], 2)
-            for q in QUERIES
+            for q in queries
         }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
