@@ -236,6 +236,34 @@ def test_semdedup_greedy_keep_rule(spark):
         assert out[i].cluster == out[g0].cluster
 
 
+def test_semdedup_calibration_ties_to_audit(spark):
+    """The calibration curve must tie out with the semdedup audit table at
+    the operating threshold: n_dropped(τ₀) = dropped audit rows and
+    n_pairs(τ₀) = Σ n_dup_neighbors (every counted pair claims exactly one
+    cand); the curve is monotone nonincreasing in τ and drop_rate =
+    n_dropped / corpus."""
+    from bitcoin_datapipeline_spark.operators.similarity import (
+        SEMDEDUP_THRESHOLD,
+        semdedup,
+        semdedup_calibration,
+    )
+    from bitcoin_datapipeline_spark.tables import table
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings")
+    audit = semdedup(e).collect()
+    cal = {
+        r.threshold: r for r in semdedup_calibration(e).collect()
+    }
+    at = cal[SEMDEDUP_THRESHOLD]
+    assert at.n_dropped == sum(1 for r in audit if not r.keep)
+    assert at.n_pairs == sum(r.n_dup_neighbors for r in audit)
+    assert at.drop_rate == round(at.n_dropped / len(audit), 6)
+    ts = sorted(cal)
+    for lo, hi in zip(ts, ts[1:]):
+        assert cal[lo].n_pairs >= cal[hi].n_pairs
+        assert cal[lo].n_dropped >= cal[hi].n_dropped
+
+
 def test_semdedup_persist_knob_equivalent(spark):
     """persist_assignment=True must not change results (it only swaps
     recompute-per-branch for a materialized assignment)."""
