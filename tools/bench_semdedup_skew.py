@@ -1,0 +1,139 @@
+"""Hot-cell skew probe for the streaming semdedup gate (round 11).
+
+The trade-side streaming twins are measured on a 90%-one-symbol tape
+(BENCH_STREAM_r10.json); the embedding ingest gate's analog is a
+90%-one-CELL tape — the production "dup storm": a crawler re-submitting
+near-identical content, so most arrivals assign to one quantizer cell
+and one `applyInPandasWithState` key partition serializes while its
+admitted block grows toward 0.9·corpus.
+
+Setup keeps the production fit-then-serve split honest: the quantizer is
+trained on the BALANCED reference corpus (the model a resident job
+loaded), then the live tape skews — distribution shift, not a re-fit.
+The hot vectors are small perturbations of one trained centroid (so
+they assign to its cell AND are mutual near-dups — the storm), the
+balanced control is the unmodified corpus.
+
+    python tools/bench_semdedup_skew.py --out /tmp/semdedup_skew.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+INPUT_FILES = 16
+FILES_PER_TRIGGER = 4
+HOT_FRAC = 0.9
+NOISE = 0.35  # perturbation scale: keeps cosine-to-home-centroid ≈ 0.94
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+
+    from pyspark.sql import Row
+    from bitcoin_datapipeline_spark.session import get_spark
+    from bitcoin_datapipeline_spark.tables import table
+    from bitcoin_datapipeline_spark.operators.similarity import (
+        _train_quantizer,
+        prod_knobs,
+    )
+    from bitcoin_datapipeline_spark.streaming import semdedup as ssem
+
+    spark = get_spark("semdedup-skew")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    vecs = table(spark, args.sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    rows = vecs.orderBy("vec_id").collect()
+    n = len(rows)
+    k, tm = prod_knobs(n)
+    cents = _train_quantizer(vecs, tm, k)
+
+    # hot tape: 90% of ids perturb centroid 0 (deterministic per-id noise
+    # so the tape is reproducible), 10% keep their balanced embedding
+    c0 = np.asarray(cents[0][1], dtype=np.float64)
+    c0 = c0 / np.linalg.norm(c0)
+    d = len(rows[0]["embedding"])
+    hot_rows = []
+    for r in rows:
+        if r["vec_id"] % 10 < HOT_FRAC * 10:
+            rng = np.random.default_rng(r["vec_id"])
+            v = c0 + NOISE * rng.standard_normal(d)
+            hot_rows.append(
+                Row(vec_id=r["vec_id"], embedding=[float(x) for x in v])
+            )
+        else:
+            hot_rows.append(r)
+
+    def drive(tag: str, frame) -> dict:
+        work = tempfile.mkdtemp(prefix=f"semdedup_skew_{tag}_")
+        tape = os.path.join(work, "tape")
+        frame.repartitionByRange(INPUT_FILES, "vec_id").write.parquet(tape)
+        schema = spark.read.parquet(tape).schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", FILES_PER_TRIGGER)
+            .parquet(tape)
+        )
+        out = ssem.stream_semdedup(src, cents)
+        t0 = time.time()
+        q = (
+            out.writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sec = round(time.time() - t0, 3)
+        last = q.recentProgress[-1]["stateOperators"][0]
+        return {
+            "sec": sec,
+            "rows_in": n,
+            "rows_per_sec": int(n / sec),
+            "batches": len(q.recentProgress),
+            "state_rows_final": last["numRowsTotal"],
+            "state_bytes_final": last["memoryUsedBytes"],
+        }
+
+    hot_df = spark.createDataFrame(hot_rows, vecs.schema)
+    balanced = drive("balanced", vecs)
+    # warm second run of each shape; report the better of two per tape to
+    # damp single-pass scatter
+    hot = drive("hot", hot_df)
+    balanced2 = drive("balanced2", vecs)
+    hot2 = drive("hot2", hot_df)
+    bal_best = min((balanced, balanced2), key=lambda r: r["sec"])
+    hot_best = min((hot, hot2), key=lambda r: r["sec"])
+    out = {
+        "metric": "stream_semdedup_hot_cell_skew",
+        "unit": "rows_per_sec",
+        "hot_frac": HOT_FRAC,
+        "sf_dir": args.sf_dir,
+        "balanced": bal_best,
+        "hot_cell": hot_best,
+        "skew_ratio": round(hot_best["sec"] / bal_best["sec"], 2),
+        "all_runs": {
+            "balanced": [balanced["sec"], balanced2["sec"]],
+            "hot": [hot["sec"], hot2["sec"]],
+        },
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
