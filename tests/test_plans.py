@@ -871,7 +871,7 @@ def test_every_query_has_a_shuffle_budget_and_stays_in_it(spark, sf01):
     """EVERY registered query — headline or not — has a pinned static
     shuffle budget and stays within it, so adding a query without a
     budget (or a refactor that quietly adds an exchange anywhere in the
-    238-query surface) fails loudly here instead of surfacing as a
+    239-query surface) fails loudly here instead of surfacing as a
     wall-clock regression at scale."""
     import __spark_entry__ as E
 
