@@ -123,8 +123,10 @@ def make_semdedup_processor(threshold: float = SEMDEDUP_THRESHOLD):
     triangular id mask, not a per-arrival loop.  A hot cell (the dup
     storm: 90 % of a tape in one quantizer cell) therefore pays BLAS
     throughput on its one serialized state partition instead of
-    len(batch) gemv calls — measured 5.1× → 1.1× vs the balanced tape
-    at sf1 (tools/bench_semdedup_skew.py).  BLAS accumulation order
+    len(batch) gemv calls — measured 5.08× → 1.83× vs the balanced
+    tape at sf1 (tools/bench_semdedup_skew.py; with the binary-blob
+    state below — the residual ratio is the structural one-partition
+    floor).  BLAS accumulation order
     differs from the batch ``aggregate(zip_with)`` left fold by well
     under 1e-12 at these dims, so outside the ±1e-6 screening band the
     raw compare is order-insensitive; pairs INSIDE the band are
