@@ -40,6 +40,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--out", required=True)
+    ap.add_argument("--store", default="hdfs", choices=("hdfs", "rocksdb"))
     args = ap.parse_args()
 
     from pyspark.sql import Row
@@ -53,6 +54,12 @@ def main() -> None:
 
     spark = get_spark("semdedup-skew")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.store == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
 
     vecs = table(spark, args.sf_dir, "embeddings").select(
         "vec_id", "embedding"
@@ -122,6 +129,7 @@ def main() -> None:
         "unit": "rows_per_sec",
         "hot_frac": HOT_FRAC,
         "sf_dir": args.sf_dir,
+        "state_store": args.store,
         "balanced": bal_best,
         "hot_cell": hot_best,
         "skew_ratio": round(hot_best["sec"] / bal_best["sec"], 2),
