@@ -42,17 +42,37 @@ DYNAMIC_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # r11 optimization: PySpark 4's per-DataFrame-call origin capture
+    # (error-message call sites) walks the Python stack and makes two
+    # extra py4j round-trips on EVERY DataFrame/Column API call — profiled
+    # at ~half of all query-construction time (cProfile: 8.5k py4j
+    # commands per bars construction, ~0.15 ms each).  A query engine
+    # constructs plans in a hot loop; the debugging aid is priced for
+    # notebooks.  Scale-independent: this is driver-side Python cost, the
+    # same on a laptop or a 1000-executor cluster.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 
 def configure(spark: SparkSession) -> SparkSession:
-    """Apply the engine's dynamic confs to an existing session (idempotent)."""
+    """Apply the engine's dynamic confs to an existing session (idempotent).
+
+    Called from every :func:`~bitcoin_datapipeline_spark.tables.table`
+    read, so query construction hits it repeatedly — the applied marker
+    keeps that to ONE batch of ``conf.set`` py4j round-trips per session
+    instead of four per table read."""
+    if getattr(spark, "_bdp_configured", False):
+        return spark
     for k, v in DYNAMIC_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             # Static conf on this build — session defaults will have to do.
             pass
+    try:
+        spark._bdp_configured = True
+    except Exception:
+        pass
     return spark
 
 
@@ -78,6 +98,9 @@ def get_spark(
         # local mode = single JVM; give codegen'd aggs room before spill
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.driver.maxResultSize", "2g")
+        # set at build time too: pyspark caches the debugging flag on the
+        # FIRST wrapped API call, which can precede the first table() read
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in DYNAMIC_CONF.items():
         builder = builder.config(k, v)
