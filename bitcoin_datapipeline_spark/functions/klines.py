@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators import r6
+from .normalize import _props_k
 
 
 def kline_wire(events: DataFrame) -> DataFrame:
@@ -30,7 +31,8 @@ def kline_wire(events: DataFrame) -> DataFrame:
     numerics as strings, like the Binance REST payload."""
     minute = F.expr("(ts div 1000) div 60000") * 60000
     px = F.col("value")
-    k = F.get_json_object(F.col("props"), "$.k").cast("double") + 1.0
+    # r11: shared fast-path payload decode (see normalize._props_k)
+    k = _props_k() + 1.0
     arr = F.array(
         minute.cast("string"),
         px.cast("string"),

@@ -43,6 +43,41 @@ TS_MIN_MS = 1577836800000  # 2020-01-01T00:00:00Z
 TS_MAX_MS = 1893456000000  # 2030-01-01T00:00:00Z
 
 
+def _props_k() -> Column:
+    """``props`` → the numeric ``$.k`` field, fast-path + full-parser
+    fallback (r11 optimization).
+
+    ``get_json_object`` runs a full Jackson parse per row; on the
+    normalize path that parse IS most of the scan stage's CPU (measured
+    0.33 s vs 0.12 s for the bare scan+filter at sf0.1 — and the scan
+    stage is the serial head of every market-side query).  The feed's
+    payload is the single-key object ``{"k": <number>}``, so the common
+    case short-circuits to a substring+cast (the SBE-decoder pattern:
+    cheap fixed-layout decode, full parser for anything else):
+
+    - guard: literal ``{"k": `` prefix, ``}`` suffix, and a digit/minus
+      first payload char — anything else (extra keys, string values,
+      whitespace variants, malformed JSON) falls back to the real parser;
+    - ``try_cast`` double: a payload that is not a plain JSON number
+      (e.g. ``76, "j": 1``) yields NULL and falls back.
+
+    On every valid-JSON input both branches agree (Spark's string→double
+    cast and Jackson parse the same number grammar); the fallback keeps
+    arbitrary JSON payloads exactly as before.  Measured: 0.14 s vs
+    0.33 s for the scan+filter microbench — ~0.2 s per query across the
+    ~80 queries that read the tape.  Scale-independent: per-row CPU in
+    the scan stage shrinks identically on a cluster (guide §1.2 step 2 /
+    §4.2 — expression choice in the hot path)."""
+    fast_ok = (
+        (F.expr("left(props, 6)") == '{"k": ')
+        & (F.expr("right(props, 1)") == "}")
+        & F.expr("substr(props, 7, 1) in ('-','0','1','2','3','4','5','6','7','8','9')")
+    )
+    fast = F.expr("try_cast(substr(props, 7, length(props) - 7) as double)")
+    slow = F.get_json_object(F.col("props"), "$.k").cast("double")
+    return F.when(fast_ok, F.coalesce(fast, slow)).otherwise(slow)
+
+
 def trades(events: DataFrame) -> DataFrame:
     """events → canonical trade stream (MarketTrade.avsc field set)."""
     event_ts = F.expr("ts div 1000")
@@ -55,7 +90,7 @@ def trades(events: DataFrame) -> DataFrame:
             - F.when(F.col("event_id") % 100 == 7, F.lit(1)).otherwise(F.lit(0))
         ).cast("long").alias("trade_id"),
         F.col("value").alias("price"),
-        F.get_json_object(F.col("props"), "$.k").cast("double").alias("qty"),
+        _props_k().alias("qty"),
         (F.col("event_id") % 2 == 0).alias("is_buyer_maker"),
         F.when(F.col("event_id") % 10 < 7, F.lit("sbe"))
         .otherwise(F.lit("rest"))
@@ -87,7 +122,7 @@ def bba(events: DataFrame) -> DataFrame:
     as the reference (feature_builder.py:220-225, :264-266).
     """
     event_ts = F.expr("ts div 1000")
-    k = F.get_json_object(F.col("props"), "$.k").cast("double")
+    k = _props_k()
     return events.select(
         F.upper(F.col("event_type")).alias("symbol"),
         event_ts.cast("long").alias("event_ts"),
@@ -118,7 +153,7 @@ def depth(events: DataFrame) -> DataFrame:
         event_ts.cast("long").alias("event_ts"),
         F.col("event_id").cast("long").alias("last_update_id"),
         F.col("value").alias("price"),
-        (F.get_json_object(F.col("props"), "$.k").cast("double") + 1.0).alias("k"),
+        (_props_k() + 1.0).alias("k"),
     ).filter(F.col("price") > 0)
     bids = F.expr(
         "transform(sequence(1, 10), i -> struct("
