@@ -1550,10 +1550,20 @@ def _sliced_locf_resolve(u: DataFrame, slice_ms: int) -> DataFrame:
         "pq_local", F.last(_asof_quote_struct(), ignorenulls=True).over(wl)
     )
 
+    # r11 note: the carry-out summary and the occupied-slice frame are
+    # written against `local` (the window's output), but Catalyst prunes
+    # the unused pq_local column — and with it the window — out of both
+    # legs, so they still plan their own union subtrees (executed plan of
+    # q_markout_sliced: the quote leg is re-scanned by qsum and slices;
+    # 10 parquet scans after the _trade_identity sharing, 11 before).
+    # Forcing the legs to reference the window output would share the
+    # union exchange; that rewrite is the carry_out-as-window-function
+    # form measured separately (see OPTIMIZATION_r11.md).
+
     # carry-out per (symbol, slice): the sort-order-last QUOTE of the slice
     # (max_by over the quote rows' sort tuple — is_q is constant 0 there)
     qsum = (
-        u.filter(F.col("is_q") == 0)
+        local.filter(F.col("is_q") == 0)
         .groupBy("symbol", "slice")
         .agg(
             F.max_by(
@@ -1564,7 +1574,7 @@ def _sliced_locf_resolve(u: DataFrame, slice_ms: int) -> DataFrame:
     )
     # carry-in per every OCCUPIED (symbol, slice): newest carry_out of any
     # strictly earlier slice — a prefix-LOCF over the tiny summary frame
-    slices = u.select("symbol", "slice").distinct()
+    slices = local.select("symbol", "slice").distinct()
     wc = (
         Window.partitionBy("symbol")
         .orderBy("slice")
@@ -1816,43 +1826,51 @@ def realized_spread(
     same).
 
     cf. reference: extends the surface (no post-trade reversion measure
-    in the reference; complements :func:`effective_spread`)."""
-    # Distinct BEFORE the two corpus-scale as-of scans, not after: the
-    # scans run on the 3-column (symbol, event_ts, price) identity
-    # (ingest_ts never affects the matched quote — it only tiebreaks
-    # among trade rows, which carry no quote data — so it is pinned to a
-    # constant), making each scan's output distinct by construction; the
-    # side flag rides the separate 4-column identity and joins back
-    # AFTER the scans so a same-instant buy/sell pair still contributes
-    # one row per side without multiplying through the scans.
-    tid = trades.select(
-        "symbol",
-        "event_ts",
-        F.lit(0).cast("long").alias("ingest_ts"),
-        "price",
-    ).distinct()
-    sides = trades.select(
-        "symbol", "event_ts", "price", "is_buyer_maker"
-    ).distinct()
-    now = asof_quote_match(tid, bba).select(
-        "symbol", "event_ts", "price",
-        ((F.col("bid_px") + F.col("ask_px")) / 2.0).alias("mid_now"),
+    in the reference; complements :func:`effective_spread`).
+
+    r11 optimization (pure physical rewrite, same oracle): the two
+    separate union-LOCF scans became ONE multi-horizon scan on the
+    :func:`markout` skeleton with horizons {0, Δ} — quotes enter the
+    symbol sort once, the distinct trade identity twice with sort key
+    event_ts + h, and a bounded pivot recovers (mid_now, mid_fwd) per
+    trade.  The old two-scan form also re-derived the dedup window per
+    leg with different column prunings, which defeated ReusedExchange:
+    measured 9 parquet scans / 7 shuffle stages before, 4 scans / 6
+    stages after; 2.18 s → ~1.2 s at sf0.1.  Equivalence: a quote
+    strictly before t+Δ under (sort_ts, is_q, ...) ordering with the
+    probe's ingest_ts pinned to 0 is exactly the prevailing quote the
+    shifted second scan matched, and a trade with a mid at t always has
+    a mid at t+Δ, so filtering on mid_now alone drops the same rows the
+    old inner joins dropped."""
+    # one shared identity aggregate — the dedup window executes once
+    tid, sides = _trade_identity(trades)
+    hs = [0, delta_ms]
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy(*_ASOF_ORDER)
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    shifted = tid.select(
-        "symbol",
-        (F.col("event_ts") + F.lit(delta_ms)).cast("long").alias("event_ts"),
-        "ingest_ts",
-        "price",
+    matched = (
+        _markout_union(tid, bba, hs)
+        .withColumn("pq", F.last(_asof_quote_struct(), ignorenulls=True).over(w))
+        .filter((F.col("is_q") == 1) & F.col("pq").isNotNull())
+        .select(
+            "symbol",
+            "event_ts",
+            "price",
+            "h",
+            ((F.col("pq.b") + F.col("pq.a")) / 2.0).alias("mid"),
+        )
     )
-    fwd = asof_quote_match(shifted, bba).select(
-        "symbol",
-        (F.col("event_ts") - F.lit(delta_ms)).cast("long").alias("event_ts"),
-        "price",
-        ((F.col("bid_px") + F.col("ask_px")) / 2.0).alias("mid_fwd"),
+    mids = (
+        matched.groupBy("symbol", "event_ts", "price")
+        .agg(
+            F.max(F.when(F.col("h") == 0, F.col("mid"))).alias("mid_now"),
+            F.max(F.when(F.col("h") == delta_ms, F.col("mid"))).alias("mid_fwd"),
+        )
+        .filter(F.col("mid_now").isNotNull())
     )
-    m = sides.join(now, ["symbol", "event_ts", "price"]).join(
-        fwd, ["symbol", "event_ts", "price"]
-    )
+    m = sides.join(mids, ["symbol", "event_ts", "price"])
     d = F.when(F.col("is_buyer_maker"), F.lit(-1.0)).otherwise(F.lit(1.0))
     eff = 2.0 * d * (F.col("price") - F.col("mid_now")) / F.col("mid_now") * 10000.0
     rea = 2.0 * d * (F.col("price") - F.col("mid_fwd")) / F.col("mid_fwd") * 10000.0
@@ -4721,6 +4739,60 @@ FROM sd_g"""
 MARKOUT_HORIZONS_MS = (1_000, 10_000, 60_000)
 
 
+def _trade_identity(trades: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(tid, sides) for the multi-horizon as-of family: the distinct
+    3-col trade identity (symbol, event_ts, price) and the distinct
+    4-col side frame (identity + is_buyer_maker), derived from ONE
+    aggregate — ``groupBy(identity).agg(collect_set(is_buyer_maker))``
+    with sides exploding the set back to rows.
+
+    r11 optimization: two separate ``.distinct()`` calls planned the
+    upstream dedup window twice — Catalyst pruned ``is_buyer_maker`` out
+    of the tid leg's scan projection, the two dedup subtrees stopped
+    being canonically equal, and AQE's ReusedExchange could not collapse
+    them (measured: the events scan + normalize + dedup sort ran twice
+    per query).  One aggregate with both consumers referencing its
+    output keeps ONE canonical subtree, so the dedup executes once; as
+    a bonus the sides frame comes out hash-partitioned on the (symbol,
+    event_ts, price) join key the mids lookup needs.
+
+    Mechanics: the per-identity maker-flag SET is encoded as min/max of
+    the boolean (codegen'd declarative aggregates — no
+    ObjectHashAggregate) and exploded back for sides; min==max means one
+    side, else both.  The tid branch must reference an aggregate output
+    or Catalyst prunes the functions away and the branches diverge
+    again — the ``mk_min IS NOT NULL`` filter is that pin: always true
+    by construction (every group has ≥1 row and the normalize maker
+    derivation is total), zero rows removed, but not provable by the
+    optimizer, so the shared subtree survives.
+
+    Row-equivalence: explode(min==max ? [mk] : [false, true]) over the
+    3-col groups IS the 4-col distinct; the group keys under the
+    always-true pin are the 3-col distinct."""
+    g = (
+        trades.select("symbol", "event_ts", "price", "is_buyer_maker")
+        .groupBy("symbol", "event_ts", "price")
+        .agg(
+            F.min("is_buyer_maker").alias("__mk_min"),
+            F.max("is_buyer_maker").alias("__mk_max"),
+        )
+    )
+    tid = g.filter(F.col("__mk_min").isNotNull()).select(
+        "symbol", "event_ts", "price"
+    )
+    sides = g.select(
+        "symbol",
+        "event_ts",
+        "price",
+        F.explode(
+            F.when(
+                F.col("__mk_min") == F.col("__mk_max"), F.array("__mk_min")
+            ).otherwise(F.array(F.lit(False), F.lit(True)))
+        ).alias("is_buyer_maker"),
+    )
+    return tid, sides
+
+
 def markout(
     trades: DataFrame,
     bba: DataFrame,
@@ -4746,16 +4818,15 @@ def markout(
     cf. reference: extends the surface (Huang–Stoll horizon
     generalization; complements :func:`realized_spread`)."""
     hs = [0] + sorted(horizons_ms)
-    sides = trades.select(
-        "symbol", "event_ts", "price", "is_buyer_maker"
-    ).distinct()
+    # r11: one shared identity aggregate — the dedup window executes once
+    tid, sides = _trade_identity(trades)
     w = (
         Window.partitionBy("symbol")
         .orderBy(*_ASOF_ORDER)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = (
-        _markout_union(trades, bba, hs)
+        _markout_union(tid, bba, hs)
         .withColumn("pq", F.last(_asof_quote_struct(), ignorenulls=True).over(w))
         .filter((F.col("is_q") == 1) & F.col("pq").isNotNull())
         .select(
@@ -4787,11 +4858,10 @@ def markout_sliced(
     in a quote-empty slice pick up the newest earlier slice's quote
     exactly as the single sort would."""
     hs = [0] + sorted(horizons_ms)
-    sides = trades.select(
-        "symbol", "event_ts", "price", "is_buyer_maker"
-    ).distinct()
+    # r11: one shared identity aggregate (see _trade_identity)
+    tid, sides = _trade_identity(trades)
     matched = _sliced_locf_resolve(
-        _markout_union(trades, bba, hs), slice_ms
+        _markout_union(tid, bba, hs), slice_ms
     ).select(
         "symbol",
         "event_ts",
@@ -4823,12 +4893,15 @@ def markout_adaptive(
     return markout(trades, bba, horizons_ms)
 
 
-def _markout_union(trades: DataFrame, bba: DataFrame, hs: list) -> DataFrame:
-    """The quotes + horizon-probe sort frame shared by :func:`markout` and
-    its time-sliced twin: quotes available at event_ts+1 (is_q=0 sorts
-    before a probe at the same instant); the distinct trade identity
-    enters len(hs) times with sort key event_ts + h."""
-    tid = trades.select("symbol", "event_ts", "price").distinct()
+def _markout_union(tid: DataFrame, bba: DataFrame, hs: list) -> DataFrame:
+    """The quotes + horizon-probe sort frame shared by :func:`markout`,
+    its time-sliced twin, and :func:`realized_spread`: quotes available at
+    event_ts+1 (is_q=0 sorts before a probe at the same instant); the
+    distinct trade identity ``tid`` (symbol, event_ts, price) enters
+    len(hs) times with sort key event_ts + h.  Callers derive ``tid``
+    from their ``sides`` frame so the dedup subtree executes once (r11:
+    passing ``trades`` and re-deriving the distinct here planned the
+    dedup window twice with different prunings — no ReusedExchange)."""
     q = bba.select(
         "symbol",
         (F.col("event_ts") + F.lit(1)).cast("long").alias("sort_ts"),

@@ -64,6 +64,13 @@ def gold_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("close").over(fwd) == 10).alias("label_valid"),
     ).filter(F.col("label_valid"))
 
+    # r11 note: pinning `enriched` (operators.pin_subtree) to share one
+    # subtree between rng and the row stream was tried and REVERTED — it
+    # collapsed the duplicate dedup→bars cascade (4 scans → 3) but
+    # serialized the two branches through one AQE stage chain, and the
+    # measured wall-clock got WORSE (exec 1.4 s → 2.2 s at sf0.1): the
+    # pruned rng branch is cheap and runs concurrently with the main
+    # stream, so recomputing it costs idle cores, not time.
     rng = enriched.groupBy().agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
     j = enriched.join(F.broadcast(rng))
     span = F.col("hi") - F.col("lo")
