@@ -1550,38 +1550,46 @@ def _sliced_locf_resolve(u: DataFrame, slice_ms: int) -> DataFrame:
         "pq_local", F.last(_asof_quote_struct(), ignorenulls=True).over(wl)
     )
 
-    # r11 note: the carry-out summary and the occupied-slice frame are
-    # written against `local` (the window's output), but Catalyst prunes
-    # the unused pq_local column — and with it the window — out of both
-    # legs, so they still plan their own union subtrees (executed plan of
-    # q_markout_sliced: the quote leg is re-scanned by qsum and slices;
-    # 10 parquet scans after the _trade_identity sharing, 11 before).
-    # Forcing the legs to reference the window output would share the
-    # union exchange; that rewrite is the carry_out-as-window-function
-    # form measured separately (see OPTIMIZATION_r11.md).
-
-    # carry-out per (symbol, slice): the sort-order-last QUOTE of the slice
-    # (max_by over the quote rows' sort tuple — is_q is constant 0 there)
-    qsum = (
-        local.filter(F.col("is_q") == 0)
-        .groupBy("symbol", "slice")
-        .agg(
-            F.max_by(
-                F.struct(F.col("bid_px").alias("b"), F.col("ask_px").alias("a")),
-                F.struct("sort_ts", "ingest_ts", "bid_px", "ask_px", "bid_sz", "ask_sz"),
-            ).alias("carry_out")
-        )
+    # r11 optimization: the per-slice carry-out (sort-order-last QUOTE of
+    # the slice) is a SECOND window function over the same (symbol, slice)
+    # partitioning — full frame instead of running frame — so the ONE
+    # carry leg references the window output instead of re-planning two
+    # separate union subtrees.  The previous form derived the carry from
+    # qsum (groupBy + max_by) ⟕ slices (distinct) — neither referenced
+    # the window output, so Catalyst pruned the window away, the
+    # canonical subtrees diverged, and the union's tape scans were
+    # repeated once per carry leg.  Measured executed plans at sf0.1:
+    # q_markout_sliced 10 parquet scans -> 8 (11 -> 10 shuffle stages),
+    # q_effective_spread_sliced 10 -> 8 (7 -> 6 shuffle stages).  At
+    # 100 TB that is two fewer full passes over the tape and one fewer
+    # carry-side exchange (guide §2.4).
+    #
+    # Equivalence: last(quote-struct ignorenulls) over the slice's FULL
+    # frame in _ASOF_ORDER is the max_by of the quote sort tuple the old
+    # aggregate computed (ties agree on every struct field), and it is
+    # constant across the slice's rows, so distinct(symbol, slice,
+    # carry_out) is exactly the old slices ⟕ qsum frame — including the
+    # NULL carry_out of quote-empty slices.
+    wf = (
+        Window.partitionBy("symbol", "slice")
+        .orderBy(*_ASOF_ORDER)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    local = local.withColumn(
+        "slice_carry_out", F.last(_asof_quote_struct(), ignorenulls=True).over(wf)
     )
     # carry-in per every OCCUPIED (symbol, slice): newest carry_out of any
     # strictly earlier slice — a prefix-LOCF over the tiny summary frame
-    slices = local.select("symbol", "slice").distinct()
     wc = (
         Window.partitionBy("symbol")
         .orderBy("slice")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carry = (
-        slices.join(qsum, ["symbol", "slice"], "left")
+        local.select(
+            "symbol", "slice", F.col("slice_carry_out").alias("carry_out")
+        )
+        .distinct()
         .withColumn("carry_in", F.last("carry_out", ignorenulls=True).over(wc))
         .select("symbol", "slice", "carry_in")
     )
