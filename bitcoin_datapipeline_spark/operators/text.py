@@ -378,6 +378,19 @@ def _minhash_sigs(
         F.min(F.md5(F.concat(F.lit(str(j)), F.lit("|"), F.col("shingle")))).alias(f"s{j}")
         for j in range(n_sigs)
     ]
+    # r11 note (measured non-result): an always-true filter referencing
+    # every output column would stop ColumnPruning from specializing the
+    # consumers' aggregate instances and let ALL of them share one
+    # exchange (1 corpus scan total).  Measured at sf0.1 it LOSES: the
+    # shared exchange then carries the collect_set payload into the
+    # signature-only branches (q_doc_lsh_bucket_balance +268 %, the
+    # whole family +14..56 % except the calibration), because every
+    # consumer re-merges the heavy set state where the pruned plan
+    # shuffles 12 fixed-width hashes.  The pruned two-aggregate shape —
+    # one light (12 mins) instance for bands, one heavy (n + collect_set)
+    # instance for verification, each shared via ReusedExchange by its
+    # own consumers — shuffles the heavy payload once and the metadata
+    # once (guide §2.3) at the cost of a second corpus scan.
     return shd.groupBy("doc_id").agg(
         *sig_cols,
         F.count("*").alias("n"),
@@ -394,6 +407,19 @@ def _band_frame(
     (n_sigs, n_bands) is the LSH S-curve knob: r = n_sigs/n_bands rows per
     band sets where the candidate-probability curve 1-(1-j^r)^b inflects —
     more bands = higher recall at low jaccard, more candidates."""
+    # r11 note (measured non-result): replacing this n_bands-way union
+    # with one explode of an n_bands-element struct array (so the sigs
+    # subtree is instantiated once per band-frame reference instead of
+    # once per band) LOSES at sf0.1 on the whole family — interleaved
+    # same-session A/B: q_minhash_lsh ~2.1-2.6 s -> ~3.1-4.5 s,
+    # q_doc_lsh_bucket_balance ~0.7 s -> ~1.2-1.5 s (+70 %),
+    # q_doc_minhash_calibration and q_doc_incremental_dedup +15-35 %.
+    # The union branches each prune to their own per_band signature
+    # columns, so every branch aggregates 3 narrow mins and shuffles 3
+    # hashes; the exploded form drags all n_sigs mins through one wide
+    # aggregate and then fans each row n_bands-fold BEFORE the bucket
+    # shuffle, quadrupling exchange input rows.  Divergent-but-narrow
+    # beats shared-but-wide here (guide §2.3: shuffle fewer bytes).
     per_band = n_sigs // n_bands
     bands = []
     for b in range(n_bands):
