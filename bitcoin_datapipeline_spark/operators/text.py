@@ -470,7 +470,17 @@ def minhash_lsh_pairs(
     before signatures are computed — see :func:`_cap_hot_shingles`; the
     declared capped query uses MINHASH_HOT_SHINGLE_DF.
     """
+    # r11: materialize the sigs aggregate once (eager localCheckpoint,
+    # recomputed from parquet every invocation) ONLY on the capped path —
+    # there the subtree carries the hot-shingle DF join, expensive enough
+    # that recomputing the ~10 pruned instances loses to one
+    # materialization (capped A/B at sf0.1: ~2.2 s -> ~1.7 s).  Uncapped,
+    # the pruned instances are 3 narrow md5-mins each and materializing
+    # the full-width frame (12 hashes + shingle sets) LOSES ~50 % —
+    # measured both ways, guide §1.2 (algorithm before per-task work).
     sigs = _minhash_sigs(documents, max_shingle_df, n_sigs)
+    if max_shingle_df is not None:
+        sigs = sigs.localCheckpoint()
     allb = _band_frame(sigs, n_sigs, n_bands)
     a = allb.alias("a")
     b2 = allb.alias("b")
@@ -3344,14 +3354,23 @@ def minhash_calibration(
     noise; systematic bias here means broken signatures (wrong seed
     separator, truncated md5) long before recall regressions surface.
 
-    Plan shape: the candidate pairs and both signature lookups all read
-    the ONE sigs aggregate (the :func:`minhash_lsh_pairs` sharing
-    argument); per-pair work is n_sigs equality checks + one
-    array_intersect; the final aggregate has ≤ n_sigs+1 rows.
+    Plan shape: the sigs aggregate is materialized ONCE per invocation
+    (eager ``localCheckpoint`` — computed from parquet inside the timed
+    region, no cross-run reuse) and every consumer — the eight pruned
+    band projections and both wide signature lookups — reads the
+    checkpointed rows.  This query is the one LSH consumer that needs
+    the FULL aggregate width (12 sigs + n + shingle set) on the pair
+    side, so the union form's pruning pays 10 divergent corpus
+    subtrees here (8×3 md5-mins + 2×(12 mins + collect_set)) where the
+    light consumers pay 3 each; per-pair work is n_sigs equality checks
+    + one array_intersect; the final aggregate has ≤ n_sigs+1 rows.
 
     cf. reference: extends the surface (Broder 1997 resemblance
     estimator; no reference counterpart)."""
-    sigs = _minhash_sigs(documents, None, n_sigs)
+    # r11: materialize the full-width sigs aggregate once instead of
+    # letting ColumnPruning specialize 10 divergent instances of the
+    # scan→explode→groupBy subtree (guide §2.4: remove repeated passes).
+    sigs = _minhash_sigs(documents, None, n_sigs).localCheckpoint()
     allb = _band_frame(sigs, n_sigs, MINHASH_BANDS)
     a = allb.alias("a")
     b2 = allb.alias("b")

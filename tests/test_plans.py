@@ -593,9 +593,11 @@ SHUFFLE_BUDGETS = {
     "q_markout_sliced": 12,
     # r9: one partial-combining key aggregate + the K-row global stats
     "q_key_skew_profile": 2,
-    # band-union legs + both signature lookups over the one sigs
-    # aggregate (ReusedExchange collapses them at runtime)
-    "q_doc_minhash_calibration": 11,
+    # r11: the sigs aggregate is localCheckpoint-materialized once per
+    # invocation, so band legs and both signature lookups read the
+    # checkpointed rows — the 11-exchange/20-scan union shape collapsed
+    # to the candidate self-join + final aggregate
+    "q_doc_minhash_calibration": 2,
     # r11: one cluster-blocked pair pass + the grid explode aggregate
     # (distinct adds its expand legs); AQE reuses the shared assignment
     # scan at runtime — same discipline as the text calibration twin
@@ -738,9 +740,8 @@ SHUFFLE_BUDGETS = {
 # counting as SHUFFLE_BUDGETS).  The outliers are static-plan counts
 # whose shared scans AQE ReusedExchange collapses at runtime (the
 # q_markout_sliced precedent): q_feature_drift 22 (per-feature moment
-# legs over one gold subtree), q_doc_minhash_dedup_capped 20,
-# q_gold_training_set_1s 19, q_dedup_funnel 14 (per-stage counts over
-# one dedup scan).
+# legs over one gold subtree), q_gold_training_set_1s 19,
+# q_dedup_funnel 14 (per-stage counts over one dedup scan).
 NON_HEADLINE_SHUFFLE_BUDGETS = {
     "q_anti_processed": 0,
     "q_bba_features": 1,
@@ -769,7 +770,9 @@ NON_HEADLINE_SHUFFLE_BUDGETS = {
     "q_doc_exact_dedup": 1,
     "q_doc_fingerprint": 0,
     "q_doc_hash_split": 0,
-    "q_doc_minhash_dedup_capped": 20,
+    # r11: capped sigs aggregate localCheckpoint-materialized once (was
+    # 20 exchanges / 40 parquet scans of divergent capped-sigs subtrees)
+    "q_doc_minhash_dedup_capped": 1,
     "q_doc_pack": 1,
     "q_doc_perplexity_bigram": 5,
     "q_doc_perplexity_bigram_capped": 11,
