@@ -1107,7 +1107,59 @@ def main() -> None:
             pass  # read-only checkout: the stdout lines below still carry it
     print(json.dumps(spread_payload))
     print(json.dumps(medians_payload))
+    for line in per_query_chunk_lines(timings, medians_payload["sf"]):
+        print(line)
     print(final_headline_line(total, len(timings), medians_payload["sf"]))
+
+
+# The driver's stdout tail capture is 2000 BYTES (measured: len(tail) in
+# BENCH_r11.json).  A single per-query JSON line for 124 queries is >=3.1 KB
+# even at 2-decimal compact encoding — the query NAMES alone are ~2.1 KB — so
+# the "ONE line with queries" contract physically cannot survive the capture
+# whole, and PERF_r11.per_query came back empty (VERDICT r11 What's-wrong 2).
+# r12 fix, best effort under that hard limit: per-query medians are ALSO
+# emitted as SMALL self-contained JSON chunk lines (compact separators,
+# 2-decimal values, each line < CHUNK_MAX bytes) printed immediately before
+# the final headline line, so the trailing chunks — the most bytes of
+# per-query data a 2000-byte window can hold next to the headline — arrive
+# as PARSEABLE whole lines instead of one truncated fragment.  Full
+# 3-decimal per-query data stays in BENCH_LOCAL_LATEST.json (committed
+# sidecar) and in the preceding one-line medians payload.  The timing
+# methodology is untouched — this is emission only.
+PER_QUERY_CHUNK_MAX = 580  # bytes; ~3 whole chunks + headline fit 2000
+
+
+def per_query_chunk_lines(timings: dict[str, float], sf) -> list[str]:
+    """Split the per-query medians into compact JSON lines, each under
+    PER_QUERY_CHUNK_MAX bytes and individually parseable (metric +
+    part/of + its slice of queries), preserving HEADLINE order."""
+    items = [(n, round(s, 2)) for n, s in timings.items()]
+    groups: list[dict[str, float]] = []
+    probe: dict[str, float] = {}
+
+    def _line(qs: dict[str, float], part: int, of: int) -> str:
+        return json.dumps(
+            {
+                "metric": "headline_suite_medians_chunk",
+                "part": part,
+                "of": of,
+                "queries": qs,
+                "sf": sf,
+            },
+            separators=(",", ":"),
+        )
+
+    for name, sec in items:
+        probe[name] = sec
+        if len(_line(probe, 99, 99)) > PER_QUERY_CHUNK_MAX and len(probe) > 1:
+            del probe[name]
+            groups.append(probe)
+            probe = {name: sec}
+    if probe:
+        groups.append(probe)
+    lines = [_line(g, i + 1, len(groups)) for i, g in enumerate(groups)]
+    assert all(len(ln) <= PER_QUERY_CHUNK_MAX for ln in lines), lines
+    return lines
 
 
 def final_headline_line(total: float, n_queries: int, sf) -> str:

@@ -80,6 +80,33 @@ def test_bench_final_line_is_o1_sized():
     assert len(line2) < 1024
 
 
+def test_bench_per_query_chunk_lines_fit_tail_capture():
+    """r12 (VERDICT r11 item 2): per-query medians are also emitted as
+    small self-contained JSON chunk lines so the driver's 2000-byte
+    stdout tail capture recovers whole parseable lines instead of one
+    truncated >3 KB dict.  Every chunk must stay under the budget, be
+    individually parseable, and the chunks together must cover every
+    query exactly once in HEADLINE order."""
+    import json as _json
+
+    import bench
+
+    timings = {n: 1.234 for n in bench.HEADLINE}
+    lines = bench.per_query_chunk_lines(timings, 0.1)
+    merged: dict[str, float] = {}
+    for ln in lines:
+        assert len(ln) <= bench.PER_QUERY_CHUNK_MAX
+        parsed = _json.loads(ln)
+        assert parsed["metric"] == "headline_suite_medians_chunk"
+        assert parsed["of"] == len(lines)
+        for k in parsed["queries"]:
+            assert k not in merged  # no overlap between chunks
+        merged.update(parsed["queries"])
+    assert list(merged) == list(bench.HEADLINE)  # full coverage, in order
+    # at least 2 whole chunks + the headline line fit the 2000-byte tail
+    assert 2 * bench.PER_QUERY_CHUNK_MAX + 200 <= 2000
+
+
 def test_round8_ta_views_queryable(spark, sf_dir):
     """The round-8 TA and execution-quality views register and answer
     SQL — a macd/rsi join at bar grain and a markout read."""
