@@ -1419,13 +1419,25 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # MinHash dedup with the hot-shingle doc-frequency cap engaged (the 100 TB
-# boilerplate guard — operators/text.py _cap_hot_shingles)
+# boilerplate guard — operators/text.py _cap_hot_shingles).
+# r12 (VERDICT r11 item 3): the capped path materializes its sigs
+# aggregate (localCheckpoint); like q_dedup_components the wrapper
+# releases the PREVIOUS call's blocks, so driver sweeps hold at most one
+# live corpus-width sigs set instead of accumulating one per invocation.
+_last_capped_pairs: DataFrame | None = None
+
+
 @q("q_doc_minhash_dedup_capped", text.MINHASH_LSH_CAPPED_ORACLE)
 def q_doc_minhash_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.minhash_lsh_pairs(
+    global _last_capped_pairs
+    if _last_capped_pairs is not None:
+        text.release_lsh_sigs(_last_capped_pairs)
+    out = text.minhash_lsh_pairs(
         table(spark, sf_dir, "documents"),
         max_shingle_df=text.MINHASH_HOT_SHINGLE_DF,
     )
+    _last_capped_pairs = out
+    return out
 
 
 @q("q_simhash", text.SIMHASH_ORACLE)
@@ -1524,10 +1536,20 @@ def q_doc_jaccard_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # round 7: Broder resemblance-estimator calibration — per signature-
-# agreement count, the MinHash estimate next to the mean exact jaccard
+# agreement count, the MinHash estimate next to the mean exact jaccard.
+# r12: previous call's materialized sigs blocks released like
+# q_doc_minhash_dedup_capped above (VERDICT r11 item 3)
+_last_calibration: DataFrame | None = None
+
+
 @q("q_doc_minhash_calibration", text.MINHASH_CALIBRATION_ORACLE)
 def q_doc_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.minhash_calibration(table(spark, sf_dir, "documents"))
+    global _last_calibration
+    if _last_calibration is not None:
+        text.release_lsh_sigs(_last_calibration)
+    out = text.minhash_calibration(table(spark, sf_dir, "documents"))
+    _last_calibration = out
+    return out
 
 
 # round 7: serial-dependence diagnostic — ACF of bar-close price changes

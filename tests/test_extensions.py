@@ -476,6 +476,46 @@ def test_dedup_components_release_empties_storage(spark):
     assert wait_until_released(base) == set()
 
 
+def test_lsh_sigs_release_empties_storage(spark):
+    """r12 (VERDICT r11 item 3): the materialized sigs aggregate of the
+    capped minhash_lsh_pairs and of minhash_calibration must be
+    releasable — previously the localCheckpoint blocks leaked until
+    session end on every invocation.  The entry wrappers release the
+    PREVIOUS call's blocks (latest-wins, like q_dedup_components);
+    release_lsh_sigs drains the current one."""
+    import time
+
+    import __spark_entry__ as entry
+    from bitcoin_datapipeline_spark.operators.text import release_lsh_sigs
+
+    sc = spark.sparkContext
+
+    def stored_ids():
+        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    def wait_until_released(base, timeout=15.0):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if not (stored_ids() - base):
+                return set()
+            time.sleep(0.25)
+        return stored_ids() - base
+
+    sf = "/root/testdata/sf0.001"
+    for qname in ("q_doc_minhash_dedup_capped", "q_doc_minhash_calibration"):
+        base = stored_ids()
+        fn = entry.queries()[qname]
+        # sweep 1 (external-driver style: materialize, never release) ...
+        fn(spark, sf).count()
+        assert stored_ids() - base, f"{qname}: sigs checkpoint must be cached"
+        # ... sweep 2 releases sweep 1's blocks via the wrapper registry
+        frame = fn(spark, sf)
+        frame.count()
+        release_lsh_sigs(frame)   # harness path releases the current one
+        release_lsh_sigs(frame)   # idempotent
+        assert wait_until_released(base) == set(), qname
+
+
 def test_entry_dedup_components_sweep_leaves_storage_empty(spark):
     """The driver-facing q_dedup_components wrapper + the check_oracle
     materialize-then-release path leave NO cached blocks after a sweep,

@@ -201,14 +201,17 @@ def main() -> int:
         try:
             frame = fn(spark, args.sf)
             sdf = frame.toPandas()
-            # queries that retain checkpoint blocks (dedup_components)
-            # expose a lifecycle handle — release once materialized so a
-            # full sweep leaves storage empty (no-op for everything else)
+            # queries that retain checkpoint blocks (dedup_components,
+            # and since r12 the materialized-sigs LSH consumers) expose a
+            # lifecycle handle — release once materialized so a full
+            # sweep leaves storage empty (no-op for everything else)
             from bitcoin_datapipeline_spark.operators.text import (
                 release_components,
+                release_lsh_sigs,
             )
 
             release_components(frame)
+            release_lsh_sigs(frame)
         except Exception:
             print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
             record(name, "fail", time.time() - t0, detail="spark raised")
