@@ -63,7 +63,14 @@ def _props_k() -> Column:
 
     On every valid-JSON input both branches agree (Spark's string→double
     cast and Jackson parse the same number grammar); the fallback keeps
-    arbitrary JSON payloads exactly as before.  Measured: 0.14 s vs
+    arbitrary JSON payloads exactly as before.  MALFORMED payloads that
+    pass the guard diverge DELIBERATELY (r12, ADVICE r11): try_cast also
+    accepts non-JSON numerals ('1d', '1.', 'inf', leading zeros) where
+    Jackson returns NULL — a value-recovering superset, never a wrong
+    value for a well-formed number.  Tightening the guard to a strict
+    JSON-number rlike would put a regex on every row of the hot scan,
+    re-paying a large share of what the fast path saves, to change only
+    garbage-input behavior; documented instead.  Measured: 0.14 s vs
     0.33 s for the scan+filter microbench — ~0.2 s per query across the
     ~80 queries that read the tape.  Scale-independent: per-row CPU in
     the scan stage shrinks identically on a cluster (guide §1.2 step 2 /

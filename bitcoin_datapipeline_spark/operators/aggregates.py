@@ -1503,6 +1503,32 @@ def _asof_quote_struct():
     )
 
 
+def _asof_quote_tuple():
+    """Quote SORT-TUPLE struct for the range-frame as-of form (r12).
+
+    ``max()`` of this struct over a window frame selects exactly the
+    quote row an ascending ``_ASOF_ORDER`` sort puts last within that
+    frame: struct comparison is lexicographic in field order, which
+    leads with sort_ts (newest availability instant wins) and breaks
+    availability ties by (ingest_ts, bid_px, ask_px, bid_sz, ask_sz) —
+    the same tuple, same direction, as the sort keys; NULL fields order
+    first under both (sort ASC NULLS FIRST ⟺ struct comparison treats
+    NULL as smallest), and probe rows contribute NULL to the aggregate
+    (max ignores them).  This is also the DuckDB oracle's QUALIFY
+    row_number() tie collapse — all three agree on every frame."""
+    return F.when(
+        F.col("is_q") == 0,
+        F.struct(
+            F.col("sort_ts").alias("ts"),
+            F.col("ingest_ts").alias("i"),
+            F.col("bid_px").alias("b"),
+            F.col("ask_px").alias("a"),
+            F.col("bid_sz").alias("bs"),
+            F.col("ask_sz").alias("asz"),
+        ),
+    )
+
+
 def asof_quote_match_sliced(
     trades: DataFrame, bba: DataFrame, slice_ms: int = SKEW_SLICE_MS
 ) -> DataFrame:
@@ -1838,45 +1864,27 @@ def realized_spread(
 
     r11 optimization (pure physical rewrite, same oracle): the two
     separate union-LOCF scans became ONE multi-horizon scan on the
-    :func:`markout` skeleton with horizons {0, Δ} — quotes enter the
-    symbol sort once, the distinct trade identity twice with sort key
-    event_ts + h, and a bounded pivot recovers (mid_now, mid_fwd) per
-    trade.  The old two-scan form also re-derived the dedup window per
-    leg with different column prunings, which defeated ReusedExchange:
-    measured 9 parquet scans / 7 shuffle stages before, 4 scans / 6
-    stages after; 2.18 s → ~1.2 s at sf0.1.  Equivalence: a quote
-    strictly before t+Δ under (sort_ts, is_q, ...) ordering with the
-    probe's ingest_ts pinned to 0 is exactly the prevailing quote the
-    shifted second scan matched, and a trade with a mid at t always has
-    a mid at t+Δ, so filtering on mid_now alone drops the same rows the
-    old inner joins dropped."""
+    :func:`markout` skeleton with horizons {0, Δ}; 9 parquet scans / 7
+    shuffle stages → 4 / 6; 2.18 s → ~1.2 s at sf0.1.
+
+    r12: rides the markout range-frame rewrite (:func:`_markout_mids`)
+    — quotes and the distinct trade identity each enter the symbol sort
+    ONCE (Q+T rows instead of Q+2T) and the per-trade (mid_now,
+    mid_fwd) pivot groupBy disappears; equivalence argument at
+    _markout_mids (a quote available at ≤ t+Δ under the range bound is
+    exactly the prevailing quote the shifted probe's running LOCF
+    matched; a trade with a mid at t always has a mid at t+Δ, so
+    filtering on mid_now alone drops the same rows the old inner joins
+    dropped)."""
     # one shared identity aggregate — the dedup window executes once
     tid, sides = _trade_identity(trades)
     hs = [0, delta_ms]
-    w = (
-        Window.partitionBy("symbol")
-        .orderBy(*_ASOF_ORDER)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    matched = (
-        _markout_union(tid, bba, hs)
-        .withColumn("pq", F.last(_asof_quote_struct(), ignorenulls=True).over(w))
-        .filter((F.col("is_q") == 1) & F.col("pq").isNotNull())
-        .select(
-            "symbol",
-            "event_ts",
-            "price",
-            "h",
-            ((F.col("pq.b") + F.col("pq.a")) / 2.0).alias("mid"),
-        )
-    )
-    mids = (
-        matched.groupBy("symbol", "event_ts", "price")
-        .agg(
-            F.max(F.when(F.col("h") == 0, F.col("mid"))).alias("mid_now"),
-            F.max(F.when(F.col("h") == delta_ms, F.col("mid"))).alias("mid_fwd"),
-        )
-        .filter(F.col("mid_now").isNotNull())
+    mids = _markout_mids(_markout_union(tid, bba), hs).select(
+        "symbol",
+        "event_ts",
+        "price",
+        F.col("mid_0").alias("mid_now"),
+        F.col(f"mid_{delta_ms}").alias("mid_fwd"),
     )
     m = sides.join(mids, ["symbol", "event_ts", "price"])
     d = F.when(F.col("is_buyer_maker"), F.lit(-1.0)).otherwise(F.lit(1.0))
@@ -4776,7 +4784,16 @@ def _trade_identity(trades: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     Row-equivalence: explode(min==max ? [mk] : [false, true]) over the
     3-col groups IS the 4-col distinct; the group keys under the
-    always-true pin are the 3-col distinct."""
+    always-true pin are the 3-col distinct.
+
+    Input requirement (r12, ADVICE r11): ``is_buyer_maker`` must be
+    NON-NULL on every input row — true for every caller in this engine
+    (the normalize maker derivation is total).  An all-NULL group would
+    be dropped from ``tid`` by the pin (where the old ``.distinct()``
+    kept it) and ``sides`` would fabricate [false, true] for it (the
+    NULL==NULL comparison falls into the otherwise branch); a mixed
+    NULL/non-NULL group would lose its NULL side.  Callers feeding
+    frames with nullable maker flags must coalesce them first."""
     g = (
         trades.select("symbol", "event_ts", "price", "is_buyer_maker")
         .groupBy("symbol", "event_ts", "price")
@@ -4814,38 +4831,25 @@ def markout(
     informed flow; one that mean-reverts is bid-ask bounce — the curve,
     not any single point, is what an execution desk reads.
 
-    Plan shape: ONE union-LOCF as-of scan for ALL horizons — quotes
-    enter the symbol sort once, the distinct trade identity enters
-    len(horizons)+1 times (h = 0 is the trade instant) with sort key
-    event_ts + h, so the scan costs Q + T·(H+1) rows in one sort instead
-    of H+1 separate scans; a bounded pivot (one row per trade, H+1 mid
-    columns) and one partial-combinable minute aggregate finish.  Trades
-    before the first quote drop symmetrically from every horizon (a mid
-    at t implies a mid at t+h, so null handling is one filter).
+    Plan shape (r12): ONE union-LOCF as-of scan for ALL horizons —
+    quotes AND the distinct trade identity each enter the symbol sort
+    ONCE (Q+T rows); each horizon is resolved by a RANGE-frame window
+    ``max(quote sort-tuple) over rangeBetween(unboundedPreceding, +h)``
+    sharing that single sort (see :func:`_markout_mids` for the
+    equivalence argument), so no per-horizon probe rows and no pivot
+    re-assembly exchange exist; one partial-combinable minute aggregate
+    finishes.  (The r11 form sorted Q + T·(H+1) probe rows and paid a
+    T·(H+1)-row groupBy pivot — guide §2.3/§2.4.)  Trades before the
+    first quote drop symmetrically from every horizon (a mid at t
+    implies a mid at t+h, so null handling is one filter).
 
     cf. reference: extends the surface (Huang–Stoll horizon
     generalization; complements :func:`realized_spread`)."""
     hs = [0] + sorted(horizons_ms)
     # r11: one shared identity aggregate — the dedup window executes once
     tid, sides = _trade_identity(trades)
-    w = (
-        Window.partitionBy("symbol")
-        .orderBy(*_ASOF_ORDER)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    matched = (
-        _markout_union(tid, bba, hs)
-        .withColumn("pq", F.last(_asof_quote_struct(), ignorenulls=True).over(w))
-        .filter((F.col("is_q") == 1) & F.col("pq").isNotNull())
-        .select(
-            "symbol",
-            "event_ts",
-            "price",
-            "h",
-            ((F.col("pq.b") + F.col("pq.a")) / 2.0).alias("mid"),
-        )
-    )
-    return _markout_finish(matched, sides, hs)
+    mids = _markout_mids(_markout_union(tid, bba), hs)
+    return _markout_finish(mids, sides, hs)
 
 
 def markout_sliced(
@@ -4855,29 +4859,105 @@ def markout_sliced(
     slice_ms: int = SKEW_SLICE_MS,
 ) -> DataFrame:
     """Hot-key-safe :func:`markout` — identical rows (same DuckDB oracle),
-    but the union-LOCF scan sorts on (symbol, time-slice) instead of
-    (symbol), the :func:`asof_quote_match_sliced` physical rewrite applied
-    to the multi-horizon union: one dominant symbol spreads over
-    ~span/slice_ms sort partitions instead of serializing the whole
-    Q + T·(H+1)-row scan (the single-sort form measured 2.64x/decade under
-    the 90%-one-symbol tape vs 2.13x balanced, BENCH_SCALE_r09.json
-    `skew`).  Boundary repair is the same per-(symbol, slice) carry-out
-    quote summary + prefix-LOCF carry-in broadcast; horizon probes landing
-    in a quote-empty slice pick up the newest earlier slice's quote
-    exactly as the single sort would."""
+    but the union scan sorts on (symbol, time-slice) instead of
+    (symbol): one dominant symbol spreads over ~span/slice_ms sort
+    partitions instead of serializing the whole scan (the single-sort
+    form measured 2.64x/decade under the 90%-one-symbol tape vs 2.13x
+    balanced, BENCH_SCALE_r09.json `skew`).
+
+    r12 rewrite (range frames, matching :func:`markout`): each probe
+    enters ONCE at its own instant and horizons resolve via per-slice
+    RANGE-frame windows.  Two slice-boundary repairs make that exact:
+
+    - **Ghost quotes** (forward boundary): a probe at t near its
+      slice's end has frames reaching up to t + h_max, possibly past
+      the slice boundary — quotes in later slices would be invisible to
+      its per-slice window.  Every quote is therefore replicated into
+      each earlier slice whose probes can reach it (all slices
+      intersecting [sort_ts − h_max, sort_ts]; ≤ ceil(h_max/slice_ms)
+      extra copies per quote ≈ +0.07 % rows at the default day slice /
+      60 s h_max).  A ghost at sort_ts ≤ t+h is exactly a quote the
+      single-sort frame contained, and a ghost enters max() only for
+      probes whose range bound reaches it — probes that stop short
+      never see it.
+    - **Carry-in** (backward boundary, as r11): pq_h NULL means no
+      quote in [slice_start, t+h]; since t+h ≥ slice_start the correct
+      prevailing quote is then the newest one before slice_start — the
+      per-(symbol, slice) carry chain.  Carry-outs EXCLUDE ghosts (a
+      ghost's true instant lies in a later slice; letting it into the
+      carry would leak a future quote into the next slice's backfill),
+      computed as a full-frame max in the SAME window operator group so
+      the carry leg references the window output and the union subtree
+      stays canonical (the r11 ReusedExchange lesson)."""
     hs = [0] + sorted(horizons_ms)
+    h_max = hs[-1]
     # r11: one shared identity aggregate (see _trade_identity)
     tid, sides = _trade_identity(trades)
-    matched = _sliced_locf_resolve(
-        _markout_union(tid, bba, hs), slice_ms
-    ).select(
-        "symbol",
-        "event_ts",
-        "price",
-        "h",
-        ((F.col("pq.b") + F.col("pq.a")) / 2.0).alias("mid"),
+    u = _markout_union(tid, bba).withColumn(
+        "true_slice", F.expr(f"sort_ts div {slice_ms}").cast("long")
     )
-    return _markout_finish(matched, sides, hs)
+    u = u.select(
+        "*",
+        F.explode(
+            F.when(
+                F.col("is_q") == 0,
+                F.expr(
+                    f"sequence((sort_ts - {h_max}) div {slice_ms},"
+                    f" sort_ts div {slice_ms})"
+                ),
+            ).otherwise(F.array(F.col("true_slice")))
+        ).alias("slice"),
+    ).withColumn("ghost", F.col("slice") != F.col("true_slice"))
+    base = Window.partitionBy("symbol", "slice").orderBy("sort_ts")
+    qt = _asof_quote_tuple()
+    pq_cols = [
+        F.max(qt)
+        .over(base.rangeBetween(Window.unboundedPreceding, h))
+        .alias(f"pq_{h}")
+        for h in hs
+    ]
+    carry_out = (
+        F.max(F.when(~F.col("ghost"), qt))
+        .over(
+            base.rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("slice_carry_out")
+    )
+    local = u.select("*", *pq_cols, carry_out)
+    wc = (
+        Window.partitionBy("symbol")
+        .orderBy("slice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        local.select(
+            "symbol", "slice", F.col("slice_carry_out").alias("carry_out")
+        )
+        .distinct()
+        .withColumn("carry_in", F.last("carry_out", ignorenulls=True).over(wc))
+        .select("symbol", "slice", "carry_in")
+    )
+    patched = local.join(F.broadcast(carry), ["symbol", "slice"], "left")
+    pq_fixed = {
+        h: F.coalesce(F.col(f"pq_{h}"), F.col("carry_in")) for h in hs
+    }
+    mids = (
+        patched.filter(
+            (F.col("is_q") == 1) & pq_fixed[0].isNotNull()
+        )
+        .select(
+            "symbol",
+            "event_ts",
+            "price",
+            *[
+                ((pq_fixed[h]["b"] + pq_fixed[h]["a"]) / 2.0).alias(f"mid_{h}")
+                for h in hs
+            ],
+        )
+    )
+    return _markout_finish(mids, sides, hs)
 
 
 def markout_adaptive(
@@ -4901,15 +4981,22 @@ def markout_adaptive(
     return markout(trades, bba, horizons_ms)
 
 
-def _markout_union(tid: DataFrame, bba: DataFrame, hs: list) -> DataFrame:
-    """The quotes + horizon-probe sort frame shared by :func:`markout`,
-    its time-sliced twin, and :func:`realized_spread`: quotes available at
-    event_ts+1 (is_q=0 sorts before a probe at the same instant); the
-    distinct trade identity ``tid`` (symbol, event_ts, price) enters
-    len(hs) times with sort key event_ts + h.  Callers derive ``tid``
-    from their ``sides`` frame so the dedup subtree executes once (r11:
-    passing ``trades`` and re-deriving the distinct here planned the
-    dedup window twice with different prunings — no ReusedExchange)."""
+def _markout_union(tid: DataFrame, bba: DataFrame) -> DataFrame:
+    """The quotes + trade-probe sort frame shared by :func:`markout`,
+    its time-sliced twin, and :func:`realized_spread`: quotes available
+    at event_ts+1; the distinct trade identity ``tid`` (symbol,
+    event_ts, price) enters ONCE at its own instant.  Callers derive
+    ``tid`` from their ``sides`` frame so the dedup subtree executes
+    once (r11: passing ``trades`` and re-deriving the distinct here
+    planned the dedup window twice with different prunings — no
+    ReusedExchange).
+
+    r12: the per-horizon probe explode is GONE — horizons are resolved
+    by RANGE-frame windows over this Q+T-row frame (see
+    :func:`markout`), where the old form sorted Q + T·(H+1) rows
+    (every trade re-entered the sort once per horizon with sort key
+    event_ts + h).  Guide §2.3: fewer sorted/shuffled bytes for the
+    same answer."""
     q = bba.select(
         "symbol",
         (F.col("event_ts") + F.lit(1)).cast("long").alias("sort_ts"),
@@ -4919,41 +5006,83 @@ def _markout_union(tid: DataFrame, bba: DataFrame, hs: list) -> DataFrame:
         "ask_px",
         "bid_sz",
         "ask_sz",
-        F.lit(None).cast("long").alias("h"),
         F.lit(None).cast("long").alias("event_ts"),
         F.lit(None).cast("double").alias("price"),
     )
     t = tid.select(
         "symbol",
-        F.explode(F.array(*[F.lit(h) for h in hs])).alias("h"),
-        "event_ts",
-        "price",
-    ).select(
-        "symbol",
-        (F.col("event_ts") + F.col("h")).cast("long").alias("sort_ts"),
+        F.col("event_ts").cast("long").alias("sort_ts"),
         F.lit(1).alias("is_q"),
         F.lit(0).cast("long").alias("ingest_ts"),
         F.lit(None).cast("double").alias("bid_px"),
         F.lit(None).cast("double").alias("ask_px"),
         F.lit(None).cast("double").alias("bid_sz"),
         F.lit(None).cast("double").alias("ask_sz"),
-        F.col("h").cast("long").alias("h"),
         "event_ts",
         "price",
     )
     return q.unionByName(t)
 
 
-def _markout_finish(matched: DataFrame, sides: DataFrame, hs: list) -> DataFrame:
-    """Markout pivot + minute aggregate shared by both sort forms: one row
-    per trade with len(hs) mid columns (bounded pivot), then one
-    partial-combinable aggregate to (symbol, minute)."""
-    mids = matched.groupBy("symbol", "event_ts", "price").agg(
-        *[
-            F.max(F.when(F.col("h") == h, F.col("mid"))).alias(f"mid_{h}")
-            for h in hs
-        ]
-    ).filter(F.col("mid_0").isNotNull())
+def _markout_mids(u: DataFrame, hs: list) -> DataFrame:
+    """Prevailing mid at t+h for every horizon h, resolved by H+1
+    RANGE-frame windows over ONE (symbol)-sorted pass of the Q+T-row
+    union frame (r12 rewrite of the Q+T·(H+1) probe-explode form):
+
+        pq_h = max(quote sort-tuple) over
+                   partitionBy(symbol) orderBy(sort_ts)
+                   rangeBetween(unboundedPreceding, +h)
+
+    For a probe at sort_ts = t the frame holds every row with
+    sort_ts ≤ t + h, so max over :func:`_asof_quote_tuple` IS the
+    prevailing quote at t+h — the row the old per-horizon probe's
+    running ``last(ignorenulls)`` resolved (same frame contents: a
+    quote available at exactly t+h sorted before the old probe via
+    is_q and is ≤ the range bound here; same tie winner: lexicographic
+    max, see _asof_quote_tuple).  All H+1 frames share one partition
+    spec and one sort key, so Spark evaluates them in a single Window
+    operator over a single sort; each unbounded-preceding frame is a
+    grow-only running aggregate (O(rows) per frame, no per-row
+    re-scan).
+
+    A second structural win falls out: each probe row carries ALL
+    horizon mids, so the old groupBy(symbol, event_ts, price) pivot
+    that reassembled per-horizon rows into one row per trade — a full
+    T·(H+1)-row exchange — disappears (guide §2.4).
+
+    A mid at t implies a mid at t+h (the frame only grows with h),
+    so filtering on pq_0 alone drops exactly the trades the
+    per-horizon NULL filter dropped."""
+    base = Window.partitionBy("symbol").orderBy("sort_ts")
+    qt = _asof_quote_tuple()
+    pq_cols = [
+        F.max(qt)
+        .over(base.rangeBetween(Window.unboundedPreceding, h))
+        .alias(f"pq_{h}")
+        for h in hs
+    ]
+    return (
+        u.select("*", *pq_cols)
+        .filter((F.col("is_q") == 1) & F.col("pq_0").isNotNull())
+        .select(
+            "symbol",
+            "event_ts",
+            "price",
+            *[
+                ((F.col(f"pq_{h}.b") + F.col(f"pq_{h}.a")) / 2.0).alias(
+                    f"mid_{h}"
+                )
+                for h in hs
+            ],
+        )
+    )
+
+
+def _markout_finish(mids: DataFrame, sides: DataFrame, hs: list) -> DataFrame:
+    """Markout minute aggregate shared by both sort forms.  ``mids`` is
+    already one row per trade identity with len(hs) mid columns (r12:
+    the range-frame scan emits that shape directly — the old
+    per-horizon pivot groupBy and its T·(H+1)-row exchange are gone)."""
     m = sides.join(mids, ["symbol", "event_ts", "price"])
     d = F.when(F.col("is_buyer_maker"), F.lit(-1.0)).otherwise(F.lit(1.0))
     return m.groupBy(

@@ -55,12 +55,20 @@ DYNAMIC_CONF: dict[str, str] = {
 
 
 def configure(spark: SparkSession) -> SparkSession:
-    """Apply the engine's dynamic confs to an existing session (idempotent).
+    """Apply the engine's dynamic confs to an existing session ONCE.
 
     Called from every :func:`~bitcoin_datapipeline_spark.tables.table`
     read, so query construction hits it repeatedly — the applied marker
     keeps that to ONE batch of ``conf.set`` py4j round-trips per session
-    instead of four per table read."""
+    instead of four per table read.
+
+    Contract note (r12, ADVICE r11): the marker means this is apply-once
+    per session object, NOT re-application — a conf changed externally
+    mid-session (a test toggling AQE, a notebook reset) stays changed
+    until the session is rebuilt.  The marker is a Python attribute on
+    the session wrapper, so a DIFFERENT wrapper around the same JVM
+    session (e.g. a Spark Connect proxy) re-applies harmlessly; callers
+    needing a forced re-apply can ``del spark._bdp_configured``."""
     if getattr(spark, "_bdp_configured", False):
         return spark
     for k, v in DYNAMIC_CONF.items():

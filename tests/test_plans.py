@@ -576,8 +576,9 @@ SHUFFLE_BUDGETS = {
     "q_microprice": 1,
     "q_trade_runs": 2,
     "q_drawdown": 3,
-    # two union-LOCF as-of scans + the distinct-collapsed identity join
-    "q_realized_spread": 8,
+    # r12: one Q+T-row range-frame scan (probes enter once, horizons are
+    # rangeBetween frames) — the per-horizon pivot groupBy is gone (was 8)
+    "q_realized_spread": 5,
     # the bucket aggregate rides the lead's symbol sort partitioning
     "q_twa_spread": 1,
     # r9 sliced rewrites: skew-immunity costs two bounded extra legs —
@@ -586,11 +587,13 @@ SHUFFLE_BUDGETS = {
     # (counts are the static plan; AQE reuses the shared scans)
     "q_effective_spread_sliced": 7,
     "q_twa_spread_sliced": 4,
-    # r9: sliced markout — the multi-horizon union subtree appears in
-    # three legs (local LOCF, carry summary, occupied-slice frame), each
-    # re-deriving the trade dedup in the STATIC plan; AQE ReusedExchange
-    # collapses the shared scans at runtime (the q_markout pattern x3)
-    "q_markout_sliced": 12,
+    # r9: sliced markout — the union subtree appears in two legs (local
+    # range-frame windows, carry summary), each re-deriving the trade
+    # dedup in the STATIC plan; AQE ReusedExchange collapses the shared
+    # scans at runtime.  r12: probes enter the sort once (Q+T rows, ghost
+    # quotes repair the forward slice boundary) and the pivot groupBy is
+    # gone (was 12)
+    "q_markout_sliced": 10,
     # r9: one partial-combining key aggregate + the K-row global stats
     "q_key_skew_profile": 2,
     # r11: the sigs aggregate is localCheckpoint-materialized once per
