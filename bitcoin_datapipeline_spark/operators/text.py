@@ -292,15 +292,23 @@ def _cap_hot_shingles(shd: DataFrame, max_shingle_df: int) -> DataFrame:
     one corpus-wide boilerplate shingle ("terms of service") turns the
     blocking join quadratic; capping bounds per-key join fan-out to
     max_shingle_df².  ``shd`` is doc-distinct, so count(*) per shingle IS
-    the doc frequency; the guard costs one aggregate + a semi-join on the
-    shingle key the pipeline already shuffles on."""
-    keep = (
-        shd.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= max_shingle_df)
-        .select("shingle")
+    the doc frequency.
+
+    r12 (guide §2.3/§2.4): the guard is ONE count-over-window on the
+    shingle partitioning instead of the old aggregate + semi-join.  The
+    semi-join form shuffled the full shingle frame TWICE (once into the
+    df aggregate, once as the semi-join probe) and planned the shd
+    subtree in two legs; the window form shuffles it once — onto exactly
+    the (shingle) partitioning the blocking self-join downstream needs —
+    and filters in place.  count(*) over the full partition frame is the
+    same doc frequency the aggregate computed (shd is doc-distinct), so
+    surviving rows are identical."""
+    w = Window.partitionBy("shingle")
+    return (
+        shd.withColumn("__df", F.count("*").over(w))
+        .filter(F.col("__df") <= max_shingle_df)
+        .drop("__df")
     )
-    return shd.join(keep, "shingle", "left_semi")
 
 
 def ngram_jaccard_pairs(
