@@ -1505,10 +1505,20 @@ def q_doc_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # round 7: corpus-level source-overlap Jaccard (distinct shingle sets
-# per source pair — the mixing diagnostic upstream of corpus_resample)
+# per source pair — the mixing diagnostic upstream of corpus_resample).
+# r12: the micro-frame pair aggregate is checkpoint-materialized;
+# previous call's blocks released latest-wins like the LSH wrappers
+_last_overlap: DataFrame | None = None
+
+
 @q("q_doc_source_overlap", text.SOURCE_OVERLAP_ORACLE)
 def q_doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.source_overlap(table(spark, sf_dir, "documents"))
+    global _last_overlap
+    if _last_overlap is not None:
+        text.release_lsh_sigs(_last_overlap)
+    out = text.source_overlap(table(spark, sf_dir, "documents"))
+    _last_overlap = out
+    return out
 
 
 _last_repair: DataFrame | None = None

@@ -2242,6 +2242,10 @@ WINDOW w AS (ORDER BY n DESC, token)"""
 
 
 CC_MAX_ITER = 10
+# r12: rounds carrying at least this many edges settle finished components
+# out of the iterated frame (guide §2.1); smaller rounds keep the cheaper
+# one-action fixed-point check — see the loop comment in dedup_components.
+CC_SETTLE_MIN_EDGES = 200_000
 
 
 def _release_ckpt(df: DataFrame) -> None:
@@ -2294,6 +2298,7 @@ def dedup_components(
     documents: DataFrame,
     max_iter: int = CC_MAX_ITER,
     pairs: DataFrame | None = None,
+    settle_min_edges: int = CC_SETTLE_MIN_EDGES,
 ) -> DataFrame:
     """Transitive near-dup clusters — the step a real dedup pipeline runs
     AFTER pair generation: A~B and B~C must collapse into ONE cluster even
@@ -2336,7 +2341,10 @@ def dedup_components(
 
     ``pairs`` overrides the edge source (any (doc_a, doc_b) DataFrame —
     e.g. winnow overlap pairs, or a synthetic graph in tests); default is
-    the MinHash-LSH candidate pairs."""
+    the MinHash-LSH candidate pairs.  ``settle_min_edges`` gates the r12
+    settled-component drop-out (see the loop comment): rounds with fewer
+    edges keep the old single-action fixed-point check — tests pass 0 to
+    force the settle path at toy scale."""
     if pairs is None:
         pairs = minhash_lsh_pairs(documents)
     pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
@@ -2355,14 +2363,43 @@ def dedup_components(
         .localCheckpoint()
     )
     rounds = 0
+    # r12 (guide §2.1 — less data in every later pass, VERDICT r11 item
+    # 5): components that have finished contracting leave the iterated
+    # frame each round.  After small-star the edge set is (hi → lo)
+    # oriented, so a component is DONE exactly when it sits as an
+    # isolated star: a root r with no outgoing edge whose members each
+    # touch exactly ONE edge (their edge to r) — large-star and
+    # small-star both map such a star to itself, and since no edge
+    # outside the star mentions any of its nodes, no later round can
+    # rewire it (new edges only mention nodes of surviving edges).
+    # Settled star edges are already (doc → component-min) rows; they
+    # accumulate in small per-round checkpoints and the loop iterates
+    # only the hot remainder.  At the old fixed point every star is
+    # isolated, so the hot frame EMPTIES there.
+    #
+    # The detection itself costs ~4 extra driver jobs per round (degree
+    # aggregate, two micro-checkpoints, counts) — pure overhead when the
+    # round frame is tiny (measured: q_doc_split_repair +23 % at sf0.1,
+    # whose leakage graph is a few hundred edges), real savings when a
+    # round carries volume (the residue rounds then iterate only the
+    # unsettled sliver; at sf0.1 the LSH graph settles 248/248 edges in
+    # round 1).  So settling is DATA-ADAPTIVE: rounds below
+    # ``settle_min_edges`` keep the old one-action symmetric-difference
+    # fixed-point check.  The threshold is row-count-based (like AQE's
+    # own thresholds), not core-count-based — the bench stays comparable
+    # at any $SPARK_GRAFT_CPUS.
+    settled_parts: list[DataFrame] = []
+    residual: DataFrame | None = None
+    hot = edges
+    prev_ckpt: list[DataFrame] = [edges]  # round checkpoints backing `hot`
     for _ in range(max_iter):
         rounds += 1
         # large-star over symmetric neighborhoods: for every node u with
         # m = min(N(u) ∪ {u}), each neighbor v > u re-links to m.  Output
         # pairs (v, m) satisfy v > u ≥ m, so the (hi → lo) orientation is
         # preserved by construction.
-        sym = edges.unionByName(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        sym = hot.unionByName(
+            hot.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         mins = (
             sym.groupBy("u")
@@ -2387,25 +2424,77 @@ def dedup_components(
             .distinct()
             .localCheckpoint()
         )
-        # fixed-point check in ONE action: both sets are distinct, so the
-        # symmetric difference is exactly the rows appearing once in the
-        # concatenation (an anti-join pair would cost two driver round-trips)
-        changed = (
-            ss.unionByName(edges)
-            .groupBy("u", "v")
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") == 1)
-            .count()
+        n_ss = ss.count()
+        if n_ss < settle_min_edges:
+            # small round: the one-action fixed-point check (both sets
+            # are distinct, so the symmetric difference is exactly the
+            # rows appearing once in the concatenation).  Settled
+            # components from earlier big rounds never share nodes with
+            # `hot`, so LS+SS(hot) == hot still means every hot edge is
+            # a final star.
+            changed = (
+                ss.unionByName(hot)
+                .groupBy("u", "v")
+                .agg(F.count("*").alias("n"))
+                .filter(F.col("n") == 1)
+                .count()
+            )
+            for c in prev_ckpt:
+                _release_ckpt(c)
+            prev_ckpt = [ss]
+            if changed == 0:
+                residual = ss  # final star forest of the hot remainder
+                break
+            hot = ss
+            continue
+        # isolated-star detection on the materialized round: roots are
+        # v-side nodes with no outgoing edge (orientation ⇒ the root IS
+        # the component min); a star settles when every member's total
+        # incidence degree is 1
+        deg = (
+            ss.select(F.col("u").alias("n"))
+            .unionByName(ss.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("deg"))
         )
-        _release_ckpt(edges)
-        edges = ss
-        if changed == 0:
-            break
+        # root-count-sized frame, checkpointed so the settled slice AND
+        # the next round's hot remainder both read two leaves instead of
+        # re-running the degree aggregate per consumer
+        settled_roots = (
+            ss.join(
+                deg.select(F.col("n").alias("u"), F.col("deg").alias("udeg")),
+                "u",
+            )
+            .groupBy("v")
+            .agg(F.max("udeg").alias("mx"))
+            .filter(F.col("mx") == 1)
+            .join(ss.select(F.col("u").alias("v")).distinct(), "v", "left_anti")
+            .select("v")
+            .localCheckpoint()
+        )
+        settled = ss.join(settled_roots, "v", "left_semi").localCheckpoint()
+        n_settled = settled.count()
+        if n_settled > 0:
+            settled_parts.append(settled)
+        else:
+            _release_ckpt(settled)
+        for c in prev_ckpt:
+            _release_ckpt(c)
+        prev_ckpt = [ss, settled_roots]
+        if n_settled == n_ss:
+            break  # hot frame empty — every component sits settled
+        # hot remainder rides the two materialized leaves (one bounded
+        # anti-join level — the next round's checkpoint truncates it)
+        hot = ss.join(settled_roots, "v", "left_anti")
     else:
         # never silently return a partial closure — a component that did
         # not finish contracting would split and diverge from the
         # recursive-CTE oracle's true transitive closure (needs a graph
         # deeper than ~2^max_iter hops to trigger at the default budget)
+        for part in settled_parts:
+            _release_ckpt(part)
+        for c in prev_ckpt:
+            _release_ckpt(c)
         _release_ckpt(edges)
         _release_ckpt(pairs)
         raise RuntimeError(
@@ -2413,10 +2502,18 @@ def dedup_components(
             "raise max_iter (components deeper than ~2^max_iter hops exist)"
         )
     dedup_components.last_rounds = rounds
-    # fixed point = stars: every edge is (doc → component-min); roots are
-    # the lo endpoints and label themselves; docs seen only in self-loop
-    # pairs come back as their own singleton component
-    stars = edges.select(F.col("u").alias("doc"), F.col("v").alias("comp"))
+    # settled edges are stars: every edge is (doc → component-min); roots
+    # are the lo endpoints and label themselves; docs seen only in
+    # self-loop pairs come back as their own singleton component.  The
+    # star forest = the accumulated settled parts plus (when the loop
+    # ended through the small-round symdiff check) the final residual
+    # round; with neither (empty pair graph) prev_ckpt[0] is the empty
+    # final round — the right empty frame.
+    parts = settled_parts + ([residual] if residual is not None else [])
+    star_edges = parts[0] if parts else prev_ckpt[0]
+    for part in parts[1:]:
+        star_edges = star_edges.unionByName(part)
+    stars = star_edges.select(F.col("u").alias("doc"), F.col("v").alias("comp"))
     singles = (
         pairs.filter(F.col("doc_a") == F.col("doc_b"))
         .select(F.col("doc_a").alias("doc"))
@@ -2437,14 +2534,18 @@ def dedup_components(
             )
         )
         .unionByName(singles)
-        # the final ITERATION state (one checkpointed edge set per round)
-        # must not outlive the call: checkpoint the labels — the minimal
-        # result state, node-count-sized — then release everything else.
-        # This one block backs the returned DataFrame; the caller releases
-        # it with release_components / components_scope when done.
+        # the final ITERATION state (the per-round settled checkpoints +
+        # the last round) must not outlive the call: checkpoint the
+        # labels — the minimal result state, node-count-sized — then
+        # release everything else.  This one block backs the returned
+        # DataFrame; the caller releases it with release_components /
+        # components_scope when done.
         .localCheckpoint()
     )
-    _release_ckpt(edges)
+    for part in settled_parts:
+        _release_ckpt(part)
+    for c in prev_ckpt:
+        _release_ckpt(c)
     _release_ckpt(pairs)
     sizes = labels.groupBy("comp").agg(F.count("*").cast("long").alias("cluster_size"))
     out = labels.join(sizes, "comp").select(
@@ -3130,6 +3231,16 @@ def source_overlap(documents: DataFrame) -> DataFrame:
     agg = combined.groupBy("source_a", "source_b").agg(
         F.count("*").alias("c")
     )
+    # r12 (VERDICT r11 item 7): three consumers read this aggregate
+    # (pairs + both size lookups) and ColumnPruning re-planned the
+    # corpus subtree per consumer (4 runtime parquet scans).  The frame
+    # is ≤ S·(S+1)/2 rows for S sources — a micro-frame — so one eager
+    # localCheckpoint collapses every consumer onto one corpus pass for
+    # kilobytes of storage (cheap-side cousin of the r11 LSH sigs
+    # materialization; same release lifecycle — the result carries the
+    # handle for release_lsh_sigs and the entry wrapper releases
+    # latest-wins).
+    agg = agg.localCheckpoint()
     pairs = agg.filter(F.col("source_b").isNotNull()).select(
         "source_a", "source_b", F.col("c").alias("shared")
     )
@@ -3139,7 +3250,7 @@ def source_overlap(documents: DataFrame) -> DataFrame:
     na = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
     jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
-    return (
+    out = (
         pairs.join(F.broadcast(na), "source_a")
         .join(F.broadcast(nb), "source_b")
         .select(
@@ -3151,6 +3262,8 @@ def source_overlap(documents: DataFrame) -> DataFrame:
             r6(jac).alias("jaccard"),
         )
     )
+    out._lsh_sigs_ckpt = agg
+    return out
 
 
 SOURCE_OVERLAP_ORACLE = """

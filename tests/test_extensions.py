@@ -205,6 +205,37 @@ def test_dedup_components_long_chain_converges_in_log_rounds(spark):
     assert dedup_components.last_rounds <= 8
 
 
+def test_dedup_components_settle_path_equals_default(spark):
+    """r12 (VERDICT r11 item 5): with settle_min_edges=0 every round
+    drops finished components (isolated stars) out of the iterated
+    frame; the labels must match the default small-round symdiff path
+    exactly on a mixed graph — a long chain that needs several rounds
+    (so some components settle while others are still contracting),
+    early-settling pairs/stars, and a self-loop singleton.  Also pins
+    that settling ends the loop WITHOUT the old extra confirmation
+    round (the chain's round count stays in the O(log d) budget)."""
+    from bitcoin_datapipeline_spark.operators.text import dedup_components
+
+    chain = [(i, i + 1) for i in range(1, 33)]          # 32-hop chain
+    extras = [(100, 101), (200, 201), (200, 202), (300, 300)]
+    pairs = spark.createDataFrame(
+        chain + extras, "doc_a long, doc_b long"
+    )
+    want = {
+        r.doc_id: (r.component, r.cluster_size)
+        for r in dedup_components(None, pairs=pairs).collect()
+    }
+    got = {
+        r.doc_id: (r.component, r.cluster_size)
+        for r in dedup_components(
+            None, pairs=pairs, settle_min_edges=0
+        ).collect()
+    }
+    settle_rounds = dedup_components.last_rounds
+    assert got == want
+    assert settle_rounds <= 8
+
+
 def test_dedup_components_self_loop_pairs_become_singletons(spark):
     """The pairs override accepts any pair frame; a doc appearing ONLY in
     self-loop pairs must surface as its own singleton cluster (membership
