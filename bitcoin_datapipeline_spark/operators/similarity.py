@@ -436,21 +436,43 @@ def _centroid_frame(spark, cents: list[tuple[int, list[float]]]) -> DataFrame:
     broadcast stays map-side: no crossJoin row inflation, no per-vector
     shuffle.
 
-    The centroid norm is an `aggregate` left-fold over the array — the
-    same sequential IEEE-double order as the DuckDB oracle's list kernels,
-    bit-identical."""
-    cdf = spark.createDataFrame(
-        [(int(c), [float(v) for v in vec]) for c, vec in cents],
-        "c long, centroid array<double>",
+    The centroid norm is a sequential left-fold over the array — the
+    same IEEE-double op order as the DuckDB oracle's list kernels (and
+    as the Spark `aggregate` HOF this ran as before r12), bit-identical:
+    Python floats ARE binary64 and the loop below performs the identical
+    +, ×, sqrt sequence.
+
+    r12 (guide §1.2 driver-side work): the row is assembled ON THE
+    DRIVER — the model is driver-resident anyway — so the frame is one
+    LocalRelation feeding the BroadcastExchange directly.  The previous
+    form (createDataFrame per centroid → fold in an expression →
+    groupBy().agg(collect_list)) planned an ObjectHashAggregate pair and
+    an Exchange SinglePartition per INSTANCE; the ANN plans join this
+    model on both the posting and query legs, so each query paid ~2
+    extra shuffle stages of pure micro-stage latency."""
+    row = [
+        {
+            "c": int(c),
+            "centroid": [float(v) for v in vec],
+            "cnorm": _fold_norm(vec),
+        }
+        for c, vec in cents
+    ]
+    return spark.createDataFrame(
+        [(row,)],
+        "cents array<struct<c: bigint, centroid: array<double>, cnorm: double>>",
     )
-    cnorm = F.sqrt(
-        F.aggregate(F.col("centroid"), F.lit(0.0), lambda a, x: a + x * x)
-    )
-    return (
-        cdf.withColumn("cnorm", cnorm)
-        .groupBy()
-        .agg(F.collect_list(F.struct("c", "centroid", "cnorm")).alias("cents"))
-    )
+
+
+def _fold_norm(vec: list[float]) -> float:
+    """sqrt of the sequential left-fold of squares — bit-identical to the
+    pre-r12 Spark expression sqrt(aggregate(v, 0.0, (a, x) -> a + x*x))
+    and to the DuckDB oracle's list kernel (same binary64 op order)."""
+    acc = 0.0
+    for v in vec:
+        x = float(v)
+        acc = acc + x * x
+    return math.sqrt(acc)
 
 
 def _centroid_scores():
@@ -1873,10 +1895,14 @@ def _pq_model_frame(spark, cbs: list[tuple[int, int, list[float]]]) -> DataFrame
     :func:`_pq_frame` is the training-side shape, where the sample is
     already exploded by m.)"""
     pqm = [v for _, v in sorted(_pq_rows(cbs).items())]
+    # r12: the row is already assembled — the old trailing
+    # groupBy().agg(first(...)) re-aggregated ONE row through an
+    # ObjectHashAggregate pair + Exchange SinglePartition per plan
+    # instance for nothing; the LocalRelation broadcasts directly
     return spark.createDataFrame(
         [(pqm,)],
         "pqm array<array<struct<j: int, cw: array<double>, n2: double>>>",
-    ).groupBy().agg(F.first("pqm").alias("pqm"))
+    )
 
 
 def _pq_bests(sub: int, m_sub: int):
@@ -1998,10 +2024,13 @@ def ann_ivfpq(
     dims = _embedding_dims(embeddings)
     sub = dims // m_sub
 
-    # posting side: coarse cell + PQ codes + recon norm² — codes-only index
-    ec = e.join(F.broadcast(_centroid_frame(spark, cents))).join(
-        F.broadcast(_pq_model_frame(spark, cbs))
-    )
+    # posting side: coarse cell + PQ codes + recon norm² — codes-only
+    # index.  r12: ONE model frame object per model serves both the
+    # posting and query legs, so the two BroadcastExchanges are
+    # plan-identical and the second is a ReusedExchange
+    cf = F.broadcast(_centroid_frame(spark, cents))
+    pqf = F.broadcast(_pq_model_frame(spark, cbs))
+    ec = e.join(cf).join(pqf)
     best_c = F.array_max(_centroid_scores())
     posting = ec.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -2025,9 +2054,7 @@ def ann_ivfpq(
         if query_max is not None
         else F.col("vec_id") % query_mod == 0
     )
-    eq = e.filter(qpred).join(
-        F.broadcast(_centroid_frame(spark, cents))
-    ).join(F.broadcast(_pq_model_frame(spark, cbs)))
+    eq = e.filter(qpred).join(cf).join(pqf)
     scores = _centroid_scores()
     lut = F.expr(
         f"""transform(sequence(0, {m_sub - 1}), m ->

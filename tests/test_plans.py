@@ -474,7 +474,14 @@ SHUFFLE_BUDGETS = {
     # r10: the headline ANN row is the production convention (fixed
     # 20-query set, sqrt(N) centroids) — same plan shape as the classic
     # parameterization it replaced, so the budget carries over
-    "q_embed_ann_ivf_prod": 4,
+    # r12: +1 static exchange, deliberately.  The model frame is now a
+    # driver-built local row without the old 1-row re-aggregate; losing
+    # the aggregate's (bogus, tiny) size estimate stops the planner
+    # auto-broadcasting the POSTING LEG — the full corpus at scale, a
+    # driver-OOM hazard the old static plan carried — so the c-join
+    # plans as SMJ and AQE broadcasts at runtime only when genuinely
+    # small (executed: fewer stages overall, A/B ivfpq -24%/-31%).
+    "q_embed_ann_ivf_prod": 5,
     "q_waiting_suppliers": 2,
     "q_price_deciles": 2,
     "q_semdedup": 7,
@@ -547,7 +554,7 @@ SHUFFLE_BUDGETS = {
     # r8: exact-side max(struct) aggregate + ann_ivf's posting join and
     # rank window + the K-row recall join (r11: headline row is the
     # production convention — same plan shape, budget carries over)
-    "q_embed_recall_ivf_prod": 5,
+    "q_embed_recall_ivf_prod": 6,  # r12: see q_embed_ann_ivf_prod note
     # r8: sigs aggregate + band fan-out + (band, hash) count + the
     # n_bands-row aggregate (static; shared sigs scan reused at runtime)
     "q_doc_lsh_bucket_balance": 6,
@@ -793,7 +800,7 @@ NON_HEADLINE_SHUFFLE_BUDGETS = {
     "q_embed_ann_lsh_multi": 2,
     # r10: the classic corpus-coupled ANN parameterizations, demoted from
     # the headline to the scale artifact (the _prod rows replaced them)
-    "q_embed_ann_ivf": 4,
+    "q_embed_ann_ivf": 5,  # r12: see q_embed_ann_ivf_prod note
     "q_embed_ann_ivfpq": 11,
     # r11: the classic corpus-coupled decontamination row, demoted from
     # the headline to the scale artifact (q_embed_decontaminate_prod
@@ -801,7 +808,7 @@ NON_HEADLINE_SHUFFLE_BUDGETS = {
     "q_embed_decontaminate": 1,
     # r11: the classic corpus-coupled IVF recall audit, demoted from the
     # headline to the scale artifact (q_embed_recall_ivf_prod replaced it)
-    "q_embed_recall_ivf": 5,
+    "q_embed_recall_ivf": 6,  # r12: see q_embed_ann_ivf_prod note
     "q_embed_cluster_stats": 7,
     "q_embed_cosine_pairs": 0,
     "q_embed_prune_prototypes": 3,
